@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 scripts/check.py <verify_out_dir> <sf_dir>
+
+Reads each <name>/ parquet result written by graft.Verify, runs the
+matching SQL from oracle_sql.json in DuckDB over the sf_dir tables, and
+compares: schema (column names sorted), row count, and values (columns
+sorted by name, rows sorted by all columns, exact equality).
+"""
+import json, os, sys
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def main(out_dir: str, sf_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    fails = 0
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(os.path.join(out_dir, d)))
+    for name in names:
+        got = duckdb.connect().execute(
+            f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
+        if name not in oracle:
+            print(f"  {name:28s} rows-only: {len(got)} rows")
+            continue
+        try:
+            exp = con.execute(oracle[name]).df()
+        except Exception as e:
+            print(f"✗ {name:28s} ORACLE SQL ERROR: {e}")
+            fails += 1
+            continue
+        g, e = norm(got), norm(exp)
+        if list(g.columns) != list(e.columns):
+            print(f"✗ {name:28s} COLUMNS: got {list(g.columns)} want {list(e.columns)}")
+            fails += 1
+            continue
+        if len(g) != len(e):
+            print(f"✗ {name:28s} ROWS: got {len(g)} want {len(e)}")
+            fails += 1
+            continue
+        # exact value compare, column by column (dtype-tolerant)
+        bad = None
+        for c in g.columns:
+            gv, ev = g[c], e[c]
+            try:
+                if gv.dtype.kind == 'f' or ev.dtype.kind == 'f':
+                    ok = ((gv.isna() & ev.isna()) | (gv == ev)).all()
+                else:
+                    ok = (gv.astype(str) == ev.astype(str)).all()
+            except Exception:
+                ok = (gv.astype(str) == ev.astype(str)).all()
+            if not ok:
+                mism = (gv.astype(str) != ev.astype(str))
+                i = mism.idxmax()
+                bad = f"col {c}: row {i}: got {gv[i]!r} want {ev[i]!r} ({int(mism.sum())} mismatches)"
+                break
+        if bad:
+            print(f"✗ {name:28s} VALUES: {bad}")
+            fails += 1
+        else:
+            print(f"✓ {name:28s} {len(g)} rows")
+    # dtypes note
+    print(f"\n{len(names)} queries, {fails} failures")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

@@ -1,13 +1,420 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.logs.{ClfParser, LogGen}
+import graft.ops.{Aggregations, Enrich, Merge, TopK, ZsetTable}
+import graft.text.TextAnalysis
+import graft.dedup.Dedup
+import graft.sim.Similarity
+import graft.multimodal.Multimodal
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the north-star extensions), each with equivalent ANSI
+  * SQL for the DuckDB oracle where SQL-expressible.
+  *
+  * The driver's testdata has no web logs, so log-domain operators run
+  * over CLF lines synthesized *deterministically* from `events`
+  * ([[LogGen]]); the oracle derives the expected parsed values directly
+  * from `events`, which makes parse∘format an end-to-end-checked
+  * identity.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Read a testdata table. `events.parquet` carries TIMESTAMP(NANOS)
+    * which Spark has no native type for — read nanos as LONG and convert
+    * to a (microsecond) timestamp with integer `div` (no double
+    * round-trip: 2024 epoch-nanos ≈ 1.7e18 exceeds double's 53-bit
+    * mantissa).
+    */
+  private def T(s: SparkSession, dir: String, name: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    df.schema.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
+      .map(_ => df.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+      .getOrElse(df)
+  }
+
+  private def parsedLogs(s: SparkSession, dir: String): DataFrame =
+    ClfParser.parse(LogGen.clfLines(T(s, dir, "events")))
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q01_clf_parse_topk")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- reference surface (SURVEY §2) --------------------------------
+    // T1/T2 + A8 + K1: the minimum end-to-end slice (SURVEY §7.2)
+    "q01_clf_parse_topk" -> ((s, dir) =>
+      TopK.topK(
+        Aggregations.countBy(parsedLogs(s, dir), col("req_url"))
+          .withColumnRenamed("member", "req_url")
+          .withColumnRenamed("score", "hits"),
+        col("hits"), col("req_url"), 10)),
+
+    // A3-A10: count-by-column
+    "q02_count_by_type" -> ((s, dir) =>
+      Aggregations.countBy(T(s, dir, "events"), col("event_type"))
+        .orderBy("member")),
+
+    // A6: per-second event-time timeline
+    "q03_timeline" -> ((s, dir) =>
+      Aggregations.timeline(T(s, dir, "events"), col("ts")).orderBy("member")),
+
+    // A11: traffic sum with per-record MB truncation quirk
+    "q04_traffic_sum" -> ((s, dir) =>
+      Aggregations.trafficSumMb(
+        T(s, dir, "lineitem")
+          .select(floor(col("l_extendedprice") * 1000).cast("long")
+            .cast("string").as("bytes")),
+        col("bytes"))),
+
+    // A15: distinct visitors (ZCARD)
+    "q05_distinct_users" -> ((s, dir) =>
+      Aggregations.distinctCount(T(s, dir, "events"), col("user_id"), "n_users")),
+
+    // T8 + A17: status classification over parsed logs
+    "q06_status_class" -> ((s, dir) =>
+      parsedLogs(s, dir)
+        .groupBy(Aggregations.statusClass(col("status_code")).as("class"))
+        .agg(count(lit(1)).as("hits"))
+        .orderBy("class")),
+
+    // J1 + K5: full-outer timeline merge (goodts/badts analog)
+    "q07_full_outer_merge" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      def perDay(t: String, alias: String) =
+        ev.where(col("event_type") === t)
+          .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).as(alias))
+      Merge.fullOuterTimeline(
+        perDay("click", "good_hits"), perDay("error", "bad_hits"),
+        "day", "good_hits", "bad_hits")
+    }),
+
+    // J2 / T11: broadcast dimension enrichment chain
+    "q08_geo_join" -> ((s, dir) => {
+      val cust = T(s, dir, "customer")
+        .withColumnRenamed("c_nationkey", "n_nationkey")
+      val nat = T(s, dir, "nation").withColumnRenamed("n_regionkey", "r_regionkey")
+      Enrich.dimJoin(Enrich.dimJoin(cust, nat, "n_nationkey"),
+          T(s, dir, "region"), "r_regionkey")
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).as("total_bal"))
+        .orderBy("r_name")
+    }),
+
+    // multi-aggregate scan (TPC-H Q1 shape; decimal-exact for the oracle)
+    "q09_tpch_q1" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base"),
+          sum(expr("CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"))
+            .as("sum_disc"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // K1: distributed top-k with deterministic tie-break
+    "q10_topk_customers" -> ((s, dir) =>
+      TopK.topK(
+        T(s, dir, "orders").groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders")),
+        col("n_orders"), col("o_custkey"), 10)),
+
+    // K4 + T6: union of labeled sets
+    "q11_union_labels" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val good = d.where(col("lang") === "en").select(col("doc_id"), lit(0).as("label"))
+      val bad = d.where(col("lang") =!= "en").select(col("doc_id"), lit(1).as("label"))
+      good.union(bad).groupBy("label").agg(count(lit(1)).as("n")).orderBy("label")
+    }),
+
+    // scalar funcs: JSON extract + null-fill (T5/§2.6)
+    "q12_json_props" -> ((s, dir) =>
+      T(s, dir, "events")
+        .select(coalesce(get_json_object(col("props"), "$.k").cast("int"), lit(0)).as("k"))
+        .groupBy((col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("k_mod")),
+
+    // window functions (engine-completeness extension)
+    "q13_window_first_event" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      T(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as("first_event"))
+        .orderBy("user_id")
+    }),
+
+    // the full zset-table materialization (A1-A11, FIXTURES.md §3)
+    "q14_zset_table" -> ((s, dir) =>
+      ZsetTable.fromParsedLogs(parsedLogs(s, dir))
+        .orderBy("metric", "member")),
+
+    // ---- north-star: text analysis ------------------------------------
+    "q15_lang_id" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    "q16_text_quality" -> ((s, dir) =>
+      TextAnalysis.quality(T(s, dir, "documents"), col("text"))
+        .orderBy("doc_id")),
+
+    "q17_token_count" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .groupBy("lang")
+        .agg(sum(TextAnalysis.bpeishCount(col("text"))).cast("long").as("bpeish_tokens"),
+          sum(size(TextAnalysis.tokens(col("text")))).cast("long").as("ws_tokens"))
+        .orderBy("lang")),
+
+    "q18_fingerprint" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.md5Fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    // rolling-hash fingerprint (xxhash64-based — no SQL oracle)
+    "q19_rolling_fp" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.rollingFingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    // ---- north-star: dedup --------------------------------------------
+    "q20_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(T(s, dir, "documents"), col("doc_id"), col("text"))
+        .orderBy("fp")),
+
+    "q21_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(T(s, dir, "documents"), "doc_id", "text",
+          blockCol = "source", lenBucket = 16, w = 3, minInter = 1)
+        .select(col("id_a"), col("id_b"),
+          col("inter").cast("long").as("inter"), col("uni").cast("long").as("uni"))
+        .orderBy("id_a", "id_b")),
+
+    // MinHash-LSH near-dup candidates (engine-hash-based — no SQL oracle)
+    "q22_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashPairs(T(s, dir, "documents"), "doc_id", "text",
+          k = 16, bands = 4, minAgree = 4)
+        .orderBy("id_a", "id_b")),
+
+    // SimHash near-dup pairs (engine-hash-based — no SQL oracle)
+    "q23_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(T(s, dir, "documents"), "doc_id", "text", maxDist = 16)
+        .orderBy("id_a", "id_b")),
+
+    // ---- north-star: similarity search --------------------------------
+    "q24_knn_bruteforce" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("score"), 4).as("score_r"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // LSH-bucketed ANN (engine-hash hyperplanes — no SQL oracle)
+    "q25_ann_lsh" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.annTopK(emb, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, dim = 64, nBits = 4)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- north-star: multimodal plumbing ------------------------------
+    "q26_multimodal_meta" -> ((s, dir) =>
+      Multimodal.extractMeta(
+        T(s, dir, "documents").select(col("doc_id"), col("text").cast("binary").as("payload")),
+        "doc_id", "payload")
+        .orderBy("media_id")),
+
+    // binary frame sampling (engine-side slicing — no SQL oracle)
+    "q27_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+        T(s, dir, "documents").select(col("doc_id"), col("text").cast("binary").as("payload")),
+        "doc_id", "payload", frameBytes = 64, stride = 2)
+        .select(col("media_id"), col("frame_idx"), octet_length(col("frame")).cast("long").as("frame_len"))
+        .orderBy("media_id", "frame_idx"))
+  )
+
+  /** DuckDB-equivalent SQL per query (driver hash-compares). Notes:
+    *  - all SUM(int) wrapped in CAST(.. AS BIGINT) (DuckDB SUM → HUGEINT)
+    *  - list len() wrapped where Spark emits INT (cast Spark-side to long)
+    *  - money math in DECIMAL(18,2) on both sides (bit-exact)
+    */
+  def oracleSql: Map[String, String] = {
+    val logsCte =
+      """WITH logs AS (
+        |  SELECT
+        |    '10.0.' || CAST(user_id % 256 AS VARCHAR) || '.' || CAST((user_id // 256) % 256 AS VARCHAR) AS host,
+        |    '-' AS rfc931, '-' AS user_name,
+        |    CAST(epoch_ms(date_trunc('second', ts)) AS VARCHAR) AS date_time,
+        |    CASE WHEN event_type IN ('signup','purchase') THEN 'POST' ELSE 'GET' END AS req_method,
+        |    '/' || event_type || '?id=' || CAST(event_id % 100 AS VARCHAR) AS req_url,
+        |    'HTTP/1.1' AS req_protocol,
+        |    CASE WHEN event_type = 'error' THEN '500' WHEN event_type = 'purchase' THEN '201' ELSE '200' END AS status_code,
+        |    CAST(floor(value * 10) AS BIGINT) AS bytes
+        |  FROM events)""".stripMargin
+    Map(
+      "q01_clf_parse_topk" ->
+        s"""$logsCte
+           |SELECT req_url, COUNT(*) AS hits FROM logs
+           |GROUP BY req_url ORDER BY hits DESC, req_url ASC LIMIT 10""".stripMargin,
+
+      "q02_count_by_type" ->
+        "SELECT event_type AS member, COUNT(*) AS score FROM events GROUP BY event_type ORDER BY member",
+
+      "q03_timeline" ->
+        """SELECT CAST(epoch_ms(date_trunc('second', ts)) AS VARCHAR) AS member, COUNT(*) AS score
+          |FROM events GROUP BY 1 ORDER BY member""".stripMargin,
+
+      "q04_traffic_sum" ->
+        """SELECT 'sum' AS member,
+          |  CAST(SUM(CAST(floor(l_extendedprice * 1000) AS BIGINT) // 1048576) AS BIGINT) AS score
+          |FROM lineitem""".stripMargin,
+
+      "q05_distinct_users" ->
+        "SELECT COUNT(DISTINCT user_id) AS n_users FROM events",
+
+      "q06_status_class" ->
+        """SELECT CASE WHEN event_type = 'error' THEN 'other' ELSE 'success' END AS class,
+          |  COUNT(*) AS hits FROM events GROUP BY 1 ORDER BY class""".stripMargin,
+
+      "q07_full_outer_merge" ->
+        """WITH g AS (SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS good_hits
+          |           FROM events WHERE event_type = 'click' GROUP BY 1),
+          |     b AS (SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS bad_hits
+          |           FROM events WHERE event_type = 'error' GROUP BY 1)
+          |SELECT COALESCE(g.day, b.day) AS day,
+          |  COALESCE(good_hits, 0) AS good_hits, COALESCE(bad_hits, 0) AS bad_hits
+          |FROM g FULL OUTER JOIN b ON g.day = b.day ORDER BY day""".stripMargin,
+
+      "q08_geo_join" ->
+        """SELECT r_name, COUNT(*) AS n_customers,
+          |  SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS total_bal
+          |FROM customer JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+      "q09_tpch_q1" ->
+        """SELECT l_returnflag, l_linestatus,
+          |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+          |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base,
+          |  SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc,
+          |  COUNT(*) AS n_rows
+          |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+          |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+      "q10_topk_customers" ->
+        """SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+          |GROUP BY o_custkey ORDER BY n_orders DESC, o_custkey ASC LIMIT 10""".stripMargin,
+
+      "q11_union_labels" ->
+        """SELECT label, COUNT(*) AS n FROM (
+          |  SELECT doc_id, 0 AS label FROM documents WHERE lang = 'en'
+          |  UNION ALL
+          |  SELECT doc_id, 1 AS label FROM documents WHERE lang <> 'en')
+          |GROUP BY label ORDER BY label""".stripMargin,
+
+      "q12_json_props" ->
+        """SELECT COALESCE(CAST(json_extract_string(props, '$.k') AS INTEGER), 0) % 10 AS k_mod,
+          |  COUNT(*) AS n FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin,
+
+      "q13_window_first_event" ->
+        """SELECT user_id, event_id AS first_event FROM (
+          |  SELECT user_id, event_id,
+          |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+          |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+      "q14_zset_table" ->
+        s"""$logsCte
+           |SELECT metric, member, score FROM (
+           |  SELECT 'line' AS metric, 'count' AS member, COUNT(*) AS score FROM logs
+           |  UNION ALL SELECT 'host', host, COUNT(*) FROM logs GROUP BY host
+           |  UNION ALL SELECT 'rfc931', rfc931, COUNT(*) FROM logs GROUP BY rfc931
+           |  UNION ALL SELECT 'username', user_name, COUNT(*) FROM logs GROUP BY user_name
+           |  UNION ALL SELECT 'datetime', date_time, COUNT(*) FROM logs GROUP BY date_time
+           |  UNION ALL SELECT 'reqmt', req_method, COUNT(*) FROM logs GROUP BY req_method
+           |  UNION ALL SELECT 'url', req_url, COUNT(*) FROM logs GROUP BY req_url
+           |  UNION ALL SELECT 'proto', req_protocol, COUNT(*) FROM logs GROUP BY req_protocol
+           |  UNION ALL SELECT 'statcode', status_code, COUNT(*) FROM logs GROUP BY status_code
+           |  UNION ALL SELECT 'traffic', 'sum', CAST(SUM(bytes // 1048576) AS BIGINT) FROM logs
+           |) ORDER BY metric, member""".stripMargin,
+
+      "q15_lang_id" ->
+        """WITH s AS (SELECT doc_id,
+          |  len(list_filter(string_split(text, ' '), t -> t IN ('the','a','and','of','to'))) AS s_en,
+          |  len(list_filter(string_split(text, ' '), t -> t IN ('el','la','de','que','y'))) AS s_es,
+          |  len(list_filter(string_split(text, ' '), t -> t IN ('der','die','und','das','ist'))) AS s_de
+          |FROM documents)
+          |SELECT doc_id, CASE
+          |  WHEN s_en >= s_es AND s_en >= s_de AND s_en > 0 THEN 'en'
+          |  WHEN s_es >= s_de AND s_es > 0 THEN 'es'
+          |  WHEN s_de > 0 THEN 'de'
+          |  ELSE 'und' END AS lang_pred
+          |FROM s ORDER BY doc_id""".stripMargin,
+
+      "q16_text_quality" ->
+        """SELECT doc_id,
+          |  CAST(length(text) AS BIGINT) AS n_chars,
+          |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          |  CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','and','of','to'))) AS BIGINT) AS n_stopwords,
+          |  CAST(len(list_filter(string_split(text, ' '), t -> length(t) > 5)) AS BIGINT) AS n_long_tokens
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q17_token_count" ->
+        """SELECT lang,
+          |  CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT) AS bpeish_tokens,
+          |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens
+          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+      "q18_fingerprint" ->
+        "SELECT doc_id, md5(lower(text)) AS fp FROM documents ORDER BY doc_id",
+
+      "q20_dedup_exact" ->
+        """SELECT md5(text) AS fp, COUNT(*) AS n_copies, MIN(doc_id) AS keeper
+          |FROM documents GROUP BY md5(text) ORDER BY fp""".stripMargin,
+
+      "q21_ngram_jaccard" ->
+        """WITH d AS (SELECT doc_id, source,
+          |    CAST(length(text) // 16 AS BIGINT) AS lb,
+          |    list_distinct(list_transform(range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
+          |      i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS sh
+          |  FROM documents)
+          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+          |  CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS uni
+          |FROM d a JOIN d b ON a.source = b.source AND a.lb = b.lb AND a.doc_id < b.doc_id
+          |WHERE len(list_intersect(a.sh, b.sh)) >= 1
+          |ORDER BY id_a, id_b""".stripMargin,
+
+      "q24_knn_bruteforce" ->
+        """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          |           FROM embeddings WHERE vec_id < 10),
+          |  s AS (SELECT query_id, c.vec_id AS neighbor_id,
+          |          list_cosine_similarity(qv, CAST(c.embedding AS DOUBLE[])) AS score
+          |        FROM q, embeddings c WHERE c.vec_id <> query_id),
+          |  r AS (SELECT query_id, neighbor_id, score,
+          |          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+          |        FROM s)
+          |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, round(score, 4) AS score_r
+          |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+      "q26_multimodal_meta" ->
+        """SELECT doc_id AS media_id,
+          |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+          |  sha256(text) AS sha,
+          |  CAST(octet_length(CAST(text AS BLOB)) % 640 AS INTEGER) AS width,
+          |  CAST((octet_length(CAST(text AS BLOB)) * 7) % 480 AS INTEGER) AS height,
+          |  CAST(octet_length(CAST(text AS BLOB)) % 30 + 1 AS INTEGER) AS n_frames
+          |FROM documents ORDER BY media_id""".stripMargin
+    )
+  }
 }

@@ -1,0 +1,131 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (north-star
+  * extensions, BASELINE.json): exact, MinHash+LSH, SimHash, n-gram
+  * Jaccard. All designed shuffle-minimal:
+  *
+  *  - exact: one hash-groupBy — a single shuffle on a 16-byte key
+  *    regardless of document size (hash computed map-side).
+  *  - MinHash/LSH: shingle → k min-hashes → band buckets → join on
+  *    (band, bucket). The candidate join is an equi-join on bucket ids,
+  *    so Spark shuffles only signature rows (k longs/doc), never text.
+  *  - SimHash: 64-bit fingerprint per doc; near-dup = popcount(xor) ≤ t
+  *    within buckets keyed by 16-bit chunks (pigeonhole: a ≤3-bit
+  *    difference leaves ≥1 of 4 chunks identical).
+  */
+object Dedup {
+
+  /** Exact dedup: group by content hash; keeper = min doc id.
+    * (streaming/web-scale standard: hash map-side, shuffle 16 bytes.) */
+  def exact(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    df.groupBy(md5(textCol).as("fp"))
+      .agg(count(lit(1)).as("n_copies"), min(idCol).as("keeper"))
+
+  /** Word w-shingles as an array column (w consecutive tokens joined). */
+  def shingles(textCol: Column, w: Int = 3): Column = {
+    val toks = split(textCol, " ")
+    transform(sequence(lit(0), greatest(size(toks) - w, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(w))))
+  }
+
+  /** k MinHash values per doc: h_i(doc) = min over shingles of
+    * xxhash64(shingle, seed=i). Computed per-row with array functions —
+    * no shuffle, no UDF.
+    */
+  def minhashSignature(textCol: Column, k: Int = 16, w: Int = 3): Column =
+    array((0 until k).map { i =>
+      array_min(transform(shingles(textCol, w), s => xxhash64(lit(i), s)))
+    }: _*)
+
+  /** MinHash-LSH candidate pairs: k hashes split into `bands` bands of
+    * rows; docs sharing any band bucket are candidates; pairs are then
+    * verified with exact signature agreement ≥ `minAgree`.
+    * Returns (id_a, id_b, agree) with id_a < id_b.
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 16, bands: Int = 4, minAgree: Int = 8,
+                   w: Int = 3): DataFrame = {
+    val rows = k / bands
+    val sig = df.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), k, w).as("sig"))
+    // band bucket id = hash of the band's slice of the signature
+    val banded = sig.select(col("id"), col("sig"),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64(lit(b), concat_ws(",", slice(col("sig"), b * rows + 1, rows)))
+      }: _*)).as(Seq("band", "bucket")))
+    val a = banded.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          b => b)).as("agree"))
+      .distinct()
+      .where(col("agree") >= minAgree)
+  }
+
+  /** 64-bit SimHash over word tokens: bit j of the fingerprint is the
+    * sign of Σ_tokens (bit j of xxhash64(token) ? +1 : -1). Expressed
+    * with SQL higher-order functions over the token array — a single
+    * per-row pass, no UDF, no shuffle. (`expr` because the scalar
+    * `shiftright(h, j)` with a *column* shift amount has no
+    * `functions._` overload.)
+    */
+  def simhash64(textColName: String): Column = expr(
+    s"""aggregate(
+       |  zip_with(
+       |    aggregate(split($textColName, ' '), array_repeat(0L, 64),
+       |      (acc, t) -> transform(acc,
+       |        (c, j) -> c + IF((shiftright(xxhash64(t), j) & 1) = 1, 1L, -1L))),
+       |    sequence(0, 63),
+       |    (c, j) -> IF(c > 0, shiftleft(1L, j), 0L)),
+       |  0L, (acc, b) -> acc | b)""".stripMargin)
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs within `maxDist` Hamming distance, bucketed
+    * by 16-bit chunks (any pair within distance 3 shares ≥1 chunk).
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int = 3): DataFrame = {
+    val fp = df.select(col(idCol).as("id"), simhash64(textCol).as("fp"))
+    val chunked = fp.select(col("id"), col("fp"),
+      posexplode(array((0 until 4).map { c =>
+        shiftright(col("fp"), c * 16).bitwiseAND(0xffffL)
+      }: _*)).as(Seq("chunk", "ckey")))
+    val a = chunked.select(col("chunk"), col("ckey"), col("id").as("id_a"), col("fp").as("fp_a"))
+    val b = chunked.select(col("chunk"), col("ckey"), col("id").as("id_b"), col("fp").as("fp_b"))
+    a.join(b, Seq("chunk", "ckey"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming64(col("fp_a"), col("fp_b")).as("dist"))
+      .distinct()
+      .where(col("dist") <= maxDist)
+  }
+
+  /** n-gram Jaccard near-dup: candidate pairs blocked on (blockCol,
+    * length bucket) to bound the quadratic blow-up, then exact Jaccard
+    * on distinct word w-shingles. Emits integer intersection/union sizes
+    * (exact, oracle-safe) with id_a < id_b.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        blockCol: String, lenBucket: Int = 64, w: Int = 3,
+                        minInter: Int = 1): DataFrame = {
+    val docs = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      (length(col(textCol)).divide(lenBucket)).cast("long").as("lb"),
+      array_distinct(shingles(col(textCol), w)).as("sh"))
+    val a = docs.select(col("blk"), col("lb"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = docs.select(col("blk"), col("lb"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("blk", "lb"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
+        size(array_union(col("sh_a"), col("sh_b"))).as("uni"))
+      .where(col("inter") >= minInter)
+  }
+}

@@ -1,0 +1,82 @@
+package graft.logs
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Combined-Log-Format parsing / formatting.
+  *
+  * Reference semantics: `/root/reference/spark/src/main/scala/streaming.scala:73-89`
+  * — a single regex with 11 capture groups (groups 1-9 kept, 10-11
+  * referer/user-agent discarded), the timestamp group parsed with
+  * `SimpleDateFormat("dd/MMM/yyyy:HH:mm:ss Z", Locale.ENGLISH)` to an
+  * epoch-millis string, and *non-matching lines mapped to a sentinel row*
+  * (`"foo"` in every string field, `"0"` for dateTime/bytes,
+  * streaming.scala:85-88) rather than dropped.
+  *
+  * Spark-first design: the parse is declared with codegen'd built-ins
+  * (`rlike` + `regexp_extract` + `to_timestamp`) so it stays inside
+  * whole-stage codegen and Catalyst can prune unused fields — if a
+  * downstream query only needs `req_url`, the other extracts are pruned
+  * away entirely, which a monolithic UDF would prevent.
+  */
+object ClfParser {
+
+  /** streaming.scala:76 verbatim (Java regex). */
+  val Pattern: String =
+    "^(\\S+) (\\S+) (\\S+) \\[([\\w:/]+\\s[+\\-]\\d{4})\\] \"(\\S+)\\s?(\\S+)?\\s?(\\S+)?\" (\\d{3}|-) (\\d+|-)\\s?\"?([^\"]*)\"?\\s?\"?([^\"]*)?\"?$"
+
+  val TsFormat = "dd/MMM/yyyy:HH:mm:ss Z"
+
+  /** Output columns, in order. All STRING except `ts` (TIMESTAMP). */
+  val Fields: Seq[String] = Seq(
+    "host", "rfc931", "user_name", "date_time", "req_method", "req_url",
+    "req_protocol", "status_code", "bytes")
+
+  /** Parse a line column into the 9 reference fields (+ `ts` TIMESTAMP and
+    * the original `raw` line). Sentinel policy preserved: non-matching
+    * lines become ("foo","foo","foo","0","foo","foo","foo","foo","0").
+    */
+  def parse(df: DataFrame, lineCol: String = "value"): DataFrame = {
+    val line = col(lineCol)
+    val ok = line.rlike(Pattern)
+    def g(i: Int) = regexp_extract(line, Pattern, i)
+    def sentinel(i: Int, s: String) = when(ok, g(i)).otherwise(lit(s))
+    val ts = to_timestamp(g(4), TsFormat)
+    df.select(
+      line.as("raw"),
+      sentinel(1, "foo").as("host"),
+      sentinel(2, "foo").as("rfc931"),
+      sentinel(3, "foo").as("user_name"),
+      // reference keeps dateTime as an epoch-millis *string* (zset key)
+      when(ok, unix_millis(ts).cast("string")).otherwise(lit("0")).as("date_time"),
+      when(ok, ts).otherwise(lit(null).cast("timestamp")).as("ts"),
+      sentinel(5, "foo").as("req_method"),
+      sentinel(6, "foo").as("req_url"),
+      sentinel(7, "foo").as("req_protocol"),
+      sentinel(8, "foo").as("status_code"),
+      sentinel(9, "0").as("bytes"))
+  }
+
+  /** Typed views over the string-parity columns (reference keeps all
+    * strings; see SURVEY §1.3). `-` bytes → null.
+    */
+  def withTypedViews(parsed: DataFrame): DataFrame = parsed
+    .withColumn("status_code_int",
+      when(col("status_code") === "-", lit(null)).otherwise(col("status_code")).cast("int"))
+    .withColumn("bytes_long",
+      when(col("bytes") === "-", lit(null)).otherwise(col("bytes")).cast("long"))
+
+  /** Format the 9 fields back into a CLF line — the inverse of [[parse]]
+    * for well-formed records (used by the streaming test rig, the
+    * log-generator analog of `log_gen/log_gen.java`, and round-trip
+    * property tests).
+    */
+  def formatLine(host: Column, rfc931: Column, user: Column, ts: Column,
+                 method: Column, url: Column, protocol: Column,
+                 status: Column, bytes: Column): Column =
+    concat(
+      host, lit(" "), rfc931, lit(" "), user,
+      lit(" ["), date_format(ts, "dd/MMM/yyyy:HH:mm:ss xx"), lit("] \""),
+      method, lit(" "), url, lit(" "), protocol, lit("\" "),
+      status, lit(" "), bytes)
+}

@@ -1,0 +1,37 @@
+package graft.logs
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic CLF-line synthesis from the driver's `events` table —
+  * the engine-side analog of the reference's log generator
+  * (log_gen/log_gen.java:31-81) and a stand-in for the `access_log`
+  * fixture stripped from the snapshot (.MISSING_LARGE_BLOBS:1).
+  *
+  * The mapping is pure column arithmetic so an external oracle (DuckDB)
+  * can derive the *parsed* fields directly from `events` — which makes
+  * parse(format(x)) testable end-to-end against SQL.
+  */
+object LogGen {
+
+  /** events(event_id, ts, user_id, event_type, value, ...) → one CLF line
+    * per event in column `value` (plus the original event columns).
+    */
+  def clfLines(events: DataFrame): DataFrame = {
+    val host = concat(lit("10.0."),
+      (col("user_id") % 256).cast("string"), lit("."),
+      ((col("user_id") / 256).cast("long") % 256).cast("string"))
+    val method = when(col("event_type").isin("signup", "purchase"), "POST")
+      .otherwise("GET")
+    val url = concat(lit("/"), col("event_type"), lit("?id="),
+      (col("event_id") % 100).cast("string"))
+    val status = when(col("event_type") === "error", "500")
+      .when(col("event_type") === "purchase", "201")
+      .otherwise("200")
+    val bytes = floor(col("value") * 10).cast("long").cast("string")
+    events.select(
+      ClfParser.formatLine(host, lit("-"), lit("-"),
+        date_trunc("second", col("ts")),
+        method, url, lit("HTTP/1.1"), status, bytes).as("value"))
+  }
+}

@@ -1,0 +1,77 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (north-star extension, BASELINE.json):
+  * image/audio/video as opaque BINARY columns + typed metadata, with
+  * decode / feature-extract implemented as per-partition batch
+  * transforms. The real media codecs are NOT in this container, so the
+  * decode kernel is a clearly-marked deterministic STUB — the Spark-side
+  * plumbing (schema, partition-batched processing, output shape) is real
+  * and tested.
+  */
+object Multimodal {
+
+  case class MediaMeta(media_id: Long, byte_len: Long, sha: String,
+                       width: Int, height: Int, n_frames: Int)
+
+  /** Declarative metadata extraction over a BINARY column — pure
+    * column expressions (codegen'd, pushdown-friendly): byte length,
+    * content hash, and pseudo-dimensions derived *deterministically*
+    * from the binary header bytes (STUB for a real header parse).
+    */
+  def extractMeta(df: DataFrame, idCol: String, binCol: String): DataFrame =
+    df.select(
+      col(idCol).as("media_id"),
+      octet_length(col(binCol)).cast("long").as("byte_len"),
+      sha2(col(binCol), 256).as("sha"),
+      (octet_length(col(binCol)) % 640).as("width"),
+      ((octet_length(col(binCol)) * 7) % 480).as("height"),
+      (octet_length(col(binCol)) % 30 + 1).as("n_frames"))
+
+  /** Batch "decode + featurize" kernel over partitions: the shape a real
+    * image decoder would take (an iterator of binary payloads in, a
+    * fixed-size feature vector out, amortizing per-batch codec init).
+    * STUB: features are a deterministic fold of the bytes — replace
+    * `decodeStub` with a real codec (JNI/ONNX) in production.
+    */
+  def decodeFeatures(spark: SparkSession, df: DataFrame, idCol: String,
+                     binCol: String, dim: Int = 8): DataFrame = {
+    import spark.implicits._
+    val pairs: Dataset[(Long, Array[Byte])] =
+      df.select(col(idCol).cast("long"), col(binCol)).as[(Long, Array[Byte])]
+    pairs.mapPartitions { it =>
+      // per-partition init happens here (codec handles, model weights…)
+      it.map { case (id, bytes) => (id, decodeStub(bytes, dim)) }
+    }.toDF("media_id", "features")
+  }
+
+  /** STUB decode: deterministic per-byte fold into `dim` accumulators.
+    * Stands in for image decode + resize + embed. */
+  private def decodeStub(bytes: Array[Byte], dim: Int): Array[Double] = {
+    val acc = new Array[Double](dim)
+    var i = 0
+    while (i < bytes.length) {
+      acc(i % dim) += (bytes(i) & 0xff) / 255.0
+      i += 1
+    }
+    acc
+  }
+
+  /** Frame sampling for "video" payloads: every `stride`-th fixed-size
+    * frame slice as its own row — real slicing over the binary column,
+    * no decode. Output: (media_id, frame_idx, frame BINARY).
+    */
+  def sampleFrames(df: DataFrame, idCol: String, binCol: String,
+                   frameBytes: Int = 256, stride: Int = 4): DataFrame =
+    df.select(col(idCol).as("media_id"), col(binCol).as("payload"),
+        (octet_length(col(binCol)) / frameBytes).cast("int").as("nf"))
+      .select(col("media_id"),
+        explode(sequence(lit(0), greatest(col("nf") - 1, lit(0)), lit(stride)))
+          .as("frame_idx"),
+        col("payload"))
+      .select(col("media_id"), col("frame_idx"),
+        col("payload").substr(col("frame_idx") * frameBytes + 1, lit(frameBytes))
+          .as("frame"))
+}

@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's aggregation surface (SURVEY §2.3, A1-A17) as reusable
+  * DataFrame → DataFrame transforms, parameterized by column so they run
+  * against any table (web logs, the driver's `events` table, ...).
+  *
+  * Scale notes: every transform here is a single `groupBy` — Catalyst
+  * plans it as partial (map-side) + final HashAggregate, which is the
+  * distributed replacement for the reference's `reduceByKey` +
+  * Redis-`ZINCRBY` merge (streaming.scala:104-149,163). No collects, no
+  * driver-side loops; cardinality of the output is bounded by the group
+  * key's cardinality, never by input rows.
+  */
+object Aggregations {
+
+  /** A1 (streaming.scala:93-95): row count as a 1-row frame. */
+  def countAll(df: DataFrame, member: String = "count"): DataFrame =
+    df.groupBy().agg(count(lit(1)).as("score"))
+      .select(lit(member).as("member"), col("score"))
+
+  /** A3-A10 (streaming.scala:104-139): count-by-column word-count. */
+  def countBy(df: DataFrame, keyCol: Column): DataFrame =
+    df.groupBy(keyCol.cast("string").as("member"))
+      .agg(count(lit(1)).as("score"))
+
+  /** A2 (streaming.scala:98-101): "size" metric — the reference counts
+    * the characters of each record's string representation and divides by
+    * 1024 (KB). Parity version: sum of lengths of a provided repr column,
+    * integer-divided by 1024 *after* the sum (the reference counts all
+    * chars first, then divides once).
+    */
+  def sizeKb(df: DataFrame, reprCol: Column): DataFrame =
+    df.groupBy().agg((sum(length(reprCol)) / 1024).cast("long").as("score"))
+      .select(lit("size").as("member"), col("score"))
+
+  /** A11 (streaming.scala:142-149): traffic sum in MB with the
+    * reference's quirk preserved — each record's bytes are
+    * integer-divided by 1024*1024 *before* summing, so sub-MB records
+    * contribute 0. `-` (no body) → 0.
+    */
+  def trafficSumMb(df: DataFrame, bytesCol: Column): DataFrame =
+    df.groupBy().agg(
+        sum(when(bytesCol === "-", lit(0L))
+          .otherwise((bytesCol.cast("long") / lit(1024 * 1024)).cast("long")))
+          .as("score"))
+      .select(lit("sum").as("member"), col("score"))
+
+  /** Exact variant (documented deviation): sum bytes then convert. */
+  def trafficSumMbExact(df: DataFrame, bytesCol: Column): DataFrame =
+    df.groupBy().agg(
+        (sum(when(bytesCol === "-", lit(0L)).otherwise(bytesCol.cast("long")))
+          / (1024 * 1024)).cast("long").as("score"))
+      .select(lit("sum").as("member"), col("score"))
+
+  /** A6 (streaming.scala:117-119): per-second event-time timeline. */
+  def timeline(df: DataFrame, tsCol: Column): DataFrame =
+    countBy(df, unix_millis(date_trunc("second", tsCol)))
+
+  /** A15 (app.py:100-103, ZCARD): exact distinct count; at 100 TB prefer
+    * [[approxDistinct]] (HLL, no shuffle of the full key set).
+    */
+  def distinctCount(df: DataFrame, keyCol: Column, alias: String): DataFrame =
+    df.agg(count_distinct(keyCol).as(alias))
+
+  def approxDistinct(df: DataFrame, keyCol: Column, alias: String): DataFrame =
+    df.agg(approx_count_distinct(keyCol).as(alias))
+
+  /** T8 + A17 (app.py:87-97): status classification — success = 200..207,
+    * everything else "other" — then aggregate per class.
+    */
+  def statusClass(statusCol: Column,
+                  successValues: Seq[String] = (200 to 207).map(_.toString))
+      : Column =
+    when(statusCol.isin(successValues: _*), lit("success")).otherwise(lit("other"))
+}

@@ -1,0 +1,27 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.broadcast
+
+/** J2 / T11 (SURVEY §2.2): per-IP geo enrichment.
+  *
+  * Reference: app.py:136-147 calls an external HTTP geolocation API per
+  * IP and drops lookups that fail (`status != 0`) — semantically an
+  * INNER join against an ip→(lng,lat,address) dimension.
+  *
+  * Spark-first: a broadcast hash join against a static dimension table —
+  * no per-row RPCs, no shuffle of the fact side. At 100 TB the fact table
+  * never moves; only the (small) dimension is shipped to executors.
+  */
+object Enrich {
+
+  /** Inner broadcast join `facts ⋈ dim` on `key`; rows with no dim match
+    * are dropped (API-miss behavior).
+    */
+  def dimJoin(facts: DataFrame, dim: DataFrame, key: String): DataFrame =
+    facts.join(broadcast(dim), Seq(key), "inner")
+
+  /** Left variant keeping unmatched rows (nulls for dim columns). */
+  def dimJoinLeft(facts: DataFrame, dim: DataFrame, key: String): DataFrame =
+    facts.join(broadcast(dim), Seq(key), "left")
+}

@@ -1,0 +1,25 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** J1 + K5 (SURVEY §2.4/2.5): the serving layer's good/bad timeline merge.
+  *
+  * Reference: app.py:425-453 unions the key sets of the `goodts`/`badts`
+  * Redis zsets and emits 0 for the missing side — semantically a
+  * FULL OUTER JOIN on the timestamp key with COALESCE(count, 0).
+  *
+  * Scale: both sides are already aggregated (one row per second), so the
+  * join keys are low-cardinality; Spark will shuffle both on the key or
+  * broadcast the smaller side — either is fine at any scale because the
+  * inputs are post-aggregation.
+  */
+object Merge {
+
+  /** FULL OUTER on `key`, missing counts → 0, ordered by key. */
+  def fullOuterTimeline(left: DataFrame, right: DataFrame, key: String,
+                        leftScore: String, rightScore: String): DataFrame =
+    left.join(right, Seq(key), "full_outer")
+      .na.fill(0L, Seq(leftScore, rightScore))
+      .orderBy(col(key).asc)
+}

@@ -1,0 +1,26 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** K1/K2 (SURVEY §2.5): top-k by score and key-ordered timelines.
+  *
+  * Reference: Redis `ZREVRANGE key 0 k-1` (app.py:131,163,185,218,241,288)
+  * and lexicographic member sort (app.py:264-272).
+  *
+  * Spark-first: `orderBy(...).limit(k)` — Catalyst plans this as
+  * `TakeOrderedAndProject`, a *distributed* top-k (each partition keeps
+  * only its local top-k, the driver merges k·numPartitions rows), so it
+  * scales to 100 TB without a global sort. Ties are broken by the key
+  * ascending so results are deterministic (Redis breaks ties
+  * lexicographically too).
+  */
+object TopK {
+
+  /** Top-k rows by `scoreCol` descending, ties broken by `keyCol` asc. */
+  def topK(df: DataFrame, scoreCol: Column, keyCol: Column, k: Int): DataFrame =
+    df.orderBy(scoreCol.desc, keyCol.asc).limit(k)
+
+  /** K2: ascending key ordering (timeline views). */
+  def byKey(df: DataFrame, keyCol: Column): DataFrame = df.orderBy(keyCol.asc)
+}

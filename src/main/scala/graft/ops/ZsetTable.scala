@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The "zset table" — the engine-native replacement for the reference's
+  * Redis ZSET running totals (streaming.scala:155-186): one keyed table
+  *
+  *   metric STRING, member STRING, score LONG
+  *
+  * holding every per-field aggregate (FIXTURES.md §3). In batch mode this
+  * is computed in one pass below; in streaming mode
+  * [[graft.stream.ZsetSink]] merges per-batch deltas idempotently.
+  *
+  * Scale: a single shuffle keyed by (metric, member). The reference runs
+  * 11 *separate* jobs per micro-batch over the same parsed data
+  * (streaming.scala:176-186 — an anti-pattern, SURVEY §4.1); here the
+  * scan is shared and each metric is a partial-agg branch of one plan.
+  */
+object ZsetTable {
+
+  /** All 11 LogVision metrics over a parsed-log frame (ClfParser output
+    * schema). Returns (metric, member, score).
+    */
+  def fromParsedLogs(parsed: DataFrame): DataFrame = {
+    def m(name: String, df: DataFrame): DataFrame =
+      df.select(lit(name).as("metric"), col("member").cast("string"), col("score").cast("long"))
+    val branches = Seq(
+      m("line", Aggregations.countAll(parsed)),                          // A1
+      m("host", Aggregations.countBy(parsed, col("host"))),              // A3
+      m("rfc931", Aggregations.countBy(parsed, col("rfc931"))),          // A4
+      m("username", Aggregations.countBy(parsed, col("user_name"))),     // A5
+      m("datetime", Aggregations.countBy(parsed, col("date_time"))),     // A6
+      m("reqmt", Aggregations.countBy(parsed, col("req_method"))),       // A7
+      m("url", Aggregations.countBy(parsed, col("req_url"))),            // A8
+      m("proto", Aggregations.countBy(parsed, col("req_protocol"))),     // A9
+      m("statcode", Aggregations.countBy(parsed, col("status_code"))),   // A10
+      m("traffic", Aggregations.trafficSumMb(parsed, col("bytes"))))     // A11
+    branches.reduce(_ unionAll _)
+  }
+}

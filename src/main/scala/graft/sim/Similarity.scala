@@ -1,0 +1,92 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (ARRAY<FLOAT>) — north-star extension (BASELINE.json).
+  *
+  * Baseline: brute-force cosine top-k — a broadcast nested-loop of the
+  * (small) query set against the corpus, expressed with `zip_with` +
+  * `aggregate` (codegen'd; no UDF), then a per-query window top-k.
+  * The corpus is never shuffled: queries are broadcast, partial top-k
+  * happens inside `TakeOrderedAndProject`-style window pruning.
+  *
+  * Scale path: random-hyperplane LSH bucketing ([[lshBucket]]) — probe
+  * only the query's bucket (and optionally neighboring buckets),
+  * turning the O(N·Q) scan into an equi-join on bucket id.
+  */
+object Similarity {
+
+  /** Dot product of two ARRAY<DOUBLE> columns (fixed left-fold order —
+    * deterministic across engines). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cast ARRAY<FLOAT> → ARRAY<DOUBLE> (all math in double). */
+  def asDouble(a: Column): Column = transform(a, _.cast("double"))
+
+  /** Brute-force cosine top-k: for each row of `queries` (idCol, vecCol)
+    * return the k nearest corpus rows ≠ itself.
+    * Output: (query_id, rank, neighbor_id, score).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cvec"))
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qvec"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col("cvec")).as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
+  }
+
+  /** Random-hyperplane LSH bucket id: `nBits` sign bits of dot products
+    * with deterministic pseudo-random hyperplanes (hyperplane component
+    * j of plane p = a fixed hash of (p, j), zero-mean). No data shuffle
+    * to build; bucketing is a per-row expression.
+    */
+  def lshBucket(vec: Column, dim: Int, nBits: Int = 8): Column = {
+    val bits = (0 until nBits).map { p =>
+      val plane = array((0 until dim).map { j =>
+        // deterministic zero-mean pseudo-random weight in [-0.5, 0.5)
+        (hash(lit(p * dim + j)).cast("double") / lit(Int.MaxValue.toDouble * 2))
+      }: _*)
+      when(dot(vec, plane) > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** ANN via LSH buckets: join query buckets to corpus buckets, exact
+    * cosine within the bucket, per-query top-k. Trades recall for a
+    * ~2^nBits reduction in scanned candidates.
+    */
+  def annTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, dim: Int, nBits: Int = 8): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cvec"))
+      .withColumn("bucket", lshBucket(col("cvec"), dim, nBits))
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qvec"))
+      .withColumn("bucket", lshBucket(col("qvec"), dim, nBits))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col("cvec")).as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
+  }
+}

@@ -1,0 +1,78 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language ID, quality scoring, token counting, fingerprinting.
+  * (North-star extensions beyond the reference surface; BASELINE.json.)
+  *
+  * All scalar work is expressed with codegen'd built-ins
+  * (`split`/`filter`/`regexp_extract_all`/`xxhash64`) so it stays inside
+  * whole-stage codegen — no Scala UDFs in the hot path. Every operator is
+  * embarrassingly parallel (per-row), so it scales linearly with input.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword lists for the n-gram/stopword heuristic
+    * language ID. Deterministic and SQL-expressible (the DuckDB oracle
+    * mirrors the same CASE cascade).
+    */
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "de" -> Seq("der", "die", "und", "das", "ist"))
+
+  /** Whitespace token array. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Count of tokens exactly matching one of `words`. */
+  def stopwordCount(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(words.map(lit(_)): _*)))
+
+  /** Heuristic language ID: argmax of per-language stopword hit counts,
+    * ties broken by list order; no hits at all → "und" (undetermined).
+    */
+  def langId(text: Column): Column = {
+    val scores = Stopwords.map { case (lang, words) =>
+      lang -> stopwordCount(text, words) }
+    val best = scores.map(_._2).reduce(greatest(_, _))
+    // foldRight ⇒ the first-listed language wins ties
+    scores.foldRight(lit("und")) { case ((lang, s), els) =>
+      when(s === best && s > 0, lit(lang)).otherwise(els) }
+  }
+
+  /** Quality metrics, all integer-exact (oracle-safe):
+    * n_chars, n_tokens, n_stopwords (en), n_long_tokens (len > 5).
+    */
+  def quality(df: DataFrame, text: Column): DataFrame = df.select(
+    col("doc_id"),
+    length(text).as("n_chars"),
+    size(tokens(text)).as("n_tokens"),
+    stopwordCount(text, Stopwords.head._2).as("n_stopwords"),
+    size(filter(tokens(text), t => length(t) > 5)).as("n_long_tokens"))
+
+  /** BPE-ish tokenizer: letter runs, digit runs, single punctuation. */
+  val BpeishPattern = "[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9 ]"
+
+  def bpeishCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeishPattern), lit(0)))
+
+  /** Content-defined fingerprint: md5 of the lowercased text (exact,
+    * SQL-mirrorable); see [[rollingFingerprint]] for the rolling-hash
+    * variant.
+    */
+  def md5Fingerprint(text: Column): Column = md5(lower(text))
+
+  /** Rolling (polynomial) fingerprint over whitespace tokens:
+    * fp = Σ token_hash(t_i) * 31^(n-1-i) mod 2^31 — order-sensitive,
+    * computed per row with `aggregate` over the token array (no UDF).
+    * Token hash = xxhash64 reduced mod 2^31; every intermediate stays
+    * ≤ 2^36, so the fold is ANSI-overflow-safe.
+    */
+  def rollingFingerprint(text: Column): Column = {
+    val m = lit(2147483648L) // 2^31
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), m), m))
+  }
+}
