@@ -153,9 +153,11 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
-    // the full zset-table materialization (A1-A11, FIXTURES.md §3)
+    // the full zset-table materialization (A1-A11, FIXTURES.md §3);
+    // native single-pass parse (all fields consumed → no pruning win)
     "q14_zset_table" -> ((s, dir) =>
-      ZsetTable.fromParsedLogs(parsedLogs(s, dir))
+      ZsetTable.fromParsedLogs(
+        ClfParser.parseNative(LogGen.clfLines(T(s, dir, "events"))))
         .orderBy("metric", "member")),
 
     // ---- north-star: text analysis ------------------------------------

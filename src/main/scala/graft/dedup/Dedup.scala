@@ -31,30 +31,49 @@ object Dedup {
       i => concat_ws(" ", slice(toks, i + 1, lit(w))))
   }
 
-  /** k MinHash values per doc: h_i(doc) = min over shingles of
-    * xxhash64(shingle, seed=i). Computed per-row with array functions —
-    * no shuffle, no UDF.
+  /** MinHash prime modulus (2^31 - 1). */
+  private val P = 2147483647L
+
+  /** Affine-permutation parameters a_i, b_i (deterministic, odd a). */
+  private def abParams(k: Int): Seq[(Long, Long)] =
+    (1 to k).map(i => (((0x9E3779B9L * i) % (P - 1)) | 1L, (0x85EBCA6BL * i) % P))
+
+  /** k MinHash values from a pre-hashed shingle array `hsh`
+    * (elements in [0, P)): h_i = min over shingles of (a_i·h + b_i) mod P.
+    * One string hash per shingle total — the k permutations are cheap
+    * affine transforms of it (standard universal-hash MinHash), all
+    * overflow-safe under ANSI (a·h < 2^62).
     */
-  def minhashSignature(textCol: Column, k: Int = 16, w: Int = 3): Column =
-    array((0 until k).map { i =>
-      array_min(transform(shingles(textCol, w), s => xxhash64(lit(i), s)))
+  def minhashSignature(hsh: Column, k: Int = 16): Column =
+    array(abParams(k).map { case (a, b) =>
+      array_min(transform(hsh, h => (lit(a) * h + lit(b)) % lit(P)))
     }: _*)
+
+  /** Pre-hashed shingles: xxhash64 reduced into [0, P). */
+  def shingleHashes(textCol: Column, w: Int = 3): Column =
+    transform(shingles(textCol, w), s => pmod(xxhash64(s), lit(P)))
 
   /** MinHash-LSH candidate pairs: k hashes split into `bands` bands of
     * rows; docs sharing any band bucket are candidates; pairs are then
     * verified with exact signature agreement ≥ `minAgree`.
     * Returns (id_a, id_b, agree) with id_a < id_b.
+    *
+    * The shingle-hash array is projected once per row (Catalyst's
+    * CollapseProject keeps the expensive producer un-inlined), so text
+    * is split/hashed exactly once regardless of k.
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 16, bands: Int = 4, minAgree: Int = 8,
                    w: Int = 3): DataFrame = {
     val rows = k / bands
-    val sig = df.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), k, w).as("sig"))
-    // band bucket id = hash of the band's slice of the signature
+    val sig = df
+      .select(col(idCol).as("id"), shingleHashes(col(textCol), w).as("hsh"))
+      .select(col("id"), minhashSignature(col("hsh"), k).as("sig"))
+    // band bucket id = hash of the band's signature rows (no string concat)
     val banded = sig.select(col("id"), col("sig"),
       posexplode(array((0 until bands).map { b =>
-        xxhash64(lit(b), concat_ws(",", slice(col("sig"), b * rows + 1, rows)))
+        xxhash64((lit(b) +: (0 until rows).map(r =>
+          element_at(col("sig"), b * rows + r + 1))): _*)
       }: _*)).as(Seq("band", "bucket")))
     val a = banded.select(col("band"), col("bucket"),
       col("id").as("id_a"), col("sig").as("sig_a"))
@@ -78,13 +97,14 @@ object Dedup {
     */
   def simhash64(textColName: String): Column = expr(
     s"""aggregate(
-       |  zip_with(
-       |    aggregate(split($textColName, ' '), array_repeat(0L, 64),
-       |      (acc, t) -> transform(acc,
-       |        (c, j) -> c + IF((shiftright(xxhash64(t), j) & 1) = 1, 1L, -1L))),
-       |    sequence(0, 63),
-       |    (c, j) -> IF(c > 0, shiftleft(1L, j), 0L)),
-       |  0L, (acc, b) -> acc | b)""".stripMargin)
+       |  transform(split($textColName, ' '), t -> xxhash64(t)),
+       |  array_repeat(0L, 64),
+       |  (acc, h) -> zip_with(acc, sequence(0, 63),
+       |    (c, j) -> c + IF((shiftright(h, j) & 1) = 1, 1L, -1L)),
+       |  acc -> aggregate(
+       |    zip_with(acc, sequence(0, 63),
+       |      (c, j) -> IF(c > 0, shiftleft(1L, j), 0L)),
+       |    0L, (a, b) -> a | b))""".stripMargin)
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -94,7 +114,8 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3): DataFrame = {
-    val fp = df.select(col(idCol).as("id"), simhash64(textCol).as("fp"))
+    val fp = df.select(col(idCol).as("id"),
+      graft.functions.SimHash64Expr.simhash64(col(textCol)).as("fp"))
     val chunked = fp.select(col("id"), col("fp"),
       posexplode(array((0 until 4).map { c =>
         shiftright(col("fp"), c * 16).bitwiseAND(0xffffL)

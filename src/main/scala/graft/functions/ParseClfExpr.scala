@@ -1,0 +1,97 @@
+package graft.functions
+
+import java.time.OffsetDateTime
+import java.time.format.DateTimeFormatter
+import java.util.Locale
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass Combined-Log-Format parse: one regex execution per line
+  * producing the full 10-field struct — versus the composed-built-ins
+  * [[graft.logs.ClfParser.parse]] which runs `rlike` + 9 ×
+  * `regexp_extract` (10 regex executions). Same pattern
+  * (streaming.scala:76), same sentinel policy (streaming.scala:85-88),
+  * same timestamp semantics (`dd/MMM/yyyy:HH:mm:ss Z`, English locale,
+  * epoch-millis string — streaming.scala:73,82).
+  *
+  * Use when ≥2 fields are needed (e.g. the zset-table materialization);
+  * the built-ins version is still preferable for single-field queries
+  * where Catalyst prunes the other extracts away.
+  */
+case class ParseClfExpr(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = ParseClfExpr.schema
+
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    ParseClfExpr.compute(if (v == null) null else v.asInstanceOf[UTF8String])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ParseClfExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "parse_clf"
+}
+
+object ParseClfExpr {
+
+  val schema: StructType = StructType(Seq(
+    StructField("host", StringType, nullable = false),
+    StructField("rfc931", StringType, nullable = false),
+    StructField("user_name", StringType, nullable = false),
+    StructField("date_time", StringType, nullable = false),
+    StructField("ts", TimestampType, nullable = true),
+    StructField("req_method", StringType, nullable = false),
+    StructField("req_url", StringType, nullable = false),
+    StructField("req_protocol", StringType, nullable = false),
+    StructField("status_code", StringType, nullable = false),
+    StructField("bytes", StringType, nullable = false)))
+
+  // streaming.scala:76 verbatim
+  private val pattern = Pattern.compile(
+    "^(\\S+) (\\S+) (\\S+) \\[([\\w:/]+\\s[+\\-]\\d{4})\\] \"(\\S+)\\s?(\\S+)?\\s?(\\S+)?\" (\\d{3}|-) (\\d+|-)\\s?\"?([^\"]*)\"?\\s?\"?([^\"]*)?\"?$")
+
+  private val tsFormat =
+    DateTimeFormatter.ofPattern("dd/MMM/yyyy:HH:mm:ss Z", Locale.ENGLISH)
+
+  private val foo = UTF8String.fromString("foo")
+  private val zero = UTF8String.fromString("0")
+
+  private def sentinelRow(): InternalRow =
+    InternalRow(foo, foo, foo, zero, null, foo, foo, foo, foo, zero)
+
+  def compute(line: UTF8String): InternalRow = {
+    if (line == null) return sentinelRow()
+    val m = pattern.matcher(line.toString)
+    if (!m.matches()) return sentinelRow()
+    def g(i: Int): UTF8String = {
+      val s = m.group(i)
+      UTF8String.fromString(if (s == null) "" else s)
+    }
+    try {
+      val odt = OffsetDateTime.parse(m.group(4), tsFormat)
+      val micros = odt.toInstant.getEpochSecond * 1000000L +
+        odt.toInstant.getNano / 1000L
+      InternalRow(
+        g(1), g(2), g(3),
+        UTF8String.fromString((micros / 1000L).toString),
+        micros.asInstanceOf[AnyRef],
+        g(5), g(6), g(7), g(8), g(9))
+    } catch {
+      case _: java.time.format.DateTimeParseException => sentinelRow()
+    }
+  }
+
+  import org.apache.spark.sql.graft.ColumnBridge
+  def parse_clf(c: Column): Column =
+    ColumnBridge.column(ParseClfExpr(ColumnBridge.expression(c)))
+}

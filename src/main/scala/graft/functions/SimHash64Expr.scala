@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression for 64-bit SimHash over whitespace tokens.
+  *
+  * Semantically identical to [[graft.dedup.Dedup.simhash64]]'s
+  * higher-order-function formulation (same xxhash64 token hash, seed 42;
+  * bit j set iff #tokens-with-bit-j > #tokens-without), but a single
+  * imperative pass per row with zero per-token allocations — the HOF
+  * version allocates a 64-long array per token. Codegen emits the same
+  * loop inline, keeping the operator inside whole-stage codegen.
+  */
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash64Expr.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SimHash64Expr.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash64"
+}
+
+object SimHash64Expr {
+  private val Space = UTF8String.fromString(" ")
+
+  /** One pass: counters on the stack, no allocation beyond the split. */
+  def compute(s: UTF8String): Long = {
+    val toks = s.split(Space, -1)
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val h = XxHash64Function.hash(toks(i), StringType, 42L)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 64) {
+      if (counts(j) > 0) fp |= (1L << j)
+      j += 1
+    }
+    fp
+  }
+
+  import org.apache.spark.sql.graft.ColumnBridge
+  def simhash64(c: Column): Column =
+    ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(c)))
+}
