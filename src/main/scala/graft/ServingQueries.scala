@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Aggregations, Merge, TopK}
+
+/** The reference's 16 Flask/SocketIO dashboard namespaces (app.py:75-536,
+  * SURVEY §3.3) as a query catalog over the zset table — each a small
+  * DataFrame function instead of Redis commands + Python post-processing.
+  *
+  * Input convention: `zset` is the running-totals frame
+  * (metric, member, score) from [[graft.stream.ZsetSink.read]] or
+  * [[graft.ops.ZsetTable.fromParsedLogs]]. Sentinel "foo" members are
+  * filtered here — at the serving layer, exactly like the reference
+  * (app.py:223,246,...; SURVEY §1.2) — so engine-side totals still
+  * include them.
+  */
+object ServingQueries {
+
+  private def metric(zset: DataFrame, m: String): DataFrame =
+    zset.where(col("metric") === m)
+
+  private def noSentinel(df: DataFrame): DataFrame =
+    df.where(col("member") =!= "foo")
+
+  /** /count_board (app.py:75-109): lines, visitors, resources, traffic,
+    * success vs other counts — one row.
+    */
+  def countBoard(zset: DataFrame): DataFrame = {
+    val lines = metric(zset, "line").select(sum("score").as("v"))
+      .select(lit("lines").as("stat"), col("v"))
+    val visitors = metric(zset, "host").agg(count(lit(1)).as("v"))
+      .select(lit("visitors").as("stat"), col("v"))
+    val resources = metric(zset, "url").agg(count(lit(1)).as("v"))
+      .select(lit("resources").as("stat"), col("v"))
+    val traffic = metric(zset, "traffic").select(sum("score").as("v"))
+      .select(lit("traffic_mb").as("stat"), col("v"))
+    val status = metric(zset, "statcode")
+      .groupBy(Aggregations.statusClass(col("member")).as("stat"))
+      .agg(sum("score").as("v"))
+    lines.unionAll(visitors).unionAll(resources).unionAll(traffic)
+      .unionAll(status)
+  }
+
+  /** /hot_resources (app.py:163): top-10 URLs. */
+  def hotResources(zset: DataFrame, k: Int = 10): DataFrame =
+    TopK.topK(noSentinel(metric(zset, "url")).select("member", "score"),
+      col("score"), col("member"), k)
+
+  /** /hot_ips (app.py:131): top-14 client IPs. */
+  def hotIps(zset: DataFrame, k: Int = 14): DataFrame =
+    TopK.topK(noSentinel(metric(zset, "host")).select("member", "score"),
+      col("score"), col("member"), k)
+
+  /** /ranking (app.py:241): top-51 hosts with scores. */
+  def ranking(zset: DataFrame, k: Int = 51): DataFrame = hotIps(zset, k)
+
+  /** /status_code + /req_method + /protocol pies (app.py:185-218,288). */
+  def pie(zset: DataFrame, m: String, k: Int = 100): DataFrame =
+    TopK.topK(noSentinel(metric(zset, m)).select("member", "score"),
+      col("score"), col("member"), k)
+
+  /** /timeline (app.py:264-272): per-second request counts, time-ordered
+    * (K2 — proper numeric ordering, not the reference's lexicographic
+    * string sort, which coincides for same-length millis).
+    */
+  def timeline(zset: DataFrame): DataFrame =
+    noSentinel(metric(zset, "datetime"))
+      // try_cast: ANSI constant-folding must not throw on other metrics'
+      // literal members before the metric filter prunes them
+      .select(expr("try_cast(member AS BIGINT)").as("ts_ms"), col("score"))
+      .orderBy("ts_ms")
+
+  /** /id_check_board (app.py:300-335): good vs bad totals. */
+  def idCheckBoard(zset: DataFrame): DataFrame =
+    zset.where(col("metric").isin("good", "bad"))
+      .select(col("metric"), col("score"))
+
+  /** /id_timeline (app.py:425-453): full-outer good/bad per-timestamp
+    * merge with zero-fill (J1).
+    */
+  def idTimeline(zset: DataFrame): DataFrame = {
+    def side(m: String, alias: String) =
+      metric(zset, m).select(expr("try_cast(member AS BIGINT)").as("ts_ms"),
+        col("score").as(alias))
+    Merge.fullOuterTimeline(side("goodts", "good"), side("badts", "bad"),
+      "ts_ms", "good", "bad")
+  }
+
+  /** Geo details (/details_good, /details_bad, /ip_addr — app.py:136-147,
+    * 341-536): scored records enriched with the static geo dimension;
+    * misses dropped (API status != 0 behavior).
+    */
+  def geoDetails(scored: DataFrame, geoDim: DataFrame): DataFrame =
+    graft.ops.Enrich.dimJoin(
+      scored.where(col("host") =!= "foo"), geoDim, "host")
+}

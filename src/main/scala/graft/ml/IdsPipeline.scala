@@ -1,0 +1,83 @@
+package graft.ml
+
+import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.feature.{HashingTF, IDF, NGram, RegexTokenizer}
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The intrusion-detection model (reference learning.scala, SURVEY
+  * §2.7 M1-M7): URL → char tokens → char-2grams → HashingTF → IDF →
+  * LogisticRegression(maxIter=100, regParam=0.001).
+  *
+  * All stages are spark.ml built-ins — zero custom Transformers needed.
+  * Deviations by design: the model is loaded ONCE and reused across
+  * micro-batches (the reference reloads from HDFS every batch,
+  * learning.scala:110 via streaming.scala:194); scoring output exposes
+  * `probability` as ARRAY<DOUBLE> via vector_to_array for JSON/parquet
+  * parity (FIXTURES.md §4).
+  */
+object IdsPipeline {
+
+  /** M1-M5 exactly as learning.scala:42-66 configures them (pattern ""
+    * tokenizes to single chars; spark.ml lowercases by default — a
+    * reference quirk we preserve).
+    */
+  def build(): Pipeline = {
+    val tokenizer = new RegexTokenizer()
+      .setInputCol("url").setOutputCol("char").setPattern("")
+    val ngram = new NGram().setN(2).setInputCol("char").setOutputCol("ngram")
+    val tf = new HashingTF().setInputCol("ngram").setOutputCol("row_feature")
+    val idf = new IDF().setInputCol("row_feature").setOutputCol("features")
+    val lr = new LogisticRegression().setMaxIter(100).setRegParam(0.001)
+    new Pipeline().setStages(Array(tokenizer, ngram, tf, idf, lr))
+  }
+
+  /** Train on labeled (url, label) frames; 0 = good, 1 = bad
+    * (learning.scala:23-24). Null urls → "" (T5, learning.scala:118).
+    */
+  def train(good: DataFrame, bad: DataFrame): PipelineModel = {
+    val mixed = good.select(col("url"), lit(0).as("label"))
+      .union(bad.select(col("url"), lit(1).as("label")))
+      .na.fill(Map("url" -> ""))
+    build().fit(mixed)
+  }
+
+  def save(model: PipelineModel, path: String): Unit =
+    model.write.overwrite().save(path)
+
+  def load(path: String): PipelineModel = PipelineModel.load(path)
+
+  /** Score a frame that has a `url` column; keeps input columns and adds
+    * prediction + probability (exported as array, FIXTURES.md §4).
+    */
+  def score(model: PipelineModel, df: DataFrame): DataFrame = {
+    val scored = model.transform(df.na.fill(Map("url" -> "")))
+    scored.drop("char", "ngram", "row_feature", "features", "rawPrediction")
+      .withColumn("probability", vector_to_array(col("probability")))
+  }
+
+  /** Good/bad split + counts (streaming.scala:198-226) — score once,
+    * derive both classes from one aggregation (SURVEY §4.2).
+    */
+  def goodBadCounts(scored: DataFrame): DataFrame =
+    scored.groupBy(col("prediction")).agg(count(lit(1)).as("score"))
+
+  /** Per-timestamp good/bad counts (zsets goodts/badts). */
+  def goodBadTimeline(scored: DataFrame): DataFrame =
+    scored.groupBy(col("prediction"), col("date_time"))
+      .agg(count(lit(1)).as("score"))
+
+  /** Accuracy eval tables (learning.scala:94-104): label vs prediction
+    * counts per test set.
+    */
+  def evalCounts(model: PipelineModel, test: DataFrame): DataFrame =
+    score(model, test).groupBy("label", "prediction")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("label", "prediction")
+
+  /** Read a one-URL-per-line dataset (learning.scala:19-20 textFile). */
+  def readUrls(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path).select(col("value").as("url"))
+}

@@ -1,0 +1,85 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.logs.ClfParser
+import graft.ops.ZsetTable
+
+/** The real-time pipeline (reference `streaming.main`,
+  * streaming.scala:239-289), rebuilt on Structured Streaming:
+  *
+  *   readStream (file/kafka lines) → single-pass CLF parse →
+  *   one multi-branch aggregation plan → foreachBatch:
+  *     zset-delta merge (idempotent)  [replaces 11 Redis jobs]
+  *     scored-record append sink      [replaces HDFS JSON append]
+  *
+  * Key deviations from the reference, by design (SURVEY §4.1):
+  * the parsed batch is computed ONCE per trigger (the reference runs
+  * ~13 separate actions over the same RDD); totals are merged
+  * idempotently (ZINCRBY is not); the ML model would be loaded once at
+  * stream start (the reference reloads from HDFS every batch).
+  */
+object LogStream {
+
+  /** File-source line stream (the Flume/Kafka stand-in: any directory
+    * that receives appended log files, e.g. the log-generator's output).
+    * For Kafka: swap `readStream.text` for `format("kafka")` + the same
+    * downstream stages — nothing else changes.
+    */
+  def fileLines(spark: SparkSession, srcDir: String): DataFrame =
+    spark.readStream.text(srcDir)
+
+  /** Start the counters pipeline: per-batch zset deltas merged into
+    * `sink`. Processing-time trigger defaults to the reference's 1s
+    * micro-batch (streaming.scala:247).
+    */
+  def startCounters(spark: SparkSession, lines: DataFrame, sink: ZsetSink,
+                    checkpointDir: String,
+                    trigger: Trigger = Trigger.ProcessingTime("1 second"))
+      : StreamingQuery =
+    lines.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val parsed = ClfParser.parseNative(batch).persist()
+        try sink.merge(ZsetTable.fromParsedLogs(parsed), batchId)
+        finally parsed.unpersist()
+        ()
+      }
+      .start()
+
+  /** Streaming-native running counts (update-mode stateful aggregation)
+    * for a single key column — the idiomatic Structured Streaming
+    * equivalent of one zset metric, for memory-sink tests and
+    * low-cardinality keys. Unbounded state on the key mirrors the
+    * reference's watermark-free semantics (SURVEY §2.8).
+    */
+  def runningCountBy(lines: DataFrame, key: String): DataFrame =
+    ClfParser.parse(lines).groupBy(col(key).as("member"))
+      .agg(count(lit(1)).as("score"))
+
+  /** Scored-record append sink (reference streaming.scala:233): parsed
+    * rows + IDS prediction appended as date-partitioned parquet.
+    * `scoreFn` is typically `IdsPipeline.score(model, _)` with the model
+    * loaded ONCE before stream start.
+    */
+  def startScoredSink(spark: SparkSession, lines: DataFrame,
+                      scoreFn: DataFrame => DataFrame, outPath: String,
+                      checkpointDir: String,
+                      trigger: Trigger = Trigger.ProcessingTime("1 second"))
+      : StreamingQuery =
+    lines.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        scoreFn(ClfParser.parseNative(batch))
+          .withColumn("date", to_date(col("ts")))
+          .write.mode("append").partitionBy("date").parquet(outPath)
+        ()
+      }
+      .start()
+}

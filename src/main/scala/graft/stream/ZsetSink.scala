@@ -1,0 +1,79 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Engine-native replacement for the reference's Redis ZSET running
+  * totals (`saveToRedis` / `ZINCRBY`, streaming.scala:155-186): a
+  * log-structured keyed table of per-batch deltas
+  *
+  *   path/batch_id=N/  →  (metric STRING, member STRING, score LONG)
+  *
+  * **Idempotence / exactly-once** (SURVEY §2.8): each micro-batch's
+  * delta overwrites its own `batch_id` partition (dynamic partition
+  * overwrite), so replaying a batch after failure produces the same
+  * state — unlike the reference's non-idempotent ZINCRBY, which
+  * double-counts on retry. Combined with Structured Streaming
+  * checkpointing this gives effectively-exactly-once totals.
+  *
+  * **Scale**: writes are append-shaped (one small partition per batch,
+  * never rewriting history); reads merge with one partial+final
+  * aggregation; [[compact]] folds old partitions into a base so the
+  * read-side merge stays O(recent batches), the LSM pattern.
+  */
+class ZsetSink(val path: String) extends Serializable {
+
+  /** Merge one micro-batch's (metric, member, score) delta. */
+  def merge(delta: DataFrame, batchId: Long): Unit =
+    delta
+      .withColumn("batch_id", lit(batchId))
+      .repartition(1) // deltas are small post-aggregation; one file each
+      .write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(path)
+
+  /** Current totals: ZINCRBY-merge of all deltas. */
+  def read(spark: SparkSession): DataFrame =
+    spark.read.parquet(path)
+      .groupBy("metric", "member")
+      .agg(sum("score").as("score"))
+
+  /** Point lookup (ZSCORE). */
+  def zscore(spark: SparkSession, metric: String, member: String): DataFrame =
+    read(spark).where(col("metric") === metric && col("member") === member)
+      .select("score")
+
+  /** Top-k members of a metric by score (ZREVRANGE). */
+  def zrevrange(spark: SparkSession, metric: String, k: Int): DataFrame =
+    graft.ops.TopK.topK(
+      read(spark).where(col("metric") === metric).select("member", "score"),
+      col("score"), col("member"), k)
+
+  /** Distinct member count of a metric (ZCARD). */
+  def zcard(spark: SparkSession, metric: String): DataFrame =
+    read(spark).where(col("metric") === metric)
+      .agg(count(lit(1)).as("zcard"))
+
+  /** Fold all delta partitions into a single base partition (id -1…0
+    * convention: compacted base lives at batch_id=-1). Run periodically
+    * out-of-band; readers see a consistent view before and after.
+    */
+  def compact(spark: SparkSession): Unit = {
+    val merged = read(spark)
+    merged.withColumn("batch_id", lit(-1L))
+      .repartition(1)
+      .write.mode("overwrite")
+      .parquet(path + ".compact")
+    // atomic-enough local swap; on a real cluster use a transactional
+    // table format (Delta/Iceberg) for the same merge
+    val fs = new java.io.File(path)
+    def delete(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(delete)
+      f.delete()
+    }
+    delete(fs)
+    new java.io.File(path + ".compact").renameTo(fs)
+  }
+}

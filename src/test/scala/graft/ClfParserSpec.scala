@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+import graft.logs.{ClfParser, LogGen}
+
+class ClfParserSpec extends SparkSpec {
+  import spark.implicits._
+
+  val fixtureLines = Seq(
+    // plain CLF
+    """112.64.235.2 - frank [25/May/2015:23:11:16 +0000] "POST /login.php HTTP/1.1" 302 -""",
+    // combined (referer + UA discarded)
+    """203.208.60.1 - - [25/May/2015:23:11:15 +0000] "GET /favicon.ico HTTP/1.1" 200 3638 "-" "Mozilla/5.0"""",
+    // garbage → sentinel
+    "not a log line at all")
+
+  test("parse: fixture lines incl. sentinel policy (streaming.scala:85-88)") {
+    val out = ClfParser.parse(fixtureLines.toDF("value")).collect()
+    val r0 = out(0)
+    assert(r0.getAs[String]("host") == "112.64.235.2")
+    assert(r0.getAs[String]("user_name") == "frank")
+    assert(r0.getAs[String]("req_method") == "POST")
+    assert(r0.getAs[String]("req_url") == "/login.php")
+    assert(r0.getAs[String]("status_code") == "302")
+    assert(r0.getAs[String]("bytes") == "-")
+    assert(r0.getAs[String]("date_time") == "1432595476000")
+    val r1 = out(1)
+    assert(r1.getAs[String]("host") == "203.208.60.1")
+    assert(r1.getAs[String]("bytes") == "3638")
+    val r2 = out(2)
+    assert(r2.getAs[String]("host") == "foo")
+    assert(r2.getAs[String]("date_time") == "0")
+    assert(r2.getAs[String]("bytes") == "0")
+  }
+
+  test("parseNative ≡ parse on fixtures and synthesized lines") {
+    val lines = LogGen.clfLines(events()).limit(200)
+      .union(fixtureLines.toDF("value"))
+    val a = ClfParser.parse(lines).orderBy("raw").collect().toSeq
+    val b = ClfParser.parseNative(lines).orderBy("raw").collect().toSeq
+    assert(a.size == b.size)
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"\n$x\n$y") }
+  }
+
+  test("property: format → parse round-trips the fields") {
+    val word = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    val gen = for {
+      a <- Gen.choose(1, 255); b <- Gen.choose(0, 255)
+      user <- Gen.oneOf(Gen.const("-"), word)
+      sec <- Gen.choose(0L, 1800000000L)
+      method <- Gen.oneOf("GET", "POST", "PUT", "DELETE")
+      path <- word
+      status <- Gen.oneOf("200", "204", "404", "500")
+      bytes <- Gen.oneOf(Gen.const("-"), Gen.choose(0L, 1L << 40).map(_.toString))
+    } yield (s"10.7.$a.$b", user, sec * 1000, method, s"/$path", status, bytes)
+    val cases = Gen.listOfN(60, gen).sample.get
+    val df = cases
+      .map { case (h, u, ms, m, p, st, by) =>
+        (h, u, new java.sql.Timestamp(ms), m, p, st, by, ms) }
+      .toDF("host", "user", "ts", "method", "path", "status", "bytes", "ms")
+      .select(col("ms"), ClfParser.formatLine(col("host"), lit("-"), col("user"),
+        col("ts"), col("method"), col("path"), lit("HTTP/1.1"),
+        col("status"), col("bytes")).as("value"))
+    val parsed = ClfParser.parse(df.select("value"))
+      .join(df, col("raw") === col("value")).collect()
+    assert(parsed.length >= cases.length) // join may fan out on dup lines
+    parsed.foreach { r =>
+      assert(r.getAs[String]("host") != "foo", s"sentinel for: ${r.getAs[String]("raw")}")
+      assert(r.getAs[String]("date_time") == r.getAs[Long]("ms").toString)
+    }
+    // spot-check full field fidelity on the first case
+    val (h, u, ms, m, p, st, by) = cases.head
+    val r0 = ClfParser.parse(df.select("value").limit(1)).collect()(0)
+    assert(r0.getAs[String]("host") == h)
+    assert(r0.getAs[String]("user_name") == u)
+    assert(r0.getAs[String]("date_time") == ms.toString)
+    assert(r0.getAs[String]("req_method") == m)
+    assert(r0.getAs[String]("req_url") == p)
+    assert(r0.getAs[String]("status_code") == st)
+    assert(r0.getAs[String]("bytes") == by)
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.functions.SimHash64Expr
+import graft.sim.Similarity
+
+class DedupSimSpec extends SparkSpec {
+  import spark.implicits._
+
+  val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog", "s0"),
+    (1L, "the quick brown fox jumps over the lazy cat", "s0"),  // near-dup of 0
+    (2L, "the quick brown fox jumps over the lazy dog", "s0"),  // exact dup of 0
+    (3L, "completely different text about spark engines here", "s0"),
+    (4L, "unrelated words forming another document entirely now", "s0")
+  ).toDF("doc_id", "text", "source")
+
+  test("exact dedup groups identical texts, keeper = min id") {
+    val dups = Dedup.exact(docs, col("doc_id"), col("text"))
+      .where(col("n_copies") > 1).collect()
+    assert(dups.length == 1)
+    assert(dups(0).getAs[Long]("n_copies") == 2L)
+    assert(dups(0).getAs[Long]("keeper") == 0L)
+  }
+
+  test("minhash: exact dups agree on all k; near-dups pass minAgree; unrelated don't") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+        k = 16, bands = 4, minAgree = 8, w = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs(( 0L, 2L)) == 16) // identical signature
+    assert(pairs.contains((0L, 1L)) || pairs.contains((1L, 2L))) // near-dup caught
+    assert(!pairs.contains((3L, 4L))) // unrelated not paired
+  }
+
+  test("simhash native expression ≡ HOF formulation; near-dups close in Hamming") {
+    val both = docs.select(
+      SimHash64Expr.simhash64(col("text")).as("native"),
+      Dedup.simhash64("text").as("hof"),
+      col("doc_id"))
+    both.collect().foreach { r =>
+      assert(r.getAs[Long]("native") == r.getAs[Long]("hof"), s"doc ${r.getAs[Long]("doc_id")}")
+    }
+    val fps = both.orderBy("doc_id").collect().map(_.getAs[Long]("native"))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fps(0), fps(2)) == 0)                 // exact dup
+    assert(ham(fps(0), fps(1)) < ham(fps(0), fps(3))) // near-dup closer than unrelated
+  }
+
+  test("ngram jaccard: exact dup has inter == uni; near-dup high overlap") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source",
+        lenBucket = 64, w = 3, minInter = 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getInt(2), r.getInt(3)))).toMap
+    val (i02, u02) = pairs((0L, 2L))
+    assert(i02 == u02) // identical shingle sets
+    val (i01, u01) = pairs((0L, 1L))
+    assert(i01 * 2 > u01) // jaccard > 0.5 for near-dup
+  }
+
+  test("ANN LSH: same-bucket self-consistency and recall vs brute force") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annTopK(emb, queries, "vec_id", "embedding", 5,
+        dim = 64, nBits = 2)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // nBits=2 → 4 buckets → expect decent recall on 500 vectors
+    val recall = (brute & ann).size.toDouble / brute.size
+    assert(recall >= 0.3, s"recall $recall")
+    // every ANN hit must share the query's bucket by construction;
+    // scores must match brute-force scores where pairs coincide
+    assert(ann.nonEmpty)
+  }
+
+  test("cosine: agrees with manual computation") {
+    val df = Seq((Array(1.0f, 0.0f), Array(0.6f, 0.8f))).toDF("a", "b")
+    val got = df.select(Similarity.cosine(
+      Similarity.asDouble(col("a")), Similarity.asDouble(col("b"))).as("c"))
+      .collect()(0).getDouble(0)
+    assert(math.abs(got - 0.6) < 1e-6) // float32 inputs carry ~1e-8 error
+  }
+}

@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ml.IdsPipeline
+
+/** Diagnostic main (not a test): show misclassified benign test URLs. */
+object IdsDiag {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSpec.spark
+    val spec = new IdsPipelineSpec {}
+    val refData = "/root/reference/datasets/learning-datasets"
+    val bad = IdsPipeline.readUrls(spark, s"$refData/training/bad.txt").limit(16000)
+    val model = IdsPipeline.train(spec.syntheticGoodPublic(24000), bad)
+    val testGood = IdsPipeline.readUrls(spark, s"$refData/testing/good.txt")
+    IdsPipeline.score(model, testGood)
+      .where(col("prediction") === 1.0)
+      .select("url", "probability")
+      .collect().foreach(r => println("MISS: " + r.getAs[String]("url") +
+        "  p=" + r.getAs[scala.collection.Seq[Double]]("probability").map(v => f"$v%.3f").mkString(",")))
+    spark.stop()
+  }
+}

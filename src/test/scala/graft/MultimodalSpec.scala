@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  val media = Seq((1L, "abcdefgh" * 40), (2L, "xy" * 10))
+    .toDF("media_id", "s")
+    .select(col("media_id"), col("s").cast("binary").as("payload"))
+
+  test("extractMeta: deterministic typed metadata from binary") {
+    val m = Multimodal.extractMeta(media, "media_id", "payload")
+      .orderBy("media_id").collect()
+    assert(m(0).getAs[Long]("byte_len") == 320L)
+    assert(m(0).getAs[Int]("width") == 320 % 640)
+    assert(m(0).getAs[Int]("n_frames") == 320 % 30 + 1)
+    assert(m(0).getAs[String]("sha").length == 64)
+  }
+
+  test("decodeFeatures: per-partition batch kernel, fixed dim, deterministic") {
+    val f1 = Multimodal.decodeFeatures(spark, media, "media_id", "payload", dim = 8)
+      .orderBy("media_id").collect()
+    val f2 = Multimodal.decodeFeatures(spark, media, "media_id", "payload", dim = 8)
+      .orderBy("media_id").collect()
+    assert(f1.length == 2)
+    val v1 = f1(0).getAs[scala.collection.Seq[Double]]("features").toList
+    assert(v1.length == 8)
+    assert(v1 == f2(0).getAs[scala.collection.Seq[Double]]("features").toList)
+    assert(v1.sum > 0)
+  }
+
+  test("sampleFrames: strided fixed-size slices") {
+    val frames = Multimodal.sampleFrames(media, "media_id", "payload",
+        frameBytes = 64, stride = 2)
+      .where(col("media_id") === 1L).orderBy("frame_idx").collect()
+    // 320 bytes → 5 frames (0..4), stride 2 → idx 0, 2, 4
+    assert(frames.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 2, 4))
+    assert(frames.forall(_.getAs[Array[Byte]]("frame").length == 64))
+  }
+}

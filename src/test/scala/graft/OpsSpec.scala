@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Aggregations, Enrich, Merge, TopK}
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("A11 traffic: per-record MB truncation (streaming.scala:142-149)") {
+    // 1.5 MB + 0.9 MB: reference semantics truncate per record → 1 + 0 = 1
+    val df = Seq("1572864", "943718", "-").toDF("bytes")
+    assert(Aggregations.trafficSumMb(df, col("bytes"))
+      .collect()(0).getAs[Long]("score") == 1L)
+    // exact variant: (1572864 + 943718) / 2^20 = 2
+    assert(Aggregations.trafficSumMbExact(df, col("bytes"))
+      .collect()(0).getAs[Long]("score") == 2L)
+  }
+
+  test("A2 size: chars summed then divided once (streaming.scala:98-101)") {
+    val df = Seq("a" * 600, "b" * 600).toDF("raw") // 1200 chars → 1 KB
+    assert(Aggregations.sizeKb(df, col("raw"))
+      .collect()(0).getAs[Long]("score") == 1L)
+  }
+
+  test("T8 status classification: 200..207 success, else other") {
+    val df = Seq("200", "207", "208", "404", "-", "foo").toDF("s")
+    val got = df.groupBy(Aggregations.statusClass(col("s")).as("c"))
+      .count().orderBy("c").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("other", 4L), ("success", 2L)))
+  }
+
+  test("K1 top-k: deterministic tie-break by key") {
+    val df = Seq(("b", 5L), ("a", 5L), ("c", 9L), ("d", 1L)).toDF("k", "n")
+    val got = TopK.topK(df, col("n"), col("k"), 3).collect()
+      .map(_.getString(0)).toSeq
+    assert(got == Seq("c", "a", "b"))
+  }
+
+  test("J1 full-outer merge zero-fills missing sides (app.py:425-453)") {
+    val g = Seq(("t1", 3L), ("t2", 1L)).toDF("ts", "good")
+    val b = Seq(("t2", 2L), ("t3", 7L)).toDF("ts", "bad")
+    val got = Merge.fullOuterTimeline(g, b, "ts", "good", "bad").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("t1", 3L, 0L), ("t2", 1L, 2L), ("t3", 0L, 7L)))
+  }
+
+  test("J2 dim join drops misses (API status != 0 behavior)") {
+    val facts = Seq(("1.1.1.1", 1), ("2.2.2.2", 2)).toDF("host", "x")
+    val dim = Seq(("1.1.1.1", 10.0, 20.0, "addr")).toDF("host", "lng", "lat", "address")
+    val got = Enrich.dimJoin(facts, dim, "host").collect()
+    assert(got.length == 1 && got(0).getAs[String]("host") == "1.1.1.1")
+    assert(Enrich.dimJoinLeft(facts, dim, "host").count() == 2)
+  }
+
+  test("broadcast dim join plans as BroadcastHashJoin") {
+    val facts = spark.read.parquet(s"$sfDir/customer.parquet")
+      .withColumnRenamed("c_nationkey", "n_nationkey")
+    val dim = spark.read.parquet(s"$sfDir/nation.parquet")
+    val plan = Enrich.dimJoin(facts, dim, "n_nationkey")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+}

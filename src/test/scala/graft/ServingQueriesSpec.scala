@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.logs.ClfParser
+import graft.ops.ZsetTable
+
+class ServingQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 3 hosts, 2 urls, one sentinel line; statuses 200/404
+  val lines = Seq(
+    """1.1.1.1 - - [25/May/2015:23:11:15 +0000] "GET /a HTTP/1.1" 200 1048576""",
+    """1.1.1.1 - - [25/May/2015:23:11:15 +0000] "GET /a HTTP/1.1" 200 2097152""",
+    """2.2.2.2 - - [25/May/2015:23:11:16 +0000] "GET /b HTTP/1.1" 404 100""",
+    """3.3.3.3 - - [25/May/2015:23:11:17 +0000] "POST /a HTTP/1.1" 200 -""",
+    "garbage line").toDF("value")
+
+  lazy val zset = ZsetTable.fromParsedLogs(ClfParser.parseNative(lines))
+
+  test("count_board: lines/visitors/resources/traffic/status classes") {
+    val m = ServingQueries.countBoard(zset).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("lines") == 5L)       // sentinel counted (SURVEY §1.2)
+    assert(m("visitors") == 4L)    // 3 hosts + sentinel member
+    assert(m("resources") == 3L)   // /a, /b + sentinel member
+    assert(m("traffic_mb") == 3L)  // 1 + 2 + 0 + 0 (+0 sentinel)
+    assert(m("success") == 3L && m("other") == 2L) // 404 + sentinel "foo"
+  }
+
+  test("hot_resources: sentinel filtered, top-k ordered") {
+    val got = ServingQueries.hotResources(zset).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("/a", 3L), ("/b", 1L)))
+  }
+
+  test("timeline: numeric order, per-second counts") {
+    val got = ServingQueries.timeline(zset).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // sentinel rows land on key "0" (epoch 0) — the reference's timeline
+    // does NOT display-filter them (only 'foo' members are, SURVEY T7)
+    assert(got == Seq((0L, 1L),
+      (1432595475000L, 2L), (1432595476000L, 1L), (1432595477000L, 1L)))
+  }
+
+  test("id_timeline: full-outer zero-filled merge") {
+    val z = Seq(
+      ("goodts", "1000", 3L), ("badts", "1000", 1L), ("badts", "2000", 2L)
+    ).toDF("metric", "member", "score")
+    val got = ServingQueries.idTimeline(z).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1000L, 3L, 1L), (2000L, 0L, 2L)))
+  }
+}
