@@ -243,7 +243,43 @@ object SparkEntry {
         T(s, dir, "documents").select(col("doc_id"), col("text").cast("binary").as("payload")),
         "doc_id", "payload", frameBytes = 64, stride = 2)
         .select(col("media_id"), col("frame_idx"), octet_length(col("frame")).cast("long").as("frame_len"))
-        .orderBy("media_id", "frame_idx"))
+        .orderBy("media_id", "frame_idx")),
+
+    // ---- engine completeness: joins / grouping extensions -------------
+    // left-semi join (EXISTS)
+    "q28_semi_join" -> ((s, dir) => {
+      val active = T(s, dir, "customer").join(
+        T(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_semi")
+      active.groupBy("c_mktsegment").agg(count(lit(1)).as("n_active"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // left-anti join (NOT EXISTS)
+    "q29_anti_join" -> ((s, dir) => {
+      val idle = T(s, dir, "customer").join(
+        T(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_anti")
+      idle.groupBy("c_mktsegment").agg(count(lit(1)).as("n_idle"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // rollup grouping (subtotals + grand total)
+    "q30_rollup" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("n"), col("sum_qty"))
+        .orderBy("flag", "status")),
+
+    // serving-path top-k through the zset table (S11/K1 + T7 sentinel filter)
+    "q31_serving_hot_urls" -> ((s, dir) =>
+      ServingQueries.hotResources(
+        graft.ops.ZsetTable.fromParsedLogs(
+          ClfParser.parseNative(LogGen.clfLines(T(s, dir, "events")))), 10))
   )
 
   /** DuckDB-equivalent SQL per query (driver hash-compares). Notes:
@@ -262,7 +298,8 @@ object SparkEntry {
         |    '/' || event_type || '?id=' || CAST(event_id % 100 AS VARCHAR) AS req_url,
         |    'HTTP/1.1' AS req_protocol,
         |    CASE WHEN event_type = 'error' THEN '500' WHEN event_type = 'purchase' THEN '201' ELSE '200' END AS status_code,
-        |    CAST(floor(value * 10) AS BIGINT) AS bytes
+        |    CAST(floor(value * 10) AS BIGINT) AS bytes,
+        |    date_trunc('second', ts) AS tsec
         |  FROM events)""".stripMargin
     Map(
       "q01_clf_parse_topk" ->
@@ -336,9 +373,15 @@ object SparkEntry {
           |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
       "q14_zset_table" ->
-        s"""$logsCte
+        s"""$logsCte,
+           |rawlen AS (SELECT length(host || ' - - [' ||
+           |    strftime(tsec, '%d/%b/%Y:%H:%M:%S') || ' +0000] "' ||
+           |    req_method || ' ' || req_url || ' HTTP/1.1" ' ||
+           |    status_code || ' ' || CAST(bytes AS VARCHAR)) AS ll FROM logs)
            |SELECT metric, member, score FROM (
            |  SELECT 'line' AS metric, 'count' AS member, COUNT(*) AS score FROM logs
+           |  UNION ALL SELECT 'size', 'size',
+           |    CAST(CAST(SUM(ll) AS BIGINT) // 1024 AS BIGINT) FROM rawlen
            |  UNION ALL SELECT 'host', host, COUNT(*) FROM logs GROUP BY host
            |  UNION ALL SELECT 'rfc931', rfc931, COUNT(*) FROM logs GROUP BY rfc931
            |  UNION ALL SELECT 'username', user_name, COUNT(*) FROM logs GROUP BY user_name
@@ -408,6 +451,30 @@ object SparkEntry {
           |        FROM s)
           |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, round(score, 4) AS score_r
           |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+      "q28_semi_join" ->
+        """SELECT c_mktsegment, COUNT(*) AS n_active FROM customer
+          |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+      "q29_anti_join" ->
+        """SELECT c_mktsegment, COUNT(*) AS n_idle FROM customer
+          |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+      "q30_rollup" ->
+        """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+          |  COALESCE(l_linestatus, 'ALL') AS status,
+          |  COUNT(*) AS n,
+          |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+          |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+          |ORDER BY flag, status""".stripMargin,
+
+      "q31_serving_hot_urls" ->
+        s"""$logsCte
+           |SELECT req_url AS member, COUNT(*) AS score FROM logs
+           |WHERE req_url <> 'foo'
+           |GROUP BY req_url ORDER BY score DESC, member ASC LIMIT 10""".stripMargin,
 
       "q26_multimodal_meta" ->
         """SELECT doc_id AS media_id,

@@ -142,11 +142,14 @@ object Dedup {
       array_distinct(shingles(col(textCol), w)).as("sh"))
     val a = docs.select(col("blk"), col("lb"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = docs.select(col("blk"), col("lb"), col("id").as("id_b"), col("sh").as("sh_b"))
+    // |A ∪ B| = |A| + |B| − |A ∩ B|: one set op per pair, not two
     a.join(b, Seq("blk", "lb"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
-        size(array_union(col("sh_a"), col("sh_b"))).as("uni"))
+        (size(col("sh_a")) + size(col("sh_b"))).as("sz"))
+      .select(col("id_a"), col("id_b"), col("inter"),
+        (col("sz") - col("inter")).as("uni"))
       .where(col("inter") >= minInter)
   }
 }

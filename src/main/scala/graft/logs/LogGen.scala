@@ -20,7 +20,7 @@ object LogGen {
   def clfLines(events: DataFrame): DataFrame = {
     val host = concat(lit("10.0."),
       (col("user_id") % 256).cast("string"), lit("."),
-      ((col("user_id") / 256).cast("long") % 256).cast("string"))
+      expr("(user_id div 256) % 256").cast("string"))
     val method = when(col("event_type").isin("signup", "purchase"), "POST")
       .otherwise("GET")
     val url = concat(lit("/"), col("event_type"), lit("?id="),

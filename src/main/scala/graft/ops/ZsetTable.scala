@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The "zset table" — the engine-native replacement for the reference's
@@ -19,23 +19,46 @@ import org.apache.spark.sql.functions._
   */
 object ZsetTable {
 
-  /** All 11 LogVision metrics over a parsed-log frame (ClfParser output
+  /** All 12 LogVision metrics over a parsed-log frame (ClfParser output
     * schema). Returns (metric, member, score).
+    *
+    * One-pass shape: each record explodes into 12 (metric, member,
+    * weight) tuples which feed a single partial+final sum aggregation —
+    * ONE scan, ONE parse, ONE shuffle. (A union of 12 per-metric
+    * aggregates re-scans and re-parses the input 12×, which is the
+    * difference between 100 TB and 1.2 PB of scan at scale; the
+    * reference similarly runs ~13 separate jobs per batch —
+    * streaming.scala:176-233, SURVEY §4.1.)
+    *
+    * Count metrics carry weight 1; `size` carries raw-line chars
+    * (divided once after the total, A2); `traffic` carries the
+    * per-record-truncated MB (A11's quirk, streaming.scala:142-149).
     */
   def fromParsedLogs(parsed: DataFrame): DataFrame = {
-    def m(name: String, df: DataFrame): DataFrame =
-      df.select(lit(name).as("metric"), col("member").cast("string"), col("score").cast("long"))
-    val branches = Seq(
-      m("line", Aggregations.countAll(parsed)),                          // A1
-      m("host", Aggregations.countBy(parsed, col("host"))),              // A3
-      m("rfc931", Aggregations.countBy(parsed, col("rfc931"))),          // A4
-      m("username", Aggregations.countBy(parsed, col("user_name"))),     // A5
-      m("datetime", Aggregations.countBy(parsed, col("date_time"))),     // A6
-      m("reqmt", Aggregations.countBy(parsed, col("req_method"))),       // A7
-      m("url", Aggregations.countBy(parsed, col("req_url"))),            // A8
-      m("proto", Aggregations.countBy(parsed, col("req_protocol"))),     // A9
-      m("statcode", Aggregations.countBy(parsed, col("status_code"))),   // A10
-      m("traffic", Aggregations.trafficSumMb(parsed, col("bytes"))))     // A11
-    branches.reduce(_ unionAll _)
+    def pair(metric: String, member: Column, weight: Column) =
+      struct(lit(metric).as("metric"), member.cast("string").as("member"),
+        weight.cast("long").as("weight"))
+    val one = lit(1L)
+    val trafficMb = when(col("bytes") === "-", lit(0L))
+      .otherwise((col("bytes").cast("long") / lit(1024 * 1024)).cast("long"))
+    val pairs = array(
+      pair("line", lit("count"), one),                  // A1
+      pair("size", lit("size"), length(col("raw"))),    // A2 (post-divided)
+      pair("host", col("host"), one),                   // A3
+      pair("rfc931", col("rfc931"), one),               // A4
+      pair("username", col("user_name"), one),          // A5
+      pair("datetime", col("date_time"), one),          // A6
+      pair("reqmt", col("req_method"), one),            // A7
+      pair("url", col("req_url"), one),                 // A8
+      pair("proto", col("req_protocol"), one),          // A9
+      pair("statcode", col("status_code"), one),        // A10
+      pair("traffic", lit("sum"), trafficMb))           // A11
+    parsed
+      .select(explode(pairs).as("p"))
+      .groupBy(col("p.metric").as("metric"), col("p.member").as("member"))
+      .agg(sum(col("p.weight")).as("w"))
+      .select(col("metric"), col("member"),
+        when(col("metric") === "size", (col("w") / 1024).cast("long"))
+          .otherwise(col("w")).as("score"))
   }
 }
