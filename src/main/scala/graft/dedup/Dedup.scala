@@ -66,9 +66,10 @@ object Dedup {
                    k: Int = 16, bands: Int = 4, minAgree: Int = 8,
                    w: Int = 3): DataFrame = {
     val rows = k / bands
-    val sig = df
-      .select(col(idCol).as("id"), shingleHashes(col(textCol), w).as("hsh"))
-      .select(col("id"), minhashSignature(col("hsh"), k).as("sig"))
+    // native fused expression; bit-identical to
+    // minhashSignature(shingleHashes(..)) — see MinHashSigExpr scaladoc
+    val sig = df.select(col(idCol).as("id"),
+      graft.functions.MinHashSigExpr.minhash_sig(col(textCol), k, w).as("sig"))
     // band bucket id = hash of the band's signature rows (no string concat)
     val banded = sig.select(col("id"), col("sig"),
       posexplode(array((0 until bands).map { b =>
@@ -133,20 +134,28 @@ object Dedup {
     * length bucket) to bound the quadratic blow-up, then exact Jaccard
     * on distinct word w-shingles. Emits integer intersection/union sizes
     * (exact, oracle-safe) with id_a < id_b.
+    *
+    * The per-pair inner loop uses sorted 64-bit shingle hashes + a
+    * native merge-walk count ([[graft.functions.SortedInterExpr]]): the
+    * shingle set is hashed and sorted ONCE per doc, and each candidate
+    * pair costs one linear merge — no per-pair set construction.
+    * (Hashing shingles to 64-bit before set ops has collision odds
+    * ~n²/2⁶⁴ per pair — negligible against exact string sets.)
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCol: String, lenBucket: Int = 64, w: Int = 3,
                         minInter: Int = 1): DataFrame = {
     val docs = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
       (length(col(textCol)).divide(lenBucket)).cast("long").as("lb"),
-      array_distinct(shingles(col(textCol), w)).as("sh"))
+      graft.functions.ShingleHashesExpr.shingle_hashes(col(textCol), w).as("sh"))
     val a = docs.select(col("blk"), col("lb"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = docs.select(col("blk"), col("lb"), col("id").as("id_b"), col("sh").as("sh_b"))
-    // |A ∪ B| = |A| + |B| − |A ∩ B|: one set op per pair, not two
+    // |A ∪ B| = |A| + |B| − |A ∩ B|: one merge walk per pair, no set op
     a.join(b, Seq("blk", "lb"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
+        graft.functions.SortedInterExpr
+          .sorted_inter_count(col("sh_a"), col("sh_b")).as("inter"),
         (size(col("sh_a")) + size(col("sh_b"))).as("sz"))
       .select(col("id_a"), col("id_b"), col("inter"),
         (col("sz") - col("inter")).as("uni"))

@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native k-permutation MinHash signature over word w-shingles.
+  *
+  * Bit-identical to the compositional
+  * [[graft.dedup.Dedup.minhashSignature]] ∘ shingleHashes pipeline
+  * (same split/join, same xxhash64-mod-P shingle hash, same affine
+  * permutations), but a single fused pass per row: no shingle array, no
+  * hash array, no per-element interpreted lambdas — just k running
+  * minima on the stack. This is the difference between O(shingles·k)
+  * interpreted calls and one tight loop when sketching billions of
+  * documents.
+  */
+case class MinHashSigExpr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashSigExpr.compute(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.MinHashSigExpr.compute($c, $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_sig"
+}
+
+object MinHashSigExpr {
+  val P = 2147483647L // 2^31 - 1, shared with Dedup.abParams
+
+  private val Space = UTF8String.fromString(" ")
+
+  /** Affine params identical to [[graft.dedup.Dedup.abParams]]. */
+  def abParams(k: Int): Array[(Long, Long)] =
+    (1 to k).map(i => (((0x9E3779B9L * i) % (P - 1)) | 1L,
+      (0x85EBCA6BL * i) % P)).toArray
+
+  def compute(s: UTF8String, k: Int, w: Int): GenericArrayData = {
+    val toks = s.split(Space, -1)
+    val ab = abParams(k)
+    val mins = Array.fill(k)(Long.MaxValue)
+    val nWindows = math.max(toks.length - w, 0) + 1
+    var i = 0
+    while (i < nWindows) {
+      val end = math.min(i + w, toks.length)
+      val shingle = UTF8String.concatWs(Space,
+        java.util.Arrays.copyOfRange(toks, i, end): _*)
+      var h = XxHash64Function.hash(shingle, StringType, 42L) % P
+      if (h < 0) h += P
+      var j = 0
+      while (j < k) {
+        val v = (ab(j)._1 * h + ab(j)._2) % P
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  def minhash_sig(c: Column, k: Int = 16, w: Int = 3): Column =
+    ColumnBridge.column(MinHashSigExpr(ColumnBridge.expression(c), k, w))
+}

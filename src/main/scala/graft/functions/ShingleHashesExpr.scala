@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Sorted distinct 64-bit hashes of word w-shingles, in one native pass.
+  *
+  * Equivalent to
+  * `array_sort(array_distinct(transform(shingles(text, w), xxhash64)))`
+  * but ~10× cheaper: the HOF chain allocates a sequence array, a slice
+  * array and a concat per shingle and walks them with interpreted
+  * lambdas; this walks the token array once, hashing each window and
+  * sort+dedup-ing a primitive long array. Output feeds
+  * [[SortedInterExpr]] for merge-walk set intersection (n-gram Jaccard).
+  */
+case class ShingleHashesExpr(child: Expression, w: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashesExpr.compute(input.asInstanceOf[UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ShingleHashesExpr.compute($c, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "shingle_hashes"
+}
+
+object ShingleHashesExpr {
+  private val Space = UTF8String.fromString(" ")
+
+  def compute(s: UTF8String, w: Int): GenericArrayData = {
+    val toks = s.split(Space, -1)
+    val nWindows = math.max(toks.length - w, 0) + 1
+    val hashes = new Array[Long](nWindows)
+    var i = 0
+    while (i < nWindows) {
+      val end = math.min(i + w, toks.length)
+      val shingle = UTF8String.concatWs(Space,
+        java.util.Arrays.copyOfRange(toks, i, end): _*)
+      hashes(i) = XxHash64Function.hash(shingle, StringType, 42L)
+      i += 1
+    }
+    java.util.Arrays.sort(hashes)
+    // in-place dedup of the sorted array
+    var n = 0
+    i = 0
+    while (i < nWindows) {
+      if (n == 0 || hashes(i) != hashes(n - 1)) { hashes(n) = hashes(i); n += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hashes, n))
+  }
+
+  def shingle_hashes(c: Column, w: Int = 3): Column =
+    ColumnBridge.column(ShingleHashesExpr(ColumnBridge.expression(c), w))
+}

@@ -43,7 +43,8 @@ object Similarity {
       asDouble(col(vecCol)).as("qvec"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qvec"), col("cvec")).as("score"))
+        graft.functions.CosineSimExpr.cosine_sim(col("qvec"), col("cvec"))
+          .as("score"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -82,7 +83,8 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qvec"), col("cvec")).as("score"))
+        graft.functions.CosineSimExpr.cosine_sim(col("qvec"), col("cvec"))
+          .as("score"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -77,6 +77,30 @@ class DedupSimSpec extends SparkSpec {
     assert(ann.nonEmpty)
   }
 
+  test("native minhash_sig ≡ compositional minhashSignature∘shingleHashes") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
+    val both = d.select(
+      graft.functions.MinHashSigExpr.minhash_sig(col("text"), 16, 3).as("native"),
+      Dedup.minhashSignature(Dedup.shingleHashes(col("text"), 3), 16).as("hof"))
+    both.collect().foreach { r =>
+      assert(r.getAs[scala.collection.Seq[Long]]("native").toList ==
+        r.getAs[scala.collection.Seq[Long]]("hof").toList)
+    }
+  }
+
+  test("native cosine_sim ≡ HOF cosine (bit-exact)") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(50)
+      .select(Similarity.asDouble(col("embedding")).as("v"), col("vec_id"))
+    val a = e.as("a"); val b = e.as("b")
+    val both = a.crossJoin(b).limit(500).select(
+      graft.functions.CosineSimExpr.cosine_sim(col("a.v"), col("b.v")).as("native"),
+      Similarity.cosine(col("a.v"), col("b.v")).as("hof"))
+    both.collect().foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
   test("cosine: agrees with manual computation") {
     val df = Seq((Array(1.0f, 0.0f), Array(0.6f, 0.8f))).toDF("a", "b")
     val got = df.select(Similarity.cosine(

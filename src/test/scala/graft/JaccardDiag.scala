@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+
+/** Diagnostic: where does q21 time go at sf0.1? */
+object JaccardDiag {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSpec.spark
+    val d = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$label%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s  (n=$n)")
+    }
+    time("warmup count")(d.count())
+    time("shingle+sort projection") {
+      d.select(array_sort(array_distinct(
+        transform(Dedup.shingles(col("text"), 3), s => xxhash64(s)))).as("sh"))
+        .select(sum(size(col("sh")))).collect()(0).getLong(0)
+    }
+    time("pairs w/o inter") {
+      val docs = d.select(col("doc_id").as("id"), col("source").as("blk"),
+        (length(col("text")).divide(16)).cast("long").as("lb"))
+      val a = docs.select(col("blk"), col("lb"), col("id").as("id_a"))
+      val b = docs.select(col("blk"), col("lb"), col("id").as("id_b"))
+      a.join(b, Seq("blk", "lb")).where(col("id_a") < col("id_b")).count()
+    }
+    time("full ngramJaccardPairs") {
+      Dedup.ngramJaccardPairs(d, "doc_id", "text", "source", 16, 3, 1).count()
+    }
+    spark.stop()
+  }
+}

@@ -73,6 +73,31 @@ class StreamingSpec extends SparkSpec {
     assert(before == after)
   }
 
+  test("scored-record sink: stream → IDS score → date-partitioned parquet (S6/M7)") {
+    import spark.implicits._
+    val srcDir = tmp("clf_src4")
+    val lines = LogGen.clfLines(events()).limit(300).collect().map(_.getString(0))
+    Files.write(Paths.get(srcDir, "all.log"), lines.mkString("\n").getBytes)
+    // tiny model (the accuracy gate lives in IdsPipelineSpec; here we
+    // test the streaming plumbing with the model loaded ONCE up front)
+    val good = (1 to 200).map(i => s"/page$i/").toDF("url")
+    val bad = (1 to 200).map(i => s"<script>alert($i)</script>").toDF("url")
+    val model = graft.ml.IdsPipeline.train(good, bad)
+    val outPath = tmp("scored")
+    val q = LogStream.startScoredSink(spark,
+      LogStream.fileLines(spark, srcDir),
+      df => graft.ml.IdsPipeline.score(model,
+        df.withColumn("url", col("req_url"))),
+      outPath, tmp("ckpt4"), Trigger.AvailableNow())
+    q.awaitTermination(120000)
+    val out = spark.read.parquet(outPath)
+    assert(out.count() == 300)
+    assert(out.columns.contains("prediction") && out.columns.contains("probability"))
+    assert(out.columns.contains("date")) // partition column survives
+    // benign synthesized URLs should mostly score good
+    assert(out.where(col("prediction") === 0.0).count() > 150)
+  }
+
   test("running update-mode aggregation matches batch count-by (memory sink)") {
     val srcDir = tmp("clf_src3")
     val lines = LogGen.clfLines(events()).limit(500)
