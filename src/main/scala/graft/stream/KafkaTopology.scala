@@ -1,0 +1,57 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Kafka wiring for the reference topology (S1/S5, streaming.scala:
+  * 257-278): subscribe `raw_log`, emit scored results to
+  * `good_result`/`bad_result`.
+  *
+  * No broker exists in the test container, so these builders are
+  * compile-checked and exercised indirectly: everything downstream of
+  * [[lines]] is the same code path the file source drives in
+  * StreamingSpec (the topologies differ only in source/sink format
+  * strings — the Structured Streaming planner treats them identically).
+  *
+  * Design notes vs the reference:
+  *  - no hand-rolled broadcast producer pool (streaming.scala:35-60) —
+  *    the Kafka sink manages per-executor producers itself;
+  *  - no driver-side `collectAsList` (streaming.scala:229-230) — rows
+  *    are serialized to JSON and written from executors.
+  */
+object KafkaTopology {
+
+  /** S1: the raw-log line stream (value = one-or-more log lines). */
+  def lines(spark: SparkSession, bootstrap: String,
+            topic: String = "raw_log"): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", "latest")
+      .load()
+      // T1: one Kafka record may carry several lines (streaming.scala:68)
+      .select(explode(split(col("value").cast("string"), "\n")).as("value"))
+
+  /** T9: one JSON document per row, all columns (reference
+    * `toJSON.collectAsList.toString`, minus the driver round-trip).
+    */
+  def toJsonRecords(df: DataFrame): DataFrame =
+    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+
+  /** S5: write scored records to the per-class result topics. Call in
+    * `foreachBatch` after scoring, once per class split (T4).
+    */
+  def writeResults(scored: DataFrame, bootstrap: String,
+                   goodTopic: String = "good_result",
+                   badTopic: String = "bad_result"): Unit = {
+    def send(df: DataFrame, topic: String): Unit =
+      toJsonRecords(df).write
+        .format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("topic", topic)
+        .save()
+    send(scored.where(col("prediction") === 0.0), goodTopic)
+    send(scored.where(col("prediction") === 1.0), badTopic)
+  }
+}

@@ -125,5 +125,33 @@ class IdsPipelineSpec extends SparkSpec {
     val p = IdsPipeline.score(model, testGood.limit(1))
       .select("probability").schema.fields(0).dataType
     assert(p.typeName == "array")
+
+    // A12/A13: good/bad counts + per-timestamp split from ONE scoring
+    val scored = IdsPipeline.score(model,
+      testGood.union(testBad).withColumn("date_time", lit("1000")))
+    val total = testGood.count() + testBad.count()
+    val counts = IdsPipeline.goodBadCounts(scored).collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == total) // every row classified exactly once
+    val ts = IdsPipeline.goodBadTimeline(scored).collect()
+    assert(ts.map(_.getLong(2)).sum == total)
+    assert(ts.forall(_.getString(1) == "1000"))
+
+    // T9: JSON record export round-trips the prediction
+    val json = graft.stream.KafkaTopology.toJsonRecords(
+      scored.select("url", "prediction")).collect()(0).getString(0)
+    assert(json.contains("\"prediction\""))
+  }
+
+  test("A15: approx_count_distinct within 10% of exact") {
+    val ev = events()
+    val exact = graft.ops.Aggregations.distinctCount(ev,
+      org.apache.spark.sql.functions.col("user_id"), "n")
+      .collect()(0).getLong(0)
+    val approx = graft.ops.Aggregations.approxDistinct(ev,
+      org.apache.spark.sql.functions.col("user_id"), "n")
+      .collect()(0).getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact <= 0.1,
+      s"approx $approx vs exact $exact")
   }
 }
