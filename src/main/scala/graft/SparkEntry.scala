@@ -279,7 +279,13 @@ object SparkEntry {
     "q31_serving_hot_urls" -> ((s, dir) =>
       ServingQueries.hotResources(
         graft.ops.ZsetTable.fromParsedLogs(
-          ClfParser.parseNative(LogGen.clfLines(T(s, dir, "events")))), 10))
+          ClfParser.parseNative(LogGen.clfLines(T(s, dir, "events")))), 10)),
+
+    // gap-based sessionization (batch twin of the stateful streaming op)
+    "q32_sessionize" -> ((s, dir) =>
+      graft.ops.Sessionize.summarize(
+        T(s, dir, "events"), col("user_id"), col("ts"), gapSeconds = 1800)
+        .orderBy("key", "session_id"))
   )
 
   /** DuckDB-equivalent SQL per query (driver hash-compares). Notes:
@@ -475,6 +481,18 @@ object SparkEntry {
            |SELECT req_url AS member, COUNT(*) AS score FROM logs
            |WHERE req_url <> 'foo'
            |GROUP BY req_url ORDER BY score DESC, member ASC LIMIT 10""".stripMargin,
+
+      "q32_sessionize" ->
+        """WITH e AS (SELECT user_id AS key,
+          |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS s FROM events),
+          |  f AS (SELECT key, s, CASE WHEN LAG(s) OVER w IS NULL
+          |      OR s - LAG(s) OVER w > 1800 THEN 1 ELSE 0 END AS nw
+          |    FROM e WINDOW w AS (PARTITION BY key ORDER BY s)),
+          |  g AS (SELECT key, s, CAST(SUM(nw) OVER (PARTITION BY key ORDER BY s
+          |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - 1 AS session_id FROM f)
+          |SELECT key, session_id, COUNT(*) AS n_events,
+          |  MIN(s) AS start_s, MAX(s) AS end_s
+          |FROM g GROUP BY key, session_id ORDER BY key, session_id""".stripMargin,
 
       "q26_multimodal_meta" ->
         """SELECT doc_id AS media_id,

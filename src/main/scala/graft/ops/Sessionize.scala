@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sessionization: assign gap-based session ids per key — the classic
+  * log-analytics operator the reference's per-second timeline hints at
+  * but never builds. Batch formulation: a session boundary is an event
+  * whose gap from the previous event of the same key exceeds
+  * `gapSeconds`; session id = running sum of boundary flags (two window
+  * functions, one shuffle on the key).
+  *
+  * The streaming twin ([[graft.stream.StatefulSessions]]) produces the
+  * same sessions incrementally with `flatMapGroupsWithState`; the spec
+  * asserts batch ≡ streaming on closed sessions.
+  */
+object Sessionize {
+
+  /** Adds `session_id` (0-based per key) to `df`. One shuffle on
+    * `keyCol`; both windows share the same partitioning.
+    */
+  def assign(df: DataFrame, keyCol: Column, tsCol: Column,
+             gapSeconds: Long): DataFrame = {
+    val byKey = Window.partitionBy(keyCol).orderBy(tsCol)
+    val gap = unix_timestamp(tsCol) -
+      lag(unix_timestamp(tsCol), 1).over(byKey)
+    df.withColumn("__new", when(gap.isNull || gap > gapSeconds, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("__new")).over(byKey.rowsBetween(Window.unboundedPreceding, 0)) - 1)
+      .drop("__new")
+  }
+
+  /** Per-session summary: (key, session_id, n_events, start, end). */
+  def summarize(df: DataFrame, keyCol: Column, tsCol: Column,
+                gapSeconds: Long): DataFrame =
+    assign(df, keyCol, tsCol, gapSeconds)
+      .groupBy(keyCol.as("key"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_timestamp(tsCol)).as("start_s"),
+        max(unix_timestamp(tsCol)).as("end_s"))
+}

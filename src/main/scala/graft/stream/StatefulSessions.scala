@@ -1,0 +1,81 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming sessionization with custom state
+  * (`flatMapGroupsWithState`): per key, accumulate events into an open
+  * session; when an event arrives more than `gapSeconds` after the
+  * session's end, emit the closed session and start a new one.
+  *
+  * State per key is three longs — constant-size regardless of session
+  * length — so state store pressure is #active-keys, not #events.
+  * Event-time timeout closes idle sessions once the watermark passes
+  * (bounded state, unlike the reference's unbounded Redis keys).
+  *
+  * Batch equivalence: on the same input, closed sessions equal
+  * [[graft.ops.Sessionize.summarize]] rows (asserted in StreamingSpec).
+  */
+object StatefulSessions {
+
+  /** `ts` carries the watermark tag through the plan (event-time
+    * timeout requires the watermarked attribute to stay projected). */
+  case class Event(key: String, ts_s: Long, ts: java.sql.Timestamp)
+  case class OpenSession(sessionId: Long, nEvents: Long, startS: Long, endS: Long)
+  case class ClosedSession(key: String, session_id: Long, n_events: Long,
+                           start_s: Long, end_s: Long)
+
+  def sessionize(spark: SparkSession, events: DataFrame, keyCol: String,
+                 tsCol: String, gapSeconds: Long,
+                 watermarkDelay: String = "1 hour",
+                 emitOpenAtTimeout: Boolean = true): Dataset[ClosedSession] = {
+    import spark.implicits._
+    val withWm = if (events.isStreaming)
+      events.withWatermark(tsCol, watermarkDelay) else events
+    val typed = withWm
+      .select(col(keyCol).cast("string").as("key"),
+        unix_timestamp(col(tsCol)).as("ts_s"),
+        col(tsCol).as("ts"))
+      .as[Event]
+
+    typed.groupByKey(_.key)
+      .flatMapGroupsWithState[List[OpenSession], ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key, it, state: GroupState[List[OpenSession]]) =>
+          if (it.isEmpty && state.hasTimedOut) {
+            // watermark passed: close whatever is open
+            val out = state.getOption.toList.flatten.map(s =>
+              ClosedSession(key, s.sessionId, s.nEvents, s.startS, s.endS))
+            state.remove()
+            if (emitOpenAtTimeout) out.iterator else Iterator.empty
+          } else {
+            val sorted = it.toSeq.sortBy(_.ts_s)
+            var open = state.getOption.flatMap(_.headOption)
+            var nextId = open.map(_.sessionId + 1).getOrElse(0L)
+            val closed = List.newBuilder[ClosedSession]
+            sorted.foreach { e =>
+              open match {
+                case Some(s) if e.ts_s - s.endS <= gapSeconds =>
+                  // max/min: tolerate within-gap out-of-order arrivals
+                  open = Some(s.copy(nEvents = s.nEvents + 1,
+                    startS = math.min(s.startS, e.ts_s),
+                    endS = math.max(s.endS, e.ts_s)))
+                case Some(s) =>
+                  closed += ClosedSession(key, s.sessionId, s.nEvents, s.startS, s.endS)
+                  open = Some(OpenSession(nextId, 1, e.ts_s, e.ts_s))
+                  nextId += 1
+                case None =>
+                  open = Some(OpenSession(nextId, 1, e.ts_s, e.ts_s))
+                  nextId += 1
+              }
+            }
+            open.foreach { s =>
+              state.update(List(s))
+              state.setTimeoutTimestamp((s.endS + gapSeconds) * 1000 + 1)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

@@ -98,6 +98,79 @@ class StreamingSpec extends SparkSpec {
     assert(out.where(col("prediction") === 0.0).count() > 150)
   }
 
+  test("stateful sessionization (flatMapGroupsWithState) ≡ batch Sessionize on closed sessions") {
+    import spark.implicits._
+    val srcDir = tmp("sess_src")
+    // deterministic event stream: 3 keys, gaps around the 60s threshold
+    val rows = Seq(
+      ("a", 0L), ("a", 30L), ("a", 50L),            // a session 0 (3 events)
+      ("a", 200L), ("a", 210L),                     // a session 1 (2 events)
+      ("a", 500L),                                  // a session 2 (open at end)
+      ("b", 10L), ("b", 400L),                      // b sessions 0, 1(open)
+      ("c", 5L))                                    // c session 0 (open)
+    // offset from epoch 0: the initial watermark is 0 and rows at exactly
+    // the watermark are dropped as late
+    val df = rows.toDF("key", "s")
+      .select(col("key"), timestamp_seconds(col("s") + 1000000L).as("ts"))
+    // two single-file chunks with ordered mod-times → two ordered batches
+    df.where(col("ts") < timestamp_seconds(lit(1000100L))).coalesce(1).write
+      .parquet(s"$srcDir/c0")
+    df.where(col("ts") >= timestamp_seconds(lit(1000100L))).coalesce(1).write
+      .parquet(s"$srcDir/c1")
+    val now = System.currentTimeMillis()
+    new java.io.File(s"$srcDir/c0").listFiles().foreach(_.setLastModified(now - 60000))
+    new java.io.File(s"$srcDir/c1").listFiles().foreach(_.setLastModified(now))
+    val stream = spark.readStream.schema(df.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*")
+    val q = graft.stream.StatefulSessions.sessionize(
+        spark, stream, "key", "ts", gapSeconds = 60)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions")
+      .option("checkpointLocation", tmp("ckpt_sess"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("sessions")
+      .select("key", "n_events", "start_s", "end_s")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // batch twin: all sessions minus each key's final (still-open) one
+    val batch = graft.ops.Sessionize.summarize(df, col("key"), col("ts"), 60)
+    val lastPerKey = batch.groupBy("key")
+      .agg(max("session_id").as("session_id"))
+    val expected = batch.join(lastPerKey, Seq("key", "session_id"), "left_anti")
+      .select(col("key"), col("n_events"), col("start_s"), col("end_s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(expected.nonEmpty)
+    assert(streamed == expected, s"\nstreamed=$streamed\nexpected=$expected")
+  }
+
+  test("watermarked tumbling-window counts match batch per-second timeline (closed windows)") {
+    val srcDir = tmp("clf_src5")
+    val lines = LogGen.clfLines(events()).limit(800).collect().map(_.getString(0))
+    Files.write(Paths.get(srcDir, "all.log"), lines.mkString("\n").getBytes)
+    val q = LogStream.windowedCounts(
+        LogStream.fileLines(spark, srcDir), "1 second", "10 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("wincounts")
+      .option("checkpointLocation", tmp("ckpt5"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("wincounts").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = ClfParser.parse(spark.read.text(srcDir))
+      .where(col("ts").isNotNull)
+      .groupBy(unix_millis(date_trunc("second", col("ts"))).as("ts_ms"))
+      .agg(count(lit(1)).as("score")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // append mode emits only watermark-closed windows: subset equality,
+    // and every emitted window must carry the exact batch count
+    assert(got.nonEmpty)
+    got.foreach { case (ts, n) => assert(want(ts) == n, s"window $ts") }
+  }
+
   test("running update-mode aggregation matches batch count-by (memory sink)") {
     val srcDir = tmp("clf_src3")
     val lines = LogGen.clfLines(events()).limit(500)
