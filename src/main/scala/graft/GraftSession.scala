@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Library entry point: a SparkSession configured the way the engine is
+  * designed to run. The driver contract mains build their own sessions
+  * (the test harness controls those); this is the production shape and
+  * the single place the engine's config opinions live.
+  */
+object GraftSession {
+
+  /** @param master       e.g. "local[32]" for single-node, unset on a
+    *                      cluster (spark-submit provides it)
+    * @param shufflePartitions initial shuffle parallelism — ~2-3× total
+    *                      cores; AQE coalesces small partitions at
+    *                      runtime so erring high is safe at scale
+    */
+  def build(appName: String = "graft",
+            master: Option[String] = None,
+            shufflePartitions: Int = 32): SparkSession = {
+    val b = SparkSession.builder().appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      // AQE: runtime re-planning — partition coalescing, skew-join
+      // splitting, broadcast conversion once true sizes are known
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // deterministic timestamp semantics for the oracle + zset keys
+      .config("spark.sql.session.timeZone", "UTC")
+      // the driver's testdata carries TIMESTAMP(NANOS) parquet
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // scan parallelism at 100 TB: bound per-task input so a task's
+      // working set fits executor memory alongside shuffle buffers
+      .config("spark.sql.files.maxPartitionBytes", 128L * 1024 * 1024)
+    master.foreach(b.master)
+    b.getOrCreate()
+  }
+}

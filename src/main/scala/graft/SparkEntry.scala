@@ -285,7 +285,18 @@ object SparkEntry {
     "q32_sessionize" -> ((s, dir) =>
       graft.ops.Sessionize.summarize(
         T(s, dir, "events"), col("user_id"), col("ts"), gapSeconds = 1800)
-        .orderBy("key", "session_id"))
+        .orderBy("key", "session_id")),
+
+    // IVF ANN (KMeans cells + probe join — recall vs brute force is
+    // asserted in DedupSimSpec; no SQL oracle for the kmeans partition)
+    "q33_ann_ivf" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      graft.sim.IvfIndex.build(s, emb, "vec_id", "embedding", nLists = 8)
+        .topK(emb.where(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, nProbe = 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .orderBy("query_id", "rank")
+    })
   )
 
   /** DuckDB-equivalent SQL per query (driver hash-compares). Notes:

@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot keys — web logs are the canonical case: one
+  * bot IP or one hot URL can dominate a count-by shuffle partition.
+  *
+  * [[saltedCountBy]] is the two-stage aggregate: group on (key, salt)
+  * first so the hot key's rows spread over `salts` partitions, then
+  * merge the partials per key. For Spark's built-in hash aggregation
+  * this is usually unnecessary (map-side partial aggregation already
+  * caps per-key shuffle rows at #partitions), but it is the required
+  * pattern when the aggregate is NOT partial-izable (exact distinct
+  * lists, collect_list, percentile) or when a downstream join keys on
+  * the skewed column. AQE's skew-join handling
+  * (spark.sql.adaptive.skewJoin) covers the join side at runtime;
+  * [[saltedJoin]] is the static fallback: salt the skewed fact side,
+  * explode the dim side across all salt values.
+  */
+object Skew {
+
+  /** Two-stage count-by: (key, salt) partial → key final. */
+  def saltedCountBy(df: DataFrame, keyCol: Column, salts: Int = 16): DataFrame =
+    df.withColumn("__salt", (rand(42) * salts).cast("int"))
+      .groupBy(keyCol.as("member"), col("__salt"))
+      .agg(count(lit(1)).as("partial"))
+      .groupBy(col("member"))
+      .agg(sum("partial").as("score"))
+
+  /** Skew-safe equi-join: salt the (large, skewed) left side, replicate
+    * the (small) right side across all salt values, join on (key, salt).
+    */
+  def saltedJoin(bigSkewed: DataFrame, small: DataFrame, key: String,
+                 salts: Int = 16): DataFrame = {
+    val saltedLeft = bigSkewed
+      .withColumn("__salt", (rand(42) * salts).cast("int"))
+    val replicatedRight = small
+      .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+    saltedLeft.join(replicatedRight, Seq(key, "__salt")).drop("__salt")
+  }
+}

@@ -1,0 +1,75 @@
+package graft.sim
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.CosineSimExpr
+
+/** IVF (inverted-file) approximate nearest neighbor: cluster the corpus
+  * into `nLists` KMeans cells once, then answer queries by scanning only
+  * the `nProbe` nearest cells — the second scale path next to
+  * random-hyperplane LSH ([[Similarity.lshBucket]]).
+  *
+  * Layout maps to Spark naturally:
+  *  - build: one KMeans fit (spark.ml) + one pass assigning each vector
+  *    to its cell → a corpus table partitionable by `cell`;
+  *  - query: centroids are tiny (nLists × dim) → computed per-query on
+  *    the driverless path via a broadcast nested loop; candidate scan is
+  *    an equi-join on `cell`, i.e. only ~nProbe/nLists of the corpus
+  *    moves;
+  *  - on a real cluster the corpus table would be written bucketed by
+  *    `cell` so probes prune files entirely.
+  */
+class IvfIndex private (val assigned: DataFrame, val centroids: DataFrame) {
+
+  /** Top-k by cosine among vectors in the query's `nProbe` nearest
+    * cells. Output: (query_id, rank, neighbor_id, score).
+    */
+  def topK(queries: DataFrame, idCol: String, vecCol: String, k: Int,
+           nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(idCol).as("query_id"),
+      Similarity.asDouble(col(vecCol)).as("qvec"))
+    // nearest nProbe cells per query: queries × centroids is tiny
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("cdist",
+        CosineSimExpr.cosine_sim(col("qvec"), col("centroid")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cdist").desc, col("cell"))))
+      .where(col("crank") <= nProbe)
+      .select(col("query_id"), col("qvec"), col("cell"))
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        CosineSimExpr.cosine_sim(col("qvec"), col("cvec")).as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
+  }
+}
+
+object IvfIndex {
+
+  /** Fit nLists KMeans cells (deterministic seed) and assign the corpus. */
+  def build(spark: SparkSession, corpus: DataFrame, idCol: String,
+            vecCol: String, nLists: Int, seed: Long = 42L): IvfIndex = {
+    import spark.implicits._
+    val vecs = corpus.select(col(idCol).as("neighbor_id"),
+      Similarity.asDouble(col(vecCol)).as("cvec"))
+      .withColumn("features", array_to_vector(col("cvec")))
+    val model = new KMeans().setK(nLists).setSeed(seed)
+      .setFeaturesCol("features").setPredictionCol("cell")
+      .fit(vecs)
+    val assigned = model.transform(vecs)
+      .select(col("cell"), col("neighbor_id"), col("cvec"))
+    val centroids = model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c: Vector, i) => (i, c.toArray) }
+      .toDF("cell", "centroid")
+    new IvfIndex(assigned, centroids)
+  }
+}

@@ -101,6 +101,34 @@ class DedupSimSpec extends SparkSpec {
     }
   }
 
+  test("IVF ANN: recall vs brute force beats its scan fraction") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = graft.sim.IvfIndex.build(spark, emb, "vec_id", "embedding", nLists = 8)
+    val got = ivf.topK(queries, "vec_id", "embedding", k = 5, nProbe = 3)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & got).size.toDouble / brute.size
+    // probing 3/8 cells should recover well over 3/8 of true neighbors
+    assert(recall >= 0.6, s"recall $recall")
+  }
+
+  test("skew: salted count-by and salted join match unsalted results") {
+    import spark.implicits._
+    val skewed = (Seq.fill(5000)("hot") ++ (1 to 500).map(i => s"k$i"))
+      .toDF("k")
+    val counts = graft.ops.Skew.saltedCountBy(skewed, col("k"), salts = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("hot") == 5000L && counts("k1") == 1L)
+    assert(counts.values.sum == 5500L)
+    val dim = Seq(("hot", 1), ("k1", 2)).toDF("k", "v")
+    val joined = graft.ops.Skew.saltedJoin(skewed, dim, "k", salts = 8)
+    assert(joined.count() == skewed.join(dim, "k").count())
+  }
+
   test("cosine: agrees with manual computation") {
     val df = Seq((Array(1.0f, 0.0f), Array(0.6f, 0.8f))).toDF("a", "b")
     val got = df.select(Similarity.cosine(
