@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL registration for the engine's native expressions, so
+  * `spark.sql("SELECT simhash64(text) ...")` works next to the Column
+  * API. Two paths:
+  *
+  *  - cluster config: `spark.sql.extensions=graft.GraftExtensions`
+  *  - programmatic:   `GraftFunctions.register(spark)`
+  */
+object GraftFunctions {
+
+  private def litInt(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
+  }
+
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "parse_clf" -> (es => ParseClfExpr(es.head)),
+    "simhash64" -> (es => SimHash64Expr(es.head)),
+    "cosine_sim" -> (es => CosineSimExpr(es(0), es(1))),
+    "sorted_inter_count" -> (es => SortedInterExpr(es(0), es(1))),
+    "shingle_hashes" -> (es => es match {
+      case Seq(t) => ShingleHashesExpr(t, 3)
+      case Seq(t, w) => ShingleHashesExpr(t, litInt(w, "w"))
+    }),
+    "minhash_sig" -> (es => es match {
+      case Seq(t) => MinHashSigExpr(t, 16, 3)
+      case Seq(t, k, w) => MinHashSigExpr(t, litInt(k, "k"), litInt(w, "w"))
+    }))
+
+  /** Register in the current session's function registry. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
+}
+
+/** `spark.sql.extensions`-injectable variant (cluster-wide). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, builder) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name), builder))
+    }
+}

@@ -1,0 +1,35 @@
+package graft
+
+import graft.functions.GraftFunctions
+
+class SqlFunctionsSpec extends SparkSpec {
+
+  test("native expressions callable from SQL after registration") {
+    GraftFunctions.register(spark)
+    spark.sql("SELECT 'a b c d' AS text").createOrReplaceTempView("t")
+
+    val sim = spark.sql("SELECT simhash64(text) AS fp FROM t")
+      .collect()(0).getLong(0)
+    assert(sim != 0L)
+
+    val parsed = spark.sql(
+      """SELECT parse_clf('1.1.1.1 - - [25/May/2015:23:11:15 +0000] "GET /a HTTP/1.1" 200 7').req_url AS u""")
+      .collect()(0).getString(0)
+    assert(parsed == "/a")
+
+    val cos = spark.sql(
+      "SELECT cosine_sim(array(1.0d, 0.0d), array(0.6d, 0.8d)) AS c")
+      .collect()(0).getDouble(0)
+    assert(math.abs(cos - 0.6) < 1e-12)
+
+    val inter = spark.sql(
+      "SELECT sorted_inter_count(array(1L,2L,5L), array(2L,3L,5L)) AS n")
+      .collect()(0).getInt(0)
+    assert(inter == 2)
+
+    assert(spark.sql("SELECT size(minhash_sig(text, 8, 2)) AS k FROM t")
+      .collect()(0).getInt(0) == 8)
+    assert(spark.sql("SELECT size(shingle_hashes(text, 2)) AS n FROM t")
+      .collect()(0).getInt(0) == 3)
+  }
+}
