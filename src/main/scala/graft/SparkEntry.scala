@@ -287,6 +287,12 @@ object SparkEntry {
         T(s, dir, "events"), col("user_id"), col("ts"), gapSeconds = 1800)
         .orderBy("key", "session_id")),
 
+    // portable MinHash signatures (md5 shingle hash → oracle-checkable)
+    "q34_minhash_portable" -> ((s, dir) =>
+      Dedup.portableMinhash(T(s, dir, "documents"), "doc_id", "text",
+          k = 8, w = 3)
+        .orderBy("doc_id")),
+
     // IVF ANN (KMeans cells + probe join — recall vs brute force is
     // asserted in DedupSimSpec; no SQL oracle for the kmeans partition)
     "q33_ann_ivf" -> ((s, dir) => {
@@ -504,6 +510,22 @@ object SparkEntry {
           |SELECT key, session_id, COUNT(*) AS n_events,
           |  MIN(s) AS start_s, MAX(s) AS end_s
           |FROM g GROUP BY key, session_id ORDER BY key, session_id""".stripMargin,
+
+      "q34_minhash_portable" -> {
+        val sigs = graft.dedup.Dedup.abParams(8).zipWithIndex.map {
+          case ((a, b), i) =>
+            s"list_min(list_transform(h, x -> ($a * x + $b) % 2147483647)) AS sig_$i"
+        }.mkString(",\n  ")
+        s"""WITH d AS (SELECT doc_id,
+           |  list_transform(
+           |    list_transform(range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+           |      i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')),
+           |    s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) AS h
+           |  FROM documents)
+           |SELECT doc_id,
+           |  $sigs
+           |FROM d ORDER BY doc_id""".stripMargin
+      },
 
       "q26_multimodal_meta" ->
         """SELECT doc_id AS media_id,

@@ -35,7 +35,7 @@ object Dedup {
   private val P = 2147483647L
 
   /** Affine-permutation parameters a_i, b_i (deterministic, odd a). */
-  private def abParams(k: Int): Seq[(Long, Long)] =
+  private[graft] def abParams(k: Int): Seq[(Long, Long)] =
     (1 to k).map(i => (((0x9E3779B9L * i) % (P - 1)) | 1L, (0x85EBCA6BL * i) % P))
 
   /** k MinHash values from a pre-hashed shingle array `hsh`
@@ -52,6 +52,24 @@ object Dedup {
   /** Pre-hashed shingles: xxhash64 reduced into [0, P). */
   def shingleHashes(textCol: Column, w: Int = 3): Column =
     transform(shingles(textCol, w), s => pmod(xxhash64(s), lit(P)))
+
+  /** Portable MinHash signature as k wide columns (sig_0..sig_{k-1}),
+    * with an md5-based shingle hash (60 hex bits → BIGINT mod P) instead
+    * of xxhash64 — md5 is computable identically in any engine, so this
+    * variant is fully DuckDB-oracle-checkable end-to-end, unlike the
+    * (faster) [[graft.functions.MinHashSigExpr]] production path.
+    */
+  def portableMinhash(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 8, w: Int = 3): DataFrame = {
+    val hsh = transform(shingles(col(textCol), w),
+      s => pmod(conv(substring(md5(s), 1, 15), 16, 10).cast("long"), lit(P)))
+    val sigs = abParams(k).zipWithIndex.map { case ((a, b), i) =>
+      array_min(transform(col("__hsh"), h => (lit(a) * h + lit(b)) % lit(P)))
+        .as(s"sig_$i")
+    }
+    df.select(col(idCol), hsh.as("__hsh"))
+      .select(col(idCol) +: sigs: _*)
+  }
 
   /** MinHash-LSH candidate pairs: k hashes split into `bands` bands of
     * rows; docs sharing any band bucket are candidates; pairs are then
