@@ -8,7 +8,8 @@ import java.util.regex.Pattern
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -24,8 +25,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * the built-ins version is still preferable for single-field queries
   * where Catalyst prunes the other extracts away.
   */
-case class ParseClfExpr(child: Expression) extends UnaryExpression
-    with CodegenFallback {
+case class ParseClfExpr(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ParseClfExpr.schema
 
@@ -34,6 +34,16 @@ case class ParseClfExpr(child: Expression) extends UnaryExpression
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
     ParseClfExpr.compute(if (v == null) null else v.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val rowCls = classOf[InternalRow].getName
+    ev.copy(
+      code = code"""${c.code}
+        $rowCls ${ev.value} = graft.functions.ParseClfExpr.compute(
+          ${c.isNull} ? null : ${c.value});""",
+      isNull = FalseLiteral)
   }
 
   override protected def withNewChildInternal(newChild: Expression): ParseClfExpr =
