@@ -287,6 +287,24 @@ object SparkEntry {
         T(s, dir, "events"), col("user_id"), col("ts"), gapSeconds = 1800)
         .orderBy("key", "session_id")),
 
+    // cube grouping (all subtotal combinations)
+    "q35_cube" -> ((s, dir) =>
+      T(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("sum_price"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+          col("n"), col("sum_price"))
+        .orderBy("status", "prio")),
+
+    // the /count_board dashboard (S11/A15/A16/A17/T8) end-to-end
+    "q36_count_board" -> ((s, dir) =>
+      ServingQueries.countBoard(
+        graft.ops.ZsetTable.fromParsedLogs(
+          ClfParser.parseNative(LogGen.clfLines(T(s, dir, "events")))))
+        .orderBy("stat")),
+
     // portable MinHash signatures (md5 shingle hash → oracle-checkable)
     "q34_minhash_portable" -> ((s, dir) =>
       Dedup.portableMinhash(T(s, dir, "documents"), "doc_id", "text",
@@ -510,6 +528,27 @@ object SparkEntry {
           |SELECT key, session_id, COUNT(*) AS n_events,
           |  MIN(s) AS start_s, MAX(s) AS end_s
           |FROM g GROUP BY key, session_id ORDER BY key, session_id""".stripMargin,
+
+      "q35_cube" ->
+        """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+          |  COALESCE(o_orderpriority, 'ALL') AS prio,
+          |  COUNT(*) AS n,
+          |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+          |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+          |ORDER BY status, prio""".stripMargin,
+
+      "q36_count_board" ->
+        s"""$logsCte
+           |SELECT stat, v FROM (
+           |  SELECT 'lines' AS stat, COUNT(*) AS v FROM logs
+           |  UNION ALL SELECT 'visitors', COUNT(DISTINCT host) FROM logs
+           |  UNION ALL SELECT 'resources', COUNT(DISTINCT req_url) FROM logs
+           |  UNION ALL SELECT 'traffic_mb', CAST(SUM(bytes // 1048576) AS BIGINT) FROM logs
+           |  UNION ALL SELECT CASE WHEN status_code IN
+           |      ('200','201','202','203','204','205','206','207')
+           |    THEN 'success' ELSE 'other' END, COUNT(*) FROM logs
+           |  GROUP BY 1
+           |) ORDER BY stat""".stripMargin,
 
       "q34_minhash_portable" -> {
         val sigs = graft.dedup.Dedup.abParams(8).zipWithIndex.map {
