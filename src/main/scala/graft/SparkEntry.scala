@@ -315,7 +315,10 @@ object SparkEntry {
     // asserted in DedupSimSpec; no SQL oracle for the kmeans partition)
     "q33_ann_ivf" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
-      graft.sim.IvfIndex.build(s, emb, "vec_id", "embedding", nLists = 8)
+      // index BUILD (amortized in practice) + probe in one query; 8
+      // kmeans iterations suffice for cell assignment quality here
+      graft.sim.IvfIndex.build(s, emb, "vec_id", "embedding", nLists = 8,
+          maxIter = 8)
         .topK(emb.where(col("vec_id") < 10), "vec_id", "embedding",
           k = 5, nProbe = 3)
         .select(col("query_id"), col("rank"), col("neighbor_id"))

@@ -57,12 +57,13 @@ object IvfIndex {
 
   /** Fit nLists KMeans cells (deterministic seed) and assign the corpus. */
   def build(spark: SparkSession, corpus: DataFrame, idCol: String,
-            vecCol: String, nLists: Int, seed: Long = 42L): IvfIndex = {
+            vecCol: String, nLists: Int, seed: Long = 42L,
+            maxIter: Int = 20): IvfIndex = {
     import spark.implicits._
     val vecs = corpus.select(col(idCol).as("neighbor_id"),
       Similarity.asDouble(col(vecCol)).as("cvec"))
       .withColumn("features", array_to_vector(col("cvec")))
-    val model = new KMeans().setK(nLists).setSeed(seed)
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("features").setPredictionCol("cell")
       .fit(vecs)
     val assigned = model.transform(vecs)
