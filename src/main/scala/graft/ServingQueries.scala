@@ -25,22 +25,25 @@ object ServingQueries {
     df.where(col("member") =!= "foo")
 
   /** /count_board (app.py:75-109): lines, visitors, resources, traffic,
-    * success vs other counts — one row.
+    * success vs other counts.
+    *
+    * Single pass over the zset frame: each row maps to its board stat
+    * and contribution, then ONE aggregation — a union of five
+    * per-metric aggregates would recompute the (non-trivial) zset
+    * subplan five times.
     */
   def countBoard(zset: DataFrame): DataFrame = {
-    val lines = metric(zset, "line").select(sum("score").as("v"))
-      .select(lit("lines").as("stat"), col("v"))
-    val visitors = metric(zset, "host").agg(count(lit(1)).as("v"))
-      .select(lit("visitors").as("stat"), col("v"))
-    val resources = metric(zset, "url").agg(count(lit(1)).as("v"))
-      .select(lit("resources").as("stat"), col("v"))
-    val traffic = metric(zset, "traffic").select(sum("score").as("v"))
-      .select(lit("traffic_mb").as("stat"), col("v"))
-    val status = metric(zset, "statcode")
-      .groupBy(Aggregations.statusClass(col("member")).as("stat"))
-      .agg(sum("score").as("v"))
-    lines.unionAll(visitors).unionAll(resources).unionAll(traffic)
-      .unionAll(status)
+    val stat = when(col("metric") === "line", lit("lines"))
+      .when(col("metric") === "host", lit("visitors"))
+      .when(col("metric") === "url", lit("resources"))
+      .when(col("metric") === "traffic", lit("traffic_mb"))
+      .when(col("metric") === "statcode",
+        Aggregations.statusClass(col("member")))
+    val v = when(col("metric").isin("line", "traffic", "statcode"),
+      col("score")).otherwise(lit(1L)) // host/url: count members (ZCARD)
+    zset.select(stat.as("stat"), v.as("v"))
+      .where(col("stat").isNotNull)
+      .groupBy("stat").agg(sum("v").as("v"))
   }
 
   /** /hot_resources (app.py:163): top-10 URLs. */
