@@ -305,6 +305,25 @@ object SparkEntry {
           ClfParser.parseNative(LogGen.clfLines(T(s, dir, "events")))))
         .orderBy("stat")),
 
+    // portable SimHash (md5 token hash, 60-bit → oracle-checkable)
+    "q37_simhash_portable" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"), Dedup.portableSimhash("text", 60).as("fp"))
+        .orderBy("doc_id")),
+
+    // id-timeline serving merge over goodts/badts zset metrics (J1+S11)
+    "q38_id_timeline" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val sec = unix_millis(date_trunc("second", col("ts"))).cast("string")
+      def side(m: String, pred: org.apache.spark.sql.Column) =
+        ev.where(pred).groupBy(sec.as("member"))
+          .agg(count(lit(1)).as("score"))
+          .select(lit(m).as("metric"), col("member"), col("score"))
+      ServingQueries.idTimeline(
+        side("goodts", col("event_type") =!= "error")
+          .unionAll(side("badts", col("event_type") === "error")))
+    }),
+
     // portable MinHash signatures (md5 shingle hash → oracle-checkable)
     "q34_minhash_portable" -> ((s, dir) =>
       Dedup.portableMinhash(T(s, dir, "documents"), "doc_id", "text",
@@ -552,6 +571,26 @@ object SparkEntry {
            |    THEN 'success' ELSE 'other' END, COUNT(*) FROM logs
            |  GROUP BY 1
            |) ORDER BY stat""".stripMargin,
+
+      "q37_simhash_portable" -> {
+        val terms = (0 until 60).map(j =>
+          s"(CASE WHEN list_sum(list_transform(h, x -> CASE WHEN (x >> $j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE CAST(0 AS BIGINT) END)"
+        ).mkString(" + ")
+        s"""WITH d AS (SELECT doc_id,
+           |  list_transform(string_split(text, ' '),
+           |    t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS h
+           |  FROM documents)
+           |SELECT doc_id, $terms AS fp FROM d ORDER BY doc_id""".stripMargin
+      },
+
+      "q38_id_timeline" ->
+        """WITH g AS (SELECT epoch_ms(date_trunc('second', ts)) AS ts_ms, COUNT(*) AS good
+          |           FROM events WHERE event_type <> 'error' GROUP BY 1),
+          |     b AS (SELECT epoch_ms(date_trunc('second', ts)) AS ts_ms, COUNT(*) AS bad
+          |           FROM events WHERE event_type = 'error' GROUP BY 1)
+          |SELECT COALESCE(g.ts_ms, b.ts_ms) AS ts_ms,
+          |  COALESCE(good, 0) AS good, COALESCE(bad, 0) AS bad
+          |FROM g FULL OUTER JOIN b ON g.ts_ms = b.ts_ms ORDER BY ts_ms""".stripMargin,
 
       "q34_minhash_portable" -> {
         val sigs = graft.dedup.Dedup.abParams(8).zipWithIndex.map {

@@ -125,6 +125,26 @@ object Dedup {
        |      (c, j) -> IF(c > 0, shiftleft(1L, j), 0L)),
        |    0L, (a, b) -> a | b))""".stripMargin)
 
+  /** Portable SimHash over the low 60 bits of an md5-derived token hash
+    * — like [[portableMinhash]], computable identically in any engine,
+    * so DuckDB can oracle-check the fingerprint end-to-end (the
+    * production path [[simhash64]]/SimHash64Expr uses xxhash64, which
+    * only Spark has). Bit j of the fingerprint = sign of
+    * Σ_tokens (bit j of hash(token) ? +1 : -1).
+    */
+  def portableSimhash(textColName: String, bits: Int = 60): Column = expr(
+    s"""aggregate(
+       |  zip_with(
+       |    aggregate(
+       |      transform(split($textColName, ' '),
+       |        t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)),
+       |      array_repeat(0L, $bits),
+       |      (acc, h) -> zip_with(acc, sequence(0, ${bits - 1}),
+       |        (c, j) -> c + IF((shiftright(h, j) & 1) = 1, 1L, -1L))),
+       |    sequence(0, ${bits - 1}),
+       |    (c, j) -> IF(c > 0, shiftleft(1L, j), 0L)),
+       |  0L, (a, b) -> a | b)""".stripMargin)
+
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
