@@ -324,6 +324,13 @@ object SparkEntry {
           .unionAll(side("badts", col("event_type") === "error")))
     }),
 
+    // embedding-cosine near-dup pairs (exact; LSH/IVF are the scale path)
+    "q39_dedup_embedding" -> ((s, dir) =>
+      Similarity.cosineDupPairs(T(s, dir, "embeddings"), "vec_id",
+          "embedding", threshold = 0.45)
+        .select(col("id_a"), col("id_b"), round(col("score"), 4).as("score_r"))
+        .orderBy("id_a", "id_b")),
+
     // portable MinHash signatures (md5 shingle hash → oracle-checkable)
     "q34_minhash_portable" -> ((s, dir) =>
       Dedup.portableMinhash(T(s, dir, "documents"), "doc_id", "text",
@@ -571,6 +578,15 @@ object SparkEntry {
            |    THEN 'success' ELSE 'other' END, COUNT(*) FROM logs
            |  GROUP BY 1
            |) ORDER BY stat""".stripMargin,
+
+      "q39_dedup_embedding" ->
+        """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+          |    CAST(b.embedding AS DOUBLE[])), 4) AS score_r
+          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+          |  CAST(b.embedding AS DOUBLE[])) >= 0.45
+          |ORDER BY id_a, id_b""".stripMargin,
 
       "q37_simhash_portable" -> {
         val terms = (0 until 60).map(j =>

@@ -52,6 +52,25 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: all (id_a < id_b) pairs
+    * with cosine ≥ threshold. Exact (all-pairs) formulation — the
+    * corpus side stays in place, the compare side is broadcast; at
+    * billion-vector scale swap the join for [[lshBucket]] /
+    * [[IvfIndex]] blocking and run the same threshold inside buckets.
+    */
+  def cosineDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double): DataFrame = {
+    val a = corpus.select(col(idCol).as("id_a"),
+      asDouble(col(vecCol)).as("va"))
+    val b = corpus.select(col(idCol).as("id_b"),
+      asDouble(col(vecCol)).as("vb"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.CosineSimExpr.cosine_sim(col("va"), col("vb"))
+          .as("score"))
+      .where(col("score") >= threshold)
+  }
+
   /** Random-hyperplane LSH bucket id: `nBits` sign bits of dot products
     * with deterministic pseudo-random hyperplanes (hyperplane component
     * j of plane p = a fixed hash of (p, j), zero-mean). No data shuffle
