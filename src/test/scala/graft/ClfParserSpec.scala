@@ -13,6 +13,8 @@ class ClfParserSpec extends SparkSpec {
     """112.64.235.2 - frank [25/May/2015:23:11:16 +0000] "POST /login.php HTTP/1.1" 302 -""",
     // combined (referer + UA discarded)
     """203.208.60.1 - - [25/May/2015:23:11:15 +0000] "GET /favicon.ico HTTP/1.1" 200 3638 "-" "Mozilla/5.0"""",
+    // non-UTC zone offset (reference parses any ±HHMM, streaming.scala:73)
+    """8.8.8.8 - - [01/Jan/2020:08:00:00 +0800] "GET /x HTTP/1.0" 200 10""",
     // garbage → sentinel
     "not a log line at all")
 
@@ -29,10 +31,12 @@ class ClfParserSpec extends SparkSpec {
     val r1 = out(1)
     assert(r1.getAs[String]("host") == "203.208.60.1")
     assert(r1.getAs[String]("bytes") == "3638")
-    val r2 = out(2)
-    assert(r2.getAs[String]("host") == "foo")
-    assert(r2.getAs[String]("date_time") == "0")
-    assert(r2.getAs[String]("bytes") == "0")
+    // +0800 = 2020-01-01T00:00:00Z
+    assert(out(2).getAs[String]("date_time") == "1577836800000")
+    val r3 = out(3)
+    assert(r3.getAs[String]("host") == "foo")
+    assert(r3.getAs[String]("date_time") == "0")
+    assert(r3.getAs[String]("bytes") == "0")
   }
 
   test("parseNative ≡ parse on fixtures and synthesized lines") {
