@@ -255,13 +255,13 @@ object SparkEntry {
         .orderBy("c_mktsegment")
     }),
 
-    // left-anti join (NOT EXISTS)
+    // left-anti join (NOT EXISTS) — orders with no lineitems
     "q29_anti_join" -> ((s, dir) => {
-      val idle = T(s, dir, "customer").join(
-        T(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
-        Seq("c_custkey"), "left_anti")
-      idle.groupBy("c_mktsegment").agg(count(lit(1)).as("n_idle"))
-        .orderBy("c_mktsegment")
+      val empty = T(s, dir, "orders").join(
+        T(s, dir, "lineitem").select(col("l_orderkey").as("o_orderkey")),
+        Seq("o_orderkey"), "left_anti")
+      empty.groupBy("o_orderstatus").agg(count(lit(1)).as("n_empty"))
+        .orderBy("o_orderstatus")
     }),
 
     // rollup grouping (subtotals + grand total)
@@ -528,9 +528,9 @@ object SparkEntry {
           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
       "q29_anti_join" ->
-        """SELECT c_mktsegment, COUNT(*) AS n_idle FROM customer
-          |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+        """SELECT o_orderstatus, COUNT(*) AS n_empty FROM orders
+          |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
       "q30_rollup" ->
         """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
