@@ -324,6 +324,18 @@ object SparkEntry {
           .unionAll(side("badts", col("event_type") === "error")))
     }),
 
+    // grouped top-k via the TypedImperativeAggregate (map-side partial
+    // top-k; contrast q13's window formulation which sorts whole groups)
+    "q40_topk_per_group" -> ((s, dir) =>
+      T(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(graft.functions.TopKAgg.top_k(
+          col("value"), col("event_id").cast("string"), 3).as("top"))
+        .select(col("user_id"), posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("user_id"), (col("pos") + 1).as("rank"),
+          col("e.tag").cast("long").as("event_id"), col("e.score").as("value"))
+        .orderBy("user_id", "rank")),
+
     // embedding-cosine near-dup pairs (exact; LSH/IVF are the scale path)
     "q39_dedup_embedding" -> ((s, dir) =>
       Similarity.cosineDupPairs(T(s, dir, "embeddings"), "vec_id",
@@ -578,6 +590,13 @@ object SparkEntry {
            |    THEN 'success' ELSE 'other' END, COUNT(*) FROM logs
            |  GROUP BY 1
            |) ORDER BY stat""".stripMargin,
+
+      "q40_topk_per_group" ->
+        """SELECT user_id, CAST(rn AS INTEGER) AS rank, event_id, value FROM (
+          |  SELECT user_id, event_id, value,
+          |    ROW_NUMBER() OVER (PARTITION BY user_id
+          |      ORDER BY value DESC, CAST(event_id AS VARCHAR) ASC) AS rn
+          |  FROM events) WHERE rn <= 3 ORDER BY user_id, rank""".stripMargin,
 
       "q39_dedup_embedding" ->
         """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -54,6 +54,35 @@ class OpsSpec extends SparkSpec {
     assert(Enrich.dimJoinLeft(facts, dim, "host").count() == 2)
   }
 
+  test("top_k aggregate ≡ window row_number formulation (incl. merge across partitions)") {
+    val ev = events().repartition(7) // force partial/merge paths
+    val viaAgg = ev.groupBy(col("user_id"))
+      .agg(graft.functions.TopKAgg.top_k(
+        col("value"), col("event_id").cast("string"), 3).as("top"))
+      .select(col("user_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("user_id"), col("pos"), col("e.tag"), col("e.score"))
+      .orderBy("user_id", "pos")
+      .collect().toSeq
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("value").desc, col("event_id").cast("string").asc)
+    val viaWindow = ev.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("user_id"), (col("rn") - 1).as("pos"),
+        col("event_id").cast("string"), col("value"))
+      .orderBy("user_id", "pos")
+      .collect().toSeq
+    assert(viaAgg == viaWindow)
+    // ties: both entries kept, ordered by tag
+    val tied = Seq(("g", 1.0, "b"), ("g", 1.0, "a"), ("g", 0.5, "c"))
+      .toDF("g", "v", "t")
+      .groupBy("g")
+      .agg(graft.functions.TopKAgg.top_k(col("v"), col("t"), 2).as("top"))
+      .select(explode(col("top")).as("e")).select(col("e.tag"))
+      .collect().map(_.getString(0)).toSeq
+    assert(tied == Seq("a", "b"))
+  }
+
   test("broadcast dim join plans as BroadcastHashJoin") {
     val facts = spark.read.parquet(s"$sfDir/customer.parquet")
       .withColumnRenamed("c_nationkey", "n_nationkey")
