@@ -324,6 +324,16 @@ object SparkEntry {
           .unionAll(side("badts", col("event_type") === "error")))
     }),
 
+    // mergeable HLL distinct sketches per day → unioned estimate
+    // (DataSketches HLL ≠ DuckDB's HLL → rows-only; merge property and
+    // ≤5% error vs exact asserted in OpsSpec)
+    "q41_hll_sketch" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val perDay = Aggregations.distinctSketchBy(
+        ev, to_date(col("ts")), col("user_id"))
+      Aggregations.sketchEstimateAll(perDay)
+    }),
+
     // grouped top-k via the TypedImperativeAggregate (map-side partial
     // top-k; contrast q13's window formulation which sorts whole groups)
     "q40_topk_per_group" -> ((s, dir) =>

@@ -68,6 +68,23 @@ object Aggregations {
   def approxDistinct(df: DataFrame, keyCol: Column, alias: String): DataFrame =
     df.agg(approx_count_distinct(keyCol).as(alias))
 
+  /** Mergeable distinct-count sketches (Apache DataSketches HLL via the
+    * Spark 3.5+ built-ins): materialize one sketch per bucket (e.g. per
+    * day), answer "distinct over any bucket range" later by UNIONING
+    * sketches — no rescan of raw data. The zset table can't express
+    * this (ZCARD needs every member kept); at 100 TB this is the only
+    * viable "visitors last N days" query shape.
+    */
+  def distinctSketchBy(df: DataFrame, bucketCol: Column, keyCol: Column)
+      : DataFrame =
+    df.groupBy(bucketCol.as("bucket"))
+      .agg(hll_sketch_agg(keyCol).as("sketch"))
+
+  /** Merge bucket sketches → one estimate over all buckets. */
+  def sketchEstimateAll(sketches: DataFrame): DataFrame =
+    sketches.agg(
+      hll_sketch_estimate(hll_union_agg(col("sketch"))).as("estimate"))
+
   /** T8 + A17 (app.py:87-97): status classification — success = 200..207,
     * everything else "other" — then aggregate per class.
     */

@@ -83,6 +83,18 @@ class OpsSpec extends SparkSpec {
     assert(tied == Seq("a", "b"))
   }
 
+  test("HLL sketches: per-day sketches union to the global distinct count") {
+    val ev = events()
+    val exact = ev.select(count_distinct(col("user_id"))).collect()(0).getLong(0)
+    val perDay = graft.ops.Aggregations.distinctSketchBy(
+      ev, to_date(col("ts")), col("user_id"))
+    assert(perDay.count() > 1) // genuinely bucketed
+    val merged = graft.ops.Aggregations.sketchEstimateAll(perDay)
+      .collect()(0).getLong(0)
+    assert(math.abs(merged - exact).toDouble / exact <= 0.05,
+      s"merged $merged vs exact $exact")
+  }
+
   test("broadcast dim join plans as BroadcastHashJoin") {
     val facts = spark.read.parquet(s"$sfDir/customer.parquet")
       .withColumnRenamed("c_nationkey", "n_nationkey")
