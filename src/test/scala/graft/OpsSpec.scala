@@ -95,6 +95,25 @@ class OpsSpec extends SparkSpec {
       s"merged $merged vs exact $exact")
   }
 
+  test("bucketed co-located join eliminates both shuffle exchanges") {
+    val wh = java.nio.file.Files.createTempDirectory("bucketed").toString
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/li").mode("overwrite").saveAsTable("li_bkt")
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/ord").mode("overwrite").saveAsTable("ord_bkt")
+    val joined = spark.table("li_bkt")
+      .join(spark.table("ord_bkt").hint("merge"), "l_orderkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Exchange"), s"bucketed join should not shuffle:\n$plan")
+    assert(joined.count() > 0)
+    spark.sql("DROP TABLE li_bkt")
+    spark.sql("DROP TABLE ord_bkt")
+  }
+
   test("broadcast dim join plans as BroadcastHashJoin") {
     val facts = spark.read.parquet(s"$sfDir/customer.parquet")
       .withColumnRenamed("c_nationkey", "n_nationkey")
