@@ -324,6 +324,23 @@ object SparkEntry {
           .unionAll(side("badts", col("event_type") === "error")))
     }),
 
+    // as-of association: each error joined to the user's last prior click
+    "q42_asof_join" -> ((s, dir) =>
+      graft.ops.AsOf.priorMatch(T(s, dir, "events"),
+          col("user_id"), col("event_id"),
+          col("event_type") === "click", col("event_id"), "prior_click")
+        .where(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("prior_click"), lit(-1L)).as("prior_click"))
+        .orderBy("event_id")),
+
+    // order-sensitive rolling fingerprint, portable hash (oracle-checked)
+    "q43_rolling_fp_portable" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.portableRollingFingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
     // mergeable HLL distinct sketches per day → unioned estimate
     // (DataSketches HLL ≠ DuckDB's HLL → rows-only; merge property and
     // ≤5% error vs exact asserted in OpsSpec)
@@ -600,6 +617,23 @@ object SparkEntry {
            |    THEN 'success' ELSE 'other' END, COUNT(*) FROM logs
            |  GROUP BY 1
            |) ORDER BY stat""".stripMargin,
+
+      "q42_asof_join" ->
+        """SELECT event_id, user_id, COALESCE(prior_click, -1) AS prior_click FROM (
+          |  SELECT event_id, user_id, event_type,
+          |    LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+          |      OVER (PARTITION BY user_id ORDER BY event_id
+          |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_click
+          |  FROM events) WHERE event_type = 'error' ORDER BY event_id""".stripMargin,
+
+      "q43_rolling_fp_portable" ->
+        """SELECT doc_id,
+          |  list_reduce(
+          |    list_prepend(CAST(0 AS BIGINT),
+          |      list_transform(string_split(text, ' '),
+          |        t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 2147483648)),
+          |    (a, b) -> (a * 31 + b) % 2147483648) AS fp
+          |FROM documents ORDER BY doc_id""".stripMargin,
 
       "q40_topk_per_group" ->
         """SELECT user_id, CAST(rn AS INTEGER) AS rank, event_id, value FROM (

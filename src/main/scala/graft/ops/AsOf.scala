@@ -1,0 +1,32 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of ("most recent prior event") association — e.g. attach each
+  * error to the last click of the same user before it.
+  *
+  * Deliberately COMPOSED from built-ins (SURVEY §7.3 preference (a)):
+  * when both streams share a key, an as-of join over a union is exactly
+  * one `last(..., ignoreNulls).over(rowsBetween(unboundedPreceding, -1))`
+  * window — one shuffle on the key, codegen'd, AQE-planned. A custom
+  * LogicalPlan/SparkStrategy exec would only pay off for *keyless*
+  * range-band joins between independently-sorted tables, which none of
+  * the reference's (or the extension surface's) queries need.
+  */
+object AsOf {
+
+  /** For every row, the latest `valueCol` among *earlier* rows of the
+    * same `keyCol` partition satisfying `matchCond` (null if none).
+    * Ordering/recency is defined by `orderCol` (total order).
+    */
+  def priorMatch(df: DataFrame, keyCol: Column, orderCol: Column,
+                 matchCond: Column, valueCol: Column,
+                 as: String = "prior_value"): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn(as,
+      last(when(matchCond, valueCol), ignoreNulls = true).over(w))
+  }
+}

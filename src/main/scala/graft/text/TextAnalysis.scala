@@ -75,4 +75,16 @@ object TextAnalysis {
     aggregate(tokens(text), lit(0L),
       (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), m), m))
   }
+
+  /** [[rollingFingerprint]] with an md5-derived token hash instead of
+    * xxhash64 — identical in any engine, so DuckDB (`list_reduce`) can
+    * oracle-check the order-sensitive fold end-to-end.
+    */
+  def portableRollingFingerprint(text: Column): Column = {
+    val m = lit(2147483648L) // 2^31
+    val th = (t: Column) =>
+      pmod(conv(substring(md5(t), 1, 15), 16, 10).cast("long"), m)
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => (acc * lit(31L) + th(t)) % m)
+  }
 }
