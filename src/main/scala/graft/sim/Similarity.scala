@@ -71,6 +71,51 @@ object Similarity {
       .where(col("score") >= threshold)
   }
 
+  /** Embedding near-dup pairs with GUARANTEED recall and no full-corpus
+    * broadcast — the scale formulation of [[cosineDupPairs]], and the
+    * registered contract query (the exact all-pairs version is kept as
+    * a small-SF cross-check).
+    *
+    * Blocking is a deterministic 1-D projection band join: normalize
+    * each vector (cosine(a,b) = û_a·û_b), project onto one fixed unit
+    * direction u. For unit vectors, ‖û_a−û_b‖² = 2−2·cos(a,b) ≤ 2−2t,
+    * and by Cauchy-Schwarz |u·û_a − u·û_b| ≤ ‖û_a−û_b‖ ≤ r = √(2−2t) —
+    * so bucketing the projection by width r, every qualifying pair lands
+    * in the same or adjacent buckets. One side joins on its bucket, the
+    * other explodes to {b−1, b, b+1}; each candidate appears exactly
+    * once; exact cosine verifies. The join is a shuffle equi-join on a
+    * long key — no broadcast, no O(N²) compare outside a bucket.
+    *
+    * Pruning sharpens as the threshold rises (r = 0.46 at t = 0.9);
+    * additional fixed projections can pre-filter candidates with the
+    * same bound before the full dot product if a corpus needs it.
+    */
+  def cosineDupPairsBlocked(corpus: DataFrame, idCol: String,
+                            vecCol: String, threshold: Double,
+                            dim: Int): DataFrame = {
+    val r = math.sqrt(2.0 - 2.0 * threshold)
+    // fixed deterministic unit direction (seeded Gaussian, normalized)
+    val rnd = new scala.util.Random(42)
+    val raw = Array.fill(dim)(rnd.nextGaussian())
+    val n = math.sqrt(raw.map(x => x * x).sum)
+    val u = array(raw.map(x => lit(x / n)): _*)
+    val base = corpus.select(col(idCol).as("id"),
+      asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .where(col("nrm") > 0)
+      .withColumn("bkt", floor(dot(col("v"), u) / (col("nrm") * lit(r))))
+    val a = base.select(col("bkt").as("jb"), col("id").as("id_a"),
+      col("v").as("va"))
+    val b = base.select(col("id").as("id_b"), col("v").as("vb"),
+      explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("jb"))
+    a.join(b, Seq("jb"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.CosineSimExpr.cosine_sim(col("va"), col("vb"))
+          .as("score"))
+      .where(col("score") >= threshold)
+  }
+
   /** Random-hyperplane LSH bucket id: `nBits` sign bits of dot products
     * with deterministic pseudo-random hyperplanes (hyperplane component
     * j of plane p = a fixed hash of (p, j), zero-mean). No data shuffle

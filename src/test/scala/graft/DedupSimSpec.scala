@@ -48,6 +48,28 @@ class DedupSimSpec extends SparkSpec {
     assert(ham(fps(0), fps(1)) < ham(fps(0), fps(3))) // near-dup closer than unrelated
   }
 
+  test("simhash pairs: 8-chunk bucketing ≡ brute-force popcount at maxDist 7") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val maxDist = 7
+    val bucketed = Dedup.simhashPairs(d, "doc_id", "text", maxDist)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fp = d.select(col("doc_id").as("id"),
+      SimHash64Expr.simhash64(col("text")).as("fp"))
+    val a = fp.select(col("id").as("id_a"), col("fp").as("fp_a"))
+    val b = fp.select(col("id").as("id_b"), col("fp").as("fp_b"))
+    val brute = a.join(b, col("id_a") < col("id_b"))
+      .where(Dedup.hamming64(col("fp_a"), col("fp_b")) <= maxDist)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed == brute,
+      s"missed=${(brute -- bucketed).take(5)} extra=${(bucketed -- brute).take(5)}")
+    // and radii past the guarantee are rejected, not silently under-recalled
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(d, "doc_id", "text", maxDist = 8)
+    }
+  }
+
   test("ngram jaccard: exact dup has inter == uni; near-dup high overlap") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source",
         lenBucket = 64, w = 3, minInter = 1)
@@ -114,6 +136,49 @@ class DedupSimSpec extends SparkSpec {
     val recall = (brute & got).size.toDouble / brute.size
     // probing 3/8 cells should recover well over 3/8 of true neighbors
     assert(recall >= 0.6, s"recall $recall")
+  }
+
+  test("IVF buildCached: two queries reuse one KMeans build") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val before = graft.sim.IvfIndex.builds
+    val i1 = graft.sim.IvfIndex.buildCached(spark, emb, "spec-reuse-key",
+      "vec_id", "embedding", nLists = 4, maxIter = 4)
+    i1.topK(emb.where(col("vec_id") < 3), "vec_id", "embedding",
+      k = 3, nProbe = 2).count()
+    val i2 = graft.sim.IvfIndex.buildCached(spark, emb, "spec-reuse-key",
+      "vec_id", "embedding", nLists = 4, maxIter = 4)
+    i2.topK(emb.where(col("vec_id") < 6), "vec_id", "embedding",
+      k = 3, nProbe = 2).count()
+    assert(i2 eq i1)
+    assert(graft.sim.IvfIndex.builds - before == 1)
+  }
+
+  test("blocked cosine dup pairs ≡ exact all-pairs; plan needs no broadcast") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1),
+      math.round(r.getDouble(2) * 1e4))
+    val exact = Similarity.cosineDupPairs(emb, "vec_id", "embedding", 0.45)
+      .collect().map(key).toSet
+    val blocked = Similarity.cosineDupPairsBlocked(emb, "vec_id", "embedding",
+      0.45, dim = 64)
+    assert(blocked.collect().map(key).toSet == exact)
+    // with auto-broadcast off, the plan must still be a plain shuffle
+    // equi-join — proof it does not depend on broadcasting the corpus
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = Similarity.cosineDupPairsBlocked(emb, "vec_id", "embedding",
+        0.45, dim = 64).queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"), plan.take(2000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("portable minhash pairs: exact dups agree on all k; join is banded") {
+    val pairs = Dedup.portableMinhashPairs(docs, "doc_id", "text",
+        k = 8, bands = 4, minAgree = 4, w = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs((0L, 2L)) == 8) // identical signature
+    assert(!pairs.contains((3L, 4L))) // unrelated not paired
   }
 
   test("skew: salted count-by and salted join match unsalted results") {
