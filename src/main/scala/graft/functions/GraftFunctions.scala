@@ -19,19 +19,30 @@ object GraftFunctions {
       s"$name must be an integer literal, got $other")
   }
 
+  /** Builder with a usable wrong-argument-count error (instead of a raw
+    * MatchError) naming the accepted signatures. */
+  private def fn(name: String, sigs: String)(
+      pf: PartialFunction[Seq[Expression], Expression])
+      : (String, Seq[Expression] => Expression) =
+    name -> ((es: Seq[Expression]) => pf.applyOrElse(es,
+      (got: Seq[Expression]) => throw new IllegalArgumentException(
+        s"$name: invalid arguments (${got.length} given); expected $sigs")))
+
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "parse_clf" -> (es => ParseClfExpr(es.head)),
-    "simhash64" -> (es => SimHash64Expr(es.head)),
-    "cosine_sim" -> (es => CosineSimExpr(es(0), es(1))),
-    "sorted_inter_count" -> (es => SortedInterExpr(es(0), es(1))),
-    "shingle_hashes" -> (es => es match {
+    fn("parse_clf", "parse_clf(line)") { case Seq(l) => ParseClfExpr(l) },
+    fn("simhash64", "simhash64(text)") { case Seq(t) => SimHash64Expr(t) },
+    fn("cosine_sim", "cosine_sim(a, b)") {
+      case Seq(a, b) => CosineSimExpr(a, b) },
+    fn("sorted_inter_count", "sorted_inter_count(a, b)") {
+      case Seq(a, b) => SortedInterExpr(a, b) },
+    fn("shingle_hashes", "shingle_hashes(text[, w])") {
       case Seq(t) => ShingleHashesExpr(t, 3)
       case Seq(t, w) => ShingleHashesExpr(t, litInt(w, "w"))
-    }),
-    "minhash_sig" -> (es => es match {
+    },
+    fn("minhash_sig", "minhash_sig(text[, k, w])") {
       case Seq(t) => MinHashSigExpr(t, 16, 3)
       case Seq(t, k, w) => MinHashSigExpr(t, litInt(k, "k"), litInt(w, "w"))
-    }))
+    })
 
   /** Register in the current session's function registry. */
   def register(spark: SparkSession): Unit =

@@ -32,6 +32,10 @@ case class TopKAgg(scoreExpr: Expression, tagExpr: Expression, k: Int,
 
   require(k > 0, "k must be positive")
 
+  // update() reads score as Double and tag as string — enforced by the
+  // casts in the top_k builder (AbstractDataType/ImplicitCastInputTypes
+  // are private[sql], so the cast lives in the Column API instead)
+
   // heap head = WORST kept entry (lowest score, then highest tag) so
   // eviction drops the current loser; "greater" here means "worse"
   private def heapOrd: Ordering[(Double, String)] =
@@ -127,9 +131,12 @@ case class TopKAgg(scoreExpr: Expression, tagExpr: Expression, k: Int,
 }
 
 object TopKAgg {
-  /** Column API: `top_k(score, tag, k)` aggregate. */
+  /** Column API: `top_k(score, tag, k)` aggregate. Any numeric score and
+    * any castable tag are accepted — cast here, at analysis time, rather
+    * than ClassCastException-ing inside update(). */
   def top_k(score: Column, tag: Column, k: Int): Column =
     ColumnBridge.column(
-      TopKAgg(ColumnBridge.expression(score), ColumnBridge.expression(tag), k)
+      TopKAgg(ColumnBridge.expression(score.cast("double")),
+          ColumnBridge.expression(tag.cast("string")), k)
         .toAggregateExpression())
 }

@@ -38,10 +38,13 @@ object ClfParser {
     */
   def parse(df: DataFrame, lineCol: String = "value"): DataFrame = {
     val line = col(lineCol)
-    val ok = line.rlike(Pattern)
     def g(i: Int) = regexp_extract(line, Pattern, i)
+    // a regex-matching line with an unparseable timestamp is a sentinel
+    // row, same as the native ParseClfExpr path (try_to_timestamp: no
+    // ANSI throw; null folds into `ok`)
+    val ts = try_to_timestamp(g(4), lit(TsFormat))
+    val ok = line.rlike(Pattern) && ts.isNotNull
     def sentinel(i: Int, s: String) = when(ok, g(i)).otherwise(lit(s))
-    val ts = to_timestamp(g(4), TsFormat)
     df.select(
       line.as("raw"),
       sentinel(1, "foo").as("host"),

@@ -23,6 +23,14 @@ object StatefulSessions {
     * timeout requires the watermarked attribute to stay projected). */
   case class Event(key: String, ts_s: Long, ts: java.sql.Timestamp)
   case class OpenSession(sessionId: Long, nEvents: Long, startS: Long, endS: Long)
+  /** Per-key state: the next id to assign plus the open session (if
+    * any). Keeping `nextId` OUTSIDE the open session means a timeout
+    * that closes the session does not reset the counter — (key,
+    * session_id) stays unique and monotonic over the stream's lifetime,
+    * matching the batch Sessionize ids. The post-timeout tombstone is
+    * one long per key ever seen.
+    */
+  case class SessState(nextId: Long, open: Option[OpenSession])
   case class ClosedSession(key: String, session_id: Long, n_events: Long,
                            start_s: Long, end_s: Long)
 
@@ -40,19 +48,22 @@ object StatefulSessions {
       .as[Event]
 
     typed.groupByKey(_.key)
-      .flatMapGroupsWithState[List[OpenSession], ClosedSession](
+      .flatMapGroupsWithState[SessState, ClosedSession](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (key, it, state: GroupState[List[OpenSession]]) =>
+        (key, it, state: GroupState[SessState]) =>
           if (it.isEmpty && state.hasTimedOut) {
-            // watermark passed: close whatever is open
-            val out = state.getOption.toList.flatten.map(s =>
+            // watermark passed: close whatever is open; keep the id
+            // counter so later sessions for this key stay monotonic
+            val st = state.getOption.getOrElse(SessState(0L, None))
+            val out = st.open.toList.map(s =>
               ClosedSession(key, s.sessionId, s.nEvents, s.startS, s.endS))
-            state.remove()
+            state.update(SessState(st.nextId, None))
             if (emitOpenAtTimeout) out.iterator else Iterator.empty
           } else {
+            val st = state.getOption.getOrElse(SessState(0L, None))
             val sorted = it.toSeq.sortBy(_.ts_s)
-            var open = state.getOption.flatMap(_.headOption)
-            var nextId = open.map(_.sessionId + 1).getOrElse(0L)
+            var open = st.open
+            var nextId = st.nextId
             val closed = List.newBuilder[ClosedSession]
             sorted.foreach { e =>
               open match {
@@ -70,8 +81,8 @@ object StatefulSessions {
                   nextId += 1
               }
             }
+            state.update(SessState(nextId, open))
             open.foreach { s =>
-              state.update(List(s))
               state.setTimeoutTimestamp((s.endS + gapSeconds) * 1000 + 1)
             }
             closed.result().iterator

@@ -62,9 +62,13 @@ class ZsetSink(val path: String) extends Serializable {
     */
   def compact(spark: SparkSession): Unit = {
     val merged = read(spark)
+    // the base MUST stay a batch_id=-1 partition directory — an
+    // unpartitioned base next to later batch_id=N dirs makes Spark
+    // reject the mixed layout ("conflicting directory structures")
     merged.withColumn("batch_id", lit(-1L))
       .repartition(1)
       .write.mode("overwrite")
+      .partitionBy("batch_id")
       .parquet(path + ".compact")
     // atomic-enough local swap; on a real cluster use a transactional
     // table format (Delta/Iceberg) for the same merge

@@ -16,7 +16,10 @@ class ClfParserSpec extends SparkSpec {
     // non-UTC zone offset (reference parses any ±HHMM, streaming.scala:73)
     """8.8.8.8 - - [01/Jan/2020:08:00:00 +0800] "GET /x HTTP/1.0" 200 10""",
     // garbage → sentinel
-    "not a log line at all")
+    "not a log line at all",
+    // regex-matching but unparseable timestamp (month "Foo") → sentinel
+    // on BOTH parse paths, no ANSI throw
+    """1.2.3.4 - - [01/Foo/2020:08:00:00 +0000] "GET /x HTTP/1.0" 200 10""")
 
   test("parse: fixture lines incl. sentinel policy (streaming.scala:85-88)") {
     val out = ClfParser.parse(fixtureLines.toDF("value")).collect()
@@ -37,6 +40,9 @@ class ClfParserSpec extends SparkSpec {
     assert(r3.getAs[String]("host") == "foo")
     assert(r3.getAs[String]("date_time") == "0")
     assert(r3.getAs[String]("bytes") == "0")
+    val r4 = out(4)
+    assert(r4.getAs[String]("host") == "foo")
+    assert(r4.getAs[String]("date_time") == "0")
   }
 
   test("parseNative ≡ parse on fixtures and synthesized lines") {

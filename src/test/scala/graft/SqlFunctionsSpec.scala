@@ -32,4 +32,28 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(spark.sql("SELECT size(shingle_hashes(text, 2)) AS n FROM t")
       .collect()(0).getInt(0) == 3)
   }
+
+  test("wrong arity yields a usable error naming the signature, not a MatchError") {
+    GraftFunctions.register(spark)
+    spark.sql("SELECT 'a b c d' AS text").createOrReplaceTempView("t")
+    val e = intercept[Throwable] {
+      spark.sql("SELECT minhash_sig(text, 8) FROM t").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    val msg = messages(e).mkString(" | ")
+    assert(msg.contains("minhash_sig(text[, k, w])"), msg)
+    assert(!e.isInstanceOf[MatchError])
+  }
+
+  test("top_k implicit-casts integer scores instead of ClassCastException") {
+    import spark.implicits._
+    val df = Seq(("g", 3), ("g", 1), ("g", 2)).toDF("k", "v")
+    val out = df.groupBy("k")
+      .agg(graft.functions.TopKAgg.top_k(
+        org.apache.spark.sql.functions.col("v"),
+        org.apache.spark.sql.functions.col("v").cast("string"), 2).as("top"))
+      .collect()(0).getSeq[org.apache.spark.sql.Row](1)
+    assert(out.map(_.getDouble(0)) == Seq(3.0, 2.0))
+  }
 }

@@ -73,6 +73,56 @@ class StreamingSpec extends SparkSpec {
     assert(before == after)
   }
 
+  test("zset merge → compact → merge → read keeps a uniform layout") {
+    val sink = new ZsetSink(tmp("zset3"))
+    import spark.implicits._
+    sink.merge(Seq(("url", "/a", 3L), ("url", "/b", 1L))
+      .toDF("metric", "member", "score"), 0L)
+    sink.merge(Seq(("url", "/a", 2L)).toDF("metric", "member", "score"), 1L)
+    sink.compact(spark)
+    // post-compaction merges land next to the batch_id=-1 base; the mixed
+    // read used to die with "conflicting directory structures"
+    sink.merge(Seq(("url", "/a", 4L), ("url", "/c", 7L))
+      .toDF("metric", "member", "score"), 2L)
+    val totals = sink.read(spark).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(totals(("url", "/a")) == 9L)
+    assert(totals(("url", "/b")) == 1L)
+    assert(totals(("url", "/c")) == 7L)
+  }
+
+  test("session ids stay monotonic across event-time timeouts") {
+    import spark.implicits._
+    val srcDir = tmp("sess_mono")
+    val df = Seq(("a", 1000L), ("a", 100000L), ("a", 100200L))
+      .toDF("key", "s")
+      .select(col("key"), timestamp_seconds(col("s")).as("ts"))
+    // batch 1: one event; batch 2: two sessions' worth, far past the
+    // watermark so batch 1's session closes by TIMEOUT (state pruned)
+    df.where(col("s") < 50000).coalesce(1).write.parquet(s"$srcDir/c0")
+    df.where(col("s") >= 50000).coalesce(1).write.parquet(s"$srcDir/c1")
+    val now = System.currentTimeMillis()
+    new java.io.File(s"$srcDir/c0").listFiles().foreach(_.setLastModified(now - 60000))
+    new java.io.File(s"$srcDir/c1").listFiles().foreach(_.setLastModified(now))
+    val stream = spark.readStream.schema(df.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*")
+    val q = graft.stream.StatefulSessions.sessionize(
+        spark, stream, "key", "ts", gapSeconds = 60,
+        watermarkDelay = "1 second")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_mono")
+      .option("checkpointLocation", tmp("ckpt_mono"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val ids = spark.table("sessions_mono")
+      .where(col("key") === "a").select("session_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // session 0 closed by timeout, session 1 closed by the 100200 event;
+    // before the (lastClosedId, open) state split both came back as 0
+    assert(ids == Seq(0L, 1L), s"ids=$ids")
+  }
+
   test("scored-record sink: stream → IDS score → date-partitioned parquet (S6/M7)") {
     import spark.implicits._
     val srcDir = tmp("clf_src4")
