@@ -98,4 +98,42 @@ object ServingQueries {
   def geoDetails(scored: DataFrame, geoDim: DataFrame): DataFrame =
     graft.ops.Enrich.dimJoin(
       scored.where(col("host") =!= "foo"), geoDim, "host")
+
+  /** Deterministic ip→(lng, lat, address) dimension derived from the
+    * host octets — the offline fixture for the reference's external
+    * ip-geolocation API calls (app.py:341-380, lng/lat/address per
+    * host). The multipliers 180/128 and 90/128 are exact binary
+    * doubles, so the coordinates are bit-identical in any engine.
+    */
+  def geoDimFromHosts(hosts: DataFrame): DataFrame = {
+    val oct = (i: Int) => element_at(split(col("host"), "\\."), i).cast("int")
+    hosts.select(col("host")).where(col("host") =!= "foo").distinct()
+      .select(col("host"),
+        (oct(3) * lit(1.40625) - 180).as("lng"),
+        (oct(4) * lit(0.703125) - 90).as("lat"),
+        concat(lit("city_"), (oct(3) * 256 + oct(4)) % 100).as("address"))
+  }
+
+  /** /get_map (app.py:129-147): one marker per host — coordinates,
+    * address, request count. The dimension join broadcasts (dim is
+    * |distinct hosts|, always the small side).
+    */
+  def geoMap(logs: DataFrame, geoDim: DataFrame): DataFrame =
+    geoDetails(logs.select("host"), geoDim)
+      .groupBy("host", "lng", "lat", "address")
+      .agg(count(lit(1)).as("n_req"))
+
+  /** Paged geo details (app.py:341-536 serves 25-row pages): requests
+    * per (host, url) with coordinates, page `page` of size `pageSize`.
+    * The group key (host, req_url) is unique → a total order → pages
+    * are deterministic, unlike paging raw detail rows with ties.
+    */
+  def geoDetailsPage(logs: DataFrame, geoDim: DataFrame,
+                     page: Int, pageSize: Int = 25): DataFrame =
+    geoDetails(logs.select("host", "req_url"), geoDim)
+      .groupBy("host", "req_url", "lng", "lat", "address")
+      .agg(count(lit(1)).as("n_req"))
+      .orderBy("host", "req_url")
+      .offset(page * pageSize)
+      .limit(pageSize)
 }

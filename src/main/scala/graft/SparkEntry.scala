@@ -396,6 +396,21 @@ object SparkEntry {
           k = 8, bands = 4, minAgree = 4, w = 3)
         .orderBy("id_a", "id_b")),
 
+    // /get_map markers: deterministic geo dimension (host-octet derived
+    // fixture for the reference's ip-geo API) broadcast-joined to logs
+    "q45_geo_map" -> ((s, dir) => {
+      val logs = parsedLogs(s, dir)
+      ServingQueries.geoMap(logs, ServingQueries.geoDimFromHosts(logs))
+        .orderBy("host")
+    }),
+
+    // paged geo details (25-row page 2, deterministic total order)
+    "q46_geo_details_page" -> ((s, dir) => {
+      val logs = parsedLogs(s, dir)
+      ServingQueries.geoDetailsPage(logs,
+        ServingQueries.geoDimFromHosts(logs), page = 1, pageSize = 25)
+    }),
+
     // IVF ANN (KMeans cells + probe join — recall vs brute force is
     // asserted in DedupSimSpec; no SQL oracle for the kmeans partition).
     // The index is built ONCE per (dataset, nLists) and persisted
@@ -707,6 +722,31 @@ object SparkEntry {
            |  $sigs
            |FROM d ORDER BY doc_id""".stripMargin
       },
+
+      "q45_geo_map" ->
+        s"""$logsCte,
+           |dim AS (SELECT DISTINCT host,
+           |    CAST(string_split(host, '.')[3] AS INTEGER) * 1.40625 - 180 AS lng,
+           |    CAST(string_split(host, '.')[4] AS INTEGER) * 0.703125 - 90 AS lat,
+           |    'city_' || CAST((CAST(string_split(host, '.')[3] AS INTEGER) * 256
+           |      + CAST(string_split(host, '.')[4] AS INTEGER)) % 100 AS VARCHAR) AS address
+           |  FROM logs WHERE host <> 'foo')
+           |SELECT l.host, lng, lat, address, CAST(COUNT(*) AS BIGINT) AS n_req
+           |FROM logs l JOIN dim d ON l.host = d.host
+           |GROUP BY 1, 2, 3, 4 ORDER BY l.host""".stripMargin,
+
+      "q46_geo_details_page" ->
+        s"""$logsCte,
+           |dim AS (SELECT DISTINCT host,
+           |    CAST(string_split(host, '.')[3] AS INTEGER) * 1.40625 - 180 AS lng,
+           |    CAST(string_split(host, '.')[4] AS INTEGER) * 0.703125 - 90 AS lat,
+           |    'city_' || CAST((CAST(string_split(host, '.')[3] AS INTEGER) * 256
+           |      + CAST(string_split(host, '.')[4] AS INTEGER)) % 100 AS VARCHAR) AS address
+           |  FROM logs WHERE host <> 'foo')
+           |SELECT l.host, req_url, lng, lat, address, CAST(COUNT(*) AS BIGINT) AS n_req
+           |FROM logs l JOIN dim d ON l.host = d.host
+           |GROUP BY 1, 2, 3, 4, 5
+           |ORDER BY l.host, req_url LIMIT 25 OFFSET 25""".stripMargin,
 
       "q44_minhash_pairs_portable" -> {
         val k = 8; val bands = 4; val rows = k / bands; val minAgree = 4

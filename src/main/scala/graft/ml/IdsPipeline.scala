@@ -69,6 +69,28 @@ object IdsPipeline {
     scored.groupBy(col("prediction"), col("date_time"))
       .agg(count(lit(1)).as("score"))
 
+  /** The four IDS zset metrics (streaming.scala:202-226) as ONE delta
+    * frame in the (metric, member, score) zset-table shape:
+    *
+    *   good / bad     member = class name, score = class count
+    *   goodts / badts member = epoch-millis string, score = per-ts count
+    *
+    * One aggregation pass over the scored frame (the per-timestamp
+    * partials), totals folded from the partials — versus the reference's
+    * four separate actions (two count()s + two groupBys) over the same
+    * scored RDD per batch.
+    */
+  def idsZsetDelta(scored: DataFrame): DataFrame = {
+    val cls = when(col("prediction") === 0.0, lit("good")).otherwise(lit("bad"))
+    val perTs = scored.groupBy(cls.as("cls"), col("date_time"))
+      .agg(count(lit(1)).as("score"))
+    val ts = perTs.select(concat(col("cls"), lit("ts")).as("metric"),
+      col("date_time").as("member"), col("score"))
+    val totals = perTs.groupBy(col("cls")).agg(sum("score").as("score"))
+      .select(col("cls").as("metric"), col("cls").as("member"), col("score"))
+    totals.unionAll(ts)
+  }
+
   /** Accuracy eval tables (learning.scala:94-104): label vs prediction
     * counts per test set.
     */

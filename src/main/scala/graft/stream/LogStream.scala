@@ -76,6 +76,36 @@ object LogStream {
       .agg(count(lit(1)).as("score"))
       .select(unix_millis(col("window.start")).as("ts_ms"), col("score"))
 
+  /** The FULL reference scoring loop (streaming.scala:188-235) in one
+    * idempotent foreachBatch: parse once, score once, merge the plain
+    * zset counters AND the four IDS metrics (good/bad/goodts/badts) as
+    * one delta. Serving queries (idCheckBoard, idTimeline) then read
+    * model-produced metrics from the same sink as everything else.
+    * `scoreFn` is `IdsPipeline.score(model, _)` with the model loaded
+    * ONCE before stream start (deviation by design, SURVEY §4.1).
+    */
+  def startIdsCounters(spark: SparkSession, lines: DataFrame,
+                       scoreFn: DataFrame => DataFrame, sink: ZsetSink,
+                       checkpointDir: String,
+                       trigger: Trigger = Trigger.ProcessingTime("1 second"))
+      : StreamingQuery =
+    lines.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val parsed = ClfParser.parseNative(batch).persist()
+        try {
+          val scored = scoreFn(parsed.withColumn("url", col("req_url")))
+          sink.merge(
+            ZsetTable.fromParsedLogs(parsed)
+              .unionAll(graft.ml.IdsPipeline.idsZsetDelta(scored)),
+            batchId)
+        } finally parsed.unpersist()
+        ()
+      }
+      .start()
+
   /** Scored-record append sink (reference streaming.scala:233): parsed
     * rows + IDS prediction appended as date-partitioned parquet.
     * `scoreFn` is typically `IdsPipeline.score(model, _)` with the model

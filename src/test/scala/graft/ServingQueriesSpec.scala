@@ -43,6 +43,27 @@ class ServingQueriesSpec extends SparkSpec {
       (1432595475000L, 2L), (1432595476000L, 1L), (1432595477000L, 1L)))
   }
 
+  test("geo map + paged details: deterministic dim, sentinel dropped, stable pages") {
+    val logs = ClfParser.parseNative(lines)
+    val dim = ServingQueries.geoDimFromHosts(logs)
+    val dims = dim.collect().map(r => r.getString(0) ->
+      (r.getDouble(1), r.getDouble(2), r.getString(3))).toMap
+    assert(dims.size == 3 && !dims.contains("foo"))
+    // host 2.2.2.2 → octets (2, 2): lng 2*1.40625-180, lat 2*0.703125-90
+    assert(dims("2.2.2.2") == (2 * 1.40625 - 180, 2 * 0.703125 - 90,
+      s"city_${(2 * 256 + 2) % 100}"))
+    val map = ServingQueries.geoMap(logs, dim).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(map == Map("1.1.1.1" -> 2L, "2.2.2.2" -> 1L, "3.3.3.3" -> 1L))
+    // pages partition the ordered (host, url) universe without overlap
+    val p0 = ServingQueries.geoDetailsPage(logs, dim, page = 0, pageSize = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val p1 = ServingQueries.geoDetailsPage(logs, dim, page = 1, pageSize = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(p0 == Seq(("1.1.1.1", "/a"), ("2.2.2.2", "/b")))
+    assert(p1 == Seq(("3.3.3.3", "/a")))
+  }
+
   test("id_timeline: full-outer zero-filled merge") {
     val z = Seq(
       ("goodts", "1000", 3L), ("badts", "1000", 1L), ("badts", "2000", 2L)

@@ -148,6 +148,46 @@ class StreamingSpec extends SparkSpec {
     assert(out.where(col("prediction") === 0.0).count() > 150)
   }
 
+  test("IDS scoring loop e2e: stream → good/bad/goodts/badts zsets → serving ≡ batch") {
+    import spark.implicits._
+    val srcDir = tmp("ids_src")
+    val lines = LogGen.clfLines(events()).limit(600).collect().map(_.getString(0))
+    lines.grouped(200).zipWithIndex.foreach { case (chunk, i) =>
+      Files.write(Paths.get(srcDir, s"part$i.log"), chunk.mkString("\n").getBytes)
+    }
+    val good = (1 to 200).map(i => s"/page$i/").toDF("url")
+    val bad = (1 to 200).map(i => s"<script>alert($i)</script>").toDF("url")
+    val model = graft.ml.IdsPipeline.train(good, bad)
+    val sink = new ZsetSink(tmp("ids_zset"))
+    val q = LogStream.startIdsCounters(spark,
+      LogStream.fileLines(spark, srcDir),
+      df => graft.ml.IdsPipeline.score(model, df), sink,
+      tmp("ids_ckpt"), org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.awaitTermination(180000)
+
+    val zset = sink.read(spark)
+    // batch twin over the same lines, same model
+    val scoredBatch = graft.ml.IdsPipeline.score(model,
+      ClfParser.parseNative(spark.read.text(srcDir))
+        .withColumn("url", col("req_url")))
+    val batchZset = graft.ml.IdsPipeline.idsZsetDelta(scoredBatch)
+
+    def board(z: org.apache.spark.sql.DataFrame) =
+      ServingQueries.idCheckBoard(z).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val streamBoard = board(zset)
+    assert(streamBoard == board(batchZset), s"stream=$streamBoard")
+    assert(streamBoard.values.sum == 600L)
+
+    def tl(z: org.apache.spark.sql.DataFrame) =
+      ServingQueries.idTimeline(z).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(tl(zset) == tl(batchZset))
+    // plain counters flowed through the same merged delta
+    assert(ServingQueries.countBoard(zset).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap.apply("lines") == 600L)
+  }
+
   test("stateful sessionization (flatMapGroupsWithState) ≡ batch Sessionize on closed sessions") {
     import spark.implicits._
     val srcDir = tmp("sess_src")
