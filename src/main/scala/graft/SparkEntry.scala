@@ -36,8 +36,14 @@ object SparkEntry {
       .getOrElse(df)
   }
 
+  /** Single-pass native parse: since the sentinel condition folds in
+    * timestamp validity (one more regex extract + a timestamp parse on
+    * the built-ins path), the monolithic one-regex parse_clf now wins
+    * even for single-field consumers — measured 2.07s → 1.4s on q01 at
+    * sf0.1. ClfParserSpec asserts parse ≡ parseNative row-for-row.
+    */
   private def parsedLogs(s: SparkSession, dir: String): DataFrame =
-    ClfParser.parse(LogGen.clfLines(T(s, dir, "events")))
+    ClfParser.parseNative(LogGen.clfLines(T(s, dir, "events")))
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -396,20 +402,47 @@ object SparkEntry {
           k = 8, bands = 4, minAgree = 4, w = 3)
         .orderBy("id_a", "id_b")),
 
-    // /get_map markers: deterministic geo dimension (host-octet derived
-    // fixture for the reference's ip-geo API) broadcast-joined to logs
-    "q45_geo_map" -> ((s, dir) => {
-      val logs = parsedLogs(s, dir)
-      ServingQueries.geoMap(logs, ServingQueries.geoDimFromHosts(logs))
-        .orderBy("host")
+    // grouping sets (the third grouping flavor next to rollup/cube):
+    // per-status and per-priority subtotals plus grand total in one pass
+    "q47_grouping_sets" -> ((s, dir) =>
+      T(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)").as("sum_price"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+          col("n"), col("sum_price"))
+        .orderBy("status", "prio")),
+
+    // the streaming counters pipeline END-TO-END inside the correctness
+    // gate: synthesized CLF files → file stream → foreachBatch parse +
+    // idempotent zset merge → merged totals; oracle = the same SQL as
+    // the batch zset table (q14), so stream ≡ batch is hash-checked
+    "q48_streaming_zset" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val root = java.nio.file.Files.createTempDirectory("graft_q48")
+      val src = root.resolve("src").toString
+      LogGen.clfLines(T(s, dir, "events")).coalesce(4).write.text(src)
+      val sink = new graft.stream.ZsetSink(root.resolve("zset").toString)
+      val q = graft.stream.LogStream.startCounters(s,
+        s.readStream.option("maxFilesPerTrigger", "1").text(src), sink,
+        root.resolve("ckpt").toString, Trigger.AvailableNow())
+      q.awaitTermination(180000)
+      sink.read(s).orderBy("metric", "member")
     }),
 
+    // /get_map markers: per-host counts enriched with the deterministic
+    // geo fixture (one parse, aggregate-then-derive — see geoEnrich)
+    "q45_geo_map" -> ((s, dir) =>
+      ServingQueries.geoMap(parsedLogs(s, dir)).orderBy("host")),
+
     // paged geo details (25-row page 2, deterministic total order)
-    "q46_geo_details_page" -> ((s, dir) => {
-      val logs = parsedLogs(s, dir)
-      ServingQueries.geoDetailsPage(logs,
-        ServingQueries.geoDimFromHosts(logs), page = 1, pageSize = 25)
-    }),
+    "q46_geo_details_page" -> ((s, dir) =>
+      ServingQueries.geoDetailsPage(parsedLogs(s, dir), page = 1,
+        pageSize = 25)),
 
     // IVF ANN (KMeans cells + probe join — recall vs brute force is
     // asserted in DedupSimSpec; no SQL oracle for the kmeans partition).
@@ -446,6 +479,27 @@ object SparkEntry {
         |    CAST(floor(value * 10) AS BIGINT) AS bytes,
         |    date_trunc('second', ts) AS tsec
         |  FROM events)""".stripMargin
+    // shared by q14 (batch zset table) and q48 (streaming twin)
+    val oracleSqlQ14 =
+      s"""$logsCte,
+         |rawlen AS (SELECT length(host || ' - - [' ||
+         |    strftime(tsec, '%d/%b/%Y:%H:%M:%S') || ' +0000] "' ||
+         |    req_method || ' ' || req_url || ' HTTP/1.1" ' ||
+         |    status_code || ' ' || CAST(bytes AS VARCHAR)) AS ll FROM logs)
+         |SELECT metric, member, score FROM (
+         |  SELECT 'line' AS metric, 'count' AS member, COUNT(*) AS score FROM logs
+         |  UNION ALL SELECT 'size', 'size',
+         |    CAST(CAST(SUM(ll) AS BIGINT) // 1024 AS BIGINT) FROM rawlen
+         |  UNION ALL SELECT 'host', host, COUNT(*) FROM logs GROUP BY host
+         |  UNION ALL SELECT 'rfc931', rfc931, COUNT(*) FROM logs GROUP BY rfc931
+         |  UNION ALL SELECT 'username', user_name, COUNT(*) FROM logs GROUP BY user_name
+         |  UNION ALL SELECT 'datetime', date_time, COUNT(*) FROM logs GROUP BY date_time
+         |  UNION ALL SELECT 'reqmt', req_method, COUNT(*) FROM logs GROUP BY req_method
+         |  UNION ALL SELECT 'url', req_url, COUNT(*) FROM logs GROUP BY req_url
+         |  UNION ALL SELECT 'proto', req_protocol, COUNT(*) FROM logs GROUP BY req_protocol
+         |  UNION ALL SELECT 'statcode', status_code, COUNT(*) FROM logs GROUP BY status_code
+         |  UNION ALL SELECT 'traffic', 'sum', CAST(SUM(bytes // 1048576) AS BIGINT) FROM logs
+         |) ORDER BY metric, member""".stripMargin
     Map(
       "q01_clf_parse_topk" ->
         s"""$logsCte
@@ -517,26 +571,7 @@ object SparkEntry {
           |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
           |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
-      "q14_zset_table" ->
-        s"""$logsCte,
-           |rawlen AS (SELECT length(host || ' - - [' ||
-           |    strftime(tsec, '%d/%b/%Y:%H:%M:%S') || ' +0000] "' ||
-           |    req_method || ' ' || req_url || ' HTTP/1.1" ' ||
-           |    status_code || ' ' || CAST(bytes AS VARCHAR)) AS ll FROM logs)
-           |SELECT metric, member, score FROM (
-           |  SELECT 'line' AS metric, 'count' AS member, COUNT(*) AS score FROM logs
-           |  UNION ALL SELECT 'size', 'size',
-           |    CAST(CAST(SUM(ll) AS BIGINT) // 1024 AS BIGINT) FROM rawlen
-           |  UNION ALL SELECT 'host', host, COUNT(*) FROM logs GROUP BY host
-           |  UNION ALL SELECT 'rfc931', rfc931, COUNT(*) FROM logs GROUP BY rfc931
-           |  UNION ALL SELECT 'username', user_name, COUNT(*) FROM logs GROUP BY user_name
-           |  UNION ALL SELECT 'datetime', date_time, COUNT(*) FROM logs GROUP BY date_time
-           |  UNION ALL SELECT 'reqmt', req_method, COUNT(*) FROM logs GROUP BY req_method
-           |  UNION ALL SELECT 'url', req_url, COUNT(*) FROM logs GROUP BY req_url
-           |  UNION ALL SELECT 'proto', req_protocol, COUNT(*) FROM logs GROUP BY req_protocol
-           |  UNION ALL SELECT 'statcode', status_code, COUNT(*) FROM logs GROUP BY status_code
-           |  UNION ALL SELECT 'traffic', 'sum', CAST(SUM(bytes // 1048576) AS BIGINT) FROM logs
-           |) ORDER BY metric, member""".stripMargin,
+      "q14_zset_table" -> oracleSqlQ14,
 
       "q15_lang_id" ->
         """WITH s AS (SELECT doc_id,
@@ -722,6 +757,17 @@ object SparkEntry {
            |  $sigs
            |FROM d ORDER BY doc_id""".stripMargin
       },
+
+      "q47_grouping_sets" ->
+        """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+          |  COALESCE(o_orderpriority, 'ALL') AS prio,
+          |  COUNT(*) AS n,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+          |FROM orders
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY status, prio""".stripMargin,
+
+      "q48_streaming_zset" -> oracleSqlQ14,
 
       "q45_geo_map" ->
         s"""$logsCte,

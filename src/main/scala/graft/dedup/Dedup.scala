@@ -61,14 +61,25 @@ object Dedup {
     */
   def portableMinhash(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 8, w: Int = 3): DataFrame = {
-    val hsh = transform(shingles(col(textCol), w),
-      s => pmod(conv(substring(md5(s), 1, 15), 16, 10).cast("long"), lit(P)))
-    val sigs = abParams(k).zipWithIndex.map { case ((a, b), i) =>
-      array_min(transform(col("__hsh"), h => (lit(a) * h + lit(b)) % lit(P)))
-        .as(s"sig_$i")
-    }
-    df.select(col(idCol), hsh.as("__hsh"))
+    val sig = graft.functions.MinHashSigExpr.minhash_sig_md5(col(textCol), k, w)
+    val sigs = (0 until k).map(i =>
+      element_at(col("__sig"), i + 1).as(s"sig_$i"))
+    df.select(col(idCol), sig.as("__sig"))
       .select(col(idCol) +: sigs: _*)
+  }
+
+  /** The compositional (built-ins-only) formulation of
+    * [[portableMinhash]]'s signature — the executable specification the
+    * fused `minhash_sig_md5` expression is asserted against in
+    * DedupSimSpec (it mirrors the DuckDB oracle SQL term for term).
+    */
+  private[graft] def portableMinhashComposed(textCol: Column, k: Int,
+                                             w: Int): Column = {
+    val hsh = transform(shingles(textCol, w),
+      s => pmod(conv(substring(md5(s), 1, 15), 16, 10).cast("long"), lit(P)))
+    array(abParams(k).map { case (a, b) =>
+      array_min(transform(hsh, h => (lit(a) * h + lit(b)) % lit(P)))
+    }: _*)
   }
 
   /** Portable MinHash-LSH candidate pairs: the md5-based signature of
@@ -86,19 +97,22 @@ object Dedup {
                            k: Int = 8, bands: Int = 4, minAgree: Int = 4,
                            w: Int = 3): DataFrame = {
     val rows = k / bands
-    val sigCols = (0 until k).map(i => col(s"sig_$i"))
-    val sigd = portableMinhash(df, idCol, textCol, k, w)
-      .select(col(idCol).as("id"), array(sigCols: _*).as("sig"))
-    val banded = sigd.select(col("id"), col("sig"),
+    val sigd = df.select(col(idCol).as("id"),
+      graft.functions.MinHashSigExpr.minhash_sig_md5(col(textCol), k, w)
+        .as("sig"))
+    // band key = the raw band values as `rows` flat long columns (plain
+    // long equi-join keys; a struct key here measured ~4x slower)
+    val exploded = sigd.select(col("id"), col("sig"),
       posexplode(array((0 until bands).map { b =>
-        struct((0 until rows).map(r =>
-          element_at(col("sig"), b * rows + r + 1).as(s"v$r")): _*)
+        array((0 until rows).map(r =>
+          element_at(col("sig"), b * rows + r + 1)): _*)
       }: _*)).as(Seq("band", "bkey")))
-    val a = banded.select(col("band"), col("bkey"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bkey"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bkey"))
+    val banded = exploded.select(Seq(col("id"), col("sig"), col("band")) ++
+      (0 until rows).map(r => element_at(col("bkey"), r + 1).as(s"v$r")): _*)
+    val keys = "band" +: (0 until rows).map(r => s"v$r")
+    val a = banded.withColumnRenamed("id", "id_a").withColumnRenamed("sig", "sig_a")
+    val b = banded.withColumnRenamed("id", "id_b").withColumnRenamed("sig", "sig_b")
+    a.join(b, keys)
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),

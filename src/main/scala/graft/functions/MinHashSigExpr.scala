@@ -19,17 +19,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * interpreted calls and one tight loop when sketching billions of
   * documents.
   */
-case class MinHashSigExpr(child: Expression, k: Int, w: Int)
+case class MinHashSigExpr(child: Expression, k: Int, w: Int,
+                          portable: Boolean = false)
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any =
-    MinHashSigExpr.compute(input.asInstanceOf[UTF8String], k, w)
+    MinHashSigExpr.compute(input.asInstanceOf[UTF8String], k, w, portable)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.MinHashSigExpr.compute($c, $k, $w)")
+      s"graft.functions.MinHashSigExpr.compute($c, $k, $w, $portable)")
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
     copy(child = newChild)
@@ -47,7 +48,24 @@ object MinHashSigExpr {
     (1 to k).map(i => (((0x9E3779B9L * i) % (P - 1)) | 1L,
       (0x85EBCA6BL * i) % P)).toArray
 
-  def compute(s: UTF8String, k: Int, w: Int): GenericArrayData = {
+  private val md5tl: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  /** Low 60 bits of md5 (== parsing the first 15 hex chars of the
+    * digest, exactly `CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)` in
+    * DuckDB) — the engine-portable shingle hash. */
+  private def md5Low60(b: Array[Byte]): Long = {
+    val d = md5tl.get()
+    d.reset()
+    val dig = d.digest(b)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (dig(i) & 0xffL); i += 1 }
+    (v << 4) | ((dig(7) & 0xf0L) >> 4)
+  }
+
+  def compute(s: UTF8String, k: Int, w: Int,
+              portable: Boolean = false): GenericArrayData = {
     val toks = s.split(Space, -1)
     val ab = abParams(k)
     val mins = Array.fill(k)(Long.MaxValue)
@@ -57,7 +75,9 @@ object MinHashSigExpr {
       val end = math.min(i + w, toks.length)
       val shingle = UTF8String.concatWs(Space,
         java.util.Arrays.copyOfRange(toks, i, end): _*)
-      var h = XxHash64Function.hash(shingle, StringType, 42L) % P
+      var h =
+        if (portable) md5Low60(shingle.getBytes) % P
+        else XxHash64Function.hash(shingle, StringType, 42L) % P
       if (h < 0) h += P
       var j = 0
       while (j < k) {
@@ -72,4 +92,11 @@ object MinHashSigExpr {
 
   def minhash_sig(c: Column, k: Int = 16, w: Int = 3): Column =
     ColumnBridge.column(MinHashSigExpr(ColumnBridge.expression(c), k, w))
+
+  /** md5-shingle-hash variant: bit-identical to the compositional
+    * [[graft.dedup.Dedup.portableMinhash]] SQL formulation, one fused
+    * pass per row. */
+  def minhash_sig_md5(c: Column, k: Int = 8, w: Int = 3): Column =
+    ColumnBridge.column(
+      MinHashSigExpr(ColumnBridge.expression(c), k, w, portable = true))
 }

@@ -99,6 +99,17 @@ class DedupSimSpec extends SparkSpec {
     assert(ann.nonEmpty)
   }
 
+  test("fused minhash_sig_md5 ≡ compositional md5/conv formulation (oracle twin)") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
+    val both = d.select(
+      graft.functions.MinHashSigExpr.minhash_sig_md5(col("text"), 8, 3).as("native"),
+      Dedup.portableMinhashComposed(col("text"), 8, 3).as("hof"))
+    both.collect().foreach { r =>
+      assert(r.getAs[scala.collection.Seq[Long]]("native").toList ==
+        r.getAs[scala.collection.Seq[Long]]("hof").toList)
+    }
+  }
+
   test("native minhash_sig ≡ compositional minhashSignature∘shingleHashes") {
     val d = spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
     val both = d.select(

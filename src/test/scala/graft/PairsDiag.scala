@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** One-off stage timings for the portable minhash pair query (q44). */
+object PairsDiag {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSpec.spark
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[diag] $name%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s  ($n rows)")
+    }
+    time("warm docs")(d.count())
+    time("portableMinhash")(
+      graft.dedup.Dedup.portableMinhash(d, "doc_id", "text", 8, 3).count())
+    time("portableMinhash again")(
+      graft.dedup.Dedup.portableMinhash(d, "doc_id", "text", 8, 3).count())
+    time("pairs full")(
+      graft.dedup.Dedup.portableMinhashPairs(d, "doc_id", "text", 8, 4, 4, 3).count())
+    time("pairs full again")(
+      graft.dedup.Dedup.portableMinhashPairs(d, "doc_id", "text", 8, 4, 4, 3).count())
+    // the same pair join but skipping agree verification
+    time("shingle hash only")(
+      d.select(transform(graft.dedup.Dedup.shingles(col("text"), 3),
+        s => pmod(conv(substring(md5(s), 1, 15), 16, 10).cast("long"), lit(2147483647L)))
+        .as("h")).select(explode(col("h"))).count())
+    time("md5 only")(
+      d.select(transform(graft.dedup.Dedup.shingles(col("text"), 3),
+        s => md5(s)).as("h")).select(explode(col("h"))).count())
+    time("shingles only")(
+      d.select(graft.dedup.Dedup.shingles(col("text"), 3).as("h"))
+        .select(explode(col("h"))).count())
+  }
+}

@@ -52,13 +52,19 @@ class ServingQueriesSpec extends SparkSpec {
     // host 2.2.2.2 → octets (2, 2): lng 2*1.40625-180, lat 2*0.703125-90
     assert(dims("2.2.2.2") == (2 * 1.40625 - 180, 2 * 0.703125 - 90,
       s"city_${(2 * 256 + 2) % 100}"))
-    val map = ServingQueries.geoMap(logs, dim).collect()
+    val map = ServingQueries.geoMap(logs).collect()
       .map(r => r.getString(0) -> r.getLong(4)).toMap
     assert(map == Map("1.1.1.1" -> 2L, "2.2.2.2" -> 1L, "3.3.3.3" -> 1L))
+    // enrichment agrees with the dim-table view of the same fixture
+    val viaJoin = ServingQueries.geoDetails(logs.select("host"), dim)
+      .select("host", "lng", "lat", "address").distinct().collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getString(3)))
+      .toMap
+    assert(viaJoin == dims)
     // pages partition the ordered (host, url) universe without overlap
-    val p0 = ServingQueries.geoDetailsPage(logs, dim, page = 0, pageSize = 2)
+    val p0 = ServingQueries.geoDetailsPage(logs, page = 0, pageSize = 2)
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
-    val p1 = ServingQueries.geoDetailsPage(logs, dim, page = 1, pageSize = 2)
+    val p1 = ServingQueries.geoDetailsPage(logs, page = 1, pageSize = 2)
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
     assert(p0 == Seq(("1.1.1.1", "/a"), ("2.2.2.2", "/b")))
     assert(p1 == Seq(("3.3.3.3", "/a")))
