@@ -402,6 +402,53 @@ object SparkEntry {
           k = 8, bands = 4, minAgree = 4, w = 3)
         .orderBy("id_a", "id_b")),
 
+    // deterministic hash sample (retry/partitioning-invariant, portable
+    // md5 decision hash — a per-row pushable predicate, no shuffle)
+    "q49_sample_hash" -> ((s, dir) =>
+      graft.ops.Sample.hashSample(T(s, dir, "documents"), col("doc_id"), 0.1)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")),
+
+    // stratified quota sample via the bounded-heap top_k aggregate
+    // (map-side truncation: shuffles ≤ quota rows/stratum/partition)
+    "q50_stratified_sample" -> ((s, dir) =>
+      graft.ops.Sample.stratifiedSample(T(s, dir, "documents"),
+          col("lang"), col("doc_id"), quota = 5)
+        .orderBy("stratum", "key")),
+
+    // pivot (long→wide reshape) with explicit value list — no
+    // distinct-values collect job, scale-safe
+    "q51_pivot" -> ((s, dir) =>
+      T(s, dir, "events")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("day")),
+
+    // point-in-interval range join, banded (equi-join on time buckets +
+    // exact between verify — not a nested-loop; see ops/RangeJoin)
+    "q52_range_join" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val sec = unix_timestamp(date_trunc("second", col("ts")))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("p_id"), sec.as("v"))
+      val signups = ev.where(col("event_type") === "signup")
+        .select(col("event_id").as("i_id"), (sec - 300).as("lo"), sec.as("hi"))
+      graft.ops.RangeJoin.pointInInterval(clicks, "v", signups, "lo", "hi",
+          band = 300)
+        .groupBy("i_id").agg(count(lit(1)).as("n_clicks"))
+        .orderBy("i_id")
+    }),
+
+    // mergeable equi-width histogram sketch (exact portable bin counts;
+    // merged-quantile error bound asserted in OpsSpec)
+    "q53_histogram" -> ((s, dir) =>
+      graft.ops.Aggregations.histogramBins(T(s, dir, "events"),
+          col("event_type"), col("value"), lo = 0.0, hi = 500.0, nBins = 50)
+        .orderBy("bucket", "bin")),
+
     // grouping sets (the third grouping flavor next to rollup/cube):
     // per-status and per-priority subtotals plus grand total in one pass
     "q47_grouping_sets" -> ((s, dir) =>
@@ -757,6 +804,49 @@ object SparkEntry {
            |  $sigs
            |FROM d ORDER BY doc_id""".stripMargin
       },
+
+      "q49_sample_hash" ->
+        """SELECT doc_id, lang FROM documents
+          |WHERE CAST(('0x' || substr(md5('s:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+          |  % 1000000 < 100000
+          |ORDER BY doc_id""".stripMargin,
+
+      "q50_stratified_sample" ->
+        """WITH s AS (SELECT lang AS stratum, CAST(doc_id AS VARCHAR) AS key,
+          |    CAST(('0x' || substr(md5('s:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+          |      % 1000000 AS h
+          |  FROM documents)
+          |SELECT stratum, key FROM (
+          |  SELECT stratum, key,
+          |    ROW_NUMBER() OVER (PARTITION BY stratum ORDER BY h, key) AS rn
+          |  FROM s) WHERE rn <= 5 ORDER BY stratum, key""".stripMargin,
+
+      "q51_pivot" ->
+        """SELECT strftime(ts, '%Y-%m-%d') AS day,
+          |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+          |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+          |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+          |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+          |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+          |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+
+      "q52_range_join" ->
+        """WITH c AS (SELECT event_id AS p_id,
+          |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS v
+          |  FROM events WHERE event_type = 'click'),
+          |g AS (SELECT event_id AS i_id,
+          |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) - 300 AS lo,
+          |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS hi
+          |  FROM events WHERE event_type = 'signup')
+          |SELECT i_id, CAST(COUNT(*) AS BIGINT) AS n_clicks
+          |FROM g JOIN c ON v BETWEEN lo AND hi
+          |GROUP BY i_id ORDER BY i_id""".stripMargin,
+
+      "q53_histogram" ->
+        """SELECT event_type AS bucket,
+          |  CAST(LEAST(GREATEST(floor(value / 10.0), 0), 49) AS BIGINT) AS bin,
+          |  COUNT(*) AS n
+          |FROM events GROUP BY 1, 2 ORDER BY bucket, bin""".stripMargin,
 
       "q47_grouping_sets" ->
         """SELECT COALESCE(o_orderstatus, 'ALL') AS status,

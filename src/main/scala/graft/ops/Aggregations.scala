@@ -85,6 +85,45 @@ object Aggregations {
     sketches.agg(
       hll_sketch_estimate(hll_union_agg(col("sketch"))).as("estimate"))
 
+  /** Mergeable equi-width histogram sketch — the quantile analog of
+    * [[distinctSketchBy]]: one (bucket, bin, n) frame with EXACT,
+    * engine-portable bin counts (bin = floor((v−lo)/width), clamped to
+    * the edge bins). Merging buckets is summing bins; any quantile over
+    * any bucket range is then answered from ~nBins rows with ≤ one
+    * bin-width error — no rescan, no full sort, no per-value state. The
+    * only viable "p95 latency last N days" shape at 100 TB (exact
+    * percentiles need a full sort or all values shuffled).
+    */
+  def histogramBins(df: DataFrame, bucketCol: Column, valueCol: Column,
+                    lo: Double, hi: Double, nBins: Int): DataFrame = {
+    val width = (hi - lo) / nBins
+    val bin = least(greatest(floor((valueCol - lo) / width), lit(0)),
+      lit(nBins - 1)).cast("long")
+    df.groupBy(bucketCol.as("bucket"), bin.as("bin"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Merge per-bucket histograms and estimate quantile `q`: the upper
+    * edge of the first bin whose cumulative count reaches q·total
+    * (error ≤ one bin width by construction; asserted in OpsSpec).
+    */
+  def histogramQuantile(bins: DataFrame, q: Double, lo: Double, hi: Double,
+                        nBins: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val width = (hi - lo) / nBins
+    val merged = bins.groupBy("bin").agg(sum("n").as("n"))
+    val w = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    merged
+      .withColumn("cum", sum("n").over(w))
+      .withColumn("total", sum("n").over(
+        Window.orderBy("bin").rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .where(col("cum") >= col("total") * q)
+      .orderBy("bin").limit(1)
+      .select((lit(lo) + (col("bin") + 1) * width).as("quantile_est"))
+  }
+
   /** T8 + A17 (app.py:87-97): status classification — success = 200..207,
     * everything else "other" — then aggregate per class.
     */

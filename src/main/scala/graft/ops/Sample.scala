@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for training-data pipelines.
+  *
+  * Random sampling (`df.sample`) is nondeterministic across retries and
+  * partitionings — a liability in 100 TB pipelines where a stage retry
+  * must not change the sample. Both operators here key off a HASH of a
+  * stable id, so the sample is a pure function of the data:
+  * reproducible across runs, engines, partitionings, and retries, and
+  * trivially pushed down (a per-row predicate, no shuffle for the
+  * uniform case).
+  *
+  *  - [[hashSample]]: keep rows where hash(salt, key) mod D < f·D.
+  *  - [[stratifiedSample]]: per-stratum fixed quota, smallest hashes
+  *    win. Map-side partial via the bounded-heap top_k aggregate — the
+  *    shuffle carries at most `quota` rows per stratum per partition,
+  *    not the whole table (same O(k·strata) property as grouped top-k).
+  *
+  * The hash is the engine-portable md5-low-60 (the same primitive as
+  * the portable MinHash/SimHash twins), so sampling decisions are
+  * reproducible outside Spark and DuckDB-oracle-checkable end-to-end.
+  */
+object Sample {
+
+  private val D = 1000000L
+
+  /** Portable per-row sampling hash in [0, D): md5 of salt:key. */
+  def sampleHash(key: Column, salt: String): Column =
+    pmod(conv(substring(md5(concat(lit(salt + ":"), key.cast("string"))),
+      1, 15), 16, 10).cast("long"), lit(D))
+
+  /** Uniform deterministic sample: keeps ~`fraction` of rows. */
+  def hashSample(df: DataFrame, key: Column, fraction: Double,
+                 salt: String = "s"): DataFrame =
+    df.where(sampleHash(key, salt) < (fraction * D).toLong)
+
+  /** Per-stratum quota sample: the `quota` rows with the smallest
+    * sampling hash in each stratum (deterministic; ties broken by key).
+    * Returns (stratum, key) pairs.
+    *
+    * Formulated as the bounded-heap [[graft.functions.TopKAgg]] over
+    * score = -hash, so partial aggregation truncates map-side — unlike
+    * the row_number window formulation, which shuffles every row of
+    * every stratum. The window twin is the executable oracle in
+    * OpsSpec and the q50 DuckDB SQL.
+    */
+  def stratifiedSample(df: DataFrame, stratum: Column, key: Column,
+                       quota: Int, salt: String = "s"): DataFrame =
+    df.select(stratum.as("stratum"), key.cast("string").as("key"),
+        sampleHash(key, salt).as("h"))
+      .groupBy("stratum")
+      .agg(graft.functions.TopKAgg.top_k(-col("h"), col("key"), quota)
+        .as("top"))
+      .select(col("stratum"), explode(col("top")).as("e"))
+      .select(col("stratum"), col("e.tag").as("key"))
+}

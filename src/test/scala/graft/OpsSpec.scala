@@ -95,6 +95,61 @@ class OpsSpec extends SparkSpec {
       s"merged $merged vs exact $exact")
   }
 
+  test("histogram sketch: merged quantile within one bin width of exact") {
+    val ev = events()
+    val bins = graft.ops.Aggregations.histogramBins(
+      ev, to_date(col("ts")), col("value"), 0.0, 500.0, 50)
+    assert(bins.select("bucket").distinct().count() > 1) // genuinely bucketed
+    for (q <- Seq(0.5, 0.95)) {
+      val est = graft.ops.Aggregations.histogramQuantile(bins, q, 0.0, 500.0, 50)
+        .collect()(0).getDouble(0)
+      val exact = ev.selectExpr(s"percentile(value, $q)").collect()(0).getDouble(0)
+      assert(math.abs(est - exact) <= 10.0, s"q=$q est=$est exact=$exact")
+    }
+  }
+
+  test("banded range join ≡ naive between join; plan is an equi-join") {
+    val ev = events()
+    val sec = unix_timestamp(date_trunc("second", col("ts")))
+    val pts = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("p_id"), sec.as("v"))
+    val ivs = ev.where(col("event_type") === "signup")
+      .select(col("event_id").as("i_id"), (sec - 300).as("lo"), sec.as("hi"))
+    val banded = graft.ops.RangeJoin.pointInInterval(pts, "v", ivs, "lo", "hi", 300)
+      .select("p_id", "i_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = pts.join(ivs, col("v") >= col("lo") && col("v") <= col("hi"))
+      .select("p_id", "i_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == naive)
+    assert(naive.nonEmpty)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = graft.ops.RangeJoin
+        .pointInInterval(pts, "v", ivs, "lo", "hi", 300)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), plan.take(2000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("stratified sample: bounded-heap aggregate ≡ window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val agg = graft.ops.Sample.stratifiedSample(d, col("lang"), col("doc_id"), 5)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val h = graft.ops.Sample.sampleHash(col("doc_id"), "s")
+    val win = d.select(col("lang").as("stratum"),
+        col("doc_id").cast("string").as("key"), h.as("h"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("stratum").orderBy(col("h"), col("key"))))
+      .where(col("rn") <= 5).select("stratum", "key")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(agg == win)
+    assert(agg.nonEmpty)
+  }
+
   test("bucketed co-located join eliminates both shuffle exchanges") {
     val wh = java.nio.file.Files.createTempDirectory("bucketed").toString
     spark.read.parquet(s"$sfDir/lineitem.parquet")
