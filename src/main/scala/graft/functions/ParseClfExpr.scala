@@ -79,6 +79,32 @@ object ParseClfExpr {
   private def sentinelRow(): InternalRow =
     InternalRow(foo, foo, foo, zero, null, foo, foo, foo, foo, zero)
 
+  /** Memoized timestamp parse: CLF timestamps have second granularity,
+    * so production logs repeat each timestamp string for every request
+    * in that second — `OffsetDateTime.parse` is ~2/3 of the parse cost
+    * (measured), and the cache turns repeats into one hash lookup.
+    * Bounded per thread; cleared when full. `Long.MinValue` caches
+    * "unparseable" so malformed repeats stay cheap too.
+    */
+  private val tsCache: ThreadLocal[java.util.HashMap[String, java.lang.Long]] =
+    ThreadLocal.withInitial(() => new java.util.HashMap[String, java.lang.Long]())
+
+  private def parseTsMicros(s: String): Long = {
+    val cache = tsCache.get()
+    val hit = cache.get(s)
+    if (hit != null) return hit
+    val v =
+      try {
+        val inst = OffsetDateTime.parse(s, tsFormat).toInstant
+        inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+      } catch {
+        case _: java.time.format.DateTimeParseException => Long.MinValue
+      }
+    if (cache.size() >= 8192) cache.clear()
+    cache.put(s, v)
+    v
+  }
+
   def compute(line: UTF8String): InternalRow = {
     if (line == null) return sentinelRow()
     val m = pattern.matcher(line.toString)
@@ -87,18 +113,13 @@ object ParseClfExpr {
       val s = m.group(i)
       UTF8String.fromString(if (s == null) "" else s)
     }
-    try {
-      val odt = OffsetDateTime.parse(m.group(4), tsFormat)
-      val micros = odt.toInstant.getEpochSecond * 1000000L +
-        odt.toInstant.getNano / 1000L
-      InternalRow(
-        g(1), g(2), g(3),
-        UTF8String.fromString((micros / 1000L).toString),
-        micros.asInstanceOf[AnyRef],
-        g(5), g(6), g(7), g(8), g(9))
-    } catch {
-      case _: java.time.format.DateTimeParseException => sentinelRow()
-    }
+    val micros = parseTsMicros(m.group(4))
+    if (micros == Long.MinValue) return sentinelRow()
+    InternalRow(
+      g(1), g(2), g(3),
+      UTF8String.fromString((micros / 1000L).toString),
+      micros.asInstanceOf[AnyRef],
+      g(5), g(6), g(7), g(8), g(9))
   }
 
   import org.apache.spark.sql.graft.ColumnBridge

@@ -1,0 +1,47 @@
+package graft.stream
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Stream-stream correlation operators (SURVEY §2.8 completeness — the
+  * reference has no two-stream correlation at all; its scoring loop
+  * touches one stream per batch).
+  *
+  * Same code path serves batch and streaming frames: the join condition
+  * is identical, and watermarks are attached only when an input is
+  * streaming (they are what lets Spark BOUND the join state — each
+  * side's buffer holds only rows inside `within` + watermark delay,
+  * instead of the whole stream).
+  */
+object StreamJoins {
+
+  /** Inner-join `anchors` to `points` of the same key with the point's
+    * event time inside [anchor.ts − within, anchor.ts] — "clicks in the
+    * 5 minutes before each signup". Columns: both inputs must carry
+    * `keyCol` and their respective timestamp column; output has the
+    * anchor row plus the matching point's id column.
+    *
+    * Batch ≡ streaming on the same input is asserted in StreamingSpec.
+    */
+  def priorWithin(points: DataFrame, pIdCol: String, pTsCol: String,
+                  anchors: DataFrame, aIdCol: String, aTsCol: String,
+                  keyCol: String, withinSeconds: Long,
+                  watermarkDelay: String = "10 seconds"): DataFrame = {
+    // distinct column names on each side: a self-derived pair of frames
+    // (both sides carved from one source) must not resolve join columns
+    // to the same lineage attribute
+    val p0 = points.select(col(keyCol).as("__pk"), col(pIdCol).as(pIdCol),
+      col(pTsCol).as("__pts"))
+    val a0 = anchors.select(col(keyCol).as("__ak"), col(aIdCol).as(aIdCol),
+      col(aTsCol).as("__ats"))
+    val p = if (p0.isStreaming) p0.withWatermark("__pts", watermarkDelay) else p0
+    val a = if (a0.isStreaming) a0.withWatermark("__ats", watermarkDelay) else a0
+    a.join(p,
+        col("__ak") === col("__pk") &&
+          col("__pts") >= col("__ats") - expr(s"INTERVAL $withinSeconds SECONDS") &&
+          col("__pts") <= col("__ats"),
+        "inner")
+      .select(col("__ak").as(keyCol), col(aIdCol), col(pIdCol),
+        col("__ats").as(aTsCol), col("__pts").as(pTsCol))
+  }
+}

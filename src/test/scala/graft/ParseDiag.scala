@@ -1,0 +1,60 @@
+package graft
+
+/** One-off timing split for the CLF parse hot path: regex match vs
+  * timestamp parse vs row build, on synthesized lines (the bench's
+  * workload).
+  */
+object ParseDiag {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSpec.spark
+    val lines = graft.logs.LogGen
+      .clfLines(spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000"))))
+      .collect().map(_.getString(0))
+    println(s"[diag] ${lines.length} lines")
+    val pat = java.util.regex.Pattern.compile(
+      "^(\\S+) (\\S+) (\\S+) \\[([\\w:/]+\\s[+\\-]\\d{4})\\] \"(\\S+)\\s?(\\S+)?\\s?(\\S+)?\" (\\d{3}|-) (\\d+|-)\\s?\"?([^\"]*)\"?\\s?\"?([^\"]*)?\"?$")
+    val fmt = java.time.format.DateTimeFormatter.ofPattern(
+      "dd/MMM/yyyy:HH:mm:ss Z", java.util.Locale.ENGLISH)
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[diag] $name%-24s ${(System.nanoTime() - t0) / 1e9}%.3f s ($n)")
+    }
+    for (_ <- 1 to 3) {
+      time("regex match") {
+        var n = 0L
+        lines.foreach { l => if (pat.matcher(l).matches()) n += 1 }
+        n
+      }
+      time("regex match+groups") {
+        var n = 0L
+        lines.foreach { l =>
+          val m = pat.matcher(l)
+          if (m.matches()) { var i = 1; while (i <= 9) { if (m.group(i) != null) n += 1; i += 1 } }
+        }
+        n
+      }
+      time("ts parse") {
+        var n = 0L
+        lines.foreach { l =>
+          val m = pat.matcher(l)
+          if (m.matches()) {
+            n += java.time.OffsetDateTime.parse(m.group(4), fmt).toInstant.getEpochSecond
+          }
+        }
+        n
+      }
+      time("full compute") {
+        var n = 0L
+        lines.foreach { l =>
+          val r = graft.functions.ParseClfExpr.compute(
+            org.apache.spark.unsafe.types.UTF8String.fromString(l))
+          if (r != null) n += 1
+        }
+        n
+      }
+    }
+  }
+}

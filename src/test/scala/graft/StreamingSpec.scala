@@ -236,6 +236,60 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == expected, s"\nstreamed=$streamed\nexpected=$expected")
   }
 
+  test("stream-stream interval join ≡ batch join on the same events") {
+    import spark.implicits._
+    val srcDir = tmp("ssj_src")
+    val ev = events().select("user_id", "event_id", "event_type", "ts")
+    ev.coalesce(1).write.parquet(s"$srcDir/all")
+    def stream() = spark.readStream.schema(ev.schema).parquet(s"$srcDir/*")
+    def split(df: org.apache.spark.sql.DataFrame) = (
+      df.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("cts")),
+      df.where(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("signup_id"), col("ts").as("sts")))
+    val (bc, bs) = split(ev)
+    val batch = graft.stream.StreamJoins.priorWithin(
+        bc, "click_id", "cts", bs, "signup_id", "sts", "user_id", 86400)
+      .select("signup_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (sc, ss) = split(stream())
+    val q = graft.stream.StreamJoins.priorWithin(
+        sc, "click_id", "cts", ss, "signup_id", "sts", "user_id", 86400)
+      .select("signup_id", "click_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin")
+      .option("checkpointLocation", tmp("ssj_ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("ssjoin")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch,
+      s"missing=${(batch -- streamed).take(5)} extra=${(streamed -- batch).take(5)}")
+  }
+
+  test("streaming dropDuplicates ≡ batch distinct (watermark-bounded state)") {
+    val srcDir = tmp("dedup_src")
+    val ev = events().select("user_id", "event_type", "ts")
+    ev.coalesce(2).write.parquet(s"$srcDir/all")
+    val stream = spark.readStream.schema(ev.schema).parquet(s"$srcDir/*")
+      .withWatermark("ts", "10 seconds")
+      .dropDuplicates("user_id", "event_type")
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream")
+      .option("checkpointLocation", tmp("dedup_ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("dedup_stream")
+      .select("user_id", "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val batch = ev.select("user_id", "event_type").distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed == batch)
+  }
+
   test("watermarked tumbling-window counts match batch per-second timeline (closed windows)") {
     val srcDir = tmp("clf_src5")
     val lines = LogGen.clfLines(events()).limit(800).collect().map(_.getString(0))
