@@ -402,6 +402,53 @@ object SparkEntry {
           k = 8, bands = 4, minAgree = 4, w = 3)
         .orderBy("id_a", "id_b")),
 
+    // min-ts conversion funnel: furthest stage per user (view → click →
+    // purchase ordered by first occurrence), users counted per stage —
+    // one conditional aggregation pass, no self-joins
+    "q54_funnel" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      def firstTs(t: String) = min(when(col("event_type") === t, col("ts")))
+      T(s, dir, "events")
+        .groupBy("user_id")
+        .agg(firstTs("view").as("v"), firstTs("click").as("c"),
+          firstTs("purchase").as("p"))
+        .select(when(col("v").isNull, 0)
+          .when(col("c").isNull || col("c") < col("v"), 1)
+          .when(col("p").isNull || col("p") < col("c"), 2)
+          .otherwise(3).as("stage"))
+        .groupBy("stage").agg(count(lit(1)).as("n_users"))
+        .orderBy("stage")
+    }),
+
+    // per-cluster embedding centroids as exact decimal component sums —
+    // decimal addition is associative/commutative, so the partial
+    // (map-side) aggregation is order-independent and bit-reproducible
+    // across engines, unlike a float avg
+    "q55_centroids" -> ((s, dir) =>
+      T(s, dir, "embeddings")
+        .select((col("vec_id") % 4).as("grp"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("grp", "pos")
+        // float → string → decimal: the string is the float's shortest
+        // round-trip decimal form in BOTH engines, so the decimal is
+        // identical; casting float→decimal directly diverges (Spark
+        // expands via double, DuckDB via the shortest repr)
+        .agg(sum(col("x").cast("string").cast("decimal(18,9)"))
+            .cast("decimal(38,9)").as("csum"),
+          count(lit(1)).as("n"))
+        .orderBy("grp", "pos")),
+
+    // URL parsing (path + query param extraction) over parsed logs
+    "q56_url_parse" -> ((s, dir) =>
+      parsedLogs(s, dir)
+        .select(parse_url(concat(lit("http://x"), col("req_url")), lit("PATH"))
+            .as("path"),
+          parse_url(concat(lit("http://x"), col("req_url")),
+            lit("QUERY"), lit("id")).cast("int").as("id"))
+        .groupBy(col("path"), (col("id") % 10).as("id_mod"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("path", "id_mod")),
+
     // deterministic hash sample (retry/partitioning-invariant, portable
     // md5 decision hash — a per-row pushable predicate, no shuffle)
     "q49_sample_hash" -> ((s, dir) =>
@@ -804,6 +851,36 @@ object SparkEntry {
            |  $sigs
            |FROM d ORDER BY doc_id""".stripMargin
       },
+
+      "q54_funnel" ->
+        """WITH f AS (SELECT user_id,
+          |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS v,
+          |    MIN(CASE WHEN event_type = 'click' THEN ts END) AS c,
+          |    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+          |  FROM events GROUP BY user_id)
+          |SELECT CASE WHEN v IS NULL THEN 0
+          |    WHEN c IS NULL OR c < v THEN 1
+          |    WHEN p IS NULL OR p < c THEN 2
+          |    ELSE 3 END AS stage,
+          |  COUNT(*) AS n_users
+          |FROM f GROUP BY 1 ORDER BY stage""".stripMargin,
+
+      "q55_centroids" ->
+        """WITH x AS (SELECT vec_id % 4 AS grp,
+          |    UNNEST(list_transform(range(1, len(embedding) + 1),
+          |      i -> {'pos': i - 1, 'x': embedding[i]})) AS e
+          |  FROM embeddings)
+          |SELECT grp, CAST(e.pos AS INTEGER) AS pos,
+          |  CAST(SUM(CAST(CAST(e.x AS VARCHAR) AS DECIMAL(18,9))) AS DECIMAL(38,9)) AS csum,
+          |  COUNT(*) AS n
+          |FROM x GROUP BY 1, 2 ORDER BY grp, pos""".stripMargin,
+
+      "q56_url_parse" ->
+        s"""$logsCte
+           |SELECT string_split(req_url, '?')[1] AS path,
+           |  CAST(regexp_extract(req_url, 'id=(\\d+)', 1) AS INTEGER) % 10 AS id_mod,
+           |  COUNT(*) AS n
+           |FROM logs GROUP BY 1, 2 ORDER BY path, id_mod""".stripMargin,
 
       "q49_sample_hash" ->
         """SELECT doc_id, lang FROM documents
