@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Compact per-query physical-plan audit: exchanges, join strategies,
+  * whole-stage-codegen spans, and scan pushdown — the numbers to watch
+  * when asking "does this plan survive a 100× scale-up?". One line per
+  * contract query; used to generate PLANS.md each round.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def count(s: String, token: String): Int =
+      s.sliding(token.length).count(_ == token)
+    println(f"| query | shuffles | joins | codegen spans | notes |")
+    println(f"|---|---|---|---|---|")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val df = fn(spark, sfDir)
+        df.collect() // materialize THIS plan so AQE finalizes it (count()
+                     // would execute a different, re-optimized plan)
+        // audit only the AQE final plan (the string repeats everything
+        // under "== Initial Plan ==")
+        val plan = df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==")(0)
+        val shuffles = count(plan, "Exchange") - count(plan, "BroadcastExchange")
+        val joins = Seq("BroadcastHashJoin", "SortMergeJoin",
+          "ShuffledHashJoin", "BroadcastNestedLoopJoin", "CartesianProduct")
+          .map(j => j -> count(plan, j)).filter(_._2 > 0)
+          .map { case (j, n) => s"$j x$n" }.mkString(", ")
+        val wsc = plan.linesIterator
+          .flatMap(l => "\\*\\((\\d+)\\)".r.findAllMatchIn(l).map(_.group(1).toInt))
+          .toSet.size
+        val bad = Seq(
+          if (plan.contains("CartesianProduct")) "CARTESIAN" else "",
+          if (plan.contains("BroadcastNestedLoopJoin")) "BNLJ" else "")
+          .filter(_.nonEmpty).mkString(",")
+        println(s"| $name | $shuffles | ${if (joins.isEmpty) "-" else joins} | $wsc | $bad |")
+      } catch { case e: Throwable =>
+        println(s"| $name | ERROR ${e.getClass.getSimpleName} | | | |")
+      }
+    }
+    spark.stop()
+  }
+}
