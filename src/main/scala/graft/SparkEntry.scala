@@ -326,6 +326,14 @@ object SparkEntry {
         .select(col("doc_id"), Dedup.portableSimhash("text", 60).as("fp"))
         .orderBy("doc_id")),
 
+    // portable SimHash near-dup pairs — the oracle is the BRUTE-FORCE
+    // pair set, so the 6×10-bit-chunk recall guarantee (exact for
+    // Hamming ≤ 5) is itself hash-checked by the gate
+    "q57_simhash_pairs_portable" -> ((s, dir) =>
+      Dedup.portableSimhashPairs(T(s, dir, "documents"), "doc_id", "text",
+          maxDist = 5)
+        .orderBy("id_a", "id_b")),
+
     // id-timeline serving merge over goodts/badts zset metrics (J1+S11)
     "q38_id_timeline" -> ((s, dir) => {
       val ev = T(s, dir, "events")
@@ -573,6 +581,17 @@ object SparkEntry {
         |    CAST(floor(value * 10) AS BIGINT) AS bytes,
         |    date_trunc('second', ts) AS tsec
         |  FROM events)""".stripMargin
+    // 60-bit portable simhash per doc (q37 fingerprints; q57 pairs)
+    val portableSimhashCte = {
+      val terms = (0 until 60).map(j =>
+        s"(CASE WHEN list_sum(list_transform(h, x -> CASE WHEN (x >> $j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE CAST(0 AS BIGINT) END)"
+      ).mkString(" + ")
+      s"""WITH d AS (SELECT doc_id,
+         |  list_transform(string_split(text, ' '),
+         |    t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS h
+         |  FROM documents),
+         |f AS (SELECT doc_id, $terms AS fp FROM d)""".stripMargin
+    }
     // shared by q14 (batch zset table) and q48 (streaming twin)
     val oracleSqlQ14 =
       s"""$logsCte,
@@ -816,16 +835,17 @@ object SparkEntry {
           |  CAST(b.embedding AS DOUBLE[])) >= 0.45
           |ORDER BY id_a, id_b""".stripMargin,
 
-      "q37_simhash_portable" -> {
-        val terms = (0 until 60).map(j =>
-          s"(CASE WHEN list_sum(list_transform(h, x -> CASE WHEN (x >> $j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE CAST(0 AS BIGINT) END)"
-        ).mkString(" + ")
-        s"""WITH d AS (SELECT doc_id,
-           |  list_transform(string_split(text, ' '),
-           |    t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS h
-           |  FROM documents)
-           |SELECT doc_id, $terms AS fp FROM d ORDER BY doc_id""".stripMargin
-      },
+      "q37_simhash_portable" ->
+        s"""$portableSimhashCte
+           |SELECT doc_id, fp FROM f ORDER BY doc_id""".stripMargin,
+
+      "q57_simhash_pairs_portable" ->
+        s"""$portableSimhashCte
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |  CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS dist
+           |FROM f a JOIN f b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.fp, b.fp)) <= 5
+           |ORDER BY id_a, id_b""".stripMargin,
 
       "q38_id_timeline" ->
         """WITH g AS (SELECT epoch_ms(date_trunc('second', ts)) AS ts_ms, COUNT(*) AS good
@@ -993,6 +1013,17 @@ object SparkEntry {
            |WHERE $agree >= $minAgree
            |ORDER BY id_a, id_b""".stripMargin
       },
+
+      "q27_frame_sample" ->
+        """WITH p AS (SELECT doc_id AS media_id,
+          |    octet_length(CAST(text AS BLOB)) AS olen,
+          |    UNNEST(range(0,
+          |      GREATEST(CAST(octet_length(CAST(text AS BLOB)) // 64 AS BIGINT) - 1, 0) + 1,
+          |      2)) AS u
+          |  FROM documents)
+          |SELECT media_id, CAST(u AS INTEGER) AS frame_idx,
+          |  CAST(LEAST(64, olen - u * 64) AS BIGINT) AS frame_len
+          |FROM p ORDER BY media_id, frame_idx""".stripMargin,
 
       "q26_multimodal_meta" ->
         """SELECT doc_id AS media_id,

@@ -226,6 +226,36 @@ object Dedup {
       .where(col("dist") <= maxDist)
   }
 
+  /** Portable SimHash near-dup pairs over the 60-bit md5-based
+    * fingerprint ([[portableSimhash]]): bucketed by six 10-bit chunks —
+    * pigeonhole guarantees exact candidate recall for Hamming distance
+    * ≤ 5. Because every primitive is engine-portable, the DuckDB oracle
+    * for this query is the BRUTE-FORCE pair set, so the recall
+    * guarantee itself is hash-checked in the correctness gate.
+    */
+  def portableSimhashPairs(df: DataFrame, idCol: String, textCol: String,
+                           maxDist: Int = 5): DataFrame = {
+    require(maxDist <= 5,
+      s"portableSimhashPairs: 6-chunk bucketing guarantees recall only " +
+        s"for maxDist <= 5 (got $maxDist)")
+    val fp = df.select(col(idCol).as("id"),
+      portableSimhash(textCol, 60).as("fp"))
+    val chunked = fp.select(col("id"), col("fp"),
+      posexplode(array((0 until 6).map { c =>
+        shiftright(col("fp"), c * 10).bitwiseAND(0x3ffL)
+      }: _*)).as(Seq("chunk", "ckey")))
+    val a = chunked.select(col("chunk"), col("ckey"),
+      col("id").as("id_a"), col("fp").as("fp_a"))
+    val b = chunked.select(col("chunk"), col("ckey"),
+      col("id").as("id_b"), col("fp").as("fp_b"))
+    a.join(b, Seq("chunk", "ckey"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming64(col("fp_a"), col("fp_b")).as("dist"))
+      .distinct()
+      .where(col("dist") <= maxDist)
+  }
+
   /** n-gram Jaccard near-dup: candidate pairs blocked on (blockCol,
     * length bucket) to bound the quadratic blow-up, then exact Jaccard
     * on distinct word w-shingles. Emits integer intersection/union sizes
