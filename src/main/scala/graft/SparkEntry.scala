@@ -218,10 +218,11 @@ object SparkEntry {
         .orderBy("id_a", "id_b")),
 
     // SimHash near-dup pairs (engine-hash-based — no SQL oracle).
-    // maxDist = 7 stays inside the 8-chunk pigeonhole recall guarantee;
+    // maxDist = 3, the standard web-dedup radius: C(8,3) combination
+    // tables with 40-bit keys keep buckets O(1) as the corpus grows;
     // DedupSimSpec asserts bucketed ≡ brute-force popcount pairs.
     "q23_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(T(s, dir, "documents"), "doc_id", "text", maxDist = 7)
+      Dedup.simhashPairs(T(s, dir, "documents"), "doc_id", "text", maxDist = 3)
         .orderBy("id_a", "id_b")),
 
     // ---- north-star: similarity search --------------------------------
@@ -320,18 +321,20 @@ object SparkEntry {
           ClfParser.parseNative(LogGen.clfLines(T(s, dir, "events")))))
         .orderBy("stat")),
 
-    // portable SimHash (md5 token hash, 60-bit → oracle-checkable)
+    // portable SimHash (md5 token hash, 60-bit → oracle-checkable;
+    // fused native expression, HOF twin asserted ≡ in DedupSimSpec)
     "q37_simhash_portable" -> ((s, dir) =>
       T(s, dir, "documents")
-        .select(col("doc_id"), Dedup.portableSimhash("text", 60).as("fp"))
+        .select(col("doc_id"),
+          graft.functions.SimHash64Expr.simhash_md5(col("text"), 60).as("fp"))
         .orderBy("doc_id")),
 
     // portable SimHash near-dup pairs — the oracle is the BRUTE-FORCE
-    // pair set, so the 6×10-bit-chunk recall guarantee (exact for
-    // Hamming ≤ 5) is itself hash-checked by the gate
+    // pair set, so the combination-table recall guarantee is itself
+    // hash-checked by the gate
     "q57_simhash_pairs_portable" -> ((s, dir) =>
       Dedup.portableSimhashPairs(T(s, dir, "documents"), "doc_id", "text",
-          maxDist = 5)
+          maxDist = 3)
         .orderBy("id_a", "id_b")),
 
     // id-timeline serving merge over goodts/badts zset metrics (J1+S11)
@@ -844,7 +847,7 @@ object SparkEntry {
            |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            |  CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS dist
            |FROM f a JOIN f b ON a.doc_id < b.doc_id
-           |WHERE bit_count(xor(a.fp, b.fp)) <= 5
+           |WHERE bit_count(xor(a.fp, b.fp)) <= 3
            |ORDER BY id_a, id_b""".stripMargin,
 
       "q38_id_timeline" ->

@@ -86,9 +86,16 @@ object Similarity {
     * once; exact cosine verifies. The join is a shuffle equi-join on a
     * long key — no broadcast, no O(N²) compare outside a bucket.
     *
-    * Pruning sharpens as the threshold rises (r = 0.46 at t = 0.9);
-    * additional fixed projections can pre-filter candidates with the
-    * same bound before the full dot product if a corpus needs it.
+    * Honest scale bound (measured on a 10× corpus probe): for high-dim
+    * embeddings the projection of a unit vector spreads only
+    * σ ≈ 1/√dim (0.13 at dim 64), so any band wide enough for a
+    * deterministic guarantee (r = √(2−2t) ≥ 0.45 even at t = 0.9)
+    * prunes little — compute stays ~O(n²), evenly distributed, no
+    * broadcast/OOM. That is fundamental to exact-recall cosine pairs
+    * in high dimensions, not an implementation artifact. Past ~10⁷
+    * vectors, switch to approximate candidates with the same exact
+    * verify: [[annTopK]] multi-table LSH or [[IvfIndex]] cells,
+    * thresholding within buckets (bounded recall loss, linear cost).
     */
   def cosineDupPairsBlocked(corpus: DataFrame, idCol: String,
                             vecCol: String, threshold: Double,

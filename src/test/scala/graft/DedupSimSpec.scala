@@ -48,22 +48,23 @@ class DedupSimSpec extends SparkSpec {
     assert(ham(fps(0), fps(1)) < ham(fps(0), fps(3))) // near-dup closer than unrelated
   }
 
-  test("simhash pairs: 8-chunk bucketing ≡ brute-force popcount at maxDist 7") {
+  test("simhash pairs: combination tables ≡ brute-force popcount (d=3 and d=7)") {
     val d = spark.read.parquet(s"$sfDir/documents.parquet")
-    val maxDist = 7
-    val bucketed = Dedup.simhashPairs(d, "doc_id", "text", maxDist)
-      .select("id_a", "id_b")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val fp = d.select(col("doc_id").as("id"),
       SimHash64Expr.simhash64(col("text")).as("fp"))
     val a = fp.select(col("id").as("id_a"), col("fp").as("fp_a"))
     val b = fp.select(col("id").as("id_b"), col("fp").as("fp_b"))
-    val brute = a.join(b, col("id_a") < col("id_b"))
-      .where(Dedup.hamming64(col("fp_a"), col("fp_b")) <= maxDist)
-      .select("id_a", "id_b")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(bucketed == brute,
-      s"missed=${(brute -- bucketed).take(5)} extra=${(bucketed -- brute).take(5)}")
+    for (maxDist <- Seq(3, 7)) {
+      val bucketed = Dedup.simhashPairs(d, "doc_id", "text", maxDist)
+        .select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = a.join(b, col("id_a") < col("id_b"))
+        .where(Dedup.hamming64(col("fp_a"), col("fp_b")) <= maxDist)
+        .select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(bucketed == brute, s"d=$maxDist " +
+        s"missed=${(brute -- bucketed).take(5)} extra=${(bucketed -- brute).take(5)}")
+    }
     // and radii past the guarantee are rejected, not silently under-recalled
     intercept[IllegalArgumentException] {
       Dedup.simhashPairs(d, "doc_id", "text", maxDist = 8)
@@ -97,6 +98,16 @@ class DedupSimSpec extends SparkSpec {
     // every ANN hit must share the query's bucket by construction;
     // scores must match brute-force scores where pairs coincide
     assert(ann.nonEmpty)
+  }
+
+  test("fused simhash_md5 ≡ compositional portableSimhash HOF (oracle twin)") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
+    val both = d.select(
+      SimHash64Expr.simhash_md5(col("text"), 60).as("native"),
+      Dedup.portableSimhash("text", 60).as("hof"))
+    both.collect().foreach { r =>
+      assert(r.getLong(0) == r.getLong(1))
+    }
   }
 
   test("fused minhash_sig_md5 ≡ compositional md5/conv formulation (oracle twin)") {
