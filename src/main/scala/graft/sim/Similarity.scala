@@ -123,6 +123,52 @@ object Similarity {
       .where(col("score") >= threshold)
   }
 
+  /** Approximate near-dup pairs — the linear-cost scale path past the
+    * ~10⁷-vector ceiling of [[cosineDupPairsBlocked]]: candidates from
+    * `nTables` independent random-hyperplane LSH tables (a pair is a
+    * candidate if ANY table gives both vectors the same `nBits`-bit
+    * sign key), verified with the exact cosine. Precision is exact (the
+    * verify step); recall is probabilistic — for a pair at angle θ each
+    * table matches with ((π−θ)/π)^nBits, and tables are OR-ed, so
+    * recall rises with nTables and concentrates near 1 for true
+    * near-dups (θ→0). Measured against the exact pair set in
+    * DedupSimSpec.
+    */
+  def cosineDupPairsApprox(corpus: DataFrame, idCol: String, vecCol: String,
+                           threshold: Double, dim: Int, nTables: Int = 8,
+                           nBits: Int = 8): DataFrame = {
+    val base = corpus.select(col(idCol).as("id"),
+      asDouble(col(vecCol)).as("v"))
+    val keyed = base.select(col("id"), col("v"),
+      posexplode(array((0 until nTables).map { t =>
+        lshBucketSeeded(col("v"), dim, nBits, seed = t * 7919)
+      }: _*)).as(Seq("tbl", "key")))
+    val a = keyed.select(col("tbl"), col("key"), col("id").as("id_a"),
+      col("v").as("va"))
+    val b = keyed.select(col("tbl"), col("key"), col("id").as("id_b"),
+      col("v").as("vb"))
+    a.join(b, Seq("tbl", "key"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.CosineSimExpr.cosine_sim(col("va"), col("vb"))
+          .as("score"))
+      .where(col("score") >= threshold)
+      .distinct()
+  }
+
+  /** [[lshBucket]] with a seed offset, for independent tables. */
+  private def lshBucketSeeded(vec: Column, dim: Int, nBits: Int,
+                              seed: Int): Column = {
+    val bits = (0 until nBits).map { p =>
+      val plane = array((0 until dim).map { j =>
+        (hash(lit(seed + p * dim + j)).cast("double")
+          / lit(Int.MaxValue.toDouble * 2))
+      }: _*)
+      when(dot(vec, plane) > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
   /** Random-hyperplane LSH bucket id: `nBits` sign bits of dot products
     * with deterministic pseudo-random hyperplanes (hyperplane component
     * j of plane p = a fixed hash of (p, j), zero-mean). No data shuffle

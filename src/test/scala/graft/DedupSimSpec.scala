@@ -195,6 +195,19 @@ class DedupSimSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("approx cosine dup pairs: subset of exact with measured recall") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+    val exact = Similarity.cosineDupPairs(emb, "vec_id", "embedding", 0.45)
+      .select("id_a", "id_b").collect().map(key).toSet
+    val approx = Similarity.cosineDupPairsApprox(emb, "vec_id", "embedding",
+        0.45, dim = 64, nTables = 12, nBits = 6)
+      .select("id_a", "id_b").collect().map(key).toSet
+    assert((approx -- exact).isEmpty) // precision exact by construction
+    val recall = (approx & exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall of ${exact.size}")
+  }
+
   test("portable minhash pairs: exact dups agree on all k; join is banded") {
     val pairs = Dedup.portableMinhashPairs(docs, "doc_id", "text",
         k = 8, bands = 4, minAgree = 4, w = 2)
