@@ -413,6 +413,66 @@ object SparkEntry {
           k = 8, bands = 4, minAgree = 4, w = 3)
         .orderBy("id_a", "id_b")),
 
+    // multi-join analytics (TPC-H Q3 shape): 3-way join with pushed
+    // filters, grouped revenue top-10 — Catalyst picks broadcast vs
+    // shuffle per side; decimal math pinned to explicit widths
+    "q58_tpch_q3" -> ((s, dir) => {
+      val cust = T(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      val ord = T(s, dir, "orders")
+        .where(col("o_orderdate") < lit("1997-06-30").cast("timestamp"))
+      val li = T(s, dir, "lineitem")
+        .where(col("l_shipdate") > lit("1997-06-30").cast("timestamp"))
+      cust.join(ord, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(expr(
+          "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"))
+          .cast("decimal(38,4)").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // 5-way star join (TPC-H Q5 shape): region → nation → customer →
+    // orders → lineitem, dims broadcast, revenue per nation
+    "q59_tpch_q5" -> ((s, dir) => {
+      val r = T(s, dir, "region").where(col("r_name") === "ASIA")
+      val n = T(s, dir, "nation")
+      val c = T(s, dir, "customer")
+      val o = T(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val l = T(s, dir, "lineitem")
+      r.join(n, col("r_regionkey") === col("n_regionkey"))
+        .join(c, col("n_nationkey") === col("c_nationkey"))
+        .join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(expr(
+          "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"))
+          .cast("decimal(38,4)").as("revenue"))
+        .orderBy("n_name")
+    }),
+
+    // the composed training-data pipeline in ONE declarative plan:
+    // exact-dedup keepers → deterministic hash sample → quality filter
+    // → per-lang token totals (each stage is an operator tested above;
+    // this asserts they compose without materialization barriers)
+    "q60_pipeline" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val keepers = Dedup.exact(d, col("doc_id"), col("text"))
+        .select(col("keeper").as("doc_id"))
+      val sampled = graft.ops.Sample.hashSample(
+        d.join(keepers, "doc_id"), col("doc_id"), 0.5)
+      TextAnalysis.quality(sampled, col("text"))
+        .where(col("n_tokens") >= 5)
+        .join(d.select("doc_id", "lang", "text"), "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.bpeishCount(col("text"))).cast("long")
+            .as("bpeish_tokens"))
+        .orderBy("lang")
+    }),
+
     // min-ts conversion funnel: furthest stage per user (view → click →
     // purchase ordered by first occurrence), users counted per stage —
     // one conditional aggregation pass, no self-joins
@@ -874,6 +934,40 @@ object SparkEntry {
            |  $sigs
            |FROM d ORDER BY doc_id""".stripMargin
       },
+
+      "q58_tpch_q3" ->
+        """SELECT l_orderkey, o_orderdate, o_orderpriority,
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+          |FROM customer JOIN orders ON c_custkey = o_custkey
+          |JOIN lineitem ON o_orderkey = l_orderkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |  AND o_orderdate < TIMESTAMP '1997-06-30 00:00:00'
+          |  AND l_shipdate > TIMESTAMP '1997-06-30 00:00:00'
+          |GROUP BY 1, 2, 3
+          |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+      "q59_tpch_q5" ->
+        """SELECT n_name,
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+          |FROM region JOIN nation ON r_regionkey = n_regionkey
+          |JOIN customer ON n_nationkey = c_nationkey
+          |JOIN orders ON c_custkey = o_custkey
+          |JOIN lineitem ON o_orderkey = l_orderkey
+          |WHERE r_name = 'ASIA'
+          |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+      "q60_pipeline" ->
+        """WITH keepers AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+          |sampled AS (
+          |  SELECT d.doc_id, d.lang, d.text FROM documents d JOIN keepers k ON d.doc_id = k.doc_id
+          |  WHERE CAST(('0x' || substr(md5('s:' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+          |    % 1000000 < 500000),
+          |q AS (SELECT * FROM sampled WHERE len(string_split(text, ' ')) >= 5)
+          |SELECT lang, COUNT(*) AS n_docs,
+          |  CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT) AS bpeish_tokens
+          |FROM q GROUP BY lang ORDER BY lang""".stripMargin,
 
       "q54_funnel" ->
         """WITH f AS (SELECT user_id,
