@@ -590,7 +590,9 @@ object SparkEntry {
       import org.apache.spark.sql.streaming.Trigger
       val root = java.nio.file.Files.createTempDirectory("graft_q48")
       val src = root.resolve("src").toString
-      LogGen.clfLines(T(s, dir, "events")).coalesce(4).write.text(src)
+      // 2 files → 2 micro-batches: exercises cross-batch merge without
+      // paying 4 batches of fixed per-trigger overhead in the bench
+      LogGen.clfLines(T(s, dir, "events")).coalesce(2).write.text(src)
       val sink = new graft.stream.ZsetSink(root.resolve("zset").toString)
       val q = graft.stream.LogStream.startCounters(s,
         s.readStream.option("maxFilesPerTrigger", "1").text(src), sink,
