@@ -236,6 +236,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == expected, s"\nstreamed=$streamed\nexpected=$expected")
   }
 
+  test("streaming histogram sketch: per-batch bins merged in sink ≡ batch bins") {
+    val srcDir = tmp("hist_src")
+    val ev = events().select("event_type", "value", "ts")
+    ev.coalesce(3).write.parquet(s"$srcDir/all")
+    val sink = new ZsetSink(tmp("hist_zset"))
+    // bins are (bucket, bin, n) counts — exactly the zset-delta shape,
+    // so the mergeable-sketch property IS the sink's sum-merge
+    val q = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*")
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", tmp("hist_ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        sink.merge(
+          graft.ops.Aggregations.histogramBins(batch, col("event_type"),
+              col("value"), 0.0, 500.0, 50)
+            .select(col("bucket").as("metric"),
+              col("bin").cast("string").as("member"), col("n").as("score")),
+          id)
+        ()
+      }.start()
+    q.awaitTermination(120000)
+    val streamed = sink.read(spark).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = graft.ops.Aggregations.histogramBins(ev, col("event_type"),
+        col("value"), 0.0, 500.0, 50)
+      .collect().map(r => (r.getString(0), r.getLong(1).toString) -> r.getLong(2)).toMap
+    assert(streamed == batch)
+    assert(streamed.values.sum == ev.count())
+  }
+
   test("stream-stream interval join ≡ batch join on the same events") {
     import spark.implicits._
     val srcDir = tmp("ssj_src")
