@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.sim.Similarity
+
+/** Degenerate-input robustness: every operator must return an empty (or
+  * well-defined) result on empty/single-row/empty-string inputs, never
+  * throw — at 100 TB some partition or some day WILL be empty.
+  */
+class EdgeCasesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val emptyDocs = Seq.empty[(Long, String, String)]
+    .toDF("doc_id", "text", "source")
+  private val oneDoc = Seq((1L, "hello world", "s")).toDF("doc_id", "text", "source")
+  private val emptyText = Seq((1L, "", "s")).toDF("doc_id", "text", "source")
+
+  test("dedup operators: empty, single-row, and empty-string inputs") {
+    assert(Dedup.exact(emptyDocs, col("doc_id"), col("text")).count() == 0)
+    assert(Dedup.minhashPairs(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.simhashPairs(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.portableMinhashPairs(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.portableSimhashPairs(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.ngramJaccardPairs(emptyDocs, "doc_id", "text", "source").count() == 0)
+    // single doc → no pairs, but fingerprints/signatures still compute
+    assert(Dedup.simhashPairs(oneDoc, "doc_id", "text").count() == 0)
+    assert(Dedup.portableMinhash(oneDoc, "doc_id", "text").count() == 1)
+    // empty string: one empty token; fingerprint defined, no throw
+    assert(Dedup.portableMinhash(emptyText, "doc_id", "text").count() == 1)
+    assert(Dedup.exact(emptyText, col("doc_id"), col("text")).count() == 1)
+  }
+
+  test("similarity operators: empty corpus / empty queries") {
+    val emptyEmb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val oneEmb = Seq((1L, Array.fill(4)(1.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.bruteForceTopK(emptyEmb, emptyEmb, "vec_id", "embedding", 3)
+      .count() == 0)
+    assert(Similarity.bruteForceTopK(oneEmb, emptyEmb, "vec_id", "embedding", 3)
+      .count() == 0) // no queries
+    assert(Similarity.cosineDupPairsBlocked(oneEmb, "vec_id", "embedding",
+      0.5, dim = 4).count() == 0) // single vector → no pairs
+    assert(Similarity.cosineDupPairsApprox(emptyEmb, "vec_id", "embedding",
+      0.5, dim = 4).count() == 0)
+  }
+
+  test("aggregations and sampling: empty input well-defined") {
+    val emptyEv = Seq.empty[(Long, String, Double)].toDF("user_id", "event_type", "value")
+    assert(graft.ops.Aggregations.countBy(emptyEv, col("event_type")).count() == 0)
+    assert(graft.ops.Aggregations.histogramBins(emptyEv, col("event_type"),
+      col("value"), 0, 100, 10).count() == 0)
+    assert(graft.ops.Sample.hashSample(emptyEv, col("user_id"), 0.5).count() == 0)
+    assert(graft.ops.Sample.stratifiedSample(emptyEv, col("event_type"),
+      col("user_id"), 3).count() == 0)
+    // zero-row sessionize
+    val emptyTs = Seq.empty[(String, java.sql.Timestamp)].toDF("key", "ts")
+    assert(graft.ops.Sessionize.summarize(emptyTs, col("key"), col("ts"), 60)
+      .count() == 0)
+    // range join with empty intervals
+    val pts = Seq((1L, 10L)).toDF("p_id", "v")
+    val noIvs = Seq.empty[(Long, Long, Long)].toDF("i_id", "lo", "hi")
+    assert(graft.ops.RangeJoin.pointInInterval(pts, "v", noIvs, "lo", "hi", 100)
+      .count() == 0)
+  }
+
+  test("CLF parse: empty string and whitespace-only lines → sentinel") {
+    val lines = Seq("", " ", "\t").toDF("value")
+    val parsed = graft.logs.ClfParser.parse(lines).collect()
+    assert(parsed.length == 3)
+    parsed.foreach(r => assert(r.getAs[String]("host") == "foo"))
+    val native = graft.logs.ClfParser.parseNative(lines).collect()
+    assert(native.length == 3)
+    native.foreach(r => assert(r.getAs[String]("host") == "foo"))
+  }
+}
