@@ -424,7 +424,12 @@ object SparkEntry {
         .where(col("l_shipdate") > lit("1997-06-30").cast("timestamp"))
       cust.join(ord, col("c_custkey") === col("o_custkey"))
         .join(li, col("o_orderkey") === col("l_orderkey"))
-        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        // order date as a string: raw TIMESTAMP output columns hash
+        // differently across engines' physical units (the r1 decimal
+        // lesson, timestamp edition)
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+          col("o_orderpriority"))
         .agg(sum(expr(
           "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"))
           .cast("decimal(38,4)").as("revenue"))
@@ -938,7 +943,7 @@ object SparkEntry {
       },
 
       "q58_tpch_q3" ->
-        """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_orderpriority,
           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
           |FROM customer JOIN orders ON c_custkey = o_custkey
           |JOIN lineitem ON o_orderkey = l_orderkey
