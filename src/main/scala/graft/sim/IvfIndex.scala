@@ -55,6 +55,21 @@ class IvfIndex private (val assigned: DataFrame, val centroids: DataFrame) {
 
 object IvfIndex {
 
+  /** Persist the index as a cell-partitioned parquet layout — the real
+    * cluster shape: probes filter on `cell`, so the scan prunes to the
+    * nProbe cell directories and never touches the rest of the corpus
+    * (PartitionFilters; asserted in DedupSimSpec).
+    */
+  def save(idx: IvfIndex, path: String): Unit = {
+    idx.assigned.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/assigned")
+    idx.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  def load(spark: SparkSession, path: String): IvfIndex =
+    new IvfIndex(spark.read.parquet(s"$path/assigned"),
+      spark.read.parquet(s"$path/centroids"))
+
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), IvfIndex]()
 

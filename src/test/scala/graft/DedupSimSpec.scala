@@ -175,6 +175,26 @@ class DedupSimSpec extends SparkSpec {
     assert(graft.sim.IvfIndex.builds - before == 1)
   }
 
+  test("IVF save/load: cell-partitioned layout prunes scans, results unchanged") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val idx = graft.sim.IvfIndex.build(spark, emb, "vec_id", "embedding",
+      nLists = 4, maxIter = 4)
+    val path = java.nio.file.Files.createTempDirectory("ivf").toString
+    graft.sim.IvfIndex.save(idx, path)
+    val loaded = graft.sim.IvfIndex.load(spark, path)
+    val q = emb.where(col("vec_id") < 5)
+    def res(i: graft.sim.IvfIndex) =
+      i.topK(q, "vec_id", "embedding", k = 3, nProbe = 2)
+        .select("query_id", "rank", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(res(loaded) == res(idx))
+    // a cell probe against the persisted layout prunes to that partition
+    val plan = loaded.assigned.where(col("cell") === 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      plan.take(1500))
+  }
+
   test("blocked cosine dup pairs ≡ exact all-pairs; plan needs no broadcast") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1),
