@@ -413,6 +413,19 @@ object SparkEntry {
           k = 8, bands = 4, minAgree = 4, w = 3)
         .orderBy("id_a", "id_b")),
 
+    // boilerplate n-gram detection (corpus-frequency cleaning pass):
+    // 2-grams in > 30 distinct docs; one explode + one count-by
+    "q61_boilerplate" -> ((s, dir) =>
+      TextAnalysis.boilerplateNgrams(T(s, dir, "documents"),
+          col("doc_id"), col("text"), w = 2, minDocs = 30)
+        .orderBy("ngram")),
+
+    // TF-IDF + KMeans document clustering (unsupervised corpus
+    // exploration; deterministic seed — rows-only, spec-covered)
+    "q62_doc_clusters" -> ((s, dir) =>
+      graft.ml.DocCluster.clusterCounts(T(s, dir, "documents"), "text",
+        k = 4)),
+
     // multi-join analytics (TPC-H Q3 shape): 3-way join with pushed
     // filters, grouped revenue top-10 — Catalyst picks broadcast vs
     // shuffle per side; decimal math pinned to explicit widths
@@ -941,6 +954,16 @@ object SparkEntry {
            |  $sigs
            |FROM d ORDER BY doc_id""".stripMargin
       },
+
+      "q61_boilerplate" ->
+        """WITH d AS (SELECT doc_id,
+          |    list_distinct(list_transform(
+          |      range(1, greatest(len(string_split(text, ' ')) - 1, 1) + 1),
+          |      i -> array_to_string(string_split(text, ' ')[i:i+1], ' '))) AS sh
+          |  FROM documents),
+          |u AS (SELECT doc_id, unnest(sh) AS ngram FROM d)
+          |SELECT ngram, COUNT(*) AS n_docs FROM u
+          |GROUP BY ngram HAVING COUNT(*) > 30 ORDER BY ngram""".stripMargin,
 
       "q58_tpch_q3" ->
         """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_orderpriority,

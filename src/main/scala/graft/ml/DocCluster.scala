@@ -1,0 +1,33 @@
+package graft.ml
+
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.feature.{HashingTF, IDF, Tokenizer}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Document clustering for corpus exploration / domain balancing in
+  * training-data pipelines: whitespace tokens → HashingTF → IDF →
+  * KMeans, all spark.ml built-ins (the unsupervised sibling of the IDS
+  * pipeline's M1-M5 stages). Deterministic under a fixed seed.
+  */
+object DocCluster {
+
+  def fit(df: DataFrame, textCol: String, k: Int, seed: Long = 42L,
+          numFeatures: Int = 1 << 12) = {
+    val tok = new Tokenizer().setInputCol(textCol).setOutputCol("toks")
+    val tf = new HashingTF().setInputCol("toks").setOutputCol("tf")
+      .setNumFeatures(numFeatures)
+    val idf = new IDF().setInputCol("tf").setOutputCol("features")
+    val km = new KMeans().setK(k).setSeed(seed).setFeaturesCol("features")
+      .setPredictionCol("cluster")
+    new Pipeline().setStages(Array(tok, tf, idf, km)).fit(df)
+  }
+
+  /** Assign clusters and return per-cluster document counts. */
+  def clusterCounts(df: DataFrame, textCol: String, k: Int,
+                    seed: Long = 42L): DataFrame =
+    fit(df, textCol, k, seed).transform(df)
+      .groupBy("cluster").agg(count(lit(1)).as("n_docs"))
+      .orderBy("cluster")
+}

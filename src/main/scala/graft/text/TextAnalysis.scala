@@ -87,4 +87,21 @@ object TextAnalysis {
     aggregate(tokens(text), lit(0L),
       (acc, t) => (acc * lit(31L) + th(t)) % m)
   }
+
+  /** Boilerplate n-gram detection — the corpus-frequency cleaning pass
+    * of web-scale training pipelines: an n-gram appearing in more than
+    * `minDocs` DISTINCT documents is boilerplate (navigation chrome,
+    * license footers, templates), not content. One explode of
+    * per-document DISTINCT shingles (so a doc repeating its own footer
+    * counts once) + one partial+final count — the count-by shape, fully
+    * linear. Returns (ngram, n_docs).
+    */
+  def boilerplateNgrams(df: DataFrame, idCol: Column, textCol: Column,
+                        w: Int = 2, minDocs: Long = 30): DataFrame =
+    df.select(idCol.as("id"),
+        explode(array_distinct(graft.dedup.Dedup.shingles(textCol, w)))
+          .as("ngram"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") > minDocs)
 }

@@ -95,6 +95,30 @@ class OpsSpec extends SparkSpec {
       s"merged $merged vs exact $exact")
   }
 
+  test("doc clustering: deterministic under seed, k clusters, all docs assigned") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val a = graft.ml.DocCluster.clusterCounts(d, "text", k = 4)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val b = graft.ml.DocCluster.clusterCounts(d, "text", k = 4)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(a == b)                   // deterministic given the seed
+    assert(a.keySet.subsetOf((0 until 4).toSet) && a.size >= 2)
+    assert(a.values.sum == d.count())
+  }
+
+  test("boilerplate ngrams: within-doc repeats count once") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "nav nav nav nav"),   // 'nav nav' repeats within ONE doc
+      (2L, "nav nav content a"),
+      (3L, "other text b c")).toDF("doc_id", "text")
+    val m = graft.text.TextAnalysis
+      .boilerplateNgrams(docs, col("doc_id"), col("text"), w = 2, minDocs = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("nav nav") == 2L) // docs 1 and 2, not 3+1 occurrences
+    assert(!m.contains("other text"))
+  }
+
   test("histogram sketch: merged quantile within one bin width of exact") {
     val ev = events()
     val bins = graft.ops.Aggregations.histogramBins(
