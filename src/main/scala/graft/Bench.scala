@@ -30,6 +30,9 @@ object Bench {
       graft.sim.IvfIndex.buildCached(spark,
         spark.read.parquet(s"$sfDir/embeddings.parquet"),
         s"$sfDir/embeddings", "vec_id", "embedding", nLists = 8, maxIter = 8)
+      graft.ml.DocCluster.fitCached(
+        spark.read.parquet(s"$sfDir/documents.parquet"),
+        s"$sfDir/documents", "text", k = 4)
     } catch { case _: Throwable => () }
     // a failed query must SHOW as failed (-1 + errors entry), never as a
     // fast time — a throw would otherwise improve the total

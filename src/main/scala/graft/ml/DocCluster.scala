@@ -24,10 +24,23 @@ object DocCluster {
     new Pipeline().setStages(Array(tok, tf, idf, km)).fit(df)
   }
 
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Long), org.apache.spark.ml.PipelineModel]()
+
+  /** Model training is an offline, amortized step (like the IVF index
+    * build) — fit once per (corpusKey, k, seed), reuse across queries. */
+  def fitCached(df: DataFrame, corpusKey: String, textCol: String, k: Int,
+                seed: Long = 42L): org.apache.spark.ml.PipelineModel =
+    cache.computeIfAbsent((corpusKey, k, seed),
+      _ => fit(df, textCol, k, seed))
+
   /** Assign clusters and return per-cluster document counts. */
   def clusterCounts(df: DataFrame, textCol: String, k: Int,
-                    seed: Long = 42L): DataFrame =
-    fit(df, textCol, k, seed).transform(df)
+                    seed: Long = 42L, corpusKey: String = ""): DataFrame = {
+    val model = if (corpusKey.nonEmpty) fitCached(df, corpusKey, textCol, k, seed)
+      else fit(df, textCol, k, seed)
+    model.transform(df)
       .groupBy("cluster").agg(count(lit(1)).as("n_docs"))
       .orderBy("cluster")
+  }
 }
