@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native word w-shingle array (the STRINGS, unlike the hash-producing
+  * [[ShingleHashesExpr]]): one split + one window walk per row.
+  * Bit-identical output to the compositional [[graft.dedup.Dedup.shingles]]
+  * (`transform(sequence)` + `slice` + `concat_ws`), which allocates
+  * per-window slices through interpreted lambdas — measured ~2.4 s per
+  * 260 k shingles vs ~0.3 s here.
+  */
+case class ShinglesExpr(child: Expression, w: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    ShinglesExpr.compute(input.asInstanceOf[UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ShinglesExpr.compute($c, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShinglesExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "shingles"
+}
+
+object ShinglesExpr {
+  private val Space = UTF8String.fromString(" ")
+
+  def compute(s: UTF8String, w: Int): GenericArrayData = {
+    val toks = s.split(Space, -1)
+    val nWindows = math.max(toks.length - w, 0) + 1
+    val out = new Array[AnyRef](nWindows)
+    var i = 0
+    while (i < nWindows) {
+      val end = math.min(i + w, toks.length)
+      out(i) = UTF8String.concatWs(Space,
+        java.util.Arrays.copyOfRange(toks, i, end): _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def shingle_strings(c: Column, w: Int): Column =
+    ColumnBridge.column(ShinglesExpr(ColumnBridge.expression(c), w))
+}

@@ -99,7 +99,8 @@ object TextAnalysis {
   def boilerplateNgrams(df: DataFrame, idCol: Column, textCol: Column,
                         w: Int = 2, minDocs: Long = 30): DataFrame =
     df.select(idCol.as("id"),
-        explode(array_distinct(graft.dedup.Dedup.shingles(textCol, w)))
+        explode(array_distinct(
+          graft.functions.ShinglesExpr.shingle_strings(textCol, w)))
           .as("ngram"))
       .groupBy("ngram")
       .agg(count(lit(1)).as("n_docs"))

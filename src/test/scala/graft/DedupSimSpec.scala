@@ -100,6 +100,19 @@ class DedupSimSpec extends SparkSpec {
     assert(ann.nonEmpty)
   }
 
+  test("native shingle_strings ≡ compositional shingles") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
+    for (w <- Seq(1, 2, 3, 5)) {
+      val both = d.select(
+        graft.functions.ShinglesExpr.shingle_strings(col("text"), w).as("native"),
+        Dedup.shingles(col("text"), w).as("hof"))
+      both.collect().foreach { r =>
+        assert(r.getAs[scala.collection.Seq[String]]("native").toList ==
+          r.getAs[scala.collection.Seq[String]]("hof").toList, s"w=$w")
+      }
+    }
+  }
+
   test("fused simhash_md5 ≡ compositional portableSimhash HOF (oracle twin)") {
     val d = spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
     val both = d.select(
