@@ -413,6 +413,21 @@ object SparkEntry {
           k = 8, bands = 4, minAgree = 4, w = 3)
         .orderBy("id_a", "id_b")),
 
+    // running total (cumulative window aggregate) — decimal so the
+    // accumulation is order-independent (engines use different window
+    // evaluation trees; float running sums would diverge bit-wise)
+    "q63_cumsum" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T(s, dir, "lineitem")
+        .where(col("l_orderkey") < 100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          sum(col("l_quantity").cast("decimal(18,2)")).over(w)
+            .cast("decimal(38,2)").as("run_qty"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // boilerplate n-gram detection (corpus-frequency cleaning pass):
     // 2-grams in > 30 distinct docs; one explode + one count-by
     "q61_boilerplate" -> ((s, dir) =>
@@ -956,6 +971,14 @@ object SparkEntry {
            |  $sigs
            |FROM d ORDER BY doc_id""".stripMargin
       },
+
+      "q63_cumsum" ->
+        """SELECT l_orderkey, l_linenumber,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+          |    PARTITION BY l_orderkey ORDER BY l_linenumber
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS run_qty
+          |FROM lineitem WHERE l_orderkey < 100
+          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
       "q61_boilerplate" ->
         """WITH d AS (SELECT doc_id,
