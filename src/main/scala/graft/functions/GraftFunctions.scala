@@ -42,6 +42,18 @@ object GraftFunctions {
     fn("minhash_sig", "minhash_sig(text[, k, w])") {
       case Seq(t) => MinHashSigExpr(t, 16, 3)
       case Seq(t, k, w) => MinHashSigExpr(t, litInt(k, "k"), litInt(w, "w"))
+    },
+    fn("minhash_sig_md5", "minhash_sig_md5(text[, k, w])") {
+      case Seq(t) => MinHashSigExpr(t, 8, 3, portable = true)
+      case Seq(t, k, w) =>
+        MinHashSigExpr(t, litInt(k, "k"), litInt(w, "w"), portable = true)
+    },
+    fn("simhash_md5", "simhash_md5(text[, bits])") {
+      case Seq(t) => SimHash64Expr(t, 60)
+      case Seq(t, b) => SimHash64Expr(t, litInt(b, "bits"))
+    },
+    fn("shingle_strings", "shingle_strings(text, w)") {
+      case Seq(t, w) => ShinglesExpr(t, litInt(w, "w"))
     })
 
   /** Register in the current session's function registry. */

@@ -31,6 +31,12 @@ class SqlFunctionsSpec extends SparkSpec {
       .collect()(0).getInt(0) == 8)
     assert(spark.sql("SELECT size(shingle_hashes(text, 2)) AS n FROM t")
       .collect()(0).getInt(0) == 3)
+    assert(spark.sql("SELECT shingle_strings(text, 2) AS s FROM t")
+      .collect()(0).getSeq[String](0) == Seq("a b", "b c", "c d"))
+    assert(spark.sql("SELECT size(minhash_sig_md5(text, 8, 2)) AS k FROM t")
+      .collect()(0).getInt(0) == 8)
+    assert(spark.sql("SELECT simhash_md5(text) AS fp FROM t")
+      .collect()(0).getLong(0) != 0L)
   }
 
   test("wrong arity yields a usable error naming the signature, not a MatchError") {
