@@ -30,7 +30,9 @@ object PlanAudit {
         // under "== Initial Plan ==")
         val plan = df.queryExecution.executedPlan.toString
           .split("== Initial Plan ==")(0)
-        val shuffles = count(plan, "Exchange") - count(plan, "BroadcastExchange")
+        // ReusedExchange re-reads an existing shuffle, it isn't a new one
+        val shuffles = count(plan, "Exchange") -
+          count(plan, "BroadcastExchange") - count(plan, "ReusedExchange")
         val joins = Seq("BroadcastHashJoin", "SortMergeJoin",
           "ShuffledHashJoin", "BroadcastNestedLoopJoin", "CartesianProduct")
           .map(j => j -> count(plan, j)).filter(_._2 > 0)

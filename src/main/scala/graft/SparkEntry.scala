@@ -512,7 +512,6 @@ object SparkEntry {
     // purchase ordered by first occurrence), users counted per stage —
     // one conditional aggregation pass, no self-joins
     "q54_funnel" -> ((s, dir) => {
-      val ev = T(s, dir, "events")
       def firstTs(t: String) = min(when(col("event_type") === t, col("ts")))
       T(s, dir, "events")
         .groupBy("user_id")
@@ -632,7 +631,13 @@ object SparkEntry {
       val q = graft.stream.LogStream.startCounters(s,
         s.readStream.option("maxFilesPerTrigger", "1").text(src), sink,
         root.resolve("ckpt").toString, Trigger.AvailableNow())
-      q.awaitTermination(180000)
+      // a timeout must FAIL the query, not fall through to a partially
+      // merged sink (and leave the stream writing during later queries)
+      if (!q.awaitTermination(180000)) {
+        q.stop()
+        throw new IllegalStateException(
+          "q48 stream did not complete within 180s")
+      }
       sink.read(s).orderBy("metric", "member")
     }),
 

@@ -217,7 +217,9 @@ object Dedup {
     val bs = bits / blocks
     val kept = blocks - maxDist
     require(kept >= 1, s"maxDist $maxDist needs < $blocks")
-    require(kept * bs <= 62, s"key too wide: $kept blocks x $bs bits")
+    // a full 64-bit key (maxDist = 0 → the fingerprint itself) is still
+    // a valid long equi-join key
+    require(kept * bs <= 64, s"key too wide: $kept blocks x $bs bits")
     val mask = (1L << bs) - 1
     (0 until blocks).combinations(kept).toSeq.map { combo =>
       combo.zipWithIndex.map { case (b, i) =>

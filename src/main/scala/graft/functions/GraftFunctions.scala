@@ -50,7 +50,12 @@ object GraftFunctions {
     },
     fn("simhash_md5", "simhash_md5(text[, bits])") {
       case Seq(t) => SimHash64Expr(t, 60)
-      case Seq(t, b) => SimHash64Expr(t, litInt(b, "bits"))
+      case Seq(t, b) =>
+        val bits = litInt(b, "bits")
+        // bits <= 0 would silently select the non-portable branch
+        if (bits < 1 || bits > 60) throw new IllegalArgumentException(
+          s"simhash_md5: bits must be 1..60, got $bits")
+        SimHash64Expr(t, bits)
     },
     fn("shingle_strings", "shingle_strings(text, w)") {
       case Seq(t, w) => ShinglesExpr(t, litInt(w, "w"))

@@ -103,6 +103,10 @@ object SimHash64Expr {
   def simhash64(c: Column): Column =
     ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(c)))
 
-  def simhash_md5(c: Column, bits: Int = 60): Column =
+  def simhash_md5(c: Column, bits: Int = 60): Column = {
+    // bits <= 0 would silently select the NON-portable xxhash branch —
+    // the opposite of this function's contract
+    require(bits >= 1 && bits <= 60, s"simhash_md5: bits must be 1..60, got $bits")
     ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(c), bits))
+  }
 }

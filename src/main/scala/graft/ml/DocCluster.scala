@@ -25,14 +25,15 @@ object DocCluster {
   }
 
   private val cache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Int, Long), org.apache.spark.ml.PipelineModel]()
+    (String, Int, Long, Int), org.apache.spark.ml.PipelineModel]()
 
   /** Model training is an offline, amortized step (like the IVF index
-    * build) — fit once per (corpusKey, k, seed), reuse across queries. */
+    * build) — fit once per full parameter set, reuse across queries. */
   def fitCached(df: DataFrame, corpusKey: String, textCol: String, k: Int,
-                seed: Long = 42L): org.apache.spark.ml.PipelineModel =
-    cache.computeIfAbsent((corpusKey, k, seed),
-      _ => fit(df, textCol, k, seed))
+                seed: Long = 42L, numFeatures: Int = 1 << 12)
+      : org.apache.spark.ml.PipelineModel =
+    cache.computeIfAbsent((corpusKey, k, seed, numFeatures),
+      _ => fit(df, textCol, k, seed, numFeatures))
 
   /** Assign clusters and return per-cluster document counts. */
   def clusterCounts(df: DataFrame, textCol: String, k: Int,

@@ -32,10 +32,12 @@ object Sample {
     pmod(conv(substring(md5(concat(lit(salt + ":"), key.cast("string"))),
       1, 15), 16, 10).cast("long"), lit(D))
 
-  /** Uniform deterministic sample: keeps ~`fraction` of rows. */
+  /** Uniform deterministic sample: keeps ~`fraction` of rows.
+    * (`round`, not truncation: 0.3·10⁶ is 299999.99… in binary — the
+    * cutoff must match an exact f·D reimplementation elsewhere.) */
   def hashSample(df: DataFrame, key: Column, fraction: Double,
                  salt: String = "s"): DataFrame =
-    df.where(sampleHash(key, salt) < (fraction * D).toLong)
+    df.where(sampleHash(key, salt) < math.round(fraction * D))
 
   /** Per-stratum quota sample: the `quota` rows with the smallest
     * sampling hash in each stratum (deterministic; ties broken by key).

@@ -70,8 +70,8 @@ object IvfIndex {
     new IvfIndex(spark.read.parquet(s"$path/assigned"),
       spark.read.parquet(s"$path/centroids"))
 
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), IvfIndex]()
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Long, Int), IvfIndex]()
 
   /** Test/diagnostic hook: number of KMeans fits performed. */
   @volatile private[graft] var builds = 0
@@ -85,7 +85,9 @@ object IvfIndex {
   def buildCached(spark: SparkSession, corpus: DataFrame, corpusKey: String,
                   idCol: String, vecCol: String, nLists: Int,
                   seed: Long = 42L, maxIter: Int = 20): IvfIndex =
-    cache.computeIfAbsent((corpusKey, nLists), { _ =>
+    // every build parameter is part of the key — a caller with a
+    // different seed/maxIter must not silently get a stale index
+    cache.computeIfAbsent((corpusKey, nLists, seed, maxIter), { _ =>
       val idx = build(spark, corpus, idCol, vecCol, nLists, seed, maxIter)
       idx.assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       idx.centroids.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -28,16 +28,25 @@ object StatefulSessions {
     * that closes the session does not reset the counter — (key,
     * session_id) stays unique and monotonic over the stream's lifetime,
     * matching the batch Sessionize ids. The post-timeout tombstone is
-    * one long per key ever seen.
+    * one long per key, purged after `tombstoneTtlSeconds` of
+    * inactivity so state stays bounded by recently-active keys.
     */
   case class SessState(nextId: Long, open: Option[OpenSession])
   case class ClosedSession(key: String, session_id: Long, n_events: Long,
                            start_s: Long, end_s: Long)
 
+  /** @param tombstoneTtlSeconds how long a closed key's id counter is
+    *        retained after its session times out. Within the TTL, new
+    *        sessions for the key continue the monotonic id sequence;
+    *        after it, the tombstone is purged (bounded state) and a
+    *        much-later revival restarts ids at 0 — the documented
+    *        trade-off between id monotonicity and state growth.
+    */
   def sessionize(spark: SparkSession, events: DataFrame, keyCol: String,
                  tsCol: String, gapSeconds: Long,
                  watermarkDelay: String = "1 hour",
-                 emitOpenAtTimeout: Boolean = true): Dataset[ClosedSession] = {
+                 emitOpenAtTimeout: Boolean = true,
+                 tombstoneTtlSeconds: Long = 7L * 24 * 3600): Dataset[ClosedSession] = {
     import spark.implicits._
     val withWm = if (events.isStreaming)
       events.withWatermark(tsCol, watermarkDelay) else events
@@ -52,13 +61,25 @@ object StatefulSessions {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (key, it, state: GroupState[SessState]) =>
           if (it.isEmpty && state.hasTimedOut) {
-            // watermark passed: close whatever is open; keep the id
-            // counter so later sessions for this key stay monotonic
             val st = state.getOption.getOrElse(SessState(0L, None))
-            val out = st.open.toList.map(s =>
-              ClosedSession(key, s.sessionId, s.nEvents, s.startS, s.endS))
-            state.update(SessState(st.nextId, None))
-            if (emitOpenAtTimeout) out.iterator else Iterator.empty
+            st.open match {
+              case Some(s) =>
+                // watermark passed: close the session; keep the id
+                // counter as a tombstone (with a purge horizon) so
+                // later sessions for this key stay monotonic
+                state.update(SessState(st.nextId, None))
+                state.setTimeoutTimestamp(
+                  (s.endS + gapSeconds + tombstoneTtlSeconds) * 1000 + 1)
+                if (emitOpenAtTimeout)
+                  Iterator(ClosedSession(key, s.sessionId, s.nEvents,
+                    s.startS, s.endS))
+                else Iterator.empty
+              case None =>
+                // tombstone TTL expired with no new activity: purge —
+                // state stays bounded by recently-active keys
+                state.remove()
+                Iterator.empty
+            }
           } else {
             val st = state.getOption.getOrElse(SessState(0L, None))
             val sorted = it.toSeq.sortBy(_.ts_s)
