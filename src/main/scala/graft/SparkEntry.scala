@@ -413,6 +413,23 @@ object SparkEntry {
           k = 8, bands = 4, minAgree = 4, w = 3)
         .orderBy("id_a", "id_b")),
 
+    // skew-safe two-phase aggregation registered AGAINST the plain
+    // group-by oracle: the salted partial/final equivalence is
+    // hash-checked by the gate, not just spec-asserted
+    "q64_salted_count" -> ((s, dir) =>
+      graft.ops.Skew.saltedCountBy(T(s, dir, "events"), col("event_type"))
+        .orderBy("member")),
+
+    // PII-style redaction (training-data cleaning): digit runs masked,
+    // distinct redacted shapes counted per event type
+    "q65_redact" -> ((s, dir) =>
+      T(s, dir, "events")
+        .select(col("event_type"),
+          regexp_replace(col("props"), "[0-9]+", "#").as("shape"))
+        .groupBy("event_type", "shape")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "shape")),
+
     // running total (cumulative window aggregate) — decimal so the
     // accumulation is order-independent (engines use different window
     // evaluation trees; float running sums would diverge bit-wise)
@@ -976,6 +993,14 @@ object SparkEntry {
            |  $sigs
            |FROM d ORDER BY doc_id""".stripMargin
       },
+
+      "q64_salted_count" ->
+        "SELECT event_type AS member, COUNT(*) AS score FROM events GROUP BY event_type ORDER BY member",
+
+      "q65_redact" ->
+        """SELECT event_type, regexp_replace(props, '[0-9]+', '#', 'g') AS shape,
+          |  COUNT(*) AS n
+          |FROM events GROUP BY 1, 2 ORDER BY event_type, shape""".stripMargin,
 
       "q63_cumsum" ->
         """SELECT l_orderkey, l_linenumber,
