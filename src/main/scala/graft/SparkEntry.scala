@@ -413,6 +413,18 @@ object SparkEntry {
           k = 8, bands = 4, minAgree = 4, w = 3)
         .orderBy("id_a", "id_b")),
 
+    // fuzzy-dedup completion: connected components over the portable
+    // simhash near-dup pairs → cluster keeper per doc. Oracle = a
+    // recursive-CTE transitive closure over the brute-force pair set,
+    // so both the pairs' recall AND the clustering are hash-checked
+    "q66_dedup_components" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val pairs = Dedup.portableSimhashPairs(docs, "doc_id", "text",
+        maxDist = 3)
+      Dedup.connectedComponents(docs, "doc_id", pairs, "id_a", "id_b")
+        .orderBy("id")
+    }),
+
     // skew-safe two-phase aggregation registered AGAINST the plain
     // group-by oracle: the salted partial/final equivalence is
     // hash-checked by the gate, not just spec-asserted
@@ -993,6 +1005,17 @@ object SparkEntry {
            |  $sigs
            |FROM d ORDER BY doc_id""".stripMargin
       },
+
+      "q66_dedup_components" ->
+        s"""${portableSimhashCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+           |p AS (SELECT a.doc_id AS src, b.doc_id AS dst
+           |  FROM f a JOIN f b ON a.doc_id <> b.doc_id
+           |  WHERE bit_count(xor(a.fp, b.fp)) <= 3),
+           |reach AS (
+           |  SELECT doc_id AS a, doc_id AS b FROM documents
+           |  UNION
+           |  SELECT r.a, p.dst FROM reach r JOIN p ON r.b = p.src)
+           |SELECT a AS id, MIN(b) AS comp FROM reach GROUP BY a ORDER BY id""".stripMargin,
 
       "q64_salted_count" ->
         "SELECT event_type AS member, COUNT(*) AS score FROM events GROUP BY event_type ORDER BY member",

@@ -278,6 +278,51 @@ object Dedup {
     pairsFromBlockKeys(fp, 60, 6, maxDist)
   }
 
+  /** Connected components over a near-dup pair set — the dedup
+    * COMPLETION step: near-duplicate relations are not transitive pair
+    * by pair (A~B, B~C but A≁C), so keeper selection must operate on
+    * whole clusters. Deterministic label propagation: every vertex
+    * starts as its own component; each round adopts the minimum label
+    * among itself and its neighbors; fixpoint after ≤ graph-diameter
+    * rounds (bounded by `maxIter`, error if not converged — never a
+    * silent partial result). Each round is one equi-join + one min
+    * aggregation — all shuffles on the id key, no driver-side graph.
+    * (GraphX's RDD connectedComponents is the built-in alternative;
+    * this stays in DataFrame land so AQE/codegen apply.)
+    *
+    * Returns (id, comp) for every vertex, comp = min id of its cluster
+    * — i.e. the cluster's keeper.
+    */
+  def connectedComponents(vertices: DataFrame, idCol: String,
+                          pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .persist()
+    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("comp"))
+      .persist()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val viaNeighbors = labels.join(edges, col("id") === col("dst"))
+        .select(col("src").as("id"), col("comp"))
+      val next = labels.unionAll(viaNeighbors)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .persist()
+      next.count()
+      // converged when no label decreased this round
+      converged = labels
+        .join(next.withColumnRenamed("comp", "comp_next"), "id")
+        .where(col("comp") =!= col("comp_next")).isEmpty
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    require(converged, s"connectedComponents: not converged after $maxIter rounds")
+    labels
+  }
+
   /** n-gram Jaccard near-dup: candidate pairs blocked on (blockCol,
     * length bucket) to bound the quadratic blow-up, then exact Jaccard
     * on distinct word w-shingles. Emits integer intersection/union sizes

@@ -100,6 +100,23 @@ class DedupSimSpec extends SparkSpec {
     assert(ann.nonEmpty)
   }
 
+  test("connected components: transitive clusters, singletons, convergence guard") {
+    import spark.implicits._
+    val verts = (1L to 7L).toDF("id")
+    // chain 1-2-3 (transitive: 1~3 only through 2), pair 5-6, singletons 4,7
+    val pairs = Seq((2L, 1L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(verts, "id", pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+    // a long chain must exceed a tiny maxIter and fail loudly
+    val chain = (1L until 20L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents((1L to 20L).toDF("id"), "id",
+        chain, "id_a", "id_b", maxIter = 2)
+    }
+  }
+
   test("native shingle_strings ≡ compositional shingles") {
     val d = spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
     for (w <- Seq(1, 2, 3, 5)) {
