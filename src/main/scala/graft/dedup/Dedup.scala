@@ -296,11 +296,27 @@ object Dedup {
   def connectedComponents(vertices: DataFrame, idCol: String,
                           pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .persist()
+    // Iterative DataFrames MUST truncate lineage each round
+    // (localCheckpoint): persist() caches execution but keeps the
+    // logical plan, which nests geometrically per round — the plan
+    // STRING alone OOMed an 8g driver before any data did. On a
+    // cluster, prefer reliable checkpointing for fault tolerance.
+    // Checkpointing the pair plan once also stops the mirrored union
+    // from executing it twice concurrently.
+    val p0 = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .localCheckpoint(true)
+    val edges = p0.unionAll(
+      p0.select(col("dst").as("src"), col("src").as("dst")))
     var labels = vertices.select(col(idCol).as("id"), col(idCol).as("comp"))
-      .persist()
+      .localCheckpoint(true)
+    // labels only ever DECREASE (min of self + neighbors), so the label
+    // sum is a fixpoint detector: unchanged sum ⇔ no label changed —
+    // one tiny aggregate per round instead of a comparison join
+    // decimal sum: long would overflow near 10^9 ids × 10^9 rows
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)")))
+        .collect()(0).getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -308,17 +324,13 @@ object Dedup {
         .select(col("src").as("id"), col("comp"))
       val next = labels.unionAll(viaNeighbors)
         .groupBy("id").agg(min("comp").as("comp"))
-        .persist()
-      next.count()
-      // converged when no label decreased this round
-      converged = labels
-        .join(next.withColumnRenamed("comp", "comp_next"), "id")
-        .where(col("comp") =!= col("comp_next")).isEmpty
-      labels.unpersist()
+        .localCheckpoint(true)
+      val curSum = labelSum(next)
       labels = next
+      converged = curSum.compareTo(prevSum) == 0
+      prevSum = curSum
       i += 1
     }
-    edges.unpersist()
     require(converged, s"connectedComponents: not converged after $maxIter rounds")
     labels
   }
