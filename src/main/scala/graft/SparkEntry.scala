@@ -108,10 +108,16 @@ object SparkEntry {
           T(s, dir, "region"), "r_regionkey")
         .groupBy(col("r_name"))
         .agg(count(lit(1)).as("n_customers"),
-          // explicit final width: Spark widens sum(DECIMAL(18,2)) to
-          // (28,2), DuckDB to (38,2) — values equal, hashes differ
-          sum(col("c_acctbal").cast("decimal(18,2)"))
-            .cast("decimal(38,2)").as("total_bal"))
+          // minor-units BIGINT (cents): DECIMAL *values* were proven
+          // equal across engines for two rounds, but the gate hashes
+          // the physical encoding (Spark fixed-len-byte-array vs
+          // DuckDB int128), which no width pinning aligns. Cents are
+          // exact integer math in both engines and int64 hashes
+          // identically everywhere. DecimalParitySpec pins
+          // cents == 100 × the decimal-typed sum, so the integer
+          // gate loses no precision evidence.
+          sum((col("c_acctbal").cast("decimal(18,2)") * 100).cast("long"))
+            .as("total_bal_c"))
         .orderBy("r_name")
     }),
 
@@ -121,12 +127,15 @@ object SparkEntry {
         .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast("decimal(18,2)"))
-            .cast("decimal(38,2)").as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)"))
-            .cast("decimal(38,2)").as("sum_base"),
-          sum(expr("CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"))
-            .cast("decimal(38,4)").as("sum_disc"),
+          // minor units (cents / 1e-4 units) as BIGINT: exact integer
+          // math both engines, identical hashes (see q08 note)
+          sum((col("l_quantity").cast("decimal(18,2)") * 100).cast("long"))
+            .as("sum_qty_c"),
+          sum((col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"))
+            .as("sum_base_c"),
+          sum(expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) * " +
+            "CAST((1 - CAST(l_discount AS DECIMAL(18,2))) * 100 AS BIGINT)"))
+            .as("sum_disc_e4"),
           count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag", "l_linestatus")),
 
@@ -283,11 +292,12 @@ object SparkEntry {
       T(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity").cast("decimal(18,2)"))
-            .cast("decimal(38,2)").as("sum_qty"))
+          // minor-units BIGINT (see q08 note)
+          sum((col("l_quantity").cast("decimal(18,2)") * 100).cast("long"))
+            .as("sum_qty_c"))
         .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("status"),
-          col("n"), col("sum_qty"))
+          col("n"), col("sum_qty_c"))
         .orderBy("flag", "status")),
 
     // serving-path top-k through the zset table (S11/K1 + T7 sentinel filter)
@@ -307,11 +317,12 @@ object SparkEntry {
       T(s, dir, "orders")
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast("decimal(18,2)"))
-            .cast("decimal(38,2)").as("sum_price"))
+          // minor-units BIGINT (see q08 note)
+          sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+            .as("sum_price_c"))
         .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
           coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
-          col("n"), col("sum_price"))
+          col("n"), col("sum_price_c"))
         .orderBy("status", "prio")),
 
     // the /count_board dashboard (S11/A15/A16/A17/T8) end-to-end
@@ -452,8 +463,9 @@ object SparkEntry {
       T(s, dir, "lineitem")
         .where(col("l_orderkey") < 100)
         .select(col("l_orderkey"), col("l_linenumber"),
-          sum(col("l_quantity").cast("decimal(18,2)")).over(w)
-            .cast("decimal(38,2)").as("run_qty"))
+          // minor-units BIGINT (see q08 note)
+          sum((col("l_quantity").cast("decimal(18,2)") * 100).cast("long"))
+            .over(w).as("run_qty_c"))
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
@@ -489,10 +501,12 @@ object SparkEntry {
         .groupBy(col("l_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
           col("o_orderpriority"))
-        .agg(sum(expr(
-          "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"))
-          .cast("decimal(38,4)").as("revenue"))
-        .orderBy(col("revenue").desc, col("l_orderkey"))
+        // 1e-4 minor units as BIGINT (see q08 note): r2 verdict flagged
+        // the decimal form as hash-green only by ordering+limit luck
+        .agg(sum(expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) * " +
+          "CAST((1 - CAST(l_discount AS DECIMAL(18,2))) * 100 AS BIGINT)"))
+          .as("revenue_e4"))
+        .orderBy(col("revenue_e4").desc, col("l_orderkey"))
         .limit(10)
     }),
 
@@ -511,9 +525,10 @@ object SparkEntry {
         .join(o, col("c_custkey") === col("o_custkey"))
         .join(l, col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("n_name"))
-        .agg(sum(expr(
-          "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"))
-          .cast("decimal(38,4)").as("revenue"))
+        // 1e-4 minor units as BIGINT (see q08 note)
+        .agg(sum(expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) * " +
+          "CAST((1 - CAST(l_discount AS DECIMAL(18,2))) * 100 AS BIGINT)"))
+          .as("revenue_e4"))
         .orderBy("n_name")
     }),
 
@@ -566,9 +581,10 @@ object SparkEntry {
         // float → string → decimal: the string is the float's shortest
         // round-trip decimal form in BOTH engines, so the decimal is
         // identical; casting float→decimal directly diverges (Spark
-        // expands via double, DuckDB via the shortest repr)
-        .agg(sum(col("x").cast("string").cast("decimal(18,9)"))
-            .cast("decimal(38,9)").as("csum"),
+        // expands via double, DuckDB via the shortest repr). Then
+        // nano-units BIGINT so the cross-engine hash is stable (q08 note).
+        .agg(sum((col("x").cast("string").cast("decimal(18,9)")
+              * 1000000000L).cast("long")).as("csum_e9"),
           count(lit(1)).as("n"))
         .orderBy("grp", "pos")),
 
@@ -638,11 +654,12 @@ object SparkEntry {
           Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
           col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast("decimal(18,2)"))
-            .cast("decimal(38,2)").as("sum_price"))
+          // minor-units BIGINT (see q08 note)
+          sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+            .as("sum_price_c"))
         .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
           coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
-          col("n"), col("sum_price"))
+          col("n"), col("sum_price_c"))
         .orderBy("status", "prio")),
 
     // the streaming counters pipeline END-TO-END inside the correctness
@@ -783,16 +800,16 @@ object SparkEntry {
 
       "q08_geo_join" ->
         """SELECT r_name, COUNT(*) AS n_customers,
-          |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_bal
+          |  CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_bal_c
           |FROM customer JOIN nation ON c_nationkey = n_nationkey
           |JOIN region ON n_regionkey = r_regionkey
           |GROUP BY r_name ORDER BY r_name""".stripMargin,
 
       "q09_tpch_q1" ->
         """SELECT l_returnflag, l_linestatus,
-          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base,
-          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc,
+          |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_qty_c,
+          |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_base_c,
+          |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) * CAST((1 - CAST(l_discount AS DECIMAL(18,2))) * 100 AS BIGINT)) AS BIGINT) AS sum_disc_e4,
           |  COUNT(*) AS n_rows
           |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
           |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
@@ -893,7 +910,7 @@ object SparkEntry {
         """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
           |  COALESCE(l_linestatus, 'ALL') AS status,
           |  COUNT(*) AS n,
-          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+          |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_qty_c
           |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
           |ORDER BY flag, status""".stripMargin,
 
@@ -919,7 +936,7 @@ object SparkEntry {
         """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
           |  COALESCE(o_orderpriority, 'ALL') AS prio,
           |  COUNT(*) AS n,
-          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+          |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_price_c
           |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
           |ORDER BY status, prio""".stripMargin,
 
@@ -1027,9 +1044,9 @@ object SparkEntry {
 
       "q63_cumsum" ->
         """SELECT l_orderkey, l_linenumber,
-          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+          |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER (
           |    PARTITION BY l_orderkey ORDER BY l_linenumber
-          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS run_qty
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_qty_c
           |FROM lineitem WHERE l_orderkey < 100
           |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
@@ -1045,18 +1062,18 @@ object SparkEntry {
 
       "q58_tpch_q3" ->
         """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_orderpriority,
-          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+          |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) * CAST((1 - CAST(l_discount AS DECIMAL(18,2))) * 100 AS BIGINT)) AS BIGINT) AS revenue_e4
           |FROM customer JOIN orders ON c_custkey = o_custkey
           |JOIN lineitem ON o_orderkey = l_orderkey
           |WHERE c_mktsegment = 'BUILDING'
           |  AND o_orderdate < TIMESTAMP '1997-06-30 00:00:00'
           |  AND l_shipdate > TIMESTAMP '1997-06-30 00:00:00'
           |GROUP BY 1, 2, 3
-          |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+          |ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10""".stripMargin,
 
       "q59_tpch_q5" ->
         """SELECT n_name,
-          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+          |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) * CAST((1 - CAST(l_discount AS DECIMAL(18,2))) * 100 AS BIGINT)) AS BIGINT) AS revenue_e4
           |FROM region JOIN nation ON r_regionkey = n_regionkey
           |JOIN customer ON n_nationkey = c_nationkey
           |JOIN orders ON c_custkey = o_custkey
@@ -1096,7 +1113,7 @@ object SparkEntry {
           |      i -> {'pos': i - 1, 'x': embedding[i]})) AS e
           |  FROM embeddings)
           |SELECT grp, CAST(e.pos AS INTEGER) AS pos,
-          |  CAST(SUM(CAST(CAST(e.x AS VARCHAR) AS DECIMAL(18,9))) AS DECIMAL(38,9)) AS csum,
+          |  CAST(SUM(CAST(CAST(CAST(e.x AS VARCHAR) AS DECIMAL(18,9)) * 1000000000 AS BIGINT)) AS BIGINT) AS csum_e9,
           |  COUNT(*) AS n
           |FROM x GROUP BY 1, 2 ORDER BY grp, pos""".stripMargin,
 
@@ -1154,7 +1171,7 @@ object SparkEntry {
         """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
           |  COALESCE(o_orderpriority, 'ALL') AS prio,
           |  COUNT(*) AS n,
-          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+          |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_price_c
           |FROM orders
           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
           |ORDER BY status, prio""".stripMargin,

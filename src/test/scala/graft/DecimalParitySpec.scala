@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/**
+ * Guards the minor-units gate encoding (q08/q09/q30/q35/q47/q55/q58/q59/
+ * q63): those contract queries emit money/quantity aggregates as BIGINT
+ * minor units because the gate hashes DECIMAL *physical* encodings
+ * (Spark fixed-len-byte-array vs DuckDB int128) which never align even
+ * when values are equal. The integer representation must not weaken the
+ * check, so this spec pins, per query family, that the registered
+ * minor-unit output equals the independently-computed DECIMAL-typed
+ * aggregate scaled by the unit factor — i.e. the representation change
+ * is lossless and the gate still verifies the full-precision value.
+ */
+class DecimalParitySpec extends SparkSpec {
+
+  private def q(name: String) =
+    SparkEntry.queries(name)(spark, sfDir)
+
+  test("q08 total_bal_c == 100 × decimal sum of c_acctbal per region") {
+    val cents = q("q08_geo_join")
+      .select("r_name", "total_bal_c").as[(String, Long)](
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.STRING,
+          org.apache.spark.sql.Encoders.scalaLong))
+      .collect().toMap
+    val dec = spark.read.parquet(s"$sfDir/customer.parquet")
+      .withColumnRenamed("c_nationkey", "n_nationkey")
+      .join(spark.read.parquet(s"$sfDir/nation.parquet")
+        .withColumnRenamed("n_regionkey", "r_regionkey"), "n_nationkey")
+      .join(spark.read.parquet(s"$sfDir/region.parquet"), "r_regionkey")
+      .groupBy("r_name")
+      .agg(sum(col("c_acctbal").cast("decimal(18,2)")).as("bal"))
+      .collect()
+      .map(r => r.getString(0) -> r.getDecimal(1)).toMap
+    assert(dec.nonEmpty && dec.keySet == cents.keySet)
+    dec.foreach { case (region, d) =>
+      assert(d.multiply(new java.math.BigDecimal(100)).longValueExact()
+        == cents(region), s"region $region")
+    }
+  }
+
+  test("q09 minor-unit sums == decimal sums × 100 / × 10000") {
+    val got = q("q09_tpch_q1").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("sum_qty_c"), r.getAs[Long]("sum_base_c"),
+          r.getAs[Long]("sum_disc_e4"))).toMap
+    val dec = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).as("qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("base"),
+        sum(expr("CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+          "(1 - CAST(l_discount AS DECIMAL(18,2)))")).as("disc"))
+      .collect()
+    assert(dec.length == got.size && dec.nonEmpty)
+    val c100 = new java.math.BigDecimal(100)
+    val c1e4 = new java.math.BigDecimal(10000)
+    dec.foreach { r =>
+      val (qc, bc, de4) = got((r.getString(0), r.getString(1)))
+      assert(r.getDecimal(2).multiply(c100).longValueExact() == qc)
+      assert(r.getDecimal(3).multiply(c100).longValueExact() == bc)
+      assert(r.getDecimal(4).multiply(c1e4).longValueExact() == de4)
+    }
+  }
+
+  test("q59 revenue_e4 == decimal revenue × 10000 per nation") {
+    val got = q("q59_tpch_q5").collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("revenue_e4")).toMap
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val dec = spark.read.parquet(s"$sfDir/region.parquet")
+      .where(col("r_name") === "ASIA")
+      .join(spark.read.parquet(s"$sfDir/nation.parquet"),
+        col("r_regionkey") === col("n_regionkey"))
+      .join(spark.read.parquet(s"$sfDir/customer.parquet"),
+        col("n_nationkey") === col("c_nationkey"))
+      .join(o, col("c_custkey") === col("o_custkey"))
+      .join(spark.read.parquet(s"$sfDir/lineitem.parquet"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("n_name")
+      .agg(sum(expr("CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(18,2)))")).as("rev"))
+      .collect()
+    assert(dec.nonEmpty && dec.length == got.size)
+    dec.foreach { r =>
+      assert(r.getDecimal(1).multiply(new java.math.BigDecimal(10000))
+        .longValueExact() == got(r.getString(0)), s"nation ${r.getString(0)}")
+    }
+  }
+
+  test("q55 csum_e9 == decimal component sum × 1e9") {
+    val got = q("q55_centroids").collect()
+      .map(r => (r.getAs[Long]("grp"), r.getAs[Int]("pos")) ->
+        r.getAs[Long]("csum_e9")).toMap
+    val dec = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select((col("vec_id") % 4).as("grp"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("grp", "pos")
+      .agg(sum(col("x").cast("string").cast("decimal(18,9)")).as("csum"))
+      .collect()
+    assert(dec.nonEmpty && dec.length == got.size)
+    val e9 = new java.math.BigDecimal(1000000000L)
+    dec.foreach { r =>
+      assert(r.getDecimal(2).multiply(e9).longValueExact()
+        == got((r.getLong(0), r.getInt(1))))
+    }
+  }
+}
