@@ -7,31 +7,45 @@ import org.apache.spark.sql.functions._
   * 257-278): subscribe `raw_log`, emit scored results to
   * `good_result`/`bad_result`.
   *
-  * No broker exists in the test container, so these builders are
-  * compile-checked and exercised indirectly: everything downstream of
-  * [[lines]] is the same code path the file source drives in
-  * StreamingSpec (the topologies differ only in source/sink format
-  * strings — the Structured Streaming planner treats them identically).
+  * No broker exists in the test container, so the `format("kafka")`
+  * terminals are compile-checked only — but every transformation stage
+  * is a pure DataFrame→DataFrame function exercised over MemoryStream
+  * in StreamingSpec ("kafka topology DAG"): [[splitLines]] on the
+  * source side, [[resultRecords]] (topic routing + JSON encode +
+  * `from_json` round-trip) on the sink side. Only the format strings
+  * at the edges are untested, and the Structured Streaming planner
+  * treats those identically to the file/memory formats.
   *
   * Design notes vs the reference:
   *  - no hand-rolled broadcast producer pool (streaming.scala:35-60) —
   *    the Kafka sink manages per-executor producers itself;
   *  - no driver-side `collectAsList` (streaming.scala:229-230) — rows
-  *    are serialized to JSON and written from executors.
+  *    are serialized to JSON and written from executors, one message
+  *    per record keyed by `host` (preserves per-host ordering within a
+  *    partition at any scale; the reference ships each micro-batch as
+  *    ONE giant driver-built message, which caps at the broker's max
+  *    message size);
+  *  - one kafka write per batch via a `topic` routing column, not one
+  *    write per class split.
   */
 object KafkaTopology {
+
+  /** T1: one Kafka record may carry several lines (streaming.scala:68).
+    * Pure stage over any frame with a `value` column (binary or string).
+    */
+  def splitLines(raw: DataFrame): DataFrame =
+    raw.select(explode(split(col("value").cast("string"), "\n")).as("value"))
 
   /** S1: the raw-log line stream (value = one-or-more log lines). */
   def lines(spark: SparkSession, bootstrap: String,
             topic: String = "raw_log"): DataFrame =
-    spark.readStream
-      .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", topic)
-      .option("startingOffsets", "latest")
-      .load()
-      // T1: one Kafka record may carry several lines (streaming.scala:68)
-      .select(explode(split(col("value").cast("string"), "\n")).as("value"))
+    splitLines(
+      spark.readStream
+        .format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", "latest")
+        .load())
 
   /** T9: one JSON document per row, all columns (reference
     * `toJSON.collectAsList.toString`, minus the driver round-trip).
@@ -39,19 +53,32 @@ object KafkaTopology {
   def toJsonRecords(df: DataFrame): DataFrame =
     df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
 
+  /** Route scored records to their result topic: (topic, key, value)
+    * rows ready for the kafka sink, in ONE frame — the sink reads the
+    * `topic` column per record, so both class splits ship in a single
+    * executor-side write. Pure stage, asserted round-trippable via
+    * `from_json` in StreamingSpec.
+    */
+  def resultRecords(scored: DataFrame,
+                    goodTopic: String = "good_result",
+                    badTopic: String = "bad_result"): DataFrame = {
+    scored.select(
+      when(col("prediction") === 0.0, lit(goodTopic))
+        .otherwise(lit(badTopic)).as("topic"),
+      col("host").cast("string").as("key"),
+      to_json(struct(scored.columns.map(col): _*)).as("value"))
+  }
+
   /** S5: write scored records to the per-class result topics. Call in
-    * `foreachBatch` after scoring, once per class split (T4).
+    * `foreachBatch` after scoring.
     */
   def writeResults(scored: DataFrame, bootstrap: String,
                    goodTopic: String = "good_result",
                    badTopic: String = "bad_result"): Unit = {
-    def send(df: DataFrame, topic: String): Unit =
-      toJsonRecords(df).write
-        .format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap)
-        .option("topic", topic)
-        .save()
-    send(scored.where(col("prediction") === 0.0), goodTopic)
-    send(scored.where(col("prediction") === 1.0), badTopic)
+    resultRecords(scored, goodTopic, badTopic).write
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .save()
+    ()
   }
 }

@@ -143,6 +143,38 @@ class IdsPipelineSpec extends SparkSpec {
     assert(json.contains("\"prediction\""))
   }
 
+  test("M7 export shape: probability is [P(good), P(bad)] doubles (app.py:494)") {
+    // the serving layer indexes `probability.values` positionally — pin
+    // that index 0 is the good class (label 0.0) and index 1 the bad
+    // class, as ARRAY<DOUBLE> summing to 1, in both the DataFrame and
+    // its JSON export (the two shapes the reference's consumers read)
+    val good = (1 to 200).map(i => s"/page$i/").toDF("url")
+    val bad = (1 to 200).map(i => s"<script>alert($i)</script>").toDF("url")
+    val model = IdsPipeline.train(good, bad)
+    val scored = IdsPipeline.score(model,
+      Seq("/benign-page/", "<script>alert(1)</script>").toDF("url"))
+    val rows = scored.select("url", "prediction", "probability").collect()
+    assert(scored.schema("probability").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, containsNull = false))
+    rows.foreach { r =>
+      val p = r.getSeq[Double](2)
+      assert(p.length == 2 && math.abs(p.sum - 1.0) < 1e-9)
+      // positional contract: argmax index == prediction label
+      val argmax = if (p(0) >= p(1)) 0.0 else 1.0
+      assert(argmax == r.getDouble(1), s"row $r")
+    }
+    val benign = rows.find(_.getString(0).startsWith("/benign")).get
+    val attack = rows.find(_.getString(0).startsWith("<script")).get
+    assert(benign.getSeq[Double](2)(0) > 0.5) // P(good) leads for benign
+    assert(attack.getSeq[Double](2)(1) > 0.5) // P(bad) leads for attack
+    // JSON export carries the same array
+    val json = graft.stream.KafkaTopology.toJsonRecords(scored).collect()
+      .map(_.getString(0))
+    json.foreach(j => assert(
+      j.contains("\"probability\":[") && j.contains("\"prediction\":")))
+  }
+
   test("A15: approx_count_distinct within 10% of exact") {
     val ev = events()
     val exact = graft.ops.Aggregations.distinctCount(ev,

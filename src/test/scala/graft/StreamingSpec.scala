@@ -365,4 +365,66 @@ class StreamingSpec extends SparkSpec {
       .agg(count(lit(1)).as("score")).orderBy("member").collect().toSeq
     assert(got == want)
   }
+
+  test("kafka topology DAG: MemoryStream → splitLines → parse → score → resultRecords round-trip (S1/S5/T1/T9)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // multi-line kafka records (streaming.scala:68): 3 CLF lines per record
+    val lines = LogGen.clfLines(events()).limit(120)
+      .collect().map(_.getString(0))
+    val mem =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    mem.addData(lines.grouped(3).map(_.mkString("\n")).toSeq: _*)
+
+    val good = (1 to 200).map(i => s"/page$i/").toDF("url")
+    val bad = (1 to 200).map(i => s"<script>alert($i)</script>").toDF("url")
+    val model = graft.ml.IdsPipeline.train(good, bad)
+    def scoreFn(df: org.apache.spark.sql.DataFrame) =
+      graft.ml.IdsPipeline.score(model, df.withColumn("url", col("req_url")))
+
+    // the exact writeResults DAG minus only the format("kafka") terminal
+    val outPath = tmp("kafka_records")
+    val q = graft.stream.KafkaTopology.splitLines(mem.toDF())
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", tmp("kafka_ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.stream.KafkaTopology
+          .resultRecords(scoreFn(ClfParser.parseNative(batch)))
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .start()
+    q.awaitTermination(120000)
+
+    val records = spark.read.parquet(outPath)
+    // kafka sink contract: exactly (topic, key, value), one row per line
+    assert(records.columns.sorted.toSeq == Seq("key", "topic", "value"))
+    assert(records.count() == 120)
+    assert(records.where(!col("topic").isin("good_result", "bad_result"))
+      .count() == 0)
+
+    // JSON round-trip: from_json recovers the scored rows exactly
+    val batchScored = scoreFn(ClfParser.parseNative(
+      spark.createDataset(lines.toSeq).toDF("value")))
+    val roundTrip = records.select(
+        from_json(col("value"), batchScored.schema).as("r"), col("topic"),
+        col("key"))
+    def counts(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = counts(roundTrip
+      .groupBy(col("r.host")).agg(count(lit(1)).as("n"))
+      .select(col("host"), col("n")))
+    val want = counts(batchScored
+      .groupBy(col("host")).agg(count(lit(1)).as("n")))
+    assert(got == want)
+    // topic routing == prediction split, and key == host
+    val goodN = batchScored.where(col("prediction") === 0.0).count()
+    assert(records.where(col("topic") === "good_result").count() == goodN)
+    assert(roundTrip.where(col("key") =!= col("r.host")).count() == 0)
+    // probability export shape: ARRAY<DOUBLE>[2] summing to 1 (app.py:494)
+    val p = roundTrip.select(col("r.probability")).as[Seq[Double]].head()
+    assert(p.length == 2 && math.abs(p.sum - 1.0) < 1e-9)
+  }
 }
