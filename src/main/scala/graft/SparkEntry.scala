@@ -410,6 +410,20 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("score"), 4).as("score_r"))
         .orderBy("id_a", "id_b")),
 
+    // the LINEAR-cost twin of q39 (the 100 TB path): multi-table LSH
+    // candidates + exact cosine verify. Oracle = the exact all-pairs
+    // SQL, so the gate hash-checks recall the way q57 does for simhash:
+    // a green row IS a measured recall of 1.0 at these parameters
+    // (16 tables × 4 bits, measured at sf0.001 and sf0.01 — see
+    // ApproxDiag; deterministic hyperplanes, so the gate result is a
+    // fact, not a coin flip). Precision is exact by construction
+    // (verify step). DedupSimSpec asserts recall ≥ 0.95.
+    "q67_dedup_embedding_approx" -> ((s, dir) =>
+      Similarity.cosineDupPairsApprox(T(s, dir, "embeddings"), "vec_id",
+          "embedding", threshold = 0.45, dim = 64, nTables = 16, nBits = 4)
+        .select(col("id_a"), col("id_b"), round(col("score"), 4).as("score_r"))
+        .orderBy("id_a", "id_b")),
+
     // portable MinHash signatures (md5 shingle hash → oracle-checkable)
     "q34_minhash_portable" -> ((s, dir) =>
       Dedup.portableMinhash(T(s, dir, "documents"), "doc_id", "text",
@@ -978,6 +992,18 @@ object SparkEntry {
           |  FROM events) WHERE rn <= 3 ORDER BY user_id, rank""".stripMargin,
 
       "q39_dedup_embedding" ->
+        """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+          |    CAST(b.embedding AS DOUBLE[])), 4) AS score_r
+          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+          |  CAST(b.embedding AS DOUBLE[])) >= 0.45
+          |ORDER BY id_a, id_b""".stripMargin,
+
+      // same exact-pair oracle as q39: a hash-green row proves the
+      // approximate path recalled every true pair (and precision is
+      // exact by construction)
+      "q67_dedup_embedding_approx" ->
         """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
           |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
           |    CAST(b.embedding AS DOUBLE[])), 4) AS score_r

@@ -94,7 +94,8 @@ object Similarity {
     * broadcast/OOM. That is fundamental to exact-recall cosine pairs
     * in high dimensions, not an implementation artifact. Past ~10⁷
     * vectors, switch to approximate candidates with the same exact
-    * verify: [[annTopK]] multi-table LSH or [[IvfIndex]] cells,
+    * verify: [[cosineDupPairsApprox]] (registered as q67, hash-checked
+    * against the exact pair set in-gate) or [[IvfIndex]] cells,
     * thresholding within buckets (bounded recall loss, linear cost).
     */
   def cosineDupPairsBlocked(corpus: DataFrame, idCol: String,
@@ -139,21 +140,28 @@ object Similarity {
                            nBits: Int = 8): DataFrame = {
     val base = corpus.select(col(idCol).as("id"),
       asDouble(col(vecCol)).as("v"))
-    val keyed = base.select(col("id"), col("v"),
+    // candidate generation shuffles IDS ONLY (8-byte keys, not the
+    // dim-sized vectors), dedups (id_a, id_b) across tables BEFORE the
+    // exact verify, then re-joins the vectors by id — so each surviving
+    // pair pays ONE cosine and the big exploded join never carries
+    // vector payloads
+    val keyed = base.select(col("id"),
       posexplode(array((0 until nTables).map { t =>
         lshBucketSeeded(col("v"), dim, nBits, seed = t * 7919)
       }: _*)).as(Seq("tbl", "key")))
-    val a = keyed.select(col("tbl"), col("key"), col("id").as("id_a"),
-      col("v").as("va"))
-    val b = keyed.select(col("tbl"), col("key"), col("id").as("id_b"),
-      col("v").as("vb"))
-    a.join(b, Seq("tbl", "key"))
+    val candidates = keyed.select(col("tbl"), col("key"), col("id").as("id_a"))
+      .join(keyed.select(col("tbl"), col("key"), col("id").as("id_b")),
+        Seq("tbl", "key"))
       .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    candidates
+      .join(base.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
       .select(col("id_a"), col("id_b"),
         graft.functions.CosineSimExpr.cosine_sim(col("va"), col("vb"))
           .as("score"))
       .where(col("score") >= threshold)
-      .distinct()
   }
 
   /** [[lshBucket]] with a seed offset, for independent tables. */

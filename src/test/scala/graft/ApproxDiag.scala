@@ -1,0 +1,24 @@
+package graft
+
+import graft.sim.Similarity
+
+object ApproxDiag {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSpec.spark
+    for (sf <- Seq("0.001", "0.01")) {
+      val emb = spark.read.parquet(s"/root/testdata/sf$sf/embeddings.parquet")
+      def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+      val exact = Similarity.cosineDupPairs(emb, "vec_id", "embedding", 0.45)
+        .select("id_a", "id_b").collect().map(key).toSet
+      for (nt <- Seq(16, 24, 32, 48); nb <- Seq(3, 4, 5)) {
+        val approx = Similarity.cosineDupPairsApprox(emb, "vec_id",
+            "embedding", 0.45, dim = 64, nTables = nt, nBits = nb)
+          .select("id_a", "id_b").collect().map(key).toSet
+        val rec = if (exact.isEmpty) 1.0
+          else (approx & exact).size.toDouble / exact.size
+        println(f"[diag] sf$sf nT=$nt nB=$nb recall=$rec%.3f " +
+          s"(${(approx & exact).size}/${exact.size})")
+      }
+    }
+  }
+}

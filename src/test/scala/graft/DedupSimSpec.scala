@@ -250,12 +250,15 @@ class DedupSimSpec extends SparkSpec {
     def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
     val exact = Similarity.cosineDupPairs(emb, "vec_id", "embedding", 0.45)
       .select("id_a", "id_b").collect().map(key).toSet
+    // the q67-registered parameters: 16 tables × 4 bits (measured
+    // recall 1.0 at sf0.001 and sf0.01 — see ApproxDiag — with the
+    // in-gate hash vs the exact-pair oracle proving it each round)
     val approx = Similarity.cosineDupPairsApprox(emb, "vec_id", "embedding",
-        0.45, dim = 64, nTables = 12, nBits = 6)
+        0.45, dim = 64, nTables = 16, nBits = 4)
       .select("id_a", "id_b").collect().map(key).toSet
     assert((approx -- exact).isEmpty) // precision exact by construction
     val recall = (approx & exact).size.toDouble / exact.size
-    assert(recall >= 0.5, s"recall $recall of ${exact.size}")
+    assert(recall >= 0.95, s"recall $recall of ${exact.size}")
   }
 
   test("portable minhash pairs: exact dups agree on all k; join is banded") {
