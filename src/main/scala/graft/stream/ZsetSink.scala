@@ -23,11 +23,18 @@ import org.apache.spark.sql.functions._
   */
 class ZsetSink(val path: String) extends Serializable {
 
-  /** Merge one micro-batch's (metric, member, score) delta. */
+  /** Merge one micro-batch's (metric, member, score) delta.
+    *
+    * No repartition: the delta arrives from its aggregation already
+    * hash-partitioned and AQE-coalesced (foreachBatch bodies are batch
+    * plans, so AQE applies), so a small batch writes ~1 file and a
+    * large one fans out across tasks — forcing `repartition(1)` here
+    * funneled EVERY batch's delta (millions of rows at 100× ingest
+    * across per-second/per-url/per-host metrics) through one task.
+    */
   def merge(delta: DataFrame, batchId: Long): Unit =
     delta
       .withColumn("batch_id", lit(batchId))
-      .repartition(1) // deltas are small post-aggregation; one file each
       .write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
@@ -65,8 +72,12 @@ class ZsetSink(val path: String) extends Serializable {
     // the base MUST stay a batch_id=-1 partition directory — an
     // unpartitioned base next to later batch_id=N dirs makes Spark
     // reject the mixed layout ("conflicting directory structures")
-    merged.withColumn("batch_id", lit(-1L))
-      .repartition(1)
+    // partition the base by metric: the compacted totals table is the
+    // one zset artifact that grows with history (all members ever
+    // seen), so its write must scale out too; within-metric rows stay
+    // co-located for metric-filtered serving reads
+    merged.repartition(col("metric"))
+      .withColumn("batch_id", lit(-1L))
       .write.mode("overwrite")
       .partitionBy("batch_id")
       .parquet(path + ".compact")

@@ -366,6 +366,25 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("zset merge scales out: a multi-partition delta writes multiple tasks' files") {
+    import spark.implicits._
+    // at 100× ingest a batch delta is millions of rows; merge must not
+    // funnel them through one task (the r2-flagged repartition(1)).
+    // A delta arriving with N partitions must write N files under its
+    // batch_id partition — and totals/idempotence must be unaffected.
+    val sink = new ZsetSink(tmp("zset_fan"))
+    val delta = (1 to 1000).map(i => ("url", s"/p$i", 1L))
+      .toDF("metric", "member", "score").repartition(4)
+    sink.merge(delta, 0L)
+    val files = new java.io.File(sink.path, "batch_id=0")
+      .listFiles.count(_.getName.endsWith(".parquet"))
+    assert(files >= 2, s"delta write collapsed to $files file(s)")
+    assert(sink.read(spark).count() == 1000)
+    sink.merge(delta, 0L) // idempotent overwrite of the same batch
+    assert(sink.read(spark).count() == 1000)
+    assert(sink.zscore(spark, "url", "/p1").collect()(0).getLong(0) == 1L)
+  }
+
   test("kafka topology DAG: MemoryStream → splitLines → parse → score → resultRecords round-trip (S1/S5/T1/T9)") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
