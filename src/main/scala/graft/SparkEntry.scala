@@ -701,6 +701,30 @@ object SparkEntry {
       sink.read(s).orderBy("metric", "member")
     }),
 
+    // v3 Flink UV counter (v3/flink_uv_counter.py:34-39) as a real
+    // stream in the gate: CLF file replay → per-host 10 s tumbling
+    // windows → complete-mode memory sink; oracle = batch epoch-bucket
+    // SQL, so stream ≡ batch window semantics is hash-checked
+    "q68_uv_window" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val root = java.nio.file.Files.createTempDirectory("graft_q68")
+      val src = root.resolve("src").toString
+      LogGen.clfLines(T(s, dir, "events")).coalesce(2).write.text(src)
+      val q = graft.stream.LogStream.uvWindowCounts(
+          s.readStream.option("maxFilesPerTrigger", "1").text(src))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName("q68_uv")
+        .option("checkpointLocation", root.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      if (!q.awaitTermination(180000)) {
+        q.stop()
+        throw new IllegalStateException(
+          "q68 stream did not complete within 180s")
+      }
+      s.table("q68_uv").orderBy("win_s", "host")
+    }),
+
     // /get_map markers: per-host counts enriched with the deterministic
     // geo fixture (one parse, aggregate-then-derive — see geoEnrich)
     "q45_geo_map" -> ((s, dir) =>
@@ -1203,6 +1227,12 @@ object SparkEntry {
           |ORDER BY status, prio""".stripMargin,
 
       "q48_streaming_zset" -> oracleSqlQ14,
+
+      "q68_uv_window" ->
+        s"""$logsCte
+           |SELECT CAST(floor(epoch(tsec) / 10) * 10 AS BIGINT) AS win_s,
+           |  host, COUNT(*) AS n
+           |FROM logs GROUP BY 1, 2 ORDER BY win_s, host""".stripMargin,
 
       "q45_geo_map" ->
         s"""$logsCte,

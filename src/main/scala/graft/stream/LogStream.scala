@@ -76,6 +76,25 @@ object LogStream {
       .agg(count(lit(1)).as("score"))
       .select(unix_millis(col("window.start")).as("ts_ms"), col("score"))
 
+  /** v3 UV counter (v3/flink_uv_counter.py:34-39): per-host hit counts
+    * over 10 s tumbling windows. The reference keys each line on its
+    * first token (the host) and windows on PROCESSING time; here the
+    * windows are EVENT time (the parsed log timestamp) — the
+    * deterministic twin (for live tailing the two coincide up to
+    * delivery lag), which is what makes the operator oracle-checkable
+    * (q68) and replayable. Run in complete mode for the reference's
+    * run-forever running totals, or add a watermark upstream for
+    * bounded state (see [[windowedCounts]]).
+    */
+  def uvWindowCounts(lines: DataFrame,
+                     windowLen: String = "10 seconds"): DataFrame =
+    ClfParser.parse(lines)
+      .where(col("ts").isNotNull)
+      .groupBy(window(col("ts"), windowLen), col("host"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("win_s"),
+        col("host"), col("n"))
+
   /** The FULL reference scoring loop (streaming.scala:188-235) in one
     * idempotent foreachBatch: parse once, score once, merge the plain
     * zset counters AND the four IDS metrics (good/bad/goodts/badts) as
