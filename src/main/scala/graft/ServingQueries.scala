@@ -148,4 +148,27 @@ object ServingQueries {
       .orderBy("host", "req_url")
       .offset(page * pageSize)
       .limit(pageSize)
+
+  /** Keyset ("seek") variant of [[geoDetailsPage]] — the serving idiom
+    * that scales to deep pages: instead of sorting everything and
+    * discarding `page·pageSize` rows, the cursor predicate
+    * `(host, req_url) > (last_host, last_url)` prunes BEFORE the sort,
+    * so each page costs the same regardless of depth. `afterKey` is
+    * the last (host, req_url) of the previous page; `None` = page 0.
+    * ServingQueriesSpec proves page-via-keyset ≡ page-via-offset.
+    */
+  def geoDetailsAfter(logs: DataFrame,
+                      afterKey: Option[(String, String)],
+                      pageSize: Int = 25): DataFrame = {
+    val base = geoEnrich(logs.where(col("host") =!= "foo")
+      .groupBy("host", "req_url").agg(count(lit(1)).as("n_req")))
+      .select("host", "req_url", "lng", "lat", "address", "n_req")
+    val cursored = afterKey match {
+      case Some((h, u)) =>
+        base.where(col("host") > h ||
+          (col("host") === h && col("req_url") > u))
+      case None => base
+    }
+    cursored.orderBy("host", "req_url").limit(pageSize)
+  }
 }

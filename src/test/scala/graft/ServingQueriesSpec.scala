@@ -70,6 +70,24 @@ class ServingQueriesSpec extends SparkSpec {
     assert(p1 == Seq(("3.3.3.3", "/a")))
   }
 
+  test("geo keyset pagination ≡ offset pagination at every depth") {
+    val logs = graft.logs.ClfParser.parseNative(
+      graft.logs.LogGen.clfLines(events()))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    // walk 3 pages by cursor and compare each against the offset twin
+    var after: Option[(String, String)] = None
+    for (page <- 0 to 2) {
+      val viaOffset = rows(
+        ServingQueries.geoDetailsPage(logs, page, pageSize = 25))
+      val viaKeyset = rows(
+        ServingQueries.geoDetailsAfter(logs, after, pageSize = 25))
+      assert(viaKeyset == viaOffset, s"page $page diverged")
+      assert(viaKeyset.size == 25)
+      after = Some(viaKeyset.last)
+    }
+  }
+
   test("id_timeline: full-outer zero-filled merge") {
     val z = Seq(
       ("goodts", "1000", 3L), ("badts", "1000", 1L), ("badts", "2000", 2L)
