@@ -117,6 +117,37 @@ class DedupSimSpec extends SparkSpec {
     }
   }
 
+  test("connected components: giant skewed cluster + max-diameter chain at 30k/8k vertices") {
+    import spark.implicits._
+    // the r2 verdict's skew watch: one mega-cluster makes a single
+    // `comp` value dominate the pointer-doubling self-join key. Hub
+    // topology (every vertex paired with vertex 0) is that worst case —
+    // all rows carry comp=0 after round 1. It must converge fast and
+    // label everything 0; the skewed key lands in hash-agg partial
+    // aggregation (map-side combine) + an AQE-splittable join, not a
+    // driver bottleneck. PLANS.md records the measured times.
+    val nHub = 30000
+    val t0 = System.nanoTime()
+    val hub = Dedup.connectedComponents(
+      (0L until nHub).toDF("id"), "id",
+      (1L until nHub).map(i => (0L, i)).toDF("id_a", "id_b"), "id_a", "id_b")
+    assert(hub.where(col("comp") =!= 0L).count() == 0)
+    assert(hub.count() == nHub)
+    val tHub = (System.nanoTime() - t0) / 1e9
+    // max-diameter chain: pointer doubling must converge in O(log n)
+    // rounds — 8k diameter within the default 20-round budget (a plain
+    // propagation would need 8k rounds)
+    val nChain = 8192L
+    val t1 = System.nanoTime()
+    val chain = Dedup.connectedComponents(
+      (0L until nChain).toDF("id"), "id",
+      (1L until nChain).map(i => (i - 1, i)).toDF("id_a", "id_b"),
+      "id_a", "id_b")
+    assert(chain.where(col("comp") =!= 0L).count() == 0)
+    val tChain = (System.nanoTime() - t1) / 1e9
+    info(f"hub n=$nHub: $tHub%.1f s; chain n=$nChain: $tChain%.1f s")
+  }
+
   test("native shingle_strings ≡ compositional shingles") {
     val d = spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
     for (w <- Seq(1, 2, 3, 5)) {
