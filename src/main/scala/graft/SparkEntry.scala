@@ -490,6 +490,20 @@ object SparkEntry {
           col("doc_id"), col("text"), w = 2, minDocs = 30)
         .orderBy("ngram")),
 
+    // intra-doc repetition stats (Gopher/C4 repetition rule): total vs
+    // distinct 2-grams per doc; pure per-row expressions, no shuffle
+    "q69_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(T(s, dir, "documents"),
+          col("doc_id"), col("text"), w = 2)
+        .orderBy("doc_id")),
+
+    // sequence packing (concat-and-chunk into 512-token training
+    // windows, sharded by lang so the prefix sum parallelizes)
+    "q70_pack_sequences" -> ((s, dir) =>
+      TextAnalysis.packSequences(T(s, dir, "documents"), col("doc_id"),
+          col("text"), col("lang"), targetTokens = 512)
+        .orderBy("shard", "seq_id")),
+
     // TF-IDF + KMeans document clustering (unsupervised corpus
     // exploration; deterministic seed — rows-only, spec-covered). The
     // fit is cached per dataset like the IVF build: assignment-only on
@@ -1109,6 +1123,28 @@ object SparkEntry {
           |u AS (SELECT doc_id, unnest(sh) AS ngram FROM d)
           |SELECT ngram, COUNT(*) AS n_docs FROM u
           |GROUP BY ngram HAVING COUNT(*) > 30 ORDER BY ngram""".stripMargin,
+
+      "q69_repetition" ->
+        """WITH d AS (SELECT doc_id,
+          |    list_transform(
+          |      range(1, greatest(len(string_split(text, ' ')) - 1, 1) + 1),
+          |      i -> array_to_string(string_split(text, ' ')[i:i+1], ' ')) AS sh
+          |  FROM documents)
+          |SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_ngrams,
+          |  CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct
+          |FROM d ORDER BY doc_id""".stripMargin,
+
+      "q70_pack_sequences" ->
+        """WITH t AS (SELECT lang AS shard, doc_id,
+          |    CAST(len(regexp_extract_all(text,
+          |      '[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tok
+          |  FROM documents),
+          |c AS (SELECT shard, doc_id, n_tok,
+          |    SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+          |      ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+          |SELECT shard, CAST(floor((cum - n_tok) / 512) AS BIGINT) AS seq_id,
+          |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS seq_tokens
+          |FROM c GROUP BY 1, 2 ORDER BY shard, seq_id""".stripMargin,
 
       "q58_tpch_q3" ->
         """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_orderpriority,

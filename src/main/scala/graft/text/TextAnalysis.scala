@@ -105,4 +105,45 @@ object TextAnalysis {
       .groupBy("ngram")
       .agg(count(lit(1)).as("n_docs"))
       .where(col("n_docs") > minDocs)
+
+  /** Intra-document repetition stats (the Gopher/C4 "repetition"
+    * quality rule): per doc, total vs DISTINCT w-gram counts. A doc
+    * whose n_distinct ≪ n_ngrams is looping boilerplate (scraper
+    * chrome, generated spam) and gets filtered from training data.
+    * Integer-exact (the ratio is a downstream division), per-row only —
+    * no shuffle at all, the filter composes into any scan.
+    */
+  def repetitionStats(df: DataFrame, idCol: Column, textCol: Column,
+                      w: Int = 2): DataFrame = {
+    val sh = graft.functions.ShinglesExpr.shingle_strings(textCol, w)
+    df.select(idCol.as("doc_id"),
+      size(sh).cast("long").as("n_ngrams"),
+      size(array_distinct(sh)).cast("long").as("n_distinct"))
+  }
+
+  /** Sequence packing — the "concat and chunk" step that turns a
+    * document corpus into fixed-token-budget training sequences: docs
+    * are laid out in deterministic order within each shard, a running
+    * token total assigns every doc to the sequence window its FIRST
+    * token falls in, and sequences report their doc/token totals.
+    *
+    * The running sum is windowed PER SHARD (`shardCol`) — sequences
+    * never cross shards, so packing parallelizes across shards instead
+    * of forcing the one-partition global-order window that a naive
+    * `ORDER BY doc_id` prefix sum would need at 100 TB. (Real
+    * pipelines shard the same way: by language, source, or hash
+    * bucket.)
+    */
+  def packSequences(df: DataFrame, idCol: Column, textCol: Column,
+                    shardCol: Column, targetTokens: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+    df.select(shardCol.as("shard"), idCol.as("doc_id"),
+        bpeishCount(textCol).cast("long").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("seq_id",
+        floor((col("cum") - col("n_tok")) / lit(targetTokens)))
+      .groupBy("shard", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("seq_tokens"))
+  }
 }

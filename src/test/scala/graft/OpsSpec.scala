@@ -31,6 +31,44 @@ class OpsSpec extends SparkSpec {
     assert(got == Seq(("other", 4L), ("success", 2L)))
   }
 
+  test("repetition stats: looping doc flagged, varied doc clean") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam"),
+      (2L, "the quick brown fox jumps high")).toDF("doc_id", "text")
+    val got = graft.text.TextAnalysis.repetitionStats(docs,
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"), w = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == (5L, 1L)) // 5 bigrams, all "spam spam"
+    assert(got(2L) == (5L, 5L)) // all distinct
+  }
+
+  test("sequence packing: per-shard prefix sums, totals conserved") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val packed = graft.text.TextAnalysis.packSequences(docs,
+      org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("text"),
+      org.apache.spark.sql.functions.col("lang"), targetTokens = 512)
+    val viaSeqs = packed.agg(
+        org.apache.spark.sql.functions.sum("n_docs"),
+        org.apache.spark.sql.functions.sum("seq_tokens")).collect()(0)
+    val direct = docs.select(
+        graft.text.TextAnalysis.bpeishCount(
+          org.apache.spark.sql.functions.col("text")).cast("long").as("n"))
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.sum("n")).collect()(0)
+    // every doc lands in exactly one sequence; no token lost or doubled
+    assert(viaSeqs.getLong(0) == direct.getLong(0))
+    assert(viaSeqs.getLong(1) == direct.getLong(1))
+    // a sequence never starts past the budget boundary: each shard's
+    // seq_ids are a prefix-contiguous set starting at 0
+    val bad = packed.groupBy("shard")
+      .agg(org.apache.spark.sql.functions.min("seq_id").as("lo"))
+      .where(org.apache.spark.sql.functions.col("lo") =!= 0L).count()
+    assert(bad == 0)
+  }
+
   test("K1 top-k: deterministic tie-break by key") {
     val df = Seq(("b", 5L), ("a", 5L), ("c", 9L), ("d", 1L)).toDF("k", "n")
     val got = TopK.topK(df, col("n"), col("k"), 3).collect()
