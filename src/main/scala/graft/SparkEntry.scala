@@ -634,6 +634,18 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")),
 
+    // training-mix assembly: per-source deterministic rates (en-as-wiki
+    // ×0.8, rest-as-web ×0.25), independent per-source decisions
+    "q71_mixture" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      graft.ops.Sample.mixture(Seq(
+          ("wiki", d.where(col("lang") === "en"), 0.8),
+          ("web", d.where(col("lang") =!= "en"), 0.25)),
+        col("doc_id"))
+        .select(col("source"), col("doc_id"))
+        .orderBy("source", "doc_id")
+    }),
+
     // stratified quota sample via the bounded-heap top_k aggregate
     // (map-side truncation: shuffles ≤ quota rows/stratum/partition)
     "q50_stratified_sample" -> ((s, dir) =>
@@ -1215,6 +1227,17 @@ object SparkEntry {
           |WHERE CAST(('0x' || substr(md5('s:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
           |  % 1000000 < 100000
           |ORDER BY doc_id""".stripMargin,
+
+      "q71_mixture" ->
+        """SELECT source, doc_id FROM (
+          |  SELECT 'wiki' AS source, doc_id FROM documents WHERE lang = 'en'
+          |  AND CAST(('0x' || substr(md5('mix:wiki:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+          |    % 1000000 < 800000
+          |  UNION ALL
+          |  SELECT 'web', doc_id FROM documents WHERE lang <> 'en'
+          |  AND CAST(('0x' || substr(md5('mix:web:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+          |    % 1000000 < 250000)
+          |ORDER BY source, doc_id""".stripMargin,
 
       "q50_stratified_sample" ->
         """WITH s AS (SELECT lang AS stratum, CAST(doc_id AS VARCHAR) AS key,

@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, Murmur3HashFunction, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+
+/** Native multi-table random-hyperplane LSH signature over an
+  * ARRAY<DOUBLE> vector: one `nBits`-bit sign key per table, all tables
+  * in ONE fused pass over the vector.
+  *
+  * Bit-identical to the compositional
+  * [[graft.sim.Similarity.lshBucketSeeded]] (same Murmur3-derived
+  * hyperplane weights — `hash(lit(seed + p·dim + j))` — same
+  * left-to-right fold order, same sign/bit packing; asserted in
+  * DedupSimSpec), but the HOF formulation evaluates
+  * nTables·nBits·dim interpreted lambda calls per row — 8 192 for the
+  * 8×16 near-dup configuration — where this is a single
+  * codegen-inlined loop over a cached weight matrix. That is the
+  * difference between the bucketing step dominating a billion-vector
+  * sketch and it being a rounding error next to the shuffle.
+  */
+case class CosLshSigExpr(child: Expression, nTables: Int, nBits: Int,
+                         dim: Int, seedStep: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    CosLshSigExpr.compute(input.asInstanceOf[ArrayData],
+      nTables, nBits, dim, seedStep)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.CosLshSigExpr.compute($c, $nTables, $nBits, $dim, $seedStep)")
+
+  override protected def withNewChildInternal(newChild: Expression): CosLshSigExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "cos_lsh_sig"
+}
+
+object CosLshSigExpr {
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int, Int), Array[Double]]()
+
+  /** Flat [t][p][j] hyperplane weights, identical to the HOF twin:
+    * component = murmur3(seed + p·dim + j, seed 42) as a signed int,
+    * divided by 2·Int.MaxValue (zero-mean in [-0.5, 0.5)). */
+  private def weights(nTables: Int, nBits: Int, dim: Int,
+                      seedStep: Int): Array[Double] =
+    cache.computeIfAbsent((nTables, nBits, dim, seedStep), _ => {
+      val w = new Array[Double](nTables * nBits * dim)
+      var t = 0
+      while (t < nTables) {
+        val seed = t * seedStep
+        var p = 0
+        while (p < nBits) {
+          var j = 0
+          while (j < dim) {
+            val h = Murmur3HashFunction
+              .hash(seed + p * dim + j, IntegerType, 42L).toInt
+            w((t * nBits + p) * dim + j) =
+              h.toDouble / (Int.MaxValue.toDouble * 2)
+            j += 1
+          }
+          p += 1
+        }
+        t += 1
+      }
+      w
+    })
+
+  def compute(vec: ArrayData, nTables: Int, nBits: Int, dim: Int,
+              seedStep: Int): GenericArrayData = {
+    val w = weights(nTables, nBits, dim, seedStep)
+    val nPlanes = nTables * nBits
+    val acc = new Array[Double](nPlanes)
+    val n = math.min(vec.numElements(), dim)
+    // j-outer accumulation keeps the per-plane fold order identical to
+    // the HOF left fold (j ascending), so signs match bit-for-bit
+    var j = 0
+    while (j < n) {
+      val x = vec.getDouble(j)
+      var tp = 0
+      while (tp < nPlanes) {
+        acc(tp) += x * w(tp * dim + j)
+        tp += 1
+      }
+      j += 1
+    }
+    val keys = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var key = 0L
+      var p = 0
+      while (p < nBits) {
+        if (acc(t * nBits + p) > 0) key |= (1L << p)
+        p += 1
+      }
+      keys(t) = key
+      t += 1
+    }
+    new GenericArrayData(keys)
+  }
+
+  def cos_lsh_sig(vec: Column, nTables: Int, nBits: Int, dim: Int,
+                  seedStep: Int = 7919): Column =
+    ColumnBridge.column(CosLshSigExpr(ColumnBridge.expression(vec),
+      nTables, nBits, dim, seedStep))
+}

@@ -58,4 +58,19 @@ object Sample {
         .as("top"))
       .select(col("stratum"), explode(col("top")).as("e"))
       .select(col("stratum"), col("e.tag").as("key"))
+
+  /** Training-mix assembly: interleave sources at per-source sampling
+    * rates (the "data mixture" step — e.g. wiki ×0.9, web ×0.3).
+    * Each source is [[hashSample]]d at its own rate with a per-source
+    * salt (so the same key sampled in two sources decides
+    * independently) and tagged with its name. Deterministic end to
+    * end, and still a pure per-row predicate per source: no shuffle,
+    * retry-stable, pushes to each source's scan.
+    */
+  def mixture(sources: Seq[(String, DataFrame, Double)],
+              key: Column): DataFrame =
+    sources.map { case (name, df, fraction) =>
+      hashSample(df, key, fraction, salt = s"mix:$name")
+        .withColumn("source", lit(name))
+    }.reduce(_ unionByName _)
 }

@@ -146,9 +146,10 @@ object Similarity {
     // pair pays ONE cosine and the big exploded join never carries
     // vector payloads
     val keyed = base.select(col("id"),
-      posexplode(array((0 until nTables).map { t =>
-        lshBucketSeeded(col("v"), dim, nBits, seed = t * 7919)
-      }: _*)).as(Seq("tbl", "key")))
+      // native fused signature (all tables, one pass — bit-identical
+      // to the HOF lshBucketSeeded per DedupSimSpec)
+      posexplode(graft.functions.CosLshSigExpr.cos_lsh_sig(
+        col("v"), nTables, nBits, dim)).as(Seq("tbl", "key")))
     val candidates = keyed.select(col("tbl"), col("key"), col("id").as("id_a"))
       .join(keyed.select(col("tbl"), col("key"), col("id").as("id_b")),
         Seq("tbl", "key"))
@@ -164,9 +165,12 @@ object Similarity {
       .where(col("score") >= threshold)
   }
 
-  /** [[lshBucket]] with a seed offset, for independent tables. */
-  private def lshBucketSeeded(vec: Column, dim: Int, nBits: Int,
-                              seed: Int): Column = {
+  /** [[lshBucket]] with a seed offset, for independent tables — the
+    * compositional (HOF) twin of the fused native
+    * [[graft.functions.CosLshSigExpr]]; kept as the executable
+    * equivalence oracle in DedupSimSpec. */
+  private[graft] def lshBucketSeeded(vec: Column, dim: Int, nBits: Int,
+                                     seed: Int): Column = {
     val bits = (0 until nBits).map { p =>
       val plane = array((0 until dim).map { j =>
         (hash(lit(seed + p * dim + j)).cast("double")

@@ -276,6 +276,24 @@ class DedupSimSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("native cos_lsh_sig ≡ HOF lshBucketSeeded, every table") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    for ((nt, nb) <- Seq((16, 4), (8, 16), (3, 7))) {
+      val both = emb.select(
+        graft.functions.CosLshSigExpr.cos_lsh_sig(
+          Similarity.asDouble(col("embedding")), nt, nb, 64).as("native"),
+        array((0 until nt).map { t =>
+          Similarity.lshBucketSeeded(
+            Similarity.asDouble(col("embedding")), 64, nb, seed = t * 7919)
+        }: _*).as("hof"))
+      both.collect().foreach { r =>
+        assert(r.getAs[scala.collection.Seq[Long]]("native").toList ==
+          r.getAs[scala.collection.Seq[Long]]("hof").toList,
+          s"nTables=$nt nBits=$nb")
+      }
+    }
+  }
+
   test("approx cosine dup pairs: subset of exact with measured recall") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))

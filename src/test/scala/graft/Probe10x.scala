@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sim.Similarity
+import graft.text.TextAnalysis
+
+/** 10× scale probe for the round-4 operators (PLANS.md records the
+  * measured numbers):
+  *
+  *  - q67 regime probe: 200 k vectors = sf0.1 embeddings replicated
+  *    10× with a tiny deterministic perturbation (cosine within a
+  *    replica group ≈ 0.999) — the TRUE near-dup regime. At
+  *    threshold 0.9 the operator runs with 16-bit keys / 8 tables
+  *    (65 536 buckets), where sign-LSH actually prunes; recall is
+  *    computed against the 900 k known within-group pairs.
+  *  - q69/q70 at 10× documents: both must scale ~linearly (per-row
+  *    expressions; shard-windowed prefix sum).
+  */
+object Probe10x {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+
+    // ---- q67 planted near-dup probe ----
+    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val n = emb.count()
+    val reps = spark.range(10).select(col("id").cast("int").as("r"))
+    val emb10 = emb.crossJoin(reps).select(
+      (col("vec_id") + col("r") * lit(n)).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => x * (lit(1.0) + col("r") * lit(0.0005) * ((i % 7) - 3)))
+        .as("embedding"))
+      .localCheckpoint(true) // materialize: probe times the operator, not the synthesis
+    val t0 = System.nanoTime()
+    val pairs = Similarity.cosineDupPairsApprox(emb10, "vec_id", "embedding",
+        threshold = 0.9, dim = 64, nTables = 8, nBits = 16)
+      .select("id_a", "id_b")
+      .withColumn("same_group", (col("id_a") % n) === (col("id_b") % n))
+      .groupBy("same_group").count().collect()
+      .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    val within = pairs.getOrElse(true, 0L)
+    val expected = n * 45 // C(10,2) per replica group
+    println(f"[probe] q67@0.9 n=${n * 10} t=$secs%.1f s " +
+      f"recall=${within.toDouble / expected}%.4f " +
+      s"within=$within/$expected cross=${pairs.getOrElse(false, 0L)}")
+
+    // ---- q69/q70 at 10× docs ----
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val nd = docs.count()
+    val docs10 = docs.crossJoin(reps).select(
+        (col("doc_id") + col("r") * lit(nd)).as("doc_id"),
+        col("lang"), col("text"))
+      .localCheckpoint(true)
+    val t1 = System.nanoTime()
+    TextAnalysis.repetitionStats(docs10, col("doc_id"), col("text"), w = 2)
+      .agg(sum("n_distinct")).collect()
+    println(f"[probe] q69 n=${nd * 10} t=${(System.nanoTime() - t1) / 1e9}%.1f s")
+    val t2 = System.nanoTime()
+    TextAnalysis.packSequences(docs10, col("doc_id"), col("text"),
+        col("lang"), targetTokens = 512)
+      .agg(sum("seq_tokens")).collect()
+    println(f"[probe] q70 n=${nd * 10} t=${(System.nanoTime() - t2) / 1e9}%.1f s")
+  }
+}
