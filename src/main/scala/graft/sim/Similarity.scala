@@ -184,18 +184,13 @@ object Similarity {
   /** Random-hyperplane LSH bucket id: `nBits` sign bits of dot products
     * with deterministic pseudo-random hyperplanes (hyperplane component
     * j of plane p = a fixed hash of (p, j), zero-mean). No data shuffle
-    * to build; bucketing is a per-row expression.
+    * to build; bucketing is a per-row expression — the fused native
+    * signature ([[graft.functions.CosLshSigExpr]]) with a single table
+    * at seed 0, which is plane-for-plane the original HOF definition.
     */
-  def lshBucket(vec: Column, dim: Int, nBits: Int = 8): Column = {
-    val bits = (0 until nBits).map { p =>
-      val plane = array((0 until dim).map { j =>
-        // deterministic zero-mean pseudo-random weight in [-0.5, 0.5)
-        (hash(lit(p * dim + j)).cast("double") / lit(Int.MaxValue.toDouble * 2))
-      }: _*)
-      when(dot(vec, plane) > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+  def lshBucket(vec: Column, dim: Int, nBits: Int = 8): Column =
+    element_at(graft.functions.CosLshSigExpr.cos_lsh_sig(
+      vec, nTables = 1, nBits = nBits, dim = dim, seedStep = 0), 1)
 
   /** ANN via LSH buckets: join query buckets to corpus buckets, exact
     * cosine within the bucket, per-query top-k. Trades recall for a
