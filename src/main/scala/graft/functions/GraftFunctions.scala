@@ -59,6 +59,14 @@ object GraftFunctions {
     },
     fn("shingle_strings", "shingle_strings(text, w)") {
       case Seq(t, w) => ShinglesExpr(t, litInt(w, "w"))
+    },
+    fn("cos_lsh_sig", "cos_lsh_sig(vec, n_tables, n_bits, dim[, seed_step])") {
+      case Seq(v, nt, nb, d) =>
+        CosLshSigExpr(v, litInt(nt, "n_tables"), litInt(nb, "n_bits"),
+          litInt(d, "dim"), 7919)
+      case Seq(v, nt, nb, d, ss) =>
+        CosLshSigExpr(v, litInt(nt, "n_tables"), litInt(nb, "n_bits"),
+          litInt(d, "dim"), litInt(ss, "seed_step"))
     })
 
   /** Register in the current session's function registry. */

@@ -64,6 +64,40 @@ class EdgeCasesSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("r4 operators: empty/degenerate inputs well-defined") {
+    val lang = Seq((1L, "hello world", "en")).toDF("doc_id", "text", "lang")
+    val emptyLang = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "text", "lang")
+    // repetition stats: empty text = one empty token = one 1-shingle
+    val rep = graft.text.TextAnalysis.repetitionStats(
+      emptyText.select(col("doc_id"), col("text")),
+      col("doc_id"), col("text"), w = 2).collect()(0)
+    assert(rep.getLong(1) == 1L && rep.getLong(2) == 1L)
+    assert(graft.text.TextAnalysis.repetitionStats(
+      emptyDocs, col("doc_id"), col("text")).count() == 0)
+    // packing: empty corpus → no sequences; one doc → one sequence
+    assert(graft.text.TextAnalysis.packSequences(emptyLang, col("doc_id"),
+      col("text"), col("lang"), 512).count() == 0)
+    val one = graft.text.TextAnalysis.packSequences(lang, col("doc_id"),
+      col("text"), col("lang"), 512).collect()
+    assert(one.length == 1 && one(0).getLong(3) == 2L) // 2 bpe-ish tokens
+    // mixture: rate 0 contributes nothing, rate 1 everything
+    val mix = graft.ops.Sample.mixture(Seq(
+        ("a", lang, 1.0), ("b", lang, 0.0)), col("doc_id"))
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mix == Map("a" -> 1L))
+    // uv windows: null-ts (unparseable) lines dropped, not thrown
+    assert(graft.stream.LogStream.uvWindowCounts(
+      Seq("not a log line").toDF("value")).count() == 0)
+    // keyset pagination: cursor past the end → empty page
+    assert(ServingQueries.geoDetailsAfter(
+      graft.logs.ClfParser.parseNative(Seq(
+        """1.1.1.1 - - [25/May/2015:23:11:15 +0000] "GET /a HTTP/1.1" 200 7"""
+      ).toDF("value")),
+      Some(("9.9.9.9", "/z")), 25).count() == 0)
+  }
+
   test("CLF parse: empty string and whitespace-only lines → sentinel") {
     val lines = Seq("", " ", "\t").toDF("value")
     val parsed = graft.logs.ClfParser.parse(lines).collect()

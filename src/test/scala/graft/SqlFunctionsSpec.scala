@@ -37,6 +37,11 @@ class SqlFunctionsSpec extends SparkSpec {
       .collect()(0).getInt(0) == 8)
     assert(spark.sql("SELECT simhash_md5(text) AS fp FROM t")
       .collect()(0).getLong(0) != 0L)
+
+    val sig = spark.sql(
+      "SELECT cos_lsh_sig(array(1.0d, -0.5d, 0.25d), 4, 8, 3) AS s")
+      .collect()(0).getSeq[Long](0)
+    assert(sig.length == 4 && sig.forall(k => k >= 0 && k < 256))
   }
 
   test("wrong arity yields a usable error naming the signature, not a MatchError") {
