@@ -427,6 +427,17 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("score"), 4).as("score_r"))
         .orderBy("id_a", "id_b")),
 
+    // int8 embedding quantization (4× storage cut for vector corpora);
+    // integer codes exact on both engines, scale rounded for hashing;
+    // codes emitted CSV-joined (the gate comparator row-sorts by every
+    // column and can't order raw arrays)
+    "q72_quantize_int8" -> ((s, dir) =>
+      Similarity.quantizeInt8(T(s, dir, "embeddings"), "vec_id", "embedding")
+        .withColumnRenamed("id", "vec_id")
+        .select(col("vec_id"), col("scale_r"),
+          array_join(col("qvec"), ",").as("qcsv"))
+        .orderBy("vec_id")),
+
     // the LINEAR-cost twin of q39 (the 100 TB path): multi-table LSH
     // candidates + exact cosine verify. Oracle = the exact all-pairs
     // SQL, so the gate hash-checks recall the way q57 does for simhash:
@@ -1062,6 +1073,17 @@ object SparkEntry {
           |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
           |  CAST(b.embedding AS DOUBLE[])) >= 0.45
           |ORDER BY id_a, id_b""".stripMargin,
+
+      "q72_quantize_int8" ->
+        """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
+          |  FROM embeddings),
+          |s AS (SELECT vec_id, x,
+          |    list_max(list_transform(x, e -> abs(e))) AS scale FROM v)
+          |SELECT vec_id, round(scale, 6) AS scale_r,
+          |  array_to_string(CASE WHEN scale > 0
+          |    THEN list_transform(x, e -> CAST(round(e / scale * 127) AS INTEGER))
+          |    ELSE list_transform(x, e -> 0) END, ',') AS qcsv
+          |FROM s ORDER BY vec_id""".stripMargin,
 
       // same exact-pair oracle as q39: a hash-green row proves the
       // approximate path recalled every true pair (and precision is

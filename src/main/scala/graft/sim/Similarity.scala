@@ -181,6 +181,31 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** Symmetric per-vector int8 quantization — the storage/bandwidth
+    * operator for 100 TB vector corpora (4× smaller than float32,
+    * 8× smaller than the double working form): scale = max |x_i|,
+    * q_i = round(x_i / scale · 127). Emits (id, scale, qvec) with the
+    * scale rounded to 6 decimals for cross-engine hashing; integer
+    * codes are exact. Dequantized cosine error is bounded in
+    * DedupSimSpec (≥ 0.999 on the test corpus — int8 is lossy by
+    * design, the bound is the contract).
+    */
+  def quantizeInt8(corpus: DataFrame, idCol: String,
+                   vecCol: String): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val scale = array_max(transform(v, x => abs(x)))
+    corpus.select(col(idCol).as("id"),
+      round(scale, 6).as("scale_r"),
+      when(scale > 0,
+        transform(v, x => round(x / scale * 127).cast("int")))
+        .otherwise(transform(v, x => lit(0)))
+        .as("qvec"))
+  }
+
+  /** Inverse of [[quantizeInt8]] (approximate): x̂_i = q_i·scale/127. */
+  def dequantize(qvec: Column, scale: Column): Column =
+    transform(qvec, q => q.cast("double") * scale / 127)
+
   /** Random-hyperplane LSH bucket id: `nBits` sign bits of dot products
     * with deterministic pseudo-random hyperplanes (hyperplane component
     * j of plane p = a fixed hash of (p, j), zero-mean). No data shuffle

@@ -276,6 +276,23 @@ class DedupSimSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("int8 quantization: dequantized cosine ≥ 0.999, codes in [-127, 127]") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+    val joined = q.join(emb.select(col("vec_id").as("id"), col("embedding")), "id")
+      .select(graft.functions.CosineSimExpr.cosine_sim(
+        Similarity.dequantize(col("qvec"), col("scale_r")),
+        Similarity.asDouble(col("embedding"))).as("c"),
+        aggregate(col("qvec"), lit(0),
+          (acc, x) => greatest(acc, abs(x))).as("maxabs"))
+    val rows = joined.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(0) >= 0.999, s"cosine ${r.getDouble(0)}")
+      assert(r.getInt(1) <= 127)
+    }
+  }
+
   test("native cos_lsh_sig ≡ HOF lshBucketSeeded, every table") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     for ((nt, nb) <- Seq((16, 4), (8, 16), (3, 7))) {
