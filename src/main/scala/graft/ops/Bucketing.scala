@@ -1,0 +1,37 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table layout for co-located joins — the cluster technique
+  * that removes the shuffle from a repeated big-big join (fact ⋈ fact
+  * on the same key every day): both sides are written `bucketBy(n,
+  * key)` once, and every subsequent join on that key reads
+  * pre-partitioned, pre-sorted buckets — Catalyst plans a
+  * SortMergeJoin with NO Exchange on either side (asserted in
+  * OpsSpec). At 100 TB this converts the dominant per-query shuffle
+  * into a one-time write cost.
+  *
+  * Buckets also bound file counts deterministically (n files per
+  * write task set), unlike hash `repartition` whose output layout is
+  * invisible to later readers.
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed+sorted managed table (idempotent:
+    * overwrites). `n` should be sized so a bucket of the LARGER join
+    * side fits an executor's memory at target scale.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    n: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(n, key).sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Join two bucketed tables on their bucket key — exchange-free when
+    * both were written with the same bucket count on `key`.
+    */
+  def bucketedJoin(spark: SparkSession, left: String, right: String,
+                   key: String): DataFrame =
+    spark.table(left).join(spark.table(right), key)
+}

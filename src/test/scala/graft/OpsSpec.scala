@@ -31,6 +31,43 @@ class OpsSpec extends SparkSpec {
     assert(got == Seq(("other", 4L), ("success", 2L)))
   }
 
+  test("bucketed join is exchange-free; unbucketed twin shuffles") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_orderstatus")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+      .withColumnRenamed("l_orderkey", "o_orderkey")
+    graft.ops.Bucketing.writeBucketed(ord, "b_orders", "o_orderkey", 4)
+    graft.ops.Bucketing.writeBucketed(li, "b_lineitem", "o_orderkey", 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = graft.ops.Bucketing.bucketedJoin(spark, "b_orders",
+        "b_lineitem", "o_orderkey")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(1500))
+      assert(!plan.contains("Exchange"), plan.take(1500))
+      // same join over raw parquet DOES shuffle — the bucket layout is
+      // what removed it, not the data size
+      val raw = ord.join(li, "o_orderkey")
+      assert(raw.queryExecution.executedPlan.toString.contains("Exchange"))
+      // and it computes the right thing
+      assert(j.count() == raw.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
+  test("q70 packing window never collapses to a single partition") {
+    val plan = SparkEntry.queries("q70_pack_sequences")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // a naive global-order prefix sum would show Exchange SinglePartition
+    assert(!plan.contains("SinglePartition"), plan.take(1500))
+  }
+
   test("repetition stats: looping doc flagged, varied doc clean") {
     val docs = Seq(
       (1L, "spam spam spam spam spam spam"),
