@@ -525,6 +525,18 @@ object SparkEntry {
           col("doc_id"), col("text"), w = 2)
         .orderBy("doc_id")),
 
+    // benchmark-contamination check (train/test n-gram overlap): every
+    // doc scored for distinct 3-gram collisions with the "benchmark"
+    // slice (doc_id % 50 == 0 — a deterministic stand-in for an eval
+    // set); benchmark gram set broadcast, corpus side never shuffles
+    // its text
+    "q74_contamination" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      TextAnalysis.contamination(d, col("doc_id"), col("text"),
+          d.where(col("doc_id") % 50 === 0), col("text"), w = 3)
+        .orderBy("doc_id")
+    }),
+
     // sequence packing (concat-and-chunk into 512-token training
     // windows, sharded by lang so the prefix sum parallelizes)
     "q70_pack_sequences" -> ((s, dir) =>
@@ -798,7 +810,28 @@ object SparkEntry {
           k = 5, nProbe = 3)
         .select(col("query_id"), col("rank"), col("neighbor_id"))
         .orderBy("query_id", "rank")
-    })
+    }),
+
+    // decimal canonical-text evidence (r3 ADVICE): the oracle keeps
+    // NATIVE decimal arithmetic end-to-end — DuckDB's own DECIMAL sums
+    // are the source of truth — and both engines canonicalize only the
+    // FINAL representation (decimal → its exact text form, scale
+    // preserved: "123.40" stays "123.40"). So decimal VALUES, not a
+    // re-encoded integer twin, are hash-checked in-gate; this
+    // complements the minor-unit BIGINT rows (q08 note) and
+    // DecimalParitySpec, which pin the integer twins to the decimal
+    // aggregates losslessly.
+    "q73_decimal_text" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("string")
+            .as("sum_qty_t"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("string")
+            .as("sum_price_t"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag", "l_linestatus"))
   )
 
   /** DuckDB-equivalent SQL per query (driver hash-compares). Notes:
@@ -898,6 +931,16 @@ object SparkEntry {
           |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_qty_c,
           |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_base_c,
           |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) * CAST((1 - CAST(l_discount AS DECIMAL(18,2))) * 100 AS BIGINT)) AS BIGINT) AS sum_disc_e4,
+          |  COUNT(*) AS n_rows
+          |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+          |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+      // decimal values hash-checked via their canonical text form; the
+      // oracle's arithmetic stays native DECIMAL end-to-end (r3 ADVICE)
+      "q73_decimal_text" ->
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS sum_qty_t,
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS sum_price_t,
           |  COUNT(*) AS n_rows
           |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
           |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
@@ -1180,6 +1223,20 @@ object SparkEntry {
           |SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_ngrams,
           |  CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct
           |FROM d ORDER BY doc_id""".stripMargin,
+
+      "q74_contamination" ->
+        """WITH sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+          |d AS (SELECT doc_id, list_distinct(list_transform(
+          |    range(1, greatest(len(t) - 2, 1) + 1),
+          |    i -> array_to_string(t[i:i+2], ' '))) AS sh FROM sp),
+          |bg AS (SELECT DISTINCT unnest(sh) AS gram FROM d WHERE doc_id % 50 = 0),
+          |dg AS (SELECT doc_id, unnest(sh) AS gram FROM d),
+          |hits AS (SELECT doc_id, COUNT(*) AS n_hit FROM dg
+          |  WHERE gram IN (SELECT gram FROM bg) GROUP BY doc_id)
+          |SELECT d.doc_id, CAST(len(d.sh) AS BIGINT) AS n_grams,
+          |  CAST(COALESCE(hits.n_hit, 0) AS BIGINT) AS n_hit
+          |FROM d LEFT JOIN hits ON d.doc_id = hits.doc_id
+          |ORDER BY d.doc_id""".stripMargin,
 
       "q70_pack_sequences" ->
         """WITH t AS (SELECT lang AS shard, doc_id,

@@ -121,6 +121,38 @@ object TextAnalysis {
       size(array_distinct(sh)).cast("long").as("n_distinct"))
   }
 
+  /** Benchmark-contamination detection — the train/test overlap check
+    * every LLM data pipeline runs before training (n-gram collision
+    * against held-out eval sets, GPT-3/Gopher style): per training
+    * document, how many of its DISTINCT w-grams also occur anywhere in
+    * the benchmark corpus. Shapes for scale: the benchmark side is
+    * small by nature (eval sets), so its distinct gram set is
+    * broadcast; the corpus side is one explode + one broadcast
+    * semi-join + one count — linear in corpus grams, never all-pairs,
+    * and the corpus text itself is not shuffled (only doc_id + gram).
+    * Returns every doc: (doc_id, n_grams, n_hit); the filter threshold
+    * (e.g. n_hit/n_grams > 0.1 → quarantine) stays a downstream
+    * predicate.
+    */
+  def contamination(docs: DataFrame, idCol: Column, textCol: Column,
+                    bench: DataFrame, benchTextCol: Column,
+                    w: Int = 3): DataFrame = {
+    val sh = graft.functions.ShinglesExpr.shingle_strings(textCol, w)
+    val benchGrams = bench.select(explode(array_distinct(
+        graft.functions.ShinglesExpr.shingle_strings(benchTextCol, w)))
+        .as("gram"))
+      .distinct()
+    val hits = docs.select(idCol.as("doc_id"),
+        explode(array_distinct(sh)).as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit"))
+    docs.select(idCol.as("doc_id"),
+        size(array_distinct(sh)).cast("long").as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_hit"))
+  }
+
   /** Sequence packing — the "concat and chunk" step that turns a
     * document corpus into fixed-token-budget training sequences: docs
     * are laid out in deterministic order within each shard, a running

@@ -80,6 +80,20 @@ class OpsSpec extends SparkSpec {
     assert(got(2L) == (5L, 5L)) // all distinct
   }
 
+  test("contamination: benchmark doc fully hit, disjoint doc zero") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "epsilon zeta eta theta"),
+      (3L, "alpha beta gamma iota")).toDF("doc_id", "text")
+    val bench = docs.where(col("doc_id") === 1L)
+    val got = graft.text.TextAnalysis.contamination(docs, col("doc_id"),
+        col("text"), bench, col("text"), w = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == (2L, 2L)) // it IS the benchmark: every 3-gram collides
+    assert(got(2L) == (2L, 0L)) // disjoint vocabulary
+    assert(got(3L) == (2L, 1L)) // shares only "alpha beta gamma"
+  }
+
   test("sequence packing: per-shard prefix sums, totals conserved") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val packed = graft.text.TextAnalysis.packSequences(docs,
