@@ -36,7 +36,16 @@ object Bench {
     } catch { case _: Throwable => () }
     // a failed query must SHOW as failed (-1 + errors entry), never as a
     // fast time — a throw would otherwise improve the total
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated name filter (prefix match) for isolating
+    // queries during perf work: SPARK_GRAFT_ONLY=q66,q67
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = only match {
+      case Some(ps) => SparkEntry.queries.filter { case (n, _) =>
+        ps.exists(n.startsWith) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err = try { fn(spark, sfDir).count(); None } catch {
         case t: Throwable => Some(t.getClass.getSimpleName)

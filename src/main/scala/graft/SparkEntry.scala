@@ -537,6 +537,35 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // exact median (interpolated, both engines' native median) next to
+    // min/max — rounded to 4 dp over 2-dp data, so rounding is identity
+    // and only a genuine value divergence could break the hash
+    "q75_median" -> ((s, dir) =>
+      T(s, dir, "events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(median(col("value")), 4).as("med_r"),
+          round(min(col("value")), 4).as("min_r"),
+          round(max(col("value")), 4).as("max_r"))
+        .orderBy("event_type")),
+
+    // global NTILE without the single-partition window exchange: spend
+    // quartiles over all customers via ops/Rank (range repartition +
+    // per-partition offset labeling); oracle = DuckDB's windowed NTILE,
+    // so the distributed formulation is hash-checked against the SQL
+    // standard semantics
+    "q76_ntile_quartiles" -> ((s, dir) => {
+      val spend = T(s, dir, "orders").groupBy("o_custkey")
+        .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long")).as("spend_c"))
+      graft.ops.Rank.globalNtile(spend,
+          Seq(col("spend_c").desc, col("o_custkey").asc),
+          n = 4, nPartitions = 8, bucketName = "quartile")
+        .groupBy("quartile")
+        .agg(count(lit(1)).as("n_cust"), sum("spend_c").as("tot_c"))
+        .orderBy("quartile")
+    }),
+
     // sequence packing (concat-and-chunk into 512-token training
     // windows, sharded by lang so the prefix sum parallelizes)
     "q70_pack_sequences" -> ((s, dir) =>
@@ -1237,6 +1266,23 @@ object SparkEntry {
           |  CAST(COALESCE(hits.n_hit, 0) AS BIGINT) AS n_hit
           |FROM d LEFT JOIN hits ON d.doc_id = hits.doc_id
           |ORDER BY d.doc_id""".stripMargin,
+
+      "q75_median" ->
+        """SELECT event_type, COUNT(*) AS n,
+          |  round(median(value), 4) AS med_r,
+          |  round(min(value), 4) AS min_r,
+          |  round(max(value), 4) AS max_r
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+      "q76_ntile_quartiles" ->
+        """WITH spend AS (SELECT o_custkey,
+          |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS spend_c
+          |  FROM orders GROUP BY o_custkey),
+          |q AS (SELECT spend_c,
+          |    NTILE(4) OVER (ORDER BY spend_c DESC, o_custkey ASC) AS quartile
+          |  FROM spend)
+          |SELECT quartile, COUNT(*) AS n_cust, CAST(SUM(spend_c) AS BIGINT) AS tot_c
+          |FROM q GROUP BY quartile ORDER BY quartile""".stripMargin,
 
       "q70_pack_sequences" ->
         """WITH t AS (SELECT lang AS shard, doc_id,

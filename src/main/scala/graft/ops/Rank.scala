@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Distributed global ranking — the scale-safe alternative to an empty
+  * `Window.orderBy(...)`, which Spark plans as `Exchange SinglePartition`
+  * and funnels the whole dataset through ONE task (the canonical
+  * global-sort scale-killer; the q70 spec asserts the engine never ships
+  * that shape).
+  *
+  * The scalable formulation is the classic count-then-label two-pass:
+  * range-repartition on the sort key (each partition owns a contiguous
+  * key range), sort within partitions, count rows per partition (tiny:
+  * one long per partition), then assign each row its partition offset +
+  * local index. `RDD.zipWithIndex` implements exactly this two-pass;
+  * this is the "genuine per-partition imperative logic" case where
+  * dropping to the RDD API is the right tool.
+  *
+  * The order passed in MUST be total (include a unique tiebreak column):
+  * with ties across a partition boundary, which twin gets the smaller
+  * index would otherwise depend on partitioning.
+  */
+object Rank {
+
+  /** Append a 0-based global row index under a total `order`. */
+  def withGlobalIndex(df: DataFrame, order: Seq[Column],
+                      nPartitions: Int, idxName: String = "idx"): DataFrame = {
+    val sorted = df.repartitionByRange(nPartitions, order: _*)
+      .sortWithinPartitions(order: _*)
+    val schema = StructType(
+      sorted.schema.fields :+ StructField(idxName, LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex()
+      .map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+    sorted.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** SQL `NTILE(n)` bucket (1-based) from a 0-based global index over
+    * `total` rows: the first `total % n` buckets get `total / n + 1`
+    * rows, the rest `total / n` — exactly the standard remainder-first
+    * distribution, so a windowed `NTILE` oracle checks it directly.
+    */
+  def ntileFromIndex(idx: Column, total: Long, n: Int): Column = {
+    val base = total / n
+    val rem = total % n
+    // floor(): Column./ is DOUBLE division; the bucket arithmetic needs
+    // integer division. rows beyond rem*(base+1) exist only when
+    // base > 0, so the otherwise-branch division never sees base == 0
+    when(idx < rem * (base + 1), floor(idx / (base + 1)) + 1)
+      .otherwise(lit(rem) + floor((idx - rem * (base + 1)) / base) + 1)
+  }
+
+  /** `NTILE(n) OVER (ORDER BY order)` without a single-partition
+    * exchange. One count job + the two-pass index; bucket arithmetic is
+    * a per-row expression.
+    */
+  def globalNtile(df: DataFrame, order: Seq[Column], n: Int,
+                  nPartitions: Int, bucketName: String = "bucket"): DataFrame = {
+    val total = df.count()
+    withGlobalIndex(df, order, nPartitions)
+      .withColumn(bucketName, ntileFromIndex(col("idx"), total, n))
+      .drop("idx")
+  }
+}

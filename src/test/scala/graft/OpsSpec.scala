@@ -94,6 +94,19 @@ class OpsSpec extends SparkSpec {
     assert(got(3L) == (2L, 1L)) // shares only "alpha beta gamma"
   }
 
+  test("global ntile ≡ window NTILE (remainder-first sizes, total order)") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 103).map(i => (i.toLong, (i * 37 % 50).toLong))
+      .toDF("id", "v")
+    val order = Seq(col("v").desc, col("id").asc)
+    val got = graft.ops.Rank.globalNtile(df, order, n = 4, nPartitions = 5)
+      .select(col("id"), col("bucket"))
+    val want = df
+      .withColumn("bucket", ntile(4).over(Window.orderBy(order: _*)))
+      .select(col("id"), col("bucket").cast("long"))
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
   test("sequence packing: per-shard prefix sums, totals conserved") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val packed = graft.text.TextAnalysis.packSequences(docs,
