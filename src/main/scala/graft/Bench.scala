@@ -70,10 +70,12 @@ object Bench {
     val fullQs = results.map { case (k, v, err) =>
       "\"" + k + "\":" + (if (err.isDefined) "-1" else v.toString)
     }.mkString("{", ",", "}")
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"n_failed":${results.size - ok.size},"sf":"$sfDir"}""")
-    catch { case _: Throwable => () }
+    if (only.isEmpty) // don't clobber the full-surface record from a
+                      // SPARK_GRAFT_ONLY profiling run
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_FULL.json"),
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"n_failed":${results.size - ok.size},"sf":"$sfDir"}""")
+      catch { case _: Throwable => () }
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${results.size - ok.size},"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -537,6 +537,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // corpus vocabulary top-k (tokenizer-vocab building): explode
+    // BPE-ish tokens → count-by → distributed top-50
+    // (TakeOrderedAndProject; only k rows per partition reach the
+    // driver merge). The count-by shuffle moves (token, partial count),
+    // never document text.
+    "q77_vocab_topk" -> ((s, dir) =>
+      TopK.topK(
+        T(s, dir, "documents")
+          .select(explode(regexp_extract_all(col("text"),
+            lit(TextAnalysis.BpeishPattern), lit(0))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("n")),
+        col("n"), col("tok"), 50)),
+
     // exact median (interpolated, both engines' native median) next to
     // min/max — rounded to 4 dp over 2-dp data, so rounding is identity
     // and only a genuine value divergence could break the hash
@@ -1266,6 +1279,13 @@ object SparkEntry {
           |  CAST(COALESCE(hits.n_hit, 0) AS BIGINT) AS n_hit
           |FROM d LEFT JOIN hits ON d.doc_id = hits.doc_id
           |ORDER BY d.doc_id""".stripMargin,
+
+      "q77_vocab_topk" ->
+        """WITH t AS (SELECT unnest(regexp_extract_all(text,
+          |    '[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9 ]')) AS tok
+          |  FROM documents)
+          |SELECT tok, COUNT(*) AS n FROM t
+          |GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 50""".stripMargin,
 
       "q75_median" ->
         """SELECT event_type, COUNT(*) AS n,
