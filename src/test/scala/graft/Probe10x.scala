@@ -62,5 +62,33 @@ object Probe10x {
         col("lang"), targetTokens = 512)
       .agg(sum("seq_tokens")).collect()
     println(f"[probe] q70 n=${nd * 10} t=${(System.nanoTime() - t2) / 1e9}%.1f s")
+
+    // ---- r4 late additions at 10× docs ----
+    // contamination: benchmark side stays ONE broadcastable gram set
+    // regardless of corpus size; corpus side linear
+    val t3 = System.nanoTime()
+    TextAnalysis.contamination(docs10, col("doc_id"), col("text"),
+        docs10.where(col("doc_id") % 500 === 0), col("text"), w = 3)
+      .agg(sum("n_hit")).collect()
+    println(f"[probe] q74 n=${nd * 10} t=${(System.nanoTime() - t3) / 1e9}%.1f s")
+    // vocab top-k: count-by shuffles (token, partial) only
+    val t4 = System.nanoTime()
+    graft.ops.TopK.topK(
+        docs10.select(explode(regexp_extract_all(col("text"),
+          lit(TextAnalysis.BpeishPattern), lit(0))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("cnt")),
+        col("cnt"), col("tok"), 50)
+      .collect()
+    println(f"[probe] q77 n=${nd * 10} t=${(System.nanoTime() - t4) / 1e9}%.1f s")
+    // global ntile at 10× events-scale rows (1.5 M): range exchange +
+    // two-pass labeling, no single-partition funnel
+    val ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+      .select(col("event_id"), col("user_id")).localCheckpoint(true)
+    val t5 = System.nanoTime()
+    graft.ops.Rank.globalNtile(ev,
+        Seq(col("user_id").desc, col("event_id").asc), n = 10,
+        nPartitions = 32)
+      .groupBy("bucket").count().collect()
+    println(f"[probe] q76-shape n=${ev.count()} t=${(System.nanoTime() - t5) / 1e9}%.1f s")
   }
 }
