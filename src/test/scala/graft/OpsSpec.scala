@@ -107,6 +107,15 @@ class OpsSpec extends SparkSpec {
     assert(got.except(want).isEmpty && want.except(got).isEmpty)
   }
 
+  test("global ntile: fewer rows than buckets (base=0 branch)") {
+    val df = Seq((1L, 10L), (2L, 5L)).toDF("id", "v")
+    val got = graft.ops.Rank.globalNtile(df,
+        Seq(col("v").desc, col("id").asc), n = 4, nPartitions = 2)
+      .select("id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L))
+  }
+
   test("sequence packing: per-shard prefix sums, totals conserved") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val packed = graft.text.TextAnalysis.packSequences(docs,
