@@ -32,6 +32,15 @@ object GraftSession {
       // scan parallelism at 100 TB: bound per-task input so a task's
       // working set fits executor memory alongside shuffle buffers
       .config("spark.sql.files.maxPartitionBytes", 128L * 1024 * 1024)
+      // streaming state off-heap: the default HDFS-backed store holds
+      // every state key on the executor heap — large dedup/session/
+      // window state OOMs at scale. RocksDB keeps state on local disk
+      // with incremental (changelog) checkpointing; results identical
+      // (StreamingSpec proves dedup parity under this provider)
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
     master.foreach(b.master)
     b.getOrCreate()
   }

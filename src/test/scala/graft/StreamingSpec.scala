@@ -321,6 +321,44 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("RocksDB state store: streaming dedup state off-heap, results ≡ batch") {
+    // The 100 TB streaming-state backend (GraftSession's production
+    // default): the HDFS-backed store keeps every key on the executor
+    // heap, so large dedup/session state OOMs at scale; RocksDB keeps
+    // state on local disk with incremental checkpointing. Same query,
+    // same results — only the provider changes.
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val srcDir = tmp("rocks_src")
+      val ev = events().select("user_id", "event_type", "ts")
+      ev.coalesce(2).write.parquet(s"$srcDir/all")
+      val q = spark.readStream.schema(ev.schema).parquet(s"$srcDir/*")
+        .withWatermark("ts", "10 seconds")
+        .dropDuplicates("user_id", "event_type")
+        .writeStream.outputMode("append")
+        .format("memory").queryName("rocks_dedup")
+        .option("checkpointLocation", tmp("rocks_ckpt"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      val streamed = spark.table("rocks_dedup")
+        .select("user_id", "event_type")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val batch = ev.select("user_id", "event_type").distinct()
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(streamed == batch)
+    } finally {
+      prev match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("watermarked tumbling-window counts match batch per-second timeline (closed windows)") {
     val srcDir = tmp("clf_src5")
     val lines = LogGen.clfLines(events()).limit(800).collect().map(_.getString(0))
