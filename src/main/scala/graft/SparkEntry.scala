@@ -829,6 +829,51 @@ object SparkEntry {
       s.table("q68_uv").orderBy("win_s", "host")
     }),
 
+    // custom-state streaming IN-GATE: flatMapGroupsWithState
+    // sessionization replayed as a real 2-batch stream. The watermark
+    // delay is set far past the data (no event-time timeouts fire), so
+    // the emitted rows are exactly the DATA-closed sessions — every
+    // session except each key's last — which the oracle expresses as
+    // the batch session SQL minus each key's max session_id. Custom
+    // state semantics get hash-checked, not just spec-asserted.
+    "q78_sessionize_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val root = java.nio.file.Files.createTempDirectory("graft_q78")
+      val ev = T(s, dir, "events").select(col("user_id"), col("ts"))
+      // deterministic two-batch time split (scalar min/max read, like
+      // q66's convergence aggregate)
+      val Array(lo, hi) = ev.agg(min(unix_timestamp(col("ts"))),
+        max(unix_timestamp(col("ts")))).collect()(0)
+        .toSeq.map(_.asInstanceOf[Long]).toArray
+      val cut = lo + (hi - lo) / 2
+      val c0 = root.resolve("src/c0").toString
+      val c1 = root.resolve("src/c1").toString
+      ev.where(unix_timestamp(col("ts")) < cut).write.parquet(c0)
+      ev.where(unix_timestamp(col("ts")) >= cut).write.parquet(c1)
+      val now = System.currentTimeMillis()
+      new java.io.File(c0).listFiles().foreach(_.setLastModified(now - 60000))
+      new java.io.File(c1).listFiles().foreach(_.setLastModified(now))
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(root.resolve("src").toString + "/*")
+      val q = graft.stream.StatefulSessions.sessionize(
+          s, stream, "user_id", "ts", gapSeconds = 1800,
+          watermarkDelay = "3650 days", emitOpenAtTimeout = false)
+        .toDF()
+        .writeStream.outputMode("append")
+        .format("memory").queryName("q78_sessions")
+        .option("checkpointLocation", root.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      if (!q.awaitTermination(180000)) {
+        q.stop()
+        throw new IllegalStateException(
+          "q78 stream did not complete within 180s")
+      }
+      s.table("q78_sessions")
+        .select("key", "session_id", "n_events", "start_s", "end_s")
+        .orderBy("key", "session_id")
+    }),
+
     // /get_map markers: per-host counts enriched with the deterministic
     // geo fixture (one parse, aggregate-then-derive — see geoEnrich)
     "q45_geo_map" -> ((s, dir) =>
@@ -1104,6 +1149,25 @@ object SparkEntry {
           |SELECT key, session_id, COUNT(*) AS n_events,
           |  MIN(s) AS start_s, MAX(s) AS end_s
           |FROM g GROUP BY key, session_id ORDER BY key, session_id""".stripMargin,
+
+      // q32's session SQL restricted to DATA-closed sessions (every
+      // session except each key's last); key cast to VARCHAR because
+      // the streaming op keys state on strings
+      "q78_sessionize_stream" ->
+        """WITH e AS (SELECT CAST(user_id AS VARCHAR) AS key,
+          |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS s FROM events),
+          |  f AS (SELECT key, s, CASE WHEN LAG(s) OVER w IS NULL
+          |      OR s - LAG(s) OVER w > 1800 THEN 1 ELSE 0 END AS nw
+          |    FROM e WINDOW w AS (PARTITION BY key ORDER BY s)),
+          |  g AS (SELECT key, s, CAST(SUM(nw) OVER (PARTITION BY key ORDER BY s
+          |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - 1 AS session_id FROM f),
+          |  sess AS (SELECT key, session_id, COUNT(*) AS n_events,
+          |      MIN(s) AS start_s, MAX(s) AS end_s
+          |    FROM g GROUP BY key, session_id),
+          |  last AS (SELECT key, MAX(session_id) AS mx FROM sess GROUP BY key)
+          |SELECT sess.key, sess.session_id, sess.n_events, sess.start_s, sess.end_s
+          |FROM sess JOIN last ON sess.key = last.key AND sess.session_id < last.mx
+          |ORDER BY sess.key, sess.session_id""".stripMargin,
 
       "q35_cube" ->
         """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
