@@ -133,6 +133,12 @@ object TextAnalysis {
     * Returns every doc: (doc_id, n_grams, n_hit); the filter threshold
     * (e.g. n_hit/n_grams > 0.1 → quarantine) stays a downstream
     * predicate.
+    *
+    * Grams are joined as strings so the DuckDB oracle can check the
+    * operator end-to-end; at 100 TB, hash both sides to 64-bit
+    * (`xxhash64`) first — the broadcast set shrinks to 8 bytes/gram and
+    * the false-hit odds (~|bench|·|grams|/2⁶⁴) are far below the
+    * contamination-threshold noise floor.
     */
   def contamination(docs: DataFrame, idCol: Column, textCol: Column,
                     bench: DataFrame, benchTextCol: Column,
