@@ -148,15 +148,16 @@ object TextAnalysis {
         graft.functions.ShinglesExpr.shingle_strings(benchTextCol, w)))
         .as("gram"))
       .distinct()
-    val hits = docs.select(idCol.as("doc_id"),
-        explode(array_distinct(sh)).as("gram"))
-      .join(broadcast(benchGrams), Seq("gram"), "left_semi")
+    // ONE corpus scan: exploded distinct grams left-joined against the
+    // broadcast benchmark set, then a conditional aggregate — per doc,
+    // row count IS the distinct-gram count and non-null hit markers
+    // count the collisions (a doc always has ≥1 shingle window, so no
+    // doc drops out of the explode)
+    docs.select(idCol.as("doc_id"), explode(array_distinct(sh)).as("gram"))
+      .join(broadcast(benchGrams.withColumn("hit", lit(1))),
+        Seq("gram"), "left")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_hit"))
-    docs.select(idCol.as("doc_id"),
-        size(array_distinct(sh)).cast("long").as("n_grams"))
-      .join(hits, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("n_hit"))
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
   }
 
   /** Sequence packing — the "concat and chunk" step that turns a
