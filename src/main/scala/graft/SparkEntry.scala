@@ -550,6 +550,23 @@ object SparkEntry {
           .groupBy("tok").agg(count(lit(1)).as("n")),
         col("n"), col("tok"), 50)),
 
+    // RANGE-frame window (value-bounded, not row-bounded): per user,
+    // events in the trailing 300 s — the frame is defined by the
+    // ORDER-BY value, so peers (equal timestamps) share a frame in
+    // both engines and the result is deterministic without a unique
+    // tiebreak
+    "q79_range_frame" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("sec")
+        .rangeBetween(-300, Window.currentRow)
+      T(s, dir, "events")
+        .where(col("user_id") < 100)
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(date_trunc("second", col("ts"))).as("sec"))
+        .withColumn("n_trailing_5m", count(lit(1)).over(w))
+        .orderBy("user_id", "sec", "event_id")
+    }),
+
     // exact median (interpolated, both engines' native median) next to
     // min/max — rounded to 4 dp over 2-dp data, so rounding is identity
     // and only a genuine value divergence could break the hash
@@ -1350,6 +1367,15 @@ object SparkEntry {
           |  FROM documents)
           |SELECT tok, COUNT(*) AS n FROM t
           |GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 50""".stripMargin,
+
+      "q79_range_frame" ->
+        """SELECT user_id, event_id,
+          |  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
+          |  COUNT(*) OVER (PARTITION BY user_id
+          |    ORDER BY CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+          |    RANGE BETWEEN 300 PRECEDING AND CURRENT ROW) AS n_trailing_5m
+          |FROM events WHERE user_id < 100
+          |ORDER BY user_id, sec, event_id""".stripMargin,
 
       "q75_median" ->
         """SELECT event_type, COUNT(*) AS n,
