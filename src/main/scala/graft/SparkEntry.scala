@@ -865,8 +865,13 @@ object SparkEntry {
       val cut = lo + (hi - lo) / 2
       val c0 = root.resolve("src/c0").toString
       val c1 = root.resolve("src/c1").toString
-      ev.where(unix_timestamp(col("ts")) < cut).write.parquet(c0)
-      ev.where(unix_timestamp(col("ts")) >= cut).write.parquet(c1)
+      // ONE file per half → exactly 2 micro-batches in a guaranteed
+      // time order; multi-file halves would replay in file-listing
+      // order, which only coincidentally tracks event time (within a
+      // batch the operator sorts, across batches only the watermark-gap
+      // tolerance absorbs disorder)
+      ev.where(unix_timestamp(col("ts")) < cut).coalesce(1).write.parquet(c0)
+      ev.where(unix_timestamp(col("ts")) >= cut).coalesce(1).write.parquet(c1)
       val now = System.currentTimeMillis()
       new java.io.File(c0).listFiles().foreach(_.setLastModified(now - 60000))
       new java.io.File(c1).listFiles().foreach(_.setLastModified(now))

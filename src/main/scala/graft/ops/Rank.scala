@@ -53,7 +53,9 @@ object Rank {
 
   /** `NTILE(n) OVER (ORDER BY order)` without a single-partition
     * exchange. One count job + the two-pass index; bucket arithmetic is
-    * a per-row expression.
+    * a per-row expression. The input plan executes three times (count,
+    * per-partition count, label) — persist `df` first when it is an
+    * expensive subplan rather than a pre-aggregated table.
     */
   def globalNtile(df: DataFrame, order: Seq[Column], n: Int,
                   nPartitions: Int, bucketName: String = "bucket"): DataFrame = {
