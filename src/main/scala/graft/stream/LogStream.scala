@@ -76,6 +76,22 @@ object LogStream {
       .agg(count(lit(1)).as("score"))
       .select(unix_millis(col("window.start")).as("ts_ms"), col("score"))
 
+  /** Sliding-window counts: windows of `windowLen` every `slide`
+    * (each event lands in windowLen/slide overlapping windows — the
+    * trailing-rate view tumbling windows can't express). Same bounded
+    * state story as [[windowedCounts]]: the watermark closes windows
+    * and append-mode emits each exactly once.
+    */
+  def slidingCounts(lines: DataFrame, windowLen: String = "30 seconds",
+                    slide: String = "10 seconds",
+                    delay: String = "10 seconds"): DataFrame =
+    ClfParser.parse(lines)
+      .where(col("ts").isNotNull)
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), windowLen, slide))
+      .agg(count(lit(1)).as("score"))
+      .select(unix_millis(col("window.start")).as("ts_ms"), col("score"))
+
   /** v3 UV counter (v3/flink_uv_counter.py:34-39): per-host hit counts
     * over 10 s tumbling windows. The reference keys each line on its
     * first token (the host) and windows on PROCESSING time; here the

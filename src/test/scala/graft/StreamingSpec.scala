@@ -417,6 +417,33 @@ class StreamingSpec extends SparkSpec {
     got.foreach { case (ts, n) => assert(want(ts) == n, s"window $ts") }
   }
 
+  test("sliding-window counts (30s every 10s) match the batch window aggregation") {
+    val srcDir = tmp("clf_src6")
+    val lines = LogGen.clfLines(events()).limit(800).collect().map(_.getString(0))
+    Files.write(Paths.get(srcDir, "all.log"), lines.mkString("\n").getBytes)
+    val q = LogStream.slidingCounts(
+        LogStream.fileLines(spark, srcDir), "30 seconds", "10 seconds",
+        "10 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("slidecounts")
+      .option("checkpointLocation", tmp("ckpt6"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("slidecounts").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = ClfParser.parse(spark.read.text(srcDir))
+      .where(col("ts").isNotNull)
+      .groupBy(window(col("ts"), "30 seconds", "10 seconds"))
+      .agg(count(lit(1)).as("score"))
+      .select(unix_millis(col("window.start")).as("ts_ms"), col("score"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // append mode emits only watermark-closed windows: subset equality
+    // with exact counts; every event must appear in 3 windows batch-side
+    assert(got.nonEmpty)
+    got.foreach { case (ts, n) => assert(want(ts) == n, s"window $ts") }
+  }
+
   test("running update-mode aggregation matches batch count-by (memory sink)") {
     val srcDir = tmp("clf_src3")
     val lines = LogGen.clfLines(events()).limit(500)
