@@ -921,6 +921,17 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // SemDeDup-style semantic dedup: KMeans cells (the SAME cached
+    // build the IVF probes use) bound the pairwise compare to
+    // within-cell equi-joins; keepers = min id per connected duplicate
+    // group. Rows-only (kmeans has no SQL oracle); the planted-group
+    // keeper property is spec-asserted in DedupSimSpec.
+    "q80_semantic_dedup" -> ((s, dir) =>
+      graft.sim.SemanticDedup.semanticDedup(s,
+          T(s, dir, "embeddings"), s"$dir/embeddings", "vec_id",
+          "embedding", threshold = 0.45, nLists = 8, maxIter = 8)
+        .orderBy("id")),
+
     // decimal canonical-text evidence (r3 ADVICE): the oracle keeps
     // NATIVE decimal arithmetic end-to-end — DuckDB's own DECIMAL sums
     // are the source of truth — and both engines canonicalize only the

@@ -1,0 +1,55 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.CosineSimExpr
+
+/** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+  * arXiv:2303.09540): cluster the embedding corpus into KMeans cells,
+  * compare pairs only WITHIN a cell, and keep one representative per
+  * semantic-duplicate group.
+  *
+  * Why this scales where exact cosine dedup (q39) cannot: clustering
+  * bounds the quadratic term — candidate pairs are Σ|cell|² instead of
+  * n², and nLists is chosen so cells stay ~10⁴-10⁵ vectors at corpus
+  * scale. In Spark terms the within-cell compare is a self equi-join on
+  * `cell`: each vector shuffles once, no broadcast of the corpus, no
+  * all-pairs. The KMeans fit is the same offline amortized build the
+  * IVF index uses ([[IvfIndex.buildCached]]) — one build serves both
+  * ANN probes and semantic dedup.
+  *
+  * Keeper selection reuses the dedup completion step
+  * ([[graft.dedup.Dedup.connectedComponents]]): semantic duplication is
+  * not transitive pair-by-pair, so groups are the connected components
+  * of the within-cell pair graph; keeper = min id per component.
+  * Returns every corpus id: (id, keeper) — `id == keeper` marks the
+  * rows that survive dedup.
+  *
+  * Trade-off vs the LSH path ([[Similarity.cosineDupPairsApprox]]):
+  * duplicates that land in different cells are missed (the paper
+  * accepts this; near-identical vectors split across cells only when a
+  * group straddles a cell boundary), in exchange for exactly one
+  * clustering of the corpus and no tuning of table counts.
+  */
+object SemanticDedup {
+
+  def semanticDedup(spark: SparkSession, corpus: DataFrame,
+                    corpusKey: String, idCol: String, vecCol: String,
+                    threshold: Double, nLists: Int,
+                    seed: Long = 42L, maxIter: Int = 20): DataFrame = {
+    val idx = IvfIndex.buildCached(spark, corpus, corpusKey, idCol, vecCol,
+      nLists, seed, maxIter)
+    val a = idx.assigned.select(col("cell"), col("neighbor_id").as("id_a"),
+      col("cvec").as("va"))
+    val b = idx.assigned.select(col("cell"), col("neighbor_id").as("id_b"),
+      col("cvec").as("vb"))
+    val pairs = a.join(b, Seq("cell"))
+      .where(col("id_a") < col("id_b"))
+      .where(CosineSimExpr.cosine_sim(col("va"), col("vb")) >= threshold)
+      .select("id_a", "id_b")
+    graft.dedup.Dedup.connectedComponents(
+      corpus.select(col(idCol).as("id")), "id", pairs, "id_a", "id_b")
+      .withColumnRenamed("comp", "keeper")
+  }
+}

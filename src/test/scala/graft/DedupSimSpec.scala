@@ -148,6 +148,29 @@ class DedupSimSpec extends SparkSpec {
     info(f"hub n=$nHub: $tHub%.1f s; chain n=$nChain: $tChain%.1f s")
   }
 
+  test("semantic dedup: planted duplicate groups collapse to min-id keepers") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val n = emb.count()
+    val reps = spark.range(3).select(col("id").cast("int").as("r"))
+    // 3 replicas per base vector, perturbed ~0.05% → within-group
+    // cosine ≈ 0.9999; base-to-base cosines stay far below threshold
+    val emb3 = emb.crossJoin(reps).select(
+      (col("vec_id") + col("r") * lit(n)).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => x * (lit(1.0) + col("r") * lit(0.0005) * ((i % 7) - 3)))
+        .as("embedding"))
+    val out = graft.sim.SemanticDedup.semanticDedup(spark, emb3,
+        "semdedup_planted", "vec_id", "embedding",
+        threshold = 0.99, nLists = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 3 * n)
+    (0L until n).foreach { base =>
+      assert(out(base) == base, s"base $base must keep itself")
+      assert(out(base + n) == base && out(base + 2 * n) == base,
+        s"replicas of $base must collapse onto it")
+    }
+  }
+
   test("native shingle_strings ≡ compositional shingles") {
     val d = spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
     for (w <- Seq(1, 2, 3, 5)) {
