@@ -921,6 +921,21 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // one-pass data profile (training-batch validation): null counts,
+    // exact distincts, numeric ranges — ONE scan + one expand-based
+    // multi-distinct aggregate, not a job per column
+    "q81_profile" -> ((s, dir) =>
+      graft.ops.Profile.profile(T(s, dir, "events"),
+        cols = Seq("user_id", "event_type", "value", "props"),
+        numericCols = Seq("value"))
+        .select(col("n_rows"),
+          col("nulls_user_id"), col("distinct_user_id"),
+          col("nulls_event_type"), col("distinct_event_type"),
+          col("nulls_value"), col("distinct_value"),
+          col("nulls_props"), col("distinct_props"),
+          round(col("min_value"), 4).as("min_value_r"),
+          round(col("max_value"), 4).as("max_value_r"))),
+
     // SemDeDup-style semantic dedup: KMeans cells (the SAME cached
     // build the IVF probes use) bound the pairwise compare to
     // within-cell equi-joins; keepers = min id per connected duplicate
@@ -1383,6 +1398,20 @@ object SparkEntry {
           |  FROM documents)
           |SELECT tok, COUNT(*) AS n FROM t
           |GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 50""".stripMargin,
+
+      "q81_profile" ->
+        """SELECT COUNT(*) AS n_rows,
+          |  CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_user_id,
+          |  COUNT(DISTINCT user_id) AS distinct_user_id,
+          |  CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_event_type,
+          |  COUNT(DISTINCT event_type) AS distinct_event_type,
+          |  CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_value,
+          |  COUNT(DISTINCT value) AS distinct_value,
+          |  CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_props,
+          |  COUNT(DISTINCT props) AS distinct_props,
+          |  round(min(value), 4) AS min_value_r,
+          |  round(max(value), 4) AS max_value_r
+          |FROM events""".stripMargin,
 
       "q79_range_frame" ->
         """SELECT user_id, event_id,

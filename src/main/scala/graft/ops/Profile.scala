@@ -1,0 +1,31 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** One-pass table profiling — the data-validation stage that gates a
+  * training pipeline (null-rate spikes, cardinality drift, range
+  * violations) before anything trains on the batch.
+  *
+  * Everything is ONE aggregate over one scan: per profiled column a
+  * null count, an exact distinct count, and (numeric columns) min/max.
+  * Spark plans the multi-distinct via a single expand + two-phase
+  * aggregation — still one pass over the data, versus the
+  * one-job-per-column loop naive profilers run (at 100 TB, 1 scan vs
+  * k scans IS the difference between a profile and a day).
+  */
+object Profile {
+
+  /** @param numericCols subset of `cols` that also get min/max */
+  def profile(df: DataFrame, cols: Seq[String],
+              numericCols: Seq[String] = Nil): DataFrame = {
+    val aggs: Seq[Column] =
+      cols.flatMap { c =>
+        Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"),
+          count_distinct(col(c)).as(s"distinct_$c"))
+      } ++ numericCols.flatMap { c =>
+        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))
+      }
+    df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+  }
+}
