@@ -1,0 +1,36 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Per-group z-score outlier detection (data-quality triage: flag the
+  * rows whose metric is implausibly far from its group's distribution
+  * before they poison a training mix).
+  *
+  * Two-pass join formulation: pass 1 computes (mean, stddev) per group
+  * — a partial-aggregating shuffle of 3 doubles per group; pass 2 joins
+  * the tiny stats table back (broadcast — #groups rows) and filters.
+  * The textbook single-pass window (`AVG(..) OVER (PARTITION BY g)`)
+  * shuffles and SORTS the full table per group, and a hot group lands
+  * on one task; the join form re-scans instead, which at 100 TB is the
+  * right trade (scan is parallel and pruned, sort is not). OpsSpec
+  * asserts join-form ≡ window-form.
+  */
+object Outliers {
+
+  /** Rows where |value - mean(group)| > threshold * stddev(group),
+    * with the z-score attached. Sample stddev (both engines' default);
+    * groups with stddev 0/NULL (constant or single-row) yield no
+    * outliers, matching the window formulation.
+    */
+  def zscoreOutliers(df: DataFrame, groupCol: Column, valueCol: Column,
+                     threshold: Double): DataFrame = {
+    val stats = df.groupBy(groupCol.as("__g"))
+      .agg(avg(valueCol).as("__mean"), stddev_samp(valueCol).as("__sd"))
+    df.join(broadcast(stats), groupCol === col("__g"))
+      .where(col("__sd") > 0 &&
+        abs(valueCol - col("__mean")) > col("__sd") * threshold)
+      .withColumn("z", (valueCol - col("__mean")) / col("__sd"))
+      .drop("__g", "__mean", "__sd")
+  }
+}

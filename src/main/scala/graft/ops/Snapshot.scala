@@ -1,0 +1,35 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture snapshot: reduce a change log to the latest
+  * record per key (the SCD/compaction step every incremental training
+  * corpus needs — each crawl re-emits documents; the corpus view is
+  * "latest version per URL").
+  *
+  * Formulated as a hash AGGREGATE (`max_by` over a composite version
+  * struct), not the textbook `row_number() OVER (PARTITION BY key
+  * ORDER BY version DESC) = 1` window: the window needs a full shuffle
+  * + per-key SORT of every change record, while `max_by` partial-
+  * aggregates map-side, so at 100 TB only one candidate row per key per
+  * input partition reaches the shuffle. OpsSpec asserts the two
+  * formulations agree row-for-row.
+  */
+object Snapshot {
+
+  /** Latest row per key, plus the change count per key.
+    *
+    * `versionCols` form the composite version in significance order
+    * (ties broken by later columns — make the last one unique for a
+    * deterministic result); `payload` columns are carried into the
+    * snapshot under their existing/aliased names.
+    */
+  def latestByKey(df: DataFrame, keyCol: Column, versionCols: Seq[Column],
+                  payload: Seq[Column]): DataFrame =
+    df.groupBy(keyCol)
+      .agg(max_by(struct(payload: _*), struct(versionCols: _*))
+          .as("__latest"),
+        count(lit(1)).as("n_versions"))
+      .select(keyCol, col("__latest.*"), col("n_versions"))
+}

@@ -1,0 +1,40 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Inverted-index construction: term → sorted posting list of document
+  * ids (the search/retrieval side of a corpus pipeline; also the
+  * substrate for contamination lookups and boilerplate mining).
+  *
+  * Shuffle discipline: tokens are deduplicated WITHIN each document
+  * before the shuffle (`array_distinct` on the per-row token array), so
+  * the groupBy moves one (term, doc_id) pair per distinct term per doc,
+  * never per occurrence. The posting list is built with
+  * `sort_array(collect_set(..))` — collect_set is partial-izable, and
+  * the sort runs on the already-reduced per-term set.
+  *
+  * Scale note: at 100 TB the df skew is the design problem — stopword
+  * posting lists are ~every doc id in the corpus. Production would cap
+  * or shard those (posting-list blocks + delta encoding); here the df
+  * column is emitted so callers can filter, and the gate query keeps
+  * the full vocabulary (bounded — it IS the vocabulary) to exercise
+  * the skewed case.
+  */
+object InvertedIndex {
+
+  /** (term, df, postings) — postings as comma-joined sorted doc ids
+    * (string form keeps the gate comparison engine-portable).
+    */
+  def postingLists(docs: DataFrame, idCol: Column, textCol: Column,
+                   tokenPattern: String): DataFrame =
+    docs
+      .select(idCol.as("doc_id"),
+        explode(array_distinct(
+          regexp_extract_all(textCol, lit(tokenPattern), lit(0))))
+          .as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        array_join(transform(sort_array(collect_set(col("doc_id"))),
+          x => x.cast("string")), ",").as("postings"))
+}
