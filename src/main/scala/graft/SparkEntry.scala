@@ -966,7 +966,37 @@ object SparkEntry {
           sum(col("l_extendedprice").cast("decimal(18,2)")).cast("string")
             .as("sum_price_t"),
           count(lit(1)).as("n_rows"))
-        .orderBy("l_returnflag", "l_linestatus"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // per-group z-score outliers (data-quality triage): join-form stats
+    // (broadcast of #groups rows) instead of the window form that sorts
+    // the whole table per group; z rounded to 4 dp so only a genuine
+    // divergence (not double summation-order noise) breaks the hash
+    "q82_outliers" -> ((s, dir) =>
+      graft.ops.Outliers.zscoreOutliers(
+          T(s, dir, "events"), col("event_type"), col("value"), 3.0)
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(col("z"), 4).as("z_r"))
+        .orderBy("event_id")),
+
+    // CDC snapshot (latest version per key): hash-aggregate max_by over
+    // a composite (ts, event_id) version struct — the oracle is the
+    // textbook row_number window form, so the cheaper formulation is
+    // hash-checked against SQL-standard semantics cross-engine
+    "q83_cdc_snapshot" -> ((s, dir) =>
+      graft.ops.Snapshot.latestByKey(T(s, dir, "events"), col("user_id"),
+          versionCols = Seq(col("ts"), col("event_id")),
+          payload = Seq(col("event_type"), col("event_id")))
+        .orderBy("user_id")),
+
+    // inverted index: term → (df, sorted posting list); per-doc-distinct
+    // explode so the shuffle moves one (term, doc) pair per distinct
+    // term per doc; full vocabulary kept to exercise the stopword-skew
+    // case (posting list ≈ every doc id)
+    "q84_inverted_index" -> ((s, dir) =>
+      graft.text.InvertedIndex.postingLists(T(s, dir, "documents"),
+          col("doc_id"), col("text"), "[a-z]+")
+        .orderBy("term"))
   )
 
   /** DuckDB-equivalent SQL per query (driver hash-compares). Notes:
@@ -1379,7 +1409,8 @@ object SparkEntry {
           |FROM d ORDER BY doc_id""".stripMargin,
 
       "q74_contamination" ->
-        """WITH sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        """WITH sp AS (SELECT doc_id, string_split(text, ' ') AS t
+          |  FROM documents WHERE text IS NOT NULL),
           |d AS (SELECT doc_id, list_distinct(list_transform(
           |    range(1, greatest(len(t) - 2, 1) + 1),
           |    i -> array_to_string(t[i:i+2], ' '))) AS sh FROM sp),
@@ -1643,6 +1674,33 @@ object SparkEntry {
            |WHERE $agree >= $minAgree
            |ORDER BY id_a, id_b""".stripMargin
       },
+
+      "q82_outliers" ->
+        """WITH s AS (SELECT event_type AS g, avg(value) AS m,
+          |    stddev_samp(value) AS sd
+          |  FROM events GROUP BY 1)
+          |SELECT event_id, event_type, value,
+          |  round((value - m) / sd, 4) AS z_r
+          |FROM events JOIN s ON event_type = g
+          |WHERE sd > 0 AND abs(value - m) > sd * 3.0
+          |ORDER BY event_id""".stripMargin,
+
+      "q83_cdc_snapshot" ->
+        """SELECT user_id, event_type, event_id, n_versions FROM (
+          |  SELECT user_id, event_type, event_id,
+          |    COUNT(*) OVER (PARTITION BY user_id) AS n_versions,
+          |    ROW_NUMBER() OVER (PARTITION BY user_id
+          |      ORDER BY ts DESC, event_id DESC) AS rn
+          |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+      "q84_inverted_index" ->
+        """WITH sp AS (SELECT doc_id,
+          |    unnest(regexp_extract_all(text, '[a-z]+')) AS term
+          |  FROM documents),
+          |t AS (SELECT DISTINCT doc_id, term FROM sp)
+          |SELECT term, COUNT(*) AS df,
+          |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+          |FROM t GROUP BY term ORDER BY term""".stripMargin,
 
       "q27_frame_sample" ->
         """WITH p AS (SELECT doc_id AS media_id,

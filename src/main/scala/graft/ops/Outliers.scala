@@ -14,7 +14,11 @@ import org.apache.spark.sql.functions._
   * shuffles and SORTS the full table per group, and a hot group lands
   * on one task; the join form re-scans instead, which at 100 TB is the
   * right trade (scan is parallel and pruned, sort is not). OpsSpec
-  * asserts join-form ≡ window-form.
+  * "zscore outliers: join form ≡ window form" asserts the equivalence,
+  * including a NULL group key (hence the null-safe `<=>` join below —
+  * a plain `===` would drop the null-keyed group that `PARTITION BY`
+  * keeps as its own partition). Gate query q82 hash-checks against the
+  * two-pass SQL formulation in DuckDB.
   */
 object Outliers {
 
@@ -27,7 +31,7 @@ object Outliers {
                      threshold: Double): DataFrame = {
     val stats = df.groupBy(groupCol.as("__g"))
       .agg(avg(valueCol).as("__mean"), stddev_samp(valueCol).as("__sd"))
-    df.join(broadcast(stats), groupCol === col("__g"))
+    df.join(broadcast(stats), groupCol <=> col("__g"))
       .where(col("__sd") > 0 &&
         abs(valueCol - col("__mean")) > col("__sd") * threshold)
       .withColumn("z", (valueCol - col("__mean")) / col("__sd"))

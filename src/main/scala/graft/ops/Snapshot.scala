@@ -13,8 +13,11 @@ import org.apache.spark.sql.functions._
   * ORDER BY version DESC) = 1` window: the window needs a full shuffle
   * + per-key SORT of every change record, while `max_by` partial-
   * aggregates map-side, so at 100 TB only one candidate row per key per
-  * input partition reaches the shuffle. OpsSpec asserts the two
-  * formulations agree row-for-row.
+  * input partition reaches the shuffle. OpsSpec "cdc snapshot: max_by ≡
+  * row_number" asserts the two formulations agree row-for-row
+  * (including version ties and null payloads); gate query q83's DuckDB
+  * oracle IS the row_number window form, so the equivalence is also
+  * hash-checked cross-engine.
   */
 object Snapshot {
 

@@ -17,9 +17,10 @@ import org.apache.spark.sql.functions._
   * Scale note: at 100 TB the df skew is the design problem — stopword
   * posting lists are ~every doc id in the corpus. Production would cap
   * or shard those (posting-list blocks + delta encoding); here the df
-  * column is emitted so callers can filter, and the gate query keeps
+  * column is emitted so callers can filter, and gate query q84 keeps
   * the full vocabulary (bounded — it IS the vocabulary) to exercise
-  * the skewed case.
+  * the skewed case; OpsSpec "inverted index" plants a stopword term
+  * present in every doc and asserts its full posting list.
   */
 object InvertedIndex {
 

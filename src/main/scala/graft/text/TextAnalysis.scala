@@ -151,9 +151,13 @@ object TextAnalysis {
     // ONE corpus scan: exploded distinct grams left-joined against the
     // broadcast benchmark set, then a conditional aggregate — per doc,
     // row count IS the distinct-gram count and non-null hit markers
-    // count the collisions (a doc always has ≥1 shingle window, so no
-    // doc drops out of the explode)
-    docs.select(idCol.as("doc_id"), explode(array_distinct(sh)).as("gram"))
+    // count the collisions (a non-null doc always has ≥1 shingle
+    // window, so no doc drops out of the explode). NULL-text docs are
+    // excluded EXPLICITLY — explode of a null array would drop them
+    // silently, and the operator's contract (mirrored by the q74
+    // oracle) is "score every non-null document"
+    docs.where(textCol.isNotNull)
+      .select(idCol.as("doc_id"), explode(array_distinct(sh)).as("gram"))
       .join(broadcast(benchGrams.withColumn("hit", lit(1))),
         Seq("gram"), "left")
       .groupBy("doc_id")

@@ -94,6 +94,21 @@ class OpsSpec extends SparkSpec {
     assert(got(3L) == (2L, 1L)) // shares only "alpha beta gamma"
   }
 
+  test("contamination: NULL-text docs excluded on both engine sides") {
+    // contract (mirrored by the q74 oracle's WHERE text IS NOT NULL):
+    // null-text docs are excluded explicitly, not dropped as an explode
+    // accident — and a null doc on the benchmark side contributes no grams
+    val docs = Seq(
+      (1L, Some("alpha beta gamma delta")),
+      (2L, None: Option[String]),
+      (3L, Some("alpha beta gamma iota"))).toDF("doc_id", "text")
+    val got = graft.text.TextAnalysis.contamination(docs, col("doc_id"),
+        col("text"), docs.where(col("doc_id").isin(1L, 2L)), col("text"),
+        w = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(1L -> (2L, 2L), 3L -> (2L, 1L)))
+  }
+
   test("global ntile ≡ window NTILE (remainder-first sizes, total order)") {
     import org.apache.spark.sql.expressions.Window
     val df = (1 to 103).map(i => (i.toLong, (i * 37 % 50).toLong))
@@ -311,5 +326,83 @@ class OpsSpec extends SparkSpec {
     val plan = Enrich.dimJoin(facts, dim, "n_nationkey")
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("zscore outliers: join form ≡ window form (incl. null group key)") {
+    import org.apache.spark.sql.expressions.Window
+    // groups: "a" has a clear outlier; "b" is tight; null-keyed group
+    // has an outlier too (the case a plain === join would drop); "c" is
+    // single-row (stddev NULL → no outliers in either form)
+    val df = Seq(
+      (1L, Some("a"), 1.0), (2L, Some("a"), 2.0), (3L, Some("a"), 1.5),
+      (4L, Some("a"), 50.0),
+      (5L, Some("b"), 10.0), (6L, Some("b"), 10.1), (7L, Some("b"), 9.9),
+      (8L, None, 5.0), (9L, None, 5.2), (10L, None, 4.8), (11L, None, 99.0),
+      (12L, Some("c"), 7.0)
+    ).toDF("id", "g", "v")
+    val joinForm = graft.ops.Outliers.zscoreOutliers(
+        df, col("g"), col("v"), 1.2)
+      .select(col("id"), round(col("z"), 6).as("z"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val w = Window.partitionBy("g")
+    val winForm = df
+      .withColumn("m", avg("v").over(w))
+      .withColumn("sd", stddev_samp(col("v")).over(w))
+      .where(col("sd") > 0 && abs(col("v") - col("m")) > col("sd") * 1.2)
+      .select(col("id"), round((col("v") - col("m")) / col("sd"), 6).as("z"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(joinForm == winForm, s"join=$joinForm window=$winForm")
+    // the null-keyed outlier is present — the regression the null-safe
+    // <=> join fixes
+    assert(joinForm.exists(_._1 == 11L), joinForm)
+    assert(joinForm.exists(_._1 == 4L))
+  }
+
+  test("cdc snapshot: max_by ≡ row_number (ties + null payloads)") {
+    import org.apache.spark.sql.expressions.Window
+    // key 1: tie on the first version col (v=2 twice) broken by seq;
+    // key 2: latest version carries a NULL payload; key 3: single row
+    val df = Seq(
+      (1L, 1L, 1L, Some("p1")), (1L, 2L, 2L, Some("p2")),
+      (1L, 2L, 3L, Some("p3")),
+      (2L, 5L, 4L, Some("p4")), (2L, 7L, 5L, None),
+      (3L, 9L, 6L, Some("p6"))
+    ).toDF("k", "v", "seq", "payload")
+    val agg = graft.ops.Snapshot.latestByKey(df, col("k"),
+        versionCols = Seq(col("v"), col("seq")),
+        payload = Seq(col("payload"), col("seq")))
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2),
+        r.getLong(3))).toSet
+    val w = Window.partitionBy("k").orderBy(col("v").desc, col("seq").desc)
+    val win = df
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_versions",
+        count(lit(1)).over(Window.partitionBy("k")))
+      .where(col("rn") === 1)
+      .select(col("k"), col("payload"), col("seq"), col("n_versions"))
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(agg == win, s"agg=$agg window=$win")
+    // the tie resolved to the larger seq, and the null payload survived
+    assert(agg.contains((1L, Some("p3"), 3L, 3L)))
+    assert(agg.contains((2L, None, 5L, 2L)))
+  }
+
+  test("inverted index: planted stopword term posts every doc") {
+    val docs = Seq(
+      (3L, "the cat sat"), (1L, "the dog ran fast"),
+      (2L, "a bird the bird")).toDF("doc_id", "text")
+    val got = graft.text.InvertedIndex.postingLists(docs,
+        col("doc_id"), col("text"), "[a-z]+")
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    // "the" appears in all 3 docs (twice in doc 2 — counted once);
+    // postings numerically sorted
+    assert(got("the") == (3L, "1,2,3"))
+    assert(got("bird") == (1L, "2")) // within-doc repeat deduped
+    assert(got("cat") == (1L, "3"))
+    assert(got.size == 8) // the,cat,sat,dog,ran,fast,a,bird — no dups
   }
 }
