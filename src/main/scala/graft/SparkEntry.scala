@@ -970,13 +970,15 @@ object SparkEntry {
 
     // per-group z-score outliers (data-quality triage): join-form stats
     // (broadcast of #groups rows) instead of the window form that sorts
-    // the whole table per group; z rounded to 4 dp so only a genuine
-    // divergence (not double summation-order noise) breaks the hash
+    // the whole table per group; BOTH the emitted z and the 3-sigma
+    // membership test use round(z, 4) so neither the value hash nor the
+    // selected row set can flip on summation-order noise at the boundary
     "q82_outliers" -> ((s, dir) =>
-      graft.ops.Outliers.zscoreOutliers(
-          T(s, dir, "events"), col("event_type"), col("value"), 3.0)
-        .select(col("event_id"), col("event_type"), col("value"),
-          round(col("z"), 4).as("z_r"))
+      graft.ops.Outliers.zscores(
+          T(s, dir, "events"), col("event_type"), col("value"))
+        .withColumn("z_r", round(col("z"), 4))
+        .where(abs(col("z_r")) > 3.0)
+        .select(col("event_id"), col("event_type"), col("value"), col("z_r"))
         .orderBy("event_id")),
 
     // CDC snapshot (latest version per key): hash-aggregate max_by over
@@ -1675,14 +1677,19 @@ object SparkEntry {
            |ORDER BY id_a, id_b""".stripMargin
       },
 
+      // null-safe join (IS NOT DISTINCT FROM) mirrors the operator's
+      // `<=>` so a NULL-keyed group diverges on neither engine; the
+      // membership test runs on the SAME rounded z the row emits
       "q82_outliers" ->
         """WITH s AS (SELECT event_type AS g, avg(value) AS m,
           |    stddev_samp(value) AS sd
           |  FROM events GROUP BY 1)
-          |SELECT event_id, event_type, value,
-          |  round((value - m) / sd, 4) AS z_r
-          |FROM events JOIN s ON event_type = g
-          |WHERE sd > 0 AND abs(value - m) > sd * 3.0
+          |SELECT event_id, event_type, value, z_r FROM (
+          |  SELECT event_id, event_type, value,
+          |    round((value - m) / sd, 4) AS z_r
+          |  FROM events JOIN s ON event_type IS NOT DISTINCT FROM g
+          |  WHERE sd > 0)
+          |WHERE abs(z_r) > 3.0
           |ORDER BY event_id""".stripMargin,
 
       "q83_cdc_snapshot" ->

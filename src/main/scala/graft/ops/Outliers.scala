@@ -22,19 +22,27 @@ import org.apache.spark.sql.functions._
   */
 object Outliers {
 
-  /** Rows where |value - mean(group)| > threshold * stddev(group),
-    * with the z-score attached. Sample stddev (both engines' default);
-    * groups with stddev 0/NULL (constant or single-row) yield no
-    * outliers, matching the window formulation.
+  /** Every row with its per-group z-score attached (sample stddev —
+    * both engines' default). Rows in groups with stddev 0/NULL
+    * (constant or single-row) are dropped, matching what the window
+    * formulation yields after any finite-z filter.
     */
-  def zscoreOutliers(df: DataFrame, groupCol: Column, valueCol: Column,
-                     threshold: Double): DataFrame = {
+  def zscores(df: DataFrame, groupCol: Column, valueCol: Column): DataFrame = {
     val stats = df.groupBy(groupCol.as("__g"))
       .agg(avg(valueCol).as("__mean"), stddev_samp(valueCol).as("__sd"))
     df.join(broadcast(stats), groupCol <=> col("__g"))
-      .where(col("__sd") > 0 &&
-        abs(valueCol - col("__mean")) > col("__sd") * threshold)
+      .where(col("__sd") > 0)
       .withColumn("z", (valueCol - col("__mean")) / col("__sd"))
       .drop("__g", "__mean", "__sd")
   }
+
+  /** Rows where |z| > threshold. Gate callers that hash-compare across
+    * engines should filter on a ROUNDED z instead (see q82): the raw
+    * predicate compares unrounded doubles, so a row within
+    * summation-order noise of the boundary could be selected by one
+    * engine only.
+    */
+  def zscoreOutliers(df: DataFrame, groupCol: Column, valueCol: Column,
+                     threshold: Double): DataFrame =
+    zscores(df, groupCol, valueCol).where(abs(col("z")) > threshold)
 }

@@ -69,16 +69,28 @@ object KafkaTopology {
       to_json(struct(scored.columns.map(col): _*)).as("value"))
   }
 
+  /** The fully-configured kafka writer for [[writeResults]], exposed so
+    * the sink CONFIG is assertable without a broker: StreamingSpec
+    * ("kafka writer config") reflects on this writer's source + options
+    * and on the routed frame's (topic, key, value) schema — everything
+    * `.save()` would hand the kafka sink — closing the S5 verification
+    * gap to exactly the broker round-trip.
+    */
+  def resultWriter(scored: DataFrame, bootstrap: String,
+                   goodTopic: String = "good_result",
+                   badTopic: String = "bad_result")
+      : org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =
+    resultRecords(scored, goodTopic, badTopic).write
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+
   /** S5: write scored records to the per-class result topics. Call in
     * `foreachBatch` after scoring.
     */
   def writeResults(scored: DataFrame, bootstrap: String,
                    goodTopic: String = "good_result",
                    badTopic: String = "bad_result"): Unit = {
-    resultRecords(scored, goodTopic, badTopic).write
-      .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .save()
+    resultWriter(scored, bootstrap, goodTopic, badTopic).save()
     ()
   }
 }

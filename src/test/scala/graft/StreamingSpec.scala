@@ -104,6 +104,16 @@ class StreamingSpec extends SparkSpec {
     sink.compact(spark)
     val after = sink.read(spark).orderBy("metric", "member").collect().toSeq
     assert(before == after)
+    // the two-rename swap leaves no scratch dirs behind: the table at
+    // `path` is the only artifact (no `.compact` staging, no `.old`
+    // grace dir past the final delete)
+    assert(!new java.io.File(sink.path + ".compact").exists())
+    assert(!new java.io.File(sink.path + ".old").exists())
+    // and the base is a single batch_id=-1 partition (partition-column
+    // inference reads the dir value back as int — cast for the check)
+    assert(spark.read.parquet(sink.path)
+      .select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq == Seq(-1L))
   }
 
   test("zset merge → compact → merge → read keeps a uniform layout") {
@@ -543,5 +553,26 @@ class StreamingSpec extends SparkSpec {
     // probability export shape: ARRAY<DOUBLE>[2] summing to 1 (app.py:494)
     val p = roundTrip.select(col("r.probability")).as[Seq[Double]].head()
     assert(p.length == 2 && math.abs(p.sum - 1.0) < 1e-9)
+  }
+
+  test("kafka writer config: format/bootstrap/schema asserted without a broker (S5)") {
+    import spark.implicits._
+    // everything .save() hands the kafka sink — the source name, the
+    // bootstrap option, and the routed (topic, key, value) frame — is
+    // inspectable on the un-started writer; only the broker round-trip
+    // itself needs an environment this container can't provide
+    val scored = Seq(("h1", 0.0), ("h2", 1.0)).toDF("host", "prediction")
+    val w = graft.stream.KafkaTopology.resultWriter(scored, "broker:9092")
+    def call(name: String): AnyRef =
+      w.getClass.getMethod(name).invoke(w)
+    assert(call("source").asInstanceOf[String] == "kafka")
+    val opts = call("extraOptions")
+      .asInstanceOf[scala.collection.Map[String, String]]
+    assert(opts.get("kafka.bootstrap.servers").contains("broker:9092"))
+    // sink input contract (kafka source/sink docs): topic + key + value,
+    // all string-typed here (sink also accepts binary)
+    val routed = graft.stream.KafkaTopology.resultRecords(scored)
+    assert(routed.schema.fields.map(f => f.name -> f.dataType.typeName).toSeq
+      == Seq("topic" -> "string", "key" -> "string", "value" -> "string"))
   }
 }
