@@ -417,10 +417,14 @@ object SparkEntry {
           col("e.tag").cast("long").as("event_id"), col("e.score").as("value"))
         .orderBy("user_id", "rank")),
 
-    // embedding-cosine near-dup pairs — blocked projection-band join
-    // (guaranteed recall, no full-corpus broadcast, no O(N²) compare);
-    // DedupSimSpec asserts blocked ≡ exact all-pairs and a
-    // broadcast-free plan
+    // embedding-cosine near-dup EXACT pairs — DEMOTED to a small-corpus
+    // cross-check: in high dim the band prunes little (~O(n²) compare,
+    // honestly documented at the operator), so the registered call
+    // carries the default maxRows=200k guard and the CANONICAL
+    // embedding-dedup contract row is the linear q67 (LSH candidates +
+    // exact verify, recall hash-proven against this same pair set).
+    // DedupSimSpec asserts blocked ≡ exact all-pairs, a broadcast-free
+    // plan, and that the guard refuses past-guard corpora loudly
     "q39_dedup_embedding" -> ((s, dir) =>
       Similarity.cosineDupPairsBlocked(T(s, dir, "embeddings"), "vec_id",
           "embedding", threshold = 0.45, dim = 64)

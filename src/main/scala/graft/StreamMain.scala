@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.ml.PipelineModel
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ml.IdsPipeline
+import graft.stream.{KafkaTopology, LogStream, ZsetSink}
+
+/** The real-time product executable — the deployable equivalent of the
+  * reference's `spark-submit --class streaming logvision.jar`
+  * (streaming.scala:239-289): one source of raw CLF lines fans into
+  *
+  *   - the counters pipeline (11 per-field zset metrics + the four IDS
+  *     good/bad metrics, merged idempotently per batch — replaces the
+  *     reference's Redis ZINCRBY jobs), and
+  *   - the scored-record append sink (date-partitioned parquet —
+  *     replaces the HDFS JSON append, streaming.scala:233),
+  *
+  * with the IDS model loaded ONCE before stream start (deviation by
+  * design, SURVEY §4.1: the reference reloads from HDFS every batch).
+  *
+  * Usage (spark-submit provides the master on a cluster):
+  *
+  *   StreamMain <source> <modelPath> <zsetPath> <scoredOut> <ckptRoot>
+  *
+  *   source = file:<dir>                    tail a directory of log files
+  *          | kafka:<bootstrap>[:<topic>]   subscribe (default raw_log)
+  *
+  * The wiring lives in [[wire]] so StreamingSpec drives the exact
+  * production DAG end-to-end on a temp dir (file source, AvailableNow)
+  * without spawning a JVM.
+  */
+object StreamMain {
+
+  /** Resolve the source argument to a line stream. */
+  def source(spark: SparkSession, spec: String): DataFrame =
+    spec.split(":", 3) match {
+      case Array("file", dir) => LogStream.fileLines(spark, dir)
+      case Array("kafka", bootstrap) => KafkaTopology.lines(spark, bootstrap)
+      case Array("kafka", bootstrap, topic) =>
+        KafkaTopology.lines(spark, bootstrap, topic)
+      case _ => throw new IllegalArgumentException(
+        s"source must be file:<dir> or kafka:<bootstrap>[:<topic>], got: $spec")
+    }
+
+  /** Assemble the full topology: both sinks, distinct checkpoints under
+    * one root (each query owns its offsets, so either can restart
+    * independently — exactly-once per sink via checkpoint + idempotent
+    * merge / append file manifest).
+    */
+  def wire(spark: SparkSession, lines: DataFrame, model: PipelineModel,
+           zsetPath: String, scoredOut: String, ckptRoot: String,
+           trigger: Trigger = Trigger.ProcessingTime("1 second"))
+      : Seq[StreamingQuery] = {
+    val sink = new ZsetSink(zsetPath)
+    Seq(
+      LogStream.startIdsCounters(spark, lines,
+        df => IdsPipeline.score(model, df), sink,
+        s"$ckptRoot/counters", trigger),
+      LogStream.startScoredSink(spark, lines,
+        df => IdsPipeline.score(model, df.withColumn("url", col("req_url"))),
+        scoredOut, s"$ckptRoot/scored", trigger))
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 5,
+      "usage: StreamMain <file:<dir>|kafka:<bootstrap>[:<topic>]> " +
+        "<modelPath> <zsetPath> <scoredOut> <checkpointRoot>")
+    val Array(src, modelPath, zsetPath, scoredOut, ckptRoot) = args
+    val spark = GraftSession.build("graft-stream")
+    val model = IdsPipeline.load(modelPath) // once, not per batch
+    wire(spark, source(spark, src), model, zsetPath, scoredOut, ckptRoot)
+    spark.streams.awaitAnyTermination()
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ml.IdsPipeline
+
+/** The IDS train/eval product executable — the deployable equivalent of
+  * the reference's `spark-submit --class learning logvision.jar`
+  * (learning.scala:121-148): read the four one-URL-per-line datasets,
+  * fit tokenizer→2gram→TF→IDF→LR, persist the PipelineModel, and emit
+  * the label-vs-prediction eval counts for both test sets (the
+  * reference prints per-class match counts, learning.scala:94-104).
+  *
+  * Usage:
+  *
+  *   TrainMain <goodTrain> <badTrain> <goodTest> <badTest> <modelOut>
+  *
+  * The wiring lives in [[run]] so IdsPipelineSpec drives the exact
+  * production path (read → train → save → reload → eval) on temp files.
+  */
+object TrainMain {
+
+  /** Train, persist, and return eval counts (label, prediction, n) —
+    * computed with the RELOADED model, so the round-trip through the
+    * model store is part of what the eval proves.
+    */
+  def run(spark: SparkSession, goodTrain: String, badTrain: String,
+          goodTest: String, badTest: String, modelOut: String): DataFrame = {
+    val model = IdsPipeline.train(
+      IdsPipeline.readUrls(spark, goodTrain),
+      IdsPipeline.readUrls(spark, badTrain))
+    IdsPipeline.save(model, modelOut)
+    val reloaded = IdsPipeline.load(modelOut)
+    val test = IdsPipeline.readUrls(spark, goodTest)
+      .withColumn("label", lit(0))
+      .union(IdsPipeline.readUrls(spark, badTest).withColumn("label", lit(1)))
+    IdsPipeline.evalCounts(reloaded, test)
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 5,
+      "usage: TrainMain <goodTrain> <badTrain> <goodTest> <badTest> <modelOut>")
+    val Array(gTr, bTr, gTe, bTe, out) = args
+    val spark = GraftSession.build("graft-train")
+    run(spark, gTr, bTr, gTe, bTe, out).show(20, truncate = false)
+    spark.stop()
+  }
+}

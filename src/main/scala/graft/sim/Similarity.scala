@@ -97,10 +97,24 @@ object Similarity {
     * verify: [[cosineDupPairsApprox]] (registered as q67, hash-checked
     * against the exact pair set in-gate) or [[IvfIndex]] cells,
     * thresholding within buckets (bounded recall loss, linear cost).
+    *
+    * Because of that bound this path is DEMOTED to a small-corpus
+    * cross-check and refuses large inputs outright (`maxRows` guard,
+    * default 200k ≈ minutes of evenly-distributed compare): at
+    * production scale a silent ~O(n²) plan is worse than a loud error
+    * naming the linear path. The guard's count is a parquet
+    * metadata-only job. Raise `maxRows` deliberately for an offline
+    * exact-recall audit; the guarded default is what q39 registers.
     */
   def cosineDupPairsBlocked(corpus: DataFrame, idCol: String,
                             vecCol: String, threshold: Double,
-                            dim: Int): DataFrame = {
+                            dim: Int, maxRows: Long = 200000L): DataFrame = {
+    val nRows = corpus.count()
+    require(nRows <= maxRows,
+      s"cosineDupPairsBlocked is the exact small-corpus cross-check " +
+        s"(~O(n^2) compare): got $nRows rows > maxRows=$maxRows. Use " +
+        s"cosineDupPairsApprox (LSH candidates + exact verify, linear) " +
+        s"or IvfIndex for corpora past the guard.")
     val r = math.sqrt(2.0 - 2.0 * threshold)
     // fixed deterministic unit direction (seeded Gaussian, normalized)
     val rnd = new scala.util.Random(42)

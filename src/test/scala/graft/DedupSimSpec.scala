@@ -299,6 +299,17 @@ class DedupSimSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("blocked cosine pairs refuse corpora past the maxRows guard") {
+    // the ~O(n²) exact path is a demoted small-SF cross-check: past the
+    // guard it must fail LOUD, naming the linear path, not run for hours
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.cosineDupPairsBlocked(emb, "vec_id", "embedding",
+        0.45, dim = 64, maxRows = 10L)
+    }
+    assert(e.getMessage.contains("cosineDupPairsApprox"))
+  }
+
   test("int8 quantization: dequantized cosine ≥ 0.999, codes in [-127, 127]") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val q = Similarity.quantizeInt8(emb, "vec_id", "embedding")

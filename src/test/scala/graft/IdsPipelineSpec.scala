@@ -143,6 +143,35 @@ class IdsPipelineSpec extends SparkSpec {
     assert(json.contains("\"prediction\""))
   }
 
+  test("TrainMain.run: read → train → save → reload → eval (product main wiring, learning.scala:121-148)") {
+    // the exact path TrainMain.main drives, on temp one-URL-per-line
+    // files — the four-dataset contract of the reference executable
+    val dir = Files.createTempDirectory("trainmain")
+    def urlFile(name: String, urls: Seq[String]): String = {
+      val p = dir.resolve(name)
+      Files.write(p, urls.mkString("\n").getBytes)
+      p.toString
+    }
+    val goodTrain = urlFile("good_train.txt", (1 to 150).map(i => s"/page$i/index.html"))
+    val badTrain = urlFile("bad_train.txt", (1 to 150).map(i => s"<script>alert($i)</script>"))
+    val goodTest = urlFile("good_test.txt", (151 to 200).map(i => s"/page$i/index.html"))
+    val badTest = urlFile("bad_test.txt", (151 to 200).map(i => s"<script>alert($i)</script>"))
+    val modelOut = dir.resolve("model").toString
+
+    val eval = TrainMain.run(spark, goodTrain, badTrain, goodTest, badTest,
+      modelOut).collect()
+      .map(r => (r.getInt(0), r.getDouble(1)) -> r.getLong(2)).toMap
+
+    // the persisted model store exists and reloads (run() evals with the
+    // RELOADED model, so a green eval proves the round-trip too)
+    assert(new java.io.File(modelOut).isDirectory)
+    assert(IdsPipeline.load(modelOut).stages.length == 5)
+    // every test row classified once; clean separation on this corpus
+    assert(eval.values.sum == 100L)
+    assert(eval.getOrElse((0, 0.0), 0L) >= 45L, s"good hits: $eval")
+    assert(eval.getOrElse((1, 1.0), 0L) >= 45L, s"bad hits: $eval")
+  }
+
   test("M7 export shape: probability is [P(good), P(bad)] doubles (app.py:494)") {
     // the serving layer indexes `probability.values` positionally — pin
     // that index 0 is the good class (label 0.0) and index 1 the bad

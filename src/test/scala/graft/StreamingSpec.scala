@@ -555,6 +555,47 @@ class StreamingSpec extends SparkSpec {
     assert(p.length == 2 && math.abs(p.sum - 1.0) < 1e-9)
   }
 
+  test("StreamMain.wire: product topology e2e — counters + IDS zsets + scored sink from one file source") {
+    import spark.implicits._
+    val srcDir = tmp("pm_src")
+    val lines = LogGen.clfLines(events()).limit(300).collect().map(_.getString(0))
+    lines.grouped(150).zipWithIndex.foreach { case (c, i) =>
+      Files.write(Paths.get(srcDir, s"part$i.log"), c.mkString("\n").getBytes)
+    }
+    val good = (1 to 200).map(i => s"/page$i/").toDF("url")
+    val bad = (1 to 200).map(i => s"<script>alert($i)</script>").toDF("url")
+    val model = graft.ml.IdsPipeline.train(good, bad)
+    val zsetPath = tmp("pm_zset")
+    val scoredOut = tmp("pm_scored")
+    // the exact DAG StreamMain.main assembles, minus only spark-submit
+    val qs = StreamMain.wire(spark,
+      StreamMain.source(spark, s"file:$srcDir"), model,
+      zsetPath, scoredOut, tmp("pm_ckpt"), Trigger.AvailableNow())
+    qs.foreach(_.awaitTermination(180000))
+
+    // counters sink: plain zset metrics AND the IDS metrics, equal to
+    // the batch twin over the same lines + model
+    val zset = new ZsetSink(zsetPath).read(spark)
+    val scoredBatch = graft.ml.IdsPipeline.score(model,
+      ClfParser.parseNative(spark.read.text(srcDir))
+        .withColumn("url", col("req_url")))
+    val streamedTotals = zset.where(col("metric").isin("good", "bad"))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    val batchTotals = scoredBatch
+      .groupBy(when(col("prediction") === 0.0, "good").otherwise("bad").as("m"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamedTotals == batchTotals)
+    assert(zset.where(col("metric") === "line").collect()
+      .map(_.getLong(2)).sum == 300L)
+    // scored sink: every line scored + date-partitioned
+    val scored = spark.read.parquet(scoredOut)
+    assert(scored.count() == 300)
+    assert(scored.columns.contains("prediction") && scored.columns.contains("date"))
+    // source spec parsing fails loud on nonsense
+    intercept[IllegalArgumentException](StreamMain.source(spark, "ftp:x"))
+  }
+
   test("kafka writer config: format/bootstrap/schema asserted without a broker (S5)") {
     import spark.implicits._
     // everything .save() hands the kafka sink — the source name, the
