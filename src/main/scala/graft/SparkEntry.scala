@@ -1002,7 +1002,23 @@ object SparkEntry {
     "q84_inverted_index" -> ((s, dir) =>
       graft.text.InvertedIndex.postingLists(T(s, dir, "documents"),
           col("doc_id"), col("text"), "[a-z]+")
-        .orderBy("term"))
+        .orderBy("term")),
+
+    // line-level dedup (C4/RefinedWeb boilerplate pass): each LINE kept
+    // only at its corpus-wide first occurrence. The fixture corpus is
+    // single-line, so "lines" are deterministic 8-token chunks (same
+    // derivation in the DuckDB oracle) — the operator itself takes any
+    // ARRAY<STRING> of lines
+    "q85_line_dedup" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val nch = ceil(size(toks).cast("double") / 8.0).cast("int")
+      val chunks = transform(sequence(lit(0), nch - 1),
+        i => array_join(slice(toks, i * 8 + 1, lit(8)), " "))
+      Dedup.lineDedup(
+          T(s, dir, "documents").withColumn("__lines", chunks),
+          col("doc_id"), col("__lines"))
+        .orderBy("doc_id")
+    })
   )
 
   /** DuckDB-equivalent SQL per query (driver hash-compares). Notes:
@@ -1703,6 +1719,24 @@ object SparkEntry {
           |    ROW_NUMBER() OVER (PARTITION BY user_id
           |      ORDER BY ts DESC, event_id DESC) AS rn
           |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+      // same 8-token chunk lines; keeper = ROW_NUMBER over (doc, pos);
+      // COUNT (not SUM) for n_kept: DuckDB SUM -> HUGEINT
+      "q85_line_dedup" ->
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+          |    FROM documents),
+          |l AS (SELECT doc_id, i - 1 AS pos,
+          |    array_to_string(w[(i-1)*8+1:(i-1)*8+8], ' ') AS line
+          |  FROM t, UNNEST(range(1,
+          |    CAST(ceil(len(w) / 8.0) AS BIGINT) + 1)) AS u(i)),
+          |k AS (SELECT doc_id, pos, line,
+          |    ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, pos)
+          |      AS rn FROM l)
+          |SELECT doc_id, COUNT(*) AS n_lines,
+          |  COUNT(CASE WHEN rn = 1 THEN 1 END) AS n_kept,
+          |  COALESCE(string_agg(CASE WHEN rn = 1 THEN line END, chr(10)
+          |    ORDER BY pos), '') AS kept_text
+          |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       "q84_inverted_index" ->
         """WITH sp AS (SELECT doc_id,

@@ -375,4 +375,59 @@ object Dedup {
         (col("sz") - col("inter")).as("uni"))
       .where(col("inter") >= minInter)
   }
+
+  /** Line-level dedup — the C4/RefinedWeb pass that exact-doc dedup
+    * can't express: a LINE is deduplicated across the whole corpus
+    * (navigation chrome, cookie banners, boilerplate headers repeat in
+    * millions of pages whose documents are all unique). Keeper = the
+    * corpus-wide first occurrence (min (doc_id, pos) — within-doc
+    * repeats collapse too).
+    *
+    * Input: `linesCol`, an ARRAY<STRING> of the document's lines (the
+    * caller owns line-splitting — `split(text, "\n")` for real text;
+    * gate query q85 derives deterministic token-chunk lines so the pass
+    * is oracle-checkable on the single-line fixture corpus).
+    *
+    * Output per doc: (doc_id, n_lines, n_kept, kept_text) — kept lines
+    * re-joined with '\n' in original order; [[lineDedupDocs]] filters
+    * to docs retaining ≥ `minKeepFrac` of their lines (the C4 doc-drop
+    * rule).
+    *
+    * Scale: ONE text-weight shuffle — posexplode streams (line, doc,
+    * pos) into a groupBy(line) whose min() aggregate is partial-ized
+    * MAP-SIDE, so the classic skew case (one boilerplate line in ~every
+    * doc) reduces to one row per map task before the wire, never a hot
+    * reducer. The per-doc regroup then shuffles only surviving keeper
+    * rows (distinct lines) + per-doc counts on compact keys. No
+    * windows, no sorts over the corpus, no driver state.
+    */
+  def lineDedup(docs: DataFrame, idCol: Column, linesCol: Column): DataFrame = {
+    val exploded = docs.select(idCol.as("doc_id"),
+      posexplode(linesCol).as(Seq("pos", "line")))
+    val perDoc = exploded.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"))
+    // corpus-wide keeper per distinct line (struct min: doc then pos)
+    val keepers = exploded.groupBy("line")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("k"))
+      .select(col("k.doc_id").as("doc_id"), col("k.pos").as("pos"),
+        col("line"))
+    val keptPerDoc = keepers.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), "\n").as("kept_text"))
+    perDoc.join(keptPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
+  /** Docs surviving line-dedup: keep a doc iff ≥ `minKeepFrac` of its
+    * lines were corpus-wide first occurrences (C4 drops the rest as
+    * boilerplate shells).
+    */
+  def lineDedupDocs(docs: DataFrame, idCol: Column, linesCol: Column,
+                    minKeepFrac: Double): DataFrame =
+    lineDedup(docs, idCol, linesCol)
+      .where(col("n_kept") >= col("n_lines") * minKeepFrac)
 }

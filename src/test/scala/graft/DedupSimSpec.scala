@@ -25,6 +25,26 @@ class DedupSimSpec extends SparkSpec {
     assert(dups(0).getAs[Long]("keeper") == 0L)
   }
 
+  test("line dedup: corpus-wide first occurrence wins; doc filter by keep fraction") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, Seq("nav bar", "unique one", "nav bar")), // within-doc repeat too
+      (2L, Seq("nav bar", "unique two")),
+      (3L, Seq("nav bar"))                           // pure boilerplate shell
+    ).toDF("id", "lines")
+    val out = Dedup.lineDedup(d, col("id"), col("lines")).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // doc 1 owns the first "nav bar" (pos 0); its pos-2 repeat collapses
+    assert(out(1L) == ((3L, 2L, "nav bar\nunique one")))
+    assert(out(2L) == ((2L, 1L, "unique two")))
+    assert(out(3L) == ((1L, 0L, "")))
+    // C4 doc-drop rule: only docs keeping >= 60% of their lines survive
+    val kept = Dedup.lineDedupDocs(d, col("id"), col("lines"), 0.6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L))
+  }
+
   test("minhash: exact dups agree on all k; near-dups pass minAgree; unrelated don't") {
     val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
         k = 16, bands = 4, minAgree = 8, w = 2)

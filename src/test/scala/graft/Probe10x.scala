@@ -80,6 +80,21 @@ object Probe10x {
         col("cnt"), col("tok"), 50)
       .collect()
     println(f"[probe] q77 n=${nd * 10} t=${(System.nanoTime() - t4) / 1e9}%.1f s")
+    // ---- r6: line-level dedup at 10× docs ----
+    // 500 k docs → ~3.9 M chunk-lines, and the replicas make every
+    // line a 10-way corpus-wide duplicate — the worst case for the
+    // keeper aggregation (min() must fold 10 claims per line; map-side
+    // partials bound the reducer). Expect ~linear vs sf0.1.
+    val toks10 = split(col("text"), " ")
+    val nch10 = ceil(size(toks10).cast("double") / 8.0).cast("int")
+    val chunks10 = transform(sequence(lit(0), nch10 - 1),
+      i => array_join(slice(toks10, i * 8 + 1, lit(8)), " "))
+    val t6 = System.nanoTime()
+    graft.dedup.Dedup.lineDedup(docs10.withColumn("__lines", chunks10),
+        col("doc_id"), col("__lines"))
+      .agg(sum("n_kept"), sum("n_lines")).collect()
+    println(f"[probe] q85 n=${nd * 10} t=${(System.nanoTime() - t6) / 1e9}%.1f s")
+
     // global ntile at 10× events-scale rows (1.5 M): range exchange +
     // two-pass labeling, no single-partition funnel
     val ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
