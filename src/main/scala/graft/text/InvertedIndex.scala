@@ -15,27 +15,84 @@ import org.apache.spark.sql.functions._
   * the sort runs on the already-reduced per-term set.
   *
   * Scale note: at 100 TB the df skew is the design problem — stopword
-  * posting lists are ~every doc id in the corpus. Production would cap
-  * or shard those (posting-list blocks + delta encoding); here the df
-  * column is emitted so callers can filter, and gate query q84 keeps
-  * the full vocabulary (bounded — it IS the vocabulary) to exercise
-  * the skewed case; OpsSpec "inverted index" plants a stopword term
-  * present in every doc and asserts its full posting list.
+  * posting lists are ~every doc id in the corpus. Two real mitigations
+  * here (not just an emitted-df suggestion):
+  *
+  *  - [[postingLists]] takes a `maxDf` cap: terms above it keep their
+  *    df but get a NULL posting list, and — the part that matters —
+  *    the capped path never BUILDS the list: df is counted first
+  *    (map-side partial count, constant-size state per term), and only
+  *    below-cap (term, doc) pairs reach the collect_set aggregation,
+  *    so no reducer ever holds a corpus-sized set in memory.
+  *  - [[postingShards]] keeps full postings but bounded per ROW: doc
+  *    ids hash into `nShards` shard groups, each shard sorted and
+  *    delta-encoded (first id + gaps — the classic posting-block
+  *    layout), so a stopword term becomes nShards bounded rows instead
+  *    of one corpus-sized one.
+  *
+  * Gate query q84 keeps the uncapped default (full vocabulary — it IS
+  * the vocabulary — exercising the skewed case); OpsSpec plants a
+  * stopword term in every doc and asserts the cap and the shard
+  * reassembly against the full list.
   */
 object InvertedIndex {
 
+  private def termDocPairs(docs: DataFrame, idCol: Column, textCol: Column,
+                           tokenPattern: String): DataFrame =
+    docs.select(idCol.as("doc_id"),
+      explode(array_distinct(
+        regexp_extract_all(textCol, lit(tokenPattern), lit(0))))
+        .as("term"))
+
   /** (term, df, postings) — postings as comma-joined sorted doc ids
-    * (string form keeps the gate comparison engine-portable).
+    * (string form keeps the gate comparison engine-portable); NULL for
+    * terms with df > maxDf (stopwords: their posting list is useless
+    * for retrieval and is the one per-term artifact that grows with
+    * corpus size).
     */
   def postingLists(docs: DataFrame, idCol: Column, textCol: Column,
-                   tokenPattern: String): DataFrame =
-    docs
-      .select(idCol.as("doc_id"),
-        explode(array_distinct(
-          regexp_extract_all(textCol, lit(tokenPattern), lit(0))))
-          .as("term"))
-      .groupBy("term")
-      .agg(count(lit(1)).as("df"),
-        array_join(transform(sort_array(collect_set(col("doc_id"))),
-          x => x.cast("string")), ",").as("postings"))
+                   tokenPattern: String,
+                   maxDf: Long = Long.MaxValue): DataFrame = {
+    val pairs = termDocPairs(docs, idCol, textCol, tokenPattern)
+    if (maxDf == Long.MaxValue)
+      pairs.groupBy("term")
+        .agg(count(lit(1)).as("df"),
+          array_join(transform(sort_array(collect_set(col("doc_id"))),
+            x => x.cast("string")), ",").as("postings"))
+    else {
+      val dfTab = pairs.groupBy("term").agg(count(lit(1)).as("df"))
+      val kept = pairs
+        .join(dfTab.where(col("df") <= maxDf), Seq("term"))
+        .groupBy("term")
+        .agg(first(col("df")).as("df"),
+          array_join(transform(sort_array(collect_set(col("doc_id"))),
+            x => x.cast("string")), ",").as("postings"))
+      kept.unionByName(
+        dfTab.where(col("df") > maxDf)
+          .select(col("term"), col("df"),
+            lit(null).cast("string").as("postings")))
+    }
+  }
+
+  /** Sharded postings: (term, shard, df_shard, postings_delta) — doc
+    * ids bucketed by hash into `nShards`, each bucket sorted and
+    * delta-encoded ("first,gap,gap,…" — the classic posting-block
+    * layout; decode = running sum). Reassembly = union of shards;
+    * per-row size is bounded by ~df/nShards, so the corpus-sized
+    * stopword row never exists. Size `nShards` so df_max/nShards ids
+    * fit comfortably in a task.
+    */
+  def postingShards(docs: DataFrame, idCol: Column, textCol: Column,
+                    tokenPattern: String, nShards: Int): DataFrame =
+    termDocPairs(docs, idCol, textCol, tokenPattern)
+      .withColumn("shard", pmod(xxhash64(col("doc_id")), lit(nShards))
+        .cast("int"))
+      .groupBy("term", "shard")
+      .agg(count(lit(1)).as("df_shard"),
+        sort_array(collect_set(col("doc_id").cast("long"))).as("ids"))
+      .select(col("term"), col("shard"), col("df_shard"),
+        array_join(transform(col("ids"), (x, i) =>
+            when(i === 0, x).otherwise(x - element_at(col("ids"), i))
+              .cast("string")),
+          ",").as("postings_delta"))
 }

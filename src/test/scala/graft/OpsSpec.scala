@@ -405,4 +405,35 @@ class OpsSpec extends SparkSpec {
     assert(got("cat") == (1L, "3"))
     assert(got.size == 8) // the,cat,sat,dog,ran,fast,a,bird — no dups
   }
+
+  test("inverted index: maxDf caps stopword postings; shards reassemble the full list") {
+    // 40 docs all containing the mega-term "the"; rarer terms under cap
+    val docs = (1L to 40L).map(i =>
+      (i, s"the w$i ${if (i % 2 == 0) "even" else "odd"}"))
+      .toDF("doc_id", "text")
+    val capped = graft.text.InvertedIndex.postingLists(docs,
+        col("doc_id"), col("text"), "[a-z][a-z0-9]*", maxDf = 25L)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    // the stopword keeps its df but ships NO corpus-sized posting list
+    assert(capped("the") == ((40L, null)))
+    assert(capped("even")._1 == 20L &&
+      capped("even")._2 == (2L to 40L by 2).mkString(","))
+    assert(capped("w7") == ((1L, "7")))
+
+    // shards: the mega-term splits into bounded delta-encoded rows
+    // whose decoded union is exactly the full posting list
+    val shards = graft.text.InvertedIndex.postingShards(docs,
+        col("doc_id"), col("text"), "[a-z][a-z0-9]*", nShards = 4)
+      .where(col("term") === "the").collect()
+    assert(shards.length == 4)
+    assert(shards.map(_.getLong(2)).sum == 40L)
+    // no shard holds the whole corpus (hash-balanced, not exact split)
+    assert(shards.forall(_.getLong(2) < 40L))
+    val decoded = shards.flatMap { r =>
+      r.getString(3).split(",").map(_.toLong)
+        .scanLeft(0L)(_ + _).drop(1) // delta decode = running sum
+    }.sorted.toSeq
+    assert(decoded == (1L to 40L))
+  }
 }
