@@ -1018,6 +1018,20 @@ object SparkEntry {
           T(s, dir, "documents").withColumn("__lines", chunks),
           col("doc_id"), col("__lines"))
         .orderBy("doc_id")
+    }),
+
+    // incremental exact dedup (continuous-ingest pattern): batch =
+    // docs with doc_id % 4 = 3 deduped against history = the rest.
+    // Bloom pre-filter elides the join for definitely-new rows; the
+    // overall result is EXACT, so plain NOT-IN SQL is the oracle
+    "q86_incremental_dedup" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Dedup.incrementalExact(
+          docs.where(pmod(col("doc_id"), lit(4)) === 3),
+          docs.where(pmod(col("doc_id"), lit(4)) =!= 3),
+          "text", expectedItems = 100000L, fpp = 0.01)
+        .select("doc_id")
+        .orderBy("doc_id")
     })
   )
 
@@ -1719,6 +1733,13 @@ object SparkEntry {
           |    ROW_NUMBER() OVER (PARTITION BY user_id
           |      ORDER BY ts DESC, event_id DESC) AS rn
           |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+      "q86_incremental_dedup" ->
+        """SELECT doc_id FROM documents
+          |WHERE doc_id % 4 = 3
+          |  AND md5(text) NOT IN (
+          |    SELECT md5(text) FROM documents WHERE doc_id % 4 != 3)
+          |ORDER BY doc_id""".stripMargin,
 
       // same 8-token chunk lines; keeper = ROW_NUMBER over (doc, pos);
       // COUNT (not SUM) for n_kept: DuckDB SUM -> HUGEINT

@@ -2,6 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
 
 /** Deduplication operators for training-data pipelines (north-star
   * extensions, BASELINE.json): exact, MinHash+LSH, SimHash, n-gram
@@ -430,4 +431,54 @@ object Dedup {
                     minKeepFrac: Double): DataFrame =
     lineDedup(docs, idCol, linesCol)
       .where(col("n_kept") >= col("n_lines") * minKeepFrac)
+
+  /** Incremental exact dedup: the rows of `batch` whose text does NOT
+    * already exist in `history` — the per-crawl-batch pass of a
+    * continuously-ingesting pipeline, where re-joining the full
+    * multi-PB history for every small batch is the thing that doesn't
+    * scale.
+    *
+    * Mechanics: a Bloom filter over history's 64-bit content hashes is
+    * built ONCE (distributed aggregate; the filter object is
+    * `expectedItems`-sized bits, broadcast into the probe expression,
+    * mergeable across history partitions — and reusable/cachable by the
+    * caller via the 3-arg overload). Each batch row pays one codegen'd
+    * bit-probe:
+    *   - miss → DEFINITELY new (Bloom has no false negatives): the row
+    *     is emitted with NO join at all — at the filter's fpp this is
+    *     ~all genuinely-new rows, the common case;
+    *   - hit (true dup or false positive, ≤ fpp of new rows) → verified
+    *     with a left-anti join against history's md5 fingerprints. Only
+    *     candidate rows join, and the join carries 16-byte keys, never
+    *     text.
+    * The result is therefore EXACT (gate query q86 hash-checks it
+    * against plain NOT IN SQL); the Bloom is purely a join-elision
+    * layer. At production scale the md5 side is the persisted dedup
+    * index the pipeline already maintains; here it derives from
+    * `history` inline.
+    */
+  def incrementalExact(batch: DataFrame, history: DataFrame,
+                       textColName: String, bloom: BloomFilter): DataFrame = {
+    val probe = graft.functions.BloomMightContainExpr.bloom_might_contain(
+      bloom, xxhash64(col(textColName)))
+    val flagged = batch.withColumn("__maybe_dup", probe)
+    val definitelyNew = flagged.where(!col("__maybe_dup"))
+    val verifiedNew = flagged.where(col("__maybe_dup"))
+      .withColumn("__fp", md5(col(textColName)))
+      .join(history.select(md5(col(textColName)).as("__fp")).distinct(),
+        Seq("__fp"), "left_anti")
+      .drop("__fp")
+    definitelyNew.unionByName(verifiedNew).drop("__maybe_dup")
+  }
+
+  /** [[incrementalExact]] building the history Bloom inline (one pass
+    * over history). `expectedItems` sizes the filter; `fpp` bounds the
+    * fraction of NEW rows that pay the verify join.
+    */
+  def incrementalExact(batch: DataFrame, history: DataFrame,
+                       textColName: String, expectedItems: Long,
+                       fpp: Double): DataFrame =
+    incrementalExact(batch, history, textColName,
+      history.select(xxhash64(col(textColName)).as("__h"))
+        .stat.bloomFilter("__h", expectedItems, fpp))
 }

@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Codegen'd Bloom-filter membership probe over a LONG column — the
+  * per-row side of incremental dedup (Dedup.incrementalExact): the
+  * filter object ships with the expression (task-broadcast via
+  * reference object, one deserialization per executor plan, not per
+  * row) and each probe is a handful of hash-bit tests. A Scala UDF
+  * closure would do the same work interpreted and break the
+  * whole-stage-codegen span around it.
+  *
+  * Semantics are the Bloom contract: `false` is definitive (the value
+  * was never inserted), `true` may be a false positive at the filter's
+  * configured fpp — callers must verify positives (see
+  * `Dedup.incrementalExact`, which makes the overall result exact).
+  */
+case class BloomMightContainExpr(child: Expression, bloom: BloomFilter)
+    extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+
+  override def nullSafeEval(v: Any): Any =
+    bloom.mightContainLong(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloom", bloom,
+      classOf[BloomFilter].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.mightContainLong($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+
+  override def prettyName: String = "bloom_might_contain"
+}
+
+object BloomMightContainExpr {
+  def bloom_might_contain(bloom: BloomFilter, value: Column): Column =
+    ColumnBridge.column(
+      BloomMightContainExpr(ColumnBridge.expression(value), bloom))
+}

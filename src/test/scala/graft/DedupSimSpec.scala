@@ -45,6 +45,34 @@ class DedupSimSpec extends SparkSpec {
     assert(kept == Set(1L))
   }
 
+  test("incremental dedup: exact batch-minus-history, even when the bloom flags every row") {
+    import spark.implicits._
+    val history = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val batch = Seq((10L, "alpha"), (11L, "gamma"), (12L, "delta"))
+      .toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // normal path: the cross-batch dup drops, new texts survive
+    assert(ids(Dedup.incrementalExact(batch, history, "text",
+      expectedItems = 1000L, fpp = 0.01)) == Seq(11L, 12L))
+    // adversarial filter built over history AND batch: every batch row
+    // reads "maybe dup", so everything takes the verify join — the
+    // result must be IDENTICAL (bloom is join-elision, never semantics)
+    val bloomAll = history.unionByName(batch)
+      .select(xxhash64(col("text")).as("__h"))
+      .stat.bloomFilter("__h", 1000L, 0.01)
+    assert(ids(Dedup.incrementalExact(batch, history, "text", bloomAll))
+      == Seq(11L, 12L))
+    // bloom contract sanity: history hashes hit, a fresh hash misses
+    val bf = history.select(xxhash64(col("text")).as("__h"))
+      .stat.bloomFilter("__h", 1000L, 0.01)
+    val probed = batch.select(col("doc_id"),
+      graft.functions.BloomMightContainExpr.bloom_might_contain(
+        bf, xxhash64(col("text"))).as("hit"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(probed(10L)) // true dup must always hit (no false negatives)
+  }
+
   test("minhash: exact dups agree on all k; near-dups pass minAgree; unrelated don't") {
     val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
         k = 16, bands = 4, minAgree = 8, w = 2)
