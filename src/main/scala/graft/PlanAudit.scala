@@ -1,13 +1,98 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Compact per-query physical-plan audit: exchanges, join strategies,
-  * whole-stage-codegen spans, and scan pushdown — the numbers to watch
-  * when asking "does this plan survive a 100× scale-up?". One line per
-  * contract query; used to generate PLANS.md each round.
+/** Per-query physical-plan audit: exchanges, join strategies,
+  * whole-stage-codegen spans, single-partition funnels — the numbers to
+  * watch when asking "does this plan survive a 100× scale-up?".
+  *
+  * This is a GATE, not just a report: PlanAuditSpec runs [[auditAll]]
+  * over every contract query at sf0.001 inside `sbt test` and fails on
+  * any [[violations]] — a new query that ships a CartesianProduct, an
+  * unlisted BroadcastNestedLoopJoin, or an unexplained
+  * `Exchange SinglePartition` breaks the build instead of landing as a
+  * PLANS.md row nobody reads. The main prints the PLANS.md table.
   */
 object PlanAudit {
+
+  final case class Audit(name: String, shuffles: Int,
+                         joins: Seq[(String, Int)], codegenSpans: Int,
+                         singlePartitionExchanges: Int, cartesian: Boolean,
+                         bnlj: Boolean, error: Option[String])
+
+  /** The two INTENTIONAL BroadcastNestedLoopJoins (see PLANS.md reading
+    * guide): the brute-force ANN baseline broadcasts its ≤10-row query
+    * set by definition; the IVF probe crosses queries × the nLists-row
+    * centroid table.
+    */
+  val bnljWhitelist: Set[String] = Set("q24_knn_bruteforce", "q33_ann_ivf")
+
+  /** Queries allowed an `Exchange SinglePartition`, each with the reason
+    * the funnel carries provably-BOUNDED data (a global scalar aggregate
+    * receives one partial row per map task; a global limit/top-k merge
+    * receives ≤ k rows per task) — the pattern that does NOT survive
+    * scale is a single-partition exchange of O(rows) data, and that is
+    * what the gate catches.
+    */
+  val singlePartitionWhitelist: Map[String, String] = Map(
+    "q04_traffic_sum" -> "global scalar agg: one partial row per task",
+    "q05_distinct_users" -> "global distinct-count final: partials only",
+    "q41_hll_sketch" -> "global sketch merge: one sketch per task",
+    "q81_profile" -> "one-pass profile: single result row"
+  )
+
+  /** Audit the AQE-final plan of a materialized query. */
+  def audit(spark: SparkSession, sfDir: String, name: String,
+            fn: (SparkSession, String) => DataFrame): Audit = {
+    def count(s: String, token: String): Int =
+      s.sliding(token.length).count(_ == token)
+    try {
+      val df = fn(spark, sfDir)
+      df.collect() // materialize THIS plan so AQE finalizes it (count()
+                   // would execute a different, re-optimized plan)
+      // audit only the AQE final plan (the string repeats everything
+      // under "== Initial Plan ==")
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      // ReusedExchange re-reads an existing shuffle, it isn't a new one
+      val shuffles = count(plan, "Exchange") -
+        count(plan, "BroadcastExchange") - count(plan, "ReusedExchange")
+      val joins = Seq("BroadcastHashJoin", "SortMergeJoin",
+        "ShuffledHashJoin", "BroadcastNestedLoopJoin", "CartesianProduct")
+        .map(j => j -> count(plan, j)).filter(_._2 > 0)
+      val wsc = plan.linesIterator
+        .flatMap(l => "\\*\\((\\d+)\\)".r.findAllMatchIn(l).map(_.group(1).toInt))
+        .toSet.size
+      // "Exchange SinglePartition" lines that are NOT reuses of another
+      // exchange (ReusedExchange prints its own operator name)
+      val singlePart = plan.linesIterator.count(l =>
+        l.contains("Exchange SinglePartition") && !l.contains("ReusedExchange"))
+      Audit(name, shuffles, joins, wsc, singlePart,
+        cartesian = plan.contains("CartesianProduct"),
+        bnlj = plan.contains("BroadcastNestedLoopJoin"), error = None)
+    } catch { case e: Throwable =>
+      Audit(name, 0, Nil, 0, 0, cartesian = false, bnlj = false,
+        error = Some(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+    }
+  }
+
+  def auditAll(spark: SparkSession, sfDir: String): Seq[Audit] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      audit(spark, sfDir, name, fn)
+    }
+
+  /** Gate rules; empty = plan accepted. */
+  def violations(a: Audit): Seq[String] = Seq(
+    a.error.map(e => s"ERROR $e"),
+    if (a.cartesian) Some("CartesianProduct") else None,
+    if (a.bnlj && !bnljWhitelist(a.name))
+      Some("BroadcastNestedLoopJoin outside whitelist") else None,
+    if (a.singlePartitionExchanges > 0 &&
+        !singlePartitionWhitelist.contains(a.name))
+      Some(s"Exchange SinglePartition x${a.singlePartitionExchanges} " +
+        "outside whitelist") else None
+  ).flatten
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val spark = SparkSession.builder()
@@ -17,36 +102,21 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    def count(s: String, token: String): Int =
-      s.sliding(token.length).count(_ == token)
-    println(f"| query | shuffles | joins | codegen spans | notes |")
-    println(f"|---|---|---|---|---|")
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try {
-        val df = fn(spark, sfDir)
-        df.collect() // materialize THIS plan so AQE finalizes it (count()
-                     // would execute a different, re-optimized plan)
-        // audit only the AQE final plan (the string repeats everything
-        // under "== Initial Plan ==")
-        val plan = df.queryExecution.executedPlan.toString
-          .split("== Initial Plan ==")(0)
-        // ReusedExchange re-reads an existing shuffle, it isn't a new one
-        val shuffles = count(plan, "Exchange") -
-          count(plan, "BroadcastExchange") - count(plan, "ReusedExchange")
-        val joins = Seq("BroadcastHashJoin", "SortMergeJoin",
-          "ShuffledHashJoin", "BroadcastNestedLoopJoin", "CartesianProduct")
-          .map(j => j -> count(plan, j)).filter(_._2 > 0)
-          .map { case (j, n) => s"$j x$n" }.mkString(", ")
-        val wsc = plan.linesIterator
-          .flatMap(l => "\\*\\((\\d+)\\)".r.findAllMatchIn(l).map(_.group(1).toInt))
-          .toSet.size
-        val bad = Seq(
-          if (plan.contains("CartesianProduct")) "CARTESIAN" else "",
-          if (plan.contains("BroadcastNestedLoopJoin")) "BNLJ" else "")
-          .filter(_.nonEmpty).mkString(",")
-        println(s"| $name | $shuffles | ${if (joins.isEmpty) "-" else joins} | $wsc | $bad |")
-      } catch { case e: Throwable =>
-        println(s"| $name | ERROR ${e.getClass.getSimpleName} | | | |")
+    println(f"| query | shuffles | joins | codegen spans | 1-part | notes |")
+    println(f"|---|---|---|---|---|---|")
+    auditAll(spark, sfDir).foreach { a =>
+      a.error match {
+        case Some(e) => println(s"| ${a.name} | ERROR ${e.take(60)} | | | | |")
+        case None =>
+          val joins = a.joins.map { case (j, n) => s"$j x$n" }.mkString(", ")
+          val viol = violations(a)
+          val notes = (viol ++
+            (if (a.bnlj && bnljWhitelist(a.name)) Seq("BNLJ (intentional)") else Nil) ++
+            (if (a.singlePartitionExchanges > 0 && viol.isEmpty && !a.bnlj)
+               Seq(singlePartitionWhitelist.getOrElse(a.name, "")) else Nil))
+            .filter(_.nonEmpty).mkString("; ")
+          println(s"| ${a.name} | ${a.shuffles} | ${if (joins.isEmpty) "-" else joins} " +
+            s"| ${a.codegenSpans} | ${a.singlePartitionExchanges} | $notes |")
       }
     }
     spark.stop()

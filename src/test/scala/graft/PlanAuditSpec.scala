@@ -1,0 +1,32 @@
+package graft
+
+/** The plan audit as a FAILING gate (not a report): every contract
+  * query's AQE-final physical plan at sf0.001 must be free of
+  * CartesianProduct, of BroadcastNestedLoopJoin outside the two
+  * intentional baselines (q24/q33), and of `Exchange SinglePartition`
+  * outside the documented bounded-data whitelist — the three plan
+  * shapes that silently die at 100×. A new query shipping one of them
+  * now breaks `sbt test` the moment it is registered, instead of
+  * waiting for a human to re-read PLANS.md.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  test("every contract query's plan passes the 100x-survival gate") {
+    val audits = PlanAudit.auditAll(spark, "/root/testdata/sf0.001")
+    // every registered query was audited (a throwing query is an ERROR
+    // violation, not a silent skip)
+    assert(audits.map(_.name).toSet == SparkEntry.queries.keySet)
+    val bad = audits.map(a => a -> PlanAudit.violations(a))
+      .filter(_._2.nonEmpty)
+    assert(bad.isEmpty, bad.map { case (a, v) =>
+      s"\n${a.name}: ${v.mkString("; ")}" }.mkString)
+    // the whitelists stay honest: entries must still be exercised —
+    // a whitelisted query that no longer BNLJs/funnels is stale doc
+    val byName = audits.map(a => a.name -> a).toMap
+    PlanAudit.bnljWhitelist.foreach(n =>
+      assert(byName(n).bnlj, s"$n whitelisted for BNLJ but has none"))
+    PlanAudit.singlePartitionWhitelist.keys.foreach(n =>
+      assert(byName(n).singlePartitionExchanges > 0,
+        s"$n whitelisted for SinglePartition but has none"))
+  }
+}
