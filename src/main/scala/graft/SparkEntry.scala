@@ -1009,16 +1009,14 @@ object SparkEntry {
     // single-line, so "lines" are deterministic 8-token chunks (same
     // derivation in the DuckDB oracle) — the operator itself takes any
     // ARRAY<STRING> of lines
-    "q85_line_dedup" -> ((s, dir) => {
-      val toks = split(col("text"), " ")
-      val nch = ceil(size(toks).cast("double") / 8.0).cast("int")
-      val chunks = transform(sequence(lit(0), nch - 1),
-        i => array_join(slice(toks, i * 8 + 1, lit(8)), " "))
+    "q85_line_dedup" -> ((s, dir) =>
+      // native codegen'd chunker: the transform(sequence)+slice form
+      // re-evaluates split per chunk index in interpreted lambdas
       Dedup.lineDedup(
-          T(s, dir, "documents").withColumn("__lines", chunks),
+          T(s, dir, "documents").withColumn("__lines",
+            graft.functions.ShinglesExpr.chunk_strings(col("text"), 8)),
           col("doc_id"), col("__lines"))
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
 
     // incremental exact dedup (continuous-ingest pattern): batch =
     // docs with doc_id % 4 = 3 deduped against history = the rest.
@@ -1031,6 +1029,31 @@ object SparkEntry {
           docs.where(pmod(col("doc_id"), lit(4)) =!= 3),
           "text", expectedItems = 100000L, fpp = 0.01)
         .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // duplicate-span detection (exact-substring dedup, window form):
+    // every 8-token window is a span; a span occurring twice anywhere
+    // in the corpus marks both occurrences duplicated. Per-doc dup
+    // ratio is the pipeline's cut signal. Both engines compute the
+    // ratio as one double division of exact integers then round(4), so
+    // the hash can't flip on summation order
+    "q87_dup_spans" -> ((s, dir) =>
+      Dedup.dupSpans(T(s, dir, "documents"), col("doc_id"),
+          coalesce(col("text"), lit("")), k = 8)
+        .orderBy("doc_id")),
+
+    // deterministic corpus shuffle + shard assignment (pre-training
+    // layout): total order = md5 of id||text (reproducible cross-engine
+    // pseudo-random permutation), NTILE-cut into 16 shards via the
+    // two-pass range-repartition index — no single-partition window
+    "q88_shard_assign" -> ((s, dir) => {
+      val keyed = T(s, dir, "documents").select(col("doc_id"),
+        md5(concat(col("doc_id").cast("string"), lit("|"),
+          coalesce(col("text"), lit("")))).as("skey"))
+      graft.ops.Rank.shardAssign(keyed, Seq(col("skey").asc),
+          nShards = 16, nPartitions = 8)
+        .select(col("doc_id"), col("shard"), col("pos"))
         .orderBy("doc_id")
     })
   )
@@ -1740,6 +1763,38 @@ object SparkEntry {
           |  AND md5(text) NOT IN (
           |    SELECT md5(text) FROM documents WHERE doc_id % 4 != 3)
           |ORDER BY doc_id""".stripMargin,
+
+      // 8-token windows (slice is 1-based inclusive on both engines);
+      // dup = span count >= 2 corpus-wide; ratio = one double division
+      // of exact ints + round(4) on both sides. COUNT not SUM (HUGEINT)
+      "q87_dup_spans" ->
+        """WITH t AS (SELECT doc_id,
+          |    string_split(COALESCE(text, ''), ' ') AS w FROM documents),
+          |b AS (SELECT doc_id, w,
+          |    CAST(GREATEST(len(w) - 7, 0) AS BIGINT) AS n_spans FROM t),
+          |sp AS (SELECT doc_id, array_to_string(w[i:i+7], ' ') AS span
+          |  FROM b, UNNEST(range(1, n_spans + 1)) AS u(i)),
+          |c AS (SELECT span FROM sp GROUP BY span HAVING COUNT(*) > 1),
+          |d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup
+          |  FROM sp JOIN c USING (span) GROUP BY doc_id)
+          |SELECT b.doc_id, n_spans, COALESCE(n_dup, 0) AS n_dup,
+          |  CASE WHEN n_spans = 0 THEN 0.0
+          |    ELSE round(COALESCE(n_dup, 0) / n_spans, 4) END AS dup_ratio
+          |FROM b LEFT JOIN d USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+      // NTILE's remainder-first sizing is exactly Rank.ntileFromIndex;
+      // md5 keys are unique in practice so the order is total
+      "q88_shard_assign" ->
+        """WITH k AS (SELECT doc_id,
+          |    md5(CAST(doc_id AS VARCHAR) || '|' || COALESCE(text, ''))
+          |      AS skey FROM documents),
+          |s AS (SELECT doc_id, skey,
+          |    CAST(NTILE(16) OVER (ORDER BY skey ASC) AS INTEGER) AS shard
+          |  FROM k)
+          |SELECT doc_id, shard,
+          |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY skey ASC)
+          |    AS BIGINT) AS pos
+          |FROM s ORDER BY doc_id""".stripMargin,
 
       // same 8-token chunk lines; keeper = ROW_NUMBER over (doc, pos);
       // COUNT (not SUM) for n_kept: DuckDB SUM -> HUGEINT

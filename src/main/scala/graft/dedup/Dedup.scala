@@ -481,4 +481,74 @@ object Dedup {
     incrementalExact(batch, history, textColName,
       history.select(xxhash64(col(textColName)).as("__h"))
         .stat.bloomFilter("__h", expectedItems, fpp))
+
+  /** Duplicate-span detection — the window form of exact-substring
+    * dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better"): every k-token window of every document
+    * is a span; a span occurring ≥ 2 times corpus-wide (across docs OR
+    * repeated within one doc) is a duplicate. Per doc this emits the
+    * span count, the duplicated-span count, and their ratio — the
+    * triage signal the pipeline thresholds on before cutting text.
+    *
+    * Scale shape (same class as [[lineDedup]]): windows are built
+    * map-side by the native codegen'd [[graft.functions.ShinglesExpr]]
+    * (one split + one walk per row, no self-join); the only shuffles are the span-count
+    * groupBy (map-side partial aggregation collapses each partition's
+    * repeats first) and the candidate semi-join back, both equi on the
+    * span string. Documents shorter than k tokens legitimately have 0
+    * spans and are preserved with ratio 0.0 via the left join from the
+    * original doc set. At corpus scale prefer [[dupSpansHashed]], which
+    * shuffles 8-byte hashes instead of verbatim windows.
+    */
+  def dupSpans(docs: DataFrame, idCol: Column, textCol: Column,
+               k: Int): DataFrame = {
+    // native codegen'd window walk (ShinglesExpr) — the compositional
+    // transform(sequence)+slice form allocates per-window slices in
+    // interpreted lambdas (measured ~3× slower at 10×). ShinglesExpr
+    // emits one truncated window for sub-k docs; the nSpans guard in
+    // dupSpansFrom maps those to the contract's empty span set.
+    dupSpansFrom(docs, idCol, textCol, k,
+      graft.functions.ShinglesExpr.shingle_strings(textCol, k), "string")
+  }
+
+  /** [[dupSpans]] on 64-bit span hashes instead of span strings — the
+    * at-scale form. The exact form's two span shuffles carry every
+    * k-token window VERBATIM (~k× the corpus text over the wire);
+    * hashing map-side (native [[graft.functions.SpanHashesExpr]], one
+    * split + one walk + xxhash64 per window — the window string never
+    * leaves the expression) cuts the shuffled payload to 8 bytes/span.
+    * Price: a 64-bit collision can mark two distinct spans duplicated
+    * (P ≈ n²/2⁶⁵ per corpus — ~1e-5 at 24 M spans, vanishing vs the
+    * dup-ratio thresholds this feeds). Exact twin = the contract query;
+    * this is the registered path past memory-broadcast scale.
+    */
+  def dupSpansHashed(docs: DataFrame, idCol: Column, textCol: Column,
+                     k: Int): DataFrame =
+    dupSpansFrom(docs, idCol, textCol, k,
+      graft.functions.ShingleHashesExpr.span_hashes(textCol, k), "bigint")
+
+  private def dupSpansFrom(docs: DataFrame, idCol: Column, textCol: Column,
+                           k: Int, spans: Column, spanType: String): DataFrame = {
+    val toks = split(textCol, " ")
+    val nSpans = greatest(size(toks) - (k - 1), lit(0)).cast("long")
+    val base = docs.select(idCol.as("doc_id"), nSpans.as("n_spans"),
+      when(nSpans > 0, spans).otherwise(array().cast(s"array<$spanType>"))
+        .as("__spans"))
+    val exploded = base
+      .select(col("doc_id"), explode(col("__spans")).as("span"))
+    val dupSpanSet = exploded.groupBy("span")
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > 1)
+      .select("span")
+    val dupPerDoc = exploded
+      .join(dupSpanSet, Seq("span"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    base.select(col("doc_id"), col("n_spans"))
+      .join(dupPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        when(col("n_spans") === 0, lit(0.0))
+          .otherwise(round(coalesce(col("n_dup"), lit(0L)) /
+            col("n_spans"), 4)).as("dup_ratio"))
+  }
 }

@@ -62,6 +62,52 @@ object ShingleHashesExpr {
     new GenericArrayData(java.util.Arrays.copyOf(hashes, n))
   }
 
+  /** Raw per-occurrence window hashes — NO sort, NO dedup (every span
+    * occurrence counts once, in document order). The multiset sibling
+    * of [[compute]]: duplicate-span detection needs occurrence counts,
+    * where set semantics would silently undercount within-doc repeats.
+    */
+  def computeAll(s: UTF8String, w: Int): GenericArrayData = {
+    val toks = s.split(Space, -1)
+    val nWindows = math.max(toks.length - w, 0) + 1
+    val hashes = new Array[Long](nWindows)
+    var i = 0
+    while (i < nWindows) {
+      val end = math.min(i + w, toks.length)
+      val shingle = UTF8String.concatWs(Space,
+        java.util.Arrays.copyOfRange(toks, i, end): _*)
+      hashes(i) = XxHash64Function.hash(shingle, StringType, 42L)
+      i += 1
+    }
+    new GenericArrayData(hashes)
+  }
+
   def shingle_hashes(c: Column, w: Int = 3): Column =
     ColumnBridge.column(ShingleHashesExpr(ColumnBridge.expression(c), w))
+
+  def span_hashes(c: Column, w: Int): Column =
+    ColumnBridge.column(SpanHashesExpr(ColumnBridge.expression(c), w))
+}
+
+/** Per-occurrence 64-bit window hashes (multiset, document order) — see
+  * [[ShingleHashesExpr.computeAll]]. `xxhash64`-compatible: element i
+  * equals `xxhash64(shingles(text, w)[i])`, so specs can pin parity
+  * against the string form.
+  */
+case class SpanHashesExpr(child: Expression, w: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashesExpr.computeAll(input.asInstanceOf[UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ShingleHashesExpr.computeAll($c, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): SpanHashesExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "span_hashes"
 }

@@ -49,6 +49,57 @@ object ShinglesExpr {
     new GenericArrayData(out)
   }
 
+  /** Non-overlapping k-token chunks (stride = width, trailing partial
+    * chunk kept) — ONE split + one walk per row. Bit-identical to the
+    * compositional `transform(sequence(0, ceil(len/k)-1), i =>
+    * array_join(slice(toks, i*k+1, k), " "))`, whose interpreted
+    * lambda re-evaluates the `split` child on EVERY chunk index
+    * (O(chunks × tokens) regex splits per row — the q85 probe's
+    * single-core straggler before this expression existed).
+    */
+  def computeChunks(s: UTF8String, k: Int): GenericArrayData = {
+    val toks = s.split(Space, -1)
+    val nChunks = (toks.length + k - 1) / k
+    val out = new Array[AnyRef](math.max(nChunks, 1))
+    if (nChunks == 0) { // split never yields 0 tokens, but stay total
+      out(0) = UTF8String.EMPTY_UTF8
+      return new GenericArrayData(java.util.Arrays.copyOf(out, 1))
+    }
+    var i = 0
+    while (i < nChunks) {
+      val start = i * k
+      val end = math.min(start + k, toks.length)
+      out(i) = UTF8String.concatWs(Space,
+        java.util.Arrays.copyOfRange(toks, start, end): _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def shingle_strings(c: Column, w: Int): Column =
     ColumnBridge.column(ShinglesExpr(ColumnBridge.expression(c), w))
+
+  def chunk_strings(c: Column, k: Int): Column =
+    ColumnBridge.column(ChunkStringsExpr(ColumnBridge.expression(c), k))
+}
+
+/** Native non-overlapping k-token chunker — see
+  * [[ShinglesExpr.computeChunks]]. Used by the q85 line-dedup contract
+  * query to derive deterministic "lines" from single-line fixture text.
+  */
+case class ChunkStringsExpr(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    ShinglesExpr.computeChunks(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ShinglesExpr.computeChunks($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): ChunkStringsExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "chunk_strings"
 }

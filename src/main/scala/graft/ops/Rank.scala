@@ -64,4 +64,37 @@ object Rank {
       .withColumn(bucketName, ntileFromIndex(col("idx"), total, n))
       .drop("idx")
   }
+
+  /** Deterministic corpus shuffle + shard assignment — the "shuffle the
+    * dataset before training" pass. Rows are totally ordered by `order`
+    * (callers pass a content hash like `md5(id || text)`, which is a
+    * seeded pseudo-random permutation that is reproducible across runs
+    * and engines), cut into `nShards` NTILE-style contiguous buckets
+    * (remainder-first sizing, so a windowed NTILE oracle checks it),
+    * and given a 1-based position within their shard.
+    *
+    * Scale shape: the same two-pass range-repartition index as
+    * [[withGlobalIndex]] — no `Exchange SinglePartition`, no window
+    * over a single partition. shard and pos are per-row arithmetic on
+    * the global index (bucket start offsets are closed-form), so the
+    * only extra cost over the index itself is the one `count()` job.
+    */
+  def shardAssign(df: DataFrame, order: Seq[Column], nShards: Int,
+                  nPartitions: Int): DataFrame = {
+    val total = df.count()
+    val base = total / nShards
+    val rem = total % nShards
+    // pos within shard from the global index: the first `rem` buckets
+    // are (base+1)-sized back to back, the rest base-sized — so the
+    // within-bucket offset is a modulo in each region. The otherwise
+    // branch (division by `base`) only ever evaluates for rows past
+    // rem*(base+1), which exist only when base > 0.
+    val pos = when(col("idx") < rem * (base + 1),
+        pmod(col("idx"), lit(base + 1)))
+      .otherwise(pmod(col("idx") - rem * (base + 1), lit(if (base > 0) base else 1L)))
+    withGlobalIndex(df, order, nPartitions)
+      .withColumn("shard", ntileFromIndex(col("idx"), total, nShards).cast("int"))
+      .withColumn("pos", (pos + 1).cast("long"))
+      .drop("idx")
+  }
 }

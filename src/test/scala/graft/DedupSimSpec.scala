@@ -45,6 +45,45 @@ class DedupSimSpec extends SparkSpec {
     assert(kept == Set(1L))
   }
 
+  test("dup spans: corpus-wide k-token window repeats, incl. within-doc and short docs") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d e"),
+      (2L, "x a b c d"),       // shares "a b c" and "b c d" with doc 1
+      (3L, "p q p q p q"),     // every window repeats WITHIN the doc
+      (4L, "one two")          // shorter than k: 0 spans, ratio 0.0
+    ).toDF("id", "text")
+    val out = Dedup.dupSpans(d, col("id"), col("text"), k = 3)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((3L, 2L, 0.6667)))
+    assert(out(2L) == ((3L, 2L, 0.6667)))
+    assert(out(3L) == ((4L, 4L, 1.0)))
+    assert(out(4L) == ((0L, 0L, 0.0)))
+  }
+
+  test("dup spans hashed ≡ exact on fixture + sf0.001 docs; span_hashes ≡ xxhash64 of strings") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "a b c d e"), (2L, "x a b c d"),
+      (3L, "p q p q p q"), (4L, "one two")).toDF("id", "text")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").as("id"), coalesce(col("text"), lit("")).as("text"))
+    for (d <- Seq(fixture, docs)) {
+      val exact = Dedup.dupSpans(d, col("id"), col("text"), k = 3)
+      val hashed = Dedup.dupSpansHashed(d, col("id"), col("text"), k = 3)
+      assert(exact.except(hashed).isEmpty && hashed.except(exact).isEmpty)
+    }
+    // element-wise hash compatibility with the SQL builtin
+    val mismatch = fixture.select(
+      graft.functions.ShingleHashesExpr.span_hashes(col("text"), 3).as("h"),
+      transform(graft.functions.ShinglesExpr.shingle_strings(col("text"), 3),
+        s => xxhash64(s)).as("ref"))
+      .where(not(col("h") === col("ref"))).count()
+    assert(mismatch == 0)
+  }
+
   test("incremental dedup: exact batch-minus-history, even when the bloom flags every row") {
     import spark.implicits._
     val history = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")

@@ -122,6 +122,33 @@ class OpsSpec extends SparkSpec {
     assert(got.except(want).isEmpty && want.except(got).isEmpty)
   }
 
+  test("shard assign ≡ window NTILE + ROW_NUMBER under the same total order") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 103).map(i => (i.toLong, s"t$i")).toDF("id", "t")
+    val keyed = df.select(col("id"),
+      md5(concat(col("id").cast("string"), lit("|"), col("t"))).as("skey"))
+    val got = graft.ops.Rank.shardAssign(keyed, Seq(col("skey").asc),
+        nShards = 7, nPartitions = 5)
+      .select(col("id"), col("shard").cast("long"), col("pos"))
+    val want = keyed
+      .withColumn("shard",
+        ntile(7).over(Window.orderBy(col("skey").asc)).cast("long"))
+      .withColumn("pos", row_number()
+        .over(Window.partitionBy(col("shard")).orderBy(col("skey").asc))
+        .cast("long"))
+      .select("id", "shard", "pos")
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
+  test("shard assign: fewer rows than shards (base=0 branch)") {
+    val tiny = Seq((1L, "a"), (2L, "b")).toDF("id", "skey")
+    val got = graft.ops.Rank.shardAssign(tiny, Seq(col("skey").asc),
+        nShards = 4, nPartitions = 2)
+      .select("id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 1, 1L), (2L, 2, 1L)))
+  }
+
   test("global ntile: fewer rows than buckets (base=0 branch)") {
     val df = Seq((1L, 10L), (2L, 5L)).toDF("id", "v")
     val got = graft.ops.Rank.globalNtile(df,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.sim.Similarity
 import graft.text.TextAnalysis
 
-/** 10× scale probe for the round-4 operators (PLANS.md records the
+/** 10× scale probe for the round-4+ operators (PLANS.md records the
   * measured numbers):
   *
   *  - q67 regime probe: 200 k vectors = sf0.1 embeddings replicated
@@ -18,92 +18,142 @@ import graft.text.TextAnalysis
   *    expressions; shard-windowed prefix sum).
   */
 object Probe10x {
+  /** Probe selector: SPARK_GRAFT_PROBE_ONLY=q85,q87 runs just those
+    * blocks in THIS JVM. Probes sharing one JVM contaminate each other
+    * (accumulated localCheckpoint blocks + GC pressure inflate later
+    * probes several-fold — same lesson as the bench warmup work), so
+    * recorded PLANS.md numbers come from isolated single-probe runs.
+    */
+  private val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+    .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+  private def on(tag: String): Boolean = only.forall(_.contains(tag))
+
+  /** Bench-protocol timing: run twice, report the min (plus both runs).
+    * First executions absorb codegen/JIT/GC warmup that has produced
+    * >10× phantom slowdowns on identical plans; the min is the number
+    * comparable across rounds.
+    */
+  private def probe2(tag: String, n: => Long)(f: => Unit): Unit = {
+    val t1 = System.nanoTime(); f; val s1 = (System.nanoTime() - t1) / 1e9
+    val t2 = System.nanoTime(); f; val s2 = (System.nanoTime() - t2) / 1e9
+    println(f"[probe] $tag n=$n t=${math.min(s1, s2)}%.1f s (runs $s1%.1f/$s2%.1f)")
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSpec.spark
     import spark.implicits._
 
-    // ---- q67 planted near-dup probe ----
-    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
-    val n = emb.count()
     val reps = spark.range(10).select(col("id").cast("int").as("r"))
-    val emb10 = emb.crossJoin(reps).select(
-      (col("vec_id") + col("r") * lit(n)).as("vec_id"),
-      transform(col("embedding"),
-        (x, i) => x * (lit(1.0) + col("r") * lit(0.0005) * ((i % 7) - 3)))
-        .as("embedding"))
-      .localCheckpoint(true) // materialize: probe times the operator, not the synthesis
-    val t0 = System.nanoTime()
-    val pairs = Similarity.cosineDupPairsApprox(emb10, "vec_id", "embedding",
-        threshold = 0.9, dim = 64, nTables = 8, nBits = 16)
-      .select("id_a", "id_b")
-      .withColumn("same_group", (col("id_a") % n) === (col("id_b") % n))
-      .groupBy("same_group").count().collect()
-      .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
-    val secs = (System.nanoTime() - t0) / 1e9
-    val within = pairs.getOrElse(true, 0L)
-    val expected = n * 45 // C(10,2) per replica group
-    println(f"[probe] q67@0.9 n=${n * 10} t=$secs%.1f s " +
-      f"recall=${within.toDouble / expected}%.4f " +
-      s"within=$within/$expected cross=${pairs.getOrElse(false, 0L)}")
 
-    // ---- q69/q70 at 10× docs ----
-    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-    val nd = docs.count()
-    val docs10 = docs.crossJoin(reps).select(
+    // ---- q67 planted near-dup probe ----
+    if (on("q67")) {
+      val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      val n = emb.count()
+      val emb10 = emb.crossJoin(reps).select(
+        (col("vec_id") + col("r") * lit(n)).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => x * (lit(1.0) + col("r") * lit(0.0005) * ((i % 7) - 3)))
+          .as("embedding"))
+        // repartition BEFORE checkpointing: the crossJoin synthesis
+        // inherits the single-file parquet's 1 partition, which would
+        // serialize every map-side stage onto one core and measure a
+        // straggler, not the operator
+        .repartition(32)
+        .localCheckpoint(true) // materialize: probe times the operator, not the synthesis
+      val t0 = System.nanoTime()
+      val pairs = Similarity.cosineDupPairsApprox(emb10, "vec_id", "embedding",
+          threshold = 0.9, dim = 64, nTables = 8, nBits = 16)
+        .select("id_a", "id_b")
+        .withColumn("same_group", (col("id_a") % n) === (col("id_b") % n))
+        .groupBy("same_group").count().collect()
+        .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+      val secs = (System.nanoTime() - t0) / 1e9
+      val within = pairs.getOrElse(true, 0L)
+      val expected = n * 45 // C(10,2) per replica group
+      println(f"[probe] q67@0.9 n=${n * 10} t=$secs%.1f s " +
+        f"recall=${within.toDouble / expected}%.4f " +
+        s"within=$within/$expected cross=${pairs.getOrElse(false, 0L)}")
+    }
+
+    // ---- 10× docs synthesis, shared by the document probes ----
+    lazy val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    lazy val nd = docs.count()
+    lazy val docs10 = docs.crossJoin(reps).select(
         (col("doc_id") + col("r") * lit(nd)).as("doc_id"),
         col("lang"), col("text"))
+      .repartition(32) // see emb10: undo the 1-partition synthesis
       .localCheckpoint(true)
-    val t1 = System.nanoTime()
-    TextAnalysis.repetitionStats(docs10, col("doc_id"), col("text"), w = 2)
-      .agg(sum("n_distinct")).collect()
-    println(f"[probe] q69 n=${nd * 10} t=${(System.nanoTime() - t1) / 1e9}%.1f s")
-    val t2 = System.nanoTime()
-    TextAnalysis.packSequences(docs10, col("doc_id"), col("text"),
-        col("lang"), targetTokens = 512)
-      .agg(sum("seq_tokens")).collect()
-    println(f"[probe] q70 n=${nd * 10} t=${(System.nanoTime() - t2) / 1e9}%.1f s")
+
+    if (on("q69")) probe2("q69", nd * 10) {
+      TextAnalysis.repetitionStats(docs10, col("doc_id"), col("text"), w = 2)
+        .agg(sum("n_distinct")).collect(): Unit
+    }
+    if (on("q70")) probe2("q70", nd * 10) {
+      TextAnalysis.packSequences(docs10, col("doc_id"), col("text"),
+          col("lang"), targetTokens = 512)
+        .agg(sum("seq_tokens")).collect(): Unit
+    }
 
     // ---- r4 late additions at 10× docs ----
     // contamination: benchmark side stays ONE broadcastable gram set
     // regardless of corpus size; corpus side linear
-    val t3 = System.nanoTime()
-    TextAnalysis.contamination(docs10, col("doc_id"), col("text"),
-        docs10.where(col("doc_id") % 500 === 0), col("text"), w = 3)
-      .agg(sum("n_hit")).collect()
-    println(f"[probe] q74 n=${nd * 10} t=${(System.nanoTime() - t3) / 1e9}%.1f s")
+    if (on("q74")) probe2("q74", nd * 10) {
+      TextAnalysis.contamination(docs10, col("doc_id"), col("text"),
+          docs10.where(col("doc_id") % 500 === 0), col("text"), w = 3)
+        .agg(sum("n_hit")).collect(): Unit
+    }
     // vocab top-k: count-by shuffles (token, partial) only
-    val t4 = System.nanoTime()
-    graft.ops.TopK.topK(
-        docs10.select(explode(regexp_extract_all(col("text"),
-          lit(TextAnalysis.BpeishPattern), lit(0))).as("tok"))
-          .groupBy("tok").agg(count(lit(1)).as("cnt")),
-        col("cnt"), col("tok"), 50)
-      .collect()
-    println(f"[probe] q77 n=${nd * 10} t=${(System.nanoTime() - t4) / 1e9}%.1f s")
+    if (on("q77")) probe2("q77", nd * 10) {
+      graft.ops.TopK.topK(
+          docs10.select(explode(regexp_extract_all(col("text"),
+            lit(TextAnalysis.BpeishPattern), lit(0))).as("tok"))
+            .groupBy("tok").agg(count(lit(1)).as("cnt")),
+          col("cnt"), col("tok"), 50)
+        .collect(): Unit
+    }
+
     // ---- r6: line-level dedup at 10× docs ----
-    // 500 k docs → ~3.9 M chunk-lines, and the replicas make every
+    // 50 k docs → ~390 k chunk-lines, and the replicas make every
     // line a 10-way corpus-wide duplicate — the worst case for the
     // keeper aggregation (min() must fold 10 claims per line; map-side
     // partials bound the reducer). Expect ~linear vs sf0.1.
-    val toks10 = split(col("text"), " ")
-    val nch10 = ceil(size(toks10).cast("double") / 8.0).cast("int")
-    val chunks10 = transform(sequence(lit(0), nch10 - 1),
-      i => array_join(slice(toks10, i * 8 + 1, lit(8)), " "))
-    val t6 = System.nanoTime()
-    graft.dedup.Dedup.lineDedup(docs10.withColumn("__lines", chunks10),
-        col("doc_id"), col("__lines"))
-      .agg(sum("n_kept"), sum("n_lines")).collect()
-    println(f"[probe] q85 n=${nd * 10} t=${(System.nanoTime() - t6) / 1e9}%.1f s")
+    if (on("q85")) probe2("q85", nd * 10) {
+      graft.dedup.Dedup.lineDedup(
+          docs10.withColumn("__lines",
+            graft.functions.ShinglesExpr.chunk_strings(col("text"), 8)),
+          col("doc_id"), col("__lines"))
+        .agg(sum("n_kept"), sum("n_lines")).collect(): Unit
+    }
+
+    // ---- late-r6: duplicate-span detection at 10× docs ----
+    // 50 k docs → ~2.4 M overlapping 8-token spans, every one a 10-way
+    // corpus-wide duplicate via the replicas — worst case for the
+    // span-count groupBy (map-side partials must collapse the repeats)
+    // AND for the semi-join back (every span survives the cnt>1
+    // filter). Expect ~linear vs sf0.1.
+    if (on("q87")) probe2("q87", nd * 10) {
+      graft.dedup.Dedup.dupSpans(docs10, col("doc_id"),
+          coalesce(col("text"), lit("")), k = 8)
+        .agg(sum("n_dup"), sum("n_spans")).collect(): Unit
+    }
+    // hashed at-scale form: same worst case, spans shuffle as longs
+    if (on("q87h")) probe2("q87h", nd * 10) {
+      graft.dedup.Dedup.dupSpansHashed(docs10, col("doc_id"),
+          coalesce(col("text"), lit("")), k = 8)
+        .agg(sum("n_dup"), sum("n_spans")).collect(): Unit
+    }
 
     // global ntile at 10× events-scale rows (1.5 M): range exchange +
     // two-pass labeling, no single-partition funnel
-    val ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
-      .select(col("event_id"), col("user_id")).localCheckpoint(true)
-    val t5 = System.nanoTime()
-    graft.ops.Rank.globalNtile(ev,
-        Seq(col("user_id").desc, col("event_id").asc), n = 10,
-        nPartitions = 32)
-      .groupBy("bucket").count().collect()
-    println(f"[probe] q76-shape n=${ev.count()} t=${(System.nanoTime() - t5) / 1e9}%.1f s")
+    if (on("q76")) {
+      val ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+        .select(col("event_id"), col("user_id")).localCheckpoint(true)
+      probe2("q76-shape", ev.count()) {
+        graft.ops.Rank.globalNtile(ev,
+            Seq(col("user_id").desc, col("event_id").asc), n = 10,
+            nPartitions = 32)
+          .groupBy("bucket").count().collect(): Unit
+      }
+    }
   }
 }

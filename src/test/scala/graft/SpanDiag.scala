@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Stage-by-stage timing of the q87 dup-span pipeline at 10× docs —
+  * locates the hot stage (span synthesis vs count groupBy vs semi-join
+  * vs per-doc regroup) when the end-to-end probe number looks off.
+  */
+object SpanDiag {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSpec.spark
+    val reps = spark.range(10).select(col("id").cast("int").as("r"))
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val nd = docs.count()
+    val docs10 = docs.crossJoin(reps).select(
+        (col("doc_id") + col("r") * lit(nd)).as("doc_id"),
+        col("lang"), col("text"))
+      .localCheckpoint(true)
+
+    def time(tag: String)(f: => Unit): Unit = {
+      val t = System.nanoTime()
+      f
+      println(f"[spandiag] $tag t=${(System.nanoTime() - t) / 1e9}%.1f s")
+    }
+
+    val textCol = coalesce(col("text"), lit(""))
+    val k = 8
+    val toks = split(textCol, " ")
+    val nSpans = greatest(size(toks) - (k - 1), lit(0)).cast("long")
+    val spans = graft.functions.ShinglesExpr.shingle_strings(textCol, k)
+    val base = docs10.select(col("doc_id").as("doc_id"), nSpans.as("n_spans"),
+      when(nSpans > 0, spans).otherwise(array().cast("array<string>"))
+        .as("__spans"))
+    val exploded = base.select(col("doc_id"), explode(col("__spans")).as("span"))
+
+    time("synthesize+explode+count") { exploded.count(): Unit }
+    time("span groupBy cnt") {
+      exploded.groupBy("span").agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") > 1).count(): Unit
+    }
+    val dupSpanSet = exploded.groupBy("span")
+      .agg(count(lit(1)).as("cnt")).where(col("cnt") > 1).select("span")
+    time("semi-join + doc regroup") {
+      exploded.join(dupSpanSet, Seq("span"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup")).count(): Unit
+    }
+    val joined = exploded.join(dupSpanSet, Seq("span"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    joined.collect()
+    println(joined.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0))
+    time("semi-join forced shuffle") {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try exploded.join(dupSpanSet, Seq("span"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup")).count(): Unit
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+    time("hash-key semi-join (xxhash64)") {
+      val eh = exploded.select(col("doc_id"), xxhash64(col("span")).as("h"))
+      val dh = eh.groupBy("h").agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") > 1).select("h")
+      eh.join(dh, Seq("h"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup")).count(): Unit
+    }
+    time("full dupSpans") {
+      graft.dedup.Dedup.dupSpans(docs10, col("doc_id"), textCol, k)
+        .agg(sum("n_dup"), sum("n_spans")).collect(): Unit
+    }
+
+    // ---- q85 lineDedup stage timing ----
+    val toks10 = split(col("text"), " ")
+    val nch10 = ceil(size(toks10).cast("double") / 8.0).cast("int")
+    val chunks10 = transform(sequence(lit(0), nch10 - 1),
+      i => array_join(slice(toks10, i * 8 + 1, lit(8)), " "))
+    val d10 = docs10.withColumn("__lines", chunks10)
+    val lexp = d10.select(col("doc_id").as("doc_id"),
+      posexplode(col("__lines")).as(Seq("pos", "line")))
+    time("q85 chunk explode count") { lexp.count(): Unit }
+    time("q85 keepers groupBy") {
+      lexp.groupBy("line")
+        .agg(min(struct(col("doc_id"), col("pos"))).as("k")).count(): Unit
+    }
+    val keepers = lexp.groupBy("line")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("k"))
+      .select(col("k.doc_id").as("doc_id"), col("k.pos").as("pos"), col("line"))
+    time("q85 keptPerDoc regroup") {
+      keepers.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")), "\n").as("kept_text")).count(): Unit
+    }
+    time("q85 full (2nd)") {
+      graft.dedup.Dedup.lineDedup(d10, col("doc_id"), col("__lines"))
+        .agg(sum("n_kept"), sum("n_lines")).collect(): Unit
+    }
+  }
+}
