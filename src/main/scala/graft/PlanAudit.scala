@@ -20,12 +20,14 @@ object PlanAudit {
                          singlePartitionExchanges: Int, cartesian: Boolean,
                          bnlj: Boolean, error: Option[String])
 
-  /** The two INTENTIONAL BroadcastNestedLoopJoins (see PLANS.md reading
+  /** The INTENTIONAL BroadcastNestedLoopJoins (see PLANS.md reading
     * guide): the brute-force ANN baseline broadcasts its ≤10-row query
     * set by definition; the IVF probe crosses queries × the nLists-row
-    * centroid table.
+    * centroid table; the token-frequency scorer crosses the vocab
+    * against the broadcast ONE-ROW corpus token total.
     */
-  val bnljWhitelist: Set[String] = Set("q24_knn_bruteforce", "q33_ann_ivf")
+  val bnljWhitelist: Set[String] =
+    Set("q24_knn_bruteforce", "q33_ann_ivf", "q89_token_freq_stats")
 
   /** Queries allowed an `Exchange SinglePartition`, each with the reason
     * the funnel carries provably-BOUNDED data (a global scalar aggregate
@@ -38,7 +40,9 @@ object PlanAudit {
     "q04_traffic_sum" -> "global scalar agg: one partial row per task",
     "q05_distinct_users" -> "global distinct-count final: partials only",
     "q41_hll_sketch" -> "global sketch merge: one sketch per task",
-    "q81_profile" -> "one-pass profile: single result row"
+    "q81_profile" -> "one-pass profile: single result row",
+    "q89_token_freq_stats" ->
+      "corpus token total: global scalar agg, one partial row per task"
   )
 
   /** Audit the AQE-final plan of a materialized query. */

@@ -1055,6 +1055,92 @@ object SparkEntry {
           nShards = 16, nPartitions = 8)
         .select(col("doc_id"), col("shard"), col("pos"))
         .orderBy("doc_id")
+    }),
+
+    // corpus-frequency quality stats (CCNet-style): rare = below 0.5%
+    // of the corpus token total (scale-independent); median_freq is the
+    // continuous 0.5-quantile both engines interpolate identically on
+    // bigint frequencies; rare_ratio is the q87 round(4) pattern
+    "q89_token_freq_stats" -> ((s, dir) =>
+      graft.text.TextAnalysis.tokenFrequencyStats(
+          T(s, dir, "documents"), col("doc_id"),
+          coalesce(col("text"), lit("")), rareFraction = 0.005)
+        .orderBy("doc_id")),
+
+    // crawl-to-crawl corpus diff: old = docs with doc_id % 7 != 0
+    // (so % 7 == 0 rows are added), new = docs with doc_id % 11 != 0
+    // (% 11 == 0 rows are removed) re-crawled with text || ' v2' on
+    // doc_id % 5 == 0 (changed). Shuffle carries (id, md5) only.
+    "q90_corpus_diff" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      val oldSnap = docs.where(col("doc_id") % 7 =!= 0)
+      val newSnap = docs.where(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      graft.ops.Snapshot.corpusDiff(oldSnap, newSnap, "doc_id", col("text"))
+        .orderBy("doc_id")
+    }),
+
+    // PII scrub: fixture text has no PII, so both engines append the
+    // same deterministic synthetic email (doc_id % 3 == 0) and IPv4
+    // (doc_id % 4 == 0) before redacting — the patterns are exercised
+    // against real positives AND true negatives
+    "q91_pii_redact" -> ((s, dir) => {
+      val base = coalesce(col("text"), lit(""))
+      val withPii = concat(base,
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail"), (col("doc_id") % 7).cast("string"), lit(".com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" from 10."), (col("doc_id") % 250).cast("string"),
+            lit(".0."), (col("doc_id") % 200).cast("string")))
+          .otherwise(lit("")))
+      graft.text.TextAnalysis.redactPii(
+          T(s, dir, "documents").select(col("doc_id"), withPii.as("text")),
+          col("doc_id"), col("text"))
+        .orderBy("doc_id")
+    }),
+
+    // BPE tokenizer training, round-0 primitive: adjacent char-pair
+    // frequencies over the word vocabulary, weighted by word count —
+    // the counting step every merge round re-runs (q93 iterates it)
+    "q92_bpe_pair_counts" -> ((s, dir) => {
+      val vocab = graft.text.BpeTrain.wordVocab(
+        T(s, dir, "documents"), coalesce(col("text"), lit("")))
+      graft.text.BpeTrain.pairCounts(
+          vocab.select(col("cnt"),
+            graft.text.BpeTrain.initSymbols(col("w")).as("symbols")),
+          col("cnt"), col("symbols"))
+        .orderBy("sym_l", "sym_r")
+    }),
+
+    // full BPE merge learning (iterative argmax; not SQL-expressible →
+    // rows-only in the gate; the planted-sequence OpsSpec case pins
+    // the algorithm, and q92 hash-checks the counting primitive)
+    "q93_bpe_merges" -> ((s, dir) =>
+      graft.text.BpeTrain.learnMerges(T(s, dir, "documents"),
+        coalesce(col("text"), lit("")), nMerges = 10)),
+
+    // classifier-based quality filter (fastText/DataComp pattern):
+    // seed junk = each doc's first token stuttered (deterministic
+    // corrupted twin), LR learns real-vs-stutter, corpus scored in one
+    // distributed transform. ML → rows-only in the gate; the held-out
+    // separation + save/load determinism live in QualityClassifierSpec
+    "q94_quality_filter" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      val junk = docs.select(col("doc_id"), array_join(
+        array_repeat(element_at(split(col("text"), " "), 1), 12), " ")
+        .as("text"))
+      val model = graft.ml.QualityClassifier.train(
+        docs.where(col("doc_id") % 2 === 0),
+        junk.where(col("doc_id") % 2 === 1))
+      graft.ml.QualityClassifier.score(model, docs)
+        .select(col("doc_id"), (col("quality_score") >= 0.5).as("keep"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1795,6 +1881,87 @@ object SparkEntry {
           |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY skey ASC)
           |    AS BIGINT) AS pos
           |FROM s ORDER BY doc_id""".stripMargin,
+
+      // rare = freq < 0.5% of corpus token total; quantile_cont ==
+      // Spark percentile (continuous interpolation); COUNT not SUM
+      "q89_token_freq_stats" ->
+        """WITH toks AS (SELECT doc_id,
+          |    UNNEST(string_split(COALESCE(text, ''), ' ')) AS tok
+          |  FROM documents),
+          |v AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+          |  FROM toks GROUP BY tok),
+          |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM toks),
+          |f AS (SELECT tok, freq, freq < total * 0.005 AS is_rare
+          |  FROM v, tot)
+          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+          |  CAST(COUNT(CASE WHEN is_rare THEN 1 END) AS BIGINT) AS n_rare,
+          |  round(quantile_cont(freq, 0.5), 1) AS median_freq,
+          |  round(COUNT(CASE WHEN is_rare THEN 1 END) /
+          |    CAST(COUNT(*) AS DOUBLE), 4) AS rare_ratio
+          |FROM toks JOIN f USING (tok) GROUP BY doc_id
+          |ORDER BY doc_id""".stripMargin,
+
+      // same deterministic snapshot derivation both engines; FULL OUTER
+      // on doc_id comparing md5(text); unchanged rows dropped
+      "q90_corpus_diff" ->
+        """WITH docs AS (SELECT doc_id, COALESCE(text, '') AS text
+          |    FROM documents),
+          |o AS (SELECT doc_id, md5(text) AS h FROM docs
+          |  WHERE doc_id % 7 != 0),
+          |n AS (SELECT doc_id,
+          |    md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+          |      ELSE text END) AS h
+          |  FROM docs WHERE doc_id % 11 != 0)
+          |SELECT * FROM (
+          |  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+          |    CASE WHEN o.h IS NULL THEN 'added'
+          |      WHEN n.h IS NULL THEN 'removed'
+          |      WHEN o.h != n.h THEN 'changed'
+          |      ELSE 'unchanged' END AS status
+          |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+          |WHERE status != 'unchanged' ORDER BY doc_id""".stripMargin,
+
+      // same synthetic-PII derivation both engines; regexp_replace
+      // needs the 'g' flag in DuckDB (Spark replaces all by default)
+      "q91_pii_redact" ->
+        """WITH w AS (SELECT doc_id, COALESCE(text, '')
+          |  || CASE WHEN doc_id % 3 = 0 THEN ' contact user'
+          |       || CAST(doc_id AS VARCHAR) || '@mail'
+          |       || CAST(doc_id % 7 AS VARCHAR) || '.com' ELSE '' END
+          |  || CASE WHEN doc_id % 4 = 0 THEN ' from 10.'
+          |       || CAST(doc_id % 250 AS VARCHAR) || '.0.'
+          |       || CAST(doc_id % 200 AS VARCHAR) ELSE '' END AS text
+          |  FROM documents),
+          |e AS (SELECT doc_id,
+          |    CAST(len(regexp_extract_all(text,
+          |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+          |      AS BIGINT) AS n_emails,
+          |    regexp_replace(text,
+          |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+          |      '<EMAIL>', 'g') AS t1
+          |  FROM w)
+          |SELECT doc_id, n_emails,
+          |  CAST(len(regexp_extract_all(t1,
+          |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+          |    AS BIGINT) AS n_ips,
+          |  regexp_replace(t1,
+          |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>',
+          |    'g') AS redacted
+          |FROM e ORDER BY doc_id""".stripMargin,
+
+      // char pairs via substr (1-char words yield an empty range);
+      // COUNT/SUM both cast (DuckDB SUM → HUGEINT)
+      "q92_bpe_pair_counts" ->
+        """WITH toks AS (SELECT
+          |    UNNEST(string_split(COALESCE(text, ''), ' ')) AS w
+          |  FROM documents),
+          |v AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks
+          |  WHERE len(w) > 0 GROUP BY w),
+          |p AS (SELECT substr(w, CAST(i AS INTEGER), 1) AS sym_l,
+          |    substr(w, CAST(i AS INTEGER) + 1, 1) AS sym_r, cnt
+          |  FROM v, UNNEST(range(1, len(w))) AS u(i))
+          |SELECT sym_l, sym_r, CAST(SUM(cnt) AS BIGINT) AS freq
+          |FROM p GROUP BY sym_l, sym_r ORDER BY sym_l, sym_r""".stripMargin,
 
       // same 8-token chunk lines; keeper = ROW_NUMBER over (doc, pos);
       // COUNT (not SUM) for n_kept: DuckDB SUM -> HUGEINT

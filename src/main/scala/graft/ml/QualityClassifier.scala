@@ -1,0 +1,58 @@
+package graft.ml
+
+import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.feature.{HashingTF, IDF, RegexTokenizer}
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Classifier-based document quality filtering — the fastText-style
+  * "train on seed good/bad, score the whole corpus, keep above
+  * threshold" pass (as in CCNet's LM filter and DataComp's fasttext
+  * baseline; north-star extension beyond the reference surface, sibling
+  * of [[IdsPipeline]] which plays this role for URLs).
+  *
+  * Word-token TF-IDF → LogisticRegression, all spark.ml built-ins.
+  * Scoring is one distributed `transform` (the model broadcasts with
+  * the task closure; the corpus never shuffles), so the filter is
+  * embarrassingly parallel at 100 TB; training runs on the SEED sets,
+  * which are small by construction.
+  */
+object QualityClassifier {
+
+  def build(): Pipeline = {
+    val tokenizer = new RegexTokenizer()
+      .setInputCol("text").setOutputCol("tok").setPattern("\\s+")
+    val tf = new HashingTF().setInputCol("tok").setOutputCol("row_feature")
+    val idf = new IDF().setInputCol("row_feature").setOutputCol("features")
+    val lr = new LogisticRegression().setMaxIter(100).setRegParam(0.001)
+    new Pipeline().setStages(Array(tokenizer, tf, idf, lr))
+  }
+
+  /** Train on seed frames with a `text` column; 1 = high-quality. */
+  def train(highQuality: DataFrame, lowQuality: DataFrame): PipelineModel = {
+    val mixed = highQuality.select(col("text"), lit(1).as("label"))
+      .union(lowQuality.select(col("text"), lit(0).as("label")))
+      .na.fill(Map("text" -> ""))
+    build().fit(mixed)
+  }
+
+  /** Score a corpus: adds `quality_score` = P(high-quality). */
+  def score(model: PipelineModel, docs: DataFrame): DataFrame =
+    model.transform(docs.na.fill(Map("text" -> "")))
+      .withColumn("quality_score",
+        element_at(vector_to_array(col("probability")), 2))
+      .drop("tok", "row_feature", "features", "rawPrediction",
+        "probability", "prediction")
+
+  /** The filter itself: docs scoring ≥ threshold survive. */
+  def filter(model: PipelineModel, docs: DataFrame,
+             threshold: Double): DataFrame =
+    score(model, docs).where(col("quality_score") >= threshold)
+
+  def save(model: PipelineModel, path: String): Unit =
+    model.write.overwrite().save(path)
+
+  def load(path: String): PipelineModel = PipelineModel.load(path)
+}

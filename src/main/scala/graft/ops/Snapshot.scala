@@ -35,4 +35,29 @@ object Snapshot {
           .as("__latest"),
         count(lit(1)).as("n_versions"))
       .select(keyCol, col("__latest.*"), col("n_versions"))
+
+  /** Corpus snapshot diff — what changed between two crawls: rows only
+    * in `newDf` are `added`, rows only in `oldDf` are `removed`, rows
+    * whose content hash differs are `changed`; unchanged rows are
+    * dropped (at corpus scale they are ~all rows — emitting them would
+    * make the diff as big as the corpus).
+    *
+    * Both sides reduce to (id, md5(content)) MAP-SIDE before the
+    * full-outer equi-join, so the shuffle carries 16-byte hashes, never
+    * document text — the same discipline as [[graft.dedup.Dedup]]'s
+    * exact pass. Callers that need the changed text join the id list
+    * back against the snapshots.
+    */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                 contentCol: Column): DataFrame = {
+    val o = oldDf.select(col(idCol), md5(contentCol).as("__h_old"))
+    val n = newDf.select(col(idCol), md5(contentCol).as("__h_new"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__h_old").isNull, lit("added"))
+          .when(col("__h_new").isNull, lit("removed"))
+          .when(col("__h_old") =!= col("__h_new"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+      .where(col("status") =!= "unchanged")
+  }
 }

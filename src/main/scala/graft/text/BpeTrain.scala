@@ -1,0 +1,95 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding merge learning (Sennrich et al. 2016, "Neural
+  * Machine Translation of Rare Words with Subword Units") — the
+  * tokenizer-training step of an LLM data pipeline: start from
+  * characters, repeatedly merge the most frequent adjacent symbol pair
+  * across the corpus vocabulary.
+  *
+  * Scale shape: the ONLY corpus-sized pass is [[wordVocab]] (explode →
+  * groupBy(word) with map-side partials). Every merge round then runs
+  * over the aggregated (word, count, symbols) vocabulary — at 100 TB
+  * the vocab is orders of magnitude smaller than the corpus and
+  * hash-partitions by word; pair counting is a partial+final aggregate
+  * and the argmax is a bounded top-1 collect (one row per round, the
+  * same accepted scalar-collect pattern as the connected-components
+  * convergence check). Lineage is localCheckpoint-truncated every few
+  * rounds exactly like [[graft.dedup.Dedup.connectedComponents]].
+  *
+  * Deviation from the paper, documented: no end-of-word marker symbol
+  * (`</w>`) — merges here never cross word boundaries anyway because
+  * symbols live inside per-word arrays, and omitting the marker keeps
+  * the round-0 pair counts SQL-expressible for the q92 oracle.
+  */
+object BpeTrain {
+
+  /** Corpus → (w, cnt) word vocabulary. The one corpus-scale shuffle. */
+  def wordVocab(docs: DataFrame, textCol: Column): DataFrame =
+    docs.select(explode(TextAnalysis.tokens(textCol)).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+
+  /** Single-character symbol array of `w` (round-0 symbols). */
+  def initSymbols(w: Column): Column =
+    transform(sequence(lit(1), length(w)), i => substring(w, i, lit(1)))
+
+  /** Adjacent-symbol pair frequencies over a (cnt, symbols) vocab —
+    * one merge round's counting step, and the q92 contract primitive.
+    * 1-symbol words contribute nothing (slice length 0 explodes away).
+    */
+  def pairCounts(vocab: DataFrame, cntCol: Column,
+                 symbolsCol: Column): DataFrame =
+    vocab.select(cntCol.as("cnt"),
+        explode(zip_with(
+          slice(symbolsCol, lit(1), size(symbolsCol) - 1),
+          slice(symbolsCol, lit(2), size(symbolsCol) - 1),
+          (l, r) => struct(l.as("sym_l"), r.as("sym_r")))).as("p"))
+      .groupBy(col("p.sym_l").as("sym_l"), col("p.sym_r").as("sym_r"))
+      .agg(sum("cnt").as("freq"))
+
+  /** Replace every adjacent (l, r) occurrence in `symbols` with the
+    * merged symbol, left to right — the BPE merge-apply fold. Words are
+    * short, so the per-element array rebuild is bounded by word length.
+    */
+  def applyMerge(symbols: Column, l: String, r: String): Column =
+    aggregate(symbols, array().cast("array<string>"),
+      (acc, x) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Learn `nMerges` merges; returns (rank, sym_l, sym_r, freq) in
+    * merge order. Ties broken deterministically by (freq desc, sym_l
+    * asc, sym_r asc). Stops early when no pair is left (every word one
+    * symbol).
+    */
+  def learnMerges(docs: DataFrame, textCol: Column,
+                  nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = wordVocab(docs, textCol)
+      .select(col("cnt"), initSymbols(col("w")).as("symbols"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var round = 0
+    var done = false
+    while (round < nMerges && !done) {
+      val top = pairCounts(vocab, col("cnt"), col("symbols"))
+        .orderBy(col("freq").desc, col("sym_l").asc, col("sym_r").asc)
+        .limit(1).collect() // bounded: ONE row per round
+      if (top.isEmpty) done = true
+      else {
+        val (l, r, f) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((round, l, r, f))
+        vocab = vocab.select(col("cnt"),
+          applyMerge(col("symbols"), l, r).as("symbols"))
+        if (round % 4 == 3) vocab = vocab.localCheckpoint(true)
+        round += 1
+      }
+    }
+    merges.toSeq.toDF("rank", "sym_l", "sym_r", "freq")
+  }
+}

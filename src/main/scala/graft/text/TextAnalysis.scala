@@ -164,6 +164,76 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
   }
 
+  /** Token-frequency quality stats — the corpus-frequency half of a
+    * CCNet-style quality filter: each document is scored against the
+    * corpus's own vocabulary (per-doc rare-token count/ratio and the
+    * median corpus frequency of its tokens). Documents dominated by
+    * tokens the corpus has barely seen are gibberish/OCR-noise
+    * candidates; documents of only ultra-common tokens are boilerplate
+    * candidates.
+    *
+    * "Rare" is a FRACTION of the corpus token total (`freq <
+    * rareFraction × total`), so the split is scale-independent — a
+    * fixed absolute cutoff would silently reclassify the whole corpus
+    * between SFs. All outputs are exact integers except `median_freq`
+    * (both engines interpolate the continuous 0.5-quantile of bigint
+    * frequencies — halves at worst, exactly representable) and
+    * `rare_ratio` (one double division + round(4), the q87 pattern).
+    *
+    * Scale shape: explode → vocab groupBy(token) (map-side partials),
+    * the one-row token total broadcast-crossed into the vocab, an equi
+    * shuffle join of tokens against the frequency table (AQE broadcasts
+    * it at small SF; at corpus scale both sides hash-partition on
+    * token), and the per-doc regroup. Per-doc median state is bounded
+    * by document length.
+    */
+  def tokenFrequencyStats(docs: DataFrame, idCol: Column, textCol: Column,
+                          rareFraction: Double): DataFrame = {
+    val toks = docs.select(idCol.as("doc_id"), explode(tokens(textCol)).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
+    val total = toks.agg(count(lit(1)).as("__total"))
+    val flagged = vocab.crossJoin(broadcast(total))
+      .select(col("tok"), col("freq"),
+        (col("freq") < col("__total") * rareFraction).as("is_rare"))
+    toks.join(flagged, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("is_rare"), 1L).otherwise(0L)).as("n_rare"),
+        round(percentile(col("freq"), lit(0.5)), 1).as("median_freq"))
+      .withColumn("rare_ratio", round(col("n_rare") / col("n_tokens"), 4))
+  }
+
+  /** PII patterns: conservative ASCII email and dotted-quad IPv4.
+    * Deliberately within the regex dialect both Java (`java.util.regex`,
+    * Spark side) and RE2 (DuckDB side) agree on: char classes, bounded
+    * repetition, `\b` word boundaries — no lookarounds, no backrefs.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** PII redaction — the scrub pass a training-data pipeline runs
+    * before anything ships: emails then IPv4s replaced with typed
+    * placeholder tokens, per-doc match counts emitted for audit.
+    * Email runs FIRST so an address with a dotted quad in its LOCAL
+    * part (`n.10.0.0.7@ex.com`) redacts as one `<EMAIL>` instead of the
+    * IP pass punching an `<IP>` through the middle of the address. (A
+    * dotted-quad HOST like `u@10.0.0.1` is not an email under the
+    * letters-only-TLD pattern; its quad redacts as `<IP>`.)
+    * Per-row codegen'd built-ins only — linear, no shuffle.
+    */
+  def redactPii(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    // n_ips counts on the email-redacted intermediate, not the raw
+    // text, so a quad inside an address's local part (already gone as
+    // part of its <EMAIL>) is not reported as a redacted IP
+    val emailRedacted = regexp_replace(textCol, EmailPattern, "<EMAIL>")
+    df.select(idCol.as("doc_id"),
+      size(regexp_extract_all(textCol, lit(EmailPattern), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(emailRedacted, lit(Ipv4Pattern), lit(0)))
+        .cast("long").as("n_ips"),
+      regexp_replace(emailRedacted, Ipv4Pattern, "<IP>").as("redacted"))
+  }
+
   /** Sequence packing — the "concat and chunk" step that turns a
     * document corpus into fixed-token-budget training sequences: docs
     * are laid out in deterministic order within each shard, a running

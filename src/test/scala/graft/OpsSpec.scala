@@ -80,6 +80,72 @@ class OpsSpec extends SparkSpec {
     assert(got(2L) == (5L, 5L)) // all distinct
   }
 
+  test("token freq stats: rare split scale-independent, median interpolates") {
+    val docs = Seq(
+      (1L, "the the the rare"),       // 3× common + 1 rare
+      (2L, "the the the the"),        // all common
+      (3L, "zz qq")).toDF("doc_id", "text") // all rare
+    // corpus totals: the×7, rare×1, zz×1, qq×1 → total 10
+    // rareFraction 0.3 → rare iff freq < 3: rare/zz/qq (freq 1) only
+    val got = graft.text.TextAnalysis.tokenFrequencyStats(docs,
+        col("doc_id"), col("text"), rareFraction = 0.3)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got(1L) == ((4L, 1L, 7.0, 0.25)))  // freqs 7,7,7,1 → median 7
+    assert(got(2L) == ((4L, 0L, 7.0, 0.0)))
+    assert(got(3L) == ((2L, 2L, 1.0, 1.0)))
+  }
+
+  test("corpus diff: added/removed/changed emitted, unchanged dropped") {
+    val oldSnap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val newSnap = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")
+    val got = graft.ops.Snapshot.corpusDiff(oldSnap, newSnap, "doc_id",
+        col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
+  }
+
+  test("pii redact: email-with-ip-host is one <EMAIL>; negatives untouched") {
+    val docs = Seq(
+      (1L, "mail me at jo.doe+x@corp.example.org today"),
+      (2L, "server at 10.0.255.7 and backup 192.168.0.1"),
+      (3L, "u@10.0.0.1 logged in"),   // no letter TLD → not an email; IP matches
+      (4L, "n.10.0.0.7@ex.com wrote"), // dotted quad INSIDE the local part
+      (5L, "version 1.2.3 is not an ip, nor a@b")).toDF("doc_id", "text")
+    val got = graft.text.TextAnalysis.redactPii(docs, col("doc_id"), col("text"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got(1L) == ((1L, 0L, "mail me at <EMAIL> today")))
+    assert(got(2L) == ((0L, 2L, "server at <IP> and backup <IP>")))
+    assert(got(3L) == ((0L, 1L, "u@<IP> logged in")))
+    assert(got(4L) == ((1L, 0L, "<EMAIL> wrote"))) // email-first keeps it whole
+    assert(got(5L) == ((0L, 0L, "version 1.2.3 is not an ip, nor a@b")))
+  }
+
+  test("bpe: planted corpus learns the known merge sequence, early-stops when dry") {
+    val docs = Seq(
+      (1L, "ab ab ab ab ab abc abc abc bc bc")).toDF("doc_id", "text")
+    // vocab: ab×5 [a,b], abc×3 [a,b,c], bc×2 [b,c]
+    // r0: (a,b)=8 > (b,c)=5 → merge ab; r1: (ab,c)=3 > (b,c)=2;
+    // r2: (b,c)=2; r3: all words single-symbol → early stop
+    val got = graft.text.BpeTrain.learnMerges(docs, col("text"), nMerges = 5)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(got == Seq((0, "a", "b", 8L), (1, "ab", "c", 3L), (2, "b", "c", 2L)))
+  }
+
+  test("bpe applyMerge: overlapping pair merges left-to-right") {
+    // "aaa" with merge (a,a): left-to-right gives [aa, a], not [a, aa]
+    val df = Seq(Seq("a", "a", "a"), Seq("b", "a", "a", "b")).toDF("symbols")
+    val got = df.select(
+        graft.text.BpeTrain.applyMerge(col("symbols"), "a", "a").as("m"))
+      .collect().map(_.getSeq[String](0).toList).toList
+    assert(got == List(List("aa", "a"), List("b", "aa", "b")))
+  }
+
   test("contamination: benchmark doc fully hit, disjoint doc zero") {
     val docs = Seq(
       (1L, "alpha beta gamma delta"),

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ml.QualityClassifier
+
+class QualityClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("quality filter: held-out clean docs survive, corrupted docs cut") {
+    // planted corpus: "clean" docs are varied sentences; "junk" docs are
+    // one token stuttered — the separation a fastText-style filter
+    // must learn. Train on one half, assert on the held-out half.
+    val words = Seq("table", "query", "join", "scan", "merge", "sort",
+      "index", "batch", "column", "filter")
+    val clean = (0 until 40).map { i =>
+      (i.toLong, (0 until 12).map(j => words((i * 7 + j * 3) % 10)).mkString(" "))
+    }
+    val junk = (100 until 140).map { i =>
+      (i.toLong, Seq.fill(12)(words(i % 10)).mkString(" "))
+    }
+    val cleanDf = clean.toDF("doc_id", "text")
+    val junkDf = junk.toDF("doc_id", "text")
+    val model = QualityClassifier.train(
+      cleanDf.where(col("doc_id") % 2 === 0),
+      junkDf.where(col("doc_id") % 2 === 0))
+    val heldOut = cleanDf.where(col("doc_id") % 2 === 1)
+      .unionAll(junkDf.where(col("doc_id") % 2 === 1))
+    val kept = QualityClassifier.filter(model, heldOut, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    val expected = clean.map(_._1).filter(_ % 2 == 1).toSet
+    assert(kept == expected,
+      s"kept=$kept expected=$expected")
+  }
+
+  test("quality model round-trips through save/load") {
+    val good = Seq("alpha beta gamma delta", "beta gamma delta epsilon")
+      .toDF("text")
+    val bad = Seq("zz zz zz zz", "qq qq qq qq").toDF("text")
+    val model = QualityClassifier.train(good, bad)
+    val dir = java.nio.file.Files.createTempDirectory("qc-model").toString
+    QualityClassifier.save(model, dir)
+    val back = QualityClassifier.load(dir)
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "zz zz zz"))
+      .toDF("doc_id", "text")
+    val a = QualityClassifier.score(model, docs)
+      .select("doc_id", "quality_score").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = QualityClassifier.score(back, docs)
+      .select("doc_id", "quality_score").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a == b)
+    assert(a(1L) > 0.5 && a(2L) < 0.5)
+  }
+}
