@@ -507,8 +507,12 @@ object Dedup {
     // interpreted lambdas (measured ~3× slower at 10×). ShinglesExpr
     // emits one truncated window for sub-k docs; the nSpans guard in
     // dupSpansFrom maps those to the contract's empty span set.
-    dupSpansFrom(docs, idCol, textCol, k,
-      graft.functions.ShinglesExpr.shingle_strings(textCol, k), "string")
+    // NULL text is normalized to "" HERE so the public operator honors
+    // its own short-doc contract (0 spans, ratio 0.0) — without it,
+    // split(NULL) propagates and the doc emits null n_spans/dup_ratio.
+    val text = coalesce(textCol, lit(""))
+    dupSpansFrom(docs, idCol, text, k,
+      graft.functions.ShinglesExpr.shingle_strings(text, k), "string")
   }
 
   /** [[dupSpans]] on 64-bit span hashes instead of span strings — the
@@ -523,9 +527,11 @@ object Dedup {
     * this is the registered path past memory-broadcast scale.
     */
   def dupSpansHashed(docs: DataFrame, idCol: Column, textCol: Column,
-                     k: Int): DataFrame =
-    dupSpansFrom(docs, idCol, textCol, k,
-      graft.functions.ShingleHashesExpr.span_hashes(textCol, k), "bigint")
+                     k: Int): DataFrame = {
+    val text = coalesce(textCol, lit("")) // same null contract as exact
+    dupSpansFrom(docs, idCol, text, k,
+      graft.functions.ShingleHashesExpr.span_hashes(text, k), "bigint")
+  }
 
   private def dupSpansFrom(docs: DataFrame, idCol: Column, textCol: Column,
                            k: Int, spans: Column, spanType: String): DataFrame = {

@@ -1,0 +1,127 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Real image-header parse over a BINARY column: container format +
+  * pixel dimensions straight from the magic bytes, no codec library —
+  * PNG (IHDR big-endian), GIF87a/89a (logical-screen little-endian),
+  * BMP (BITMAPINFOHEADER/BITMAPCOREHEADER little-endian), and JPEG
+  * (segment walk to the first SOF0/1/2 frame header). This replaces the
+  * r6 pseudo-dimension stub for the metadata path: the multimodal
+  * pipeline's decode step now does real byte-level work per row
+  * (full raster decode still needs codecs absent from this container —
+  * see [[graft.multimodal.Multimodal.decodeFeatures]]'s stub note).
+  *
+  * Returns `struct(format string, width int, height int)`, or NULL for
+  * payloads that are not a recognized image — codegen'd (single static
+  * call, stays inside the whole-stage span), per-row, shuffle-free.
+  */
+case class ImageMetaExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ImageMetaExpr.schema
+
+  override def nullable: Boolean = true
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else ImageMetaExpr.compute(v.asInstanceOf[Array[Byte]])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val rowCls = classOf[InternalRow].getName
+    ev.copy(code = code"""${c.code}
+      $rowCls ${ev.value} = ${c.isNull} ? null :
+        graft.functions.ImageMetaExpr.compute(${c.value});
+      boolean ${ev.isNull} = ${ev.value} == null;""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ImageMetaExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "image_meta"
+}
+
+object ImageMetaExpr {
+
+  val schema: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false)))
+
+  private val png = UTF8String.fromString("png")
+  private val gif = UTF8String.fromString("gif")
+  private val bmp = UTF8String.fromString("bmp")
+  private val jpeg = UTF8String.fromString("jpeg")
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def be32(b: Array[Byte], i: Int): Int =
+    (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+  private def le32(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+
+  /** NULL (not an InternalRow of nulls) when the payload is not a
+    * recognized image — callers filter or fall back on it. */
+  def compute(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 10) return null
+    // PNG: 8-byte signature, IHDR chunk fixed at offset 8 by spec
+    if (b.length >= 24 &&
+        u8(b, 0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+        u8(b, 4) == 0x0d && u8(b, 5) == 0x0a && u8(b, 6) == 0x1a &&
+        u8(b, 7) == 0x0a &&
+        b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
+      return InternalRow(png,
+        be32(b, 16).asInstanceOf[AnyRef], be32(b, 20).asInstanceOf[AnyRef])
+    // GIF87a / GIF89a: logical screen descriptor at offset 6
+    if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+        (b(4) == '7' || b(4) == '9') && b(5) == 'a')
+      return InternalRow(gif,
+        le16(b, 6).asInstanceOf[AnyRef], le16(b, 8).asInstanceOf[AnyRef])
+    // BMP: DIB header size at 14 selects the dimension encoding
+    if (b(0) == 'B' && b(1) == 'M' && b.length >= 26) {
+      val dib = le32(b, 14)
+      if (dib >= 40)
+        return InternalRow(bmp, le32(b, 18).asInstanceOf[AnyRef],
+          math.abs(le32(b, 22)).asInstanceOf[AnyRef]) // neg height = top-down
+      if (dib == 12 && b.length >= 22) // BITMAPCOREHEADER: u16 dims
+        return InternalRow(bmp, le16(b, 18).asInstanceOf[AnyRef],
+          le16(b, 20).asInstanceOf[AnyRef])
+      return null
+    }
+    // JPEG: walk marker segments to the first frame header (SOF0/1/2 —
+    // baseline/extended/progressive; C4/C8/CC are not SOFs)
+    if (u8(b, 0) == 0xff && u8(b, 1) == 0xd8) {
+      var i = 2
+      while (i + 3 < b.length) {
+        if (u8(b, i) != 0xff) return null // desynced — not a marker
+        var m = u8(b, i + 1)
+        while (m == 0xff && i + 2 < b.length) { i += 1; m = u8(b, i + 1) } // fill bytes
+        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+          if (i + 8 >= b.length) return null
+          return InternalRow(jpeg,
+            be16(b, i + 7).asInstanceOf[AnyRef],  // width
+            be16(b, i + 5).asInstanceOf[AnyRef])  // height
+        } else if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
+          i += 2 // standalone marker, no length field
+        } else {
+          i += 2 + be16(b, i + 2) // segment length includes its own 2 bytes
+        }
+      }
+      return null
+    }
+    null
+  }
+
+  import org.apache.spark.sql.graft.ColumnBridge
+  def image_meta(c: Column): Column =
+    ColumnBridge.column(ImageMetaExpr(ColumnBridge.expression(c)))
+}

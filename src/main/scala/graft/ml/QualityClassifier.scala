@@ -2,7 +2,7 @@ package graft.ml
 
 import org.apache.spark.ml.{Pipeline, PipelineModel}
 import org.apache.spark.ml.classification.LogisticRegression
-import org.apache.spark.ml.feature.{HashingTF, IDF, RegexTokenizer}
+import org.apache.spark.ml.feature.{HashingTF, IDF, Normalizer, RegexTokenizer, SQLTransformer, VectorAssembler}
 import org.apache.spark.ml.functions.vector_to_array
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -13,21 +13,68 @@ import org.apache.spark.sql.functions._
   * baseline; north-star extension beyond the reference surface, sibling
   * of [[IdsPipeline]] which plays this role for URLs).
   *
-  * Word-token TF-IDF → LogisticRegression, all spark.ml built-ins.
+  * Features: word-token TF-IDF PLUS two shape statistics computed from
+  * the token array — the distinct/total token ratio and the
+  * max-single-token fraction. The shape features make degenerate
+  * repetition learnable *as such*: a stuttered document is junk because
+  * of its shape, not because of which word it stutters, so the filter
+  * generalizes to stutters of words it only ever saw in clean context
+  * (a pure bag-of-words model provably cannot — the stuttered word's
+  * clean-context weight dominates). All stages are spark.ml built-ins.
+  *
   * Scoring is one distributed `transform` (the model broadcasts with
   * the task closure; the corpus never shuffles), so the filter is
   * embarrassingly parallel at 100 TB; training runs on the SEED sets,
-  * which are small by construction.
+  * which are small by construction — and [[trainCached]] amortizes the
+  * fit per (corpus, split) exactly like [[DocCluster.fitCached]].
   */
 object QualityClassifier {
 
   def build(): Pipeline = {
     val tokenizer = new RegexTokenizer()
       .setInputCol("text").setOutputCol("tok").setPattern("\\s+")
+    // token-shape statistics over the tokenized column: repetition ratio
+    // (distinct/total) and top-token fraction (max single-token count /
+    // total), pre-scaled to ~[0,10]. Pure Spark SQL higher-order
+    // functions — codegen-friendly, no UDF; empty docs get the "clean"
+    // neutral values. The ×10 scale is deliberate, see the LR note.
+    val shape = new SQLTransformer().setStatement(
+      """SELECT *,
+        |  CASE WHEN size(tok) = 0 THEN 10.0
+        |    ELSE 10.0 * size(array_distinct(tok)) / size(tok)
+        |  END AS rep_ratio,
+        |  CASE WHEN size(tok) = 0 THEN 0.0
+        |    ELSE 10.0 * array_max(transform(array_distinct(tok),
+        |        t -> size(filter(tok, x -> x = t)))) / size(tok)
+        |  END AS top_tok_frac
+        |FROM __THIS__""".stripMargin)
+    // 2^15 hash buckets: ample for word vocab at negligible collision
+    // odds, and 8× smaller LR broadcast/fit than the 2^18 default
     val tf = new HashingTF().setInputCol("tok").setOutputCol("row_feature")
-    val idf = new IDF().setInputCol("row_feature").setOutputCol("features")
+      .setNumFeatures(1 << 15)
+    val idf = new IDF().setInputCol("row_feature").setOutputCol("tfidf")
+    // L2-normalize the word block (fastText's mean-pooling analog): a
+    // document that stutters one token 12× must NOT carry 12× the
+    // feature magnitude of that token's ordinary uses — unnormalized
+    // TF is exactly what let a stuttered clean-context word outvote
+    // the shape features (measured: every held-out stutter scored 1.0)
+    val norm = new Normalizer().setInputCol("tfidf").setOutputCol("tfnorm")
+      .setP(2.0)
+    val assemble = new VectorAssembler()
+      .setInputCols(Array("tfnorm", "rep_ratio", "top_tok_frac"))
+      .setOutputCol("features")
+    // standardization OFF + elasticNet: with raw feature scales kept,
+    // the ×10 shape features separate the classes at ~1/10 the weight
+    // norm that a per-word-identity solution needs, so the regularizer
+    // deterministically prefers the solution that generalizes (junk is
+    // junk because of its SHAPE, not because of which word repeats);
+    // standardization would erase that scale prior, and word-identity
+    // weights provably fail on stutters of words seen only in clean
+    // context
     val lr = new LogisticRegression().setMaxIter(100).setRegParam(0.001)
-    new Pipeline().setStages(Array(tokenizer, tf, idf, lr))
+      .setElasticNetParam(0.5).setStandardization(false)
+    new Pipeline().setStages(
+      Array(tokenizer, shape, tf, idf, norm, assemble, lr))
   }
 
   /** Train on seed frames with a `text` column; 1 = high-quality. */
@@ -38,13 +85,23 @@ object QualityClassifier {
     build().fit(mixed)
   }
 
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, PipelineModel]()
+
+  /** Seed-set training is an offline, amortized step (like the IVF
+    * index build and KMeans fit) — fit once per corpus key, reuse
+    * across queries; the per-query cost is the scoring transform. */
+  def trainCached(corpusKey: String, highQuality: => DataFrame,
+                  lowQuality: => DataFrame): PipelineModel =
+    cache.computeIfAbsent(corpusKey, _ => train(highQuality, lowQuality))
+
   /** Score a corpus: adds `quality_score` = P(high-quality). */
   def score(model: PipelineModel, docs: DataFrame): DataFrame =
     model.transform(docs.na.fill(Map("text" -> "")))
       .withColumn("quality_score",
         element_at(vector_to_array(col("probability")), 2))
-      .drop("tok", "row_feature", "features", "rawPrediction",
-        "probability", "prediction")
+      .drop("tok", "rep_ratio", "top_tok_frac", "row_feature", "tfidf",
+        "tfnorm", "features", "rawPrediction", "probability", "prediction")
 
   /** The filter itself: docs scoring ≥ threshold survive. */
   def filter(model: PipelineModel, docs: DataFrame,

@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (north-star extension, BASELINE.json):
@@ -29,6 +29,55 @@ object Multimodal {
       (octet_length(col(binCol)) % 640).as("width"),
       ((octet_length(col(binCol)) * 7) % 480).as("height"),
       (octet_length(col(binCol)) % 30 + 1).as("n_frames"))
+
+  /** REAL header decode over a BINARY column: container format + pixel
+    * dimensions parsed from the magic bytes (PNG/GIF/BMP/JPEG — see
+    * [[graft.functions.ImageMetaExpr]]). Rows whose payload is not a
+    * recognized image get NULL format/width/height. Per-row, codegen'd,
+    * shuffle-free — the metadata pass of an image-corpus ingest.
+    */
+  def imageMeta(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val m = graft.functions.ImageMetaExpr.image_meta(col(binCol))
+    df.select(col(idCol).as("media_id"),
+      octet_length(col(binCol)).cast("long").as("byte_len"),
+      m.getField("format").as("format"),
+      m.getField("width").as("width"),
+      m.getField("height").as("height"))
+  }
+
+  // -- deterministic header synthesis (test/gate fixtures) -------------
+  // Real headers built from pure column expressions, so planted
+  // width/height round-trip through the byte-level parser distributed.
+  private def beU32(c: Column): Column = unhex(lpad(hex(c), 8, "0"))
+  private def beU16(c: Column): Column = unhex(lpad(hex(c), 4, "0"))
+  private def leU16(c: Column): Column = unhex(concat(
+    lpad(hex(c % 256), 2, "0"), lpad(hex((c / 256).cast("int")), 2, "0")))
+  private def leU32(c: Column): Column = unhex(concat(
+    lpad(hex(c % 256), 2, "0"),
+    lpad(hex((c / 256).cast("int") % 256), 2, "0"),
+    lpad(hex((c / 65536).cast("int") % 256), 2, "0"),
+    lpad(hex((c / 16777216).cast("int") % 256), 2, "0")))
+  private def bytesLit(xs: Int*): Column = lit(xs.map(_.toByte).toArray)
+
+  /** A minimal VALID header of the selected format with the given
+    * dimensions: fmt 0=png 1=gif 2=bmp 3=jpeg (the JPEG includes an
+    * APP0 segment before SOF0, so parsing exercises the segment walk).
+    */
+  def synthHeader(fmt: Column, w: Column, h: Column): Column = {
+    val pngB = concat(bytesLit(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a),
+      beU32(lit(13)), lit("IHDR".getBytes("US-ASCII")), beU32(w), beU32(h),
+      bytesLit(8, 6, 0, 0, 0))
+    val gifB = concat(lit("GIF89a".getBytes("US-ASCII")), leU16(w), leU16(h),
+      bytesLit(0, 0, 0, 0))
+    val bmpB = concat(lit("BM".getBytes("US-ASCII")), leU32(lit(26)),
+      leU32(lit(0)), leU32(lit(54)), leU32(lit(40)), leU32(w), leU32(h))
+    val jpgB = concat(bytesLit(0xff, 0xd8),                    // SOI
+      bytesLit(0xff, 0xe0, 0x00, 0x04, 0x4a, 0x46),            // APP0
+      bytesLit(0xff, 0xc0, 0x00, 0x0b, 0x08), beU16(h), beU16(w), // SOF0
+      bytesLit(1, 0x11, 0))
+    when(fmt === 0, pngB).when(fmt === 1, gifB)
+      .when(fmt === 2, bmpB).otherwise(jpgB)
+  }
 
   /** Batch "decode + featurize" kernel over partitions: the shape a real
     * image decoder would take (an iterator of binary payloads in, a

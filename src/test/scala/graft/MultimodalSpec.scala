@@ -32,6 +32,54 @@ class MultimodalSpec extends SparkSpec {
     assert(v1.sum > 0)
   }
 
+  test("imageMeta: parses REAL png/gif files and synthesized headers") {
+    // genuine 1×1 image files (full valid payloads, base64): the parser
+    // must read actual files, not just its own synthesized headers
+    val realPng = java.util.Base64.getDecoder.decode(
+      "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mNkYPhf" +
+      "DwAChwGA60e6kgAAAABJRU5ErkJggg==")
+    val realGif = java.util.Base64.getDecoder.decode(
+      "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7")
+    val real = Seq((1L, realPng), (2L, realGif)).toDF("media_id", "payload")
+    val parsed = Multimodal.imageMeta(real, "media_id", "payload")
+      .orderBy("media_id").collect()
+    assert(parsed(0).getAs[String]("format") == "png")
+    assert(parsed(0).getAs[Int]("width") == 1 &&
+      parsed(0).getAs[Int]("height") == 1)
+    assert(parsed(1).getAs[String]("format") == "gif")
+    assert(parsed(1).getAs[Int]("width") == 1 &&
+      parsed(1).getAs[Int]("height") == 1)
+  }
+
+  test("imageMeta: synthesized header round-trip across all four formats") {
+    val rows = Seq((0L, 0, 640, 480), (1L, 1, 13, 7), (2L, 2, 1920, 1080),
+      (3L, 3, 31, 255)).toDF("media_id", "fmt", "w", "h")
+    val made = rows.select(col("media_id"), col("fmt"),
+      col("w"), col("h"),
+      Multimodal.synthHeader(col("fmt"), col("w"), col("h")).as("payload"))
+    val out = Multimodal.imageMeta(made, "media_id", "payload")
+      .orderBy("media_id").collect()
+    val fmts = Seq("png", "gif", "bmp", "jpeg")
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[String]("format") == fmts(i))
+    }
+    assert(out.map(r => (r.getAs[Int]("width"), r.getAs[Int]("height"))).toSeq
+      == Seq((640, 480), (13, 7), (1920, 1080), (31, 255)))
+  }
+
+  test("imageMeta: non-image and truncated payloads yield NULL meta") {
+    val junk = Seq(
+      (1L, "not an image at all".getBytes("UTF-8")),
+      (2L, Array[Byte](0x89.toByte, 'P', 'N', 'G')), // truncated PNG sig
+      (3L, Array[Byte](0xff.toByte, 0xd8.toByte, 0x00, 0x00)), // desynced JPEG
+      (4L, Array.empty[Byte])
+    ).toDF("media_id", "payload")
+    val out = Multimodal.imageMeta(junk, "media_id", "payload")
+      .orderBy("media_id").collect()
+    assert(out.forall(r => r.isNullAt(r.fieldIndex("format"))))
+    assert(out.forall(r => r.isNullAt(r.fieldIndex("width"))))
+  }
+
   test("sampleFrames: strided fixed-size slices") {
     val frames = Multimodal.sampleFrames(media, "media_id", "payload",
         frameBytes = 64, stride = 2)

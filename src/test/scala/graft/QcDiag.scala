@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ml.QualityClassifier
+
+/** Diagnostic main (not a test): per-doc quality scores on the spec's
+  * planted word-holdout corpus, to see WHERE the separation fails. */
+object QcDiag {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val words = Seq("table", "query", "join", "scan", "merge", "sort",
+      "index", "batch", "column", "filter")
+    val clean = (0 until 40).map { i =>
+      (i.toLong, (0 until 12).map(j => words((i * 7 + j * 3) % 10)).mkString(" "))
+    }
+    val junk = (100 until 140).map { i =>
+      (i.toLong, Seq.fill(12)(words(i % 10)).mkString(" "))
+    }
+    val cleanDf = clean.toDF("doc_id", "text")
+    val junkDf = junk.toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val model = QualityClassifier.train(
+      cleanDf.where(col("doc_id") % 2 === 0),
+      junkDf.where(col("doc_id") % 2 === 0))
+    println(f"train: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    val heldOut = cleanDf.where(col("doc_id") % 2 === 1)
+      .unionAll(junkDf.where(col("doc_id") % 2 === 1))
+    QualityClassifier.score(model, heldOut)
+      .select("doc_id", "quality_score").orderBy("doc_id")
+      .collect().foreach { r =>
+        val id = r.getLong(0); val sc = r.getDouble(1)
+        val cls = if (id < 100) "clean" else "junk "
+        val bad = if ((id < 100) != (sc >= 0.5)) "  <-- WRONG" else ""
+        println(f"$cls $id%3d  score=$sc%.4f$bad")
+      }
+    spark.stop()
+  }
+}

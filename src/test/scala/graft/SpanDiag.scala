@@ -50,10 +50,14 @@ object SpanDiag {
     println(joined.queryExecution.executedPlan.toString
       .split("== Initial Plan ==")(0))
     time("semi-join forced shuffle") {
+      // restore the PRE-OVERRIDE value, not a hard-coded default — a
+      // session configured with a non-default threshold would otherwise
+      // be left misconfigured for the q85 timings later in this run
+      val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       try exploded.join(dupSpanSet, Seq("span"), "left_semi")
         .groupBy("doc_id").agg(count(lit(1)).as("n_dup")).count(): Unit
-      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
     }
     time("hash-key semi-join (xxhash64)") {
       val eh = exploded.select(col("doc_id"), xxhash64(col("span")).as("h"))
