@@ -27,7 +27,8 @@ object PlanAudit {
     * against the broadcast ONE-ROW corpus token total.
     */
   val bnljWhitelist: Set[String] =
-    Set("q24_knn_bruteforce", "q33_ann_ivf", "q89_token_freq_stats")
+    Set("q24_knn_bruteforce", "q33_ann_ivf", "q89_token_freq_stats",
+      "q99_lm_perplexity")
 
   /** Queries allowed an `Exchange SinglePartition`, each with the reason
     * the funnel carries provably-BOUNDED data (a global scalar aggregate
@@ -42,7 +43,11 @@ object PlanAudit {
     "q41_hll_sketch" -> "global sketch merge: one sketch per task",
     "q81_profile" -> "one-pass profile: single result row",
     "q89_token_freq_stats" ->
-      "corpus token total: global scalar agg, one partial row per task"
+      "corpus token total: global scalar agg, one partial row per task",
+    "q98_source_mix" ->
+      "share+rank windows run on the per-source rollup: one row per source",
+    "q99_lm_perplexity" ->
+      "vocab-size scalar aggregate: one partial row per task"
   )
 
   /** Audit the AQE-final plan of a materialized query. */

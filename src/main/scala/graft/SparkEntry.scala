@@ -1174,8 +1174,126 @@ object SparkEntry {
       graft.ml.QualityClassifier.score(model, docs)
         .select(col("doc_id"), (col("quality_score") >= 0.5).as("keep"))
         .orderBy("doc_id")
+    }),
+
+    // Gopher rule-based quality filter (Rae et al. 2021 Appendix A):
+    // every per-rule statistic + the combined keep verdict, per-row
+    // codegen'd arithmetic — the rule complement of the learned q94
+    "q96_gopher_rules" -> ((s, dir) =>
+      graft.text.TextAnalysis.gopherRules(
+          T(s, dir, "documents"), col("doc_id"), col("text"))
+        .orderBy("doc_id")),
+
+    // normalization-aware exact dedup (CCNet preprocessing): lowercase /
+    // strip punctuation / collapse whitespace, THEN group by md5 — the
+    // same one-16-byte-shuffle shape as q20, catching near-identical
+    // pages that raw-text dedup misses
+    "q97_normalized_dedup" -> ((s, dir) =>
+      Dedup.exact(T(s, dir, "documents"), col("doc_id"),
+          graft.text.TextAnalysis.normalizeForDedup(
+            coalesce(col("text"), lit(""))))
+        .orderBy("fp")),
+
+    // corpus mixture report (Pile/Dolma-style source breakdown): one
+    // corpus-scale aggregate, then share+rank over the bounded
+    // per-source rows (whitelisted single-partition window)
+    "q98_source_mix" -> ((s, dir) =>
+      graft.ops.Profile.sourceMix(
+          T(s, dir, "documents"), col("source"), col("text"))
+        .orderBy("source")),
+
+    // CCNet-style bigram-LM "perplexity" filter (Wenzek et al. 2020):
+    // unsupervised fluency scoring — LM built from the corpus itself
+    // (two map-side-partial aggregates), every doc scored by its add-k
+    // average bigram log-probability via a (w1,w2) equi-join; ids and
+    // words shuffle, never text. The vocab-size scalar rides as the
+    // same whitelisted one-row BNLJ as q89's corpus total
+    "q99_lm_perplexity" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      graft.text.NgramLm.scoreDocs(d, col("doc_id"), col("text"),
+          graft.text.NgramLm.bigramLm(d, col("text")))
+        .orderBy("doc_id")
+    }),
+
+    // per-source token-budget cap (Paloma/Dolma quota): keep docs in
+    // deterministic hash order until each source hits its budget —
+    // the cumulative sum is the two-pass grouped running total, NOT a
+    // per-source window (which would sort each corpus-sized source in
+    // one task); the oracle is the windowed-SUM form
+    "q100_token_budget" -> ((s, dir) =>
+      graft.ops.Sample.tokenBudget(T(s, dir, "documents"), col("doc_id"),
+          col("source"), col("text"), budget = 600L)
+        .orderBy("doc_id")),
+
+    // deterministic fractional upsampling (mixture epochs): weight by
+    // lang, floor(w) copies + hash-selected extra — expected
+    // multiplicity exactly w, retry-stable, engine-portable; per-row
+    // explode, no shuffle
+    "q101_upsample" -> ((s, dir) => {
+      val w = when(col("lang") === "en", lit(2.5))
+        .when(col("lang") === "de", lit(1.5))
+        .when(col("lang") === "es", lit(1.0))
+        .when(col("lang") === "fr", lit(0.25))
+        .otherwise(lit(0.7))
+      graft.ops.Sample.upsample(
+          T(s, dir, "documents").select(col("doc_id"), col("lang")),
+          col("doc_id"), w)
+        .orderBy("doc_id", "epoch")
+    }),
+
+    // BPE ENCODE with a fixed merge list over normalized text — the
+    // portable apply-side twin (q92/q93 train; this encodes): the
+    // codegen'd per-row merge loop vs the oracle's pipe-delimited
+    // replace chain, token counts hash-checked cross-engine
+    "q102_bpe_encode_portable" -> ((s, dir) => {
+      val norm = graft.text.TextAnalysis.normalizeForDedup(
+        coalesce(col("text"), lit("")))
+      graft.text.BpeTrain.encode(
+          T(s, dir, "documents").select(col("doc_id"), norm.as("text")),
+          col("doc_id"), col("text"), SparkEntry.FixedMerges)
+        .select(col("doc_id"), size(col("symbols")).cast("long")
+          .as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // BPE encode with merges LEARNED from the corpus (depth 16, cached
+    // per corpus like the other trained artifacts) — the full
+    // train→apply tokenizer loop; learning is iterative ML → rows-only,
+    // with the portable twin above hash-checking the encoder itself
+    "q103_bpe_encode_learned" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val merges = graft.text.BpeTrain.learnMergesCached(
+        s"$dir/documents", d, coalesce(col("text"), lit("")), nMerges = 16)
+      graft.text.BpeTrain.encode(d, col("doc_id"),
+          coalesce(col("text"), lit("")), merges)
+        .select(col("doc_id"), size(col("symbols")).cast("long")
+          .as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // REAL audio-header decode (WAV RIFF walk): payloads synthesized
+    // per-row from doc_id via pure column expressions, parsed back by
+    // the codegen'd AudioMetaExpr — the audio parse∘format identity
+    // (q95's sibling); FLAC + real-file parsing pinned in MultimodalSpec
+    "q104_audio_header_meta" -> ((s, dir) => {
+      val ch = (pmod(col("doc_id"), lit(2)) + 1).cast("int")
+      val rate = element_at(
+        array(lit(8000), lit(16000), lit(22050), lit(44100)),
+        (pmod(col("doc_id"), lit(4)) + 1).cast("int"))
+      val nSamples = (pmod(col("doc_id"), lit(100000)) + 1000).cast("int")
+      Multimodal.audioMeta(
+        T(s, dir, "documents").select(col("doc_id"),
+          Multimodal.synthWavHeader(ch, rate, nSamples).as("payload")),
+        "doc_id", "payload")
+        .orderBy("media_id")
     })
   )
+
+  /** The fixed q102 merge list (ranks from an sf0.001 training run —
+    * frozen so the oracle can replay them as literal replaces). */
+  val FixedMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("o", "n"),
+    ("e", "r"), ("an", "d"), ("r", "e"), ("o", "r"), ("s", "t"))
 
   /** DuckDB-equivalent SQL per query (driver hash-compares). Notes:
     *  - all SUM(int) wrapped in CAST(.. AS BIGINT) (DuckDB SUM → HUGEINT)
@@ -2045,6 +2163,173 @@ object SparkEntry {
           |    WHEN 2 THEN 'bmp' ELSE 'jpeg' END AS format,
           |  CAST(doc_id % 640 + 1 AS INTEGER) AS width,
           |  CAST(doc_id % 480 + 1 AS INTEGER) AS height
+          |FROM documents ORDER BY media_id""".stripMargin,
+
+      // same rule arithmetic in DuckDB list lambdas; every ratio
+      // round(·,4) on both sides and the keep predicate compares the
+      // ROUNDED values (q82 discipline); '/' is float division in both
+      "q96_gopher_rules" ->
+        """WITH b AS (
+          |  SELECT doc_id, COALESCE(text, '') AS t,
+          |    list_filter(string_split(COALESCE(text, ''), ' '),
+          |      w -> len(w) > 0) AS words,
+          |    string_split(COALESCE(text, ''), chr(10)) AS lines
+          |  FROM documents),
+          |m AS (
+          |  SELECT doc_id,
+          |    CAST(len(words) AS BIGINT) AS n_words,
+          |    CASE WHEN len(words) = 0 THEN 0.0
+          |      ELSE round(CAST(list_sum(list_transform(words,
+          |        w -> len(w))) AS DOUBLE) / len(words), 4)
+          |    END AS mean_word_len,
+          |    CASE WHEN len(words) = 0 THEN 0.0
+          |      ELSE round((len(t) - len(replace(t, '#', ''))
+          |        + (len(t) - len(replace(t, '...', ''))) / 3)
+          |        / len(words), 4)
+          |    END AS symbol_ratio,
+          |    CASE WHEN len(words) = 0 THEN 0.0
+          |      ELSE round(CAST(len(list_filter(words,
+          |        w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+          |        / len(words), 4)
+          |    END AS alpha_frac,
+          |    CAST(len(list_filter(words, w -> w IN ('the', 'be', 'to',
+          |      'of', 'and', 'that', 'have', 'with'))) AS BIGINT)
+          |      AS n_stopwords,
+          |    round(CAST(len(list_filter(lines, l -> l LIKE '- %'
+          |      OR l LIKE '* %' OR l LIKE '• %')) AS DOUBLE)
+          |      / len(lines), 4) AS bullet_frac,
+          |    round(CAST(len(list_filter(lines, l -> l LIKE '%...'
+          |      OR l LIKE '%…')) AS DOUBLE) / len(lines), 4)
+          |      AS ellipsis_frac
+          |  FROM b)
+          |SELECT *, (n_words >= 50 AND n_words <= 100000
+          |  AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+          |  AND symbol_ratio < 0.1 AND alpha_frac > 0.8
+          |  AND n_stopwords >= 2 AND bullet_frac < 0.9
+          |  AND ellipsis_frac < 0.3) AS keep
+          |FROM m ORDER BY doc_id""".stripMargin,
+
+      // 'g' flags: DuckDB regexp_replace is first-match-only by default,
+      // Spark's replaces all — the flag restores parity
+      "q97_normalized_dedup" ->
+        """WITH n AS (SELECT doc_id,
+          |    md5(trim(regexp_replace(regexp_replace(
+          |      lower(COALESCE(text, '')), '[^a-z0-9 ]', ' ', 'g'),
+          |      ' +', ' ', 'g'))) AS fp
+          |  FROM documents)
+          |SELECT fp, COUNT(*) AS n_copies, MIN(doc_id) AS keeper
+          |FROM n GROUP BY fp ORDER BY fp""".stripMargin,
+
+      "q98_source_mix" ->
+        """WITH s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |    CAST(SUM(len(string_split(COALESCE(text, ''), ' ')))
+          |      AS BIGINT) AS n_tokens
+          |  FROM documents GROUP BY source)
+          |SELECT source, n_docs, n_tokens,
+          |  round(CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER (), 4)
+          |    AS token_share,
+          |  CAST(ROW_NUMBER() OVER (ORDER BY n_tokens DESC, source ASC)
+          |    AS INTEGER) AS rank
+          |FROM s ORDER BY source""".stripMargin,
+
+      // same smoothed-LM arithmetic: per-(doc,bigram) multiplicities,
+      // ln in IEEE double (0.5e0 forces DOUBLE, not DECIMAL), weighted
+      // avg sum(lp·n)/sum(n) on both sides, round(·,4), and the keep
+      // predicate compares the ROUNDED score (q82 discipline)
+      "q99_lm_perplexity" ->
+        """WITH tok AS (SELECT doc_id,
+          |    list_filter(string_split(COALESCE(text, ''), ' '),
+          |      w -> len(w) > 0) AS ws
+          |  FROM documents),
+          |uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c1
+          |  FROM (SELECT unnest(ws) AS w FROM tok) GROUP BY w),
+          |v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+          |db AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2,
+          |    CAST(COUNT(*) AS BIGINT) AS n
+          |  FROM tok, LATERAL (SELECT unnest(range(1, len(ws))) AS i) t
+          |  GROUP BY 1, 2, 3),
+          |big AS (SELECT w1, w2, CAST(SUM(n) AS BIGINT) AS c12
+          |  FROM db GROUP BY 1, 2),
+          |sc AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+          |    round(SUM(ln((c12 + 0.5e0) / (c1 + 0.5e0 * v)) * n)
+          |      / SUM(n), 4) AS avg_logprob
+          |  FROM db JOIN big USING (w1, w2) JOIN uni ON db.w1 = uni.w
+          |    CROSS JOIN v
+          |  GROUP BY doc_id)
+          |SELECT d.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams,
+          |  COALESCE(avg_logprob, 0.0e0) AS avg_logprob,
+          |  COALESCE(avg_logprob, 0.0e0) >= -7.0e0 AS keep
+          |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+          |ORDER BY d.doc_id""".stripMargin,
+
+      // the windowed-SUM form of the two-pass grouped running total;
+      // md5-low-60 order hash matches Sample.sampleHash('budget:')
+      "q100_token_budget" ->
+        """WITH base AS (SELECT doc_id, source,
+          |    CAST(len(list_filter(string_split(COALESCE(text, ''), ' '),
+          |      w -> len(w) > 0)) AS BIGINT) AS n_tok,
+          |    CAST(('0x' || substr(md5('budget:' ||
+          |      CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS h
+          |  FROM documents)
+          |SELECT doc_id, source, n_tok, cum_tokens FROM (
+          |  SELECT doc_id, source, n_tok,
+          |    CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      AS BIGINT) AS cum_tokens
+          |  FROM base)
+          |WHERE cum_tokens <= 600 ORDER BY doc_id""".stripMargin,
+
+      // floor(w) + hash-extra literal cutoffs (round(frac·10⁶), matching
+      // Sample.upsample's round()); generate_series(1, 0) is empty, so
+      // weight-0 rows drop on both sides
+      "q101_upsample" ->
+        """WITH w AS (SELECT doc_id, lang,
+          |  CASE lang WHEN 'en' THEN 2 WHEN 'de' THEN 1
+          |    WHEN 'es' THEN 1 ELSE 0 END
+          |  + CASE WHEN CAST(('0x' || substr(md5('up:' ||
+          |      CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 <
+          |    CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 500000
+          |      WHEN 'es' THEN 0 WHEN 'fr' THEN 250000 ELSE 700000 END
+          |    THEN 1 ELSE 0 END AS n
+          |  FROM documents)
+          |SELECT doc_id, lang,
+          |  CAST(unnest(generate_series(1, n)) AS INTEGER) AS epoch
+          |FROM w WHERE n >= 1 ORDER BY doc_id, epoch""".stripMargin,
+
+      // the encoder as a pipe-delimited replace chain: each symbol is
+      // |s|-wrapped so a merge pattern '|l||r|' can never match inside
+      // a symbol or across a consumed delimiter (plain space-joining
+      // fails on runs: ' a a a a ' consumes the shared space and stops
+      // at 'aa a a'); token count = pipe count / 2. Normalized text
+      // contains no '|' by construction
+      "q102_bpe_encode_portable" -> {
+        val base = "'|' || array_to_string(string_split(w, ''), '||') || '|'"
+        val chain = FixedMerges.foldLeft(base) { case (acc, (l, r)) =>
+          s"replace($acc, '|$l||$r|', '|${l + r}|')" }
+        s"""WITH n AS (SELECT doc_id,
+           |    list_filter(string_split(trim(regexp_replace(regexp_replace(
+           |      lower(COALESCE(text, '')), '[^a-z0-9 ]', ' ', 'g'),
+           |      ' +', ' ', 'g')), ' '), w -> len(w) > 0) AS words
+           |  FROM documents)
+           |SELECT doc_id, CAST(COALESCE(list_sum(list_transform(words,
+           |    w -> (len($chain) - len(replace($chain, '|', ''))) // 2)),
+           |    0) AS BIGINT) AS n_bpe_tokens
+           |FROM n ORDER BY doc_id""".stripMargin
+      },
+
+      // parse∘format identity: planted channels/rate/samples recomputed
+      // arithmetically; duration = floor(dataLen·1000/byteRate) =
+      // floor(nSamples·1000/rate) (blockAlign cancels exactly)
+      "q104_audio_header_meta" ->
+        """SELECT doc_id AS media_id, CAST(44 AS BIGINT) AS byte_len,
+          |  'wav' AS format,
+          |  CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
+          |  CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+          |    WHEN 2 THEN 22050 ELSE 44100 END AS INTEGER) AS sample_rate,
+          |  CAST(16 AS INTEGER) AS bits,
+          |  (doc_id % 100000 + 1000) * 1000
+          |    // CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+          |    WHEN 2 THEN 22050 ELSE 44100 END AS duration_ms
           |FROM documents ORDER BY media_id""".stripMargin,
 
       "q26_multimodal_meta" ->

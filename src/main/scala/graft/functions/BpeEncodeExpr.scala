@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** BPE ENCODING with a fixed, learned merge list (the apply side of
+  * [[graft.text.BpeTrain]], Sennrich et al. 2016): tokenize on
+  * whitespace, split each word into characters, then apply every merge
+  * in rank order — each pass replaces all non-overlapping adjacent
+  * (l, r) occurrences left to right, exactly
+  * [[graft.text.BpeTrain.applyMerge]]'s fold semantics. Returns the
+  * symbol array for the whole document (word-internal merges only;
+  * symbols never cross whitespace, matching the trainer's per-word
+  * symbol arrays).
+  *
+  * Why an expression and not `applyMerge` composition: a 100-deep merge
+  * list as nested `aggregate` lambdas is a 100-level expression tree —
+  * the imperative loop here is O(merges × word length) per row with no
+  * plan growth, codegen'd (single static call, stays inside the
+  * whole-stage span), per-row, shuffle-free. The merge table rides into
+  * executors once per task closure, the same broadcast story as a
+  * trained model.
+  */
+case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  @transient private lazy val table: Array[Array[String]] =
+    merges.map { case (l, r) => Array(l, r) }.toArray
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else BpeEncodeExpr.compute(v.asInstanceOf[UTF8String], table)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    // NOT classOf[...].getName — that is the JVM name "[[Ljava...;",
+    // which janino can't parse as a type; codegen needs Java source
+    val tableRef = ctx.addReferenceObj("bpeMerges", table,
+      "java.lang.String[][]")
+    val arrCls = classOf[ArrayData].getName
+    ev.copy(code = code"""${c.code}
+      $arrCls ${ev.value} = ${c.isNull} ? null :
+        graft.functions.BpeEncodeExpr.compute(${c.value}, $tableRef);
+      boolean ${ev.isNull} = ${ev.value} == null;""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "bpe_encode"
+}
+
+object BpeEncodeExpr {
+
+  /** Encode one document: per word, chars → merge passes in rank order. */
+  def compute(text: UTF8String, merges: Array[Array[String]]): ArrayData = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    val words = text.toString.split(' ')
+    var wi = 0
+    while (wi < words.length) {
+      val w = words(wi)
+      if (w.nonEmpty) {
+        var syms = new Array[String](w.codePointCount(0, w.length))
+        var i = 0; var n = 0
+        while (i < w.length) {
+          val cp = w.codePointAt(i)
+          val l = Character.charCount(cp)
+          syms(n) = w.substring(i, i + l)
+          n += 1; i += l
+        }
+        var mi = 0
+        while (mi < merges.length && syms.length > 1) {
+          val l = merges(mi)(0); val r = merges(mi)(1)
+          // left-to-right non-overlapping replace of adjacent (l, r)
+          var changed = false
+          val next = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+          var j = 0
+          while (j < syms.length) {
+            if (j + 1 < syms.length && syms(j) == l && syms(j + 1) == r) {
+              next += l + r; j += 2; changed = true
+            } else { next += syms(j); j += 1 }
+          }
+          if (changed) syms = next.toArray
+          mi += 1
+        }
+        var k = 0
+        while (k < syms.length) {
+          out += UTF8String.fromString(syms(k)); k += 1
+        }
+      }
+      wi += 1
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  import org.apache.spark.sql.graft.ColumnBridge
+  def bpe_encode(c: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(BpeEncodeExpr(ColumnBridge.expression(c), merges))
+}

@@ -45,6 +45,24 @@ object Multimodal {
       m.getField("height").as("height"))
   }
 
+  /** REAL audio-header decode over a BINARY column: container format,
+    * channels, sample rate, bit depth, and duration parsed from the
+    * bytes (WAV RIFF-chunk walk, FLAC STREAMINFO — see
+    * [[graft.functions.AudioMetaExpr]]). Rows whose payload is not a
+    * recognized container get NULLs. Per-row, codegen'd, shuffle-free —
+    * the metadata pass of an audio-corpus ingest.
+    */
+  def audioMeta(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val m = graft.functions.AudioMetaExpr.audio_meta(col(binCol))
+    df.select(col(idCol).as("media_id"),
+      octet_length(col(binCol)).cast("long").as("byte_len"),
+      m.getField("format").as("format"),
+      m.getField("channels").as("channels"),
+      m.getField("sample_rate").as("sample_rate"),
+      m.getField("bits").as("bits"),
+      m.getField("duration_ms").as("duration_ms"))
+  }
+
   // -- deterministic header synthesis (test/gate fixtures) -------------
   // Real headers built from pure column expressions, so planted
   // width/height round-trip through the byte-level parser distributed.
@@ -77,6 +95,25 @@ object Multimodal {
       bytesLit(1, 0x11, 0))
     when(fmt === 0, pngB).when(fmt === 1, gifB)
       .when(fmt === 2, bmpB).otherwise(jpgB)
+  }
+
+  /** A minimal VALID 16-bit PCM WAV (44-byte canonical header + empty
+    * data payload description) with the given channels / sample rate /
+    * sample count, built from pure column expressions — the audio
+    * parse∘format identity fixture ([[synthHeader]]'s sibling).
+    */
+  def synthWavHeader(channels: Column, rate: Column,
+                     nSamples: Column): Column = {
+    val blockAlign = channels * 2 // 16-bit PCM
+    val byteRate = rate * blockAlign
+    val dataLen = nSamples * blockAlign
+    concat(
+      lit("RIFF".getBytes("US-ASCII")), leU32(dataLen + 36),
+      lit("WAVE".getBytes("US-ASCII")),
+      lit("fmt ".getBytes("US-ASCII")), leU32(lit(16)),
+      leU16(lit(1)), leU16(channels), leU32(rate), leU32(byteRate),
+      leU16(blockAlign), leU16(lit(16)),
+      lit("data".getBytes("US-ASCII")), leU32(dataLen))
   }
 
   /** Batch "decode + featurize" kernel over partitions: the shape a real

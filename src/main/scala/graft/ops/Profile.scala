@@ -28,4 +28,30 @@ object Profile {
       }
     df.agg(count(lit(1)).as("n_rows"), aggs: _*)
   }
+
+  /** Corpus mixture report: per-source document/token counts, corpus
+    * share, and coverage rank — the table a training-mix design starts
+    * from (Pile/Dolma-style source breakdown, and the input to mixture
+    * reweighting like [[Sample.mixtureSample]]).
+    *
+    * ONE corpus-scale aggregate (map-side partial sums per source);
+    * share and rank then run on the aggregated rows — one row per
+    * source, a provably-bounded set, so the global window's
+    * single-partition exchange carries #sources rows (whitelisted in
+    * the PlanAudit gate like the other bounded funnels).
+    */
+  def sourceMix(df: DataFrame, sourceCol: Column, textCol: Column): DataFrame = {
+    val perSource = df.groupBy(sourceCol.as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(coalesce(textCol, lit("")), " ")).cast("long"))
+          .as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_tokens").desc, col("source").asc)
+    val total = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    perSource
+      .withColumn("token_share",
+        round(col("n_tokens") / sum(col("n_tokens")).over(total), 4))
+      .withColumn("rank", row_number().over(w))
+  }
 }

@@ -65,6 +65,69 @@ object Rank {
       .drop("idx")
   }
 
+  /** Grouped running total under a total per-group order — the
+    * scale-safe `SUM(v) OVER (PARTITION BY g ORDER BY order ROWS
+    * UNBOUNDED PRECEDING)`. The window form shuffles each group into
+    * ONE task; with a handful of corpus-sized groups (sources, langs)
+    * that is the per-group analog of the global-sort funnel. Here the
+    * data range-partitions on (group, order) — a group large enough to
+    * matter spans MANY contiguous partitions — and the classic
+    * two-pass applies per group: per-partition per-group subtotals
+    * (bounded: ≤ #groups rows per partition) are collected, prefixed
+    * on the driver, and broadcast back as partition offsets.
+    *
+    * `order` must be total within each group (include a unique
+    * tiebreak); `group` is stringly-keyed for the offset map. The
+    * input plan executes twice (subtotals + labeling) — persist
+    * upstream if it is expensive.
+    */
+  def groupedRunningSum(df: DataFrame, group: Column, value: Column,
+                        order: Seq[Column], nPartitions: Int,
+                        cumName: String = "cum"): DataFrame = {
+    val prepared = df.withColumn("__g", group.cast("string"))
+      .withColumn("__v", value.cast("long"))
+    val keys = col("__g") +: order
+    val sorted = prepared.repartitionByRange(nPartitions, keys: _*)
+      .sortWithinPartitions(keys: _*)
+    val gIdx = sorted.schema.fieldIndex("__g")
+    val vIdx = sorted.schema.fieldIndex("__v")
+    val rdd = sorted.rdd
+    // pass 1: per-partition per-group subtotals, in encounter order
+    val partials: Array[(Int, Seq[(String, Long)])] =
+      rdd.mapPartitionsWithIndex { (pi, it) =>
+        val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        it.foreach { r =>
+          val g = r.getString(gIdx)
+          m.update(g, m.getOrElse(g, 0L) + r.getLong(vIdx))
+        }
+        Iterator.single((pi, m.toSeq))
+      }.collect()
+    // prefix per group across partitions (partition order = range order)
+    val running = scala.collection.mutable.Map.empty[String, Long]
+    val offsets: Map[Int, Map[String, Long]] =
+      partials.sortBy(_._1).map { case (pi, subtotals) =>
+        val before = subtotals.map { case (g, _) =>
+          g -> running.getOrElse(g, 0L) }.toMap
+        subtotals.foreach { case (g, v) =>
+          running.update(g, running.getOrElse(g, 0L) + v) }
+        pi -> before
+      }.toMap
+    val bc = df.sparkSession.sparkContext.broadcast(offsets)
+    val schema = StructType(sorted.schema.fields :+
+      StructField(cumName, LongType, nullable = false))
+    val labeled = rdd.mapPartitionsWithIndex { (pi, it) =>
+      val acc = scala.collection.mutable.Map.empty[String, Long] ++=
+        bc.value.getOrElse(pi, Map.empty)
+      it.map { r =>
+        val g = r.getString(gIdx)
+        val c = acc.getOrElse(g, 0L) + r.getLong(vIdx)
+        acc.update(g, c)
+        Row.fromSeq(r.toSeq :+ c)
+      }
+    }
+    df.sparkSession.createDataFrame(labeled, schema).drop("__g", "__v")
+  }
+
   /** Deterministic corpus shuffle + shard assignment — the "shuffle the
     * dataset before training" pass. Rows are totally ordered by `order`
     * (callers pass a content hash like `md5(id || text)`, which is a

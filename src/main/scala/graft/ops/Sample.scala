@@ -73,4 +73,52 @@ object Sample {
       hashSample(df, key, fraction, salt = s"mix:$name")
         .withColumn("source", lit(name))
     }.reduce(_ unionByName _)
+
+  /** Per-group token-budget cap (Paloma/Dolma-style per-source
+    * quotas): within each group, take documents in a deterministic
+    * hash-shuffled order until the group's cumulative token count
+    * reaches `budget`, then stop. Emits the kept rows with their
+    * running total, so the cap is auditable.
+    *
+    * Scale shape: the cumulative sum is [[Rank.groupedRunningSum]]'s
+    * two-pass range-partition form — NOT a per-group window, which
+    * would sort each (corpus-sized) source in a single task. The order
+    * is the portable sampling hash + id tiebreak, so the kept set is a
+    * pure function of the data and a windowed-SUM oracle checks it.
+    */
+  def tokenBudget(df: DataFrame, idCol: Column, groupCol: Column,
+                  textCol: Column, budget: Long,
+                  nPartitions: Int = 32): DataFrame = {
+    val base = df.select(idCol.as("doc_id"), groupCol.as("source"),
+      size(filter(split(coalesce(textCol, lit("")), " "),
+        w => length(w) > 0)).cast("long").as("n_tok"),
+      sampleHash(idCol, "budget").as("h"))
+    Rank.groupedRunningSum(base, col("source"), col("n_tok"),
+        Seq(col("h"), col("doc_id")), nPartitions, cumName = "cum_tokens")
+      .where(col("cum_tokens") <= budget)
+      .select("doc_id", "source", "n_tok", "cum_tokens")
+  }
+
+  /** Deterministic fractional upsampling (mixture reweighting by
+    * repetition — "epochs" in LLM data-mix terms): a row with weight w
+    * is emitted floor(w) times, plus once more for the hash-chosen
+    * `frac(w)` fraction of rows, so the EXPECTED multiplicity is
+    * exactly w and the realized multiset is retry-stable and
+    * engine-portable. Weight < 1 degenerates to deterministic
+    * downsampling; each copy gets a 1-based `epoch` index. Per-row
+    * explode of a ≤ ⌈w⌉-element sequence: no shuffle, linear scale.
+    */
+  def upsample(df: DataFrame, key: Column, weight: Column): DataFrame = {
+    val whole = floor(weight).cast("long")
+    // round() like hashSample: frac·D must match an exact literal
+    // reimplementation (the oracle writes e.g. 500000, not 0.5·10⁶)
+    val extra = (sampleHash(key, "up") <
+      round((weight - floor(weight)) * D)).cast("long")
+    df.withColumn("__copies__", (whole + extra).cast("int"))
+      // explode(null) drops the row: weight-0 rows vanish, as they must
+      .withColumn("epoch",
+        explode(when(col("__copies__") >= 1,
+          sequence(lit(1), col("__copies__")))))
+      .drop("__copies__")
+  }
 }

@@ -65,9 +65,20 @@ object BpeTrain {
     * merge order. Ties broken deterministically by (freq desc, sym_l
     * asc, sym_r asc). Stops early when no pair is left (every word one
     * symbol).
+    *
+    * Depth-stability (the thing that must hold at merge 100 as at
+    * merge 10): lineage is localCheckpoint-truncated every 4 rounds so
+    * the plan never accumulates `applyMerge` lambdas, and every
+    * `reaggEvery` rounds the vocab is RE-AGGREGATED by symbol sequence
+    * — merges progressively make distinct words' symbol arrays
+    * identical (first at the stutter/affix level, eventually whole
+    * words), and collapsing them (sum of counts; exactly preserves
+    * every subsequent pair count) keeps per-round input monotonically
+    * shrinking instead of fixed. Probe10x's q93d row records the
+    * measured flat per-round cost at depth 100.
     */
-  def learnMerges(docs: DataFrame, textCol: Column,
-                  nMerges: Int): DataFrame = {
+  def learnMerges(docs: DataFrame, textCol: Column, nMerges: Int,
+                  reaggEvery: Int = 8): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     var vocab = wordVocab(docs, textCol)
@@ -86,10 +97,42 @@ object BpeTrain {
         merges += ((round, l, r, f))
         vocab = vocab.select(col("cnt"),
           applyMerge(col("symbols"), l, r).as("symbols"))
+        if (round % reaggEvery == reaggEvery - 1)
+          vocab = vocab.groupBy("symbols").agg(sum("cnt").as("cnt"))
+            .select(col("cnt"), col("symbols"))
         if (round % 4 == 3) vocab = vocab.localCheckpoint(true)
         round += 1
       }
     }
     merges.toSeq.toDF("rank", "sym_l", "sym_r", "freq")
   }
+
+  private val mergeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+
+  /** Learned merge list as a driver-side table, cached per corpus key —
+    * tokenizer training is an offline amortized step (the
+    * `trainCached`/`fitCached` pattern); the merge list itself is
+    * bounded by nMerges, the same accepted scalar-collect class as the
+    * per-round argmax it is built from.
+    */
+  def learnMergesCached(corpusKey: String, docs: => DataFrame,
+                        textCol: => Column,
+                        nMerges: Int): Seq[(String, String)] =
+    mergeCache.computeIfAbsent(s"$corpusKey#$nMerges", _ =>
+      learnMerges(docs, textCol, nMerges)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq)
+
+  /** Encode documents with a fixed merge list — the APPLY side of the
+    * tokenizer (see [[graft.functions.BpeEncodeExpr]] for the
+    * per-row imperative loop and why it beats nMerges nested
+    * [[applyMerge]] lambdas). Per-row, no shuffle; the merge table
+    * rides in the task closure like a broadcast model.
+    */
+  def encode(docs: DataFrame, idCol: Column, textCol: Column,
+             merges: Seq[(String, String)]): DataFrame =
+    docs.select(idCol.as("doc_id"),
+      graft.functions.BpeEncodeExpr.bpe_encode(
+        coalesce(textCol, lit("")), merges).as("symbols"))
 }

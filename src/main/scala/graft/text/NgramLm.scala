@@ -1,0 +1,106 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bigram language-model scoring — the CCNet-style "perplexity filter"
+  * (Wenzek et al. 2020): score every document by its average token
+  * log-probability under a corpus n-gram LM and keep the fluent ones.
+  * The learned complement of [[TextAnalysis.gopherRules]] (rules) and
+  * [[graft.ml.QualityClassifier]] (discriminative): this one needs no
+  * labels at all, just the corpus itself (or a clean reference corpus).
+  * (North-star extension beyond the reference surface; BASELINE.json.)
+  *
+  * Model: add-k-smoothed bigram probabilities,
+  * `p(w2|w1) = (c(w1,w2) + k) / (c(w1) + k·V)`, with V = unigram vocab
+  * size. A document's score is the average `ln p` over its bigram
+  * occurrences; short docs (< 2 tokens) score a neutral 0.
+  *
+  * Scale shape: building the LM is two corpus-scale map-side-partial
+  * aggregates (unigram and bigram counts — the bigram table is
+  * vocab-bounded, orders of magnitude smaller than a 100 TB corpus).
+  * Scoring aggregates each doc's bigrams WITH multiplicity map-side
+  * first (a stuttered doc contributes one row per distinct bigram, not
+  * per occurrence), then equi-joins the LM on (w1, w2) — ids and words
+  * shuffle, never document text — and re-aggregates per doc. Hot
+  * bigrams ("of the") skew the join key; AQE skew-join splits them.
+  * The vocab size V rides along as a one-row broadcast (the same
+  * accepted one-row BNLJ pattern as q89's corpus token total).
+  */
+object NgramLm {
+
+  /** Whitespace tokens, empties dropped (multi-space runs yield empty
+    * strings under a plain split on ' '). */
+  def words(text: Column): Column =
+    filter(split(coalesce(text, lit("")), " "), w => length(w) > 0)
+
+  /** Adjacent-token pairs of `ws` as (w1, w2) structs; [] for token
+    * arrays shorter than 2 (`slice` throws on negative lengths, so the
+    * empty-array case needs the explicit branch). */
+  private def bigramStructs(ws: Column): Column =
+    when(size(ws) < 2, array().cast("array<struct<w1:string,w2:string>>"))
+      .otherwise(zip_with(
+        slice(ws, lit(1), size(ws) - 1),
+        slice(ws, lit(2), size(ws) - 1),
+        (l, r) => struct(l.as("w1"), r.as("w2"))))
+
+  /** Corpus unigram counts: (w, c1). One corpus-scale aggregate. */
+  def unigramCounts(docs: DataFrame, textCol: Column): DataFrame =
+    docs.select(explode(words(textCol)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+
+  /** Corpus bigram counts: (w1, w2, c12). One corpus-scale aggregate. */
+  def bigramCounts(docs: DataFrame, textCol: Column): DataFrame =
+    docs.select(explode(bigramStructs(words(textCol))).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("c12"))
+
+  /** The LM as a joinable table: (w1, w2, c12, c1, v). c1 attaches by
+    * a (vocab-sized) equi-join at build time so scoring needs a single
+    * probe join; v is the unigram vocab size (one-row broadcast).
+    */
+  def bigramLm(docs: DataFrame, textCol: Column): DataFrame = {
+    val uni = unigramCounts(docs, textCol)
+    val v = uni.agg(count(lit(1)).as("v"))
+    bigramCounts(docs, textCol)
+      .join(uni.withColumnRenamed("w", "w1"), Seq("w1"))
+      .crossJoin(broadcast(v))
+  }
+
+  /** Score `docs` against `lm` (a [[bigramLm]] frame): per doc, the
+    * bigram count and the add-k average log-probability (round(·,4)
+    * cross-engine stabilized), plus `keep` = rounded score ≥ `cutoff`.
+    * Bigrams or left-words the LM never saw back off to count 0 (their
+    * probability mass is the smoothing k). Docs with no bigram score a
+    * neutral 0.0 and are kept.
+    */
+  def scoreDocs(docs: DataFrame, idCol: Column, textCol: Column,
+                lm: DataFrame, k: Double = 0.5,
+                cutoff: Double = -7.0): DataFrame = {
+    // per-doc bigram multiplicities: the map-side partial that keeps
+    // the probe join linear in DISTINCT doc bigrams
+    val docBigrams = docs
+      .select(idCol.as("doc_id"), explode(bigramStructs(words(textCol))).as("b"))
+      .groupBy(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("n"))
+    // one-row vocab-size scalar (max over lm's constant v column — an
+    // aggregate, not limit(1), so the funnel carries partials only)
+    val vRow = lm.agg(max(col("v")).as("v"))
+    val scored = docBigrams
+      .join(lm.select(col("w1"), col("w2"), col("c12"), col("c1")),
+        Seq("w1", "w2"), "left")
+      .crossJoin(broadcast(vRow))
+      .select(col("doc_id"), col("n"),
+        log((coalesce(col("c12"), lit(0L)) + lit(k)) /
+            (coalesce(col("c1"), lit(0L)) + lit(k) * col("v"))).as("lp"))
+      .groupBy("doc_id")
+      .agg(sum(col("n")).as("n_bigrams"),
+        round(sum(col("lp") * col("n")) / sum(col("n")), 4).as("avg_logprob"))
+    docs.select(idCol.as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("avg_logprob"), lit(0.0)).as("avg_logprob"))
+      .withColumn("keep", col("avg_logprob") >= cutoff)
+  }
+}

@@ -259,4 +259,69 @@ object TextAnalysis {
       .groupBy("shard", "seq_id")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("seq_tokens"))
   }
+
+  /** The Gopher stopwords (Rae et al. 2021, Appendix A1.1): a doc that
+    * contains fewer than 2 of these is unlikely to be running English
+    * prose. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style document quality rules (Rae et al. 2021, Appendix A —
+    * the rule-based filter most LLM pipelines run BEFORE any learned
+    * filter; rule complement of [[graft.ml.QualityClassifier]]):
+    * word-count bounds, mean-word-length bounds, symbol-to-word ratio
+    * (# and ellipsis), alphabetic-word fraction, stopword floor, and
+    * bullet/ellipsis line fractions. Emits every per-rule statistic
+    * plus the combined `keep` verdict, so downstream can audit WHICH
+    * rule fired (the operational need the boolean-only form hides).
+    *
+    * Per-row codegen'd arithmetic, no shuffle, scales linearly. All
+    * ratios are round(·,4)-stabilized and every keep-predicate compares
+    * the ROUNDED value, the q82 cross-engine discipline.
+    */
+  def gopherRules(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val t = coalesce(textCol, lit(""))
+    val words = filter(split(t, " "), w => length(w) > 0)
+    val nWords = size(words).cast("long")
+    val sumLen = aggregate(words, lit(0L), (acc, x) => acc + length(x))
+    val meanLen = when(nWords === 0, lit(0.0))
+      .otherwise(round(sumLen / nWords, 4))
+    // '#' count + non-overlapping '...' count (both engines replace
+    // left-to-right), per Gopher's "symbols used in lieu of words"
+    val nHash = length(t) - length(translate(t, "#", ""))
+    val nEll = (length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3
+    val symRatio = when(nWords === 0, lit(0.0))
+      .otherwise(round((nHash + nEll) / nWords, 4))
+    val alphaFrac = when(nWords === 0, lit(0.0))
+      .otherwise(round(
+        size(filter(words, w => w.rlike("[A-Za-z]"))) / nWords, 4))
+    val nStop = size(filter(words,
+      w => w.isin(GopherStopwords.map(lit(_)): _*))).cast("long")
+    val lines = split(t, "\n") // never empty: split("") = [""]
+    val bulletFrac = round(size(filter(lines,
+      l => l.like("- %") || l.like("* %") || l.like("• %")))
+      / size(lines), 4)
+    val ellLineFrac = round(size(filter(lines,
+      l => l.like("%...") || l.like("%…"))) / size(lines), 4)
+    df.select(idCol.as("doc_id"), nWords.as("n_words"),
+        meanLen.as("mean_word_len"), symRatio.as("symbol_ratio"),
+        alphaFrac.as("alpha_frac"), nStop.as("n_stopwords"),
+        bulletFrac.as("bullet_frac"), ellLineFrac.as("ellipsis_frac"))
+      .withColumn("keep",
+        col("n_words") >= 50 && col("n_words") <= 100000 &&
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+        col("symbol_ratio") < 0.1 && col("alpha_frac") > 0.8 &&
+        col("n_stopwords") >= 2 &&
+        col("bullet_frac") < 0.9 && col("ellipsis_frac") < 0.3)
+  }
+
+  /** Canonical text normalization for normalization-aware dedup (the
+    * CCNet/RefinedWeb preprocessing: near-identical pages differ only
+    * in case/punctuation/whitespace): lowercase, strip every char
+    * outside [a-z0-9 ], collapse whitespace runs, trim. Pure codegen'd
+    * string ops, per-row.
+    */
+  def normalizeForDedup(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
 }

@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Rank, Sample}
+import graft.text.{BpeTrain, NgramLm}
+
+/** Round-7 pipeline operators: grouped running totals / token budget,
+  * fractional upsampling, bigram-LM scoring, BPE encoding. */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("groupedRunningSum == windowed SUM oracle (and no 1-part exchange)") {
+    val base = docs.select(col("doc_id"), col("source"),
+      col("n_chars").cast("long").as("v"))
+    val got = Rank.groupedRunningSum(base, col("source"), col("v"),
+        Seq(col("doc_id")), nPartitions = 7, cumName = "cum")
+      .select(col("doc_id"), col("cum"))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = base.select(col("doc_id"), sum("v").over(w).as("cum"))
+    assert(got.join(want.withColumnRenamed("cum", "cum2"), Seq("doc_id"))
+      .where(col("cum") =!= col("cum2")).count() == 0)
+    // the two-pass plan never funnels data through one partition
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"))
+  }
+
+  test("tokenBudget: caps each source, keeps a prefix of the hash order") {
+    val kept = Sample.tokenBudget(docs, col("doc_id"), col("source"),
+      col("text"), budget = 300L).collect()
+    assert(kept.nonEmpty)
+    val bySource = kept.groupBy(_.getAs[String]("source"))
+    bySource.foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("cum_tokens")).max <= 300L)
+      // cum really is the running sum of the kept prefix
+      val sorted = rows.sortBy(_.getAs[Long]("cum_tokens"))
+      assert(sorted.map(_.getAs[Long]("n_tok")).sum ==
+        sorted.last.getAs[Long]("cum_tokens"))
+    }
+    // determinism: same input → identical kept set
+    val again = Sample.tokenBudget(docs, col("doc_id"), col("source"),
+      col("text"), budget = 300L).collect()
+    assert(kept.map(_.getAs[Long]("doc_id")).sorted.toSeq ==
+      again.map(_.getAs[Long]("doc_id")).sorted.toSeq)
+  }
+
+  test("upsample: floor(w) guaranteed copies, frac(w) realized on average") {
+    val d = docs.select(col("doc_id"))
+    val up = Sample.upsample(d, col("doc_id"), lit(2.5))
+      .groupBy("doc_id").agg(count(lit(1)).as("n")).collect()
+    assert(up.length == d.count()) // nobody drops at w >= 1
+    assert(up.forall { r =>
+      val n = r.getAs[Long]("n"); n == 2L || n == 3L })
+    val mean = up.map(_.getAs[Long]("n")).sum.toDouble / up.length
+    assert(mean > 2.3 && mean < 2.7) // hash-selected extras ≈ frac(w)
+    // w < 1: pure downsample, epoch always 1
+    val down = Sample.upsample(d, col("doc_id"), lit(0.25)).collect()
+    assert(down.length < d.count() / 2)
+    assert(down.forall(_.getAs[Int]("epoch") == 1))
+    // deterministic across invocations
+    val again = Sample.upsample(d, col("doc_id"), lit(0.25)).count()
+    assert(again == down.length)
+  }
+
+  test("bigram LM: fluent text outscores gibberish under the corpus LM") {
+    val corpus = Seq.tabulate(40)(i =>
+      (i.toLong, "the cat sat on the mat and the dog sat on the rug"))
+      .toDF("doc_id", "text")
+    val probe = corpus.union(Seq(
+      (100L, "the cat sat on the rug"),        // fluent: seen bigrams
+      (101L, "rug the on mat cat sat"),        // same words, broken order
+      (102L, "x")).toDF("doc_id", "text"))     // no bigrams → neutral 0
+    val lm = NgramLm.bigramLm(corpus, col("text"))
+    val sc = NgramLm.scoreDocs(probe, col("doc_id"), col("text"), lm)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("avg_logprob")).toMap
+    assert(sc(100L) > sc(101L))
+    assert(sc(102L) == 0.0)
+    val nb = NgramLm.scoreDocs(probe, col("doc_id"), col("text"), lm)
+      .where(col("doc_id") === 102L).collect()(0).getAs[Long]("n_bigrams")
+    assert(nb == 0L)
+  }
+
+  test("BpeEncodeExpr == applyMerge fold semantics (runs, chains, unicode)") {
+    val merges = Seq(("a", "a"), ("t", "h"), ("th", "e"), ("aa", "b"))
+    // per-word equivalence against the nested applyMerge fold oracle
+    val words = Seq((1L, "aaaa"), (2L, "aaab"), (3L, "the"), (4L, "theater"),
+      (5L, "naïve"), (6L, "a"), (7L, "baaaab"))
+      .toDF("doc_id", "w")
+    val both = words.select(col("doc_id"),
+        merges.foldLeft(BpeTrain.initSymbols(col("w"))) {
+          case (acc, (l, r)) => BpeTrain.applyMerge(acc, l, r)
+        }.as("fold"),
+        graft.functions.BpeEncodeExpr.bpe_encode(col("w"), merges)
+          .as("expr"))
+      .orderBy("doc_id").collect()
+    both.foreach { r =>
+      assert(r.getAs[scala.collection.Seq[String]]("fold").toList ==
+        r.getAs[scala.collection.Seq[String]]("expr").toList,
+        s"doc ${r.getLong(0)}")
+    }
+    assert(both(0).getAs[scala.collection.Seq[String]]("expr").toList ==
+      List("aa", "aa")) // run merges pairwise, not cascading
+    // whole-doc encode: words concatenate in order, empties vanish
+    val doc = BpeTrain.encode(
+        Seq((1L, "the aaaa  the")).toDF("doc_id", "text"),
+        col("doc_id"), col("text"), merges)
+      .collect()(0).getAs[scala.collection.Seq[String]]("symbols").toList
+    assert(doc == List("the", "aa", "aa", "the"))
+  }
+
+  test("audio meta: WAV synth round-trip, real FLAC STREAMINFO, junk → null") {
+    import graft.multimodal.Multimodal
+    // parse∘format identity on synthesized WAV
+    val wavs = Seq(0L, 1L, 7L).toDF("doc_id")
+      .select(col("doc_id"), Multimodal.synthWavHeader(
+        (pmod(col("doc_id"), lit(2)) + 1).cast("int"),
+        lit(44100), (col("doc_id") * 1000 + 44100).cast("int")).as("payload"))
+    val got = Multimodal.audioMeta(wavs, "doc_id", "payload")
+      .orderBy("media_id").collect()
+    assert(got(0).getAs[String]("format") == "wav")
+    assert(got(0).getAs[Int]("channels") == 1)
+    assert(got(0).getAs[Int]("sample_rate") == 44100)
+    assert(got(0).getAs[Int]("bits") == 16)
+    assert(got(0).getAs[Long]("duration_ms") == 1000L) // 44100 samples
+    assert(got(1).getAs[Int]("channels") == 2)
+    assert(got(1).getAs[Long]("duration_ms") == (45100L * 1000L) / 44100L)
+    // hand-built FLAC: fLaC + STREAMINFO (last-block bit set, size 34):
+    // 44100 Hz, 2ch, 16-bit, 88200 samples → 2000 ms
+    val info = new Array[Byte](34)
+    // bytes 10..: rate 20b | ch-1 3b | bits-1 5b | total 36b
+    info(10) = ((44100 >> 12) & 0xff).toByte
+    info(11) = ((44100 >> 4) & 0xff).toByte
+    info(12) = (((44100 & 0xf) << 4) | ((2 - 1) << 1) | ((16 - 1) >> 4)).toByte
+    info(13) = ((((16 - 1) & 0xf) << 4) | 0).toByte
+    info(14) = 0; info(15) = 1; info(16) = 0x58.toByte; info(17) = 0x88.toByte
+    val flacBytes = "fLaC".getBytes("US-ASCII") ++
+      Array[Byte](0x80.toByte, 0, 0, 34) ++ info
+    val misc = Seq(
+      (1L, flacBytes),
+      (2L, "not audio at all".getBytes("US-ASCII")))
+      .toDF("media_id", "payload")
+    val m = Multimodal.audioMeta(misc, "media_id", "payload")
+      .orderBy("media_id").collect()
+    assert(m(0).getAs[String]("format") == "flac")
+    assert(m(0).getAs[Int]("sample_rate") == 44100)
+    assert(m(0).getAs[Int]("channels") == 2)
+    assert(m(0).getAs[Int]("bits") == 16)
+    assert(m(0).getAs[Long]("duration_ms") == 2000L)
+    assert(m(1).getAs[String]("format") == null)
+  }
+}

@@ -143,6 +143,26 @@ object Probe10x {
         .agg(sum("n_dup"), sum("n_spans")).collect(): Unit
     }
 
+    // ---- r7: BPE merge learning at depth ----
+    // 100 merges vs 25 on the same corpus: per-round cost must stay
+    // flat (checkpoint-truncated lineage + periodic symbol-sequence
+    // re-aggregation), i.e. t(100)/100 ≈ t(25)/25 — the evidence the
+    // iterative shape holds beyond the q93 gate's toy depth of 10
+    if (on("q93d")) {
+      def depth(n: Int): Double = {
+        val t0 = System.nanoTime()
+        val got = graft.text.BpeTrain.learnMerges(docs,
+          coalesce(col("text"), lit("")), nMerges = n).count()
+        require(got == n, s"expected $n merges, got $got")
+        (System.nanoTime() - t0) / 1e9
+      }
+      val t25 = depth(25)
+      val t100 = depth(100)
+      println(f"[probe] q93d t25=$t25%.1f s t100=$t100%.1f s " +
+        f"perRound25=${t25 / 25}%.3f perRound100=${t100 / 100}%.3f " +
+        f"ratio=${(t100 / 100) / (t25 / 25)}%.2f")
+    }
+
     // global ntile at 10× events-scale rows (1.5 M): range exchange +
     // two-pass labeling, no single-partition funnel
     if (on("q76")) {

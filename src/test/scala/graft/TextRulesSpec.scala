@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.TextAnalysis
+
+class TextRulesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gopherRules: each rule fires on its planted violation") {
+    val prose = (("the data " * 30) + "pipeline works well with care").trim
+    val docs = Seq(
+      (1L, prose),                                  // passes every rule
+      (2L, "too short to keep"),                    // word-count floor
+      (3L, ("the of and that have with be to " * 10) +
+        ("## # ## # ## " * 8).trim),                // symbol ratio
+      (4L, (1 to 60).map(_.toString).mkString(" ")), // alpha fraction
+      (5L, ("lorem ipsum dolor sit amet " * 12).trim), // stopword floor
+      (6L, (1 to 10).map(i => s"- bullet item $i the of").mkString("\n")),
+      (7L, null.asInstanceOf[String]))              // null contract
+    val r = TextAnalysis.gopherRules(docs.toDF("doc_id", "text"),
+        col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Boolean]("keep"))
+    assert(!r(1).getAs[Boolean]("keep") && r(1).getAs[Long]("n_words") < 50)
+    assert(!r(2).getAs[Boolean]("keep") &&
+      r(2).getAs[Double]("symbol_ratio") >= 0.1)
+    assert(!r(3).getAs[Boolean]("keep") &&
+      r(3).getAs[Double]("alpha_frac") <= 0.8)
+    assert(!r(4).getAs[Boolean]("keep") && r(4).getAs[Long]("n_stopwords") < 2)
+    assert(!r(5).getAs[Boolean]("keep") &&
+      r(5).getAs[Double]("bullet_frac") >= 0.9)
+    assert(!r(6).getAs[Boolean]("keep") && r(6).getAs[Long]("n_words") == 0L)
+  }
+
+  test("normalizeForDedup: case/punct/whitespace variants collapse") {
+    val docs = Seq(
+      (1L, "Hello, World!  This is   FINE."),
+      (2L, "hello world this is fine"),
+      (3L, "HELLO WORLD — this\tis\nfine"),
+      (4L, "a genuinely different document")
+    ).toDF("doc_id", "text")
+    val fps = docs.select(col("doc_id"),
+        md5(TextAnalysis.normalizeForDedup(col("text"))).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) == fps(2L) && fps(2L) == fps(3L))
+    assert(fps(4L) != fps(1L))
+  }
+
+  test("sourceMix: shares sum to ~1 and rank follows token mass") {
+    val docs = Seq(
+      (1L, "a b c d e f g h", "web"), (2L, "a b c d", "web"),
+      (3L, "x y", "books"), (4L, "z", "code"))
+      .toDF("doc_id", "text", "source")
+    val m = graft.ops.Profile.sourceMix(docs, col("source"), col("text"))
+      .orderBy("rank").collect()
+    assert(m.map(_.getAs[String]("source")).toSeq ==
+      Seq("web", "books", "code"))
+    assert(math.abs(m.map(_.getAs[Double]("token_share")).sum - 1.0) < 0.01)
+    assert(m.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
+  }
+}
