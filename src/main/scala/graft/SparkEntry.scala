@@ -1211,7 +1211,8 @@ object SparkEntry {
     "q99_lm_perplexity" -> ((s, dir) => {
       val d = T(s, dir, "documents")
       graft.text.NgramLm.scoreDocs(d, col("doc_id"), col("text"),
-          graft.text.NgramLm.bigramLm(d, col("text")))
+          graft.text.NgramLm.bigramLmCached(s"$dir/documents", d,
+            col("text")))
         .orderBy("doc_id")
     }),
 

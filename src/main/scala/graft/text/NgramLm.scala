@@ -67,6 +67,22 @@ object NgramLm {
       .crossJoin(broadcast(v))
   }
 
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** [[bigramLm]] persisted + materialized once per corpus key — the LM
+    * is a build-once offline artifact (the `fitCached`/`buildCached`
+    * pattern); per-query cost is then the scoring probe join alone, the
+    * thing that runs per-batch at 100 TB. */
+  def bigramLmCached(corpusKey: String, docs: => DataFrame,
+                     textCol: => Column): DataFrame =
+    cache.computeIfAbsent(corpusKey, _ => {
+      val lm = bigramLm(docs, textCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      lm.count() // materialize now, under the build step's accounting
+      lm
+    })
+
   /** Score `docs` against `lm` (a [[bigramLm]] frame): per doc, the
     * bigram count and the add-k average log-probability (round(·,4)
     * cross-engine stabilized), plus `keep` = rounded score ≥ `cutoff`.
