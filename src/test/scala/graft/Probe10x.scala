@@ -147,20 +147,35 @@ object Probe10x {
     // 100 merges vs 25 on the same corpus: per-round cost must stay
     // flat (checkpoint-truncated lineage + periodic symbol-sequence
     // re-aggregation), i.e. t(100)/100 ≈ t(25)/25 — the evidence the
-    // iterative shape holds beyond the q93 gate's toy depth of 10
+    // iterative shape holds beyond the q93 gate's toy depth of 10.
+    //
+    // The raw synthetic corpus has only 31 DISTINCT words (merge
+    // capacity ≤ Σ(len−1) = 107, shared merges make it far less), so
+    // learnMerges correctly EXHAUSTS pairs before round 100 — depth
+    // needs a richer vocabulary, not a bigger corpus. Suffixing every
+    // word with doc_id%10 multiplies distinct words ×10 (capacity
+    // ~1.3 k) while keeping the corpus scale shape identical.
     if (on("q93d")) {
+      val rich = docs.select(concat_ws(" ",
+          transform(split(coalesce(col("text"), lit("")), " "),
+            w => concat(w, pmod(col("doc_id"), lit(10))))).as("text"))
+        .localCheckpoint(true) // probe times merge learning, not the synthesis
       def depth(n: Int): Double = {
         val t0 = System.nanoTime()
-        val got = graft.text.BpeTrain.learnMerges(docs,
-          coalesce(col("text"), lit("")), nMerges = n).count()
+        val got = graft.text.BpeTrain.learnMerges(rich, col("text"),
+          nMerges = n).count()
         require(got == n, s"expected $n merges, got $got")
         (System.nanoTime() - t0) / 1e9
       }
       val t25 = depth(25)
       val t100 = depth(100)
+      // raw-corpus exhaustion depth: how many merges exist at all on
+      // the 31-word vocab (early-stop correctness, recorded for PLANS)
+      val exhausted = graft.text.BpeTrain.learnMerges(docs,
+        coalesce(col("text"), lit("")), nMerges = 1000).count()
       println(f"[probe] q93d t25=$t25%.1f s t100=$t100%.1f s " +
         f"perRound25=${t25 / 25}%.3f perRound100=${t100 / 100}%.3f " +
-        f"ratio=${(t100 / 100) / (t25 / 25)}%.2f")
+        f"ratio=${(t100 / 100) / (t25 / 25)}%.2f rawExhaust=$exhausted")
     }
 
     // global ntile at 10× events-scale rows (1.5 M): range exchange +
