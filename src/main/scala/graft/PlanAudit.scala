@@ -47,7 +47,13 @@ object PlanAudit {
     "q98_source_mix" ->
       "share+rank windows run on the per-source rollup: one row per source",
     "q99_lm_perplexity" ->
-      "vocab-size scalar aggregate: one partial row per task"
+      "vocab-size scalar aggregate: one partial row per task",
+    "q109_freq_tokens" ->
+      "global sketch merge: one bounded frequent-items map per task",
+    "q110_length_drift" ->
+      "PSI share windows run on the <=16 histogram-bin rows",
+    "q112_temperature_mix" ->
+      "share/normalize windows run on the per-source rollup: one row per source"
   )
 
   /** Audit the AQE-final plan of a materialized query. */

@@ -1287,7 +1287,193 @@ object SparkEntry {
           Multimodal.synthWavHeader(ch, rate, nSamples).as("payload")),
         "doc_id", "payload")
         .orderBy("media_id")
-    })
+    }),
+
+    // HTML-to-text extraction (the WARC-to-text step that runs before
+    // every text-quality operator): fixture text is plain, so both
+    // engines wrap it in the same deterministic HTML shell — script/
+    // style/comment content dropped, tags counted then stripped,
+    // entities decoded (&amp; last), whitespace collapsed. Per-row
+    // regexp chain in the Java ∩ RE2 dialect, no capture refs
+    "q105_html_strip" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><title>D"), col("doc_id").cast("string"),
+        lit("</title><style type=\"text/css\">body { color: #fff; }" +
+          "</style></head><body class=\"main\">"),
+        when(col("doc_id") % 3 === 0,
+          lit("<script>var i = 1 < 2 && 3 > 2; // strip me\n" +
+            "alert('x');</script>")).otherwise(lit("")),
+        lit("<h1>Doc</h1><p>"), coalesce(col("text"), lit("")), lit("</p>"),
+        when(col("doc_id") % 4 === 0, lit("<!-- hidden\ncomment -->"))
+          .otherwise(lit("")),
+        lit("<div>Tom &amp; Jerry say &quot;hi&#39;s&quot; " +
+          "&lt;now&gt;&nbsp;ok</div></body></html>"))
+      graft.text.Markup.stripHtml(
+          T(s, dir, "documents").select(col("doc_id"), html.as("html")),
+          col("doc_id"), col("html"))
+        .orderBy("doc_id")
+    }),
+
+    // URL canonicalization + URL-level dedup: messy-spelling variants
+    // (scheme/host case, default ports, tracking params, param order,
+    // fragments) synthesized identically on both engines collapse to
+    // one canonical form; groupBy canonical is the same short-key
+    // one-shuffle shape as exact text dedup
+    "q106_url_canonical" -> ((s, dir) => {
+      val id = col("doc_id")
+      val url = concat(
+        when(id % 2 === 0, lit("HTTP")).otherwise(lit("https")), lit("://"),
+        when(id % 3 === 0, lit("WWW.Example-")).otherwise(lit("www.example-")),
+        (id % 5).cast("string"),
+        when(id % 6 === 0, lit(".COM")).otherwise(lit(".com")),
+        when(id % 2 === 0 && id % 3 === 0, lit(":80"))
+          .when(id % 2 =!= 0 && id % 5 === 0, lit(":443"))
+          .when(id % 11 === 0, lit(":8080"))
+          .otherwise(lit("")),
+        lit("/Docs/Page"), (id % 20).cast("string"),
+        when(id % 4 === 0, lit("?b=2&utm_source=feed&a=1"))
+          .when(id % 4 === 1, lit("?a=1&b=2&utm_campaign=x"))
+          .when(id % 4 === 2, lit("?fbclid=abc123"))
+          .otherwise(lit("")),
+        when(id % 5 === 0, lit("#section-2")).otherwise(lit("")))
+      graft.text.Markup.urlDedup(
+          T(s, dir, "documents").select(url.as("url")), col("url"))
+        .orderBy("canonical_url")
+    }),
+
+    // Unicode NFC normalization (native codegen'd Normalizer wrap —
+    // the canonicalization every byte-level dedup/tokenize pass needs):
+    // decomposed e+U+0301 / o+U+0308 suffixes planted identically on
+    // both engines compose to é/ö; already-composed é is a fixpoint.
+    // Oracle = DuckDB's nfc_normalize on the same injected text
+    "q107_nfc_normalize" -> ((s, dir) => {
+      val suffix = concat(
+        when(col("doc_id") % 3 === 0, lit(" cafe\u0301")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit(" fo\u0308hn")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit(" caf\u00e9")).otherwise(lit("")))
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(coalesce(col("text"), lit("")), suffix).as("raw"))
+        .select(col("doc_id"), col("raw"),
+          graft.functions.NfcNormalizeExpr.nfc_normalize(col("raw"))
+            .as("text"))
+        .select(col("doc_id"), col("text"),
+          (col("text") =!= col("raw")).as("changed"),
+          (length(col("raw")) - length(col("text"))).cast("long")
+            .as("chars_saved"))
+        .orderBy("doc_id")
+    }),
+
+    // sentence segmentation stats (the sentence-level C4 shape signal):
+    // fixture text has no punctuation, so both engines inject the same
+    // deterministic terminators first, then segment on [.!?]+ runs
+    "q108_sentence_stats" -> ((s, dir) => {
+      val punct = regexp_replace(regexp_replace(
+        coalesce(col("text"), lit("")), " the ", ". "), " data ", "! ")
+      graft.text.Markup.sentenceStats(
+          T(s, dir, "documents").select(col("doc_id"), punct.as("text")),
+          col("doc_id"), col("text"))
+        .orderBy("doc_id")
+    }),
+
+    // heavy hitters via the mergeable DataSketches frequent-items
+    // aggregate: bounded m-slot maps merge across partials, so corpus
+    // heavy tokens never shuffle the full distinct key set. At gate SF
+    // the distinct count (31) < map size → the sketch is EXACT and the
+    // (est, lb, ub) triple hash-checks against the exact-count oracle;
+    // the purge regime's NO_FALSE_NEGATIVES + bound guarantees are
+    // spec-pinned in MarkupSpec
+    "q109_freq_tokens" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(explode(filter(split(coalesce(col("text"), lit("")), " "),
+          w => length(w) > 0)).as("tok"))
+        .agg(graft.functions.FreqItemsAgg.freq_items(col("tok"), 256)
+          .as("hh"))
+        .select(explode(col("hh")).as("h"))
+        .select(col("h.item").as("token"), col("h.est").as("est"),
+          col("h.lb").as("lb"), col("h.ub").as("ub"))
+        .orderBy(col("est").desc, col("token"))),
+
+    // distribution drift between crawls (PSI over a 16-bin length
+    // histogram): q90's snapshot derivation, with every 5th new-crawl
+    // doc doubled so the length distribution actually shifts; each
+    // snapshot reduces to ≤16 bin rows map-side, all drift arithmetic
+    // runs on the bounded bins (whitelisted bounded window)
+    "q110_length_drift" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      val oldSnap = docs.where(col("doc_id") % 7 =!= 0)
+      val newSnap = docs.where(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" "), col("text")))
+            .otherwise(col("text")).as("text"))
+      val nWords = size(filter(split(col("text"), " "),
+        w => length(w) > 0))
+      graft.ops.Snapshot.histogramDrift(
+          oldSnap.select(nWords.as("v")), newSnap.select(nWords.as("v")),
+          col("v"), lo = 0.0, hi = 256.0, nBins = 16)
+        .orderBy("bin")
+    }),
+
+    // tokenizer fertility by language (BPE tokens per word — the
+    // tokenizer-evaluation metric that drives multilingual vocab and
+    // sampling decisions): q102's fixed portable merges over normalized
+    // text, per-row codegen'd encode, one bounded groupBy
+    "q111_tokenizer_fertility" -> ((s, dir) => {
+      val norm = graft.text.TextAnalysis.normalizeForDedup(
+        coalesce(col("text"), lit("")))
+      graft.text.BpeTrain.fertility(
+          T(s, dir, "documents").select(col("lang"), norm.as("text")),
+          col("lang"), col("text"), SparkEntry.FixedMerges)
+        .withColumnRenamed("grp", "lang")
+        .orderBy("lang")
+    }),
+
+    // temperature-scaled mixture rates (mT5/XLM-R sampling, τ = 2
+    // upweights tail sources): one corpus-scale aggregate, then the
+    // pow/normalize arithmetic on the bounded per-source rows; pow
+    // inputs are round(·,6) shares so both engines exponentiate
+    // identical doubles
+    "q112_temperature_mix" -> ((s, dir) =>
+      graft.ops.Profile.temperatureMix(
+          T(s, dir, "documents"), col("source"), col("text"),
+          temperature = 2.0)
+        .orderBy("source")),
+
+    // cross-corpus exact-line decontamination: every 10th doc plays
+    // the benchmark; ITS lines vanish from every training doc
+    // (benchmark docs themselves reduce to n_kept 0 — visible
+    // semantics). History reduces to distinct 16-byte hashes map-side;
+    // the anti-join carries hashes, never text
+    "q113_line_decontaminate" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val lines = graft.functions.ShinglesExpr.chunk_strings(
+        coalesce(col("text"), lit("")), 8)
+      Dedup.lineDedupAgainst(
+          docs.withColumn("__lines", lines), col("doc_id"), col("__lines"),
+          docs.where(col("doc_id") % 10 === 0).withColumn("__lines", lines),
+          col("__lines"))
+        .orderBy("doc_id")
+    }),
+
+    // deflate compression-ratio quality signal (whole-doc
+    // repetitiveness detector): native codegen'd Deflater expression —
+    // no deflate in DuckDB → rows-only; ordering properties pinned in
+    // DriftMixSpec
+    "q114_compression_ratio" -> ((s, dir) =>
+      T(s, dir, "documents").select(col("doc_id"),
+          round(graft.functions.DeflateRatioExpr.deflate_ratio(
+            coalesce(col("text"), lit(""))), 4).as("deflate_ratio"))
+        .orderBy("doc_id")),
+
+    // T5 span corruption with the portable deterministic mask: per-row
+    // array expressions, mask = md5(doc_id:pos) — both engines replay
+    // the identical mask, so corrupted text + span stats hash-check
+    "q115_span_corrupt" -> ((s, dir) =>
+      graft.text.TextAnalysis.spanCorrupt(T(s, dir, "documents"),
+          col("doc_id"), col("text"))
+        .orderBy("doc_id"))
   )
 
   /** The fixed q102 merge list (ranks from an sf0.001 training run —
@@ -2340,7 +2526,269 @@ object SparkEntry {
           |  CAST(octet_length(CAST(text AS BLOB)) % 640 AS INTEGER) AS width,
           |  CAST((octet_length(CAST(text AS BLOB)) * 7) % 480 AS INTEGER) AS height,
           |  CAST(octet_length(CAST(text AS BLOB)) % 30 + 1 AS INTEGER) AS n_frames
-          |FROM documents ORDER BY media_id""".stripMargin
+          |FROM documents ORDER BY media_id""".stripMargin,
+
+      // same HTML shell both engines; blocks→tags→entities→whitespace
+      // in the same order; DuckDB needs 'g' (Spark replaces all);
+      // entity decode via plain replace (the patterns are literals)
+      "q105_html_strip" ->
+        """WITH h AS (SELECT doc_id,
+          |    '<html><head><title>D' || CAST(doc_id AS VARCHAR) ||
+          |    '</title><style type="text/css">body { color: #fff; }' ||
+          |    '</style></head><body class="main">' ||
+          |    CASE WHEN doc_id % 3 = 0 THEN
+          |      '<script>var i = 1 < 2 && 3 > 2; // strip me' || chr(10)
+          |      || 'alert(''x'');</script>' ELSE '' END ||
+          |    '<h1>Doc</h1><p>' || COALESCE(text, '') || '</p>' ||
+          |    CASE WHEN doc_id % 4 = 0 THEN
+          |      '<!-- hidden' || chr(10) || 'comment -->' ELSE '' END ||
+          |    '<div>Tom &amp; Jerry say &quot;hi&#39;s&quot; ' ||
+          |    '&lt;now&gt;&nbsp;ok</div></body></html>' AS html
+          |  FROM documents),
+          |b AS (SELECT doc_id,
+          |    regexp_replace(regexp_replace(regexp_replace(html,
+          |      '(?s)<script\b[^>]*>.*?</script>', ' ', 'g'),
+          |      '(?s)<style\b[^>]*>.*?</style>', ' ', 'g'),
+          |      '(?s)<!--.*?-->', ' ', 'g') AS nb
+          |  FROM h)
+          |SELECT doc_id,
+          |  CAST(len(regexp_extract_all(nb, '<[^>]+>')) AS BIGINT) AS n_tags,
+          |  trim(regexp_replace(
+          |    replace(replace(replace(replace(replace(replace(
+          |      regexp_replace(nb, '<[^>]+>', ' ', 'g'),
+          |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+          |      '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+          |    '\s+', ' ', 'g')) AS text
+          |FROM b ORDER BY doc_id""".stripMargin,
+
+      // same messy-URL synthesis + canonicalization steps; every regexp
+      // matches at most once so replace-first (DuckDB) == replace-all
+      // (Spark); list_sort/array_sort both binary-lexicographic
+      "q106_url_canonical" ->
+        """WITH u AS (SELECT
+          |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) ||
+          |    '://' ||
+          |    (CASE WHEN doc_id % 3 = 0 THEN 'WWW.Example-'
+          |      ELSE 'www.example-' END) ||
+          |    CAST(doc_id % 5 AS VARCHAR) ||
+          |    (CASE WHEN doc_id % 6 = 0 THEN '.COM' ELSE '.com' END) ||
+          |    (CASE WHEN doc_id % 2 = 0 AND doc_id % 3 = 0 THEN ':80'
+          |      WHEN doc_id % 2 <> 0 AND doc_id % 5 = 0 THEN ':443'
+          |      WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END) ||
+          |    '/Docs/Page' || CAST(doc_id % 20 AS VARCHAR) ||
+          |    (CASE doc_id % 4 WHEN 0 THEN '?b=2&utm_source=feed&a=1'
+          |      WHEN 1 THEN '?a=1&b=2&utm_campaign=x'
+          |      WHEN 2 THEN '?fbclid=abc123' ELSE '' END) ||
+          |    (CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END)
+          |    AS url
+          |  FROM documents),
+          |p1 AS (SELECT url, regexp_replace(url, '#.*', '') AS nofrag
+          |  FROM u),
+          |p2 AS (SELECT url, nofrag,
+          |    lower(regexp_extract(nofrag,
+          |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+          |    lower(regexp_extract(nofrag,
+          |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1)) AS hostport,
+          |    regexp_replace(nofrag,
+          |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*', '') AS rest
+          |  FROM p1),
+          |p3 AS (SELECT url, scheme,
+          |    CASE WHEN scheme = 'http'
+          |        THEN regexp_replace(hostport, ':80$', '')
+          |      WHEN scheme = 'https'
+          |        THEN regexp_replace(hostport, ':443$', '')
+          |      ELSE hostport END AS host,
+          |    regexp_replace(rest, '\?.*', '') AS path,
+          |    regexp_extract(rest, '\?(.*)', 1) AS query
+          |  FROM p2),
+          |p4 AS (SELECT url, scheme, host,
+          |    CASE WHEN path = '' THEN '/' ELSE path END AS path,
+          |    list_sort(list_filter(string_split(query, '&'),
+          |      p -> len(p) > 0 AND NOT regexp_matches(p,
+          |        '^(utm_|fbclid(=|$)|gclid(=|$))'))) AS params
+          |  FROM p3),
+          |canon AS (SELECT url, scheme || '://' || host || path ||
+          |    CASE WHEN len(params) > 0
+          |      THEN '?' || array_to_string(params, '&') ELSE '' END
+          |    AS canonical_url
+          |  FROM p4)
+          |SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_rows,
+          |  CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_variants
+          |FROM canon GROUP BY canonical_url
+          |ORDER BY canonical_url""".stripMargin,
+
+      // same decomposed/composed suffix injection (chr = codepoint on
+      // both sides); oracle normalization is DuckDB's own nfc_normalize
+      "q107_nfc_normalize" ->
+        """WITH w AS (SELECT doc_id, COALESCE(text, '') ||
+          |    (CASE WHEN doc_id % 3 = 0 THEN ' cafe' || chr(769)
+          |      ELSE '' END) ||
+          |    (CASE WHEN doc_id % 5 = 0 THEN ' fo' || chr(776) || 'hn'
+          |      ELSE '' END) ||
+          |    (CASE WHEN doc_id % 7 = 0 THEN ' caf' || chr(233)
+          |      ELSE '' END) AS raw
+          |  FROM documents)
+          |SELECT doc_id, nfc_normalize(raw) AS text,
+          |  nfc_normalize(raw) <> raw AS changed,
+          |  CAST(len(raw) - len(nfc_normalize(raw)) AS BIGINT)
+          |    AS chars_saved
+          |FROM w ORDER BY doc_id""".stripMargin,
+
+      // same punctuation injection (no capture refs, left-to-right
+      // non-overlapping in both regex engines), then [.!?]+ split
+      "q108_sentence_stats" ->
+        """WITH p AS (SELECT doc_id,
+          |    regexp_replace(regexp_replace(COALESCE(text, ''),
+          |      ' the ', '. ', 'g'), ' data ', '! ', 'g') AS t
+          |  FROM documents),
+          |s AS (SELECT doc_id,
+          |    list_filter(list_transform(regexp_split_to_array(t, '[.!?]+'),
+          |      x -> trim(x)), x -> len(x) > 0) AS sents
+          |  FROM p),
+          |wc AS (SELECT doc_id, sents,
+          |    list_transform(sents, x -> CAST(len(list_filter(
+          |      regexp_split_to_array(x, ' +'), w2 -> len(w2) > 0))
+          |      AS BIGINT)) AS wcs
+          |  FROM s)
+          |SELECT doc_id, CAST(len(sents) AS BIGINT) AS n_sentences,
+          |  CASE WHEN len(sents) = 0 THEN 0.0
+          |    ELSE round(list_sum(wcs) / CAST(len(sents) AS DOUBLE), 4)
+          |    END AS avg_sentence_words,
+          |  CASE WHEN len(sents) = 0 THEN CAST(0 AS BIGINT)
+          |    ELSE CAST(list_max(wcs) AS BIGINT) END AS max_sentence_words
+          |FROM wc ORDER BY doc_id""".stripMargin,
+
+      // exact-regime identity: 31 distinct tokens < 256-slot map, so
+      // est == lb == ub == true count and the sketch output IS the
+      // exact count-by (the purge regime is spec-pinned instead)
+      "q109_freq_tokens" ->
+        """WITH toks AS (SELECT
+          |    UNNEST(string_split(COALESCE(text, ''), ' ')) AS tok
+          |  FROM documents)
+          |SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS est,
+          |  CAST(COUNT(*) AS BIGINT) AS lb,
+          |  CAST(COUNT(*) AS BIGINT) AS ub
+          |FROM toks WHERE len(tok) > 0
+          |GROUP BY tok ORDER BY est DESC, token""".stripMargin,
+
+      // same q90-style snapshot derivation + 16-bin PSI; shares
+      // eps-floored then round(6) BEFORE the ln so both engines feed
+      // identical doubles into the transcendental
+      "q110_length_drift" ->
+        """WITH docs AS (SELECT doc_id, COALESCE(text, '') AS text
+          |    FROM documents),
+          |o AS (SELECT len(list_filter(string_split(text, ' '),
+          |    w -> len(w) > 0)) AS v
+          |  FROM docs WHERE doc_id % 7 != 0),
+          |n AS (SELECT len(list_filter(string_split(
+          |    CASE WHEN doc_id % 5 = 0 THEN text || ' ' || text
+          |      ELSE text END, ' '), w -> len(w) > 0)) AS v
+          |  FROM docs WHERE doc_id % 11 != 0),
+          |ob AS (SELECT CAST(least(greatest(floor(v / 16.0), 0), 15)
+          |    AS INTEGER) AS bin, CAST(COUNT(*) AS BIGINT) AS n_a
+          |  FROM o GROUP BY 1),
+          |nb AS (SELECT CAST(least(greatest(floor(v / 16.0), 0), 15)
+          |    AS INTEGER) AS bin, CAST(COUNT(*) AS BIGINT) AS n_b
+          |  FROM n GROUP BY 1),
+          |j AS (SELECT COALESCE(ob.bin, nb.bin) AS bin,
+          |    COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+          |  FROM ob FULL OUTER JOIN nb ON ob.bin = nb.bin),
+          |sh AS (SELECT bin, n_a, n_b,
+          |    round(greatest(n_a / CAST(SUM(n_a) OVER () AS DOUBLE),
+          |      0.0001), 6) AS share_a,
+          |    round(greatest(n_b / CAST(SUM(n_b) OVER () AS DOUBLE),
+          |      0.0001), 6) AS share_b
+          |  FROM j)
+          |SELECT bin, n_a, n_b, share_a, share_b,
+          |  round((share_a - share_b) * ln(share_a / share_b), 6)
+          |    AS psi_term
+          |FROM sh ORDER BY bin""".stripMargin,
+
+      // q102's pipe-delimited replace chain per word, aggregated per
+      // language: fertility = tokens/words on the summed counts
+      "q111_tokenizer_fertility" -> {
+        val base = "'|' || array_to_string(string_split(w, ''), '||') || '|'"
+        val chain = FixedMerges.foldLeft(base) { case (acc, (l, r)) =>
+          s"replace($acc, '|$l||$r|', '|${l + r}|')" }
+        s"""WITH n AS (SELECT lang,
+           |    list_filter(string_split(trim(regexp_replace(regexp_replace(
+           |      lower(COALESCE(text, '')), '[^a-z0-9 ]', ' ', 'g'),
+           |      ' +', ' ', 'g')), ' '), w -> len(w) > 0) AS words
+           |  FROM documents),
+           |d AS (SELECT lang, CAST(len(words) AS BIGINT) AS nw,
+           |    CAST(COALESCE(list_sum(list_transform(words,
+           |      w -> (len($chain) - len(replace($chain, '|', ''))) // 2)),
+           |      0) AS BIGINT) AS nt
+           |  FROM n)
+           |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(nw) AS BIGINT) AS n_words,
+           |  CAST(SUM(nt) AS BIGINT) AS n_tokens,
+           |  CASE WHEN SUM(nw) = 0 THEN 0.0
+           |    ELSE round(SUM(nt) / CAST(SUM(nw) AS DOUBLE), 4)
+           |    END AS fertility
+           |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+      },
+
+      // τ = 2 temperature shares on round(6) inputs; boost uses the
+      // ROUNDED q (both sides), the q82 rounded-predicate discipline
+      "q112_temperature_mix" ->
+        """WITH s AS (SELECT source,
+          |    CAST(SUM(len(string_split(COALESCE(text, ''), ' ')))
+          |      AS BIGINT) AS n_tokens
+          |  FROM documents GROUP BY source),
+          |p AS (SELECT source, n_tokens,
+          |    round(n_tokens / CAST(SUM(n_tokens) OVER () AS DOUBLE), 6)
+          |      AS p
+          |  FROM s),
+          |u AS (SELECT source, n_tokens, p,
+          |    round(pow(p, 0.5), 6) AS uu FROM p),
+          |qq AS (SELECT source, n_tokens, p,
+          |    round(uu / SUM(uu) OVER (), 6) AS q FROM u)
+          |SELECT source, n_tokens, p, q, round(q / p, 4) AS boost
+          |FROM qq ORDER BY source""".stripMargin,
+
+      // q85's 8-token chunk lines; benchmark = doc_id % 10 = 0;
+      // keep = line NOT IN the benchmark's distinct line set
+      "q113_line_decontaminate" ->
+        """WITH t AS (SELECT doc_id,
+          |    string_split(COALESCE(text, ''), ' ') AS w FROM documents),
+          |l AS (SELECT doc_id, i - 1 AS pos,
+          |    array_to_string(w[(i-1)*8+1:(i-1)*8+8], ' ') AS line
+          |  FROM t, UNNEST(range(1,
+          |    CAST(ceil(len(w) / 8.0) AS BIGINT) + 1)) AS u(i)),
+          |h AS (SELECT DISTINCT line FROM l WHERE doc_id % 10 = 0),
+          |f AS (SELECT doc_id, pos, line,
+          |    line NOT IN (SELECT line FROM h) AS keep FROM l)
+          |SELECT doc_id, COUNT(*) AS n_lines,
+          |  COUNT(CASE WHEN keep THEN 1 END) AS n_kept,
+          |  COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10)
+          |    ORDER BY pos), '') AS kept_text
+          |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // identical portable mask (the q49 '0x'||md5 hash), identical
+      // span-collapse rules; DuckDB's out-of-bounds list index is NULL
+      // so mk[0] feeds OR as NULL (TRUE OR NULL = TRUE, same result)
+      "q115_span_corrupt" ->
+        """WITH t AS (SELECT doc_id,
+          |    list_filter(string_split(COALESCE(text, ''), ' '),
+          |      w -> len(w) > 0) AS toks
+          |  FROM documents),
+          |m AS (SELECT doc_id, toks,
+          |    list_transform(range(1, len(toks) + 1), i ->
+          |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+          |        CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 15) AS mk
+          |  FROM t)
+          |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+          |  CAST(len(list_filter(mk, x -> x)) AS BIGINT) AS n_masked,
+          |  CAST(len(list_filter(range(1, len(toks) + 1),
+          |    i -> mk[i] AND (i = 1 OR NOT mk[i-1]))) AS BIGINT)
+          |    AS n_spans,
+          |  array_to_string(list_filter(list_transform(
+          |    range(1, len(toks) + 1), i ->
+          |      CASE WHEN NOT mk[i] THEN toks[i]
+          |        WHEN i = 1 OR NOT mk[i-1] THEN '<extra_id>'
+          |        ELSE '' END), x -> len(x) > 0), ' ') AS corrupted
+          |FROM m ORDER BY doc_id""".stripMargin
     )
   }
 }

@@ -432,6 +432,40 @@ object Dedup {
     lineDedup(docs, idCol, linesCol)
       .where(col("n_kept") >= col("n_lines") * minKeepFrac)
 
+  /** Cross-corpus exact-line decontamination: drop from `batch` every
+    * line that appears ANYWHERE in `history` — the removal complement
+    * of [[graft.text.TextAnalysis.contamination]]'s overlap REPORT
+    * (strip benchmark/test-set lines out of training text, not just
+    * measure them).
+    *
+    * Scale shape: history reduces map-side to DISTINCT 16-byte line
+    * hashes (at 100 TB the benchmark side is small, so its hash set
+    * broadcast-anti-joins; a corpus-sized history degrades gracefully
+    * to a shuffled anti-join on hashes — never on text). Batch lines
+    * likewise hash map-side; text crosses the wire only inside the
+    * per-doc reassembly groupBy, partitioned by doc.
+    */
+  def lineDedupAgainst(batch: DataFrame, idCol: Column, linesCol: Column,
+                       history: DataFrame, histLinesCol: Column): DataFrame = {
+    val exploded = batch.select(idCol.as("doc_id"),
+      posexplode(linesCol).as(Seq("pos", "line")))
+    val perDoc = exploded.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"))
+    val histHashes = history.select(explode(histLinesCol).as("hl"))
+      .select(md5(col("hl")).as("__h")).distinct()
+    val kept = exploded.withColumn("__h", md5(col("line")))
+      .join(histHashes, Seq("__h"), "left_anti")
+    val keptPerDoc = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), "\n").as("kept_text"))
+    perDoc.join(keptPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
   /** Incremental exact dedup: the rows of `batch` whose text does NOT
     * already exist in `history` — the per-crawl-batch pass of a
     * continuously-ingesting pipeline, where re-joining the full

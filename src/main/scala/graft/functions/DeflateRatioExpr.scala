@@ -1,0 +1,67 @@
+package graft.functions
+
+import java.util.zip.Deflater
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Compression-ratio quality signal as a native codegen'd expression:
+  * `deflate(text).length / text.length` — the cheap whole-document
+  * repetitiveness detector web-crawl pipelines run alongside the
+  * n-gram repetition rules (boilerplate, keyword stuffing, and looping
+  * generator junk all compress far below prose; cf. the compression
+  * filters in the RefinedWeb/Gopher lineage). Complements
+  * [[graft.text.TextAnalysis.repetitionStats]]: deflate sees ANY
+  * repeated structure within its 32 KB window, not just exact w-gram
+  * repeats.
+  *
+  * Deterministic: fixed Deflater level, no header variation
+  * (raw/nowrap), single-shot buffer. Per-row, no shuffle; the Deflater
+  * is allocated and `end()`ed per call — at ~KB documents the native
+  * allocation is dwarfed by the compression itself, and sharing one
+  * across rows would break thread-safety inside codegen.
+  *
+  * Empty/blank docs define ratio 1.0 (nothing to compress ≠
+  * suspicious). Not SQL-expressible (no deflate in DuckDB) → the gate
+  * query is rows-only; MarkupSpec pins ordering properties instead.
+  */
+case class DeflateRatioExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(input: Any): Any =
+    DeflateRatioExpr.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.DeflateRatioExpr.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): DeflateRatioExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "deflate_ratio"
+}
+
+object DeflateRatioExpr {
+
+  def compute(s: UTF8String): Double = {
+    val bytes = s.getBytes
+    if (bytes.isEmpty) return 1.0
+    val d = new Deflater(Deflater.DEFAULT_COMPRESSION, /* nowrap = */ true)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](64)
+      var compressed = 0L
+      while (!d.finished()) compressed += d.deflate(buf)
+      compressed.toDouble / bytes.length
+    } finally d.end()
+  }
+
+  def deflate_ratio(c: Column): Column =
+    ColumnBridge.column(DeflateRatioExpr(ColumnBridge.expression(c)))
+}

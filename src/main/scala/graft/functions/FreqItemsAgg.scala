@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.datasketches.common.ArrayOfStringsSerDe
+import org.apache.datasketches.frequencies.{ErrorType, ItemsSketch}
+import org.apache.datasketches.memory.Memory
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Mergeable heavy-hitters aggregate (Apache DataSketches frequent-items
+  * sketch — Misra-Gries/Space-Saving family): `freq_items(item, m)`
+  * keeps a bounded m-slot counter map per partial aggregate and merges
+  * maps, so finding the heavy tokens / domains / hosts of a 100 TB
+  * corpus costs one map-side-bounded aggregation — the exact
+  * `groupBy(token).count().orderBy(desc)` twin shuffles the FULL
+  * distinct key set and sorts it, which is the thing that stops working
+  * when the key set itself is billions.
+  *
+  * Guarantee surfaced (and spec-pinned): with `NO_FALSE_NEGATIVES`,
+  * every item with true count > (upper-bound error threshold) IS in the
+  * result, and est ∈ [lb, ub] always. When the distinct-item count
+  * never exceeds the map size the sketch is EXACT (est == lb == ub ==
+  * true count) — which makes the gate query hash-checkable against the
+  * exact-count oracle at test scale while remaining the approximate
+  * bounded-memory operator at corpus scale.
+  *
+  * Same TypedImperativeAggregate shape as [[TopKAgg]]; the serialized
+  * form is the DataSketches wire format, so partials are also
+  * EXPORTABLE (store per-day sketches, union later — the q41 HLL
+  * pattern for "heavy hitters over any date range").
+  */
+case class FreqItemsAgg(itemExpr: Expression, maxMapSize: Int,
+                        mutableAggBufferOffset: Int = 0,
+                        inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[ItemsSketch[String]] {
+
+  require(maxMapSize >= 8 && (maxMapSize & (maxMapSize - 1)) == 0,
+    s"maxMapSize must be a power of 2 >= 8, got $maxMapSize")
+
+  override def createAggregationBuffer(): ItemsSketch[String] =
+    new ItemsSketch[String](maxMapSize)
+
+  override def update(buf: ItemsSketch[String],
+                      input: InternalRow): ItemsSketch[String] = {
+    val v = itemExpr.eval(input)
+    if (v != null) buf.update(v.toString)
+    buf
+  }
+
+  override def merge(a: ItemsSketch[String],
+                     b: ItemsSketch[String]): ItemsSketch[String] = {
+    a.merge(b)
+    a
+  }
+
+  /** Rows (item, est, lb, ub) for every item the NO_FALSE_NEGATIVES
+    * cut keeps, deterministically ordered (est desc, item asc). */
+  override def eval(buf: ItemsSketch[String]): Any = {
+    val rows = buf.getFrequentItems(ErrorType.NO_FALSE_NEGATIVES)
+      .map(r => (r.getItem, r.getEstimate, r.getLowerBound, r.getUpperBound))
+      .sortBy { case (item, est, _, _) => (-est, item) }
+    new GenericArrayData(rows.map { case (item, est, lb, ub) =>
+      InternalRow(UTF8String.fromString(item), est, lb, ub)
+    })
+  }
+
+  override def serialize(buf: ItemsSketch[String]): Array[Byte] =
+    buf.toByteArray(new ArrayOfStringsSerDe())
+
+  override def deserialize(bytes: Array[Byte]): ItemsSketch[String] =
+    ItemsSketch.getInstance(Memory.wrap(bytes), new ArrayOfStringsSerDe())
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType), StructField("est", LongType),
+    StructField("lb", LongType), StructField("ub", LongType))))
+
+  override def nullable: Boolean = false
+
+  override def children: Seq[Expression] = Seq(itemExpr)
+
+  override def withNewMutableAggBufferOffset(o: Int): FreqItemsAgg =
+    copy(mutableAggBufferOffset = o)
+
+  override def withNewInputAggBufferOffset(o: Int): FreqItemsAgg =
+    copy(inputAggBufferOffset = o)
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): FreqItemsAgg =
+    copy(itemExpr = c(0))
+
+  override def prettyName: String = "freq_items"
+}
+
+object FreqItemsAgg {
+  /** Column API: `freq_items(item, maxMapSize)` — maxMapSize a power of
+    * 2; the sketch tracks ~0.75·maxMapSize items and is exact while the
+    * distinct count stays under that. */
+  def freq_items(item: Column, maxMapSize: Int): Column =
+    ColumnBridge.column(
+      FreqItemsAgg(ColumnBridge.expression(item.cast("string")), maxMapSize)
+        .toAggregateExpression())
+}

@@ -1,0 +1,56 @@
+package graft.functions
+
+import java.text.Normalizer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unicode NFC normalization as a native codegen'd expression — the
+  * canonicalization step every multilingual crawl pipeline runs before
+  * hashing, deduplicating, or tokenizing text: the same visible string
+  * can arrive composed (é = U+00E9) or decomposed (e + U+0301), and
+  * every downstream byte-level operator (md5 dedup q20/q97, MinHash
+  * shingles, BPE symbols) treats those as different documents unless
+  * normalized first.
+  *
+  * Spark has no normalization built-in, so this wraps
+  * `java.text.Normalizer` (ICU-equivalent for NFC) behind
+  * `doGenCode` — per-row, no shuffle, stays inside the surrounding
+  * WholeStageCodegen span. The fast path: NFC normalization is the
+  * identity for pure-ASCII text, and `Normalizer.isNormalized` is a
+  * cheap scan that skips the allocation in that overwhelmingly common
+  * case (crawl corpora are mostly ASCII bytes even in non-English
+  * languages).
+  */
+case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any =
+    NfcNormalizeExpr.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.NfcNormalizeExpr.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalizeExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "nfc_normalize"
+}
+
+object NfcNormalizeExpr {
+
+  def compute(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (Normalizer.isNormalized(str, Normalizer.Form.NFC)) s
+    else UTF8String.fromString(Normalizer.normalize(str, Normalizer.Form.NFC))
+  }
+
+  def nfc_normalize(c: Column): Column =
+    ColumnBridge.column(NfcNormalizeExpr(ColumnBridge.expression(c)))
+}

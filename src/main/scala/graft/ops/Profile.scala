@@ -54,4 +54,30 @@ object Profile {
         round(col("n_tokens") / sum(col("n_tokens")).over(total), 4))
       .withColumn("rank", row_number().over(w))
   }
+
+  /** Temperature-scaled mixture rates (the multilingual/multi-source
+    * sampling scheme of mT5/XLM-R: sample source s with probability
+    * ∝ p_s^(1/τ), τ > 1 upweights the tail, τ = 1 is proportional):
+    * given the per-source token mass, emit the natural share p, the
+    * temperature share q ∝ p^(1/τ), and the sampling factor q/p a
+    * sampler like [[Sample.mixture]] applies per source.
+    *
+    * Same bounded shape as [[sourceMix]]: ONE corpus-scale aggregate,
+    * then all the exponent/normalize arithmetic runs on the ≤ #sources
+    * rows (whitelisted bounded window). pow inputs are round(·,6)
+    * shares so both engines exponentiate identical doubles.
+    */
+  def temperatureMix(df: DataFrame, sourceCol: Column, textCol: Column,
+                     temperature: Double): DataFrame = {
+    val perSource = df.groupBy(sourceCol.as("source"))
+      .agg(sum(size(split(coalesce(textCol, lit("")), " ")).cast("long"))
+        .as("n_tokens"))
+    val total = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    perSource
+      .withColumn("p", round(col("n_tokens") / sum(col("n_tokens")).over(total), 6))
+      .withColumn("__u", round(pow(col("p"), 1.0 / temperature), 6))
+      .withColumn("q", round(col("__u") / sum(col("__u")).over(total), 6))
+      .withColumn("boost", round(col("q") / col("p"), 4))
+      .select("source", "n_tokens", "p", "q", "boost")
+  }
 }

@@ -60,4 +60,48 @@ object Snapshot {
           .otherwise(lit("unchanged")).as("status"))
       .where(col("status") =!= "unchanged")
   }
+
+  /** Distribution drift between two corpus snapshots — the Population
+    * Stability Index over an equi-width histogram of `valueCol` (doc
+    * length, quality score, perplexity…): the monitoring signal that
+    * says "this crawl's length distribution shifted, look before you
+    * train". PSI term per bin = (pA − pB)·ln(pA/pB) with shares floored
+    * at `eps` (the standard guard — an empty bin otherwise yields ±∞);
+    * total PSI = sum of terms (< 0.1 stable, > 0.25 action, by the
+    * usual credit-scoring convention).
+    *
+    * Scale shape: each snapshot reduces to ≤ `nBins` (bin, count) rows
+    * via one map-side-partial aggregate — [[graft.ops.Aggregations
+    * .histogramBins]]'s shape — then shares, the bin join, and the PSI
+    * arithmetic all run on the bounded bin rows (the q98 bounded-window
+    * pattern; whitelisted single-partition exchange carries ≤ nBins
+    * rows). ln(·) is IEEE-double on both engines (the q99 precedent)
+    * and every emitted ratio is round(·)-stabilized.
+    */
+  def histogramDrift(a: DataFrame, b: DataFrame, valueCol: Column,
+                     lo: Double, hi: Double, nBins: Int,
+                     eps: Double = 1e-4): DataFrame = {
+    val width = (hi - lo) / nBins
+    def bins(df: DataFrame, alias: String): DataFrame =
+      df.select(least(greatest(floor((valueCol - lo) / width), lit(0)),
+          lit(nBins - 1)).cast("int").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as(alias))
+    val total = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val joined = bins(a, "n_a").join(bins(b, "n_b"), Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val shareA = greatest(col("n_a") / sum(col("n_a")).over(total), lit(eps))
+    val shareB = greatest(col("n_b") / sum(col("n_b")).over(total), lit(eps))
+    joined
+      .withColumn("share_a", round(shareA, 6))
+      .withColumn("share_b", round(shareB, 6))
+      // PSI on the ROUNDED shares: both engines feed ln identical
+      // 6-decimal inputs, so the last-ulp pow/ln divergence risk is
+      // confined to the final round(·,6)
+      .withColumn("psi_term", round(
+        (col("share_a") - col("share_b")) *
+          log(col("share_a") / col("share_b")), 6))
+      .select("bin", "n_a", "n_b", "share_a", "share_b", "psi_term")
+  }
 }

@@ -135,4 +135,27 @@ object BpeTrain {
     docs.select(idCol.as("doc_id"),
       graft.functions.BpeEncodeExpr.bpe_encode(
         coalesce(textCol, lit("")), merges).as("symbols"))
+
+  /** Tokenizer fertility report — BPE tokens per whitespace word, per
+    * group (language/source): the standard tokenizer-evaluation metric
+    * (a high-fertility language pays more sequence length for the same
+    * content, the signal that drives vocab-size and sampling-rate
+    * decisions in multilingual training). Per-row encode (the codegen'd
+    * merge loop), one bounded groupBy — nothing corpus-sized shuffles.
+    */
+  def fertility(docs: DataFrame, groupCol: Column, textCol: Column,
+                merges: Seq[(String, String)]): DataFrame = {
+    val t = coalesce(textCol, lit(""))
+    val words = filter(split(t, " "), w => length(w) > 0)
+    docs.select(groupCol.as("grp"),
+        size(words).cast("long").as("__nw"),
+        size(graft.functions.BpeEncodeExpr.bpe_encode(t, merges))
+          .cast("long").as("__nt"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_docs"), sum("__nw").as("n_words"),
+        sum("__nt").as("n_tokens"))
+      .withColumn("fertility",
+        when(col("n_words") === 0, lit(0.0))
+          .otherwise(round(col("n_tokens") / col("n_words"), 4)))
+  }
 }

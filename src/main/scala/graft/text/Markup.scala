@@ -1,0 +1,119 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Markup-layer preprocessing for web-crawl training data — the steps
+  * that run BEFORE any text-quality signal makes sense on crawled HTML
+  * (the reference corpus operators assume extracted text; a real
+  * WARC-to-text pipeline needs these first):
+  *
+  *  - [[stripHtml]]: boilerplate-free text extraction (script/style/
+  *    comment blocks dropped WITH their content, tags dropped, a core
+  *    entity set decoded, whitespace collapsed) — the trafilatura/
+  *    jusText-class step reduced to its engine-portable core.
+  *  - [[canonicalizeUrl]]: URL canonicalization (case, default ports,
+  *    tracking params, fragments, param order) — the key-normalization
+  *    step URL-level dedup and crawl frontier dedup both need.
+  *  - [[sentenceStats]]: sentence segmentation + per-doc shape stats,
+  *    the sentence-level complement of [[TextAnalysis.gopherRules]].
+  *
+  * All three are per-row codegen'd string expressions (regexp/array
+  * built-ins only — no UDFs), so they scale linearly, pipeline inside
+  * one WholeStageCodegen span with the surrounding filters, and shuffle
+  * nothing themselves. Every regex stays in the Java-regex ∩ RE2
+  * dialect and avoids replacement capture refs (`$1` vs `\1` differ
+  * across engines), the q91 cross-engine discipline.
+  */
+object Markup {
+
+  /** Tag-stripping text extraction. Order matters and is part of the
+    * contract: (1) script/style/comment BLOCKS go first, content and
+    * all — their text is code, not prose; (2) remaining tags are
+    * counted, then replaced by spaces (so `<p>a</p><p>b</p>` yields
+    * "a b", not "ab"); (3) the core entity set is decoded with
+    * `&amp;` LAST (so literal "&amp;lt;" becomes "&lt;", not "<");
+    * (4) whitespace runs collapse.
+    *
+    * Emits per-doc audit counts alongside the text — n_tags is the
+    * cleaning-intensity signal crawl pipelines track per source.
+    */
+  def stripHtml(df: DataFrame, idCol: Column, htmlCol: Column): DataFrame = {
+    val h = coalesce(htmlCol, lit(""))
+    val noBlocks = regexp_replace(regexp_replace(regexp_replace(h,
+      "(?s)<script\\b[^>]*>.*?</script>", " "),
+      "(?s)<style\\b[^>]*>.*?</style>", " "),
+      "(?s)<!--.*?-->", " ")
+    val nTags = size(regexp_extract_all(noBlocks, lit("<[^>]+>"), lit(0)))
+      .cast("long")
+    val noTags = regexp_replace(noBlocks, "<[^>]+>", " ")
+    val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+        "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) => regexp_replace(c, ent, ch) }
+    df.select(idCol.as("doc_id"), nTags.as("n_tags"),
+      trim(regexp_replace(decoded, "\\s+", " ")).as("text"))
+  }
+
+  /** Canonical URL form: lowercase scheme + host, strip the fragment,
+    * strip the scheme-default port (:80 for http, :443 for https —
+    * other ports are meaningful and kept), drop tracking params
+    * (utm_*, fbclid, gclid), sort the surviving params
+    * lexicographically, and normalize an empty path to "/". Path and
+    * param CASE are preserved — they are significant on most servers.
+    *
+    * Each regexp here can match at most once per value, so Spark's
+    * replace-all and an oracle's replace-first agree by construction.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(coalesce(url, lit("")), "#.*", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)", 1))
+    val host = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*", "")
+    val path = regexp_replace(rest, "\\?.*", "")
+    val query = regexp_extract(rest, "\\?(.*)", 1)
+    val params = array_sort(filter(split(query, "&"),
+      p => length(p) > 0 && !p.rlike("^(utm_|fbclid(=|$)|gclid(=|$))")))
+    concat(scheme, lit("://"), host,
+      when(path === "", lit("/")).otherwise(path),
+      when(size(params) > 0, concat(lit("?"), array_join(params, "&")))
+        .otherwise(lit("")))
+  }
+
+  /** URL-level dedup report: canonical form → how many raw rows and how
+    * many DISTINCT raw spellings collapsed into it. The groupBy key is
+    * the canonical string — one corpus-scale shuffle on URLs (short
+    * keys), the same shape as exact text dedup.
+    */
+  def urlDedup(df: DataFrame, urlCol: Column): DataFrame =
+    df.select(urlCol.as("url"), canonicalizeUrl(urlCol).as("canonical_url"))
+      .groupBy("canonical_url")
+      .agg(count(lit(1)).as("n_rows"),
+        count_distinct(col("url")).as("n_raw_variants"))
+
+  /** Sentence segmentation stats: sentences are maximal runs between
+    * [.!?]+ terminators (the regex-segmenter core; abbreviation
+    * handling is a model problem, out of scope), a sentence counts if
+    * it has any non-space content, words are space-runs. Emits per-doc
+    * sentence count, mean words/sentence (round(·,4), 0.0 for
+    * sentence-less docs), and the max — the "very long run-on lines"
+    * signal C4 cuts on.
+    */
+  def sentenceStats(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val t = coalesce(textCol, lit(""))
+    val sents = filter(transform(split(t, "[.!?]+"), s => trim(s)),
+      s => length(s) > 0)
+    val wordCounts = transform(sents,
+      s => size(filter(split(s, " +"), w => length(w) > 0)).cast("long"))
+    val nS = size(sents).cast("long")
+    df.select(idCol.as("doc_id"), nS.as("n_sentences"),
+      when(nS === 0, lit(0.0))
+        .otherwise(round(
+          aggregate(wordCounts, lit(0L), (a, x) => a + x) / nS, 4))
+        .as("avg_sentence_words"),
+      when(nS === 0, lit(0L)).otherwise(array_max(wordCounts))
+        .as("max_sentence_words"))
+  }
+}

@@ -324,4 +324,49 @@ object TextAnalysis {
   def normalizeForDedup(text: Column): Column =
     trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** T5-style span corruption (Raffel et al. 2020 §3.1.4) with a
+    * DETERMINISTIC portable mask — the objective-data-prep step that
+    * turns clean text into (corrupted, targets) training pairs. Every
+    * token position draws an independent portable-md5 decision
+    * (`md5(doc_id:pos) mod 100 < maskPct` — the q49 sampling-hash
+    * primitive), runs of masked tokens collapse to ONE sentinel, and
+    * the per-doc mask is a pure function of (doc_id, pos): stable
+    * across retries, partitionings, and engines, so the gate query is
+    * DuckDB-hash-checkable end-to-end.
+    *
+    * Per-row array expressions only (no shuffle, no RNG state); span
+    * statistics come from the same mask array the corrupted text is
+    * built from, so they cannot disagree with the output.
+    */
+  def spanCorrupt(df: DataFrame, idCol: Column, textCol: Column,
+                  maskPct: Int = 15,
+                  sentinel: String = "<extra_id>"): DataFrame = {
+    val toks = filter(split(coalesce(textCol, lit("")), " "),
+      w => length(w) > 0)
+    val withToks = df.select(idCol.as("doc_id"), toks.as("__toks"))
+    // 1-based position hashed both engines as "doc_id:pos"
+    val masked = transform(col("__toks"), (_, i) =>
+      pmod(conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit(":"), (i + 1).cast("string"))), 1, 15), 16, 10).cast("long"),
+        lit(100L)) < maskPct)
+    // previous-position mask; greatest() keeps element_at's index valid
+    // even when the when() branch is not taken
+    def prevMasked(i: Column): Column = when(i === 0, lit(false))
+      .otherwise(element_at(col("__m"), greatest(i, lit(1))))
+    withToks.withColumn("__m", masked)
+      .select(col("doc_id"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        aggregate(col("__m"), lit(0L),
+          (a, x) => a + when(x, lit(1L)).otherwise(lit(0L)))
+          .as("n_masked"),
+        aggregate(transform(col("__m"), (x, i) =>
+            when(x && !prevMasked(i), lit(1L)).otherwise(lit(0L))),
+          lit(0L), (a, x) => a + x).as("n_spans"),
+        array_join(filter(transform(col("__toks"), (x, i) =>
+            when(!element_at(col("__m"), i + 1), x)
+              .when(!prevMasked(i), lit(sentinel))
+              .otherwise(lit(""))),
+          x => length(x) > 0), " ").as("corrupted"))
+  }
 }

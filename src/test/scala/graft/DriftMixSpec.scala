@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Profile, Snapshot}
+import graft.text.BpeTrain
+
+class DriftMixSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("histogramDrift: identical snapshots → psi 0; planted shift shows") {
+    val a = (1 to 400).map(i => (i % 40).toDouble).toDF("v")
+    val same = Snapshot.histogramDrift(a, a, col("v"), 0.0, 80.0, 8)
+      .collect()
+    assert(same.forall(_.getAs[Double]("psi_term") == 0.0))
+    assert(same.forall(r =>
+      r.getAs[Double]("share_a") == r.getAs[Double]("share_b")))
+    // shift: b's values all land in the upper half → strong positive PSI
+    val b = (1 to 400).map(i => 40.0 + (i % 40)).toDF("v")
+    val drift = Snapshot.histogramDrift(a, b, col("v"), 0.0, 80.0, 8)
+      .collect()
+    val psi = drift.map(_.getAs[Double]("psi_term")).sum
+    assert(psi > 0.25, s"shifted distribution must exceed the action bound, got $psi")
+    // empty bins: share floored at eps, never ±inf/NaN
+    assert(drift.forall(r => !r.getAs[Double]("psi_term").isNaN &&
+      !r.getAs[Double]("psi_term").isInfinite))
+  }
+
+  test("histogramDrift: out-of-range values clamp to edge bins") {
+    val a = Seq(-5.0, 1000.0).toDF("v")
+    val r = Snapshot.histogramDrift(a, a, col("v"), 0.0, 80.0, 8)
+      .orderBy("bin").collect()
+    assert(r.map(_.getAs[Int]("bin")).toSeq == Seq(0, 7))
+  }
+
+  test("fertility: merges compress known words; empty group contract") {
+    // with merges (t,h),(th,e): "the" = 1 symbol; unknown "xyz" = 3
+    val merges = Seq(("t", "h"), ("th", "e"))
+    val docs = Seq(
+      ("en", "the the the"),   // 3 words, 3 tokens → fertility 1.0
+      ("de", "xyz"),           // 1 word, 3 tokens → 3.0
+      ("zz", "")).toDF("lang", "text") // 0 words → 0.0, not div-by-zero
+    val r = BpeTrain.fertility(docs, col("lang"), col("text"), merges)
+      .orderBy("grp").collect()
+    assert(r(0).getAs[Double]("fertility") == 3.0)  // de
+    assert(r(1).getAs[Double]("fertility") == 1.0)  // en
+    assert(r(1).getAs[Long]("n_words") == 3L &&
+      r(1).getAs[Long]("n_tokens") == 3L)
+    assert(r(2).getAs[Double]("fertility") == 0.0)  // zz
+  }
+
+  test("temperatureMix: τ=1 is proportional, τ>1 boosts the tail") {
+    val docs = (Seq.fill(90)(("big", "a b c d e f g h i j")) ++
+      Seq.fill(10)(("small", "a b c d e f g h i j"))).toDF("source", "text")
+    val t1 = Profile.temperatureMix(docs, col("source"), col("text"), 1.0)
+      .orderBy("source").collect()
+    // τ=1: q == p, boost == 1 for every source
+    t1.foreach { r =>
+      assert(math.abs(r.getAs[Double]("q") - r.getAs[Double]("p")) < 1e-9)
+      assert(r.getAs[Double]("boost") == 1.0)
+    }
+    val t4 = Profile.temperatureMix(docs, col("source"), col("text"), 4.0)
+      .orderBy("source").collect()
+    val big = t4.find(_.getAs[String]("source") == "big").get
+    val small = t4.find(_.getAs[String]("source") == "small").get
+    assert(small.getAs[Double]("boost") > 1.0, "tail source must upweight")
+    assert(big.getAs[Double]("boost") < 1.0, "head source must downweight")
+    // q still a distribution (rounded): sums to 1 within rounding
+    assert(math.abs(t4.map(_.getAs[Double]("q")).sum - 1.0) < 1e-4)
+  }
+
+  test("lineDedupAgainst: history lines removed, others kept in order") {
+    import graft.dedup.Dedup
+    val batch = Seq(
+      (1L, Seq("keep one", "BENCH A", "keep two")),
+      (2L, Seq("BENCH A", "BENCH B")), // fully contaminated → 0/""
+      (3L, Seq("untouched doc line"))).toDF("doc_id", "lines")
+    val hist = Seq(
+      (100L, Seq("BENCH A", "BENCH B", "unrelated bench line")))
+      .toDF("doc_id", "lines")
+    val r = Dedup.lineDedupAgainst(batch, col("doc_id"), col("lines"),
+        hist, col("lines"))
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_kept") == 2L &&
+      r(0).getAs[String]("kept_text") == "keep one\nkeep two")
+    assert(r(1).getAs[Long]("n_lines") == 2L &&
+      r(1).getAs[Long]("n_kept") == 0L &&
+      r(1).getAs[String]("kept_text") == "")
+    assert(r(2).getAs[Long]("n_kept") == 1L)
+  }
+
+  test("deflate_ratio: repetition compresses, prose doesn't; contracts") {
+    import graft.functions.DeflateRatioExpr.deflate_ratio
+    val docs = Seq(
+      (1L, "spam " * 200),                       // pure repetition
+      (2L, (1 to 200).map(i => s"w${i * 7919 % 1000}x$i").mkString(" ")),
+      (3L, ""), (4L, null.asInstanceOf[String])).toDF("id", "text")
+    val r = docs
+      .select(col("id"), deflate_ratio(coalesce(col("text"), lit("")))
+        .as("ratio"))
+      .orderBy("id").collect().map(_.getDouble(1))
+    assert(r(0) < 0.05, s"repetition must compress hard, got ${r(0)}")
+    assert(r(1) > 0.3, s"varied text must not, got ${r(1)}")
+    assert(r(0) < r(1))
+    assert(r(2) == 1.0 && r(3) == 1.0) // empty/null contract
+    // determinism: identical input → identical ratio
+    val again = docs.select(deflate_ratio(coalesce(col("text"), lit(""))))
+      .collect().map(_.getDouble(0))
+    assert(again.toSeq == r.toSeq)
+  }
+
+  test("spanCorrupt: deterministic mask, span collapse, token preservation") {
+    import graft.text.TextAnalysis
+    val text = (1 to 400).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val run1 = TextAnalysis.spanCorrupt(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+    val run2 = TextAnalysis.spanCorrupt(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+    assert(run1.map(_.toString).toSeq == run2.map(_.toString).toSeq)
+    val r = run1(0)
+    val nMasked = r.getAs[Long]("n_masked")
+    val nSpans = r.getAs[Long]("n_spans")
+    assert(r.getAs[Long]("n_tokens") == 400L)
+    // ~15% mask rate, binomial bounds generous for n=400
+    assert(nMasked > 25 && nMasked < 100, s"mask rate off: $nMasked/400")
+    assert(nSpans >= 1 && nSpans <= nMasked)
+    val parts = r.getAs[String]("corrupted").split(" ")
+    assert(parts.count(_ == "<extra_id>") == nSpans)
+    // unmasked tokens survive in original order
+    val kept = parts.filter(_ != "<extra_id>")
+    assert(kept.length.toLong == 400L - nMasked)
+    val orig = text.split(" ")
+    assert(kept.toSeq == orig.filter(kept.toSet).toSeq)
+    // empty/null: all zeros, empty corrupted
+    Seq(run1(1), run1(2)).foreach { row =>
+      assert(row.getAs[Long]("n_tokens") == 0L &&
+        row.getAs[Long]("n_masked") == 0L &&
+        row.getAs[Long]("n_spans") == 0L &&
+        row.getAs[String]("corrupted") == "")
+    }
+  }
+}

@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{FreqItemsAgg, NfcNormalizeExpr}
+import graft.text.Markup
+
+class MarkupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stripHtml: blocks drop with content, tags counted, entities decode") {
+    val docs = Seq(
+      (1L, "<html><body><p>Hello</p><p>World</p></body></html>"),
+      (2L, "<script>var x = '<p>not text</p>';</script>keep" +
+        "<style>.a { color: red; }</style>"),
+      (3L, "before<!-- a\nmultiline comment -->after"),
+      (4L, "Tom &amp; Jerry &lt;3 &quot;it&#39;s&quot;&nbsp;fine"),
+      (5L, "a  b\n\tc"), // whitespace collapse without any markup
+      (6L, "&amp;lt; stays escaped"), // &amp; decoded LAST
+      (7L, null.asInstanceOf[String]))
+    val r = Markup.stripHtml(docs.toDF("doc_id", "html"),
+        col("doc_id"), col("html"))
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[String]("text") == "Hello World")
+    assert(r(0).getAs[Long]("n_tags") == 8L)
+    assert(r(1).getAs[String]("text") == "keep") // script CONTENT gone
+    assert(r(1).getAs[Long]("n_tags") == 0L)     // blocks not tag-counted
+    assert(r(2).getAs[String]("text") == "before after")
+    assert(r(3).getAs[String]("text") == "Tom & Jerry <3 \"it's\" fine")
+    assert(r(4).getAs[String]("text") == "a b c")
+    assert(r(5).getAs[String]("text") == "&lt; stays escaped")
+    assert(r(6).getAs[String]("text") == "" && r(6).getAs[Long]("n_tags") == 0L)
+  }
+
+  test("canonicalizeUrl: case, ports, tracking params, order, fragment") {
+    val cases = Seq(
+      // scheme+host lowercase, default port stripped, fragment gone
+      ("HTTP://WWW.Example.COM:80/Path?b=2&a=1#frag",
+        "http://www.example.com/Path?a=1&b=2"),
+      // https default port; tracking params dropped; survivors sorted
+      ("https://Host.com:443/p?utm_source=x&z=9&fbclid=abc&a=1",
+        "https://host.com/p?a=1&z=9"),
+      // non-default port KEPT; path case KEPT
+      ("http://h.com:8080/A/B", "http://h.com:8080/A/B"),
+      // empty path normalizes to "/"; all-tracking query drops the "?"
+      ("https://h.com?utm_campaign=only", "https://h.com/"),
+      // bare fbclid (no "=") dropped; param VALUE case kept
+      ("http://h.com/p?fbclid&B=UP", "http://h.com/p?B=UP"),
+      // :80 on https is NOT default — kept
+      ("https://h.com:80/x", "https://h.com:80/x"))
+    val r = cases.map(_._1).toDF("url")
+      .select(Markup.canonicalizeUrl(col("url")).as("c")).collect()
+    cases.zip(r).foreach { case ((in, want), row) =>
+      assert(row.getString(0) == want, s"for $in")
+    }
+  }
+
+  test("urlDedup: spelling variants collapse onto one canonical row") {
+    val urls = Seq(
+      "HTTP://A.com:80/x?b=2&a=1",
+      "http://a.COM/x?a=1&b=2&utm_source=f",
+      "http://a.com/x?a=1&b=2#frag",
+      "http://a.com/y").toDF("url")
+    val r = Markup.urlDedup(urls, col("url"))
+      .orderBy("canonical_url").collect()
+    assert(r.length == 2)
+    assert(r(0).getAs[String]("canonical_url") == "http://a.com/x?a=1&b=2")
+    assert(r(0).getAs[Long]("n_rows") == 3L)
+    assert(r(0).getAs[Long]("n_raw_variants") == 3L)
+    assert(r(1).getAs[String]("canonical_url") == "http://a.com/y")
+  }
+
+  test("sentenceStats: segmentation, empties, punctuation runs") {
+    val docs = Seq(
+      (1L, "one two three. four five! six?"),  // 3 sentences: 3/2/1 words
+      (2L, "no terminator at all"),            // 1 sentence
+      (3L, "hi... ellipsis run! ok"),          // [.!?]+ runs collapse
+      (4L, "..."),                             // terminators only → 0
+      (5L, ""), (6L, null.asInstanceOf[String]))
+    val r = Markup.sentenceStats(docs.toDF("doc_id", "text"),
+        col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_sentences") == 3L)
+    assert(r(0).getAs[Double]("avg_sentence_words") == 2.0)
+    assert(r(0).getAs[Long]("max_sentence_words") == 3L)
+    assert(r(1).getAs[Long]("n_sentences") == 1L)
+    assert(r(2).getAs[Long]("n_sentences") == 3L) // hi / ellipsis run / ok
+    assert(r(3).getAs[Long]("n_sentences") == 0L)
+    assert(r(3).getAs[Double]("avg_sentence_words") == 0.0)
+    assert(r(4).getAs[Long]("n_sentences") == 0L)
+    assert(r(5).getAs[Long]("n_sentences") == 0L)
+  }
+
+  test("nfc_normalize: composes decomposed marks, fixpoint, ascii fast path") {
+    val docs = Seq(
+      (1L, "café"),        // e + combining acute → é
+      (2L, "café"),         // already composed: unchanged
+      (3L, "plain ascii"),
+      (4L, "ö and Å"), // ö and Å
+      (5L, null.asInstanceOf[String]))
+    val r = docs.toDF("id", "s")
+      .select(col("id"), NfcNormalizeExpr.nfc_normalize(col("s")).as("n"))
+      .orderBy("id").collect()
+    assert(r(0).getString(1) == "café")
+    assert(r(1).getString(1) == "café")
+    assert(r(2).getString(1) == "plain ascii")
+    assert(r(3).getString(1) == "ö and Å")
+    assert(r(4).isNullAt(1)) // null in, null out
+  }
+
+  test("freq_items: exact regime equals count-by; merge across partitions") {
+    // 40 distinct tokens < 64-slot map → exact; 8 input partitions force
+    // real partial-sketch merges on the way to the global final
+    val rows = (0 until 4000).map(i => s"tok${i % 40}")
+    val df = rows.toDF("tok").repartition(8)
+    val got = df.agg(FreqItemsAgg.freq_items(col("tok"), 64).as("hh"))
+      .select(explode(col("hh")).as("h"))
+      .select(col("h.item"), col("h.est"), col("h.lb"), col("h.ub"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.length == 40)
+    got.foreach { case (_, est, lb, ub) =>
+      assert(est == 100L && lb == 100L && ub == 100L)
+    }
+  }
+
+  test("freq_items: purge regime keeps the heavy hitter, bounds hold") {
+    // heavy token = half the stream; 256 distinct tail tokens overflow
+    // the 16-slot map → purges happen, estimates become ranges, but
+    // NO_FALSE_NEGATIVES guarantees the heavy item survives with
+    // lb <= true <= ub
+    val heavy = Seq.fill(2000)("HEAVY")
+    val tail = (0 until 2000).map(i => s"t${i % 256}")
+    val df = (heavy ++ tail).toDF("tok").repartition(4)
+    val got = df.agg(FreqItemsAgg.freq_items(col("tok"), 16).as("hh"))
+      .select(explode(col("hh")).as("h"))
+      .select(col("h.item"), col("h.est"), col("h.lb"), col("h.ub"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val hh = got.find(_._1 == "HEAVY")
+    assert(hh.isDefined, "heavy hitter must survive purges")
+    val (_, est, lb, ub) = hh.get
+    assert(lb <= 2000L && 2000L <= ub && lb <= est && est <= ub)
+  }
+}
