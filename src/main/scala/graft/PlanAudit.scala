@@ -28,7 +28,7 @@ object PlanAudit {
     */
   val bnljWhitelist: Set[String] =
     Set("q24_knn_bruteforce", "q33_ann_ivf", "q89_token_freq_stats",
-      "q99_lm_perplexity")
+      "q99_lm_perplexity", "q117_pmi_collocations")
 
   /** Queries allowed an `Exchange SinglePartition`, each with the reason
     * the funnel carries provably-BOUNDED data (a global scalar aggregate
@@ -53,7 +53,11 @@ object PlanAudit {
     "q110_length_drift" ->
       "PSI share windows run on the <=16 histogram-bin rows",
     "q112_temperature_mix" ->
-      "share/normalize windows run on the per-source rollup: one row per source"
+      "share/normalize windows run on the per-source rollup: one row per source",
+    "q117_pmi_collocations" ->
+      "corpus token/bigram totals: global scalar agg, one partial row per task",
+    "q118_vocab_growth" ->
+      "growth-curve windows run on the <=nShards per-shard rollup rows"
   )
 
   /** Audit the AQE-final plan of a materialized query. */

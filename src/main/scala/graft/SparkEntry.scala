@@ -1473,7 +1473,76 @@ object SparkEntry {
     "q115_span_corrupt" -> ((s, dir) =>
       graft.text.TextAnalysis.spanCorrupt(T(s, dir, "documents"),
           col("doc_id"), col("text"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // fuzzy-dedup keep-BEST completion: the q66 components, but the
+    // cluster keeper is the highest-quality member (length as the
+    // stand-in score), not the smallest id. Oracle extends the q66
+    // recursive-CTE closure with a per-component argmax window, so the
+    // pairs' recall, the clustering, AND the keeper choice hash-check
+    "q116_dedup_keep_best" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val pairs = Dedup.portableSimhashPairs(docs, "doc_id", "text",
+        maxDist = 3)
+      val comp = Dedup.connectedComponents(docs, "doc_id", pairs,
+        "id_a", "id_b")
+      Dedup.keepBest(comp, "id", "comp",
+          docs.select(col("doc_id"),
+            length(coalesce(col("text"), lit(""))).as("q")),
+          "doc_id", "q")
+        .orderBy("id")
+    }),
+
+    // collocation mining: corpus-wide adjacent-bigram PMI, every
+    // bigram with count >= 5; ln fed 6-decimal-rounded ratios (the
+    // q110 PSI recipe) so both engines hash-agree
+    "q117_pmi_collocations" -> ((s, dir) =>
+      graft.text.TextAnalysis.pmiCollocations(
+          T(s, dir, "documents"), col("text"), minCount = 5L)
+        .orderBy("w1", "w2")),
+
+    // Heaps-law vocabulary growth over 8 deterministic shards: each
+    // type reduces map-side to its first shard; the cumulative curve
+    // windows over the <=8 bounded rollup rows (whitelisted)
+    "q118_vocab_growth" -> ((s, dir) =>
+      graft.text.TextAnalysis.vocabGrowth(
+          T(s, dir, "documents"), col("doc_id"), col("text"), nShards = 8)
+        .orderBy("shard")),
+
+    // domain-suffix blocklist (UT1-style): hosts derived
+    // deterministically from doc_id, two blocklist rules; the suffix
+    // match runs as a bounded ancestor-explode equi-join, never a
+    // LIKE theta-join
+    "q119_domain_blocklist" -> ((s, dir) => {
+      import s.implicits._
+      val host = element_at(array(
+        lit("ads.bad-ads.com"), lit("www.example-1.com"),
+        lit("sub.tracker.net"), lit("tracker.net"),
+        lit("www.example-4.com"), lit("deep.sub.bad-ads.com"),
+        lit("safe.org")), (col("doc_id") % 7).cast("int") + 1)
+      val blocklist = Seq("bad-ads.com", "tracker.net").toDF("domain")
+      graft.text.Markup.domainBlocklist(
+          T(s, dir, "documents").select(col("doc_id"), host.as("host")),
+          col("doc_id"), col("host"), blocklist, "domain")
+        .orderBy("doc_id")
+    }),
+
+    // link-graph centrality: 3-iteration scaled-integer PageRank over
+    // the customer->supplier->part edge chain (orders x lineitem);
+    // bit-reproducible by construction — the oracle replays the exact
+    // integer recurrence unrolled
+    "q120_pagerank" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      val ord = T(s, dir, "orders")
+      val e1 = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(10000000L)).as("dst"))
+      val e2 = li.select((col("l_suppkey") + lit(10000000L)).as("src"),
+        (col("l_partkey") + lit(20000000L)).as("dst"))
+      graft.ops.Graph.pageRankFixed(e1.unionAll(e2), "src", "dst",
+          iters = 3)
+        .orderBy("id")
+    })
   )
 
   /** The fixed q102 merge list (ranks from an sf0.001 training run —
@@ -2788,7 +2857,140 @@ object SparkEntry {
           |      CASE WHEN NOT mk[i] THEN toks[i]
           |        WHEN i = 1 OR NOT mk[i-1] THEN '<extra_id>'
           |        ELSE '' END), x -> len(x) > 0), ' ') AS corrupted
-          |FROM m ORDER BY doc_id""".stripMargin
+          |FROM m ORDER BY doc_id""".stripMargin,
+
+      // q66's recursive closure + a per-component argmax (quality
+      // desc, id asc) — clustering AND keeper choice hash-checked
+      "q116_dedup_keep_best" ->
+        s"""${portableSimhashCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+           |p AS (SELECT a.doc_id AS src, b.doc_id AS dst
+           |  FROM f a JOIN f b ON a.doc_id <> b.doc_id
+           |  WHERE bit_count(xor(a.fp, b.fp)) <= 3),
+           |reach AS (
+           |  SELECT doc_id AS a, doc_id AS b FROM documents
+           |  UNION
+           |  SELECT r.a, p.dst FROM reach r JOIN p ON r.b = p.src),
+           |comp AS (SELECT a AS id, MIN(b) AS comp FROM reach GROUP BY a),
+           |sc AS (SELECT c.id, c.comp,
+           |    CAST(len(COALESCE(d.text, '')) AS BIGINT) AS q
+           |  FROM comp c JOIN documents d ON c.id = d.doc_id),
+           |k AS (SELECT comp, id AS keep_id FROM (
+           |    SELECT comp, id, row_number() OVER (
+           |      PARTITION BY comp ORDER BY q DESC, id ASC) AS rn FROM sc)
+           |  WHERE rn = 1)
+           |SELECT sc.id, sc.comp, k.keep_id, sc.id = k.keep_id AS is_keeper
+           |FROM sc JOIN k ON sc.comp = k.comp ORDER BY sc.id""".stripMargin,
+
+      // identical double shapes: ratio rounded to 6 decimals BEFORE ln
+      // on both sides (the q110 PSI recipe), round(.,4) after
+      "q117_pmi_collocations" ->
+        """WITH d AS (SELECT list_filter(string_split(COALESCE(text, ''),
+          |    ' '), t -> len(t) > 0) AS ts FROM documents),
+          |uni AS (SELECT tok, COUNT(*) AS c FROM
+          |  (SELECT unnest(ts) AS tok FROM d) GROUP BY tok),
+          |tot AS (SELECT CAST(SUM(len(ts)) AS BIGINT) AS n_uni,
+          |    CAST(SUM(greatest(len(ts) - 1, 0)) AS BIGINT) AS n_bi
+          |  FROM d),
+          |bg AS (SELECT b, COUNT(*) AS c12 FROM
+          |    (SELECT unnest(list_transform(range(1, len(ts)),
+          |      i -> ts[i] || ' ' || ts[i+1])) AS b FROM d)
+          |  GROUP BY b HAVING COUNT(*) >= 5),
+          |base AS (SELECT string_split(b, ' ')[1] AS w1,
+          |    string_split(b, ' ')[2] AS w2, c12 FROM bg),
+          |j AS (SELECT w1, w2, c12, u1.c AS c1, u2.c AS c2, n_uni, n_bi
+          |  FROM base CROSS JOIN tot
+          |    JOIN uni u1 ON base.w1 = u1.tok
+          |    JOIN uni u2 ON base.w2 = u2.tok)
+          |SELECT w1, w2, c12, c1, c2,
+          |  round(ln(round((CAST(c12 AS DOUBLE) * CAST(n_uni AS DOUBLE)
+          |      * CAST(n_uni AS DOUBLE)) /
+          |    (CAST(n_bi AS DOUBLE) * CAST(c1 AS DOUBLE)
+          |      * CAST(c2 AS DOUBLE)), 6)), 4) AS pmi
+          |FROM j ORDER BY w1, w2""".stripMargin,
+
+      // single-pass Heaps curve: type -> min(first shard), cumulative
+      // window over the bounded per-shard rollups
+      "q118_vocab_growth" ->
+        """WITH t AS (SELECT doc_id % 8 AS shard,
+          |    unnest(list_filter(string_split(COALESCE(text, ''), ' '),
+          |      x -> len(x) > 0)) AS tok
+          |  FROM documents),
+          |fs AS (SELECT tok, MIN(shard) AS shard FROM t GROUP BY tok),
+          |nt AS (SELECT shard, COUNT(*) AS new_types FROM fs
+          |  GROUP BY shard),
+          |tc AS (SELECT shard, COUNT(*) AS n_tokens FROM t
+          |  GROUP BY shard)
+          |SELECT CAST(tc.shard AS BIGINT) AS shard, tc.n_tokens,
+          |  COALESCE(nt.new_types, 0) AS new_types,
+          |  CAST(SUM(COALESCE(nt.new_types, 0)) OVER (ORDER BY tc.shard
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |    AS BIGINT) AS cum_types,
+          |  CAST(SUM(tc.n_tokens) OVER (ORDER BY tc.shard
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |    AS BIGINT) AS cum_tokens
+          |FROM tc LEFT JOIN nt ON tc.shard = nt.shard
+          |ORDER BY shard""".stripMargin,
+
+      // the oracle may use the suffix theta-join the engine must NOT:
+      // at 500 rows it is fine, at corpus scale the engine's bounded
+      // ancestor-explode equi-join is the point under test
+      "q119_domain_blocklist" ->
+        """WITH d AS (SELECT doc_id,
+          |    CASE CAST(doc_id % 7 AS INTEGER)
+          |      WHEN 0 THEN 'ads.bad-ads.com'
+          |      WHEN 1 THEN 'www.example-1.com'
+          |      WHEN 2 THEN 'sub.tracker.net'
+          |      WHEN 3 THEN 'tracker.net'
+          |      WHEN 4 THEN 'www.example-4.com'
+          |      WHEN 5 THEN 'deep.sub.bad-ads.com'
+          |      ELSE 'safe.org' END AS host
+          |  FROM documents),
+          |b AS (SELECT unnest(['bad-ads.com', 'tracker.net']) AS domain),
+          |h AS (SELECT doc_id, MIN(domain) AS rule FROM d JOIN b
+          |    ON d.host = b.domain OR ends_with(d.host, '.' || b.domain)
+          |  GROUP BY doc_id)
+          |SELECT d.doc_id, d.host, h.rule, h.rule IS NOT NULL AS blocked
+          |FROM d LEFT JOIN h ON d.doc_id = h.doc_id
+          |ORDER BY d.doc_id""".stripMargin,
+
+      // the exact integer recurrence unrolled three times; '//' is
+      // integral divide, matching Spark's `div` on positive longs
+      "q120_pagerank" ->
+        """WITH e AS (SELECT DISTINCT src, dst FROM (
+          |    SELECT o_custkey AS src, l_suppkey + 10000000 AS dst
+          |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |    UNION ALL
+          |    SELECT l_suppkey + 10000000 AS src,
+          |      l_partkey + 20000000 AS dst FROM lineitem)),
+          |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+          |nn AS (SELECT COUNT(*) AS n FROM nodes),
+          |od AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+          |r0 AS (SELECT id, (SELECT 1000000000000 // n FROM nn) AS r
+          |  FROM nodes),
+          |i1 AS (SELECT e.dst AS id, SUM(r0.r // od.deg) AS inflow
+          |  FROM r0 JOIN e ON r0.id = e.src JOIN od ON e.src = od.src
+          |  GROUP BY e.dst),
+          |r1 AS (SELECT nodes.id,
+          |    (SELECT (15 * 1000000000000) // (100 * n) FROM nn)
+          |      + (85 * COALESCE(i1.inflow, 0)) // 100 AS r
+          |  FROM nodes LEFT JOIN i1 ON nodes.id = i1.id),
+          |i2 AS (SELECT e.dst AS id, SUM(r1.r // od.deg) AS inflow
+          |  FROM r1 JOIN e ON r1.id = e.src JOIN od ON e.src = od.src
+          |  GROUP BY e.dst),
+          |r2 AS (SELECT nodes.id,
+          |    (SELECT (15 * 1000000000000) // (100 * n) FROM nn)
+          |      + (85 * COALESCE(i2.inflow, 0)) // 100 AS r
+          |  FROM nodes LEFT JOIN i2 ON nodes.id = i2.id),
+          |i3 AS (SELECT e.dst AS id, SUM(r2.r // od.deg) AS inflow
+          |  FROM r2 JOIN e ON r2.id = e.src JOIN od ON e.src = od.src
+          |  GROUP BY e.dst),
+          |r3 AS (SELECT nodes.id,
+          |    (SELECT (15 * 1000000000000) // (100 * n) FROM nn)
+          |      + (85 * COALESCE(i3.inflow, 0)) // 100 AS r
+          |  FROM nodes LEFT JOIN i3 ON nodes.id = i3.id)
+          |SELECT id, CAST(r AS BIGINT) AS r_scaled,
+          |  round(CAST(r AS DOUBLE) / 1000000000000, 6) AS rank
+          |FROM r3 ORDER BY id""".stripMargin
     )
   }
 }

@@ -345,6 +345,35 @@ object Dedup {
     labels
   }
 
+  /** Near-dup cluster canonicalization: for every connected component
+    * pick ONE keeper — the member maximizing `qCol` (ties to the
+    * smallest id) — and emit per member (id, comp, keep_id, is_keeper).
+    * This is the "keep best, drop rest" completion of fuzzy dedup:
+    * keep-FIRST (what [[connectedComponents]]' min-label implies) keeps
+    * an arbitrary crawl order's earliest copy; modern pipelines keep
+    * the highest-quality member of each duplicate cluster instead.
+    *
+    * Scale shape: the per-component argmax is a map-side-partial
+    * `max(struct(q, -id))` groupBy — no corpus-wide window, and skew is
+    * bounded by the component-size distribution the CC pass already
+    * produced. The join back to members re-shuffles on `comp`, the same
+    * key the argmax grouped on, so AQE reuses the exchange.
+    */
+  def keepBest(components: DataFrame, idCol: String, compCol: String,
+               quality: DataFrame, qIdCol: String, qCol: String): DataFrame = {
+    val scored = components
+      .select(col(idCol).as("id"), col(compCol).as("comp"))
+      .join(quality.select(col(qIdCol).as("id"),
+        col(qCol).cast("long").as("q")), Seq("id"))
+    // argmax via struct max: quality desc, then -id max == id min
+    val keepers = scored.groupBy("comp")
+      .agg(max(struct(col("q").as("q"), (-col("id")).as("nid"))).as("best"))
+      .select(col("comp"), (-col("best.nid")).as("keep_id"))
+    scored.join(keepers, Seq("comp"))
+      .select(col("id"), col("comp"), col("keep_id"),
+        (col("id") === col("keep_id")).as("is_keeper"))
+  }
+
   /** n-gram Jaccard near-dup: candidate pairs blocked on (blockCol,
     * length bucket) to bound the quadratic blow-up, then exact Jaccard
     * on distinct word w-shingles. Emits integer intersection/union sizes

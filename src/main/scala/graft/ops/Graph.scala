@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph aggregation over corpus-derived link structure. A crawl
+  * pipeline uses link-graph centrality both as a QUALITY signal (harmful
+  * domains have characteristic in-link shapes; OpenWebText/WebText
+  * filtered by inbound-link karma) and as a crawl-frontier prioritizer.
+  * [[graft.dedup.Dedup.connectedComponents]] covers the undirected
+  * clustering half; this covers directed centrality.
+  */
+object Graph {
+
+  /** Fixed-iteration PageRank in SCALED INTEGER arithmetic:
+    * `r₀ = S/N;  rₖ₊₁(v) = (15·S)/(100·N) + (85·Σ_{u→v} rₖ(u) div
+    * outdeg(u)) div 100` with S = `scale` and every division an
+    * integral `div`. Two design points, both deliberate:
+    *
+    *  - **Integers, not doubles.** A floating-point PageRank sums
+    *    contributions in shuffle-partition order, which is
+    *    nondeterministic — re-running the same job can flip low bits
+    *    and any hash gate. Scaled-long arithmetic makes the sum
+    *    order-independent and the whole operator bit-reproducible
+    *    across engines (the DuckDB oracle replays the identical
+    *    recurrence with `//`). At scale=10¹² the truncation error per
+    *    iteration is ≤ N·1 unit = N/10¹² of total mass — noise.
+    *  - **Fixed iterations, not convergence.** The serving use is a
+    *    bounded-cost ranking signal; k=3 hops of link evidence. Each
+    *    iteration is two hash joins (ranks⋈edges on src, +outdeg) and
+    *    one map-side-partial sum on dst — the canonical Spark iterative
+    *    shape. Edges/nodes are localCheckpointed once (reused every
+    *    iteration without re-planning); dangling mass is dropped, as in
+    *    the original formulation, identically in both engines.
+    *
+    * Overflow: contributions sum to ≤ S, so `85·Σ ≤ 8.5·10¹³` — five
+    * decimal orders under Long.MaxValue even before ANSI mode would
+    * object.
+    */
+  def pageRankFixed(edges: DataFrame, srcCol: String, dstCol: String,
+                    iters: Int = 3, scale: Long = 1000000000000L): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct().localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id")))
+      .distinct().localCheckpoint(true)
+    // node count: one bounded driver scalar, same class as the CC
+    // convergence aggregate — it parameterizes the recurrence constants
+    val n = nodes.count()
+    require(n > 0, "pageRankFixed: empty graph")
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    var ranks = nodes.select(col("id"), lit(scale / n).as("r"))
+    for (_ <- 1 to iters) {
+      val inflow = ranks.join(e, col("id") === col("src"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst"), expr("r div deg").as("contrib"))
+        .groupBy("dst").agg(sum("contrib").as("inflow"))
+      ranks = nodes
+        .join(inflow, nodes("id") === inflow("dst"), "left")
+        .select(col("id"),
+          (lit(15L * scale / (100L * n)) +
+            expr("(85 * coalesce(inflow, CAST(0 AS BIGINT))) div 100"))
+            .as("r"))
+    }
+    ranks.select(col("id"), col("r").as("r_scaled"),
+      round(col("r").cast("double") / scale, 6).as("rank"))
+  }
+}

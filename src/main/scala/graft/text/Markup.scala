@@ -116,4 +116,34 @@ object Markup {
       when(nS === 0, lit(0L)).otherwise(array_max(wordCounts))
         .as("max_sentence_words"))
   }
+
+  /** Domain-suffix blocklist filter (the UT1/adult-blocklist pass every
+    * crawl pipeline runs): a host is blocked when it EQUALS a blocklist
+    * entry or sits under one (`deep.sub.bad.com` under `bad.com`).
+    *
+    * The suffix match is re-expressed as an EQUI-join: each host
+    * explodes into its ancestor suffix chain (`a.b.c` → `a.b.c`, `b.c`,
+    * `c` — bounded by the host's label count, ≤10ish in practice), the
+    * ancestors equi-join the lowercased blocklist (broadcast — real
+    * blocklists are 10⁴-10⁶ short strings, well under the broadcast
+    * ceiling), and min(rule) keeps the matched-rule column
+    * deterministic when several ancestors match. The naive
+    * `host LIKE '%.'||domain` theta-join is a BNLJ that dies at corpus
+    * scale; the bounded explode keeps it a hash join.
+    */
+  def domainBlocklist(df: DataFrame, idCol: Column, hostCol: Column,
+                      blocklist: DataFrame, domainCol: String): DataFrame = {
+    val host = lower(coalesce(hostCol, lit("")))
+    val labels = split(host, "\\.")
+    val sufs = transform(sequence(lit(1), size(labels)),
+      i => array_join(slice(labels, i, size(labels)), "."))
+    val hits = df.select(idCol.as("doc_id"), explode(sufs).as("suf"))
+      .join(broadcast(blocklist
+        .select(lower(col(domainCol)).as("suf")).distinct()), Seq("suf"))
+      .groupBy("doc_id").agg(min("suf").as("rule"))
+    df.select(idCol.as("doc_id"), host.as("host"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("host"), col("rule"),
+        col("rule").isNotNull.as("blocked"))
+  }
 }

@@ -369,4 +369,81 @@ object TextAnalysis {
               .otherwise(lit(""))),
           x => length(x) > 0), " ").as("corrupted"))
   }
+
+  /** Collocation mining: adjacent-bigram PMI over the corpus (the
+    * classic pointwise-mutual-information collocation statistic —
+    * Church & Hanks 1990). Emits every bigram with count ≥ `minCount`:
+    * (w1, w2, c12, c1, c2, pmi) where
+    * `pmi = ln(p(w1,w2) / (p(w1)·p(w2))) = ln(c12·N² / (B·c1·c2))`.
+    *
+    * Scale shape: bigram counts and unigram counts are each ONE
+    * map-side-partial shuffle on short string keys; the unigram table
+    * is vocab-sized and joins the bigram table twice on token (AQE
+    * broadcasts it at small corpora, hash-partitions at 100 TB); the
+    * two corpus totals ride a broadcast one-row crossJoin (bounded
+    * funnel, whitelisted). Portability: the PMI ratio is rounded to 6
+    * decimals BEFORE ln (the [[graft.ops.Snapshot.histogramDrift]]
+    * recipe), so both engines feed ln an identical double and the
+    * last-ulp ln divergence is confined to the final round(·,4).
+    */
+  def pmiCollocations(docs: DataFrame, textCol: Column,
+                      minCount: Long = 5L): DataFrame = {
+    val ts = docs.select(filter(tokens(coalesce(textCol, lit(""))),
+      t => length(t) > 0).as("ts"))
+    val uni = ts.select(explode(col("ts")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val bgArr = when(size(col("ts")) >= 2,
+      transform(sequence(lit(1), size(col("ts")) - 1),
+        i => concat(element_at(col("ts"), i), lit(" "),
+          element_at(col("ts"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val big = ts.select(explode(bgArr).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c12"))
+      .where(col("c12") >= minCount)
+      .select(split(col("bg"), " ").getItem(0).as("w1"),
+        split(col("bg"), " ").getItem(1).as("w2"), col("c12"))
+    val totals = ts.agg(
+      sum(size(col("ts")).cast("long")).as("n_uni"),
+      sum(greatest(size(col("ts")) - 1, lit(0)).cast("long")).as("n_bi"))
+    val ratio = round(
+      (col("c12").cast("double") * col("n_uni").cast("double") *
+        col("n_uni").cast("double")) /
+        (col("n_bi").cast("double") * col("c1").cast("double") *
+          col("c2").cast("double")), 6)
+    big.crossJoin(broadcast(totals))
+      .join(uni.select(col("tok").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("tok").as("w2"), col("c").as("c2")), Seq("w2"))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        round(log(ratio), 4).as("pmi"))
+  }
+
+  /** Heaps-law vocabulary growth: process the corpus in `nShards`
+    * deterministic shards (shard = id % nShards) and report, per shard,
+    * the token count, how many NEW token types first appear there, and
+    * the cumulative type/token curves — the corpus-planning statistic
+    * behind "how much more data until vocab coverage flattens".
+    *
+    * The naive form re-scans the prefix per shard (O(n·nShards)); this
+    * is a single pass: each type reduces map-side to min(first shard),
+    * the per-shard rollups are two map-side-partial aggregates, and the
+    * cumulative window runs on the ≤nShards bounded rollup rows
+    * (whitelisted single-partition funnel).
+    */
+  def vocabGrowth(docs: DataFrame, idCol: Column, textCol: Column,
+                  nShards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select((idCol % nShards).cast("long").as("shard"),
+      explode(filter(tokens(coalesce(textCol, lit(""))),
+        t => length(t) > 0)).as("tok"))
+    val firstSeen = toks.groupBy("tok").agg(min("shard").as("shard"))
+      .groupBy("shard").agg(count(lit(1)).as("new_types"))
+    val tokCounts = toks.groupBy("shard").agg(count(lit(1)).as("n_tokens"))
+    val w = Window.orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tokCounts.join(firstSeen, Seq("shard"), "left")
+      .select(col("shard"), col("n_tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .withColumn("cum_types", sum("new_types").over(w))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+  }
 }

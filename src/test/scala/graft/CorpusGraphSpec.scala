@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.text.{Markup, TextAnalysis}
+import graft.ops.Graph
+
+/** Round-7 corpus/graph operators: keep-best dedup canonicalization,
+  * PMI collocations, Heaps-law vocabulary growth, domain blocklist,
+  * fixed-iteration integer PageRank. Each test pins the semantics on a
+  * hand-checkable fixture; the sf0.01 hash gates pin engine parity.
+  */
+class CorpusGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("keepBest: highest quality wins, ties to smallest id, one keeper per comp") {
+    // comp 1 = {1,2,3} (q: 5, 9, 9 -> keeper 2 by tie-break), comp 4 = {4}
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L))
+      .toDF("id", "comp")
+    val quality = Seq((1L, 5L), (2L, 9L), (3L, 9L), (4L, 0L))
+      .toDF("doc_id", "q")
+    val out = Dedup.keepBest(comps, "id", "comp", quality, "doc_id", "q")
+      .orderBy("id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3))).toSeq ==
+      Seq((1L, 2L, false), (2L, 2L, true), (3L, 2L, false), (4L, 4L, true)))
+    // exactly one keeper per component
+    val keepers = out.filter(_.getBoolean(3)).map(_.getLong(1))
+    assert(keepers.toSet.size == keepers.length)
+  }
+
+  test("pmiCollocations: counts exact, PMI matches the hand formula") {
+    // "a b" occurs 6x, tokens: a=6, b=6, N=12, B=6 (six 2-token docs)
+    val docs = Seq.fill(6)("a b").toDF("text")
+    val out = TextAnalysis.pmiCollocations(docs, col("text"), minCount = 5L)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ("a", "b", 6L, 6L, 6L))
+    // pmi = ln(round(6*12*12/(6*6*6), 6)) = ln(4.0)
+    assert(math.abs(r.getDouble(5) -
+      BigDecimal(math.log(4.0)).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble) < 1e-12)
+  }
+
+  test("pmiCollocations: minCount filters, empty/null text contributes nothing") {
+    val docs = Seq("a b", "a b", "c d", "", null).toDF("text")
+    val out = TextAnalysis.pmiCollocations(docs, col("text"), minCount = 2L)
+      .collect()
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("a", "b")))
+  }
+
+  test("vocabGrowth: cumulative curve equals the naive prefix re-scan") {
+    val docs = Seq((0L, "x y"), (1L, "y z"), (2L, "z w x"), (3L, "w"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.vocabGrowth(docs, col("doc_id"), col("text"),
+        nShards = 4)
+      .orderBy("shard").collect()
+    // naive oracle: distinct types over docs with shard <= k
+    val byShard = Seq(
+      Seq("x", "y"), Seq("y", "z"), Seq("z", "w", "x"), Seq("w"))
+    for ((r, k) <- out.zipWithIndex) {
+      val prefix = byShard.take(k + 1)
+      assert(r.getLong(0) == k)
+      assert(r.getLong(1) == byShard(k).length) // n_tokens
+      assert(r.getLong(3) == prefix.flatten.distinct.length) // cum_types
+      assert(r.getLong(4) == prefix.flatten.length) // cum_tokens
+      val prevTypes = prefix.dropRight(1).flatten.distinct.toSet
+      assert(r.getLong(2) ==
+        byShard(k).distinct.count(t => !prevTypes.contains(t))) // new_types
+    }
+  }
+
+  test("domainBlocklist: exact, subdomain, deep-subdomain match; min rule on multi-hit") {
+    val hosts = Seq(
+      (1L, "bad.com"), (2L, "sub.bad.com"), (3L, "a.b.sub.bad.com"),
+      (4L, "notbad.com"), (5L, "bad.com.evil.org"), (6L, "safe.org"),
+      (7L, "x.bad.com")).toDF("doc_id", "host")
+    val bl = Seq("bad.com", "evil.org", "sub.bad.com").toDF("domain")
+    val out = Markup.domainBlocklist(hosts, col("doc_id"), col("host"),
+        bl, "domain")
+      .orderBy("doc_id").collect()
+    val got = out.map(r => (r.getLong(0), Option(r.getString(2)),
+      r.getBoolean(3))).toSeq
+    assert(got == Seq(
+      (1L, Some("bad.com"), true),
+      (2L, Some("bad.com"), true), // matches both rules; min is bad.com
+      (3L, Some("bad.com"), true),
+      (4L, None, false), // suffix of the STRING but not of the domain
+      (5L, Some("evil.org"), true),
+      (6L, None, false),
+      (7L, Some("bad.com"), true)))
+  }
+
+  test("pageRankFixed: hand-checkable chain + bit determinism") {
+    // 1 -> 2 -> 3: S=1e12, N=3, r0 = S/3; base = 15*S/300
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val out = Graph.pageRankFixed(edges, "src", "dst", iters = 2)
+      .orderBy("id").collect()
+    val S = 1000000000000L
+    val r0 = S / 3
+    val base = 15L * S / (100L * 3)
+    // iter 1: node1 <- base; node2 <- base + 85*(r0/1)/100; node3 same
+    val r1n1 = base
+    val r1n2 = base + 85L * (r0 / 1) / 100
+    val r1n3 = base + 85L * (r0 / 1) / 100
+    // iter 2: node2 <- base + 85*(r1n1/1)/100; node3 <- base + 85*(r1n2/1)/100
+    val exp = Seq(
+      (1L, base),
+      (2L, base + 85L * (r1n1 / 1) / 100),
+      (3L, base + 85L * (r1n2 / 1) / 100))
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == exp)
+    // re-run is bit-identical (integer arithmetic, no float sums)
+    val again = Graph.pageRankFixed(edges, "src", "dst", iters = 2)
+      .orderBy("id").collect()
+    assert(out.map(_.getLong(1)).toSeq == again.map(_.getLong(1)).toSeq)
+    assert(r1n3 == r1n3) // silence unused warning-free style
+  }
+
+  test("pageRankFixed: mass never exceeds total, all ranks positive") {
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L))
+      .toDF("src", "dst")
+    val out = Graph.pageRankFixed(edges, "src", "dst", iters = 3)
+      .collect()
+    val total = out.map(_.getLong(1)).sum
+    assert(total <= 1000000000000L)
+    assert(out.forall(_.getLong(1) > 0))
+  }
+}
