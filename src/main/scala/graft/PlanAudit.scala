@@ -28,7 +28,7 @@ object PlanAudit {
     */
   val bnljWhitelist: Set[String] =
     Set("q24_knn_bruteforce", "q33_ann_ivf", "q89_token_freq_stats",
-      "q99_lm_perplexity", "q117_pmi_collocations")
+      "q99_lm_perplexity", "q117_pmi_collocations", "q123_tfidf_keywords")
 
   /** Queries allowed an `Exchange SinglePartition`, each with the reason
     * the funnel carries provably-BOUNDED data (a global scalar aggregate
@@ -57,7 +57,9 @@ object PlanAudit {
     "q117_pmi_collocations" ->
       "corpus token/bigram totals: global scalar agg, one partial row per task",
     "q118_vocab_growth" ->
-      "growth-curve windows run on the <=nShards per-shard rollup rows"
+      "growth-curve windows run on the <=nShards per-shard rollup rows",
+    "q123_tfidf_keywords" ->
+      "corpus doc count: global scalar agg, one partial row per task"
   )
 
   /** Audit the AQE-final plan of a materialized query. */

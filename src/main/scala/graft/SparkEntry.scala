@@ -1542,7 +1542,49 @@ object SparkEntry {
       graft.ops.Graph.pageRankFixed(e1.unionAll(e2), "src", "dst",
           iters = 3)
         .orderBy("id")
-    })
+    }),
+
+    // MOSS winnowing fingerprints (k=3 shingles, w=4 windows):
+    // portable md5-mod-2^31 hashes, rightmost-min tie rule — the
+    // selection itself hash-checks, upgrading the rows-only q19
+    // rolling-fp family to a fully oracle-pinned sampler
+    "q121_winnowing" -> ((s, dir) =>
+      graft.text.TextAnalysis.winnowing(T(s, dir, "documents"),
+          col("doc_id"), col("text"), k = 3, w = 4)
+        .orderBy("doc_id", "pos", "fp")),
+
+    // per-label embedding centroids in quantized integer space: float
+    // sums are shuffle-order-dependent; round(v*1e6) longs sum exactly
+    // on both engines
+    "q122_embedding_centroids" -> ((s, dir) =>
+      graft.sim.Similarity.labelCentroids(
+          s.read.parquet(s"$dir/embeddings.parquet"),
+          col("label"), col("embedding"))
+        .orderBy("label", "pos")),
+
+    // per-doc top-3 tf-idf keywords: idf fed round(.,6) doubles (the
+    // PSI/PMI recipe), ties on token asc -> total-ordered selection
+    "q123_tfidf_keywords" -> ((s, dir) =>
+      graft.text.TextAnalysis.tfidfKeywords(T(s, dir, "documents"),
+          col("doc_id"), col("text"), k = 3)
+        .orderBy("doc_id", "rank")),
+
+    // mergeable KLL quantile sketch (the q41-HLL / q109-freq-items
+    // family, completing distinct/heavy-hitter/quantile): per-source
+    // doc-length percentiles. k=1024 exceeds any source's gate-scale
+    // row count -> exact order statistics, hash-checked against the
+    // ceil(r*n) positional oracle; bounded-memory approximate at
+    // corpus scale with the rank-error bound spec-pinned
+    "q124_length_quantiles" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .groupBy("source")
+        .agg(graft.functions.KllQuantilesAgg.kll_quantiles(
+          length(coalesce(col("text"), lit(""))).cast("double"), 1024,
+          Seq(0.25, 0.5, 0.75, 1.0)).as("qs"))
+        .select(col("source"), explode(col("qs")).as("s"))
+        .select(col("source"), col("s.rank").as("rank"),
+          col("s.q").cast("long").as("q_len"))
+        .orderBy("source", "rank"))
   )
 
   /** The fixed q102 merge list (ranks from an sf0.001 training run —
@@ -2990,7 +3032,82 @@ object SparkEntry {
           |  FROM nodes LEFT JOIN i3 ON nodes.id = i3.id)
           |SELECT id, CAST(r AS BIGINT) AS r_scaled,
           |  round(CAST(r AS DOUBLE) / 1000000000000, 6) AS rank
-          |FROM r3 ORDER BY id""".stripMargin
+          |FROM r3 ORDER BY id""".stripMargin,
+
+      // identical md5-mod-2^31 hashes, identical rightmost-min rule;
+      // row order is irrelevant (driver sorts), set equality is the gate
+      "q121_winnowing" ->
+        """WITH t AS (SELECT doc_id,
+          |    list_filter(string_split(COALESCE(text, ''), ' '),
+          |      x -> len(x) > 0) AS toks
+          |  FROM documents),
+          |h AS (SELECT doc_id,
+          |    list_transform(range(1, len(toks) - 1), i ->
+          |      CAST(('0x' || substr(md5(
+          |        array_to_string(toks[i:i+2], ' ')), 1, 15)) AS BIGINT)
+          |        % 2147483648) AS hs
+          |  FROM t WHERE len(toks) >= 3),
+          |s AS (SELECT doc_id,
+          |    list_transform(range(1, len(hs) - 2), j ->
+          |      {'pos': list_max(list_filter(range(j, j + 4),
+          |         p -> hs[p] = list_min(hs[j:j+3]))),
+          |       'fp': list_min(hs[j:j+3])}) AS sel
+          |  FROM h WHERE len(hs) >= 4)
+          |SELECT DISTINCT doc_id, unnest(sel, recursive := true)
+          |FROM s ORDER BY doc_id""".stripMargin,
+
+      // exact integer sums (round(v*1e6) quantization map-side), one
+      // double division at the end on identical inputs
+      "q122_embedding_centroids" ->
+        """WITH x AS (SELECT label,
+          |    unnest(list_transform(range(1, len(embedding) + 1), i ->
+          |      {'pos': i - 1,
+          |       'vq': CAST(round(CAST(embedding[i] AS DOUBLE)
+          |         * 1000000.0) AS BIGINT)}), recursive := true)
+          |  FROM embeddings)
+          |SELECT label, CAST(pos AS BIGINT) AS pos, COUNT(*) AS n,
+          |  CAST(SUM(vq) AS BIGINT) AS sum_q,
+          |  round(CAST(SUM(vq) AS DOUBLE) / COUNT(*), 4) AS mean_q
+          |FROM x GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+
+      // idf = round(ln(N/df), 6) on both sides; ordering key is the
+      // raw double product of identical inputs, ties on token asc
+      "q123_tfidf_keywords" ->
+        """WITH toks AS (SELECT doc_id,
+          |    unnest(list_filter(string_split(COALESCE(text, ''), ' '),
+          |      t -> len(t) > 0)) AS tok
+          |  FROM documents),
+          |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+          |  GROUP BY doc_id, tok),
+          |dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+          |nn AS (SELECT COUNT(*) AS n FROM documents),
+          |sc AS (SELECT doc_id, tok, tf, df,
+          |    CAST(tf AS DOUBLE) *
+          |      round(ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)), 6)
+          |      AS score0
+          |  FROM tf JOIN dfq USING (tok) CROSS JOIN nn),
+          |r AS (SELECT doc_id, tok, tf, df, score0, row_number() OVER (
+          |    PARTITION BY doc_id ORDER BY score0 DESC, tok ASC) AS rn
+          |  FROM sc)
+          |SELECT doc_id, CAST(rn AS BIGINT) AS rank, tok, tf, df,
+          |  round(score0, 4) AS score
+          |FROM r WHERE rn <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+      // exact regime: the KLL INCLUSIVE quantile is the value at
+      // 1-based sorted position max(1, ceil(r*n)); values pass through
+      // the sketch unmodified, so the compare is integer-clean
+      "q124_length_quantiles" ->
+        """WITH d AS (SELECT source,
+          |    CAST(len(COALESCE(text, '')) AS BIGINT) AS l
+          |  FROM documents),
+          |o AS (SELECT source, l,
+          |    row_number() OVER (PARTITION BY source ORDER BY l) AS rn,
+          |    COUNT(*) OVER (PARTITION BY source) AS n FROM d),
+          |r AS (SELECT unnest([0.25, 0.5, 0.75, 1.0]) AS rank)
+          |SELECT o.source, r.rank, o.l AS q_len
+          |FROM o CROSS JOIN r
+          |WHERE o.rn = GREATEST(1, CAST(ceil(r.rank * o.n) AS BIGINT))
+          |ORDER BY source, rank""".stripMargin
     )
   }
 }

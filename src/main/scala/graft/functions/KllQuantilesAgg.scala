@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.datasketches.kll.KllDoublesSketch
+import org.apache.datasketches.memory.Memory
+import org.apache.datasketches.quantilescommon.QuantileSearchCriteria
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Mergeable quantile-sketch aggregate (Apache DataSketches KLL,
+  * Karnin-Lang-Liberty 2016): `kll_quantiles(v, k, ranks)` keeps a
+  * bounded ~k-item sketch per partial aggregate and merges sketches —
+  * the distribution profile (percentiles of doc length, token count,
+  * quality score) of a 100 TB corpus for one bounded-memory pass,
+  * where the exact twin (`percentile` / a global sort) shuffles or
+  * sorts the full value set. Completes the mergeable-sketch family
+  * beside q41's HLL (distinct) and q109's frequent-items (heavy
+  * hitters); like those, the serialized form is the DataSketches wire
+  * format, so per-bucket partials are exportable and re-mergeable.
+  *
+  * Guarantee surfaced (and spec-pinned): while n ≤ k the sketch
+  * retains every value and quantiles are EXACT order statistics — the
+  * INCLUSIVE rule: quantile(r) = the value at 1-based sorted position
+  * max(1, ceil(r·n)) — which makes the gate query hash-checkable
+  * against a plain SQL oracle at test scale. In estimation mode the
+  * normalized rank error is bounded by `getNormalizedRankError` (~1.65%
+  * at k=200), pinned in the spec.
+  *
+  * Output: array of (rank, q) structs in `ranks` order — quantile
+  * values pass THROUGH the sketch unmodified (no arithmetic), so there
+  * is no cross-engine float risk at all in the exact regime.
+  */
+case class KllQuantilesAgg(valueExpr: Expression, k: Int,
+                           ranks: Seq[Double],
+                           mutableAggBufferOffset: Int = 0,
+                           inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KllDoublesSketch] {
+
+  require(k >= 8, s"k must be >= 8, got $k")
+  require(ranks.nonEmpty && ranks.forall(r => r >= 0.0 && r <= 1.0),
+    s"ranks must be within [0,1], got $ranks")
+
+  override def createAggregationBuffer(): KllDoublesSketch =
+    KllDoublesSketch.newHeapInstance(k)
+
+  override def update(buf: KllDoublesSketch,
+                      input: InternalRow): KllDoublesSketch = {
+    val v = valueExpr.eval(input)
+    if (v != null) buf.update(v.asInstanceOf[Double])
+    buf
+  }
+
+  override def merge(a: KllDoublesSketch,
+                     b: KllDoublesSketch): KllDoublesSketch = {
+    a.merge(b)
+    a
+  }
+
+  /** Rows (rank, q) in `ranks` order; empty input → empty array. */
+  override def eval(buf: KllDoublesSketch): Any =
+    if (buf.isEmpty) new GenericArrayData(Array.empty[Any])
+    else new GenericArrayData(ranks.map(r => InternalRow(
+      r, buf.getQuantile(r, QuantileSearchCriteria.INCLUSIVE))).toArray)
+
+  override def serialize(buf: KllDoublesSketch): Array[Byte] =
+    buf.toByteArray
+
+  override def deserialize(bytes: Array[Byte]): KllDoublesSketch =
+    KllDoublesSketch.heapify(Memory.wrap(bytes))
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("rank", DoubleType), StructField("q", DoubleType))))
+
+  override def nullable: Boolean = false
+
+  override def children: Seq[Expression] = Seq(valueExpr)
+
+  override def withNewMutableAggBufferOffset(o: Int): KllQuantilesAgg =
+    copy(mutableAggBufferOffset = o)
+
+  override def withNewInputAggBufferOffset(o: Int): KllQuantilesAgg =
+    copy(inputAggBufferOffset = o)
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): KllQuantilesAgg =
+    copy(valueExpr = c(0))
+
+  override def prettyName: String = "kll_quantiles"
+}
+
+object KllQuantilesAgg {
+  /** Column API: `kll_quantiles(v, k, ranks)` — exact while each
+    * group's row count stays ≤ k, bounded-memory approximate above. */
+  def kll_quantiles(v: Column, k: Int, ranks: Seq[Double]): Column =
+    ColumnBridge.column(
+      KllQuantilesAgg(ColumnBridge.expression(v.cast("double")), k, ranks)
+        .toAggregateExpression())
+}

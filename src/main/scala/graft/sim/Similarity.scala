@@ -254,4 +254,28 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
   }
+
+  /** Per-label embedding centroids in QUANTIZED integer space — the
+    * class-prototype aggregate behind semantic-dedup cell stats,
+    * nearest-class-mean classification, and embedding-drift monitors.
+    *
+    * A float centroid (`avg` over float components) sums in
+    * shuffle-partition order — nondeterministic low bits, unhashable
+    * results. Here each component quantizes map-side to
+    * `round(v·10⁶)` longs, the sums are exact integers (order-
+    * independent; |v|≤1-ish embeddings × 10⁶ × corpus rows stays far
+    * under Long range at any realistic label count), and the mean is
+    * one double division on identical inputs at the end. posexplode →
+    * a single (label, pos) map-side-partial shuffle; output is
+    * labels × dim rows.
+    */
+  def labelCentroids(df: DataFrame, labelCol: Column,
+                     vecCol: Column): DataFrame =
+    df.select(labelCol.as("label"), posexplode(vecCol).as(Seq("pos", "v")))
+      .select(col("label"), col("pos").cast("long").as("pos"),
+        round(col("v").cast("double") * 1e6).cast("long").as("vq"))
+      .groupBy("label", "pos")
+      .agg(count(lit(1)).as("n"), sum("vq").as("sum_q"))
+      .withColumn("mean_q",
+        round(col("sum_q").cast("double") / col("n"), 4))
 }

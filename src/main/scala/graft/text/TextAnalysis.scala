@@ -417,6 +417,77 @@ object TextAnalysis {
         round(log(ratio), 4).as("pmi"))
   }
 
+  /** Winnowing fingerprint selection (Schleimer et al. 2003 — the MOSS
+    * algorithm): hash every k-token shingle, slide a w-hash window, and
+    * keep each window's MINIMUM hash (rightmost position on ties),
+    * deduplicated by position. Guarantees: any shared run of k+w-1
+    * tokens between two documents yields at least one shared
+    * fingerprint — the local-sampling property that makes winnowed
+    * sets comparable while storing ~2/(w+1) of the hashes.
+    *
+    * Per-row array expressions only (no shuffle until the caller
+    * aggregates fingerprints), built on the portable md5-mod-2³¹ token
+    * hash ([[portableRollingFingerprint]]'s primitive) so a SQL oracle
+    * replays the selection bit-for-bit. Documents shorter than k+w-1
+    * tokens emit no fingerprints (no full window exists). Output:
+    * one row per selected (doc_id, pos, fp), pos = 1-based k-gram
+    * index.
+    */
+  def winnowing(df: DataFrame, idCol: Column, textCol: Column,
+                k: Int = 3, w: Int = 4): DataFrame = {
+    val m = lit(2147483648L) // 2^31
+    val toks = filter(tokens(coalesce(textCol, lit(""))),
+      t => length(t) > 0)
+    val hsOf = (ts: Column) => when(size(ts) >= k,
+      transform(sequence(lit(1), size(ts) - (k - 1)),
+        i => conv(substring(md5(array_join(slice(ts, i, lit(k)), " ")), 1, 15),
+          16, 10).cast("long") % m))
+      .otherwise(array().cast("array<bigint>"))
+    // per window j: fp = min hash, pos = RIGHTMOST argmin (ties keep
+    // the latest — the Schleimer et al. robust-winnowing tie rule)
+    val selOf = (hs: Column) => when(size(hs) >= w,
+      array_distinct(transform(sequence(lit(1), size(hs) - (w - 1)),
+        j => struct(
+          array_max(filter(sequence(j, j + (w - 1)),
+            p => element_at(hs, p) === array_min(slice(hs, j, lit(w)))))
+            .cast("long").as("pos"),
+          array_min(slice(hs, j, lit(w))).as("fp")))))
+      .otherwise(array().cast("array<struct<pos:bigint,fp:bigint>>"))
+    df.select(idCol.as("doc_id"), toks.as("__toks"))
+      .select(col("doc_id"), hsOf(col("__toks")).as("__hs"))
+      .select(col("doc_id"), explode(selOf(col("__hs"))).as("__s"))
+      .select(col("doc_id"), col("__s.pos").as("pos"), col("__s.fp").as("fp"))
+  }
+
+  /** Per-document top-k keywords by tf·idf — the keyword-extraction /
+    * doc-representation pass (BM25's static half). idf is fed
+    * round(·,6) doubles (the [[pmiCollocations]]/PSI recipe) so both
+    * engines rank identical scores; ties break on token asc, making
+    * the top-k selection total-ordered. The per-doc window partition
+    * is bounded by document length; the corpus doc count rides a
+    * broadcast one-row crossJoin (whitelisted).
+    */
+  def tfidfKeywords(docs: DataFrame, idCol: Column, textCol: Column,
+                    k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(idCol.as("doc_id"),
+      explode(filter(tokens(coalesce(textCol, lit(""))),
+        t => length(t) > 0)).as("tok"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("__n"))
+    val scored = tf.join(dfreq, Seq("tok")).crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+        (col("tf").cast("double") *
+          round(log(col("__n").cast("double") / col("df").cast("double")),
+            6)).as("score0"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score0").desc, col("tok").asc)
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .select(col("doc_id"), col("rn").cast("long").as("rank"), col("tok"),
+        col("tf"), col("df"), round(col("score0"), 4).as("score"))
+  }
+
   /** Heaps-law vocabulary growth: process the corpus in `nShards`
     * deterministic shards (shard = id % nShards) and report, per shard,
     * the token count, how many NEW token types first appear there, and

@@ -118,6 +118,110 @@ class CorpusGraphSpec extends SparkSpec {
     assert(r1n3 == r1n3) // silence unused warning-free style
   }
 
+  test("winnowing: local-sampling guarantee + rightmost-min tie rule") {
+    // 10 identical tokens: every 3-gram identical -> all hashes equal;
+    // rightmost-min rule selects the LAST position of each window
+    val docs = Seq((1L, Array.fill(10)("x").mkString(" "))).toDF("doc_id", "text")
+    val out = TextAnalysis.winnowing(docs, col("doc_id"), col("text"),
+        k = 3, w = 4).orderBy("pos").collect()
+    // 8 grams, 5 windows [1..4]..[5..8]; rightmost min = positions 4..8
+    assert(out.map(_.getLong(1)).toSeq == Seq(4L, 5L, 6L, 7L, 8L))
+    assert(out.map(_.getLong(2)).distinct.length == 1) // one hash value
+  }
+
+  test("winnowing: shared k+w-1 token run yields a shared fingerprint") {
+    val shared = "alpha beta gamma delta epsilon zeta"  // 6 = k+w-1
+    val docs = Seq(
+      (1L, s"one two $shared three"),
+      (2L, s"nine $shared eight seven six")).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowing(docs, col("doc_id"), col("text"),
+        k = 3, w = 4)
+      .collect().groupBy(_.getLong(0)).map { case (id, rs) =>
+        id -> rs.map(_.getLong(2)).toSet }
+    assert((fps(1L) intersect fps(2L)).nonEmpty)
+  }
+
+  test("winnowing: docs shorter than k+w-1 tokens emit nothing") {
+    val docs = Seq((1L, "a b c d e"), (2L, ""), (3L, null))
+      .toDF("doc_id", "text")
+    assert(TextAnalysis.winnowing(docs, col("doc_id"), col("text"),
+      k = 3, w = 4).count() == 0)
+  }
+
+  test("labelCentroids: exact integer sums, mean matches hand arithmetic") {
+    val rows = Seq(
+      (0, Array(1.0f, -0.5f)), (0, Array(0.5f, 0.25f)),
+      (1, Array(2.0f, 0.0f)))
+    val df = rows.toDF("label", "embedding")
+    val out = graft.sim.Similarity.labelCentroids(df, col("label"),
+        col("embedding")).orderBy("label", "pos").collect()
+    val got = out.map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getDouble(4))).toSeq
+    assert(got == Seq(
+      (0, 0L, 2L, 1500000L, 750000.0), (0, 1L, 2L, -250000L, -125000.0),
+      (1, 0L, 1L, 2000000L, 2000000.0), (1, 1L, 1L, 0L, 0.0)))
+  }
+
+  test("tfidfKeywords: rare terms outrank common, ties break on token") {
+    // 'rare' in 1 of 4 docs; 'the' in all 4 (idf 0)
+    val docs = Seq(
+      (1L, "the the rare cat"), (2L, "the dog"), (3L, "the cat"),
+      (4L, "the fish")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfKeywords(docs, col("doc_id"), col("text"),
+        k = 2).orderBy("doc_id", "rank").collect()
+    val doc1 = out.filter(_.getLong(0) == 1L).map(r =>
+      (r.getLong(1), r.getString(2))).toSeq
+    // doc 1: rare (df=1) and cat (df=2) both beat 'the' (idf 0)
+    assert(doc1 == Seq((1L, "rare"), (2L, "cat")))
+    // every doc emits at most k rows, ranks are 1..n
+    out.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq ==
+        (1L to rs.length.toLong).toSeq)
+    }
+  }
+
+  test("kll_quantiles: exact regime == ceil(r*n) order statistics, merge-stable") {
+    val rnd = new scala.util.Random(7)
+    val vals = Seq.fill(500)(rnd.nextInt(100000).toLong)
+    val ranks = Seq(0.25, 0.5, 0.75, 1.0)
+    // 8 partitions forces partial-sketch merges
+    val df = vals.toDF("v").repartition(8)
+    val out = df.agg(graft.functions.KllQuantilesAgg.kll_quantiles(
+        col("v").cast("double"), 1024, ranks).as("qs"))
+      .select(explode(col("qs")).as("s"))
+      .select(col("s.rank"), col("s.q")).orderBy("rank").collect()
+    val sorted = vals.sorted
+    for (r <- out) {
+      val idx = math.max(1, math.ceil(r.getDouble(0) * vals.length).toInt)
+      assert(r.getDouble(1) == sorted(idx - 1).toDouble,
+        s"rank ${r.getDouble(0)}: got ${r.getDouble(1)}, " +
+          s"want ${sorted(idx - 1)}")
+    }
+  }
+
+  test("kll_quantiles: estimation regime holds the normalized rank-error bound") {
+    val n = 20000
+    val df = (1 to n).map(_.toLong).toDF("v").repartition(8)
+    val out = df.agg(graft.functions.KllQuantilesAgg.kll_quantiles(
+        col("v").cast("double"), 64, Seq(0.5)).as("qs"))
+      .select(explode(col("qs")).as("s")).select(col("s.q")).collect()
+    val est = out.head.getDouble(0)
+    val eps = org.apache.datasketches.kll.KllSketch
+      .getNormalizedRankError(64, false)
+    // true rank of the estimate must be within eps of 0.5 (pac bound
+    // is probabilistic; seed-fixed input makes this deterministic)
+    assert(math.abs(est / n - 0.5) <= eps * 2,
+      s"median estimate $est implies rank ${est / n}, eps $eps")
+  }
+
+  test("kll_quantiles: nulls ignored, empty input yields no rows") {
+    val df = Seq[Option[Long]](None, None).toDF("v")
+    val out = df.agg(graft.functions.KllQuantilesAgg.kll_quantiles(
+        col("v").cast("double"), 64, Seq(0.5)).as("qs"))
+      .select(explode(col("qs")).as("s")).collect()
+    assert(out.isEmpty)
+  }
+
   test("pageRankFixed: mass never exceeds total, all ranks positive") {
     val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L))
       .toDF("src", "dst")
