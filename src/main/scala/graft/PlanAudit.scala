@@ -18,7 +18,8 @@ object PlanAudit {
   final case class Audit(name: String, shuffles: Int,
                          joins: Seq[(String, Int)], codegenSpans: Int,
                          singlePartitionExchanges: Int, cartesian: Boolean,
-                         bnlj: Boolean, error: Option[String])
+                         bnlj: Boolean, error: Option[String],
+                         negZeroCols: Seq[String] = Nil)
 
   /** The INTENTIONAL BroadcastNestedLoopJoins (see PLANS.md reading
     * guide): the brute-force ANN baseline broadcasts its ≤10-row query
@@ -69,8 +70,30 @@ object PlanAudit {
       s.sliding(token.length).count(_ == token)
     try {
       val df = fn(spark, sfDir)
-      df.collect() // materialize THIS plan so AQE finalizes it (count()
-                   // would execute a different, re-optimized plan)
+      val rows = df.collect() // materialize THIS plan so AQE finalizes it
+                   // (count() would execute a different, re-optimized plan)
+      // bitwise -0.0 in a float/double output column is a hash hazard:
+      // 0.0 == -0.0 but the byte encodings differ, and DuckDB's round
+      // keeps the sign while Spark's BigDecimal HALF_UP drops it — any
+      // query emitting one must canonicalize with `+ 0.0` on BOTH sides
+      val floatIdx = df.schema.fields.zipWithIndex.collect {
+        case (f, i) if f.dataType == org.apache.spark.sql.types.DoubleType ||
+                       f.dataType == org.apache.spark.sql.types.FloatType =>
+          (f.name, i)
+      }
+      val negZero = floatIdx.filter { case (_, i) =>
+        rows.exists { r =>
+          !r.isNullAt(i) && (r.get(i) match {
+            case d: java.lang.Double =>
+              java.lang.Double.doubleToRawLongBits(d) ==
+                java.lang.Double.doubleToRawLongBits(-0.0)
+            case f: java.lang.Float =>
+              java.lang.Float.floatToRawIntBits(f) ==
+                java.lang.Float.floatToRawIntBits(-0.0f)
+            case _ => false
+          })
+        }
+      }.map(_._1).toSeq
       // audit only the AQE final plan (the string repeats everything
       // under "== Initial Plan ==")
       val plan = df.queryExecution.executedPlan.toString
@@ -90,7 +113,8 @@ object PlanAudit {
         l.contains("Exchange SinglePartition") && !l.contains("ReusedExchange"))
       Audit(name, shuffles, joins, wsc, singlePart,
         cartesian = plan.contains("CartesianProduct"),
-        bnlj = plan.contains("BroadcastNestedLoopJoin"), error = None)
+        bnlj = plan.contains("BroadcastNestedLoopJoin"), error = None,
+        negZeroCols = negZero)
     } catch { case e: Throwable =>
       Audit(name, 0, Nil, 0, 0, cartesian = false, bnlj = false,
         error = Some(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
@@ -111,7 +135,11 @@ object PlanAudit {
     if (a.singlePartitionExchanges > 0 &&
         !singlePartitionWhitelist.contains(a.name))
       Some(s"Exchange SinglePartition x${a.singlePartitionExchanges} " +
-        "outside whitelist") else None
+        "outside whitelist") else None,
+    if (a.negZeroCols.nonEmpty)
+      Some(s"bitwise -0.0 in float column(s) ${a.negZeroCols.mkString(",")}" +
+        " — canonicalize with `+ 0.0` on both engine and oracle sides")
+    else None
   ).flatten
 
   def main(args: Array[String]): Unit = {

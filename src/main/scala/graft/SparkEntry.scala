@@ -260,7 +260,7 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 10),
           "vec_id", "embedding", k = 5)
         .select(col("query_id"), col("rank"), col("neighbor_id"),
-          round(col("score"), 4).as("score_r"))
+          (round(col("score"), 4) + lit(0.0)).as("score_r"))
         .orderBy("query_id", "rank")
     }),
 
@@ -598,9 +598,9 @@ object SparkEntry {
       T(s, dir, "events")
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
-          round(median(col("value")), 4).as("med_r"),
-          round(min(col("value")), 4).as("min_r"),
-          round(max(col("value")), 4).as("max_r"))
+          (round(median(col("value")), 4) + lit(0.0)).as("med_r"),
+          (round(min(col("value")), 4) + lit(0.0)).as("min_r"),
+          (round(max(col("value")), 4) + lit(0.0)).as("max_r"))
         .orderBy("event_type")),
 
     // global NTILE without the single-partition window exchange: spend
@@ -966,8 +966,8 @@ object SparkEntry {
           col("nulls_event_type"), col("distinct_event_type"),
           col("nulls_value"), col("distinct_value"),
           col("nulls_props"), col("distinct_props"),
-          round(col("min_value"), 4).as("min_value_r"),
-          round(col("max_value"), 4).as("max_value_r"))),
+          (round(col("min_value"), 4) + lit(0.0)).as("min_value_r"),
+          (round(col("max_value"), 4) + lit(0.0)).as("max_value_r"))),
 
     // SemDeDup-style semantic dedup: KMeans cells (the SAME cached
     // build the IVF probes use) bound the pairwise compare to
@@ -1009,7 +1009,7 @@ object SparkEntry {
     "q82_outliers" -> ((s, dir) =>
       graft.ops.Outliers.zscores(
           T(s, dir, "events"), col("event_type"), col("value"))
-        .withColumn("z_r", round(col("z"), 4))
+        .withColumn("z_r", round(col("z"), 4) + lit(0.0))
         .where(abs(col("z_r")) > 3.0)
         .select(col("event_id"), col("event_type"), col("value"), col("z_r"))
         .orderBy("event_id")),
@@ -1783,7 +1783,7 @@ object SparkEntry {
           |  r AS (SELECT query_id, neighbor_id, score,
           |          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
           |        FROM s)
-          |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, round(score, 4) AS score_r
+          |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, round(score, 4) + 0.0 AS score_r
           |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
       "q28_semi_join" ->
@@ -2034,8 +2034,8 @@ object SparkEntry {
           |  COUNT(DISTINCT value) AS distinct_value,
           |  CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_props,
           |  COUNT(DISTINCT props) AS distinct_props,
-          |  round(min(value), 4) AS min_value_r,
-          |  round(max(value), 4) AS max_value_r
+          |  round(min(value), 4) + 0.0 AS min_value_r,
+          |  round(max(value), 4) + 0.0 AS max_value_r
           |FROM events""".stripMargin,
 
       "q79_range_frame" ->
@@ -2049,9 +2049,9 @@ object SparkEntry {
 
       "q75_median" ->
         """SELECT event_type, COUNT(*) AS n,
-          |  round(median(value), 4) AS med_r,
-          |  round(min(value), 4) AS min_r,
-          |  round(max(value), 4) AS max_r
+          |  round(median(value), 4) + 0.0 AS med_r,
+          |  round(min(value), 4) + 0.0 AS min_r,
+          |  round(max(value), 4) + 0.0 AS max_r
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
       "q76_ntile_quartiles" ->
@@ -2278,7 +2278,7 @@ object SparkEntry {
           |  FROM events GROUP BY 1)
           |SELECT event_id, event_type, value, z_r FROM (
           |  SELECT event_id, event_type, value,
-          |    round((value - m) / sd, 4) AS z_r
+          |    round((value - m) / sd, 4) + 0.0 AS z_r
           |  FROM events JOIN s ON event_type IS NOT DISTINCT FROM g
           |  WHERE sd > 0)
           |WHERE abs(z_r) > 3.0
@@ -2947,7 +2947,7 @@ object SparkEntry {
           |  round(ln(round((CAST(c12 AS DOUBLE) * CAST(n_uni AS DOUBLE)
           |      * CAST(n_uni AS DOUBLE)) /
           |    (CAST(n_bi AS DOUBLE) * CAST(c1 AS DOUBLE)
-          |      * CAST(c2 AS DOUBLE)), 6)), 4) AS pmi
+          |      * CAST(c2 AS DOUBLE)), 6)), 4) + 0.0 AS pmi
           |FROM j ORDER BY w1, w2""".stripMargin,
 
       // single-pass Heaps curve: type -> min(first shard), cumulative
@@ -3067,7 +3067,7 @@ object SparkEntry {
           |  FROM embeddings)
           |SELECT label, CAST(pos AS BIGINT) AS pos, COUNT(*) AS n,
           |  CAST(SUM(vq) AS BIGINT) AS sum_q,
-          |  round(CAST(SUM(vq) AS DOUBLE) / COUNT(*), 4) AS mean_q
+          |  round(CAST(SUM(vq) AS DOUBLE) / COUNT(*), 4) + 0.0 AS mean_q
           |FROM x GROUP BY label, pos ORDER BY label, pos""".stripMargin,
 
       // idf = round(ln(N/df), 6) on both sides; ordering key is the

@@ -26,6 +26,15 @@ object Outliers {
     * both engines' default). Rows in groups with stddev 0/NULL
     * (constant or single-row) are dropped, matching what the window
     * formulation yields after any finite-z filter.
+    *
+    * Boundary note (q82): callers filter on the ROUNDED z
+    * (`abs(round(z,4)) > 3.0`) computed identically on both engines, so
+    * a z whose rounded value is exactly 3.0000 is excluded by BOTH
+    * engines — the strict `>` is evaluated on bit-identical doubles and
+    * cannot straddle the predicate. The unrounded z may differ in the
+    * last ulp across engines, which is exactly why the membership test
+    * runs on the rounded value; no epsilon is needed once the compared
+    * quantity is the shared rounded double.
     */
   def zscores(df: DataFrame, groupCol: Column, valueCol: Column): DataFrame = {
     val stats = df.groupBy(groupCol.as("__g"))

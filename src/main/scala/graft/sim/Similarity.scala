@@ -277,5 +277,7 @@ object Similarity {
       .groupBy("label", "pos")
       .agg(count(lit(1)).as("n"), sum("vq").as("sum_q"))
       .withColumn("mean_q",
-        round(col("sum_q").cast("double") / col("n"), 4))
+        // + 0.0 canonicalizes a tiny-negative mean that rounds to zero:
+        // IEEE -0.0 + 0.0 = +0.0, so both engines hash the same bits
+        round(col("sum_q").cast("double") / col("n"), 4) + lit(0.0))
 }

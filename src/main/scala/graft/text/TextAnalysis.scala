@@ -384,7 +384,12 @@ object TextAnalysis {
     * funnel, whitelisted). Portability: the PMI ratio is rounded to 6
     * decimals BEFORE ln (the [[graft.ops.Snapshot.histogramDrift]]
     * recipe), so both engines feed ln an identical double and the
-    * last-ulp ln divergence is confined to the final round(·,4).
+    * last-ulp ln divergence is confined to the final round(·,4). The
+    * rounded pmi is canonicalized with `+ 0.0` so a tiny negative that
+    * rounds to zero hashes as +0.0 on both engines (IEEE 754:
+    * -0.0 + 0.0 = +0.0) — Spark's BigDecimal HALF_UP round loses the
+    * sign while DuckDB's keeps it, and byte-level hashes differ even
+    * though 0.0 == -0.0.
     */
   def pmiCollocations(docs: DataFrame, textCol: Column,
                       minCount: Long = 5L): DataFrame = {
@@ -414,7 +419,7 @@ object TextAnalysis {
       .join(uni.select(col("tok").as("w1"), col("c").as("c1")), Seq("w1"))
       .join(uni.select(col("tok").as("w2"), col("c").as("c2")), Seq("w2"))
       .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
-        round(log(ratio), 4).as("pmi"))
+        (round(log(ratio), 4) + lit(0.0)).as("pmi"))
   }
 
   /** Winnowing fingerprint selection (Schleimer et al. 2003 — the MOSS
