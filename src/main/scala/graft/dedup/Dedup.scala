@@ -363,8 +363,12 @@ object Dedup {
                quality: DataFrame, qIdCol: String, qCol: String): DataFrame = {
     val scored = components
       .select(col(idCol).as("id"), col(compCol).as("comp"))
+      // cast to double, not long: fractional scores (e.g. a classifier's
+      // quality_score in [0,1]) must rank as-is — a long cast would
+      // truncate them all to 0 and silently degenerate keep-best into
+      // keep-min-id. Integer scores order identically as doubles.
       .join(quality.select(col(qIdCol).as("id"),
-        col(qCol).cast("long").as("q")), Seq("id"))
+        col(qCol).cast("double").as("q")), Seq("id"))
     // argmax via struct max: quality desc, then -id max == id min
     val keepers = scored.groupBy("comp")
       .agg(max(struct(col("q").as("q"), (-col("id")).as("nid"))).as("best"))

@@ -71,8 +71,14 @@ object AudioMetaExpr {
       b(i + 2) == t.charAt(2) && b(i + 3) == t.charAt(3)
 
   /** NULL (not an InternalRow of nulls) when the payload is not a
-    * recognized audio container. */
-  def compute(b: Array[Byte]): InternalRow = {
+    * recognized audio container. Untrusted bytes: any out-of-bounds
+    * read a future edit misses degrades to NULL rather than failing
+    * the whole query. */
+  def compute(b: Array[Byte]): InternalRow =
+    try parse(b)
+    catch { case _: ArrayIndexOutOfBoundsException => null }
+
+  private def parse(b: Array[Byte]): InternalRow = {
     if (b == null || b.length < 12) return null
     // WAV: RIFF size WAVE, then (id, u32le size) chunks; fmt_ carries
     // channels/rate/bits, data's size + fmt's byte-rate give duration
@@ -88,7 +94,13 @@ object AudioMetaExpr {
           byteRate = le32(b, i + 16)
           bits = le16(b, i + 22)
         } else if (tag(b, i, "data")) dataLen = size
-        i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+        // advance in Long arithmetic: a crafted u32 size >= 2^31 would
+        // truncate negative as Int and stall (or reverse) the walk —
+        // untrusted-corpus input must terminate, so bail to NULL on any
+        // advance that does not move forward past the header
+        val adv = 8L + size + (size & 1L) // chunks are word-aligned
+        if (adv <= 8L || i + adv > Int.MaxValue) return null
+        i += adv.toInt
       }
       if (channels < 0) return null
       val dur =

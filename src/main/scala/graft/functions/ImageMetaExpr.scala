@@ -70,8 +70,14 @@ object ImageMetaExpr {
     u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
 
   /** NULL (not an InternalRow of nulls) when the payload is not a
-    * recognized image — callers filter or fall back on it. */
-  def compute(b: Array[Byte]): InternalRow = {
+    * recognized image — callers filter or fall back on it. Untrusted
+    * bytes: any out-of-bounds read a future edit misses degrades to
+    * NULL rather than failing the whole query. */
+  def compute(b: Array[Byte]): InternalRow =
+    try parse(b)
+    catch { case _: ArrayIndexOutOfBoundsException => null }
+
+  private def parse(b: Array[Byte]): InternalRow = {
     if (b == null || b.length < 10) return null
     // PNG: 8-byte signature, IHDR chunk fixed at offset 8 by spec
     if (b.length >= 24 &&
@@ -105,6 +111,10 @@ object ImageMetaExpr {
         if (u8(b, i) != 0xff) return null // desynced — not a marker
         var m = u8(b, i + 1)
         while (m == 0xff && i + 2 < b.length) { i += 1; m = u8(b, i + 1) } // fill bytes
+        // the fill-byte loop advanced i under a weaker (i+2) guard; the
+        // length read below touches b(i+3) — a truncated payload ending
+        // in 0xFF fill bytes must yield NULL, not AIOOBE
+        if (i + 3 >= b.length) return null
         if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
           if (i + 8 >= b.length) return null
           return InternalRow(jpeg,

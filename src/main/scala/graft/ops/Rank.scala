@@ -84,8 +84,14 @@ object Rank {
   def groupedRunningSum(df: DataFrame, group: Column, value: Column,
                         order: Seq[Column], nPartitions: Int,
                         cumName: String = "cum"): DataFrame = {
-    val prepared = df.withColumn("__g", group.cast("string"))
-      .withColumn("__v", value.cast("long"))
+    // null-safe prep: SQL running-sum semantics treat a NULL value as
+    // contributing nothing (SUM skips NULLs), and a NULL group key as
+    // its own group — an unguarded getString/getLong on a null cell
+    // would NPE in the executor instead
+    val prepared = df
+      .withColumn("__g", when(group.isNull, lit("\u0001"))
+        .otherwise(concat(lit("g"), group.cast("string"))))
+      .withColumn("__v", coalesce(value.cast("long"), lit(0L)))
     val keys = col("__g") +: order
     val sorted = prepared.repartitionByRange(nPartitions, keys: _*)
       .sortWithinPartitions(keys: _*)

@@ -86,9 +86,11 @@ object NgramLm {
   /** Score `docs` against `lm` (a [[bigramLm]] frame): per doc, the
     * bigram count and the add-k average log-probability (round(·,4)
     * cross-engine stabilized), plus `keep` = rounded score ≥ `cutoff`.
-    * Bigrams or left-words the LM never saw back off to count 0 (their
-    * probability mass is the smoothing k). Docs with no bigram score a
-    * neutral 0.0 and are kept.
+    * An unseen bigram backs off to c12 = 0 while keeping the TRUE c1
+    * of its left word (joined separately on w1), so per-w1 add-k
+    * distributions stay normalized: the denominator is c1 + k·V, not
+    * k·V. Only a left word entirely absent from the LM backs c1 off to
+    * 0. Docs with no bigram score a neutral 0.0 and are kept.
     */
   def scoreDocs(docs: DataFrame, idCol: Column, textCol: Column,
                 lm: DataFrame, k: Double = 0.5,
@@ -102,9 +104,15 @@ object NgramLm {
     // one-row vocab-size scalar (max over lm's constant v column — an
     // aggregate, not limit(1), so the funnel carries partials only)
     val vRow = lm.agg(max(col("v")).as("v"))
+    // unigram counts recovered from the LM (c1 is constant per w1):
+    // joined on w1 ALONE so an unseen bigram still sees its left
+    // word's true count — coalescing the (w1,w2) join's c1 would make
+    // the denominator k·V and overestimate unseen-bigram probability
+    val uniTab = lm.groupBy(col("w1")).agg(max(col("c1")).as("c1"))
     val scored = docBigrams
-      .join(lm.select(col("w1"), col("w2"), col("c12"), col("c1")),
+      .join(lm.select(col("w1"), col("w2"), col("c12")),
         Seq("w1", "w2"), "left")
+      .join(uniTab, Seq("w1"), "left")
       .crossJoin(broadcast(vRow))
       .select(col("doc_id"), col("n"),
         log((coalesce(col("c12"), lit(0L)) + lit(k)) /

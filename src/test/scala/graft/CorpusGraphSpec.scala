@@ -28,6 +28,17 @@ class CorpusGraphSpec extends SparkSpec {
     assert(keepers.toSet.size == keepers.length)
   }
 
+  test("keepBest: fractional quality scores rank as-is (no long truncation)") {
+    // classifier-style scores in [0,1]: a long cast would truncate all
+    // to 0 and silently degenerate keep-best into keep-min-id
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("id", "comp")
+    val quality = Seq((1L, 0.2), (2L, 0.9), (3L, 0.5)).toDF("doc_id", "q")
+    val out = Dedup.keepBest(comps, "id", "comp", quality, "doc_id", "q")
+      .orderBy("id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3))).toSeq ==
+      Seq((1L, 2L, false), (2L, 2L, true), (3L, 2L, false)))
+  }
+
   test("pmiCollocations: counts exact, PMI matches the hand formula") {
     // "a b" occurs 6x, tokens: a=6, b=6, N=12, B=6 (six 2-token docs)
     val docs = Seq.fill(6)("a b").toDF("text")

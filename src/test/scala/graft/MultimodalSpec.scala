@@ -80,6 +80,20 @@ class MultimodalSpec extends SparkSpec {
     assert(out.forall(r => r.isNullAt(r.fieldIndex("width"))))
   }
 
+  test("imageMeta: JPEG truncated inside fill bytes yields NULL, not AIOOBE") {
+    import graft.functions.ImageMetaExpr
+    // FF D8 FF FF FF FE: the fill-byte loop advances i under an (i+2)
+    // guard, then the segment-length read touches b(i+3) past the end —
+    // the documented contract is NULL for unrecognized payloads
+    val evil = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte,
+      0xff.toByte, 0xff.toByte, 0xfe.toByte)
+    assert(ImageMetaExpr.compute(evil) == null)
+    // all-fill-bytes tail, one byte shorter
+    val evil2 = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte,
+      0xff.toByte, 0xff.toByte)
+    assert(ImageMetaExpr.compute(evil2) == null)
+  }
+
   test("sampleFrames: strided fixed-size slices") {
     val frames = Multimodal.sampleFrames(media, "media_id", "payload",
         frameBytes = 64, stride = 2)

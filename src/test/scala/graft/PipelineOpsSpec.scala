@@ -85,6 +85,57 @@ class PipelineOpsSpec extends SparkSpec {
     assert(nb == 0L)
   }
 
+  test("bigram LM: unseen bigram keeps the left word's true unigram count") {
+    // LM trained on "a b" x3: unigrams a=3, b=3 (V=2); bigram (a,b)=3.
+    // Scoring "a c": bigram (a,c) is unseen but w1=a IS in the vocab, so
+    // lp = ln((0+k)/(c1 + k*V)) = ln(0.5/(3+1)) — NOT ln(0.5/(k*V)),
+    // which is what coalescing the (w1,w2)-join's c1 to 0 yields and
+    // what left per-w1 distributions unnormalized
+    val corpus = Seq.tabulate(3)(i => (i.toLong, "a b")).toDF("doc_id", "text")
+    val lm = NgramLm.bigramLm(corpus, col("text"))
+    val got = NgramLm.scoreDocs(Seq((100L, "a c")).toDF("doc_id", "text"),
+        col("doc_id"), col("text"), lm)
+      .collect()(0).getAs[Double]("avg_logprob")
+    val want = BigDecimal(math.log(0.5 / (3.0 + 0.5 * 2)))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("groupedRunningSum: null group key and null values are null-safe") {
+    // a null group is its own partition; a null value contributes 0 —
+    // previously an unguarded getString/getLong NPE'd in the executor
+    val base = Seq[(java.lang.Long, String, java.lang.Long)](
+      (1L, "a", 10L), (2L, "a", null), (3L, null, 5L),
+      (4L, null, null), (5L, "a", 1L), (6L, "b", 2L))
+      .toDF("id", "g", "v")
+    val got = Rank.groupedRunningSum(base, col("g"), col("v"),
+        Seq(col("id")), nPartitions = 3, cumName = "cum")
+      .select(col("id"), col("cum"))
+    val w = Window.partitionBy("g").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = base.select(col("id"),
+      sum(coalesce(col("v"), lit(0L))).over(w).as("cum2"))
+    assert(got.join(want, Seq("id"))
+      .where(col("cum") =!= col("cum2")).count() == 0)
+  }
+
+  test("audio meta: crafted WAV chunk size >= 2^31 yields NULL, not a hang") {
+    import graft.functions.AudioMetaExpr
+    // RIFF....WAVE then a chunk whose u32le size is 0xFFFFFFF8: as an
+    // Int that is -8, making the old advance 8 + (-8) + 0 = 0 — an
+    // infinite loop on a ~24-byte payload from an untrusted corpus
+    val evil = "RIFF".getBytes("US-ASCII") ++ Array[Byte](0, 1, 0, 0) ++
+      "WAVE".getBytes("US-ASCII") ++ "junk".getBytes("US-ASCII") ++
+      Array[Byte](0xf8.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte) ++
+      Array.fill[Byte](8)(0)
+    assert(AudioMetaExpr.compute(evil) == null)
+    // and a zero-size chunk (advance == header only) also terminates
+    val zero = "RIFF".getBytes("US-ASCII") ++ Array[Byte](0, 1, 0, 0) ++
+      "WAVE".getBytes("US-ASCII") ++ "junk".getBytes("US-ASCII") ++
+      Array.fill[Byte](4)(0) ++ Array.fill[Byte](8)(0)
+    assert(AudioMetaExpr.compute(zero) == null)
+  }
+
   test("BpeEncodeExpr == applyMerge fold semantics (runs, chains, unicode)") {
     val merges = Seq(("a", "a"), ("t", "h"), ("th", "e"), ("aa", "b"))
     // per-word equivalence against the nested applyMerge fold oracle
