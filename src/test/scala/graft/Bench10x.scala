@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf1-equivalent scale bench for the round-7 additions (q95-q124):
+  * replicates the sf0.1 tables 10× with id-shifted keys into a scratch
+  * dir, then runs each query through the REAL `SparkEntry.queries`
+  * registry at both scales and records t(10×)/t(1×).
+  *
+  * Protocol mirrors Bench: min-of-2 per query per scale, corpus-keyed
+  * trained artifacts (LM / BPE merges) warmed per dir exactly as the
+  * driver bench warms them, loadavg + process-CPU recorded. A ~linear
+  * operator should land near ratio 10 (local[32] hides some constant
+  * overhead, so <10 is common); anything well above ~12 gets a note —
+  * that is the scaling-exponent evidence VERDICT r7 asked for.
+  *
+  * Replication keeps text byte-identical across replicas (doc_id
+  * shifted by r·N): every document becomes a 10-way corpus-wide
+  * duplicate, which is the WORST case for the dedup/CC chain (q97,
+  * q116) — components fuse across replicas, pair counts multiply by
+  * C(10,2)/group. PageRank's key shift (r·10⁹ on all TPC-H keys) makes
+  * 10 disjoint graph copies: same diameter, 10× edges — the honest
+  * linear-scaling shape for an iterative graph op.
+  *
+  * Run: `sbt "Test/runMain graft.Bench10x"` → BENCH_SF1.json.
+  */
+object Bench10x {
+
+  private val Targets: Seq[String] =
+    SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => n.matches("q(9[5-9]|1[01][0-9]|12[0-4])_.*"))
+
+  private def minOf2(f: => Unit): Double = {
+    val t1 = System.nanoTime(); f; val s1 = (System.nanoTime() - t1) / 1e9
+    val t2 = System.nanoTime(); f; val s2 = (System.nanoTime() - t2) / 1e9
+    math.min(s1, s2)
+  }
+
+  /** Warm the per-corpus trained artifacts the same way Bench does, so
+    * both scales time the scoring path, not the (cached) build. */
+  private def warm(spark: SparkSession, dir: String): Unit = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    graft.text.BpeTrain.learnMergesCached(s"$dir/documents", docs,
+      coalesce(col("text"), lit("")), nMerges = 16)
+    graft.text.NgramLm.bigramLmCached(s"$dir/documents", docs, col("text"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sf01 = "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[" + sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") + "]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // ---- synthesize the 10× dir (id-shifted replicas) ----
+    val dir10 = "/tmp/graft_sf1"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir10))
+    val reps = spark.range(10).select(col("id").as("r"))
+    def replicate(table: String, keys: Map[String, Long]): Unit = {
+      val src = spark.read.parquet(s"$sf01/$table.parquet")
+      val shifted = keys.foldLeft(src.crossJoin(broadcast(reps))) {
+        case (df, (k, off)) => df.withColumn(k, col(k) + col("r") * lit(off))
+      }
+      shifted.drop("r").repartition(32)
+        .write.mode("overwrite").parquet(s"$dir10/$table.parquet")
+    }
+    val nDocs = spark.read.parquet(s"$sf01/documents.parquet").count()
+    val nVecs = spark.read.parquet(s"$sf01/embeddings.parquet").count()
+    replicate("documents", Map("doc_id" -> nDocs))
+    replicate("embeddings", Map("vec_id" -> nVecs))
+    // one fixed 1e9 stride for every TPC-H key keeps FK joins intact
+    // per replica and the q120 +1e7/+2e7 node-id offsets collision-free
+    replicate("lineitem", Map("l_orderkey" -> 1000000000L,
+      "l_partkey" -> 1000000000L, "l_suppkey" -> 1000000000L))
+    replicate("orders", Map("o_orderkey" -> 1000000000L,
+      "o_custkey" -> 1000000000L))
+
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split("\\s+").take(3).mkString(",")
+      catch { case _: Throwable => "" }
+    val loadStart = loadavg()
+
+    // ---- time each target at both scales ----
+    warm(spark, sf01); warm(spark, dir10)
+    val rows = Targets.map { name =>
+      val fn = SparkEntry.queries(name)
+      val t1 = minOf2 { fn(spark, sf01).count(): Unit }
+      val t10 = minOf2 { fn(spark, dir10).count(): Unit }
+      val ratio = t10 / t1
+      println(f"[bench10x] $name sf0.1=$t1%.2f s 10x=$t10%.2f s " +
+        f"ratio=$ratio%.1f")
+      (name, t1, t10, ratio)
+    }
+
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qJson = rows.map { case (n, t1, t10, r) =>
+      s"""  "$n": {"sf01_sec": ${fmt(t1)}, "x10_sec": ${fmt(t10)}, "ratio": ${fmt(r)}}"""
+    }.mkString("{\n", ",\n", "\n}")
+    // flag super-linear rows (ratio > 12 on a 10× input); sub-second
+    // sf0.1 times are overhead-dominated, so only flag when the 10× run
+    // is expensive enough for the exponent to mean anything
+    val notes = rows.collect { case (n, t1, t10, r) if r > 12 && t10 > 2.0 =>
+      s""""$n: ratio ${fmt(r)} exceeds ~linear (sf0.1 ${fmt(t1)} s -> ${fmt(t10)} s)""""
+    }
+    val json =
+      s"""{
+         |"protocol": "10x id-shifted replica of sf0.1 (docs/embeddings text byte-identical per replica: worst case for dedup/CC; TPC-H keys strided 1e9: 10 disjoint graph copies), min-of-2 per scale, local[32], trained artifacts cache-warmed per dir like the driver bench",
+         |"n_docs_sf01": $nDocs, "n_docs_10x": ${nDocs * 10},
+         |"total_sf01_sec": ${fmt(rows.map(_._2).sum)},
+         |"total_10x_sec": ${fmt(rows.map(_._3).sum)},
+         |"load_start": "$loadStart", "load_end": "${loadavg()}",
+         |"super_linear": [${notes.mkString(", ")}],
+         |"queries": $qJson
+         |}
+         |""".stripMargin
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_SF1.json"), json)
+    println(json)
+    spark.stop()
+  }
+}

@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Skew
+import graft.text.InvertedIndex
+
+/** Proof, not assumption, that the engine's two skew defenses work on a
+  * deliberately skewed key (one member holding 50% of all rows — the
+  * bot-IP / hot-token shape SURVEY §4.2 relies on AQE for):
+  *
+  *  1. JOIN side: with broadcast disabled (the 100 TB case where the
+  *     dim outgrows the broadcast threshold), AQE must detect the hot
+  *     partition of the shuffle and SPLIT it (`skew=true` in the final
+  *     SMJ) instead of handing one task 50% of the fact table.
+  *  2. AGG side: hash aggregation's map-side partials must bound what
+  *     the hot key's reduce task receives at O(mapTasks), not O(rows) —
+  *     measured with a task-metrics listener, not eyeballed.
+  *  3. The static fallbacks ([[Skew.saltedCountBy]], sharded postings
+  *     in the inverted index) must agree with the unsalted results on
+  *     the same skewed fixture.
+  */
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 200k rows, 50% on one hot key, the rest uniform over 500 keys;
+    * payload pads the rows so byte-based skew thresholds see the skew. */
+  private lazy val skewed = {
+    val n = 200000L
+    spark.range(n).select(
+      when(col("id") % 2 === 0, lit("hot-host"))
+        .otherwise(concat(lit("host-"), (col("id") % 500).cast("string")))
+        .as("host"),
+      concat(lit("payload-"), col("id").cast("string"),
+        lit("x" * 64)).as("payload"))
+      .repartition(8)
+      .localCheckpoint(true)
+  }
+
+  private lazy val dims = spark.range(501).select(
+    when(col("id") === 500, lit("hot-host"))
+      .otherwise(concat(lit("host-"), col("id").cast("string"))).as("host"),
+    concat(lit("grp-"), (col("id") % 7).cast("string")).as("grp"))
+
+  private def withConfs(kv: (String, String)*)(body: => Unit): Unit = {
+    val saved = kv.map { case (k, _) =>
+      k -> scala.util.Try(spark.conf.get(k)).toOption }
+    try { kv.foreach { case (k, v) => spark.conf.set(k, v) }; body }
+    finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
+  test("AQE splits the hot join partition (skew=true) when broadcast is off") {
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // the fixture is ~20 MB, not 256 MB: scale the skew detector's
+      // byte thresholds down so local[8] exercises the same code path a
+      // 1000-executor cluster hits at default thresholds
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "256KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "128KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false") {
+      // aggregate over payload so column pruning cannot strip it: the
+      // fact-side shuffle must carry the ~80-byte unique payloads for
+      // byte-based skew detection to see the hot partition (hot-host
+      // alone is a single repeated string and lz4 flattens it)
+      val joined = skewed.join(dims, "host")
+        .groupBy("grp").agg(count(lit(1)).as("cnt"),
+          sum(length(col("payload"))).as("bytes"))
+      val rows = joined.collect()
+      assert(rows.map(_.getLong(1)).sum == 200000L)
+      val plan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the hot partition as skewed:\n$plan")
+    }
+  }
+
+  test("hash agg bounds the hot key's reduce input at O(mapTasks), not O(rows)") {
+    val maxShuffleRecords = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null)
+          maxShuffleRecords.getAndUpdate(
+            math.max(_, m.shuffleReadMetrics.recordsRead))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val counts = skewed.groupBy("host").agg(count(lit(1)).as("cnt")).collect()
+      // listener delivery is async; poll until the reduce-stage task
+      // metrics arrive (they must: the job above is complete)
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (maxShuffleRecords.get == 0 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(counts.find(_.getString(0) == "hot-host").get.getLong(1) == 100000L)
+      // partial aggregation caps the hot key at one row per map task:
+      // every reduce task sees ≤ mapTasks×itsKeys partial rows, never
+      // the 100k raw hot rows. 501 keys × 8 map tasks = 4008 worst case.
+      val worst = maxShuffleRecords.get
+      assert(worst > 0 && worst <= 5000,
+        s"a reduce task read $worst shuffle records — map-side partial " +
+          "aggregation is not bounding the hot key")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("salted count-by and salted join agree with unsalted on the skewed key") {
+    val plain = skewed.groupBy(col("host").as("member"))
+      .agg(count(lit(1)).as("score"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedCountBy(skewed, col("host"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+    val plainJoin = skewed.join(dims, "host").groupBy("grp").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val saltedJoin = Skew.saltedJoin(skewed, dims, "host")
+      .groupBy("grp").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(saltedJoin == plainJoin)
+  }
+
+  test("inverted index on a 50%-hot token: sharded postings bound the hot list") {
+    // every even doc contains the hot token: maxDf prunes it from
+    // postings entirely (stopword regime), and with maxDf lifted the
+    // sharded build splits its postings list across shards
+    val docs = spark.range(2000).select(col("id").as("doc_id"),
+      when(col("id") % 2 === 0,
+        concat(lit("hottoken filler-"), (col("id") % 97).cast("string")))
+        .otherwise(concat(lit("cold-"), (col("id") % 331).cast("string")))
+        .as("text"))
+    val pat = "[a-z0-9-]+"
+    val pruned = InvertedIndex.postingLists(docs, col("doc_id"), col("text"),
+      pat, maxDf = 500)
+    val hotRow = pruned.where(col("term") === "hottoken").collect()
+    assert(hotRow.length == 1 && hotRow(0).getLong(1) == 1000L &&
+      hotRow(0).isNullAt(2),
+      "hot term must keep its df but never build the corpus-sized list")
+    val sharded = InvertedIndex.postingShards(docs, col("doc_id"), col("text"),
+      pat, nShards = 16)
+    val sizes = sharded.where(col("term") === "hottoken")
+      .select(col("df_shard")).as[Long].collect()
+    assert(sizes.sum == 1000, s"hot postings lost rows: ${sizes.sum}")
+    assert(sizes.forall(_ <= 200),
+      s"a postings shard exceeds ~df/nShards: ${sizes.max}")
+    assert(sizes.length == 16,
+      s"hot token not spread over the shards: ${sizes.length}")
+  }
+}
