@@ -29,7 +29,14 @@ object PlanAudit {
     */
   val bnljWhitelist: Set[String] =
     Set("q24_knn_bruteforce", "q33_ann_ivf", "q89_token_freq_stats",
-      "q99_lm_perplexity", "q117_pmi_collocations", "q123_tfidf_keywords")
+      "q99_lm_perplexity", "q117_pmi_collocations", "q123_tfidf_keywords",
+      // q126: the 256-row bucket LM crosses the broadcast ONE-ROW totals
+      "q126_dsir_weights",
+      // q127: two one-row aggregates (exact counts × bottom-k sketch)
+      "q127_kmv_overlap",
+      // q128: Hamming brute-force baseline — ≤10-row query side
+      // broadcast against the corpus, same pattern as q24
+      "q128_knn_hamming")
 
   /** Queries allowed an `Exchange SinglePartition`, each with the reason
     * the funnel carries provably-BOUNDED data (a global scalar aggregate
@@ -60,7 +67,14 @@ object PlanAudit {
     "q118_vocab_growth" ->
       "growth-curve windows run on the <=nShards per-shard rollup rows",
     "q123_tfidf_keywords" ->
-      "corpus doc count: global scalar agg, one partial row per task"
+      "corpus doc count: global scalar agg, one partial row per task",
+    "q126_dsir_weights" ->
+      "bucket-LM totals: global scalar agg, one partial row per task",
+    "q127_kmv_overlap" ->
+      "exact-count scalar agg + bottom-k limit: bounded partials/k rows"
+    // q129_zipf_slope funnels through a bounded top-30 head (limit +
+    // rank window + OLS agg) but plans as TakeOrdered without an
+    // explicit SinglePartition exchange, so it needs no entry here
   )
 
   /** Audit the AQE-final plan of a materialized query. */

@@ -1584,7 +1584,68 @@ object SparkEntry {
         .select(col("source"), explode(col("qs")).as("s"))
         .select(col("source"), col("s.rank").as("rank"),
           col("s.q").cast("long").as("q_len"))
-        .orderBy("source", "rank"))
+        .orderBy("source", "rank")),
+
+    // RAG/long-context chunking: overlapping 8-token windows every 4
+    // tokens — pure per-row array exprs, zero shuffle, (doc_id,
+    // chunk_idx) a stable retrieval key
+    "q125_chunk_overlap" -> ((s, dir) =>
+      graft.text.Chunker.chunkWithOverlap(T(s, dir, "documents"),
+          col("doc_id"), col("text"), window = 8, stride = 4)
+        .orderBy("doc_id", "chunk_idx")),
+
+    // DSIR importance resampling weights (hashed-unigram LLR vs the
+    // doc_id%7==0 "curated" slice): 256-bucket broadcast LM, one
+    // doc-keyed shuffle; scaled-integer sums keep it hashable
+    "q126_dsir_weights" -> ((s, dir) =>
+      graft.text.Dsir.importanceWeights(T(s, dir, "documents"),
+          col("doc_id"), col("text"), isTarget = col("doc_id") % 7 === 0,
+          nBuckets = 256)
+        .orderBy("doc_id")),
+
+    // KMV corpus-overlap sketch: even-doc vs odd-doc token vocabularies;
+    // bottom-128 of the hash union estimates Jaccard, exact counts ride
+    // along for the gate
+    "q127_kmv_overlap" -> ((s, dir) => {
+      val toks = filter(split(coalesce(col("text"), lit("")), " "),
+        w => length(w) > 0)
+      val d = T(s, dir, "documents")
+        .select(col("doc_id"), explode(toks).as("tok"))
+      Dedup.kmvOverlap(d.where(col("doc_id") % 2 === 0).select(col("tok")),
+        d.where(col("doc_id") % 2 =!= 0).select(col("tok")),
+        col("tok"), k = 128)
+    }),
+
+    // binary-quantized Hamming kNN: two packed sign words per vector,
+    // popcount(xor) distance — q24's baseline at 1/16th the bytes
+    "q128_knn_hamming" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.hammingTopK(emb, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Zipf rank-frequency slope over the top-30 tokens: scaled-integer
+    // OLS on (ln rank, ln freq) — the corpus-health companion to q118
+    "q129_zipf_slope" -> ((s, dir) =>
+      graft.text.TextAnalysis.zipfSlope(T(s, dir, "documents"),
+        col("text"), topN = 30)),
+
+    // Efraimidis-Spirakis weighted sampling without replacement, 10 per
+    // source: deterministic exponential clocks from md5(id), weight =
+    // doc_id%5+1 — inclusion ∝ weight, retry-stable, engine-portable
+    "q130_weighted_sample" -> ((s, dir) =>
+      graft.ops.Sample.weightedSample(T(s, dir, "documents"),
+          col("source"), col("doc_id"),
+          (col("doc_id") % 5 + 1).cast("double"), k = 10)
+        .orderBy("grp", "rank")),
+
+    // deterministic random projection 64->8: seed-regenerable rational
+    // matrix, exact integer dot products, per-row with no shuffle
+    "q131_random_projection" -> ((s, dir) =>
+      Similarity.randomProjection(T(s, dir, "embeddings"),
+          col("vec_id"), col("embedding"), dim = 64, outDim = 8)
+        .orderBy("id", "pos"))
   )
 
   /** The fixed q102 merge list (ranks from an sf0.001 training run —
@@ -3107,7 +3168,142 @@ object SparkEntry {
           |SELECT o.source, r.rank, o.l AS q_len
           |FROM o CROSS JOIN r
           |WHERE o.rn = GREATEST(1, CAST(ceil(r.rank * o.n) AS BIGINT))
-          |ORDER BY source, rank""".stripMargin
+          |ORDER BY source, rank""".stripMargin,
+
+      "q125_chunk_overlap" ->
+        """WITH d AS (SELECT doc_id,
+          |    list_filter(string_split(COALESCE(text, ''), ' '),
+          |      t -> len(t) > 0) AS ts
+          |  FROM documents),
+          |s AS (SELECT doc_id, ts, unnest(range(0, len(ts), 4)) AS st
+          |  FROM d WHERE len(ts) > 0)
+          |SELECT doc_id, CAST(st // 4 AS BIGINT) AS chunk_idx,
+          |  CAST(st AS BIGINT) AS start_tok,
+          |  CAST(least(8, len(ts) - st) AS BIGINT) AS n_chunk_tokens,
+          |  array_to_string(list_slice(ts, st + 1, st + 8), ' ')
+          |    AS chunk_text
+          |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+
+      "q126_dsir_weights" ->
+        """WITH tok AS (SELECT doc_id, (doc_id % 7 = 0) AS t,
+          |    unnest(list_filter(string_split(COALESCE(text, ''), ' '),
+          |      w -> len(w) > 0)) AS tok
+          |  FROM documents),
+          |tb AS (SELECT doc_id, t,
+          |    CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 256 AS b
+          |  FROM tok),
+          |bk AS (SELECT b, SUM(CASE WHEN t THEN 1 ELSE 0 END) AS ct,
+          |    COUNT(*) AS cr FROM tb GROUP BY b),
+          |tot AS (SELECT SUM(ct) AS t_tot, SUM(cr) AS r_tot FROM bk),
+          |lw AS (SELECT b, CAST(round(ln(round(
+          |      CAST((ct + 1) * (r_tot + 256) AS DOUBLE) /
+          |      CAST((cr + 1) * (t_tot + 256) AS DOUBLE), 6)) * 1e6)
+          |    AS BIGINT) AS lw_q
+          |  FROM bk CROSS JOIN tot)
+          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+          |  round(CAST(SUM(lw_q) AS DOUBLE) / 1e6, 4) + 0.0 AS dsir_weight
+          |FROM tb JOIN lw USING (b) GROUP BY doc_id
+          |ORDER BY doc_id""".stripMargin,
+
+      "q127_kmv_overlap" ->
+        """WITH items AS (SELECT
+          |    CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h,
+          |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS ina,
+          |    CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END AS inb
+          |  FROM (SELECT doc_id,
+          |      unnest(list_filter(string_split(COALESCE(text, ''), ' '),
+          |        w -> len(w) > 0)) AS tok
+          |    FROM documents)),
+          |m AS (SELECT h, MAX(ina) AS ina, MAX(inb) AS inb FROM items
+          |  GROUP BY h),
+          |ex AS (SELECT CAST(SUM(ina) AS BIGINT) AS n_a,
+          |    CAST(SUM(inb) AS BIGINT) AS n_b,
+          |    CAST(SUM(ina * inb) AS BIGINT) AS n_inter,
+          |    CAST(COUNT(*) AS BIGINT) AS n_union FROM m),
+          |bk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_used,
+          |    CAST(SUM(ina * inb) AS BIGINT) AS kmv_common
+          |  FROM (SELECT * FROM m ORDER BY h ASC LIMIT 128))
+          |SELECT k_used, n_a, n_b, n_inter,
+          |  round(CAST(n_inter AS DOUBLE) / n_union, 4) + 0.0
+          |    AS jaccard_exact,
+          |  kmv_common,
+          |  round(CAST(kmv_common AS DOUBLE) / k_used, 4) + 0.0
+          |    AS jaccard_kmv
+          |FROM bk CROSS JOIN ex""".stripMargin,
+
+      "q128_knn_hamming" ->
+        """WITH p AS (SELECT vec_id,
+          |    CAST(list_sum(list_transform(range(1, 33), i ->
+          |      CASE WHEN embedding[i] > 0
+          |        THEN CAST(power(2, 32 - i) AS BIGINT) ELSE 0 END))
+          |      AS BIGINT) AS h1,
+          |    CAST(list_sum(list_transform(range(33, 65), i ->
+          |      CASE WHEN embedding[i] > 0
+          |        THEN CAST(power(2, 64 - i) AS BIGINT) ELSE 0 END))
+          |      AS BIGINT) AS h2
+          |  FROM embeddings),
+          |q AS (SELECT * FROM p WHERE vec_id < 10),
+          |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |    CAST(bit_count(xor(c.h1, q.h1)) +
+          |      bit_count(xor(c.h2, q.h2)) AS BIGINT) AS hamming
+          |  FROM p c CROSS JOIN q WHERE q.vec_id <> c.vec_id),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          |    ORDER BY hamming ASC, neighbor_id ASC) AS rank FROM s)
+          |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+          |  hamming
+          |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+      "q129_zipf_slope" ->
+        """WITH f AS (SELECT tok, COUNT(*) AS cnt FROM
+          |    (SELECT unnest(list_filter(string_split(COALESCE(text, ''),
+          |      ' '), t -> len(t) > 0)) AS tok FROM documents)
+          |  GROUP BY tok),
+          |top AS (SELECT * FROM f ORDER BY cnt DESC, tok ASC LIMIT 30),
+          |xy AS (SELECT cnt,
+          |    CAST(round(ln(CAST(row_number() OVER (ORDER BY cnt DESC,
+          |      tok ASC) AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+          |    CAST(round(ln(CAST(cnt AS DOUBLE)) * 1e6) AS BIGINT) AS y
+          |  FROM top),
+          |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          |    CAST(MAX(cnt) AS BIGINT) AS top_freq,
+          |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+          |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+          |    CAST(SUM(x * x) AS BIGINT) AS sxx FROM xy)
+          |SELECT n AS n_ranks, top_freq,
+          |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+          |    CAST(n * sxx - sx * sx AS DOUBLE), 4) + 0.0 AS slope
+          |FROM s""".stripMargin,
+
+      "q130_weighted_sample" ->
+        """WITH d AS (SELECT source AS grp, doc_id AS id,
+          |    CAST(doc_id % 5 + 1 AS DOUBLE) AS weight,
+          |    (CAST(('0x' || substr(md5('es:' || CAST(doc_id AS VARCHAR)),
+          |      1, 15)) AS BIGINT) % 1000000 + 1) / 1000002.0 AS u
+          |  FROM documents),
+          |k AS (SELECT grp, id, weight,
+          |    round(-ln(round(u, 6)) / weight, 6) + 0.0 AS es_key FROM d),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY grp
+          |    ORDER BY es_key ASC, id ASC) AS rank FROM k)
+          |SELECT grp, id, weight, es_key, CAST(rank AS BIGINT) AS rank
+          |FROM r WHERE rank <= 10 ORDER BY grp, rank""".stripMargin,
+
+      "q131_random_projection" ->
+        """WITH r AS (SELECT j, i,
+          |    CAST(('0x' || substr(md5('rp:' || CAST(j AS VARCHAR) || ':'
+          |      || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 2001 - 1000
+          |      AS rv
+          |  FROM (SELECT unnest(range(1, 9)) AS j)
+          |    CROSS JOIN (SELECT unnest(range(1, 65)) AS i)),
+          |v AS (SELECT vec_id AS id, i,
+          |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT)
+          |      AS vq
+          |  FROM embeddings
+          |    CROSS JOIN (SELECT unnest(range(1, 65)) AS i)),
+          |p AS (SELECT id, j AS pos, CAST(SUM(vq * rv) AS BIGINT)
+          |    AS proj_q
+          |  FROM v JOIN r USING (i) GROUP BY id, j)
+          |SELECT id, CAST(pos AS BIGINT) AS pos, proj_q
+          |FROM p ORDER BY id, pos""".stripMargin
     )
   }
 }

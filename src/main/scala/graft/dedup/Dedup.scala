@@ -624,4 +624,44 @@ object Dedup {
           .otherwise(round(coalesce(col("n_dup"), lit(0L)) /
             col("n_spans"), 4)).as("dup_ratio"))
   }
+
+  /** Corpus-overlap estimate via a k-minimum-values sketch (Beyer et
+    * al. 2007): how much does corpus B's shingle set overlap corpus
+    * A's, without materializing the intersection? Each side reduces
+    * map-side to its distinct item hashes; the k smallest hashes of
+    * the UNION form a uniform sample of the union, and the fraction
+    * of them present in both sides estimates Jaccard — the estimator
+    * every "is this crawl snapshot new material?" decision runs
+    * before committing to a full dedup pass.
+    *
+    * Shuffle discipline: one short-key (hash) aggregation builds the
+    * membership table; the bottom-k is a TakeOrdered (O(k) per task,
+    * never a global sort). Exact counts over the same membership
+    * table come along for gate verification — at 100 TB you would
+    * keep only the sketch columns.
+    *
+    * Output (one row): k_used, n_a, n_b, n_inter, jaccard_exact,
+    * kmv_common, jaccard_kmv.
+    */
+  def kmvOverlap(a: DataFrame, b: DataFrame, itemCol: Column,
+                 k: Int): DataFrame = {
+    val h = conv(substring(md5(itemCol.cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val tagged = a.select(h.as("h"), lit(1L).as("ina"), lit(0L).as("inb"))
+      .unionAll(b.select(h.as("h"), lit(0L).as("ina"), lit(1L).as("inb")))
+    val members = tagged.groupBy("h")
+      .agg(max("ina").as("ina"), max("inb").as("inb"))
+    val exact = members.agg(sum("ina").as("n_a"), sum("inb").as("n_b"),
+      sum(col("ina") * col("inb")).as("n_inter"), count(lit(1)).as("n_union"))
+    val bottomK = members.orderBy(col("h").asc).limit(k)
+      .agg(count(lit(1)).as("k_used"),
+        sum(col("ina") * col("inb")).as("kmv_common"))
+    bottomK.crossJoin(exact).select(
+      col("k_used"), col("n_a"), col("n_b"), col("n_inter"),
+      (round(col("n_inter").cast("double") / col("n_union"), 4) + 0.0)
+        .as("jaccard_exact"),
+      col("kmv_common"),
+      (round(col("kmv_common").cast("double") / col("k_used"), 4) + 0.0)
+        .as("jaccard_kmv"))
+  }
 }

@@ -121,4 +121,37 @@ object Sample {
           sequence(lit(1), col("__copies__")))))
       .drop("__copies__")
   }
+
+  /** Deterministic weighted sampling WITHOUT replacement, k per group
+    * (Efraimidis–Spirakis exponential-clocks): each row draws a
+    * reproducible uniform u from md5(id), gets sort key −ln(u)/w, and
+    * the k smallest keys per group win — inclusion probability is
+    * proportional to weight, yet the sample is retry-stable and
+    * identical in any engine (u is an exact rational q/10⁶, ln runs
+    * on the 6-decimal-rounded value, the key is rounded back to 6
+    * decimals with the id as total-order tiebreak).
+    *
+    * Per-group rank window (groups here are sources — few and fat);
+    * for millions of groups the same key feeds the bounded-heap
+    * top_k aggregate instead. Output keeps (group, id, weight,
+    * es_key, rank).
+    */
+  def weightedSample(df: DataFrame, groupCol: Column, idCol: Column,
+                     weightCol: Column, k: Int): DataFrame = {
+    // u ∈ (0,1): (h mod 10⁶ + 1)/(10⁶ + 2) — never 0 or 1, exact
+    // rational both engines evaluate identically
+    val u = (pmod(conv(substring(md5(concat(lit("es:"),
+      idCol.cast("string"))), 1, 15), 16, 10).cast("long"),
+      lit(1000000L)) + 1).cast("double") / lit(1000002.0)
+    val key = round(-log(round(u, 6)) / weightCol.cast("double"), 6)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("grp")
+      .orderBy(col("es_key").asc, col("id").asc)
+    df.select(groupCol.as("grp"), idCol.as("id"),
+        weightCol.cast("double").as("weight"), key.as("es_key"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("grp"), col("id"), col("weight"),
+        (col("es_key") + 0.0).as("es_key"), col("rank").cast("long")
+          .as("rank"))
+  }
 }

@@ -280,4 +280,84 @@ object Similarity {
         // + 0.0 canonicalizes a tiny-negative mean that rounds to zero:
         // IEEE -0.0 + 0.0 = +0.0, so both engines hash the same bits
         round(col("sum_q").cast("double") / col("n"), 4) + lit(0.0))
+
+  /** Pack the sign bits of dims [lo, lo+32) into one non-negative
+    * LONG, MSB-first (dim `lo` is the highest bit): a left fold
+    * acc·2 + (v>0) over the 32 positions — exact integer arithmetic,
+    * replayable in any engine with list folds.
+    */
+  def signBits32(vec: Column, lo: Int): Column =
+    aggregate(sequence(lit(lo + 1), lit(lo + 32)), lit(0L),
+      (acc, i) => acc * 2 +
+        when(element_at(vec, i).cast("double") > 0, 1L).otherwise(0L))
+
+  /** Binary-quantized brute-force kNN: 64-dim embeddings collapse to
+    * two packed 32-bit sign words (16 bytes/vector instead of 256+),
+    * distance = popcount(xor) — the memory-bound rerank-ready ANN
+    * baseline (Hamming on sign bits is a monotone proxy for angular
+    * distance). The corpus never shuffles: packing is per-row, the
+    * ≤`queries.count()`-row query side broadcasts (the same
+    * intentional BNLJ as [[bruteForceTopK]]), and the per-query top-k
+    * truncates map-side via the bounded-heap aggregate.
+    * Output: (query_id, rank, neighbor_id, hamming).
+    */
+  def hammingTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, k: Int): DataFrame = {
+    def packed(df: DataFrame, id: String, h1: String, h2: String) =
+      df.select(col(idCol).as(id),
+        signBits32(col(vecCol), 0).as(h1), signBits32(col(vecCol), 32).as(h2))
+    val c = packed(corpus, "neighbor_id", "c1", "c2")
+    val q = packed(queries, "query_id", "q1", "q2")
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (bit_count(col("c1").bitwiseXOR(col("q1"))) +
+          bit_count(col("c2").bitwiseXOR(col("q2")))).cast("long")
+          .as("hamming"))
+    // per-query rank window, same shape as [[bruteForceTopK]] (the
+    // oracle replays it as row_number); swap for the bounded-heap
+    // top_k aggregate when query count × corpus outgrows a partition
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("hamming").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("hamming"))
+  }
+
+  /** Deterministic random projection (Achlioptas-style dense rational
+    * matrix): dim-d float vectors down to `outDim` integer components,
+    * R(j,i) = md5("rp:j:i") mod 2001 − 1000 ∈ [−1000, 1000] — the
+    * projection any engine (or the DuckDB oracle) can regenerate from
+    * the seed string alone, no shipped model artifact. Inputs quantize
+    * to round(v·10⁶) LONGs so each output component is an exact
+    * integer dot product (order-independent, hashable); per-row
+    * compute against the broadcast-literal matrix, no join, no
+    * shuffle. Output: (id, pos, proj_q) — outDim rows per vector.
+    */
+  def randomProjection(df: DataFrame, idCol: Column, vecCol: Column,
+                       dim: Int, outDim: Int): DataFrame = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def r(j: Int, i: Int): Long = {
+      val hex = md.digest(s"rp:$j:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 2001L - 1000L
+    }
+    // 1-based (j,i) in the seed string so the SQL oracle regenerates R
+    // from range(1,outDim+1) × range(1,dim+1) without off-by-one gymnastics
+    val rows = Seq.tabulate(outDim, dim)((j, i) => r(j + 1, i + 1))
+    val rmat = typedLit(rows) // outDim × dim literal, part of the plan
+    val vq = transform(vecCol, v => round(v.cast("double") * 1e6)
+      .cast("long"))
+    df.select(idCol.as("id"), vq.as("__vq"))
+      .select(col("id"), posexplode(
+        transform(sequence(lit(1), lit(outDim)), j =>
+          aggregate(sequence(lit(1), lit(dim)), lit(0L), (acc, i) =>
+            acc + element_at(col("__vq"), i) *
+              element_at(element_at(rmat, j), i))))
+        .as(Seq("pos", "proj_q")))
+      // posexplode is 0-based; emit the 1-based output dim j to match
+      // the seed-string convention
+      .select(col("id"), (col("pos") + 1).cast("long").as("pos"),
+        col("proj_q"))
+  }
 }

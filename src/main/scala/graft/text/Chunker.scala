@@ -1,0 +1,45 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Overlapping token-window chunking — the retrieval/RAG prep step
+  * (and the long-document splitter for fixed-context training): each
+  * document becomes ⌈n/stride⌉ windows of `window` tokens starting
+  * every `stride` tokens, the final window truncated at the document
+  * end.
+  *
+  * Pure per-row array expressions (split → sequence of starts →
+  * explode → slice): no shuffle at all; output size is
+  * rows × n/stride, produced map-side. The chunk id is start/stride,
+  * so (doc_id, chunk_idx) is a deterministic stable key for
+  * downstream embedding/indexing joins at any scale.
+  */
+object Chunker {
+
+  /** (doc_id, chunk_idx, start_tok, n_chunk_tokens, chunk_text).
+    * Documents with zero tokens produce no chunks (there is nothing
+    * to retrieve); `window >= stride` guarantees full coverage with
+    * `window - stride` tokens of overlap between neighbors.
+    */
+  def chunkWithOverlap(df: DataFrame, idCol: Column, textCol: Column,
+                       window: Int, stride: Int): DataFrame = {
+    require(stride > 0 && window >= stride,
+      s"need stride > 0 and window >= stride, got $window/$stride")
+    df.select(idCol.as("doc_id"),
+        filter(split(coalesce(textCol, lit("")), " "),
+          w => length(w) > 0).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .where(col("__n") > 0)
+      .select(col("doc_id"), col("__toks"), col("__n"),
+        explode(sequence(lit(0), col("__n") - 1, lit(stride)))
+          .as("start_tok"))
+      .select(col("doc_id"),
+        (col("start_tok") / stride).cast("long").as("chunk_idx"),
+        col("start_tok").cast("long").as("start_tok"),
+        least(lit(window), col("__n") - col("start_tok")).cast("long")
+          .as("n_chunk_tokens"),
+        array_join(slice(col("__toks"), col("start_tok") + 1, lit(window)), " ")
+          .as("chunk_text"))
+  }
+}

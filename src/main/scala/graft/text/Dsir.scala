@@ -1,0 +1,67 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+  * for Language Models via Importance Resampling"): score every raw
+  * document by how target-domain-like its hashed n-gram profile is,
+  * so a 100 TB crawl can be resampled toward a small high-quality
+  * target corpus without training a classifier.
+  *
+  * The feature space is `nBuckets` hash buckets of word unigrams
+  * (md5 → bucket, the engine-portable hash); the per-bucket
+  * log-likelihood-ratio table
+  * `ln( p_target(b) / p_raw(b) )` (add-one smoothing) has only
+  * `nBuckets` rows, so scoring is one broadcast equi-join on the
+  * exploded tokens plus a per-doc sum — the corpus shuffles once,
+  * keyed by doc id.
+  *
+  * Determinism at the gate: the ratio is exact integer arithmetic
+  * `((c_t+1)·(R+B)) / ((c_r+1)·(T+B))` rounded to 6 decimals before
+  * `ln` (the PSI/PMI recipe), and the per-doc sum runs over
+  * `round(lw·10⁶)` LONGs (the q122 scaled-integer trick) — float
+  * addition order can never change the result.
+  */
+object Dsir {
+
+  private def toks(textCol: Column): Column =
+    filter(split(coalesce(textCol, lit("")), " "), w => length(w) > 0)
+
+  private def bucketOf(tok: Column, nBuckets: Int): Column =
+    pmod(conv(substring(md5(tok), 1, 15), 16, 10).cast("long"),
+      lit(nBuckets.toLong))
+
+  /** (doc_id, n_tokens, dsir_weight): Σ over doc tokens of the bucket
+    * log-ratio; positive = looks like the target distribution.
+    * `isTarget` marks the target-domain rows WITHIN `docs` (the raw
+    * distribution is everything, target ⊂ raw — matching the paper's
+    * setup where raw is the crawl and target the curated corpus).
+    */
+  def importanceWeights(docs: DataFrame, idCol: Column, textCol: Column,
+                        isTarget: Column, nBuckets: Int = 256): DataFrame = {
+    val tokens = docs.select(idCol.as("doc_id"), isTarget.as("__t"),
+        explode(toks(textCol)).as("tok"))
+      .withColumn("b", bucketOf(col("tok"), nBuckets))
+    // bounded bucket profile: nBuckets rows after one short-key shuffle
+    val buckets = tokens.groupBy("b").agg(
+      sum(when(col("__t"), 1L).otherwise(0L)).as("ct"),
+      count(lit(1)).as("cr"))
+    // corpus totals: one row, broadcast back over the bucket table
+    val totals = buckets.agg(sum("ct").as("t_tot"), sum("cr").as("r_tot"))
+    val lw = buckets.crossJoin(broadcast(totals)).select(col("b"),
+      // exact integers into the rounded-ratio → ln funnel; ×10⁶ LONG
+      // out so doc-level sums are order-independent
+      round(log(round(((col("ct") + 1) * (col("r_tot") + nBuckets))
+          .cast("double") /
+        ((col("cr") + 1) * (col("t_tot") + nBuckets)).cast("double"),
+        6)) * 1e6).cast("long").as("lw_q"))
+    tokens.join(broadcast(lw), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("lw_q").as("w_q"))
+      .select(col("doc_id"), col("n_tokens"),
+        // -0.0 guard: a tiny negative integer sum rounds to -0.0 in
+        // engines that keep the sign through round()
+        (round(col("w_q").cast("double") / 1e6, 4) + 0.0).as("dsir_weight"))
+  }
+}

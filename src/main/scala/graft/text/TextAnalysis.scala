@@ -522,4 +522,38 @@ object TextAnalysis {
       .withColumn("cum_types", sum("new_types").over(w))
       .withColumn("cum_tokens", sum("n_tokens").over(w))
   }
+
+  /** Zipf rank–frequency slope over the `topN` most frequent tokens
+    * (Heaps' companion: ~−1 for natural language, far off for tables,
+    * code, or generator spam — a cheap whole-corpus health signal).
+    *
+    * One count-by-token shuffle, a TakeOrdered for the bounded topN
+    * head, then an ordinary-least-squares fit of ln(freq) on ln(rank)
+    * in SCALED-INTEGER space: x,y quantize to round(ln·10⁶) LONGs so
+    * every Σ, Σxy, Σx² is exact 128-bit-safe integer arithmetic —
+    * no float-sum order dependence, and the oracle replays the exact
+    * same integers. Slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²), one double
+    * division at the end, rounded(4) with the −0.0 guard.
+    * Output (one row): n_ranks, top_freq, slope.
+    */
+  def zipfSlope(docs: DataFrame, textCol: Column, topN: Int): DataFrame =
+    docs.select(explode(filter(tokens(coalesce(textCol, lit(""))),
+        t => length(t) > 0)).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc).limit(topN)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("tok").asc)))
+      .select(col("cnt"),
+        round(log(col("rank").cast("double")) * 1e6).cast("long").as("x"),
+        round(log(col("cnt").cast("double")) * 1e6).cast("long").as("y"))
+      .agg(count(lit(1)).as("n"), max("cnt").as("top_freq"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("n").as("n_ranks"), col("top_freq"),
+        (round((col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"),
+          4) + 0.0).as("slope"))
 }

@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.ops.Sample
+import graft.sim.Similarity
+import graft.text.{Chunker, Dsir, TextAnalysis}
+
+/** Property pins for the round-8 operators (each also has a DuckDB
+  * hash oracle — q125-q131; these specs pin the semantics the hash
+  * cannot see: coverage, monotonicity, linearity, exact regimes).
+  */
+class Round8OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunker: full coverage, stride overlap, short docs, empty drop") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"), // 10 toks: starts 0,4,8
+      (2L, "x y"),                 // shorter than window: one chunk
+      (3L, ""),                    // empty: dropped
+      (4L, "  p   q  ")            // whitespace runs collapse
+    ).toDF("doc_id", "text")
+    val out = Chunker.chunkWithOverlap(docs, col("doc_id"), col("text"),
+      window = 8, stride = 4).collect()
+    assert(!out.exists(_.getLong(0) == 3L))
+    val d1 = out.filter(_.getLong(0) == 1L).sortBy(_.getLong(1))
+    assert(d1.map(_.getLong(2)).toSeq == Seq(0L, 4L, 8L))
+    assert(d1.map(_.getLong(3)).toSeq == Seq(8L, 6L, 2L))
+    assert(d1(0).getString(4) == "a b c d e f g h")
+    assert(d1(1).getString(4) == "e f g h i j") // 4 tokens of overlap
+    assert(d1(2).getString(4) == "i j")
+    // every token of every surviving doc appears in chunk 0's window
+    // or a later chunk (coverage: last start < n)
+    val d2 = out.filter(_.getLong(0) == 2L)
+    assert(d2.length == 1 && d2(0).getString(4) == "x y")
+    val d4 = out.filter(_.getLong(0) == 4L)
+    assert(d4.length == 1 && d4(0).getString(4) == "p q")
+  }
+
+  test("dsir: target-vocab docs score above off-target docs") {
+    // target slice speaks {alpha beta}; raw background speaks {gamma
+    // delta}; a held-out doc in target vocab must outscore one in
+    // background vocab
+    val docs = (0L until 40L).map { i =>
+      val t = i % 4 == 0
+      (i, if (t) "alpha beta alpha beta" else "gamma delta gamma delta", t)
+    }.toDF("doc_id", "text", "is_t")
+    val scored = Dsir.importanceWeights(docs, col("doc_id"), col("text"),
+        isTarget = col("is_t"), nBuckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val tgt = (0L until 40L).filter(_ % 4 == 0).map(scored)
+    val bg = (0L until 40L).filter(_ % 4 != 0).map(scored)
+    assert(tgt.min > bg.max,
+      s"target docs must outscore background: ${tgt.min} vs ${bg.max}")
+  }
+
+  test("kmv overlap: exact regime (k >= union) reproduces true jaccard") {
+    val a = (1 to 60).map(i => s"item-$i").toDF("it")   // 1..60
+    val b = (41 to 100).map(i => s"item-$i").toDF("it") // 41..100
+    val r = Dedup.kmvOverlap(a, b, col("it"), k = 1000).collect()(0)
+    assert(r.getAs[Long]("n_a") == 60 && r.getAs[Long]("n_b") == 60)
+    assert(r.getAs[Long]("n_inter") == 20)
+    assert(r.getAs[Long]("k_used") == 100) // union size < k
+    assert(r.getAs[Double]("jaccard_exact") == 0.2)
+    // with the whole union in the sketch the estimate IS exact
+    assert(r.getAs[Double]("jaccard_kmv") == 0.2)
+    // sketch regime: k below union size still lands near the truth
+    val s = Dedup.kmvOverlap(a, b, col("it"), k = 50).collect()(0)
+    assert(math.abs(s.getAs[Double]("jaccard_kmv") - 0.2) < 0.15)
+  }
+
+  test("hamming knn: self-similar vectors rank first; distance is popcount") {
+    // 3 planted groups of sign patterns over 64 dims
+    val vecs = (0 until 30).map { i =>
+      val base = i % 3
+      val v = Array.tabulate(64)(d =>
+        if ((d + base) % 3 == 0) 1.0f else -1.0f)
+      // perturb one dim for odd members so distances are 0 or 2 in-group
+      if (i % 2 == 1) v(63 - base) = -v(63 - base)
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.hammingTopK(vecs, vecs.where(col("vec_id") < 3),
+      "vec_id", "embedding", k = 5).collect()
+    out.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      val byRank = rows.sortBy(_.getLong(1))
+      // every top-5 neighbor of query q is from q's sign group
+      byRank.foreach(r => assert((r.getLong(2) - q) % 3 == 0,
+        s"query $q got off-group neighbor ${r.getLong(2)}"))
+      // rank-1 is an exact sign twin (hamming 0 or 1): even members
+      // are identical patterns
+      assert(byRank.head.getLong(3) <= 1)
+    }
+    // distance symmetry: d(0->6) computed by the operator equals the
+    // hand-computed sign disagreement count
+    val v0 = vecs.where(col("vec_id") === 0).collect()(0).getSeq[Float](1)
+    val v6 = vecs.where(col("vec_id") === 6).collect()(0).getSeq[Float](1)
+    val manual = v0.zip(v6).count { case (a, b) => (a > 0) != (b > 0) }
+    val d06 = out.find(r => r.getLong(0) == 0 && r.getLong(2) == 6)
+    d06.foreach(r => assert(r.getLong(3) == manual))
+  }
+
+  test("zipf slope: planted 1/rank frequencies fit slope ~ -1") {
+    // token t_r appears round(1200/r) times, r = 1..20
+    val docs = (1 to 20).flatMap(r =>
+      Seq.fill(math.round(1200.0 / r).toInt)(s"t${"%02d".format(r)}"))
+    val df = docs.grouped(50).map(_.mkString(" ")).toSeq.toDF("text")
+    val row = TextAnalysis.zipfSlope(df, col("text"), topN = 20).collect()(0)
+    assert(row.getAs[Long]("n_ranks") == 20)
+    assert(row.getAs[Long]("top_freq") == 1200)
+    val slope = row.getAs[Double]("slope")
+    assert(math.abs(slope + 1.0) < 0.02, s"expected ~-1, got $slope")
+  }
+
+  test("weighted sample: k per group, no replacement, weight-monotone inclusion") {
+    // one group, ids 0..199, weight 9 for ids < 40 else 1; heavy ids
+    // are 20% of the pool but must take most of the 20 slots
+    val df = (0L until 200L).map(i =>
+      ("g", i, if (i < 40) 9.0 else 1.0)).toDF("grp", "id", "w")
+    val out = Sample.weightedSample(df, col("grp"), col("id"), col("w"),
+      k = 20).collect()
+    assert(out.length == 20)
+    assert(out.map(_.getLong(1)).distinct.length == 20) // no replacement
+    val heavy = out.count(_.getLong(1) < 40)
+    assert(heavy >= 12, s"weight-9 ids won only $heavy/20 slots")
+    // ranks are 1..k and ordered by the es key
+    val byRank = out.sortBy(_.getAs[Long]("rank"))
+    assert(byRank.map(_.getAs[Long]("rank")).toSeq == (1L to 20L))
+    val keys = byRank.map(_.getAs[Double]("es_key"))
+    assert(keys.zip(keys.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("random projection: exact linearity and manual dot-product parity") {
+    // components in exact 1e-6 multiples so quantization commutes with
+    // doubling: proj(2v) == 2*proj(v) exactly
+    val v = Array.tabulate(64)(i => ((i % 7) - 3) * 0.125f)
+    val df = Seq((1L, v.toSeq), (2L, v.map(_ * 2).toSeq))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.randomProjection(df, col("vec_id"),
+        col("embedding"), dim = 64, outDim = 8)
+      .collect().groupBy(_.getLong(0))
+    val p1 = out(1L).sortBy(_.getLong(1)).map(_.getLong(2))
+    val p2 = out(2L).sortBy(_.getLong(1)).map(_.getLong(2))
+    assert(p1.length == 8 && p2.toSeq == p1.map(_ * 2).toSeq)
+    // manual replay of component 1 from the seed formula
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def r(j: Int, i: Int): Long = {
+      val hex = md.digest(s"rp:$j:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 2001L - 1000L
+    }
+    val manual = (1 to 64).map(i =>
+      math.round(v(i - 1).toDouble * 1e6) * r(1, i)).sum
+    assert(p1(0) == manual)
+  }
+}
