@@ -29,7 +29,7 @@ object Bench10x {
 
   private val Targets: Seq[String] =
     SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => n.matches("q(9[5-9]|1[01][0-9]|12[0-4])_.*"))
+      .filter(n => n.matches("q(9[5-9]|1[0-9][0-9])_.*"))
 
   private def minOf2(f: => Unit): Double = {
     val t1 = System.nanoTime(); f; val s1 = (System.nanoTime() - t1) / 1e9
