@@ -37,6 +37,10 @@ object PlanAudit {
       // q128: Hamming brute-force baseline — ≤10-row query side
       // broadcast against the corpus, same pattern as q24
       "q128_knn_hamming")
+    // q134_mmr_select's relevance scan is the same broadcast-query
+    // pattern, but it runs inside the eager candidate localCheckpoint,
+    // so the audited final plan shows only the greedy-round hash joins
+    // — no whitelist entry needed (or it would flag as stale)
 
   /** Queries allowed an `Exchange SinglePartition`, each with the reason
     * the funnel carries provably-BOUNDED data (a global scalar aggregate

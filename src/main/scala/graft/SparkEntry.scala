@@ -1645,7 +1645,55 @@ object SparkEntry {
     "q131_random_projection" -> ((s, dir) =>
       Similarity.randomProjection(T(s, dir, "embeddings"),
           col("vec_id"), col("embedding"), dim = 64, outDim = 8)
-        .orderBy("id", "pos"))
+        .orderBy("id", "pos")),
+
+    // template/boilerplate-page detection: volatile tokens (urls,
+    // emails, digit runs) masked, then the q20 one-16-byte-key-shuffle
+    // cluster; fixture templates synthesized from (first word, doc_id)
+    // so pages that differ only in the counter collapse
+    "q132_template_cluster" -> ((s, dir) => {
+      val templ = concat(
+        element_at(filter(split(coalesce(col("text"), lit("")), " "),
+          w => length(w) > 0), 1),
+        lit(" order #"), col("doc_id").cast("string"),
+        lit(" of "), (col("doc_id") % 3).cast("string"),
+        lit(" items, contact user"), col("doc_id").cast("string"),
+        lit("@example-"), (col("doc_id") % 4).cast("string"),
+        lit(".com or https://shop-"), (col("doc_id") % 5).cast("string"),
+        lit(".example/item/"), col("doc_id").cast("string"))
+      graft.text.Markup.templateCluster(
+          T(s, dir, "documents").select(col("doc_id"), templ.as("text")),
+          col("doc_id"), col("text"))
+        .orderBy("template_fp")
+    }),
+
+    // REAL MP4 header decode (hardened ISO-BMFF box walk): payloads
+    // synthesized per-row from doc_id, parsed back by the codegen'd
+    // Mp4MetaExpr — parse∘format identity, the q95/q104 video sibling
+    "q133_video_header_meta" -> ((s, dir) => {
+      val brand = element_at(
+        array(lit("isom"), lit("mp42"), lit("avc1"), lit("dash")),
+        (pmod(col("doc_id"), lit(4)) + 1).cast("int"))
+      val ts = element_at(
+        array(lit(600), lit(1000), lit(90000), lit(48000)),
+        (pmod(col("doc_id"), lit(4)) + 1).cast("int"))
+      val dur = (pmod(col("doc_id"), lit(100000)) + 600).cast("int")
+      Multimodal.videoMeta(
+        T(s, dir, "documents").select(col("doc_id"),
+          Multimodal.synthMp4Header(brand, ts, dur).as("payload")),
+        "doc_id", "payload")
+        .orderBy("media_id")
+    }),
+
+    // MMR diversity selection after ANN: greedy λ-tradeoff over the
+    // top-15 candidates, k=3 picks per query — integer-exact scores,
+    // id tie-break, so the oracle replays the greedy rounds unrolled
+    "q134_mmr_select" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.mmrSelect(emb, emb.where(col("vec_id") < 5),
+          "vec_id", "embedding", nCandidates = 15, k = 3)
+        .orderBy("query_id", "round")
+    })
   )
 
   /** The fixed q102 merge list (ranks from an sf0.001 training run —
@@ -3286,6 +3334,100 @@ object SparkEntry {
           |    ORDER BY es_key ASC, id ASC) AS rank FROM k)
           |SELECT grp, id, weight, es_key, CAST(rank AS BIGINT) AS rank
           |FROM r WHERE rank <= 10 ORDER BY grp, rank""".stripMargin,
+
+      "q132_template_cluster" ->
+        """WITH t AS (SELECT doc_id,
+          |    list_filter(string_split(COALESCE(text, ''), ' '),
+          |      w -> len(w) > 0)[1]
+          |      || ' order #' || CAST(doc_id AS VARCHAR)
+          |      || ' of ' || CAST(doc_id % 3 AS VARCHAR)
+          |      || ' items, contact user' || CAST(doc_id AS VARCHAR)
+          |      || '@example-' || CAST(doc_id % 4 AS VARCHAR)
+          |      || '.com or https://shop-' || CAST(doc_id % 5 AS VARCHAR)
+          |      || '.example/item/' || CAST(doc_id AS VARCHAR) AS text
+          |  FROM documents),
+          |m AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
+          |    regexp_replace(regexp_replace(lower(COALESCE(text, '')),
+          |      'https?://[^ ]+', '<url>', 'g'),
+          |      '[a-z0-9._%+-]+@[a-z0-9.-]+', '<email>', 'g'),
+          |      '[0-9]+', '0', 'g'), ' +', ' ', 'g')) AS template
+          |  FROM t)
+          |SELECT md5(template) AS template_fp,
+          |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |  CAST(MIN(doc_id) AS BIGINT) AS exemplar
+          |FROM m GROUP BY md5(template)
+          |ORDER BY template_fp""".stripMargin,
+
+      // parse∘format identity: the oracle derives every parsed field
+      // arithmetically from doc_id (byte_len = 16B ftyp + 36B moov)
+      "q133_video_header_meta" ->
+        """SELECT doc_id AS media_id, CAST(52 AS BIGINT) AS byte_len,
+          |  CASE CAST(doc_id % 4 AS INTEGER)
+          |    WHEN 0 THEN 'isom' WHEN 1 THEN 'mp42'
+          |    WHEN 2 THEN 'avc1' ELSE 'dash' END AS brand,
+          |  CAST(CASE CAST(doc_id % 4 AS INTEGER)
+          |    WHEN 0 THEN 600 WHEN 1 THEN 1000
+          |    WHEN 2 THEN 90000 ELSE 48000 END AS INTEGER) AS timescale,
+          |  CAST(((doc_id % 100000 + 600) * 1000) //
+          |    (CASE CAST(doc_id % 4 AS INTEGER)
+          |      WHEN 0 THEN 600 WHEN 1 THEN 1000
+          |      WHEN 2 THEN 90000 ELSE 48000 END) AS BIGINT)
+          |    AS duration_ms,
+          |  CAST(2 AS INTEGER) AS n_boxes
+          |FROM documents ORDER BY media_id""".stripMargin,
+
+      // the greedy trajectory replayed unrolled (k=3), all-integer
+      // scores with id tie-breaks — same recipe as q120's recurrence
+      "q134_mmr_select" ->
+        """WITH v AS (SELECT vec_id, list_transform(embedding,
+          |    x -> CAST(round(CAST(x AS DOUBLE) * 1e3) AS BIGINT)) AS vq
+          |  FROM embeddings),
+          |q AS (SELECT vec_id AS query_id, vq AS qv FROM v
+          |  WHERE vec_id < 5),
+          |s AS (SELECT q.query_id, c.vec_id AS cid, c.vq AS cv,
+          |    CAST(list_sum(list_transform(range(1, 65),
+          |      i -> q.qv[i] * c.vq[i])) AS BIGINT) AS rel
+          |  FROM v c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+          |cand AS (SELECT query_id, cid, cv, rel FROM
+          |  (SELECT *, row_number() OVER (PARTITION BY query_id
+          |    ORDER BY rel DESC, cid ASC) AS rn FROM s) WHERE rn <= 15),
+          |sims AS (SELECT a.query_id, a.cid AS ca, b.cid AS cb,
+          |    CAST(list_sum(list_transform(range(1, 65),
+          |      i -> a.cv[i] * b.cv[i])) AS BIGINT) AS sim
+          |  FROM cand a JOIN cand b
+          |    ON a.query_id = b.query_id AND a.cid <> b.cid),
+          |p1 AS (SELECT query_id, cid AS s1, 7 * rel AS score FROM
+          |  (SELECT *, row_number() OVER (PARTITION BY query_id
+          |    ORDER BY 7 * rel DESC, cid ASC) AS rn FROM cand)
+          |  WHERE rn = 1),
+          |r2 AS (SELECT c.query_id, c.cid, c.rel, si.sim AS maxsim
+          |  FROM cand c JOIN p1 ON c.query_id = p1.query_id
+          |    AND c.cid <> p1.s1
+          |  JOIN sims si ON si.query_id = c.query_id
+          |    AND si.ca = c.cid AND si.cb = p1.s1),
+          |p2 AS (SELECT query_id, cid AS s2, score FROM
+          |  (SELECT query_id, cid, 7 * rel - 3 * maxsim AS score,
+          |     row_number() OVER (PARTITION BY query_id
+          |       ORDER BY 7 * rel - 3 * maxsim DESC, cid ASC) AS rn
+          |   FROM r2) WHERE rn = 1),
+          |r3 AS (SELECT r.query_id, r.cid, r.rel,
+          |    greatest(r.maxsim, si.sim) AS maxsim
+          |  FROM r2 r JOIN p2 ON r.query_id = p2.query_id
+          |    AND r.cid <> p2.s2
+          |  JOIN sims si ON si.query_id = r.query_id
+          |    AND si.ca = r.cid AND si.cb = p2.s2),
+          |p3 AS (SELECT query_id, cid AS s3, score FROM
+          |  (SELECT query_id, cid, 7 * rel - 3 * maxsim AS score,
+          |     row_number() OVER (PARTITION BY query_id
+          |       ORDER BY 7 * rel - 3 * maxsim DESC, cid ASC) AS rn
+          |   FROM r3) WHERE rn = 1)
+          |SELECT query_id, CAST(1 AS BIGINT) AS round,
+          |  s1 AS selected_id, CAST(score AS BIGINT) AS score FROM p1
+          |UNION ALL SELECT query_id, CAST(2 AS BIGINT), s2,
+          |  CAST(score AS BIGINT) FROM p2
+          |UNION ALL SELECT query_id, CAST(3 AS BIGINT), s3,
+          |  CAST(score AS BIGINT) FROM p3
+          |ORDER BY query_id, round""".stripMargin,
 
       "q131_random_projection" ->
         """WITH r AS (SELECT j, i,

@@ -1,0 +1,148 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Real MP4/ISO-BMFF header parse over a BINARY column — the video
+  * sibling of [[ImageMetaExpr]]/[[AudioMetaExpr]]: a top-level box walk
+  * (u32be size + fourcc, 64-bit `size==1` large boxes honored) reads
+  * the `ftyp` major brand and descends ONE level into `moov` for the
+  * `mvhd` timescale/duration — the metadata pass of a video-corpus
+  * ingest (duration stats, container filtering, storage accounting),
+  * no codec library.
+  *
+  * Returns `struct(brand string, timescale int, duration_ms long,
+  * n_boxes int)` or NULL for unrecognized/malformed payloads.
+  * Untrusted-corpus hardening from the start (the r7 AudioMetaExpr
+  * lesson): every advance is computed in Long, non-progress or
+  * overflow bails to NULL, and any missed out-of-bounds read degrades
+  * to NULL via the catch-all — a crafted size field must never hang or
+  * crash an executor.
+  */
+case class Mp4MetaExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = Mp4MetaExpr.schema
+
+  override def nullable: Boolean = true
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else Mp4MetaExpr.compute(v.asInstanceOf[Array[Byte]])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val rowCls = classOf[InternalRow].getName
+    ev.copy(code = code"""${c.code}
+      $rowCls ${ev.value} = ${c.isNull} ? null :
+        graft.functions.Mp4MetaExpr.compute(${c.value});
+      boolean ${ev.isNull} = ${ev.value} == null;""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Mp4MetaExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "mp4_meta"
+}
+
+object Mp4MetaExpr {
+
+  val schema: StructType = StructType(Seq(
+    StructField("brand", StringType, nullable = false),
+    StructField("timescale", IntegerType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("n_boxes", IntegerType, nullable = false)))
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) |
+      (u8(b, i + 2) << 8) | u8(b, i + 3)) & 0xffffffffL
+  private def be64(b: Array[Byte], i: Int): Long =
+    (be32(b, i) << 32) | be32(b, i + 4)
+
+  private def fourcc(b: Array[Byte], i: Int): String =
+    new String(Array(b(i), b(i + 1), b(i + 2), b(i + 3)), "US-ASCII")
+
+  def compute(b: Array[Byte]): InternalRow =
+    try parse(b)
+    catch { case _: ArrayIndexOutOfBoundsException => null }
+
+  /** Walk `[lo, hi)` as a box sequence, returning (size, type, payload
+    * offset) via the callback; false return = malformed, abort. */
+  private def parse(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 12) return null
+    // an MP4 must LEAD with ftyp (ISO 14496-12 recommends it first;
+    // requiring it is the cheap magic-byte test)
+    if (!(fourcc(b, 4) == "ftyp")) return null
+    var brand: String = null
+    var timescale = -1
+    var durationMs = -1L
+    var nBoxes = 0
+    var i = 0L
+    while (i + 8 <= b.length) {
+      val at = i.toInt
+      var size = be32(b, at)
+      var payload = i + 8
+      if (size == 1L) { // 64-bit large box
+        if (i + 16 > b.length) return null
+        size = be64(b, at + 8)
+        payload = i + 16
+      } else if (size == 0L) size = b.length - i // box runs to EOF
+      // hostile/corrupt size: must move strictly forward and stay sane
+      if (size < payload - i || i + size > b.length) return null
+      nBoxes += 1
+      val typ = fourcc(b, at + 4)
+      if (typ == "ftyp") {
+        if (payload + 4 > b.length) return null
+        brand = fourcc(b, payload.toInt)
+      } else if (typ == "moov") {
+        // one-level descent: child box walk inside [payload, i+size)
+        var j = payload
+        val end = i + size
+        while (j + 8 <= end) {
+          val jat = j.toInt
+          var csize = be32(b, jat)
+          var cpay = j + 8
+          if (csize == 1L) {
+            if (j + 16 > end) return null
+            csize = be64(b, jat + 8)
+            cpay = j + 16
+          } else if (csize == 0L) csize = end - j
+          if (csize < cpay - j || j + csize > end) return null
+          if (fourcc(b, jat + 4) == "mvhd") {
+            val o = cpay.toInt
+            if (cpay + 4 > end) return null
+            val version = u8(b, o)
+            if (version == 1) {
+              if (cpay + 4 + 28 > end) return null
+              timescale = be32(b, o + 20).toInt
+              val dur = be64(b, o + 24)
+              durationMs = if (timescale > 0) dur * 1000L / timescale else 0L
+            } else {
+              if (cpay + 4 + 16 > end) return null
+              timescale = be32(b, o + 12).toInt
+              val dur = be32(b, o + 16)
+              durationMs = if (timescale > 0) dur * 1000L / timescale else 0L
+            }
+          }
+          j += csize // csize >= header size > 0: strict progress
+        }
+      }
+      i += size
+    }
+    if (brand == null || timescale < 0) return null
+    InternalRow(UTF8String.fromString(brand),
+      timescale.asInstanceOf[AnyRef], durationMs.asInstanceOf[AnyRef],
+      nBoxes.asInstanceOf[AnyRef])
+  }
+
+  import org.apache.spark.sql.graft.ColumnBridge
+  def mp4_meta(c: Column): Column =
+    ColumnBridge.column(Mp4MetaExpr(ColumnBridge.expression(c)))
+}

@@ -102,6 +102,40 @@ object Multimodal {
     * sample count, built from pure column expressions — the audio
     * parse∘format identity fixture ([[synthHeader]]'s sibling).
     */
+  /** REAL MP4 header decode: ftyp major brand + mvhd timescale/
+    * duration via the hardened top-level box walk (see
+    * [[graft.functions.Mp4MetaExpr]]). NULL columns for unrecognized
+    * payloads. Per-row, codegen'd, shuffle-free.
+    */
+  def videoMeta(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val m = graft.functions.Mp4MetaExpr.mp4_meta(col(binCol))
+    df.select(col(idCol).cast("long").as("media_id"),
+      octet_length(col(binCol)).cast("long").as("byte_len"),
+      m.getField("brand").as("brand"),
+      m.getField("timescale").as("timescale"),
+      m.getField("duration_ms").as("duration_ms"),
+      m.getField("n_boxes").as("n_boxes"))
+  }
+
+  /** Minimal-but-valid ISO-BMFF synthesis (the q104 WAV pattern):
+    * `ftyp` (major brand + minor 0) followed by `moov` containing a
+    * 32-byte truncated `mvhd` v0 (version/flags, creation,
+    * modification, timescale, duration) — exactly the fields the
+    * parser reads, so parse∘format is an identity the oracle can
+    * replay arithmetically from the inputs.
+    */
+  def synthMp4Header(brand: Column, timescale: Column,
+                     duration: Column): Column =
+    concat(
+      beU32(lit(16)), lit("ftyp".getBytes("US-ASCII")),
+      brand.cast("binary"), beU32(lit(0)), // 4 ASCII chars → 4 bytes
+      // moov = 8B header + the 28B mvhd; sizes must equal bytes
+      // actually written or the hardened walk rejects the payload
+      beU32(lit(36)), lit("moov".getBytes("US-ASCII")),
+      beU32(lit(28)), lit("mvhd".getBytes("US-ASCII")),
+      beU32(lit(0)), beU32(lit(0)), beU32(lit(0)),
+      beU32(timescale), beU32(duration))
+
   def synthWavHeader(channels: Column, rate: Column,
                      nSamples: Column): Column = {
     val blockAlign = channels * 2 // 16-bit PCM

@@ -324,6 +324,81 @@ object Similarity {
         col("neighbor_id"), col("hamming"))
   }
 
+  /** Maximal-marginal-relevance selection (Carbonell & Goldstein
+    * 1998): from each query's `nCandidates` most-relevant corpus rows,
+    * greedily pick `k` that balance relevance against redundancy —
+    * score = λ·rel − (1−λ)·max-sim-to-already-picked. The diversity
+    * step every retrieval/eval-set builder runs after ANN.
+    *
+    * Engineered for determinism and bounded state: relevance and
+    * similarity are EXACT integer dot products of round(v·10³)
+    * quantized vectors, λ a rational (lamNum/lamDen) so scores stay
+    * integers; every greedy round is a groupBy-argmax over the
+    * bounded candidate frame (queries × nCandidates rows) — the
+    * corpus is touched once, by the relevance scan; the k-round loop
+    * never sees it again. Ties break on smallest id, so the whole
+    * greedy trajectory is total-ordered and the oracle can replay it
+    * unrolled. Output: (query_id, round, selected_id, score).
+    */
+  def mmrSelect(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, nCandidates: Int, k: Int,
+                lamNum: Int = 7, lamDen: Int = 10): DataFrame = {
+    val quant = transform(col(vecCol), v =>
+      round(v.cast("double") * 1e3).cast("long"))
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), _ + _)
+    val c = corpus.select(col(idCol).as("cid"), quant.as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), quant.as("qv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("cid"))
+      .select(col("query_id"), col("cid"), col("cv"),
+        dot(col("qv"), col("cv")).as("rel"))
+    val rnw = Window.partitionBy("query_id")
+      .orderBy(col("rel").desc, col("cid").asc)
+    val cand = scored.withColumn("rn", row_number().over(rnw))
+      .where(col("rn") <= nCandidates)
+      .select("query_id", "cid", "cv", "rel")
+      .localCheckpoint(true) // bounded: queries × nCandidates rows
+    val sims = cand.select(col("query_id"), col("cid").as("ca"),
+        col("cv").as("cva"))
+      .join(cand.select(col("query_id"), col("cid").as("cb"),
+        col("cv").as("cvb")), Seq("query_id"))
+      .where(col("ca") =!= col("cb"))
+      .select(col("query_id"), col("ca"), col("cb"),
+        dot(col("cva"), col("cvb")).as("sim"))
+      .localCheckpoint(true)
+    // maxsim = max similarity to the already-picked set; sims can be
+    // NEGATIVE, so the pre-first-pick state is a -inf sentinel that
+    // greatest() always loses (NOT 0, which would clamp negative sims
+    // and mis-rank diversity-heavy candidates). Round 1's score has no
+    // diversity term at all.
+    var rem = cand.select(col("query_id"), col("cid"), col("rel"),
+      lit(Long.MinValue).as("maxsim"))
+    var out: DataFrame = null
+    for (r <- 1 to k) {
+      val sc = rem.withColumn("score",
+        if (r == 1) lit(lamNum.toLong) * col("rel")
+        else lit(lamNum.toLong) * col("rel") -
+          lit((lamDen - lamNum).toLong) * col("maxsim"))
+      val pick = sc.groupBy("query_id")
+        .agg(max(struct(col("score"), (-col("cid")).as("nc"))).as("m"))
+        .select(col("query_id"), (-col("m.nc")).as("sel"),
+          col("m.score").as("score"))
+      val labeled = pick.select(col("query_id"), lit(r.toLong).as("round"),
+        col("sel").as("selected_id"), col("score"))
+      out = if (out == null) labeled else out.unionAll(labeled)
+      if (r < k) {
+        val s2 = sims.withColumnRenamed("query_id", "q2")
+        rem = rem.join(pick.select("query_id", "sel"), Seq("query_id"))
+          .where(col("cid") =!= col("sel"))
+          .join(s2, col("query_id") === col("q2") &&
+            col("cid") === col("ca") && col("sel") === col("cb"))
+          .select(col("query_id"), col("cid"), col("rel"),
+            greatest(col("maxsim"), col("sim")).as("maxsim"))
+      }
+    }
+    out
+  }
+
   /** Deterministic random projection (Achlioptas-style dense rational
     * matrix): dim-d float vectors down to `outDim` integer components,
     * R(j,i) = md5("rp:j:i") mod 2001 − 1000 ∈ [−1000, 1000] — the

@@ -146,4 +146,28 @@ object Markup {
       .select(col("doc_id"), col("host"), col("rule"),
         col("rule").isNotNull.as("blocked"))
   }
+
+  /** Template detection: boilerplate pages that differ only in
+    * volatile tokens (ids, counters, timestamps, emails, URLs)
+    * collapse to one template fingerprint — the machine-generated-page
+    * detector that exact dedup (q20) and normalized dedup (q97) both
+    * miss, because the volatile token makes every page unique.
+    *
+    * Masking order matters: URLs and emails first (they contain
+    * digits), then digit runs → `0`, then whitespace collapse. The
+    * cluster pass is the same one-16-byte-key-shuffle shape as exact
+    * dedup: per-row masking, md5 group, map-side partial counts.
+    * Output: (template_fp, n_docs, exemplar = min doc id).
+    */
+  def templateCluster(df: DataFrame, idCol: Column,
+                      textCol: Column): DataFrame = {
+    val masked = trim(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(lower(coalesce(textCol, lit(""))),
+        "https?://[^ ]+", "<url>"),
+      "[a-z0-9._%+-]+@[a-z0-9.-]+", "<email>"),
+      "[0-9]+", "0"), " +", " "))
+    df.select(idCol.as("doc_id"), masked.as("template"))
+      .groupBy(md5(col("template")).as("template_fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("exemplar"))
+  }
 }

@@ -102,4 +102,92 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 2, 4))
     assert(frames.forall(_.getAs[Array[Byte]]("frame").length == 64))
   }
+
+  // ---- MP4 box walk (Mp4MetaExpr) ----
+
+  private def be32b(v: Long): Array[Byte] = Array(
+    (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+  private def box(typ: String, body: Array[Byte]): Array[Byte] =
+    be32b(8L + body.length) ++ typ.getBytes("US-ASCII") ++ body
+
+  /** A full-size (spec-layout, 100-byte-body) mvhd v0, not the
+    * truncated synthesis — timescale at body byte 12, duration at 16. */
+  private def mvhdV0(timescale: Int, duration: Long): Array[Byte] = {
+    val body = new Array[Byte](100)
+    be32b(timescale.toLong).copyToArray(body, 12)
+    be32b(duration).copyToArray(body, 16)
+    box("mvhd", body)
+  }
+
+  test("mp4Meta: parses a spec-layout file, v0 and v1 mvhd") {
+    import graft.functions.Mp4MetaExpr
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32b(512L) ++
+      "mp42".getBytes("US-ASCII")) // brand + minor + one compatible
+    val free = box("free", new Array[Byte](7))
+    val v0 = ftyp ++ free ++ box("moov", mvhdV0(600, 1234L) ++
+      box("trak", new Array[Byte](4)))
+    val m0 = Mp4MetaExpr.compute(v0)
+    assert(m0 != null)
+    assert(m0.getUTF8String(0).toString == "isom")
+    assert(m0.getInt(1) == 600)
+    assert(m0.getLong(2) == 1234L * 1000 / 600)
+    assert(m0.getInt(3) == 3) // ftyp, free, moov
+    // v1 mvhd: 64-bit times, timescale at body byte 20, duration u64 at 24
+    val v1body = new Array[Byte](112)
+    v1body(0) = 1
+    be32b(90000L).copyToArray(v1body, 20)
+    (be32b(0L) ++ be32b(987654L)).copyToArray(v1body, 24)
+    val v1 = ftyp ++ box("moov", box("mvhd", v1body))
+    val m1 = Mp4MetaExpr.compute(v1)
+    assert(m1 != null && m1.getInt(1) == 90000 &&
+      m1.getLong(2) == 987654L * 1000 / 90000)
+  }
+
+  test("mp4Meta: hostile sizes terminate with NULL, never hang or throw") {
+    import graft.functions.Mp4MetaExpr
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32b(0L))
+    // declared size overruns the payload
+    assert(Mp4MetaExpr.compute(
+      be32b(9999L) ++ "ftyp".getBytes("US-ASCII") ++
+        new Array[Byte](20)) == null)
+    // size < header (non-progress: the r7 audio-stall shape)
+    assert(Mp4MetaExpr.compute(ftyp ++ be32b(3L) ++
+      "moov".getBytes("US-ASCII") ++ new Array[Byte](16)) == null)
+    // size=1 largesize with a 2^33 value
+    assert(Mp4MetaExpr.compute(ftyp ++ be32b(1L) ++
+      "moov".getBytes("US-ASCII") ++ be32b(2L) ++ be32b(0L) ++
+      new Array[Byte](16)) == null)
+    // child box overrunning its moov parent
+    assert(Mp4MetaExpr.compute(ftyp ++ box("moov",
+      be32b(9999L) ++ "mvhd".getBytes("US-ASCII") ++
+        new Array[Byte](8))) == null)
+    // truncated mid-mvhd: bounds-checked to NULL, not AIOOBE
+    assert(Mp4MetaExpr.compute(ftyp ++ box("moov",
+      be32b(16L) ++ "mvhd".getBytes("US-ASCII") ++
+        new Array[Byte](8))) == null)
+    // not-mp4 leaders
+    assert(Mp4MetaExpr.compute("RIFF....WAVE".getBytes("US-ASCII")) == null)
+    assert(Mp4MetaExpr.compute(Array[Byte](1, 2, 3)) == null)
+    // size=0 (box to EOF) on the moov still parses
+    val eof = ftyp ++ (be32b(0L) ++ "moov".getBytes("US-ASCII") ++
+      mvhdV0(1000, 5000L))
+    val m = Mp4MetaExpr.compute(eof)
+    assert(m != null && m.getInt(1) == 1000 && m.getLong(2) == 5000L)
+  }
+
+  test("mp4Meta: synthesized header round-trip (the q133 identity)") {
+    import spark.implicits._
+    val df = Seq((0L), (1L), (2L), (3L)).toDF("doc_id")
+      .select(col("doc_id"), Multimodal.synthMp4Header(
+        element_at(array(lit("isom"), lit("mp42"), lit("avc1"),
+          lit("dash")), (pmod(col("doc_id"), lit(4)) + 1).cast("int")),
+        lit(600), (col("doc_id") * 600 + 600).cast("int")).as("payload"))
+    val out = Multimodal.videoMeta(df, "doc_id", "payload")
+      .orderBy("media_id").collect()
+    assert(out.map(_.getAs[String]("brand")).toSeq ==
+      Seq("isom", "mp42", "avc1", "dash"))
+    assert(out.map(_.getAs[Long]("duration_ms")).toSeq ==
+      Seq(1000L, 2000L, 3000L, 4000L))
+    assert(out.forall(_.getAs[Int]("n_boxes") == 2))
+  }
 }

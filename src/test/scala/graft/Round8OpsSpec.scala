@@ -130,6 +130,52 @@ class Round8OpsSpec extends SparkSpec {
     assert(keys.zip(keys.tail).forall { case (a, b) => a <= b })
   }
 
+  test("template cluster: volatile tokens collapse, skeletons separate") {
+    val docs = Seq(
+      (10L, "Order #123 shipped to user42@mail.com via https://t.co/abc"),
+      (11L, "Order #999 shipped to other7@mail.com via https://t.co/xyz9"),
+      (12L, "Order #5 shipped to a.b-c@mail.com via https://t.co/q?id=7"),
+      (20L, "Completely different skeleton 55"),
+      (21L, "Completely different skeleton 77"),
+      (30L, "A third shape")
+    ).toDF("doc_id", "text")
+    val out = graft.text.Markup.templateCluster(docs, col("doc_id"),
+      col("text")).collect()
+    assert(out.length == 3)
+    val bySize = out.map(r => r.getLong(1) -> r.getLong(2)).sortBy(-_._1)
+    assert(bySize(0) == (3L, 10L)) // the order template, exemplar=min id
+    assert(bySize(1) == (2L, 20L))
+    assert(bySize(2) == (1L, 30L))
+  }
+
+  test("mmr: picks diversity over redundancy; round 1 is pure argmax-rel") {
+    // unit-ish vectors (dots ≈ cosines): A(1)/A'(2) nearly parallel to
+    // the query, B(3) at 45°. Plain top-2 = {A, A'}; at λ=0.3 the
+    // diversity term dominates and MMR must pick A then B.
+    // Integer check (×10³ quantization): rel A'=994000, sim(A',A)=
+    // 994·995+109·100=999930 → score 3·994000−7·999930=−4017510;
+    // rel B=707000, sim(B,A)=707·995+707·100=774165 → score
+    // 3·707000−7·774165=−3298155 > A's twin. B wins round 2.
+    def vec(x: Double, y: Double): Seq[Float] =
+      (Seq(x, y) ++ Seq.fill(62)(0.0)).map(_.toFloat)
+    val rows = Seq(
+      (100L, vec(1.0, 0.0)),     // the query
+      (1L, vec(0.995, 0.1)),     // A: highest rel
+      (2L, vec(0.994, 0.109)),   // A': near-duplicate of A
+      (3L, vec(0.707, 0.707))    // B: diverse, decent rel
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.mmrSelect(rows,
+        rows.where(col("vec_id") === 100L), "vec_id", "embedding",
+        nCandidates = 3, k = 2, lamNum = 3, lamDen = 10)
+      .orderBy("round").collect()
+    assert(out.map(_.getAs[Long]("round")).toSeq == Seq(1L, 2L))
+    assert(out(0).getAs[Long]("selected_id") == 1L) // argmax rel
+    assert(out(0).getAs[Long]("score") == 3L * 995000L)
+    assert(out(1).getAs[Long]("selected_id") == 3L,
+      "round 2 must prefer the diverse candidate over the near-duplicate")
+    assert(out(1).getAs[Long]("score") == -3298155L)
+  }
+
   test("random projection: exact linearity and manual dot-product parity") {
     // components in exact 1e-6 multiples so quantization commutes with
     // doubling: proj(2v) == 2*proj(v) exactly
