@@ -60,6 +60,8 @@ object GraftFunctions {
     fn("shingle_strings", "shingle_strings(text, w)") {
       case Seq(t, w) => ShinglesExpr(t, litInt(w, "w"))
     },
+    fn("normalize_dedup_text", "normalize_dedup_text(text)") {
+      case Seq(t) => NormalizeTextExpr(t) },
     fn("cos_lsh_sig", "cos_lsh_sig(vec, n_tables, n_bits, dim[, seed_step])") {
       case Seq(v, nt, nb, d) =>
         CosLshSigExpr(v, litInt(nt, "n_tables"), litInt(nb, "n_bits"),

@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass dedup text normalization — the CCNet/RefinedWeb
+  * canonicalization (lowercase, strip every char outside `[a-z0-9 ]`,
+  * collapse whitespace runs, trim) as ONE codegen'd scan instead of the
+  * `lower → regexp_replace → regexp_replace → trim` chain it replaces.
+  *
+  * Exact-equivalence argument: the regex `[^a-z0-9 ]` matches one
+  * UTF-16 code unit at a time on the lowercased string, replacing each
+  * non-matching unit with a single space; `" +" → " "` then collapses
+  * runs and `trim` drops the ends. A left-to-right scan over the same
+  * lowercased units that emits kept chars and folds any run of
+  * non-kept/space units into one deferred separator (never flushed at
+  * the ends) produces byte-identical output — surrogate pairs become
+  * two adjacent spaces under the regex and one collapsed space either
+  * way. The non-ASCII branch lowercases via `UTF8String.toLowerCase`,
+  * the same call Spark's `lower` makes, so parity with the previous
+  * engine formulation (and the DuckDB `lower + regexp_replace` oracle,
+  * already hash-green on this data) is preserved.
+  *
+  * Why it exists: the 10× scale probe (BENCH_SF1.json) flagged
+  * q97_normalized_dedup as the one super-linear-looking row — the two
+  * Java-regex passes re-walk every text byte with per-char NFA
+  * machinery and dominate the query once the corpus outweighs fixed
+  * overhead. The ASCII fast path here runs byte-level with zero
+  * intermediate allocation (crawl corpora are overwhelmingly ASCII
+  * bytes), keeping the per-row cost a single linear scan.
+  */
+case class NormalizeTextExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any =
+    NormalizeTextExpr.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.NormalizeTextExpr.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeTextExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "normalize_dedup_text"
+}
+
+object NormalizeTextExpr {
+
+  def compute(s: UTF8String): UTF8String = {
+    val b = s.getBytes
+    val n = b.length
+    var ascii = true
+    var i = 0
+    while (i < n) {
+      if ((b(i) & 0x80) != 0) { ascii = false; i = n }
+      i += 1
+    }
+    if (ascii) asciiPass(b, n) else unicodePass(s)
+  }
+
+  /** Byte-level scan: output can only shrink, so one exact-size buffer. */
+  private def asciiPass(b: Array[Byte], n: Int): UTF8String = {
+    val out = new Array[Byte](n)
+    var o = 0
+    var pendingSep = false // a non-kept run since the last kept char
+    var i = 0
+    while (i < n) {
+      var c = b(i)
+      if (c >= 'A' && c <= 'Z') c = (c + 32).toByte
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        if (pendingSep && o > 0) { out(o) = ' '; o += 1 } // collapse + trim-left
+        out(o) = c; o += 1
+        pendingSep = false
+      } else pendingSep = true // spaces and stripped chars merge into one sep
+      i += 1
+    }
+    UTF8String.fromBytes(out, 0, o) // pendingSep at EOF dropped == trim-right
+  }
+
+  private def unicodePass(s: UTF8String): UTF8String = {
+    val str = s.toLowerCase.toString // same lowering as Spark's lower()
+    val m = str.length
+    val sb = new java.lang.StringBuilder(m)
+    var pendingSep = false
+    var i = 0
+    while (i < m) {
+      val c = str.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        if (pendingSep && sb.length > 0) sb.append(' ')
+        sb.append(c)
+        pendingSep = false
+      } else pendingSep = true
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  def normalize_dedup_text(c: Column): Column =
+    ColumnBridge.column(NormalizeTextExpr(ColumnBridge.expression(c)))
+}

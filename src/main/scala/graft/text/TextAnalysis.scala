@@ -322,6 +322,13 @@ object TextAnalysis {
     * string ops, per-row.
     */
   def normalizeForDedup(text: Column): Column =
+    graft.functions.NormalizeTextExpr.normalize_dedup_text(text)
+
+  /** The regex formulation `normalizeForDedup` replaced — kept as the
+    * parity reference for TextRulesSpec's equivalence property and as
+    * documentation of the oracle-side (DuckDB) SQL shape.
+    */
+  def normalizeForDedupRegex(text: Column): Column =
     trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
 

@@ -46,6 +46,30 @@ class TextRulesSpec extends SparkSpec {
     assert(fps(4L) != fps(1L))
   }
 
+  test("normalizeForDedup: single-pass expr == regex chain, incl. unicode") {
+    // adversarial shapes: leading/trailing junk, tabs/newlines, digit
+    // runs, pure junk, empty, unicode (é has an ASCII-free lowercase,
+    // İ lowercases to a 2-char sequence, 𝒜 is a surrogate pair, K
+    // (Kelvin, U+212A) lowercases to ASCII k), and long mixed text
+    val cases = Seq(
+      "", "   ", "!!!", "a", "A", " A ", "a  b", "Hello, World!",
+      "\t\nMixed\r\nLINES 42 ok\t", "--a--b--", "1234 5678",
+      "café CRÈME", "İstanbul", "𝒜 math",
+      "Kelvin scale", "x" * 5000 + "! Y z 9",
+      "punct.,;:!?\"'()[]{}between#words@here$now")
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val got = df.select(col("id"),
+        TextAnalysis.normalizeForDedup(col("text")).as("a"),
+        TextAnalysis.normalizeForDedupRegex(col("text")).as("b"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"mismatch on case ${r.getLong(0)}: " +
+          s"expr='${r.getString(1)}' regex='${r.getString(2)}'")
+    }
+  }
+
   test("sourceMix: shares sum to ~1 and rank follows token mass") {
     val docs = Seq(
       (1L, "a b c d e f g h", "web"), (2L, "a b c d", "web"),
