@@ -22,18 +22,27 @@ import graft.multimodal.Multimodal
   */
 object SparkEntry {
 
-  /** Read a testdata table. `events.parquet` carries TIMESTAMP(NANOS)
-    * which Spark has no native type for — read nanos as LONG and convert
-    * to a (microsecond) timestamp with integer `div` (no double
-    * round-trip: 2024 epoch-nanos ≈ 1.7e18 exceeds double's 53-bit
-    * mantissa).
+  /** Read a testdata table, normalizing `ts` to TIMESTAMP (LTZ) across
+    * the parquet encodings the driver has shipped so far:
+    *   - TIMESTAMP(NANOS): no native Spark type — read nanos as LONG
+    *     and convert with integer `div` (no double round-trip: 2024
+    *     epoch-nanos ≈ 1.7e18 exceeds double's 53-bit mantissa);
+    *   - timestamp[us] without tz metadata: reads as TIMESTAMP_NTZ,
+    *     which `withWatermark` rejects — cast to LTZ (session TZ is
+    *     pinned UTC, so the instant is unchanged);
+    *   - timestamp with tz: passes through.
+    * NtzHardeningSpec pins all three reads equivalent.
     */
-  private def T(s: SparkSession, dir: String, name: String): DataFrame = {
+  private[graft] def T(s: SparkSession, dir: String, name: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = s.read.parquet(s"$dir/$name.parquet")
-    df.schema.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
-      .map(_ => df.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
-      .getOrElse(df)
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
 
   /** Single-pass native parse: since the sentinel condition folds in

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.graft.{ColumnBridge, StringInputTypes}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -18,9 +18,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * runs and `trim` drops the ends. A left-to-right scan over the same
   * lowercased units that emits kept chars and folds any run of
   * non-kept/space units into one deferred separator (never flushed at
-  * the ends) produces byte-identical output — surrogate pairs become
-  * two adjacent spaces under the regex and one collapsed space either
-  * way. The non-ASCII branch lowercases via `UTF8String.toLowerCase`,
+  * the ends) produces byte-identical output — a supplementary character
+  * is one code point to the regex (one replacement space) while the
+  * scan folds its two surrogate code units into one pending separator:
+  * one space after collapse either way. The non-ASCII branch lowercases
+  * via `UTF8String.toLowerCase`,
   * the same call Spark's `lower` makes, so parity with the previous
   * engine formulation (and the DuckDB `lower + regexp_replace` oracle,
   * already hash-green on this data) is preserved.
@@ -33,7 +35,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * intermediate allocation (crawl corpora are overwhelmingly ASCII
   * bytes), keeping the per-row cost a single linear scan.
   */
-case class NormalizeTextExpr(child: Expression) extends UnaryExpression {
+case class NormalizeTextExpr(child: Expression) extends UnaryExpression
+    with StringInputTypes {
+  // StringInputTypes: analysis-time coercion to string, matching the
+  // lower()/regexp_replace chain this expr replaced — the SQL-registered
+  // normalize_dedup_text is user-reachable with any input type
 
   override def dataType: DataType = StringType
 

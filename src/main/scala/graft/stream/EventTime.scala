@@ -1,0 +1,36 @@
+package graft.stream
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+
+/** Event-time column hardening for every streaming entry point.
+  *
+  * `withWatermark` requires TIMESTAMP (with local time zone); a parquet
+  * source written as `timestamp[us]` without tz metadata reads as
+  * TIMESTAMP_NTZ and throws `EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE` at
+  * analysis. Upstream data regeneration flipped `events.ts` between the
+  * two physical encodings once already (round 8) — so rather than trust
+  * callers, every watermark consumer normalizes here first.
+  *
+  * The NTZ→LTZ cast reinterprets the wall-clock fields in the session
+  * time zone; graft sessions pin `spark.sql.session.timeZone=UTC`, so
+  * the instant is unchanged for UTC-written data.
+  */
+object EventTime {
+
+  /** Return `df` with `tsCol` guaranteed TIMESTAMP (LTZ): NTZ is cast,
+    * LTZ passes through, anything else fails fast with a clear message
+    * instead of a downstream analysis error.
+    */
+  def ensureEventTime(df: DataFrame, tsCol: String): DataFrame =
+    df.schema.find(_.name == tsCol) match {
+      case Some(f) if f.dataType == TimestampNTZType =>
+        df.withColumn(tsCol, col(tsCol).cast(TimestampType))
+      case Some(f) if f.dataType == TimestampType => df
+      case Some(f) => throw new IllegalArgumentException(
+        s"event-time column '$tsCol' must be a timestamp, got ${f.dataType.sql}")
+      case None => throw new IllegalArgumentException(
+        s"event-time column '$tsCol' not found in ${df.columns.mkString(", ")}")
+    }
+}

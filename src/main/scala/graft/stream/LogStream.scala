@@ -69,7 +69,7 @@ object LogStream {
     */
   def windowedCounts(lines: DataFrame, windowLen: String = "1 second",
                      delay: String = "10 seconds"): DataFrame =
-    ClfParser.parse(lines)
+    EventTime.ensureEventTime(ClfParser.parse(lines), "ts")
       .where(col("ts").isNotNull)
       .withWatermark("ts", delay)
       .groupBy(window(col("ts"), windowLen))
@@ -85,7 +85,7 @@ object LogStream {
   def slidingCounts(lines: DataFrame, windowLen: String = "30 seconds",
                     slide: String = "10 seconds",
                     delay: String = "10 seconds"): DataFrame =
-    ClfParser.parse(lines)
+    EventTime.ensureEventTime(ClfParser.parse(lines), "ts")
       .where(col("ts").isNotNull)
       .withWatermark("ts", delay)
       .groupBy(window(col("ts"), windowLen, slide))

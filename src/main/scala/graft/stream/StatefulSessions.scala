@@ -48,8 +48,9 @@ object StatefulSessions {
                  emitOpenAtTimeout: Boolean = true,
                  tombstoneTtlSeconds: Long = 7L * 24 * 3600): Dataset[ClosedSession] = {
     import spark.implicits._
-    val withWm = if (events.isStreaming)
-      events.withWatermark(tsCol, watermarkDelay) else events
+    val normalized = EventTime.ensureEventTime(events, tsCol)
+    val withWm = if (normalized.isStreaming)
+      normalized.withWatermark(tsCol, watermarkDelay) else normalized
     val typed = withWm
       .select(col(keyCol).cast("string").as("key"),
         unix_timestamp(col(tsCol)).as("ts_s"),

@@ -30,10 +30,12 @@ object StreamJoins {
     // distinct column names on each side: a self-derived pair of frames
     // (both sides carved from one source) must not resolve join columns
     // to the same lineage attribute
-    val p0 = points.select(col(keyCol).as("__pk"), col(pIdCol).as(pIdCol),
-      col(pTsCol).as("__pts"))
-    val a0 = anchors.select(col(keyCol).as("__ak"), col(aIdCol).as(aIdCol),
-      col(aTsCol).as("__ats"))
+    val p0 = EventTime.ensureEventTime(points, pTsCol)
+      .select(col(keyCol).as("__pk"), col(pIdCol).as(pIdCol),
+        col(pTsCol).as("__pts"))
+    val a0 = EventTime.ensureEventTime(anchors, aTsCol)
+      .select(col(keyCol).as("__ak"), col(aIdCol).as(aIdCol),
+        col(aTsCol).as("__ats"))
     val p = if (p0.isStreaming) p0.withWatermark("__pts", watermarkDelay) else p0
     val a = if (a0.isStreaming) a0.withWatermark("__ats", watermarkDelay) else a0
     a.join(p,

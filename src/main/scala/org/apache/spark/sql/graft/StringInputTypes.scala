@@ -1,0 +1,20 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes
+import org.apache.spark.sql.types.{AbstractDataType, StringType}
+
+/** `AbstractDataType` is `private[sql]` in Spark 4, so expressions
+  * living outside the sql package cannot override
+  * `ExpectsInputTypes.inputTypes` directly. This trait — compiled into
+  * the sql package namespace like [[ColumnBridge]] — pre-implements the
+  * one shape graft's string expressions need: analysis-time implicit
+  * coercion of every child to STRING, the same behavior the built-in
+  * `lower()`/`regexp_replace` chains provide. Mixing it in replaces a
+  * runtime ClassCastException (for e.g. an INT column passed to a
+  * SQL-registered function) with Catalyst's standard cast-or-error.
+  */
+trait StringInputTypes extends ImplicitCastInputTypes {
+  self: org.apache.spark.sql.catalyst.expressions.Expression =>
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq.fill(children.size)(StringType)
+}

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.TimestampType
+
+/** Round-8 regression armor: the driver regenerated testdata and
+  * `events.ts` flipped physical parquet encoding from TIMESTAMP(NANOS)
+  * to timestamp[us] (→ TIMESTAMP_NTZ in Spark), which broke every
+  * watermark consumer. These specs pin all the encodings the driver has
+  * shipped — and the one it might ship next — to T-equivalent reads,
+  * and prove a deliberately-NTZ stream sessionizes instead of throwing.
+  */
+class NtzHardeningSpec extends SparkSpec {
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_$name").toString
+
+  /** One tiny events-shaped frame; seconds chosen to make two sessions
+    * at a 60 s gap.
+    */
+  private def base = {
+    import spark.implicits._
+    Seq((1L, 1000L, "click"), (2L, 1010L, "view"), (3L, 100000L, "click"))
+      .toDF("event_id", "s", "event_type")
+  }
+
+  test("SparkEntry.T reads LTZ, NTZ, and nanos-as-long parquet identically") {
+    val ltz = base.withColumn("ts", timestamp_seconds(col("s"))).drop("s")
+    val dirs = Map(
+      "ltz" -> ltz,
+      "ntz" -> ltz.withColumn("ts", col("ts").cast("timestamp_ntz")),
+      // TIMESTAMP(NANOS) reads as LongType under nanosAsLong=true; a
+      // plain INT64 nanos column exercises the identical T() branch
+      "nanos" -> base.withColumn("ts", (col("s") * expr("1000000000L")).cast("long")).drop("s"))
+      .map { case (k, df) =>
+        val d = tmp(s"enc_$k")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+        k -> d
+      }
+    val reads = dirs.map { case (k, d) =>
+      val r = SparkEntry.T(spark, d, "events")
+      assert(r.schema("ts").dataType == TimestampType,
+        s"$k read must land on TIMESTAMP (LTZ), got ${r.schema("ts").dataType}")
+      k -> r.select("event_id", "ts", "event_type").orderBy("event_id")
+        .collect().map(r0 => (r0.getLong(0), r0.getTimestamp(1).getTime, r0.getString(2))).toSeq
+    }
+    assert(reads("ntz") == reads("ltz"), "NTZ read differs from LTZ read")
+    assert(reads("nanos") == reads("ltz"), "nanos-as-long read differs from LTZ read")
+  }
+
+  test("EventTime.ensureEventTime: NTZ cast, LTZ pass-through, non-timestamp rejected") {
+    import graft.stream.EventTime
+    val ltz = base.withColumn("ts", timestamp_seconds(col("s")))
+    assert(EventTime.ensureEventTime(ltz, "ts") eq ltz) // no-op, same plan
+    val ntz = ltz.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    assert(EventTime.ensureEventTime(ntz, "ts").schema("ts").dataType == TimestampType)
+    val e1 = intercept[IllegalArgumentException](EventTime.ensureEventTime(base, "s"))
+    assert(e1.getMessage.contains("must be a timestamp"))
+    val e2 = intercept[IllegalArgumentException](EventTime.ensureEventTime(base, "nope"))
+    assert(e2.getMessage.contains("not found"))
+  }
+
+  test("a deliberately-NTZ input stream sessionizes instead of throwing") {
+    val srcDir = tmp("ntz_stream") + "/src"
+    val ntz = base
+      .withColumn("ts", timestamp_seconds(col("s")).cast("timestamp_ntz"))
+      .withColumn("key", lit("u1")).select("key", "ts")
+    ntz.coalesce(1).write.parquet(srcDir)
+    val stream = spark.readStream.schema(ntz.schema).parquet(srcDir)
+    val q = graft.stream.StatefulSessions.sessionize(
+        spark, stream, "key", "ts", gapSeconds = 60,
+        watermarkDelay = "1 second")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ntz_sessions")
+      .option("checkpointLocation", tmp("ntz_ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // events at 1000/1010 close one session when 100000 arrives past the
+    // watermark; the second session stays open (no later batch) — ≥1
+    // closed session proves the watermark path accepted the NTZ input
+    val sessions = spark.table("ntz_sessions").collect()
+    assert(sessions.nonEmpty, "expected at least one closed session from NTZ input")
+    assert(sessions.head.getAs[Long]("n_events") == 2L)
+  }
+
+  test("Verify.run accounts for every query: dumped + failed == selected, crashes are loud") {
+    import org.apache.spark.sql.{DataFrame, SparkSession}
+    val outDir = tmp("verify_acct")
+    val selected = Map[String, (SparkSession, String) => DataFrame](
+      "good_query" -> ((s, _) => { import s.implicits._; Seq(1, 2).toDF("x") }),
+      "bad_query" -> ((_, _) => throw new RuntimeException("boom")))
+    val (dumped, failed) = Verify.run(spark, sfDir, outDir, selected)
+    assert(dumped.size + failed.size == selected.size)
+    assert(dumped == Seq("good_query") && failed.keySet == Set("bad_query"))
+    assert(spark.read.parquet(s"$outDir/good_query").count() == 2)
+    val errJson = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$outDir/_ERRORS.json"))
+    assert(errJson.contains("bad_query") && errJson.contains("boom"),
+      s"_ERRORS.json must name the crashed query: $errJson")
+  }
+
+  test("_ERRORS.json is written even when no query fails") {
+    import org.apache.spark.sql.{DataFrame, SparkSession}
+    val outDir = tmp("verify_clean")
+    val selected = Map[String, (SparkSession, String) => DataFrame](
+      "only_query" -> ((s, _) => { import s.implicits._; Seq(1).toDF("x") }))
+    val (dumped, failed) = Verify.run(spark, sfDir, outDir, selected)
+    assert(dumped.size == 1 && failed.isEmpty)
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$outDir/_ERRORS.json")) == "{}")
+  }
+}

@@ -8,9 +8,7 @@ object ParseDiag {
   def main(args: Array[String]): Unit = {
     val spark = SparkSpec.spark
     val lines = graft.logs.LogGen
-      .clfLines(spark.read.parquet("/root/testdata/sf0.1/events.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000"))))
+      .clfLines(SparkSpec.events("/root/testdata/sf0.1"))
       .collect().map(_.getString(0))
     println(s"[diag] ${lines.length} lines")
     val pat = java.util.regex.Pattern.compile(

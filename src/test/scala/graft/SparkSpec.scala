@@ -17,15 +17,32 @@ object SparkSpec {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** events table with `ts` normalized to TIMESTAMP (LTZ), whichever
+    * physical encoding the driver generated (nanos-as-LONG or
+    * timestamp[us]→NTZ) — schema-conditional exactly like SparkEntry.T,
+    * so a testdata regeneration can't silently redden the suite again.
+    */
+  def events(dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    val df = spark.read.parquet(s"$dir/events.parquet")
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+  }
 }
 
 abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.spark
   val sfDir = "/root/testdata/sf0.001"
 
-  /** events table with nanos `ts` converted to a proper timestamp. */
+  /** events table with `ts` normalized to TIMESTAMP (LTZ) regardless of
+    * the parquet physical encoding — see [[SparkSpec.events]].
+    */
   def events(dir: String = sfDir): org.apache.spark.sql.DataFrame =
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    SparkSpec.events(dir)
 }
