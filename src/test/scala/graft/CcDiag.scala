@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** One-off stage split for q66/q116 (simhash pairs → connected
+  * components → keep-best): where does the time go on the current
+  * testdata, and how many fixpoint rounds does the component loop take
+  * (the data-dependent cost driver — round count scales with cluster
+  * chain depth, not corpus size).
+  */
+object CcDiag {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSpec.spark
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    def time[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[diag] $name%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    println(s"[diag] docs=${d.count()}")
+    for (pass <- 1 to 2) {
+      println(s"[diag] --- pass $pass ---")
+      val pairs = time("simhash pairs build+count") {
+        val p = graft.dedup.Dedup.portableSimhashPairs(d, "doc_id", "text",
+          maxDist = 3).localCheckpoint(true)
+        println(s"[diag]   n_pairs=${p.count()}")
+        p
+      }
+      // the CC loop, mirrored from Dedup.connectedComponents with a
+      // visible round counter
+      time("connected components") {
+        val p0 = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        val edges = p0.unionAll(
+          p0.select(col("dst").as("src"), col("src").as("dst")))
+        var labels = d.select(col("doc_id").as("id"), col("doc_id").as("comp"))
+          .localCheckpoint(true)
+        def labelSum(df: org.apache.spark.sql.DataFrame) =
+          df.agg(sum(col("comp").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
+        var prevSum = labelSum(labels)
+        var converged = false
+        var i = 0
+        while (!converged && i < 20) {
+          val t0 = System.nanoTime()
+          val viaNeighbors = labels.join(edges, col("id") === col("dst"))
+            .select(col("src").as("id"), col("comp"))
+          val m = labels.unionAll(viaNeighbors)
+            .groupBy("id").agg(min("comp").as("comp"))
+          val next = m
+            .join(m.select(col("id").as("cid"), col("comp").as("ccomp")),
+              col("comp") === col("cid"), "left")
+            .select(col("id"),
+              least(col("comp"), coalesce(col("ccomp"), col("comp"))).as("comp"))
+            .localCheckpoint(true)
+          val curSum = labelSum(next)
+          labels = next
+          converged = curSum.compareTo(prevSum) == 0
+          prevSum = curSum
+          i += 1
+          println(f"[diag]   round $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        }
+        println(s"[diag]   rounds=$i (last round is the no-change detector)")
+      }
+    }
+  }
+}
