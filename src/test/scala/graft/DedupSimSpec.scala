@@ -202,6 +202,13 @@ class DedupSimSpec extends SparkSpec {
       Dedup.connectedComponents((1L to 20L).toDF("id"), "id",
         chain, "id_a", "id_b", maxIter = 2)
     }
+    // empty pair set (nothing near-duplicated): every vertex is its own
+    // component, no fixpoint loop needed — the touched-vertices-only
+    // iteration must not NPE on an empty loop frame
+    val lone = Dedup.connectedComponents(verts, "id",
+        Seq.empty[(Long, Long)].toDF("id_a", "id_b"), "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lone == (1L to 7L).map(i => i -> i).toMap)
   }
 
   test("connected components: giant skewed cluster + max-diameter chain at 30k/8k vertices") {
