@@ -293,10 +293,22 @@ object Dedup {
     *
     * Returns (id, comp) for every vertex, comp = min id of its cluster
     * — i.e. the cluster's keeper.
+    *
+    * Small-graph fast path: when the pair-touched vertex set fits the
+    * `localMaxVertices` bound (and ids are integral), the component
+    * labels are computed with one driver-side union-find over the
+    * collected pair list instead of ~log(diameter) shuffle rounds —
+    * the same size-gated escape hatch AQE uses when it broadcasts a
+    * provably-small join side. The collect is BOUNDED by the gate
+    * (default 1M ids ≈ 16 MB of longs), so this is not an unbounded
+    * driver loop; at cluster scale, where the near-dup set exceeds the
+    * bound, the distributed loop below runs unchanged. Both paths
+    * produce identical labels (spec-asserted).
     */
   def connectedComponents(vertices: DataFrame, idCol: String,
                           pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 20,
+                          localMaxVertices: Long = 1L << 20): DataFrame = {
     // Iterative DataFrames MUST truncate lineage each round
     // (localCheckpoint): persist() caches execution but keeps the
     // logical plan, which nests geometrically per round — the plan
@@ -318,41 +330,86 @@ object Dedup {
     // round now moves ~700 ids instead of the whole corpus.)
     val touched = edges.select(col("src").as("id")).distinct()
       .localCheckpoint(true)
-    var labels = touched.select(col("id"), col("id").as("comp"))
-      .localCheckpoint(true)
-    // labels only ever DECREASE (min of self + neighbors), so the label
-    // sum is a fixpoint detector: unchanged sum ⇔ no label changed —
-    // one tiny aggregate per round instead of a comparison join
-    // decimal sum: long would overflow near 10^9 ids × 10^9 rows
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      Option(df.agg(sum(col("comp").cast("decimal(38,0)")))
-        .collect()(0).getDecimal(0))
-        .getOrElse(java.math.BigDecimal.ZERO) // empty pair set → empty loop frame
-    var prevSum = labelSum(labels)
-    var converged = prevSum.signum == 0 && labels.isEmpty // no pairs: fixpoint is immediate
-    var i = 0
-    while (!converged && i < maxIter) {
-      val viaNeighbors = labels.join(edges, col("id") === col("dst"))
-        .select(col("src").as("id"), col("comp"))
-      val m = labels.unionAll(viaNeighbors)
-        .groupBy("id").agg(min("comp").as("comp"))
-      // pointer doubling (comp := comp(comp)): long chains converge in
-      // O(log diameter) rounds instead of O(diameter) — plain
-      // propagation blew the round budget on a 10× probe corpus whose
-      // correlated fingerprints chain across documents
-      val next = m
-        .join(m.select(col("id").as("cid"), col("comp").as("ccomp")),
-          col("comp") === col("cid"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("ccomp"), col("comp"))).as("comp"))
-        .localCheckpoint(true)
-      val curSum = labelSum(next)
-      labels = next
-      converged = curSum.compareTo(prevSum) == 0
-      prevSum = curSum
-      i += 1
+    val spark = vertices.sparkSession
+    val integralId = vertices.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType => true
+      case _ => false
     }
-    require(converged, s"connectedComponents: not converged after $maxIter rounds")
+    // both gates are cheap: touched/p0 are checkpointed, so these are
+    // two count jobs over in-memory blocks. The pair gate guards a
+    // pathological pair table far denser than its vertex set.
+    val useLocal = localMaxVertices > 0 && integralId &&
+      touched.count() <= localMaxVertices &&
+      p0.count() <= 4L * localMaxVertices
+    val labels: DataFrame = if (useLocal) {
+      // union-find with min-root union + path compression: the root of
+      // every tree is the minimum id of its component at all times
+      // (initially each id is its own root; a union links the larger
+      // root under the smaller), so find(id) IS the distributed loop's
+      // min-label fixpoint.
+      import spark.implicits._
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+        var c = x // path compression
+        while (c != r) { val n = parent.getOrDefault(c, c); parent.put(c, r); c = n }
+        r
+      }
+      p0.select(col("src").cast("long"), col("dst").cast("long"))
+        .collect().foreach { row =>
+          val (a, b) = (row.getLong(0), row.getLong(1))
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+        }
+      // label every pair-touched vertex (NOT just union participants:
+      // a self-pair's vertex never enters the parent map but is still
+      // excluded from the singleton anti-join below)
+      touched.select(col("id").cast("long")).collect()
+        .map(_.getLong(0)).toSeq
+        .map(id => (id, find(id))).toDF("id", "comp")
+        .withColumn("id", col("id").cast(vertices.schema(idCol).dataType))
+        .withColumn("comp", col("comp").cast(vertices.schema(idCol).dataType))
+    } else {
+      var labels = touched.select(col("id"), col("id").as("comp"))
+        .localCheckpoint(true)
+      // labels only ever DECREASE (min of self + neighbors), so the label
+      // sum is a fixpoint detector: unchanged sum ⇔ no label changed —
+      // one tiny aggregate per round instead of a comparison join
+      // decimal sum: long would overflow near 10^9 ids × 10^9 rows
+      def labelSum(df: DataFrame): java.math.BigDecimal =
+        Option(df.agg(sum(col("comp").cast("decimal(38,0)")))
+          .collect()(0).getDecimal(0))
+          .getOrElse(java.math.BigDecimal.ZERO) // empty pair set → empty loop frame
+      var prevSum = labelSum(labels)
+      var converged = prevSum.signum == 0 && labels.isEmpty // no pairs: fixpoint is immediate
+      var i = 0
+      while (!converged && i < maxIter) {
+        val viaNeighbors = labels.join(edges, col("id") === col("dst"))
+          .select(col("src").as("id"), col("comp"))
+        val m = labels.unionAll(viaNeighbors)
+          .groupBy("id").agg(min("comp").as("comp"))
+        // pointer doubling (comp := comp(comp)): long chains converge in
+        // O(log diameter) rounds instead of O(diameter) — plain
+        // propagation blew the round budget on a 10× probe corpus whose
+        // correlated fingerprints chain across documents
+        val next = m
+          .join(m.select(col("id").as("cid"), col("comp").as("ccomp")),
+            col("comp") === col("cid"), "left")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("ccomp"), col("comp"))).as("comp"))
+          .localCheckpoint(true)
+        val curSum = labelSum(next)
+        labels = next
+        converged = curSum.compareTo(prevSum) == 0
+        prevSum = curSum
+        i += 1
+      }
+      require(converged, s"connectedComponents: not converged after $maxIter rounds")
+      labels
+    }
     labels.unionAll(
       vertices.select(col(idCol).as("id"))
         .join(touched, Seq("id"), "left_anti")

@@ -196,11 +196,18 @@ class DedupSimSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
       5L -> 5L, 6L -> 5L, 7L -> 7L))
-    // a long chain must exceed a tiny maxIter and fail loudly
+    // distributed loop (localMaxVertices = 0 disables the union-find
+    // fast path) must produce IDENTICAL labels
+    val compDist = Dedup.connectedComponents(verts, "id", pairs,
+        "id_a", "id_b", localMaxVertices = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(compDist == comp)
+    // a long chain must exceed a tiny maxIter and fail loudly (the
+    // distributed loop owns maxIter; the fast path needs no rounds)
     val chain = (1L until 20L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     intercept[IllegalArgumentException] {
       Dedup.connectedComponents((1L to 20L).toDF("id"), "id",
-        chain, "id_a", "id_b", maxIter = 2)
+        chain, "id_a", "id_b", maxIter = 2, localMaxVertices = 0)
     }
     // empty pair set (nothing near-duplicated): every vertex is its own
     // component, no fixpoint loop needed — the touched-vertices-only
@@ -220,11 +227,15 @@ class DedupSimSpec extends SparkSpec {
     // label everything 0; the skewed key lands in hash-agg partial
     // aggregation (map-side combine) + an AQE-splittable join, not a
     // driver bottleneck. PLANS.md records the measured times.
+    // localMaxVertices = 0: these probes exist to measure the
+    // DISTRIBUTED loop's skew/diameter behavior, so the union-find
+    // fast path must not swallow them
     val nHub = 30000
     val t0 = System.nanoTime()
     val hub = Dedup.connectedComponents(
       (0L until nHub).toDF("id"), "id",
-      (1L until nHub).map(i => (0L, i)).toDF("id_a", "id_b"), "id_a", "id_b")
+      (1L until nHub).map(i => (0L, i)).toDF("id_a", "id_b"), "id_a", "id_b",
+      localMaxVertices = 0)
     assert(hub.where(col("comp") =!= 0L).count() == 0)
     assert(hub.count() == nHub)
     val tHub = (System.nanoTime() - t0) / 1e9
@@ -236,7 +247,7 @@ class DedupSimSpec extends SparkSpec {
     val chain = Dedup.connectedComponents(
       (0L until nChain).toDF("id"), "id",
       (1L until nChain).map(i => (i - 1, i)).toDF("id_a", "id_b"),
-      "id_a", "id_b")
+      "id_a", "id_b", localMaxVertices = 0)
     assert(chain.where(col("comp") =!= 0L).count() == 0)
     val tChain = (System.nanoTime() - t1) / 1e9
     info(f"hub n=$nHub: $tHub%.1f s; chain n=$nChain: $tChain%.1f s")
