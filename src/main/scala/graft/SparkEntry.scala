@@ -1702,8 +1702,80 @@ object SparkEntry {
       Similarity.mmrSelect(emb, emb.where(col("vec_id") < 5),
           "vec_id", "embedding", nCandidates = 15, k = 3)
         .orderBy("query_id", "round")
+    }),
+
+    // Bloom-prefiltered benchmark decontamination (the q74 exact-join
+    // semantic restructured for benchmark sets too big to broadcast
+    // verbatim): a distributed-built Bloom over the eval slice's
+    // 4-grams gates which docs pay the verify join; result EXACT, the
+    // Bloom only elides joins (no false negatives → misses emit 0)
+    "q135_bloom_decontaminate" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      TextAnalysis.bloomContamination(
+          d.where(col("doc_id") % 50 =!= 0), col("doc_id"), col("text"),
+          d.where(col("doc_id") % 50 === 0), col("text"), w = 4,
+          expectedItems = 4096, fpp = 0.03)
+        .orderBy("doc_id")
+    }),
+
+    // edit-distance near-dup: minhash-band candidates (recall knob low)
+    // verified with thresholded Levenshtein (banded DP, bails at
+    // maxDist+1) — candidates AND the char-level verify both
+    // hash-checked against DuckDB's levenshtein
+    "q136_editdist_pairs" -> ((s, dir) =>
+      Dedup.editDistancePairs(T(s, dir, "documents"), "doc_id", "text",
+          k = 8, bands = 4, minAgree = 2, w = 3, maxDist = 20)
+        .orderBy("id_a", "id_b")),
+
+    // sparse cosine via inverted index + df-cut (Bayardo all-pairs):
+    // pairs only through shared rare 3-gram features, candidate volume
+    // bounded by Σdf²; integer tf arithmetic end to end — cos²·10⁶ by
+    // integer floor-division, no sqrt, no float risk
+    "q137_sparse_cosine" -> ((s, dir) =>
+      TextAnalysis.sparseCosinePairs(T(s, dir, "documents"),
+          col("doc_id"), col("text"), w = 3, maxDf = 10,
+          minCos2Ppm = 250000L)
+        .orderBy("id_a", "id_b")),
+
+    // perceptual near-dup over image payloads: 8×8 luma fixture
+    // (closed-form in doc_id, the q95 synthesis pattern) → codegen'd
+    // 56-bit dHash → exact-dup collapse by hash → multi-index hamming
+    // (8×7-bit blocks, pigeonhole-complete to hd 7) over DISTINCT
+    // fingerprints; emits the pair relation + member counts
+    "q138_dhash_neardup" -> ((s, dir) =>
+      Multimodal.dhashNearDupPairs(
+        T(s, dir, "documents").select(col("doc_id"),
+          Multimodal.synthGray8x8(
+            pmod(col("doc_id"), lit(12)),
+            pmod(col("doc_id"), lit(97)) < 10).as("payload")),
+        "doc_id", "payload", maxDist = 6)
+        .orderBy("hash_a", "hash_b")),
+
+    // mergeable count-min-sketch point frequencies per source (the
+    // q41/q109/q124 sketch family's point-query member): width 4096 ≫
+    // the gate vocabulary → the exact regime, registered against the
+    // plain exact-count oracle; Round9OpsSpec pins the ≥-exact
+    // one-sided error and the ε·n over-count bound in a forced-
+    // collision regime
+    "q139_cms_counts" -> ((s, dir) => {
+      import graft.functions.CountMinAgg
+      T(s, dir, "documents")
+        .select(col("source"), explode(filter(
+          split(coalesce(col("text"), lit("")), " "),
+          t => length(t) > 0)).as("tok"))
+        .groupBy("source")
+        .agg(CountMinAgg.cms_counts(col("tok"), depth = 4, width = 4096,
+          seed = 42, probes = CmsProbes).as("ests"))
+        .select(col("source"), explode(col("ests")).as("e"))
+        .select(col("source"), col("e.tok").as("tok"),
+          col("e.est").as("est"))
+        .orderBy("source", "tok")
     })
   )
+
+  /** q139's probe tokens — fixed so the oracle enumerates the same
+    * (source, tok) grid. */
+  private val CmsProbes = Seq("key", "row", "table", "spark", "zzz_absent")
 
   /** The fixed q102 merge list (ranks from an sf0.001 training run —
     * frozen so the oracle can replay them as literal replaces). */
@@ -3454,7 +3526,137 @@ object SparkEntry {
           |    AS proj_q
           |  FROM v JOIN r USING (i) GROUP BY id, j)
           |SELECT id, CAST(pos AS BIGINT) AS pos, proj_q
-          |FROM p ORDER BY id, pos""".stripMargin
+          |FROM p ORDER BY id, pos""".stripMargin,
+
+      // the exact-join contamination semantic (the Bloom is invisible
+      // to the result — pure join elision), 4-gram windows
+      "q135_bloom_decontaminate" ->
+        """WITH grams AS (SELECT doc_id,
+          |  unnest(list_distinct(list_transform(
+          |    range(1, greatest(len(string_split(text, ' ')) - 3, 1) + 1),
+          |    i -> array_to_string(string_split(text, ' ')[i:i+3], ' '))))
+          |    AS g
+          |  FROM documents WHERE text IS NOT NULL),
+          |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0)
+          |SELECT c.doc_id, COUNT(*) AS n_grams, COUNT(b.g) AS n_hit
+          |FROM grams c LEFT JOIN bench b ON c.g = b.g
+          |WHERE c.doc_id % 50 <> 0
+          |GROUP BY c.doc_id
+          |ORDER BY doc_id""".stripMargin,
+
+      // q44's md5-minhash band candidates at the lower agree knob, then
+      // DuckDB's own levenshtein as the independent verify
+      "q136_editdist_pairs" -> {
+        val k = 8; val bands = 4; val rows = k / bands; val minAgree = 2
+        val maxDist = 20
+        val sigs = graft.dedup.Dedup.abParams(k).zipWithIndex.map {
+          case ((a, b), i) =>
+            s"list_min(list_transform(h, x -> ($a * x + $b) % 2147483647)) AS sig_$i"
+        }.mkString(",\n  ")
+        val bandRows = (0 until bands).map { b =>
+          val cols = (0 until rows).map(r => s"sig_${b * rows + r} AS v$r").mkString(", ")
+          s"SELECT doc_id, $b AS band, $cols FROM s"
+        }.mkString("\n  UNION ALL ")
+        val bandJoin = (0 until rows).map(r => s"a.v$r = b.v$r").mkString(" AND ")
+        val agree = (0 until k).map(i =>
+          s"CASE WHEN da.sig_$i = db.sig_$i THEN 1 ELSE 0 END").mkString(" + ")
+        s"""WITH d AS (SELECT doc_id,
+           |  list_transform(
+           |    list_transform(range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+           |      i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')),
+           |    s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) AS h
+           |  FROM documents),
+           |s AS (SELECT doc_id,
+           |  $sigs
+           |FROM d),
+           |banded AS (
+           |  $bandRows),
+           |p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM banded a JOIN banded b
+           |    ON a.band = b.band AND $bandJoin AND a.doc_id < b.doc_id),
+           |ag AS (SELECT id_a, id_b
+           |  FROM p JOIN s da ON p.id_a = da.doc_id
+           |         JOIN s db ON p.id_b = db.doc_id
+           |  WHERE $agree >= $minAgree)
+           |SELECT id_a, id_b,
+           |  CAST(levenshtein(ta.text, tb.text) AS INTEGER) AS dist
+           |FROM ag JOIN documents ta ON ag.id_a = ta.doc_id
+           |        JOIN documents tb ON ag.id_b = tb.doc_id
+           |WHERE levenshtein(ta.text, tb.text) <= $maxDist
+           |ORDER BY id_a, id_b""".stripMargin
+      },
+
+      // inverted index + df-cut, integer tf arithmetic, floor-division
+      // cos²·10⁶ — `//` is DuckDB's integer division (Spark: `div`)
+      "q137_sparse_cosine" ->
+        """WITH toks AS (SELECT doc_id,
+          |  unnest(list_transform(
+          |    range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+          |    i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))
+          |    AS g
+          |  FROM documents WHERE text IS NOT NULL),
+          |tf AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS tf
+          |  FROM toks GROUP BY 1, 2),
+          |dfq AS (SELECT g FROM (
+          |  SELECT g, COUNT(*) AS df FROM tf GROUP BY 1) WHERE df <= 10),
+          |kept AS (SELECT tf.doc_id, tf.g, tf.tf FROM tf JOIN dfq USING (g)),
+          |norms AS (SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS nrm
+          |  FROM kept GROUP BY 1),
+          |dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |    CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+          |  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2)
+          |SELECT id_a, id_b, dot, na.nrm AS norm_a, nb.nrm AS norm_b,
+          |  (1000000 * dot * dot) // (na.nrm * nb.nrm) AS cos2_ppm
+          |FROM dots JOIN norms na ON dots.id_a = na.doc_id
+          |          JOIN norms nb ON dots.id_b = nb.doc_id
+          |WHERE (1000000 * dot * dot) // (na.nrm * nb.nrm) >= 250000
+          |ORDER BY id_a, id_b""".stripMargin,
+
+      // pixels and the 56-bit gradient hash replayed closed-form from
+      // doc_id (the q95 synthesis-oracle pattern); the oracle checks
+      // ALL distinct-hash pairs, so it also proves the engine's
+      // 8×7-bit multi-index candidates missed nothing at hd ≤ 6
+      "q138_dhash_neardup" ->
+        """WITH px AS (SELECT doc_id,
+          |  list_transform(range(0, 64), i ->
+          |    CASE WHEN doc_id % 97 < 10 AND (i = 5 OR i = 21 OR i = 42)
+          |      THEN (((doc_id % 12) * 37 + i * 23) % 251 + 60) % 256
+          |      ELSE ((doc_id % 12) * 37 + i * 23) % 251 END) AS p
+          |  FROM documents),
+          |h AS (SELECT doc_id,
+          |  CAST(list_sum(list_transform(range(0, 56), b ->
+          |    CASE WHEN p[(b // 7) * 8 + (b % 7) + 2]
+          |           > p[(b // 7) * 8 + (b % 7) + 1]
+          |      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT)
+          |    AS dhash
+          |  FROM px),
+          |g AS (SELECT dhash, CAST(COUNT(*) AS BIGINT) AS n
+          |  FROM h GROUP BY 1)
+          |SELECT a.dhash AS hash_a, b.dhash AS hash_b,
+          |  CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hd,
+          |  a.n AS n_a, b.n AS n_b
+          |FROM g a JOIN g b ON a.dhash < b.dhash
+          |WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+          |ORDER BY hash_a, hash_b""".stripMargin,
+
+      // exact counts over the (source × probes) grid — the CMS exact
+      // regime (width ≫ vocabulary) makes the sketch's estimates equal
+      // these; absent tokens appear with 0 on both sides
+      "q139_cms_counts" ->
+        """WITH toks AS (SELECT source,
+          |  unnest(list_filter(string_split(COALESCE(text, ''), ' '),
+          |    t -> len(t) > 0)) AS tok
+          |  FROM documents),
+          |srcs AS (SELECT DISTINCT source FROM toks),
+          |probes AS (SELECT unnest(
+          |  ['key', 'row', 'table', 'spark', 'zzz_absent']) AS tok),
+          |cnt AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS est
+          |  FROM toks GROUP BY 1, 2)
+          |SELECT g.source, g.tok, COALESCE(c.est, CAST(0 AS BIGINT)) AS est
+          |FROM (SELECT source, tok FROM srcs CROSS JOIN probes) g
+          |LEFT JOIN cnt c ON g.source = c.source AND g.tok = c.tok
+          |ORDER BY g.source, g.tok""".stripMargin
     )
   }
 }

@@ -122,6 +122,41 @@ object Dedup {
       .where(col("agree") >= minAgree)
   }
 
+  /** Edit-distance near-dup pairs — MinHash-LSH candidate generation
+    * with an exact Levenshtein verify: candidates come from
+    * [[portableMinhashPairs]] band buckets (never an all-pairs cross
+    * join — the only quadratic-looking step is within-bucket, bounded
+    * by band-bucket size), then each candidate pair pays ONE
+    * thresholded Levenshtein. The `threshold` overload runs the
+    * banded O(maxDist·n) diagonal DP and bails at `maxDist+1`, so cost
+    * per pair is linear in text length for the small distances that
+    * matter — the unbounded O(n²) DP never runs.
+    *
+    * Char-level edit distance is the verify step shingle/minhash
+    * agreement can't provide: token-set similarity admits reorderings
+    * and substitutions that a near-EXACT-duplicate policy (plagiarism,
+    * version drift, OCR re-scans) must reject. minAgree is set LOW
+    * (candidate recall), maxDist does the precision work. Returns
+    * (id_a, id_b, dist), id_a < id_b, dist ≤ maxDist — exact and
+    * engine-portable, so the gate query hash-checks candidates AND
+    * verification against the DuckDB levenshtein oracle.
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 8, bands: Int = 4, minAgree: Int = 2,
+                        w: Int = 3, maxDist: Int = 20): DataFrame = {
+    val cands = portableMinhashPairs(df, idCol, textCol, k, bands,
+      minAgree, w).select("id_a", "id_b")
+    val t = df.select(col(idCol), col(textCol))
+    cands
+      .join(t.select(col(idCol).as("id_a"), col(textCol).as("__ta")),
+        Seq("id_a"))
+      .join(t.select(col(idCol).as("id_b"), col(textCol).as("__tb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("__ta"), col("__tb"), maxDist).as("dist"))
+      .where(col("dist") =!= -1) // threshold form: -1 = above maxDist
+  }
+
   /** MinHash-LSH candidate pairs: k hashes split into `bands` bands of
     * rows; docs sharing any band bucket are candidates; pairs are then
     * verified with exact signature agreement ≥ `minAgree`.

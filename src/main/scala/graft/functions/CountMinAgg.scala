@@ -1,0 +1,105 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.sketch.CountMinSketch
+
+/** Mergeable count-min-sketch aggregate (Cormode-Muthukrishnan 2005)
+  * over a string column: `cms_counts(tok, depth, width, seed, probes)`
+  * keeps one depth×width counter grid per partial aggregate, merges
+  * grids cell-wise, and evals to the estimated count of each probe
+  * string — point-frequency queries ("how often does THIS token /
+  * URL / n-gram appear corpus-wide?") in one bounded-memory pass,
+  * where the exact twin groups and shuffles the full token set. The
+  * sketch is Spark's own `org.apache.spark.util.sketch.CountMinSketch`
+  * (the engine `df.stat.countMinSketch` uses), so the serialized
+  * partials are Spark's wire format: exportable, re-mergeable across
+  * days/buckets like the KLL (q124), HLL (q41), and frequent-items
+  * (q109) partials beside it — this completes the mergeable-sketch
+  * family with the point-frequency member.
+  *
+  * Guarantees (spec-pinned in Round9OpsSpec): estimates never
+  * UNDER-count (every probe ≥ its exact count — the CMS one-sided
+  * error), and over-count is ≤ ε·n with probability 1−δ for
+  * ε = 2/width, δ = (1/2)^depth. With width ≫ distinct values, no
+  * cell is shared and estimates are EXACT — the same exact-regime
+  * argument that makes q124's KLL gate hash-checkable lets this
+  * aggregate register against a plain exact-count DuckDB oracle at
+  * gate scale; Round9OpsSpec proves the regime holds on the gate data
+  * rather than assuming it.
+  *
+  * Output: array of (tok, est) structs in `probes` order — counts are
+  * integers end to end, no float risk.
+  */
+case class CountMinAgg(tokExpr: Expression, depth: Int, width: Int,
+                       seed: Int, probes: Seq[String],
+                       mutableAggBufferOffset: Int = 0,
+                       inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[CountMinSketch] {
+
+  require(depth >= 1 && width >= 1, s"depth/width must be >= 1")
+  require(probes.nonEmpty, "probes must be non-empty")
+
+  override def createAggregationBuffer(): CountMinSketch =
+    CountMinSketch.create(depth, width, seed)
+
+  override def update(buf: CountMinSketch,
+                      input: InternalRow): CountMinSketch = {
+    val v = tokExpr.eval(input)
+    if (v != null) buf.addString(v.asInstanceOf[UTF8String].toString)
+    buf
+  }
+
+  override def merge(a: CountMinSketch, b: CountMinSketch): CountMinSketch =
+    a.mergeInPlace(b)
+
+  override def eval(buf: CountMinSketch): Any =
+    new GenericArrayData(probes.map(p => InternalRow(
+      UTF8String.fromString(p), buf.estimateCount(p))).toArray)
+
+  override def serialize(buf: CountMinSketch): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    buf.writeTo(out)
+    out.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): CountMinSketch =
+    CountMinSketch.readFrom(new ByteArrayInputStream(bytes))
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("tok", StringType), StructField("est", LongType))))
+
+  override def nullable: Boolean = false
+
+  override def children: Seq[Expression] = Seq(tokExpr)
+
+  override def withNewMutableAggBufferOffset(o: Int): CountMinAgg =
+    copy(mutableAggBufferOffset = o)
+
+  override def withNewInputAggBufferOffset(o: Int): CountMinAgg =
+    copy(inputAggBufferOffset = o)
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): CountMinAgg =
+    copy(tokExpr = c(0))
+
+  override def prettyName: String = "cms_counts"
+}
+
+object CountMinAgg {
+  /** Column API: estimated counts of `probes` among values of `tok` —
+    * exact while width ≫ group-distinct values, bounded ε·n
+    * over-count beyond. */
+  def cms_counts(tok: Column, depth: Int, width: Int, seed: Int,
+                 probes: Seq[String]): Column =
+    ColumnBridge.column(
+      CountMinAgg(ColumnBridge.expression(tok), depth, width, seed, probes)
+        .toAggregateExpression())
+}

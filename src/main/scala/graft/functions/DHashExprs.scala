@@ -1,0 +1,136 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, IntegerType, LongType}
+
+/** Pack an ARRAY<INT> into a BINARY, one byte per element (low 8 bits
+  * kept) — the bridge between column-expression pixel/feature synthesis
+  * and binary-payload operators ([[DHash56Expr]]): the multimodal
+  * contract stores media as opaque BINARY columns, so tests and
+  * fixtures need a way to BUILD such payloads from declarative
+  * expressions without a UDF. NULL array → NULL; NULL elements write
+  * 0x00 (a payload byte has no null representation).
+  */
+case class PackBytesExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(IntegerType | LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pack_bytes needs ARRAY<INT|BIGINT>, got ${other.sql}")
+    }
+
+  // integer-arithmetic pixel expressions over a LONG id naturally type
+  // as ARRAY<BIGINT>; both widths pack identically (low 8 bits kept)
+  private def elemIsLong: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == LongType
+
+  override def dataType: DataType = BinaryType
+
+  override def nullSafeEval(v: Any): Any =
+    PackBytesExpr.pack(v.asInstanceOf[ArrayData], elemIsLong)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PackBytesExpr.pack($c, $elemIsLong)")
+
+  override protected def withNewChildInternal(c: Expression): PackBytesExpr =
+    copy(child = c)
+
+  override def prettyName: String = "pack_bytes"
+}
+
+object PackBytesExpr {
+  def pack(arr: ArrayData, elemIsLong: Boolean): Array[Byte] = {
+    val n = arr.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i))
+        out(i) = ((if (elemIsLong) arr.getLong(i) else arr.getInt(i).toLong)
+          & 0xffL).toByte
+      i += 1
+    }
+    out
+  }
+
+  def pack_bytes(arr: Column): Column =
+    ColumnBridge.column(PackBytesExpr(ColumnBridge.expression(arr)))
+}
+
+/** 56-bit difference hash (dHash) over a row-major 8×8 grayscale BINARY
+  * payload — the perceptual fingerprint used for image near-dup
+  * detection (Krawetz's dHash, the average-hash family): bit
+  * b = r·7 + c (r,c 0-based, c < 7) is set iff pixel(r, c+1) >
+  * pixel(r, c), pixels read as UNSIGNED bytes. 8 rows × 7 horizontal
+  * gradients = 56 bits, deliberately ≤ 63 so the hash is a
+  * non-negative LONG in every engine (no two's-complement sign
+  * divergence between Spark, DuckDB, and a JSON dump).
+  *
+  * Gradients (not absolute levels) make the hash invariant to global
+  * brightness shifts and robust to small local perturbations — a
+  * perturbed pixel flips at most its two adjacent comparisons — which
+  * is what lets hamming distance on the hash stand in for visual
+  * similarity. Payloads shorter than 64 bytes yield NULL (not a
+  * truncated hash: a partial fingerprint would silently compare
+  * against full ones); longer payloads ignore the tail, so a real
+  * decoded+resized 8×8 luma plane with trailing metadata still hashes.
+  *
+  * The real-image decode/resize step to GET the 8×8 luma plane is
+  * environment-stubbed (no codecs in this container — see
+  * [[graft.multimodal.Multimodal]]); this expression is the real
+  * fingerprint kernel that would sit after it, per-row, codegen'd,
+  * shuffle-free.
+  */
+case class DHash56Expr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any = {
+    val h = DHash56Expr.dhash(v.asInstanceOf[Array[Byte]])
+    if (h < 0) null else h
+  }
+
+  override def nullable: Boolean = true
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val h = ctx.freshName("dh")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      long $h = graft.functions.DHash56Expr.dhash($c);
+      if ($h < 0) { ${ev.isNull} = true; } else { ${ev.value} = $h; }
+    """)
+  }
+
+  override protected def withNewChildInternal(c: Expression): DHash56Expr =
+    copy(child = c)
+
+  override def prettyName: String = "dhash56"
+}
+
+object DHash56Expr {
+  /** -1 = payload too short (mapped to NULL by the expression). */
+  def dhash(b: Array[Byte]): Long = {
+    if (b.length < 64) return -1L
+    var h = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 7) {
+        val i = r * 8 + c
+        if ((b(i + 1) & 0xff) > (b(i) & 0xff)) h |= 1L << (r * 7 + c)
+        c += 1
+      }
+      r += 1
+    }
+    h
+  }
+
+  def dhash56(bin: Column): Column =
+    ColumnBridge.column(DHash56Expr(ColumnBridge.expression(bin)))
+}

@@ -150,6 +150,74 @@ object Multimodal {
       lit("data".getBytes("US-ASCII")), leU32(dataLen))
   }
 
+  /** Deterministic 8×8 grayscale fixture payload (64 bytes, row-major)
+    * — the "already decoded + resized luma plane" a real image pipeline
+    * feeds to [[dhashNearDupPairs]]' fingerprint. A smooth per-group
+    * gradient (pixel i of group g = (37g + 23i) mod 251) gives each
+    * group a distinct, stable dHash; `perturb` rows additionally bump
+    * three non-adjacent pixels (+60) — a localized edit whose
+    * fingerprint lands a FEW bits from the group's base hash (each
+    * bumped pixel flips at most its two adjacent gradients), i.e. a
+    * genuine near-duplicate, not an exact one. Everything is closed
+    * form in (g, perturb), so the DuckDB oracle replays the pixels and
+    * the hash arithmetically.
+    */
+  def synthGray8x8(group: Column, perturb: Column): Column =
+    graft.functions.PackBytesExpr.pack_bytes(
+      transform(sequence(lit(0), lit(63)), i => {
+        val base = (group * 37 + i * 23) % 251
+        when(perturb && (i === 5 || i === 21 || i === 42),
+          (base + 60) % 256).otherwise(base)
+      }))
+
+  /** Perceptual near-duplicate detection over an image corpus via
+    * 56-bit dHash ([[graft.functions.DHash56Expr]]) — the image-side
+    * analogue of SimHash text dedup, with the same two-level scale
+    * shape:
+    *   1. fingerprint per payload (per-row, codegen'd, no shuffle),
+    *      then GROUP BY the hash: exact duplicates collapse before any
+    *      pair logic, so everything downstream runs on DISTINCT
+    *      fingerprints (≪ images on a real corpus);
+    *   2. multi-index hamming search (Norouzi et al. 2012) over the
+    *      distinct hashes: 8 blocks of 7 bits — two hashes within
+    *      hamming distance 7 MUST agree on some whole block
+    *      (pigeonhole), so an equi-join on (block, value) finds every
+    *      pair with hd ≤ maxDist ≤ 7, never an all-pairs scan.
+    * Returns distinct-fingerprint near-dup pairs with member counts:
+    * (hash_a, hash_b, hd, n_a, n_b), hash_a < hash_b, hd ≤ maxDist.
+    * Emitting the pair RELATION (not the n_a·n_b expanded member
+    * pairs) is deliberate — it is what a 100-TB dedup pass feeds to
+    * connected components, and it keeps output linear in distinct
+    * fingerprints. 7-bit block keys mean bucket sizes ~distinct/2⁷ per
+    * block; on a billion-image corpus widen the blocks and lower the
+    * radius (e.g. 4×14-bit blocks, hd ≤ 3) — the standard multi-index
+    * recall/bucket-size dial, same as the SimHash 8-bit blocks in
+    * [[graft.dedup.Dedup]].
+    */
+  def dhashNearDupPairs(media: DataFrame, idCol: String, binCol: String,
+                        maxDist: Int = 6): DataFrame = {
+    require(maxDist <= 7, s"8x7-bit blocks are complete only to hd 7, got $maxDist")
+    val groups = media
+      .select(graft.functions.DHash56Expr.dhash56(col(binCol)).as("dhash"))
+      .where(col("dhash").isNotNull)
+      .groupBy("dhash").agg(count(lit(1)).as("n"))
+    val blocks = groups.select(col("dhash"), col("n"),
+      posexplode(array((0 until 8).map(b =>
+        shiftright(col("dhash"), b * 7).bitwiseAND(lit(0x7fL))): _*))
+        .as(Seq("blk", "bval")))
+    val a = blocks.select(col("blk"), col("bval"),
+      col("dhash").as("hash_a"), col("n").as("n_a"))
+    val b = blocks.select(col("blk"), col("bval"),
+      col("dhash").as("hash_b"), col("n").as("n_b"))
+    a.join(b, Seq("blk", "bval"))
+      .where(col("hash_a") < col("hash_b"))
+      .select("hash_a", "hash_b", "n_a", "n_b").distinct()
+      .withColumn("hd", bit_count(col("hash_a").bitwiseXOR(col("hash_b")))
+        .cast("int"))
+      .where(col("hd") <= maxDist)
+      .select("hash_a", "hash_b", "hd", "n_a", "n_b")
+  }
+
   /** Batch "decode + featurize" kernel over partitions: the shape a real
     * image decoder would take (an iterator of binary payloads in, a
     * fixed-size feature vector out, amortizing per-batch codec init).

@@ -530,6 +530,110 @@ object TextAnalysis {
       .withColumn("cum_tokens", sum("n_tokens").over(w))
   }
 
+  /** Bloom-prefiltered benchmark decontamination — [[contamination]]
+    * restructured for the regime where the benchmark/eval gram set is
+    * too large to broadcast as a verbatim join map (the GPT-3-style
+    * 13-gram decontamination sweep over many eval suites): a Bloom
+    * filter over the benchmark grams (built with one distributed
+    * aggregate, a few bits/gram instead of the gram strings) gates
+    * which documents pay the exact verify join at all.
+    *
+    * Per corpus document, ONE per-row pass probes each distinct gram
+    * against the Bloom:
+    *   - no gram might-match → the doc is DEFINITELY clean (Bloom has
+    *     no false negatives): emitted with n_hit = 0, no explode into
+    *     the join, no shuffle of its grams — at the filter's fpp this
+    *     is ~all clean documents, the overwhelmingly common case;
+    *   - some gram might-match → the doc's distinct grams are exploded
+    *     and verified against the actual benchmark gram set, so false
+    *     positives drop out and the reported hit count is EXACT (the
+    *     gate query hash-checks it against the plain join oracle).
+    * The result is therefore identical to [[contamination]]; the Bloom
+    * is purely a join-elision layer (the q86 incremental-dedup
+    * pattern applied to decontamination). The verify join is broadcast
+    * here; at the 100-TB/many-benchmark scale that motivates the Bloom,
+    * drop the hint and let only the surviving docs' grams shuffle.
+    * Corpus docs are scanned twice (once per branch) — columnar scans
+    * are cheap next to gram-explode shuffle traffic, and a caller
+    * keeping the gram projection cached pays one.
+    */
+  def bloomContamination(docs: DataFrame, idCol: Column, textCol: Column,
+                         bench: DataFrame, benchTextCol: Column, w: Int,
+                         expectedItems: Long, fpp: Double): DataFrame = {
+    val sh = graft.functions.ShinglesExpr.shingle_strings(textCol, w)
+    val benchGrams = bench.select(explode(array_distinct(
+        graft.functions.ShinglesExpr.shingle_strings(benchTextCol, w)))
+        .as("gram"))
+      .distinct()
+    val bloom = benchGrams.select(xxhash64(col("gram")).as("__h"))
+      .stat.bloomFilter("__h", expectedItems, fpp)
+    val withGrams = docs.where(textCol.isNotNull)
+      .select(idCol.as("doc_id"), array_distinct(sh).as("grams"))
+      .withColumn("__maybe", exists(col("grams"), g =>
+        graft.functions.BloomMightContainExpr.bloom_might_contain(
+          bloom, xxhash64(g))))
+    val clean = withGrams.where(!col("__maybe"))
+      .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"),
+        lit(0L).as("n_hit"))
+    val verified = withGrams.where(col("__maybe"))
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .join(broadcast(benchGrams.withColumn("hit", lit(1))),
+        Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
+    clean.unionByName(verified)
+  }
+
+  /** Sparse cosine similarity via an inverted index with a
+    * document-frequency cut — the classic bounded formulation of
+    * all-pairs text similarity (Bayardo et al. 2007, WWW "Scaling Up
+    * All Pairs Similarity Search"): pairs are generated ONLY through
+    * shared rare features, never by a dense cross join.
+    *
+    *   1. per-doc term frequencies over `w`-token shingles (one
+    *      explode + groupBy);
+    *   2. df-cut: features occurring in more than `maxDf` documents
+    *      are dropped from the INDEX — the candidate volume is then
+    *      bounded by Σ_kept df² ≤ maxDf·Σ df, which is what survives a
+    *      100× corpus (ubiquitous features generate quadratic pair
+    *      lists and carry no discriminative signal; dropping them is
+    *      the sparse-similarity analogue of a stop-word list);
+    *   3. inverted-index self-join on the feature, summing tf·tf dot
+    *      products per pair; norms from the same kept-feature vectors.
+    *
+    * All arithmetic is INTEGER (tf counts): the emitted
+    * `cos2_ppm = (10⁶·dot²) div (norm_a·norm_b)` is exact integer
+    * floor-division in any engine — no sqrt, no float, fully
+    * hash-checkable. cos²·10⁶ ≥ 250000 ⟺ cosine ≥ 0.5.
+    */
+  def sparseCosinePairs(docs: DataFrame, idCol: Column, textCol: Column,
+                        w: Int = 3, maxDf: Int = 10,
+                        minCos2Ppm: Long = 250000L): DataFrame = {
+    val sh = graft.functions.ShinglesExpr.shingle_strings(textCol, w)
+    val tf = docs.where(textCol.isNotNull)
+      .select(idCol.as("doc_id"), explode(sh).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("g").agg(count(lit(1)).as("df"))
+    val kept = tf.join(dfc.where(col("df") <= maxDf).select("g"), Seq("g"))
+    val norms = kept.groupBy("doc_id")
+      .agg(sum(col("tf") * col("tf")).as("nrm"))
+    val dots = kept.select(col("g"), col("doc_id").as("id_a"),
+        col("tf").as("tfa"))
+      .join(kept.select(col("g"), col("doc_id").as("id_b"),
+        col("tf").as("tfb")), Seq("g"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(sum(col("tfa") * col("tfb")).as("dot"))
+    dots
+      .join(norms.select(col("doc_id").as("id_a"), col("nrm").as("norm_a")),
+        Seq("id_a"))
+      .join(norms.select(col("doc_id").as("id_b"), col("nrm").as("norm_b")),
+        Seq("id_b"))
+      .withColumn("cos2_ppm",
+        expr("(1000000 * dot * dot) div (norm_a * norm_b)"))
+      .where(col("cos2_ppm") >= minCos2Ppm)
+      .select("id_a", "id_b", "dot", "norm_a", "norm_b", "cos2_ppm")
+  }
+
   /** Zipf rank–frequency slope over the `topN` most frequent tokens
     * (Heaps' companion: ~−1 for natural language, far off for tables,
     * code, or generator spam — a cheap whole-corpus health signal).

@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.functions.{CountMinAgg, DHash56Expr, PackBytesExpr}
+import graft.multimodal.Multimodal
+import graft.text.TextAnalysis
+
+/** Property pins for the round-9 operators (each also has a DuckDB
+  * hash oracle — q135-q139; these specs pin the semantics the hash
+  * cannot see: Bloom-invisibility, verify exactness, multi-index
+  * completeness, sketch error bounds and the exact regime).
+  */
+class Round9OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = SparkEntry.T(spark, sfDir, "documents")
+
+  test("pack_bytes: int and long arrays, low-byte keep, null elements") {
+    val out = Seq((Seq(0, 65, 255, 256 + 7), Seq(1L, 511L)))
+      .toDF("ints", "longs")
+      .select(PackBytesExpr.pack_bytes(col("ints")).as("a"),
+        PackBytesExpr.pack_bytes(col("longs")).as("b"))
+      .head()
+    assert(out.getAs[Array[Byte]]("a").toSeq ==
+      Seq(0, 65, -1, 7).map(_.toByte)) // 255→0xff, 263→low byte 7
+    assert(out.getAs[Array[Byte]]("b").toSeq == Seq(1, -1).map(_.toByte))
+    val withNull = Seq(Tuple1(Seq[Integer](5, null, 9))).toDF("xs")
+      .select(PackBytesExpr.pack_bytes(col("xs"))).head().getAs[Array[Byte]](0)
+    assert(withNull.toSeq == Seq(5, 0, 9).map(_.toByte)) // null → 0x00
+    intercept[Exception] { // non-integral array rejected at analysis
+      Seq(Tuple1(Seq("x"))).toDF("xs")
+        .select(PackBytesExpr.pack_bytes(col("xs"))).head()
+    }
+  }
+
+  test("dhash56: short-payload NULL, tail ignored, brightness invariance") {
+    def hashOf(px: Seq[Int]): Option[Long] = {
+      val r = Seq(Tuple1(px)).toDF("px")
+        .select(DHash56Expr.dhash56(PackBytesExpr.pack_bytes(col("px"))))
+        .head()
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
+    val base = (0 until 64).map(i => (i * 23) % 251)
+    assert(hashOf(base.take(63)).isEmpty) // 63 bytes: NULL, not truncated
+    val h = hashOf(base).get
+    assert(hashOf(base ++ Seq(1, 2, 3)).get == h) // trailing bytes ignored
+    assert((h >> 56) == 0L && h >= 0L)            // 56 bits, non-negative
+    // global brightness shift (all pixels +40 without wrap) preserves
+    // every gradient — the perceptual-invariance property
+    assert(hashOf(base.map(p => (p + 40).min(255))).isDefined)
+    assert(hashOf(base.map(_ / 2 + 60)).get ==
+      hashOf(base.map(_ / 2 + 90)).get)
+    // one perturbed pixel flips at most its two adjacent comparisons
+    val bumped = base.updated(20, (base(20) + 60) % 256)
+    assert(java.lang.Long.bitCount(h ^ hashOf(bumped).get) <= 2)
+  }
+
+  test("dhash multi-index pairs == brute force over distinct hashes") {
+    val media = docs.select(col("doc_id"),
+      Multimodal.synthGray8x8(pmod(col("doc_id"), lit(12)),
+        pmod(col("doc_id"), lit(97)) < 10).as("payload"))
+    val engine = Multimodal.dhashNearDupPairs(media, "doc_id", "payload",
+        maxDist = 6)
+      .select("hash_a", "hash_b", "hd").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val hashes = media
+      .select(DHash56Expr.dhash56(col("payload")).as("h"))
+      .distinct().as[Long].collect()
+    val brute = (for {
+      a <- hashes; b <- hashes if a < b
+      hd = java.lang.Long.bitCount(a ^ b) if hd <= 6
+    } yield (a, b, hd)).toSet
+    assert(engine == brute, // pigeonhole completeness at hd ≤ maxDist ≤ 7
+      s"engine ${engine.size} pairs vs brute ${brute.size}")
+    assert(brute.nonEmpty) // fixture produces genuine near-dups
+  }
+
+  test("bloom decontamination: identical to the exact-join operator") {
+    val corpus = docs.where(col("doc_id") % 50 =!= 0)
+    val bench = docs.where(col("doc_id") % 50 === 0)
+    val viaBloom = TextAnalysis.bloomContamination(corpus, col("doc_id"),
+        col("text"), bench, col("text"), w = 4,
+        expectedItems = 4096, fpp = 0.03)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val exact = TextAnalysis.contamination(corpus, col("doc_id"),
+        col("text"), bench, col("text"), w = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(viaBloom.toSeq == exact.toSeq) // Bloom is pure join elision
+    assert(viaBloom.exists(_._3 > 0) && viaBloom.exists(_._3 == 0L))
+  }
+
+  test("edit-distance pairs: emitted distances are exact and bounded") {
+    val pairs = Dedup.editDistancePairs(docs, "doc_id", "text",
+      minAgree = 2, maxDist = 20)
+    val t = docs.select(col("doc_id"), col("text"))
+    val checked = pairs
+      .join(t.select(col("doc_id").as("id_a"), col("text").as("ta")), "id_a")
+      .join(t.select(col("doc_id").as("id_b"), col("text").as("tb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("dist"),
+        levenshtein(col("ta"), col("tb")).as("full")) // unthresholded
+      .collect()
+    assert(checked.nonEmpty && checked.length >= 20)
+    checked.foreach { r =>
+      assert(r.getInt(2) == r.getInt(3), s"thresholded DP diverged: $r")
+      assert(r.getInt(2) <= 20 && r.getLong(0) < r.getLong(1))
+    }
+  }
+
+  test("sparse cosine: df-cut drops ubiquitous features; integer parity") {
+    // 'stop stop' appears in EVERY doc → df-cut must remove it from the
+    // index, so docs sharing ONLY the stop gram never pair
+    val d = Seq(
+      (1L, "stop stop q w e r t y u i stop stop"),
+      (2L, "stop stop q w e r t y u i stop stop"), // near-dup of 1
+      (3L, "stop stop a s d f g h j k stop stop"), // shares only stop grams
+      (4L, "stop stop z x c v b n m l stop stop")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.sparseCosinePairs(d, col("doc_id"), col("text"),
+        w = 3, maxDf = 2, minCos2Ppm = 250000L).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    val r = out.head
+    // identical kept-feature vectors: dot == both norms, cos² == 10⁶...
+    assert(r.getAs[Long]("dot") == r.getAs[Long]("norm_a"))
+    assert(r.getAs[Long]("norm_a") == r.getAs[Long]("norm_b"))
+    assert(r.getAs[Long]("cos2_ppm") == 1000000L)
+  }
+
+  test("cms: exact regime on gate data, one-sided error under collisions") {
+    val probes = Seq("key", "row", "table", "spark", "zzz_absent")
+    val toks = docs.select(explode(filter(
+      split(coalesce(col("text"), lit("")), " "),
+      t => length(t) > 0)).as("tok"))
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exact regime: width ≫ vocabulary → every estimate equals the truth
+    val wide = toks.agg(CountMinAgg.cms_counts(col("tok"), depth = 4,
+        width = 4096, seed = 42, probes = probes).as("e"))
+      .select(explode(col("e")).as("x"))
+      .select(col("x.tok"), col("x.est")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    probes.foreach { p =>
+      assert(wide(p) == exact.getOrElse(p, 0L), s"exact regime broke on $p")
+    }
+    assert(wide("zzz_absent") == 0L)
+    // forced-collision regime: width 8 over a ~30-token vocabulary —
+    // estimates stay one-sided (≥ exact) and within ε·n = (2/8)·n
+    val n = toks.count()
+    val narrow = toks.agg(CountMinAgg.cms_counts(col("tok"), depth = 4,
+        width = 8, seed = 42, probes = probes).as("e"))
+      .select(explode(col("e")).as("x"))
+      .select(col("x.tok"), col("x.est")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    probes.foreach { p =>
+      val ex = exact.getOrElse(p, 0L)
+      assert(narrow(p) >= ex, s"CMS under-counted $p: ${narrow(p)} < $ex")
+      assert(narrow(p) - ex <= n / 4, s"over-count above ε·n for $p")
+    }
+  }
+}
