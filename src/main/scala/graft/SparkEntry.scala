@@ -1770,6 +1770,67 @@ object SparkEntry {
         .select(col("source"), col("e.tok").as("tok"),
           col("e.est").as("est"))
         .orderBy("source", "tok")
+    }),
+
+    // Spark's NATIVE session_window aggregation (the built-in gap
+    // operator beside q32's windowed-islands formulation and q78's
+    // custom flatMapGroupsWithState sessions): per user, sessions close
+    // after a 30-min event gap; window.end = last event + gap, so
+    // last_us recovers the last event time exactly. All-micros integer
+    // output; the oracle replays the gap-break islands in SQL.
+    // StreamingSpec pins batch ≡ streaming for the same operator.
+    "q140_session_window_native" -> ((s, dir) =>
+      T(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          (unix_micros(col("session_window.end")) - lit(1800000000L))
+            .as("last_us"),
+          col("n_events"))
+        .orderBy("user_id", "start_us")),
+
+    // incremental FUZZY dedup: the new batch (doc_id % 4 == 3) screened
+    // against the history near-dup index (everything else) — batch
+    // band rows join history band rows only, one aggregated verdict
+    // per batch doc with deterministic best-match provenance
+    "q141_incremental_fuzzy" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      Dedup.incrementalFuzzy(
+          d.where(col("doc_id") % 4 === 3), d.where(col("doc_id") % 4 =!= 3),
+          "doc_id", "text", k = 8, bands = 4, minAgree = 4, w = 3)
+        .orderBy("id")
+    }),
+
+    // multi-pattern PII scan (the C4/Gopher policy-filter shape beyond
+    // q65/q91's digit masking): per-doc counts of email / IPv4 /
+    // phone-suffix shapes. PII substrings are synthesized
+    // deterministically from doc_id (the corpus itself is word-salad),
+    // so the oracle replays both the planting and the scan; patterns
+    // use the Java∩RE2 common dialect (classes, bounded repeats, \b)
+    "q142_pii_scan" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val t = concat(coalesce(col("text"), lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" mail user"), id, lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" host 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+            lit("."), pmod(col("doc_id"), lit(100)).cast("string")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit(" ref 555-0142"))
+          .otherwise(lit("")))
+      T(s, dir, "documents").select(col("doc_id"), t.as("t"))
+        .select(col("doc_id"),
+          regexp_count(col("t"),
+            lit("[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}")).cast("long")
+            .as("n_email"),
+          regexp_count(col("t"),
+            lit("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"))
+            .cast("long").as("n_ipv4"),
+          regexp_count(col("t"), lit("\\b\\d{3}-\\d{4}\\b")).cast("long")
+            .as("n_phone"))
+        .orderBy("doc_id")
     })
   )
 
@@ -3656,7 +3717,104 @@ object SparkEntry {
           |SELECT g.source, g.tok, COALESCE(c.est, CAST(0 AS BIGINT)) AS est
           |FROM (SELECT source, tok FROM srcs CROSS JOIN probes) g
           |LEFT JOIN cnt c ON g.source = c.source AND g.tok = c.tok
-          |ORDER BY g.source, g.tok""".stripMargin
+          |ORDER BY g.source, g.tok""".stripMargin,
+
+      // gap-break islands on raw micros: a session breaks when the gap
+      // to the previous event is ≥ 30 min (session_window's half-open
+      // [start, last+gap) semantics); no (user, ts) duplicates in the
+      // data, so the island numbering is deterministic
+      "q140_session_window_native" ->
+        """WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+          |m AS (SELECT user_id, tus,
+          |    CASE WHEN lag(tus) OVER w IS NULL
+          |      OR tus - lag(tus) OVER w >= 1800000000 THEN 1 ELSE 0 END
+          |      AS brk
+          |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+          |s AS (SELECT user_id, tus,
+          |    SUM(brk) OVER (PARTITION BY user_id ORDER BY tus
+          |      ROWS UNBOUNDED PRECEDING) AS sid
+          |  FROM m)
+          |SELECT user_id, min(tus) AS start_us, max(tus) AS last_us,
+          |  count(*) AS n_events
+          |FROM s GROUP BY user_id, sid
+          |ORDER BY user_id, start_us""".stripMargin,
+
+      // q44's md5-minhash machinery split into batch/history slices:
+      // candidates only ACROSS the split, aggregated verdict per batch
+      // doc with the same (agree desc, id asc) argmax
+      "q141_incremental_fuzzy" -> {
+        val k = 8; val bands = 4; val rows = k / bands; val minAgree = 4
+        val sigs = graft.dedup.Dedup.abParams(k).zipWithIndex.map {
+          case ((a, b), i) =>
+            s"list_min(list_transform(h, x -> ($a * x + $b) % 2147483647)) AS sig_$i"
+        }.mkString(",\n  ")
+        val bandRows = (0 until bands).map { b =>
+          val cols = (0 until rows).map(r => s"sig_${b * rows + r} AS v$r").mkString(", ")
+          s"SELECT doc_id, $b AS band, $cols FROM s"
+        }.mkString("\n  UNION ALL ")
+        val bandJoin = (0 until rows).map(r => s"b.v$r = h.v$r").mkString(" AND ")
+        val agree = (0 until k).map(i =>
+          s"CASE WHEN db.sig_$i = dh.sig_$i THEN 1 ELSE 0 END").mkString(" + ")
+        s"""WITH d AS (SELECT doc_id,
+           |  list_transform(
+           |    list_transform(range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+           |      i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')),
+           |    s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) AS h
+           |  FROM documents),
+           |s AS (SELECT doc_id,
+           |  $sigs
+           |FROM d),
+           |banded AS (
+           |  $bandRows),
+           |p AS (SELECT DISTINCT b.doc_id AS bid, h.doc_id AS hid
+           |  FROM banded b JOIN banded h
+           |    ON b.band = h.band AND $bandJoin
+           |  WHERE b.doc_id % 4 = 3 AND h.doc_id % 4 <> 3),
+           |ag AS (SELECT bid, hid, $agree AS agree
+           |  FROM p JOIN s db ON p.bid = db.doc_id
+           |         JOIN s dh ON p.hid = dh.doc_id
+           |  WHERE $agree >= $minAgree),
+           |agg AS (SELECT bid, COUNT(*) AS n_dups,
+           |    CAST(MAX(agree) AS INTEGER) AS best_agree
+           |  FROM ag GROUP BY 1),
+           |bm AS (SELECT bid, hid AS best_match FROM (
+           |  SELECT bid, hid, row_number() OVER (PARTITION BY bid
+           |    ORDER BY agree DESC, hid ASC) AS rn FROM ag) WHERE rn = 1)
+           |SELECT doc.doc_id AS id,
+           |  COALESCE(agg.n_dups, CAST(0 AS BIGINT)) AS n_dups,
+           |  COALESCE(agg.best_agree, CAST(0 AS INTEGER)) AS best_agree,
+           |  bm.best_match AS best_match
+           |FROM documents doc
+           |LEFT JOIN agg ON doc.doc_id = agg.bid
+           |LEFT JOIN bm ON doc.doc_id = bm.bid
+           |WHERE doc.doc_id % 4 = 3
+           |ORDER BY id""".stripMargin
+      },
+
+      // same deterministic PII planting, RE2's view of the shared
+      // regex dialect — len(regexp_extract_all) is DuckDB's
+      // regexp_count
+      "q142_pii_scan" ->
+        """WITH d AS (SELECT doc_id, COALESCE(text, '')
+          |  || CASE WHEN doc_id % 5 = 0 THEN ' mail user'
+          |       || CAST(doc_id AS VARCHAR) || '@example.com'
+          |     ELSE '' END
+          |  || CASE WHEN doc_id % 7 = 0 THEN ' host 10.0.'
+          |       || CAST(doc_id % 256 AS VARCHAR) || '.'
+          |       || CAST(doc_id % 100 AS VARCHAR)
+          |     ELSE '' END
+          |  || CASE WHEN doc_id % 11 = 0 THEN ' ref 555-0142'
+          |     ELSE '' END AS t
+          |  FROM documents)
+          |SELECT doc_id,
+          |  CAST(len(regexp_extract_all(t,
+          |    '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_email,
+          |  CAST(len(regexp_extract_all(t,
+          |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT)
+          |    AS n_ipv4,
+          |  CAST(len(regexp_extract_all(t, '\b\d{3}-\d{4}\b')) AS BIGINT)
+          |    AS n_phone
+          |FROM d ORDER BY doc_id""".stripMargin
     )
   }
 }

@@ -98,18 +98,7 @@ object Dedup {
                            k: Int = 8, bands: Int = 4, minAgree: Int = 4,
                            w: Int = 3): DataFrame = {
     val rows = k / bands
-    val sigd = df.select(col(idCol).as("id"),
-      graft.functions.MinHashSigExpr.minhash_sig_md5(col(textCol), k, w)
-        .as("sig"))
-    // band key = the raw band values as `rows` flat long columns (plain
-    // long equi-join keys; a struct key here measured ~4x slower)
-    val exploded = sigd.select(col("id"), col("sig"),
-      posexplode(array((0 until bands).map { b =>
-        array((0 until rows).map(r =>
-          element_at(col("sig"), b * rows + r + 1)): _*)
-      }: _*)).as(Seq("band", "bkey")))
-    val banded = exploded.select(Seq(col("id"), col("sig"), col("band")) ++
-      (0 until rows).map(r => element_at(col("bkey"), r + 1).as(s"v$r")): _*)
+    val banded = bandedMd5(df, idCol, textCol, k, bands, w)
     val keys = "band" +: (0 until rows).map(r => s"v$r")
     val a = banded.withColumnRenamed("id", "id_a").withColumnRenamed("sig", "sig_a")
     val b = banded.withColumnRenamed("id", "id_b").withColumnRenamed("sig", "sig_b")
@@ -120,6 +109,75 @@ object Dedup {
           m => m)).as("agree"))
       .distinct()
       .where(col("agree") >= minAgree)
+  }
+
+  /** Portable (md5-based) minhash signatures exploded into per-band
+    * rows — the shared candidate-generation frame of
+    * [[portableMinhashPairs]] and [[incrementalFuzzy]]: (id, sig,
+    * band, v0..v{rows-1}).
+    */
+  private def bandedMd5(df: DataFrame, idCol: String, textCol: String,
+                        k: Int, bands: Int, w: Int): DataFrame = {
+    val rows = k / bands
+    val sigd = df.select(col(idCol).as("id"),
+      graft.functions.MinHashSigExpr.minhash_sig_md5(col(textCol), k, w)
+        .as("sig"))
+    // band key = the raw band values as `rows` flat long columns (plain
+    // long equi-join keys; a struct key here measured ~4x slower)
+    val exploded = sigd.select(col("id"), col("sig"),
+      posexplode(array((0 until bands).map { b =>
+        array((0 until rows).map(r =>
+          element_at(col("sig"), b * rows + r + 1)): _*)
+      }: _*)).as(Seq("band", "bkey")))
+    exploded.select(Seq(col("id"), col("sig"), col("band")) ++
+      (0 until rows).map(r => element_at(col("bkey"), r + 1).as(s"v$r")): _*)
+  }
+
+  /** Incremental FUZZY dedup — the near-dup sibling of
+    * [[incrementalExact]]: a new batch is screened against the
+    * near-dup INDEX of everything already accepted (here derived from
+    * `history` inline; in production the banded-signature frame IS the
+    * persisted index the pipeline maintains, so history text is never
+    * re-read). Batch band rows equi-join history band rows — batch
+    * docs never pair with each other (intra-batch dedup is
+    * [[portableMinhashPairs]]' job), and only signatures shuffle,
+    * never text.
+    *
+    * Per batch doc the verdict is aggregated, not the pair list: how
+    * many history docs agree ≥ minAgree, the best agreement, and the
+    * best-matching history id (max agree, ties to the smallest id —
+    * deterministic). Docs with no qualifying candidate come back with
+    * (0, 0, NULL) via the left join, so the output is total over the
+    * batch: downstream keeps `n_dups = 0` rows and quarantines the
+    * rest with their provenance match.
+    */
+  def incrementalFuzzy(batch: DataFrame, history: DataFrame,
+                       idCol: String, textCol: String,
+                       k: Int = 8, bands: Int = 4, minAgree: Int = 4,
+                       w: Int = 3): DataFrame = {
+    val rows = k / bands
+    val keys = "band" +: (0 until rows).map(r => s"v$r")
+    val b = bandedMd5(batch, idCol, textCol, k, bands, w)
+      .withColumnRenamed("id", "bid").withColumnRenamed("sig", "bsig")
+    val h = bandedMd5(history, idCol, textCol, k, bands, w)
+      .withColumnRenamed("id", "hid").withColumnRenamed("sig", "hsig")
+    val cand = b.join(h, keys)
+      .select(col("bid"), col("hid"), col("bsig"), col("hsig")).distinct()
+      .select(col("bid"), col("hid"),
+        size(filter(zip_with(col("bsig"), col("hsig"), (x, y) => x === y),
+          m => m)).as("agree"))
+      .where(col("agree") >= minAgree)
+    // argmax via max(struct): agree desc, then hid asc (negated)
+    val best = cand.groupBy("bid").agg(
+      count(lit(1)).as("n_dups"),
+      max(col("agree")).as("best_agree"),
+      max(struct(col("agree"), (-col("hid")).as("nh"))).as("bst"))
+    batch.select(col(idCol).as("id"))
+      .join(best.withColumnRenamed("bid", "id"), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        coalesce(col("best_agree"), lit(0)).as("best_agree"),
+        (-col("bst.nh")).cast("long").as("best_match"))
   }
 
   /** Edit-distance near-dup pairs — MinHash-LSH candidate generation
@@ -144,17 +202,46 @@ object Dedup {
   def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 8, bands: Int = 4, minAgree: Int = 2,
                         w: Int = 3, maxDist: Int = 20): DataFrame = {
-    val cands = portableMinhashPairs(df, idCol, textCol, k, bands,
+    // exact-duplicate collapse FIRST (the q138 group-then-pair shape):
+    // byte-identical texts share signature, bands, and distance, so
+    // every minhash+levenshtein computation happens ONCE per distinct
+    // text and member pairs are expanded afterwards by cheap equi-joins.
+    // On a corpus with duplication factor d this cuts candidate and DP
+    // work ~d² (measured 54 s → ~linear on the 10× byte-identical
+    // replica probe) and changes NOTHING in the output: identical
+    // members inherit their representative's candidates and distances,
+    // and intra-group pairs are definitionally dist 0 (they always
+    // band-match with full agreement ≥ any minAgree ≤ k).
+    val t = df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), col(textCol).as("t"))
+      .withColumn("fp", md5(col("t")))
+    val members = t.select("id", "fp")
+    val reps = t.groupBy("fp").agg(min(col("id")).as("rid"),
+      first(col("t")).as("rt")) // all t in a group are identical
+    val intra = members.alias("ma").join(members.alias("mb"), "fp")
+      .where(col("ma.id") < col("mb.id"))
+      .select(col("ma.id").as("id_a"), col("mb.id").as("id_b"),
+        lit(0).as("dist"))
+    val repPairs = portableMinhashPairs(reps, "rid", "rt", k, bands,
       minAgree, w).select("id_a", "id_b")
-    val t = df.select(col(idCol), col(textCol))
-    cands
-      .join(t.select(col(idCol).as("id_a"), col(textCol).as("__ta")),
-        Seq("id_a"))
-      .join(t.select(col(idCol).as("id_b"), col(textCol).as("__tb")),
-        Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
+    val rfp = reps.select(col("rid"), col("fp"), col("rt"))
+    val crossRep = repPairs
+      .join(rfp.select(col("rid").as("id_a"), col("fp").as("fp_a"),
+        col("rt").as("__ta")), Seq("id_a"))
+      .join(rfp.select(col("rid").as("id_b"), col("fp").as("fp_b"),
+        col("rt").as("__tb")), Seq("id_b"))
+      .select(col("fp_a"), col("fp_b"),
         levenshtein(col("__ta"), col("__tb"), maxDist).as("dist"))
       .where(col("dist") =!= -1) // threshold form: -1 = above maxDist
+    val cross = crossRep
+      .join(members.select(col("fp").as("fp_a"), col("id").as("ida")),
+        Seq("fp_a"))
+      .join(members.select(col("fp").as("fp_b"), col("id").as("idb")),
+        Seq("fp_b"))
+      // member ids of different groups interleave arbitrarily
+      .select(least(col("ida"), col("idb")).as("id_a"),
+        greatest(col("ida"), col("idb")).as("id_b"), col("dist"))
+    intra.unionByName(cross)
   }
 
   /** MinHash-LSH candidate pairs: k hashes split into `bands` bands of

@@ -89,6 +89,23 @@ object Bench10x {
         concat(coalesce(col("text"), lit("")), lit(" zqr"), col("r")))
       .drop("r").repartition(32)
       .write.mode("overwrite").parquet(s"$dir10r/documents.parquet")
+    // DISJOINT-text 10× variant for the pair-GENERATING similarity ops
+    // (q136/q137/q141): the suffix tag above leaves replicas ~99%
+    // Jaccard-similar, so minhash/inverted-index candidates still grow
+    // quadratically in the duplication factor — correct output (the
+    // near-dup pairs exist) but useless as a scaling-exponent probe.
+    // Tagging EVERY token with the replica id makes cross-replica text
+    // fully dissimilar while preserving each replica's internal
+    // near-dup structure: the honest linear-scaling ground truth.
+    val dir10d = "/tmp/graft_sf1_disjoint"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir10d))
+    spark.read.parquet(s"$sf01/documents.parquet")
+      .crossJoin(broadcast(reps))
+      .withColumn("doc_id", col("doc_id") + col("r") * lit(nDocs))
+      .withColumn("text", regexp_replace(coalesce(col("text"), lit("")),
+        lit("([a-z0-9]+)"), concat(lit("$1"), col("r").cast("string"))))
+      .drop("r").repartition(32)
+      .write.mode("overwrite").parquet(s"$dir10d/documents.parquet")
     // one fixed 1e9 stride for every TPC-H key keeps FK joins intact
     // per replica and the q120 +1e7/+2e7 node-id offsets collision-free
     replicate("lineitem", Map("l_orderkey" -> 1000000000L,
@@ -114,12 +131,19 @@ object Bench10x {
       (name, t1, t10, ratio)
     }
 
-    // the realistic-text variant for the two rows VERDICT r8 flagged
-    // (q97 super-linear pre-fix, q121 watch item)
-    val realistic = Seq("q97_normalized_dedup", "q121_winnowing").map { name =>
+    // the realistic-text variant: q97/q121 (VERDICT r8's flagged rows)
+    // on the suffix-tagged dir; the pair-generating similarity ops on
+    // the token-tagged DISJOINT dir (see dir10d note — under
+    // byte-identical or merely-suffixed replicas their candidate set
+    // grows quadratically in the duplication factor by construction:
+    // real output, not wasted work, but no scaling exponent signal)
+    val realistic = (Seq("q97_normalized_dedup", "q121_winnowing")
+        .map(_ -> dir10r) ++
+      Seq("q136_editdist_pairs", "q137_sparse_cosine",
+        "q141_incremental_fuzzy").map(_ -> dir10d)).map { case (name, dir) =>
       val fn = SparkEntry.queries(name)
       val t1 = minOf2 { fn(spark, sf01).count(): Unit }
-      val t10 = minOf2 { fn(spark, dir10r).count(): Unit }
+      val t10 = minOf2 { fn(spark, dir).count(): Unit }
       println(f"[bench10x] $name (realistic) sf0.1=$t1%.2f s 10x=$t10%.2f s " +
         f"ratio=${t10 / t1}%.1f")
       (name, t1, t10, t10 / t1)
@@ -138,7 +162,7 @@ object Bench10x {
     }
     val json =
       s"""{
-         |"protocol": "10x id-shifted replica of sf0.1 (docs/embeddings text byte-identical per replica: worst case for dedup/CC; TPC-H keys strided 1e9: 10 disjoint graph copies), min-of-2 per scale, local[32], trained artifacts cache-warmed per dir like the driver bench",
+         |"protocol": "10x id-shifted replica of sf0.1 (docs/embeddings text byte-identical per replica: worst case for dedup/CC; TPC-H keys strided 1e9: 10 disjoint graph copies), min-of-2 per scale, local[32], trained artifacts cache-warmed per dir like the driver bench. realistic_text_variant: q97/q121 on suffix-tagged replicas; pair-generating ops (q136/q137/q141) on token-tagged DISJOINT replicas, since any replica protocol that keeps replicas similar makes their pair OUTPUT quadratic in duplication by construction",
          |"n_docs_sf01": $nDocs, "n_docs_10x": ${nDocs * 10},
          |"total_sf01_sec": ${fmt(rows.map(_._2).sum)},
          |"total_10x_sec": ${fmt(rows.map(_._3).sum)},

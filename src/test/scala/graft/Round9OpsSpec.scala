@@ -129,6 +129,50 @@ class Round9OpsSpec extends SparkSpec {
     assert(r.getAs[Long]("cos2_ppm") == 1000000L)
   }
 
+  test("incremental fuzzy: crossing pairs only, parity with the pair operator") {
+    val batch = docs.where(col("doc_id") % 4 === 3)
+    val history = docs.where(col("doc_id") % 4 =!= 3)
+    val out = Dedup.incrementalFuzzy(batch, history, "doc_id", "text",
+      minAgree = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSeq
+    // total over the batch: every batch doc exactly once
+    assert(out.map(_._1).sorted ==
+      batch.select("doc_id").as[Long].collect().sorted.toSeq)
+    // the flagged set must equal the symmetric pair operator's verdict
+    // restricted to batch×history pairs
+    val pairs = Dedup.portableMinhashPairs(docs, "doc_id", "text",
+        minAgree = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .filter { case (a, b, _) => (a % 4 == 3) != (b % 4 == 3) }
+    val wantBest = pairs
+      .flatMap { case (a, b, g) =>
+        Seq(if (a % 4 == 3) (a, (g, b)) else (b, (g, a))) }
+      .groupBy(_._1)
+      .map { case (id, xs) =>
+        val best = xs.map(_._2).minBy { case (g, hid) => (-g, hid) }
+        id -> (xs.size, best._1, best._2) }
+    val flagged = out.filter(_._2 > 0)
+    assert(flagged.nonEmpty, "fixture has no cross-split near-dups")
+    assert(flagged.map(r => r._1 -> (r._2.toInt, r._3, r._4.get)).toMap ==
+      wantBest.map { case (id, (n, g, hid)) => id -> (n, g, hid) })
+    // clean docs: zeroed verdict, null provenance
+    out.filter(_._2 == 0L).foreach { r =>
+      assert(r._3 == 0 && r._4.isEmpty)
+    }
+  }
+
+  test("pii scan: planted counts are exact per modulus class") {
+    val out = SparkEntry.queries("q142_pii_scan")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 500)
+    out.foreach { case (id, (em, ip, ph)) =>
+      assert(em == (if (id % 5 == 0) 1L else 0L), s"email at $id")
+      assert(ip == (if (id % 7 == 0) 1L else 0L), s"ipv4 at $id")
+      assert(ph == (if (id % 11 == 0) 1L else 0L), s"phone at $id")
+    }
+  }
+
   test("cms: exact regime on gate data, one-sided error under collisions") {
     val probes = Seq("key", "row", "table", "spark", "zzz_absent")
     val toks = docs.select(explode(filter(

@@ -19,6 +19,40 @@ class StreamingSpec extends SparkSpec {
   private def tmp(prefix: String) =
     Files.createTempDirectory(prefix).toString
 
+  test("native session_window: streaming closed sessions match batch (q140's operator)") {
+    // time-ordered two-file split → two micro-batches, no late data:
+    // the watermark after batch 1 closes its finished sessions, which
+    // must carry exactly the batch-mode session aggregates
+    val sub = events().where(col("user_id") < 30).select("user_id", "ts")
+    val srcDir = tmp("sess_src")
+    sub.repartitionByRange(2, col("ts")).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(sub.schema).parquet(srcDir)
+    val q = stream.withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"), col("n"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sesswin")
+      .option("checkpointLocation", tmp("sess_ckpt"))
+      .option("maxFilesPerTrigger", "1")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("sesswin").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = sub
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.nonEmpty, "watermark closed no sessions — split broken?")
+    got.foreach { case (k, n) =>
+      assert(want(k) == n, s"session $k: stream $n vs batch ${want(k)}")
+    }
+  }
+
   test("file replay → zset totals == batch totals; merge is idempotent") {
     val srcDir = tmp("clf_src")
     val lines = LogGen.clfLines(events()).collect().map(_.getString(0))
