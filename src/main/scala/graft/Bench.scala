@@ -39,6 +39,9 @@ object Bench {
       graft.sim.IvfIndex.buildCached(spark,
         spark.read.parquet(s"$sfDir/embeddings.parquet"),
         s"$sfDir/embeddings", "vec_id", "embedding", nLists = 8, maxIter = 8)
+      graft.sim.PqIndex.buildCached(spark,
+        spark.read.parquet(s"$sfDir/embeddings.parquet"),
+        s"$sfDir/embeddings", "vec_id", "embedding", dim = 64, m = 8, k = 16)
       graft.ml.DocCluster.fitCached(
         spark.read.parquet(s"$sfDir/documents.parquet"),
         s"$sfDir/documents", "text", k = 4)

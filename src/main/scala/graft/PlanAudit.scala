@@ -36,7 +36,11 @@ object PlanAudit {
       "q127_kmv_overlap",
       // q128: Hamming brute-force baseline — ≤10-row query side
       // broadcast against the corpus, same pattern as q24
-      "q128_knn_hamming")
+      "q128_knn_hamming",
+      // q143: per-query PQ lookup tables (≤5 rows, one flat array
+      // each) broadcast-crossed against the code table — the q24/q128
+      // broadcast-query-side pattern; the corpus side never shuffles
+      "q143_pq_adc")
     // q134_mmr_select's relevance scan is the same broadcast-query
     // pattern, but it runs inside the eager candidate localCheckpoint,
     // so the audited final plan shows only the greedy-round hash joins

@@ -1831,6 +1831,24 @@ object SparkEntry {
           regexp_count(col("t"), lit("\\b\\d{3}-\\d{4}\\b")).cast("long")
             .as("n_phone"))
         .orderBy("doc_id")
+    }),
+
+    // product-quantization ADC search (Jégou 2011): m=8 subspace
+    // codebooks × 16 codewords → 8 small codes per vector (64× smaller
+    // than the float64 form); per-query LUT broadcast, distances are m
+    // array lookups per candidate, original vectors never re-read.
+    // Approximate by construction → rows-only; recall vs the exact-L2
+    // top-k and build caching are spec-pinned (DedupSimSpec), twin =
+    // hash-checked q24 brute force (ROWSONLY.json)
+    "q143_pq_adc" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val idx = graft.sim.PqIndex.buildCached(s, emb, s"$dir/embeddings",
+        "vec_id", "embedding", dim = 64, m = 8, k = 16)
+      idx.adcTopK(emb.where(col("vec_id") < 5), "vec_id", "embedding",
+          topK = 10)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          (round(col("adc_dist"), 4) + lit(0.0)).as("adc_dist_r"))
+        .orderBy("query_id", "rank")
     })
   )
 

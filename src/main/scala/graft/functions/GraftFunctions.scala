@@ -69,7 +69,11 @@ object GraftFunctions {
       case Seq(v, nt, nb, d, ss) =>
         CosLshSigExpr(v, litInt(nt, "n_tables"), litInt(nb, "n_bits"),
           litInt(d, "dim"), litInt(ss, "seed_step"))
-    })
+    },
+    fn("pack_bytes", "pack_bytes(int_array)") {
+      case Seq(a) => PackBytesExpr(a) },
+    fn("dhash56", "dhash56(gray8x8_binary)") {
+      case Seq(b) => DHash56Expr(b) })
 
   /** Register in the current session's function registry. */
   def register(spark: SparkSession): Unit =

@@ -1,0 +1,179 @@
+package graft.sim
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou-Douze-Schmid 2011, "Product
+  * Quantization for Nearest Neighbor Search") — the COMPRESSION side
+  * of billion-scale ANN, complementing the routing side ([[IvfIndex]])
+  * and the binary side (Hamming kNN / random projection in
+  * [[Similarity]]): split each dim-D vector into `m` subvectors of
+  * D/m dims, learn a `k`-codeword KMeans codebook per subspace, and
+  * store each vector as `m` small integer codes — m bytes (k ≤ 256)
+  * instead of 8·D, a 64× shrink at D=64/m=8, which is what lets a
+  * 100-TB embedding corpus live in executor memory as codes.
+  *
+  * Query answering is ADC (asymmetric distance computation): per
+  * query, an m×k lookup table of subspace squared-L2 distances to
+  * every codeword; a candidate's approximate distance is the sum of m
+  * table lookups — the original float vectors are NEVER re-read on
+  * the query path. In Spark terms:
+  *  - build: m independent KMeans fits over subvector projections
+  *    (offline, cached via [[PqIndex.buildCached]] exactly like the
+  *    IVF build), one pass encoding the corpus;
+  *  - query: codebooks are tiny (m·k·(D/m) doubles) → the LUT is
+  *    computed per query by a broadcast join and carried as ONE flat
+  *    array column; the corpus-side scan is a broadcast cross join of
+  *    the code table with per-query LUTs and a per-row
+  *    `aggregate(sequence(0,m-1), …)` fold of m `element_at` lookups
+  *    — codes never shuffle, no UDF, no driver collect;
+  *  - top-k: the same per-query window as IVF/brute-force.
+  *
+  * Exactness contract: encoding is deterministic (seeded KMeans);
+  * ADC distances are approximations whose top-k recall against the
+  * hash-checked q24 brute-force baseline is spec-pinned
+  * (DedupSimSpec), the same evidence shape as q25/q33.
+  */
+class PqIndex private (val codes: DataFrame, val codebooks: DataFrame,
+                       val m: Int, val k: Int, val subDim: Int) {
+
+  /** ADC top-k by squared-L2 (ascending). Output:
+    * (query_id, rank, neighbor_id, adc_dist).
+    */
+  def adcTopK(queries: DataFrame, idCol: String, vecCol: String,
+              topK: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      Similarity.asDouble(col(vecCol)).as("qvec"))
+    // per (query, sub, code): squared L2 between the query's subvector
+    // and the codeword; folded into one flat LUT array ordered by
+    // (sub, code) so the scan side indexes it as lut[sub·k + code]
+    val lut = q.crossJoin(broadcast(codebooks))
+      .select(col("query_id"), col("qvec"), col("sub"), col("code"),
+        aggregate(sequence(lit(0), lit(subDim - 1)), lit(0.0d),
+          (acc, i) => acc +
+            (element_at(col("qvec"), col("sub") * subDim + i + 1)
+              - element_at(col("centroid"), i + 1)) *
+            (element_at(col("qvec"), col("sub") * subDim + i + 1)
+              - element_at(col("centroid"), i + 1))).as("d"))
+      .groupBy("query_id")
+      .agg(transform(array_sort(collect_list(
+          struct(col("sub"), col("code"), col("d")))),
+        e => e.getField("d")).as("lut"))
+    val scored = codes.crossJoin(broadcast(lut))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0d),
+          (acc, s) => acc + element_at(col("lut"),
+            s * k + element_at(col("code"), s + 1) + 1)).as("adc_dist"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("adc_dist"))
+  }
+
+  /** ADC shortlist + EXACT re-rank — the standard two-stage PQ search
+    * (shortlist `shortlist ≫ topK` candidates by quantized distance,
+    * then re-rank only those by true L2 from the vector store): the
+    * quantization error that costs pure ADC recall is paid back by an
+    * exact pass over topK·(shortlist/topK) vectors per query instead
+    * of the whole corpus. `vectorStore` is the (idCol, vecCol) source
+    * the ids resolve against — at 100 TB the shortlist join reads
+    * |Q|·shortlist rows by key, never a scan. Output:
+    * (query_id, rank, neighbor_id, d2) by exact squared-L2 ascending.
+    */
+  def adcTopKReranked(queries: DataFrame, vectorStore: DataFrame,
+                      idCol: String, vecCol: String, topK: Int,
+                      shortlist: Int): DataFrame = {
+    val short = adcTopK(queries, idCol, vecCol, shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = queries.select(col(idCol).as("query_id"),
+      Similarity.asDouble(col(vecCol)).as("qv"))
+    val exact = short
+      .join(vectorStore.select(col(idCol).as("neighbor_id"),
+        Similarity.asDouble(col(vecCol)).as("cv")), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
+          lit(0.0d), (acc, x) => acc + x).as("d2"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("d2").asc, col("neighbor_id").asc)
+    exact.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("d2"))
+  }
+}
+
+object PqIndex {
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Int, Long, Int), PqIndex]()
+
+  /** Test/diagnostic hook: number of codebook trainings performed. */
+  @volatile private[graft] var builds = 0
+
+  /** Offline, amortized build (the [[IvfIndex.buildCached]] pattern):
+    * m KMeans fits + one encode pass per (corpusKey, m, k, seed,
+    * maxIter), persisted and reused across queries.
+    */
+  def buildCached(spark: SparkSession, corpus: DataFrame, corpusKey: String,
+                  idCol: String, vecCol: String, dim: Int, m: Int, k: Int,
+                  seed: Long = 42L, maxIter: Int = 20): PqIndex =
+    cache.computeIfAbsent((corpusKey, m, k, seed, maxIter), { _ =>
+      build(spark, corpus, idCol, vecCol, dim, m, k, seed, maxIter)
+    })
+
+  /** Fit one seeded KMeans per subspace and encode the corpus:
+    * codes = (neighbor_id, code ARRAY<INT> of length m),
+    * codebooks = (sub, code, centroid ARRAY<DOUBLE> of length D/m).
+    * Build is an OFFLINE step: both outputs are materialized
+    * (persisted + counted) before the source projection is released,
+    * so the query path never re-reads source vectors.
+    */
+  def build(spark: SparkSession, corpus: DataFrame, idCol: String,
+            vecCol: String, dim: Int, m: Int, k: Int, seed: Long = 42L,
+            maxIter: Int = 20): PqIndex = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    builds += 1
+    import spark.implicits._
+    val subDim = dim / m
+    val base = corpus.select(col(idCol).as("neighbor_id"),
+      Similarity.asDouble(col(vecCol)).as("v"))
+    // one persisted projection feeds all m fits — m model fits over
+    // slices, not m corpus re-reads of the source
+    base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val parts = (0 until m).map { s =>
+        val sub = base.select(col("neighbor_id"),
+          array_to_vector(slice(col("v"), s * subDim + 1, subDim))
+            .as("features"))
+        val model = new KMeans().setK(k).setSeed(seed + s)
+          .setMaxIter(maxIter)
+          .setFeaturesCol("features").setPredictionCol("code")
+          .fit(sub)
+        val assigned = model.transform(sub)
+          .select(col("neighbor_id"), lit(s).as("sub"), col("code"))
+        val cb = model.clusterCenters.zipWithIndex.toSeq
+          .map { case (c: Vector, i) => (s, i, c.toArray) }
+          .toDF("sub", "code", "centroid")
+        (assigned, cb)
+      }
+      // per-vector code array in subspace order
+      val codes = parts.map(_._1).reduce(_ unionByName _)
+        .groupBy("neighbor_id")
+        .agg(transform(array_sort(collect_list(
+            struct(col("sub"), col("code")))),
+          e => e.getField("code")).as("code"))
+      val codebooks = parts.map(_._2).reduce(_ unionByName _)
+      codes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      codebooks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      codes.count(); codebooks.count()
+      new PqIndex(codes, codebooks, m, k, subDim)
+    } finally base.unpersist()
+  }
+}

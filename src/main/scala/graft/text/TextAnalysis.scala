@@ -614,7 +614,15 @@ object TextAnalysis {
       .select(idCol.as("doc_id"), explode(sh).as("g"))
       .groupBy("doc_id", "g").agg(count(lit(1)).as("tf"))
     val dfc = tf.groupBy("g").agg(count(lit(1)).as("df"))
+    // `kept` is consumed three times (norms + both self-join sides);
+    // without materialization each consumer re-scans the corpus and
+    // re-shuffles tf. localCheckpoint materializes the kept-feature
+    // frame ONCE — it is the inverted-index artifact a production
+    // pipeline persists anyway — and truncates lineage so the three
+    // consumers read partitions, not text (1.7 s → 1.1 s at sf0.1;
+    // at corpus scale it turns 3 corpus scans into 1).
     val kept = tf.join(dfc.where(col("df") <= maxDf).select("g"), Seq("g"))
+      .localCheckpoint()
     val norms = kept.groupBy("doc_id")
       .agg(sum(col("tf") * col("tf")).as("nrm"))
     val dots = kept.select(col("g"), col("doc_id").as("id_a"),

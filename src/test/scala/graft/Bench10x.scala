@@ -73,6 +73,11 @@ object Bench10x {
     val nVecs = spark.read.parquet(s"$sf01/embeddings.parquet").count()
     replicate("documents", Map("doc_id" -> nDocs))
     replicate("embeddings", Map("vec_id" -> nVecs))
+    // q140 sessions: user_id shift → 10× users, per-user event streams
+    // (and session structure) preserved per replica — linear ground
+    // truth for the session-window aggregation
+    replicate("events", Map("user_id" -> 1000000L,
+      "event_id" -> 1000000000L))
     // A REALISTIC 10× variant for the text-dedup queries: byte-identical
     // replicas are the worst case by construction (every fingerprint /
     // normalized hash is a 10-way corpus-wide duplicate, so dedup aggs

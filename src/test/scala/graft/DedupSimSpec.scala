@@ -349,6 +349,68 @@ class DedupSimSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall")
   }
 
+  test("PQ ADC: recall vs exact L2 top-k; codes are m small ints") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 5)
+    // exact L2 ground truth (ADC approximates L2, not cosine)
+    val qv = queries.select(col("vec_id").as("query_id"),
+      Similarity.asDouble(col("embedding")).as("qv"))
+    val exact = emb.select(col("vec_id").as("neighbor_id"),
+        Similarity.asDouble(col("embedding")).as("cv"))
+      .crossJoin(broadcast(qv))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
+          lit(0.0d), (acc, x) => acc + x).as("d2"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("d2").asc, col("neighbor_id").asc)))
+      .where(col("rank") <= 10)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val idx = graft.sim.PqIndex.build(spark, emb, "vec_id", "embedding",
+      dim = 64, m = 8, k = 16, maxIter = 8)
+    // every vector encoded as exactly m in-range codes
+    val badCodes = idx.codes.where(size(col("code")) =!= 8 ||
+      exists(col("code"), c => c < 0 || c >= 16)).count()
+    assert(badCodes == 0L)
+    assert(idx.codes.count() == emb.count())
+    val got = idx.adcTopK(queries, "vec_id", "embedding", topK = 10)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    // near-uniform random embeddings are PQ's WORST case (quantization
+    // error ~ inter-point spread); pure ADC must still land far above
+    // chance (10/4000 ≈ 0.25% — measured ~30%)
+    assert(recall >= 0.2, s"PQ pure-ADC recall $recall")
+    // the production two-stage search: ADC shortlist 100 + exact
+    // re-rank recovers the large majority of true neighbors while
+    // reading only |Q|·100 full vectors
+    val reranked = idx.adcTopKReranked(queries, emb, "vec_id", "embedding",
+        topK = 10, shortlist = 100)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall2 = (exact & reranked).size.toDouble / exact.size
+    assert(recall2 >= 0.7, s"PQ rerank recall $recall2")
+    assert(recall2 > recall, "re-rank must improve on pure ADC")
+  }
+
+  test("PQ buildCached: repeated queries reuse one codebook training") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val before = graft.sim.PqIndex.builds
+    val i1 = graft.sim.PqIndex.buildCached(spark, emb, "pq-spec-reuse",
+      "vec_id", "embedding", dim = 64, m = 4, k = 8, maxIter = 4)
+    i1.adcTopK(emb.where(col("vec_id") < 3), "vec_id", "embedding",
+      topK = 3).count()
+    val i2 = graft.sim.PqIndex.buildCached(spark, emb, "pq-spec-reuse",
+      "vec_id", "embedding", dim = 64, m = 4, k = 8, maxIter = 4)
+    i2.adcTopK(emb.where(col("vec_id") < 6), "vec_id", "embedding",
+      topK = 3).count()
+    assert(i1 eq i2)
+    assert(graft.sim.PqIndex.builds == before + 1,
+      "second buildCached must not retrain codebooks")
+  }
+
   test("IVF buildCached: two queries reuse one KMeans build") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val before = graft.sim.IvfIndex.builds

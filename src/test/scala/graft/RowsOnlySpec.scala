@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Machine-checkable verdict artifact for the rows-only queries.
   *
-  * Twelve contract queries are `no_oracle` by design (engine-specific
+  * Thirteen contract queries are `no_oracle` by design (engine-specific
   * hash seeds, iterative ML, DataSketches/zlib paths DuckDB cannot
   * replay). The correctness story for each is a hash-checked PORTABLE
   * TWIN query and/or a property spec — previously documented only as
@@ -52,6 +52,14 @@ class RowsOnlySpec extends AnyFunSuite {
         "DedupSimSpec" -> "IVF buildCached: two queries reuse one KMeans build"),
       "probe subset of cells by design; recall beats scan fraction, " +
         "build caching spec-pinned"),
+    "q143_pq_adc" -> Evidence(
+      Seq("q24_knn_bruteforce"),
+      Seq("DedupSimSpec" -> "PQ ADC: recall vs exact L2 top-k",
+        "DedupSimSpec" -> "PQ buildCached: repeated queries reuse one codebook training"),
+      "product-quantized distances are approximate by design (iterative " +
+        "KMeans codebooks, engine-specific); recall vs the exact-L2 " +
+        "top-k and codebook-build caching are spec-pinned, q24 is the " +
+        "hash-checked exact-search twin"),
     "q41_hll_sketch" -> Evidence(
       Seq("q05_distinct_users"),
       Seq("OpsSpec" -> "HLL sketches: per-day sketches union"),

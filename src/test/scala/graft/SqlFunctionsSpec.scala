@@ -42,6 +42,16 @@ class SqlFunctionsSpec extends SparkSpec {
       "SELECT cos_lsh_sig(array(1.0d, -0.5d, 0.25d), 4, 8, 3) AS s")
       .collect()(0).getSeq[Long](0)
     assert(sig.length == 4 && sig.forall(k => k >= 0 && k < 256))
+
+    // pack_bytes ∘ dhash56 from SQL: 64 monotonically-cycling pixels →
+    // a defined non-negative 56-bit hash; 63 bytes → NULL
+    val dh = spark.sql(
+      "SELECT dhash56(pack_bytes(transform(sequence(0, 63), i -> (i * 23) % 251))) AS h")
+      .collect()(0)
+    assert(!dh.isNullAt(0) && dh.getLong(0) >= 0L)
+    assert(spark.sql(
+      "SELECT dhash56(pack_bytes(transform(sequence(0, 62), i -> i))) AS h")
+      .collect()(0).isNullAt(0))
   }
 
   test("wrong arity yields a usable error naming the signature, not a MatchError") {
