@@ -42,6 +42,10 @@ object Bench {
       graft.sim.PqIndex.buildCached(spark,
         spark.read.parquet(s"$sfDir/embeddings.parquet"),
         s"$sfDir/embeddings", "vec_id", "embedding", dim = 64, m = 8, k = 16)
+      graft.sim.IvfPq.buildCached(spark,
+        spark.read.parquet(s"$sfDir/embeddings.parquet"),
+        s"$sfDir/embeddings", "vec_id", "embedding", dim = 64, nLists = 8,
+        m = 8, k = 16)
       graft.ml.DocCluster.fitCached(
         spark.read.parquet(s"$sfDir/documents.parquet"),
         s"$sfDir/documents", "text", k = 4)

@@ -41,6 +41,10 @@ object PlanAudit {
       // each) broadcast-crossed against the code table — the q24/q128
       // broadcast-query-side pattern; the corpus side never shuffles
       "q143_pq_adc")
+    // q144_ivfpq_adc needs no entry: its final plan shows no BNLJ —
+    // the candidate scan and LUT attachment are equi hash joins (cell,
+    // query_id), and the tiny centroid/codebook cross products sit
+    // behind the build-time persisted InMemoryRelations
     // q134_mmr_select's relevance scan is the same broadcast-query
     // pattern, but it runs inside the eager candidate localCheckpoint,
     // so the audited final plan shows only the greedy-round hash joins

@@ -1849,6 +1849,22 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           (round(col("adc_dist"), 4) + lit(0.0)).as("adc_dist_r"))
         .orderBy("query_id", "rank")
+    }),
+
+    // IVF-PQ composition (the FAISS IVFx,PQy family): L2 cell routing
+    // prunes the scan to ~nProbe/nLists of the corpus, PQ codes cut
+    // scanned bytes 64× — the standard serving layout when the float
+    // corpus fits nowhere. Rows-only; recall + scan-fraction bound
+    // spec-pinned (DedupSimSpec), q24 the hash-checked twin
+    "q144_ivfpq_adc" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val idx = graft.sim.IvfPq.buildCached(s, emb, s"$dir/embeddings",
+        "vec_id", "embedding", dim = 64, nLists = 8, m = 8, k = 16)
+      idx.topK(emb.where(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nProbe = 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          (round(col("adc_dist"), 4) + lit(0.0)).as("adc_dist_r"))
+        .orderBy("query_id", "rank")
     })
   )
 

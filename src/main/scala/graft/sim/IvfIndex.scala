@@ -25,22 +25,50 @@ import graft.functions.CosineSimExpr
   */
 class IvfIndex private (val assigned: DataFrame, val centroids: DataFrame) {
 
-  /** Top-k by cosine among vectors in the query's `nProbe` nearest
-    * cells. Output: (query_id, rank, neighbor_id, score).
+  /** The `nProbe` nearest cells per query — (query_id, qvec, cell);
+    * queries × centroids is tiny by construction. Shared by [[topK]]
+    * and the IVF-PQ composition ([[IvfPq]]).
     */
-  def topK(queries: DataFrame, idCol: String, vecCol: String, k: Int,
-           nProbe: Int): DataFrame = {
+  private[graft] def probeCells(queries: DataFrame, idCol: String,
+                              vecCol: String, nProbe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = queries.select(col(idCol).as("query_id"),
       Similarity.asDouble(col(vecCol)).as("qvec"))
-    // nearest nProbe cells per query: queries × centroids is tiny
-    val probes = q.crossJoin(broadcast(centroids))
+    q.crossJoin(broadcast(centroids))
       .withColumn("cdist",
         CosineSimExpr.cosine_sim(col("qvec"), col("centroid")))
       .withColumn("crank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cdist").desc, col("cell"))))
       .where(col("crank") <= nProbe)
       .select(col("query_id"), col("qvec"), col("cell"))
+  }
+
+  /** [[probeCells]] in squared-L2 (ascending) — the routing metric for
+    * the L2-scored IVF-PQ composition: routing and scoring must agree
+    * on the metric or cell pruning fights the distance ranking.
+    */
+  private[graft] def probeCellsL2(queries: DataFrame, idCol: String,
+                                vecCol: String, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(idCol).as("query_id"),
+      Similarity.asDouble(col(vecCol)).as("qvec"))
+    q.crossJoin(broadcast(centroids))
+      .withColumn("cdist",
+        aggregate(zip_with(col("qvec"), col("centroid"),
+          (a, b) => (a - b) * (a - b)), lit(0.0d), (acc, x) => acc + x))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cdist").asc, col("cell"))))
+      .where(col("crank") <= nProbe)
+      .select(col("query_id"), col("qvec"), col("cell"))
+  }
+
+  /** Top-k by cosine among vectors in the query's `nProbe` nearest
+    * cells. Output: (query_id, rank, neighbor_id, score).
+    */
+  def topK(queries: DataFrame, idCol: String, vecCol: String, k: Int,
+           nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probes = probeCells(queries, idCol, vecCol, nProbe)
     val scored = assigned.join(broadcast(probes), Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),

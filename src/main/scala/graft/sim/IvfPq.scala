@@ -1,0 +1,73 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ — the composed billion-scale ANN layout (the FAISS `IVFx,PQy`
+  * family): [[IvfIndex]] routes each query to its `nProbe` nearest
+  * KMeans cells, [[PqIndex]] scores ONLY the vectors in those cells by
+  * quantized-code table lookups. The two approximations multiply their
+  * savings — scan fraction ~nProbe/nLists of the corpus, at m bytes
+  * per scanned vector instead of 8·D — which is the standard recipe
+  * for serving ANN over a corpus whose float vectors do not fit
+  * anywhere.
+  *
+  * Build joins the cell assignment with the code table ONCE into a
+  * (cell, neighbor_id, code) frame — on a cluster this is the parquet
+  * layout partitioned by `cell` (probes prune files, the
+  * [[IvfIndex.save]] shape) with codes as payload. The query path is
+  * two broadcast joins (probes on cell, LUTs on query_id) and a per-row
+  * m-lookup fold: no shuffle of corpus data, no vector re-read; the
+  * optional exact re-rank stage reads |Q|·shortlist full vectors by
+  * key, same as [[PqIndex.adcTopKReranked]].
+  */
+class IvfPq private (val ivf: IvfIndex, val pq: PqIndex,
+                     val cellCodes: DataFrame) {
+
+  /** ADC top-k within the query's `nProbe` cells. Output:
+    * (query_id, rank, neighbor_id, adc_dist).
+    */
+  def topK(queries: DataFrame, idCol: String, vecCol: String, k: Int,
+           nProbe: Int): DataFrame = {
+    val probes = ivf.probeCellsL2(queries, idCol, vecCol, nProbe)
+      .select("query_id", "cell")
+    val lut = pq.lutFor(queries, idCol, vecCol)
+    val scored = cellCodes.join(broadcast(probes), Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .join(broadcast(lut), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), pq.adcFold.as("adc_dist"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("adc_dist"))
+  }
+}
+
+object IvfPq {
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, IvfPq]()
+
+  /** Compose the two cached index builds and materialize the
+    * (cell, neighbor_id, code) layout once per corpus key. */
+  def buildCached(spark: SparkSession, corpus: DataFrame, corpusKey: String,
+                  idCol: String, vecCol: String, dim: Int, nLists: Int,
+                  m: Int, k: Int, seed: Long = 42L,
+                  maxIter: Int = 20): IvfPq =
+    cache.computeIfAbsent(
+      s"$corpusKey|$dim|$nLists|$m|$k|$seed|$maxIter", { _ =>
+        val ivf = IvfIndex.buildCached(spark, corpus, corpusKey, idCol,
+          vecCol, nLists, seed, maxIter)
+        val pq = PqIndex.buildCached(spark, corpus, corpusKey, idCol,
+          vecCol, dim, m, k, seed, maxIter)
+        val cellCodes = ivf.assigned.select("cell", "neighbor_id")
+          .join(pq.codes, Seq("neighbor_id"))
+        cellCodes.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cellCodes.count()
+        new IvfPq(ivf, pq, cellCodes)
+      })
+}

@@ -41,18 +41,16 @@ import org.apache.spark.sql.functions._
 class PqIndex private (val codes: DataFrame, val codebooks: DataFrame,
                        val m: Int, val k: Int, val subDim: Int) {
 
-  /** ADC top-k by squared-L2 (ascending). Output:
-    * (query_id, rank, neighbor_id, adc_dist).
+  /** Per-query flat distance lookup table, ordered by (sub, code) so a
+    * scan indexes it as lut[sub·k + code]: (query_id, lut ARRAY<DOUBLE>
+    * of length m·k). Tiny (one row per query) — always broadcast.
     */
-  def adcTopK(queries: DataFrame, idCol: String, vecCol: String,
-              topK: Int): DataFrame = {
+  private[graft] def lutFor(queries: DataFrame, idCol: String,
+                          vecCol: String): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"),
       Similarity.asDouble(col(vecCol)).as("qvec"))
-    // per (query, sub, code): squared L2 between the query's subvector
-    // and the codeword; folded into one flat LUT array ordered by
-    // (sub, code) so the scan side indexes it as lut[sub·k + code]
-    val lut = q.crossJoin(broadcast(codebooks))
-      .select(col("query_id"), col("qvec"), col("sub"), col("code"),
+    q.crossJoin(broadcast(codebooks))
+      .select(col("query_id"), col("sub"), col("code"),
         aggregate(sequence(lit(0), lit(subDim - 1)), lit(0.0d),
           (acc, i) => acc +
             (element_at(col("qvec"), col("sub") * subDim + i + 1)
@@ -63,12 +61,24 @@ class PqIndex private (val codes: DataFrame, val codebooks: DataFrame,
       .agg(transform(array_sort(collect_list(
           struct(col("sub"), col("code"), col("d")))),
         e => e.getField("d")).as("lut"))
+  }
+
+  /** ADC distance fold: m table lookups per candidate row. Expects
+    * `code` and `lut` columns in scope. */
+  private[graft] def adcFold: org.apache.spark.sql.Column =
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0.0d),
+      (acc, s) => acc + element_at(col("lut"),
+        s * k + element_at(col("code"), s + 1) + 1))
+
+  /** ADC top-k by squared-L2 (ascending). Output:
+    * (query_id, rank, neighbor_id, adc_dist).
+    */
+  def adcTopK(queries: DataFrame, idCol: String, vecCol: String,
+              topK: Int): DataFrame = {
+    val lut = lutFor(queries, idCol, vecCol)
     val scored = codes.crossJoin(broadcast(lut))
       .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0d),
-          (acc, s) => acc + element_at(col("lut"),
-            s * k + element_at(col("code"), s + 1) + 1)).as("adc_dist"))
+      .select(col("query_id"), col("neighbor_id"), adcFold.as("adc_dist"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -395,6 +395,43 @@ class DedupSimSpec extends SparkSpec {
     assert(recall2 > recall, "re-rank must improve on pure ADC")
   }
 
+  test("IVF-PQ: recall vs exact L2 beats scan fraction; candidates pruned") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 5)
+    val qv = queries.select(col("vec_id").as("query_id"),
+      Similarity.asDouble(col("embedding")).as("qv"))
+    val exact = emb.select(col("vec_id").as("neighbor_id"),
+        Similarity.asDouble(col("embedding")).as("cv"))
+      .crossJoin(broadcast(qv))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
+          lit(0.0d), (acc, x) => acc + x).as("d2"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("d2").asc, col("neighbor_id").asc)))
+      .where(col("rank") <= 10)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val idx = graft.sim.IvfPq.buildCached(spark, emb, "ivfpq-spec",
+      "vec_id", "embedding", dim = 64, nLists = 8, m = 8, k = 16,
+      maxIter = 8)
+    val got = idx.topK(queries, "vec_id", "embedding", k = 10, nProbe = 3)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // two stacked approximations (3/8 cells scanned, quantized
+    // distances) must still beat the scan fraction by a wide margin
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.2, s"IVF-PQ recall $recall vs scan fraction 0.375")
+    // the routing really prunes: candidates scored ≤ ~nProbe/nLists of
+    // the corpus (cells are KMeans-imbalanced, allow 2× slack)
+    val cands = idx.cellCodes
+      .join(broadcast(idx.ivf.probeCellsL2(queries, "vec_id", "embedding", 3)
+        .select("query_id", "cell")), Seq("cell")).count()
+    val full = 5L * emb.count()
+    assert(cands <= full * 3 / 8 * 2, s"scanned $cands of $full")
+  }
+
   test("PQ buildCached: repeated queries reuse one codebook training") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val before = graft.sim.PqIndex.builds

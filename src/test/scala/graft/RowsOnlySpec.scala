@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Machine-checkable verdict artifact for the rows-only queries.
   *
-  * Thirteen contract queries are `no_oracle` by design (engine-specific
+  * Fourteen contract queries are `no_oracle` by design (engine-specific
   * hash seeds, iterative ML, DataSketches/zlib paths DuckDB cannot
   * replay). The correctness story for each is a hash-checked PORTABLE
   * TWIN query and/or a property spec — previously documented only as
@@ -59,6 +59,13 @@ class RowsOnlySpec extends AnyFunSuite {
       "product-quantized distances are approximate by design (iterative " +
         "KMeans codebooks, engine-specific); recall vs the exact-L2 " +
         "top-k and codebook-build caching are spec-pinned, q24 is the " +
+        "hash-checked exact-search twin"),
+    "q144_ivfpq_adc" -> Evidence(
+      Seq("q24_knn_bruteforce"),
+      Seq("DedupSimSpec" -> "IVF-PQ: recall vs exact L2 beats scan fraction"),
+      "stacked approximations (KMeans cell routing × quantized " +
+        "distances) are engine-specific by design; recall vs exact L2 " +
+        "and the candidate-pruning bound are spec-pinned, q24 is the " +
         "hash-checked exact-search twin"),
     "q41_hll_sketch" -> Evidence(
       Seq("q05_distinct_users"),
