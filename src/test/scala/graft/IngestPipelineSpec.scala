@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+
+/** E2E composition of the incremental-ingest operators into the
+  * daily-batch pipeline a training-data user actually runs:
+  *
+  *   day-2 batch → exact incremental dedup (Bloom-gated, vs history)
+  *               → fuzzy near-dup screen (vs the history band index)
+  *               → benchmark decontamination (Bloom-prefiltered)
+  *               → Gopher quality gate
+  *               → accepted (appended to history)
+  *
+  * The individual operators are each hash-checked by their own gate
+  * queries (q86/q141/q135/q96); what THIS spec pins is the
+  * composition contract: stages partition the batch exactly (total +
+  * mutually exclusive accounting, nothing lost or double-dropped),
+  * and the pipeline is idempotent — re-ingesting what was just
+  * accepted, against the grown history, accepts nothing twice.
+  */
+class IngestPipelineSpec extends SparkSpec {
+
+  test("daily-ingest composition: total exclusive accounting + idempotence") {
+    val d = SparkEntry.T(spark, "/root/testdata/sf0.01", "documents")
+    val history = d.where(col("doc_id") % 4 =!= 3)
+    val batch = d.where(col("doc_id") % 4 === 3)
+    val bench = history.where(col("doc_id") % 50 === 0)
+
+    def runPipeline(hist: org.apache.spark.sql.DataFrame,
+                    in: org.apache.spark.sql.DataFrame) = {
+      val s1 = Dedup.incrementalExact(in, hist, "text",
+        expectedItems = 2048, fpp = 0.03)
+      val fuzzyVerdicts = Dedup.incrementalFuzzy(s1, hist, "doc_id", "text",
+        minAgree = 4)
+      val s2 = s1.join(fuzzyVerdicts.where(col("n_dups") === 0)
+        .select(col("id").as("doc_id")), Seq("doc_id"))
+      val contam = TextAnalysis.bloomContamination(s2, col("doc_id"),
+        col("text"), bench, col("text"), w = 4,
+        expectedItems = 4096, fpp = 0.03)
+      val s3 = s2.join(contam.where(col("n_hit") === 0).select("doc_id"),
+        Seq("doc_id"))
+      val s4 = s3.join(TextAnalysis.gopherRules(s3, col("doc_id"),
+          col("text")).where(col("keep")).select("doc_id"), Seq("doc_id"))
+      (s1, s2, s3, s4)
+    }
+
+    val (s1, s2, s3, accepted) = runPipeline(history, batch)
+    val Seq(nBatch, n1, n2, n3, nAcc) =
+      Seq(batch, s1, s2, s3, accepted).map(_.count())
+    // monotone funnel, each stage a subset of the previous
+    assert(nBatch >= n1 && n1 >= n2 && n2 >= n3 && n3 >= nAcc)
+    assert(nAcc > 0, "pipeline accepted nothing — fixture broken")
+    // stage drop accounting is total and exclusive: per-stage drops sum
+    // exactly back to the batch (no doc lost, none dropped twice)
+    val drops = Seq(nBatch - n1, n1 - n2, n2 - n3, n3 - nAcc)
+    assert(drops.sum + nAcc == nBatch, s"accounting leak: $drops + $nAcc != $nBatch")
+    // the fuzzy screen does real work on this corpus (cross-split
+    // near-dups exist — q141's fixture)
+    assert(n1 - n2 > 0, "fuzzy stage dropped nothing")
+    // accepted docs are a genuine subset of the batch ids
+    val batchIds = batch.select("doc_id").collect().map(_.getLong(0)).toSet
+    val accIds = accepted.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(accIds.subsetOf(batchIds))
+
+    // idempotence: append the accepted docs to history, re-ingest them —
+    // the exact stage must now drop every one (their text IS history)
+    val grown = history.unionByName(accepted)
+    val (r1, _, _, reaccepted) = runPipeline(grown, accepted)
+    assert(r1.count() == 0,
+      s"re-ingest passed ${r1.count()} docs through exact dedup")
+    assert(reaccepted.count() == 0, "pipeline re-accepted already-ingested docs")
+  }
+}
