@@ -565,8 +565,18 @@ object TextAnalysis {
         graft.functions.ShinglesExpr.shingle_strings(benchTextCol, w)))
         .as("gram"))
       .distinct()
-    val bloom = benchGrams.select(xxhash64(col("gram")).as("__h"))
-      .stat.bloomFilter("__h", expectedItems, fpp)
+    val hashes = benchGrams.select(xxhash64(col("gram")).as("__h"))
+    // Spark's stat.bloomFilter NPEs on an empty input (no partial to
+    // merge); an empty benchmark legitimately means "everything is
+    // clean" — short-circuit before building the filter. The emptiness
+    // probe is a limit-1 job against the (small) benchmark side, and
+    // the filter build right after is an action anyway.
+    if (hashes.isEmpty)
+      return docs.where(textCol.isNotNull)
+        .select(idCol.as("doc_id"),
+          size(array_distinct(sh)).cast("long").as("n_grams"),
+          lit(0L).as("n_hit"))
+    val bloom = hashes.stat.bloomFilter("__h", expectedItems, fpp)
     val withGrams = docs.where(textCol.isNotNull)
       .select(idCol.as("doc_id"), array_distinct(sh).as("grams"))
       .withColumn("__maybe", exists(col("grams"), g =>

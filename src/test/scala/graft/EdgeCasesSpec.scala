@@ -107,4 +107,46 @@ class EdgeCasesSpec extends SparkSpec {
     assert(native.length == 3)
     native.foreach(r => assert(r.getAs[String]("host") == "foo"))
   }
+
+  test("r9 operators: empty/degenerate inputs well-defined") {
+    import graft.text.TextAnalysis
+    // bloom decontamination vs an EMPTY benchmark: every doc comes back
+    // definitively clean (the Bloom never matches), none dropped
+    val corpus = Seq((1L, "a b c d e"), (2L, "f g h i j")).toDF("doc_id", "text")
+    val noBench = emptyDocs.select(col("doc_id"), col("text"))
+    val bc = TextAnalysis.bloomContamination(corpus, col("doc_id"),
+      col("text"), noBench, col("text"), w = 3,
+      expectedItems = 16, fpp = 0.03).collect()
+    assert(bc.length == 2 && bc.forall(_.getLong(2) == 0L))
+    // edit-distance pairs: empty and single-doc corpora → no pairs
+    assert(Dedup.editDistancePairs(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.editDistancePairs(oneDoc, "doc_id", "text").count() == 0)
+    // exact dups always pair at dist 0 even when minAgree would not
+    // admit them as cross-group candidates
+    val twins = Seq((1L, "x y z"), (2L, "x y z")).toDF("doc_id", "text")
+    val tp = Dedup.editDistancePairs(twins, "doc_id", "text").collect()
+    assert(tp.length == 1 && tp(0).getInt(2) == 0)
+    // sparse cosine: empty corpus, and a corpus where every feature
+    // fails the df-cut → no pairs either way
+    assert(TextAnalysis.sparseCosinePairs(emptyDocs, col("doc_id"),
+      col("text")).count() == 0)
+    assert(TextAnalysis.sparseCosinePairs(twins, col("doc_id"),
+      col("text"), w = 3, maxDf = 1).count() == 0)
+    // incremental fuzzy vs EMPTY history: all batch docs come back clean
+    val inc = Dedup.incrementalFuzzy(corpus, emptyDocs, "doc_id", "text")
+      .collect()
+    assert(inc.length == 2 &&
+      inc.forall(r => r.getLong(1) == 0L && r.isNullAt(3)))
+    // dhash near-dup: payloads under 64 bytes hash to NULL and are
+    // excluded (no pairs), not compared as truncated fingerprints
+    val shortPx = Seq((1L, Array.fill[Byte](10)(1)),
+      (2L, Array.fill[Byte](10)(1))).toDF("media_id", "payload")
+    assert(graft.multimodal.Multimodal.dhashNearDupPairs(
+      shortPx, "media_id", "payload").count() == 0)
+    // CMS over zero rows: every probe estimates 0
+    val cm = emptyDocs.agg(graft.functions.CountMinAgg.cms_counts(
+        col("text"), depth = 2, width = 16, seed = 1, probes = Seq("x"))
+      .as("e")).select(explode(col("e")).as("x")).collect()
+    assert(cm.length == 1 && cm(0).getStruct(0).getLong(1) == 0L)
+  }
 }
