@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.{ColumnBridge, StringInputTypes}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused winnowing fingerprint selection (Schleimer et al. 2003) —
+  * the native form of `TextAnalysis.winnowing`'s HOF pipeline: split
+  * on single spaces dropping empty tokens, hash every k-token shingle
+  * with the portable md5 low-60-bits mod 2³¹ (bit-identical to
+  * `CAST('0x' || substr(md5(s),1,15) AS BIGINT) % 2147483648` — the
+  * DuckDB-replayable form the q121 oracle uses), slide a w-hash
+  * window keeping each window's minimum with the RIGHTMOST position
+  * on ties (the robust-winnowing rule), and deduplicate (pos, fp)
+  * preserving first occurrence.
+  *
+  * Why it exists: the compositional formulation evaluates interpreted
+  * lambda chains per window (two `array_min(slice(...))` passes plus a
+  * filtered argmax — O(n·w) with a high constant); this is ONE loop
+  * per row with a thread-local digest (measured q121 1.9 s → see
+  * PLANS.md), output byte-identical (ExprPropertySpec pins ≡ on the
+  * gate corpus and generated inputs).
+  *
+  * Output: ARRAY<STRUCT<pos: BIGINT, fp: BIGINT>>, pos = 1-based
+  * k-gram index; documents shorter than k+w-1 tokens yield an empty
+  * array (no full window exists). NULL input → NULL.
+  */
+case class WinnowExpr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with StringInputTypes {
+
+  require(k >= 1 && w >= 1, s"k/w must be >= 1, got k=$k w=$w")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", LongType, nullable = false),
+    StructField("fp", LongType, nullable = false))), containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowExpr.compute(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WinnowExpr.compute($c, $k, $w)")
+
+  override protected def withNewChildInternal(c: Expression): WinnowExpr =
+    copy(child = c)
+
+  override def prettyName: String = "winnow_select"
+}
+
+object WinnowExpr {
+  private val M = 2147483648L // 2^31
+  private val Space = UTF8String.fromString(" ")
+
+  private val md5tl: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  /** Low 60 bits of md5 == parsing the digest's first 15 hex chars. */
+  private def md5Low60(b: Array[Byte]): Long = {
+    val d = md5tl.get()
+    d.reset()
+    val dig = d.digest(b)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (dig(i) & 0xffL); i += 1 }
+    (v << 4) | ((dig(7) & 0xf0L) >> 4)
+  }
+
+  def compute(s: UTF8String, k: Int, w: Int): GenericArrayData = {
+    val toks = s.split(Space, -1).filter(_.numBytes() > 0)
+    val n = toks.length
+    if (n < k + w - 1) return new GenericArrayData(Array.empty[Any])
+    val nh = n - k + 1
+    val hs = new Array[Long](nh)
+    var i = 0
+    while (i < nh) {
+      val shingle = UTF8String.concatWs(Space,
+        java.util.Arrays.copyOfRange(toks, i, i + k): _*)
+      hs(i) = md5Low60(shingle.getBytes) % M // 60-bit value: non-negative
+      i += 1
+    }
+    // rightmost window minimum per window start j; dedupe (pos, fp)
+    // keeping first occurrence (array_distinct semantics)
+    val out = new java.util.LinkedHashSet[(Long, Long)]()
+    var j = 0
+    while (j <= nh - w) {
+      var minV = Long.MaxValue
+      var minP = -1
+      var p = j
+      while (p < j + w) {
+        if (hs(p) <= minV) { minV = hs(p); minP = p } // <= : rightmost tie
+        p += 1
+      }
+      out.add(((minP + 1).toLong, minV)) // 1-based k-gram index
+      j += 1
+    }
+    val rows = new Array[Any](out.size)
+    val it = out.iterator()
+    var r = 0
+    while (it.hasNext) {
+      val (pos, fp) = it.next()
+      rows(r) = InternalRow(pos, fp)
+      r += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  def winnow_select(text: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(WinnowExpr(ColumnBridge.expression(text), k, w))
+}

@@ -446,7 +446,22 @@ object TextAnalysis {
     * index.
     */
   def winnowing(df: DataFrame, idCol: Column, textCol: Column,
-                k: Int = 3, w: Int = 4): DataFrame = {
+                k: Int = 3, w: Int = 4): DataFrame =
+    // fused native selection (graft.functions.WinnowExpr) — the HOF
+    // twin below stays as the executable equivalence reference
+    // (ExprPropertySpec pins them identical); same md5-mod-2³¹ hash,
+    // same rightmost-tie rule, so the SQL oracle is unchanged
+    df.select(idCol.as("doc_id"),
+        explode(graft.functions.WinnowExpr.winnow_select(
+          coalesce(textCol, lit("")), k, w)).as("__s"))
+      .select(col("doc_id"), col("__s.pos").as("pos"), col("__s.fp").as("fp"))
+
+  /** Compositional (HOF) winnowing — [[winnowing]]'s original
+    * formulation, kept as the equivalence oracle for the fused
+    * [[graft.functions.WinnowExpr]]. */
+  private[graft] def winnowingHof(df: DataFrame, idCol: Column,
+                                  textCol: Column,
+                                  k: Int = 3, w: Int = 4): DataFrame = {
     val m = lit(2147483648L) // 2^31
     val toks = filter(tokens(coalesce(textCol, lit(""))),
       t => length(t) > 0)
