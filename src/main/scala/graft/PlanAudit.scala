@@ -40,7 +40,11 @@ object PlanAudit {
       // q143: per-query PQ lookup tables (≤5 rows, one flat array
       // each) broadcast-crossed against the code table — the q24/q128
       // broadcast-query-side pattern; the corpus side never shuffles
-      "q143_pq_adc")
+      "q143_pq_adc",
+      // q145: the ONE-ROW corpus stats aggregate (N, Σdl) broadcast-
+      // crossed into the matched-postings relation — the q89/q126
+      // scalar-dimension pattern; the corpus side joins by hash
+      "q145_bm25")
     // q144_ivfpq_adc needs no entry: its final plan shows no BNLJ —
     // the candidate scan and LUT attachment are equi hash joins (cell,
     // query_id), and the tiny centroid/codebook cross products sit
@@ -83,7 +87,9 @@ object PlanAudit {
     "q126_dsir_weights" ->
       "bucket-LM totals: global scalar agg, one partial row per task",
     "q127_kmv_overlap" ->
-      "exact-count scalar agg + bottom-k limit: bounded partials/k rows"
+      "exact-count scalar agg + bottom-k limit: bounded partials/k rows",
+    "q145_bm25" ->
+      "corpus N/Σdl stats: global scalar agg, one partial row per task"
     // q129_zipf_slope funnels through a bounded top-30 head (limit +
     // rank window + OLS agg) but plans as TakeOrdered without an
     // explicit SinglePartition exchange, so it needs no entry here

@@ -1865,8 +1865,39 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           (round(col("adc_dist"), 4) + lit(0.0)).as("adc_dist_r"))
         .orderBy("query_id", "rank")
-    })
+    }),
+
+    // BM25 ranked retrieval (the scoring side of the q84 inverted
+    // index): top-10 docs per term-set query, Lucene idf, integer-e4
+    // per-term scores summed associatively. Only query-term occurrences
+    // shuffle — the corpus-wide tf relation never materializes
+    "q145_bm25" -> ((s, dir) => {
+      import s.implicits._
+      graft.text.Bm25.topK(T(s, dir, "documents"), col("doc_id"),
+          col("text"), Bm25Queries.toDF("query_id", "term"), k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // triangle census over the q44 minhash near-dup graph: per-vertex
+    // triangle count + local clustering coefficient (integer e6) via
+    // degree-ordered wedge closing — duplicate CLIQUES (coef→10⁶)
+    // separate from star-shaped band-collision artifacts (coef 0).
+    // Both the edge relation (q44's CTEs, shared) and the census are
+    // hash-checked
+    "q146_triangle_coef" -> ((s, dir) =>
+      graft.ops.Graph.triangleStats(
+          Dedup.portableMinhashPairs(T(s, dir, "documents"), "doc_id",
+            "text", k = 8, bands = 4, minAgree = 4, w = 3),
+          "id_a", "id_b")
+        .orderBy("id"))
   )
+
+  /** q145's fixed query set — probe terms known present in the corpus
+    * (the q139 CMS probes) plus one absent term so a partially-missing
+    * query is exercised. Shared with the oracle's VALUES list. */
+  private val Bm25Queries: Seq[(Long, String)] = Seq(
+    (1L, "key"), (1L, "row"), (2L, "table"), (2L, "spark"),
+    (3L, "key"), (3L, "zzz_absent"))
 
   /** q139's probe tokens — fixed so the oracle enumerates the same
     * (source, tok) grid. */
@@ -1877,6 +1908,44 @@ object SparkEntry {
   val FixedMerges: Seq[(String, String)] = Seq(
     ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("o", "n"),
     ("e", "r"), ("an", "d"), ("r", "e"), ("o", "r"), ("s", "t"))
+
+  /** The q44 portable MinHash-LSH pair relation as a reusable CTE chain
+    * ending in `mh(id_a, id_b, agree)` — shared verbatim by the q44
+    * oracle and the q146 triangle census built on the same graph, so
+    * the edge relation is defined once and hash-checked through both.
+    * Parameters mirror the q44 call: k=8, bands=4, minAgree=4, w=3.
+    */
+  private lazy val minhashPairsCtes: String = {
+    val k = 8; val bands = 4; val rows = k / bands; val minAgree = 4
+    val sigs = graft.dedup.Dedup.abParams(k).zipWithIndex.map {
+      case ((a, b), i) =>
+        s"list_min(list_transform(h, x -> ($a * x + $b) % 2147483647)) AS sig_$i"
+    }.mkString(",\n  ")
+    val bandRows = (0 until bands).map { b =>
+      val cols = (0 until rows).map(r => s"sig_${b * rows + r} AS v$r").mkString(", ")
+      s"SELECT doc_id, $b AS band, $cols FROM s"
+    }.mkString("\n  UNION ALL ")
+    val bandJoin = (0 until rows).map(r => s"a.v$r = b.v$r").mkString(" AND ")
+    val agree = (0 until k).map(i =>
+      s"CASE WHEN da.sig_$i = db.sig_$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH d AS (SELECT doc_id,
+       |  list_transform(
+       |    list_transform(range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+       |      i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')),
+       |    s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) AS h
+       |  FROM documents),
+       |s AS (SELECT doc_id,
+       |  $sigs
+       |FROM d),
+       |banded AS (
+       |  $bandRows),
+       |p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND $bandJoin AND a.doc_id < b.doc_id),
+       |mh AS (SELECT id_a, id_b, CAST($agree AS INTEGER) AS agree
+       |  FROM p JOIN s da ON p.id_a = da.doc_id JOIN s db ON p.id_b = db.doc_id
+       |  WHERE $agree >= $minAgree)""".stripMargin
+  }
 
   /** DuckDB-equivalent SQL per query (driver hash-compares). Notes:
     *  - all SUM(int) wrapped in CAST(.. AS BIGINT) (DuckDB SUM → HUGEINT)
@@ -2521,38 +2590,41 @@ object SparkEntry {
            |GROUP BY 1, 2, 3, 4, 5
            |ORDER BY l.host, req_url LIMIT 25 OFFSET 25""".stripMargin,
 
-      "q44_minhash_pairs_portable" -> {
-        val k = 8; val bands = 4; val rows = k / bands; val minAgree = 4
-        val sigs = graft.dedup.Dedup.abParams(k).zipWithIndex.map {
-          case ((a, b), i) =>
-            s"list_min(list_transform(h, x -> ($a * x + $b) % 2147483647)) AS sig_$i"
-        }.mkString(",\n  ")
-        val bandRows = (0 until bands).map { b =>
-          val cols = (0 until rows).map(r => s"sig_${b * rows + r} AS v$r").mkString(", ")
-          s"SELECT doc_id, $b AS band, $cols FROM s"
-        }.mkString("\n  UNION ALL ")
-        val bandJoin = (0 until rows).map(r => s"a.v$r = b.v$r").mkString(" AND ")
-        val agree = (0 until k).map(i =>
-          s"CASE WHEN da.sig_$i = db.sig_$i THEN 1 ELSE 0 END").mkString(" + ")
-        s"""WITH d AS (SELECT doc_id,
-           |  list_transform(
-           |    list_transform(range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
-           |      i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')),
-           |    s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) AS h
-           |  FROM documents),
-           |s AS (SELECT doc_id,
-           |  $sigs
-           |FROM d),
-           |banded AS (
-           |  $bandRows),
-           |p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           |  FROM banded a JOIN banded b
-           |    ON a.band = b.band AND $bandJoin AND a.doc_id < b.doc_id)
-           |SELECT id_a, id_b, CAST($agree AS INTEGER) AS agree
-           |FROM p JOIN s da ON p.id_a = da.doc_id JOIN s db ON p.id_b = db.doc_id
-           |WHERE $agree >= $minAgree
-           |ORDER BY id_a, id_b""".stripMargin
-      },
+      "q44_minhash_pairs_portable" ->
+        s"""$minhashPairsCtes
+           |SELECT id_a, id_b, agree FROM mh ORDER BY id_a, id_b""".stripMargin,
+
+      // triangle census over the q44 near-dup graph: the oracle replays
+      // the SAME pair CTEs (one definition, two checked consumers) then
+      // the degree-ordered wedge-close counting; coef is integer //
+      "q146_triangle_coef" ->
+        s"""$minhashPairsCtes,
+           |e AS (SELECT id_a AS a, id_b AS b FROM mh),
+           |deg AS (SELECT id, COUNT(*) AS deg FROM (
+           |    SELECT a AS id FROM e UNION ALL SELECT b FROM e)
+           |  GROUP BY id),
+           |ed AS (SELECT
+           |    CASE WHEN ka < kb THEN a ELSE b END AS src,
+           |    CASE WHEN ka < kb THEN b ELSE a END AS dst,
+           |    CASE WHEN ka < kb THEN kb ELSE ka END AS dstk
+           |  FROM (SELECT e.a, e.b,
+           |      da.deg * 4294967296 + e.a AS ka,
+           |      db.deg * 4294967296 + e.b AS kb
+           |    FROM e JOIN deg da ON e.a = da.id JOIN deg db ON e.b = db.id)),
+           |tri AS (SELECT w1.src AS u, w1.dst AS v, w2.dst AS w
+           |  FROM ed w1 JOIN ed w2
+           |    ON w1.src = w2.src AND w1.dstk < w2.dstk
+           |  JOIN ed c ON c.src = w1.dst AND c.dst = w2.dst),
+           |tc AS (SELECT id, COUNT(*) AS n_tri FROM (
+           |    SELECT u AS id FROM tri UNION ALL SELECT v FROM tri
+           |    UNION ALL SELECT w FROM tri)
+           |  GROUP BY id)
+           |SELECT deg.id, deg.deg, COALESCE(tc.n_tri, 0) AS n_tri,
+           |  CASE WHEN deg.deg < 2 THEN 0
+           |    ELSE (2 * COALESCE(tc.n_tri, 0) * 1000000)
+           |      // (deg.deg * (deg.deg - 1)) END AS coef_e6
+           |FROM deg LEFT JOIN tc ON deg.id = tc.id
+           |ORDER BY deg.id""".stripMargin,
 
       // null-safe join (IS NOT DISTINCT FROM) mirrors the operator's
       // `<=>` so a NULL-keyed group diverges on neither engine; the
@@ -3848,7 +3920,45 @@ object SparkEntry {
           |    AS n_ipv4,
           |  CAST(len(regexp_extract_all(t, '\b\d{3}-\d{4}\b')) AS BIGINT)
           |    AS n_phone
-          |FROM d ORDER BY doc_id""".stripMargin
+          |FROM d ORDER BY doc_id""".stripMargin,
+
+      // BM25: idf rounded to 6 (q123 recipe), per-term score to integer
+      // e4 BEFORE the sum (q55 associativity discipline); k1=1.2 b=0.75
+      "q145_bm25" -> {
+        val vals = Bm25Queries
+          .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+        s"""WITH q(query_id, term) AS (SELECT * FROM (VALUES $vals)),
+           |d AS (SELECT doc_id,
+           |    list_filter(string_split(COALESCE(text, ''), ' '),
+           |      t -> len(t) > 0) AS ts
+           |  FROM documents),
+           |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(len(ts)) AS BIGINT) AS sum_dl FROM d),
+           |occ AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl,
+           |    unnest(ts) AS tok FROM d),
+           |tf AS (SELECT doc_id, tok, COUNT(*) AS tf, MIN(dl) AS dl
+           |  FROM occ WHERE tok IN (SELECT DISTINCT term FROM q)
+           |  GROUP BY doc_id, tok),
+           |dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+           |sc AS (SELECT q.query_id, tf.doc_id,
+           |    CAST(round(
+           |      round(ln(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)), 6)
+           |      * (tf.tf * 2.2 / (tf.tf + 1.2 *
+           |          (0.25 + 0.75 * tf.dl / (CAST(st.sum_dl AS DOUBLE) / st.n))))
+           |      * 10000.0, 0) AS BIGINT) AS pts
+           |  FROM tf JOIN dfq USING (tok)
+           |    JOIN q ON q.term = tf.tok CROSS JOIN st),
+           |agg AS (SELECT query_id, doc_id,
+           |    CAST(SUM(pts) AS BIGINT) AS score_e4,
+           |    COUNT(*) AS n_terms
+           |  FROM sc GROUP BY query_id, doc_id),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+           |    ORDER BY score_e4 DESC, doc_id ASC) AS rn
+           |  FROM agg)
+           |SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id, score_e4,
+           |  n_terms
+           |FROM r WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin
+      }
     )
   }
 }

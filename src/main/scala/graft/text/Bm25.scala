@@ -1,0 +1,94 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BM25 ranked retrieval (Robertson et al.; the Lucene idf form) — the
+  * scoring side of the q84 inverted index: given a small term-set query
+  * table, return the top-k documents per query.
+  *
+  * Reference scope: the reference's serving layer answers "hot URLs"
+  * style lookups (`flask/app.py` zrange reads); a corpus engine also
+  * needs content retrieval over the document table — this is the
+  * standard lexical ranker (used for RAG retrieval, eval-set mining,
+  * and dedup-candidate seeding in training-data pipelines).
+  *
+  * Scale design (the part that matters at 100 TB):
+  *  - The query term set is tiny and BROADCAST; per-occurrence tokens
+  *    are joined against it immediately after the explode, in the same
+  *    stage as the scan — only occurrences of query terms ever reach a
+  *    shuffle. The corpus-wide (doc, term) tf relation is never
+  *    materialized.
+  *  - df per term is counted from those matched pairs (docs containing
+  *    the term = exactly the matched docs), then broadcast back — a
+  *    |query terms|-row dimension, never a vocabulary-sized one.
+  *  - Document length is a row-local expression on the scan (no
+  *    tokenize-shuffle-count round trip); N and avgdl are one scalar
+  *    aggregate row, broadcast-crossed (the q89/q123 whitelisted
+  *    one-row pattern).
+  *  - Per-term partial scores are converted to integer ten-thousandths
+  *    BEFORE the per-document sum, so the aggregation is associative
+  *    and order-independent — bit-stable across partitionings and
+  *    engines (the q55 decimal-sum discipline; a float Σ would depend
+  *    on reduction order).
+  *  - Top-k per query is a window over the per-query score rows —
+  *    bounded by matched docs; with many queries this is the q40
+  *    top-k-per-group shape (shuffle on query_id).
+  *
+  * Determinism: idf is rounded to 6 decimals before use (the q123
+  * recipe), the per-term score to 4 via the e4 integer conversion;
+  * ties rank by doc_id ascending — a total order.
+  */
+object Bm25 {
+
+  /** Top-k docs per query. `queries` is a (query_id, term) relation —
+    * expected small (it is broadcast twice: term filter + df map).
+    * Output: (query_id, rank, doc_id, score_e4, n_terms) where
+    * score_e4 = Σ_terms round(idf_r6 · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) · 10⁴)
+    * as BIGINT and n_terms = how many of the query's terms the doc hit.
+    */
+  def topK(docs: DataFrame, idCol: Column, textCol: Column,
+           queries: DataFrame, k1: Double = 1.2, b: Double = 0.75,
+           k: Int = 10): DataFrame = {
+    val toksArr = filter(split(coalesce(textCol, lit("")), " "),
+      t => length(t) > 0)
+    // row-local doc stats + per-occurrence tokens; dl rides along so no
+    // separate tokenize pass is needed for lengths
+    val occ = docs.select(idCol.as("doc_id"),
+      size(toksArr).cast("long").as("dl"), explode(toksArr).as("tok"))
+    // one scalar row: corpus size and total token count (empty docs
+    // count toward N with dl=0 — computed from the doc table, not from
+    // the exploded occurrences, which drop empty docs)
+    val stats = docs.select(size(toksArr).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
+    val terms = queries.select(col("term")).distinct()
+    // matched occurrences only — the broadcast term filter runs in the
+    // scan stage, before any shuffle
+    val tf = occ.join(broadcast(terms), col("tok") === col("term"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val dfTab = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(dfTab), Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .join(broadcast(queries.withColumnRenamed("term", "tok")), Seq("tok"))
+      .select(col("query_id"), col("doc_id"),
+        round(
+          round(log(lit(1.0) +
+              (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))), 6)
+            * (col("tf") * lit(k1 + 1.0) /
+               (col("tf") + lit(k1) * (lit(1.0 - b) +
+                 lit(b) * col("dl") / (col("sum_dl") / col("n")))))
+            * lit(10000.0), 0)
+          .cast("long").as("pts"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("pts")).as("score_e4"), count(lit(1)).as("n_terms"))
+    import org.apache.spark.sql.expressions.Window
+    scored
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("score_e4").desc, col("doc_id").asc)).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("score_e4"), col("n_terms"))
+  }
+}

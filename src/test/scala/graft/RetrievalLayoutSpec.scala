@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Retrieval + data-layout operators added in the round-9 continuation:
+  * BM25 ranking (graft.text.Bm25), and the layout/graph ops that follow
+  * in this file's siblings. Expected values are hand-computed (see the
+  * inline derivations), not re-derived through the operator under test.
+  */
+class RetrievalLayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  // corpus: doc1 "a b a" (dl 3), doc2 "a c" (dl 2), doc3 "" (dl 0,
+  // counts toward N and avgdl), doc4 "b b b b" (dl 4). N=4, Σdl=9,
+  // avgdl=2.25, df(a)=df(b)=2 → idf=round(ln 2,6)=0.693147.
+  // Hand-derived e4 scores: doc1·a=8714, doc1·b=6100, doc2·a=7262,
+  // doc4·b=10338.
+  private def corpus = Seq((1L, "a b a"), (2L, "a c"), (3L, ""),
+    (4L, "b b b b")).toDF("doc_id", "text")
+
+  test("bm25: hand-computed scores, tie ordering, absent term") {
+    val qs = Seq((1L, "a"), (1L, "b"), (2L, "zzz")).toDF("query_id", "term")
+    val out = graft.text.Bm25.topK(corpus, col("doc_id"), col("text"), qs)
+      .orderBy("query_id", "rank")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 1L, 8714L + 6100L, 2L), // both terms hit
+      (1L, 2L, 4L, 10338L, 1L),
+      (1L, 3L, 2L, 7262L, 1L)))        // query 2's term matches nothing
+  }
+
+  test("bm25: empty docs shape avgdl (remove doc3 and scores change)") {
+    val qs = Seq((1L, "a")).toDF("query_id", "term")
+    def score(df: org.apache.spark.sql.DataFrame): Long =
+      graft.text.Bm25.topK(df, col("doc_id"), col("text"), qs)
+        .where(col("doc_id") === 1L).head().getAs[Long]("score_e4")
+    val withEmpty = score(corpus)
+    val without = score(corpus.where(col("doc_id") =!= 3L))
+    assert(withEmpty == 8714L)
+    // dropping the empty doc raises avgdl (9/3=3 > 2.25) AND changes
+    // N/df in idf — the score must move (empty docs are not ignorable)
+    assert(without != withEmpty)
+  }
+
+  test("bm25: k truncates per query and rank is dense from 1") {
+    val qs = Seq((7L, "a"), (7L, "b")).toDF("query_id", "term")
+    val out = graft.text.Bm25.topK(corpus, col("doc_id"), col("text"),
+        qs, k = 2)
+      .orderBy("rank").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 2L))
+    assert(out.map(_.getLong(2)).toSeq == Seq(1L, 4L))
+  }
+
+  // K4 (clique: coef 10⁶), 3-leaf star (hub wedges, zero triangles),
+  // separate triangle, plus a reversed-duplicate edge that must be
+  // normalized away
+  test("triangleStats: clique / star / triangle, duplicate edges normalized") {
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (10L, 11L), (10L, 12L), (10L, 13L), (20L, 21L),
+      (20L, 22L), (21L, 22L), (2L, 1L) /* reversed dup */)
+      .toDF("x", "y")
+    val got = graft.ops.Graph.triangleStats(edges, "x", "y")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 3L, 1000000L), (2L, 3L, 3L, 1000000L),
+      (3L, 3L, 3L, 1000000L), (4L, 3L, 3L, 1000000L),
+      (10L, 3L, 0L, 0L), (11L, 1L, 0L, 0L), (12L, 1L, 0L, 0L),
+      (13L, 1L, 0L, 0L),
+      (20L, 2L, 1L, 1000000L), (21L, 2L, 1L, 1000000L),
+      (22L, 2L, 1L, 1000000L)))
+  }
+
+  test("triangleStats: self-loops dropped, empty edge set yields empty") {
+    val edges = Seq((5L, 5L)).toDF("x", "y")
+    assert(graft.ops.Graph.triangleStats(edges, "x", "y").count() == 0)
+  }
+}
