@@ -44,7 +44,10 @@ object PlanAudit {
       // q145: the ONE-ROW corpus stats aggregate (N, Σdl) broadcast-
       // crossed into the matched-postings relation — the q89/q126
       // scalar-dimension pattern; the corpus side joins by hash
-      "q145_bm25")
+      "q145_bm25",
+      // q147: the ONE-ROW insertion-key min/max bounds broadcast-
+      // crossed to derive linear file ids — same scalar-dim pattern
+      "q147_zorder_layout")
     // q144_ivfpq_adc needs no entry: its final plan shows no BNLJ —
     // the candidate scan and LUT attachment are equi hash joins (cell,
     // query_id), and the tiny centroid/codebook cross products sit
@@ -89,7 +92,9 @@ object PlanAudit {
     "q127_kmv_overlap" ->
       "exact-count scalar agg + bottom-k limit: bounded partials/k rows",
     "q145_bm25" ->
-      "corpus N/Σdl stats: global scalar agg, one partial row per task"
+      "corpus N/Σdl stats: global scalar agg, one partial row per task",
+    "q147_zorder_layout" ->
+      "insertion-key min/max bounds: global scalar agg, bounded partials"
     // q129_zipf_slope funnels through a bounded top-30 head (limit +
     // rank window + OLS agg) but plans as TakeOrdered without an
     // explicit SinglePartition exchange, so it needs no entry here

@@ -1890,6 +1890,40 @@ object SparkEntry {
             "text", k = 8, bands = 4, minAgree = 4, w = 3),
           "id_a", "id_b")
         .orderBy("id"))
+,
+
+    // Z-order layout audit: per-file min/max bounding boxes of
+    // (user-bucket, event-bucket) under insertion-order files vs
+    // morton-prefix files — the stats a scan planner prunes with, so
+    // the clustering win is hash-checked, not asserted.
+    // The odd-multiplier mod-2¹⁰ bijection spreads the sf-dependent id
+    // ranges over the full 10-bit morton domain (ids at small sf never
+    // reach the top bits, which would collapse the file prefix).
+    // RetrievalLayoutSpec asserts the skip-ratio consequence
+    "q147_zorder_layout" -> ((s, dir) =>
+      graft.ops.Layout.fileStats(T(s, dir, "events"),
+          pmod(col("user_id") * 677L, lit(1024L)),
+          pmod(col("event_id") * 509L, lit(1024L)),
+          col("event_id"), nFiles = 16, bits = 10)
+        .orderBy("layout", "file_id")),
+
+    // Flesch reading-ease (readability quality feature): row-local
+    // counts + one rounded double → integer e2; NULL for empty docs.
+    // Sentences = the corpus 8-token chunk convention (word salad has
+    // no sentence punctuation — deviation documented at the operator)
+    "q148_readability" -> ((s, dir) =>
+      TextAnalysis.readability(T(s, dir, "documents"), col("doc_id"),
+          col("text"))
+        .orderBy("doc_id")),
+
+    // SSL-prototypes diversity pruning (Sorscher et al. NeurIPS'22):
+    // rank by cosine to the EXACT per-label centroid (q55 decimal-e9
+    // sums), prune the most prototypical 25% per cluster. Fully
+    // hash-checked — centroids, cosines, ranks, and the kept set
+    "q149_prototype_prune" -> ((s, dir) =>
+      Similarity.prototypePrune(T(s, dir, "embeddings"), "vec_id",
+          "embedding", "label", pruneFrac = 0.25)
+        .orderBy("cluster", "rank"))
   )
 
   /** q145's fixed query set — probe terms known present in the corpus
@@ -3958,7 +3992,83 @@ object SparkEntry {
            |SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id, score_e4,
            |  n_terms
            |FROM r WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin
-      }
+      },
+
+      // z-order layout audit: the oracle replays the same magic-mask
+      // bit spread (4 shift-or steps) and the morton-prefix / linear
+      // range file assignment; 16 files over 20 morton bits → shift 16
+      "q147_zorder_layout" -> {
+        def spread(e: String): String = {
+          val m1 = s"((($e & 65535) | (($e & 65535) << 8)) & 16711935)"
+          val m2 = s"(($m1 | ($m1 << 4)) & 252645135)"
+          val m3 = s"(($m2 | ($m2 << 2)) & 858993459)"
+          s"(($m3 | ($m3 << 1)) & 1431655765)"
+        }
+        s"""WITH base AS (SELECT (user_id * 677) % 1024 AS x,
+           |    (event_id * 509) % 1024 AS y, event_id AS lin FROM events),
+           |b AS (SELECT MIN(lin) AS lo, MAX(lin) - MIN(lin) + 1 AS w
+           |  FROM base),
+           |f AS (SELECT 'linear' AS layout,
+           |    ((lin - lo) * 16) // w AS file_id, x, y
+           |  FROM base CROSS JOIN b
+           |  UNION ALL
+           |  SELECT 'zorder',
+           |    (${spread("x")} | (${spread("y")} << 1)) >> 16, x, y
+           |  FROM base)
+           |SELECT layout, file_id, COUNT(*) AS n_rows,
+           |  MIN(x) AS min_x, MAX(x) AS max_x,
+           |  MIN(y) AS min_y, MAX(y) AS max_y
+           |FROM f GROUP BY layout, file_id
+           |ORDER BY layout, file_id""".stripMargin
+      },
+
+      // Flesch: W=non-empty tokens, Y=vowel-group runs, S=ceil(W/8);
+      // IEEE arithmetic then ONE round to integer e2 on both engines
+      "q148_readability" ->
+        """WITH d AS (SELECT doc_id,
+          |    CAST(len(list_filter(string_split(COALESCE(text, ''), ' '),
+          |      t -> len(t) > 0)) AS BIGINT) AS n_words,
+          |    CAST(len(regexp_extract_all(lower(COALESCE(text, '')),
+          |      '[aeiouy]+')) AS BIGINT) AS n_syll
+          |  FROM documents)
+          |SELECT doc_id, n_words, (n_words + 7) // 8 AS n_sents, n_syll,
+          |  CASE WHEN n_words = 0 THEN NULL
+          |    ELSE CAST(round((206.835
+          |      - 1.015 * (CAST(n_words AS DOUBLE) / ((n_words + 7) // 8))
+          |      - 84.6 * (CAST(n_syll AS DOUBLE) / n_words)) * 100.0, 0)
+          |      AS BIGINT)
+          |  END AS flesch_e2
+          |FROM d ORDER BY doc_id""".stripMargin,
+
+      // prototype pruning: q55's exact-decimal centroid recipe (raw
+      // FLOAT → shortest string → DECIMAL(18,9) → e9 BIGINT sums),
+      // q39's list_cosine_similarity parity, rank on the raw double
+      "q149_prototype_prune" ->
+        """WITH px AS (SELECT label AS cluster,
+          |    UNNEST(list_transform(range(1, len(embedding) + 1),
+          |      i -> {'pos': i - 1, 'x': embedding[i]})) AS e
+          |  FROM embeddings),
+          |cs AS (SELECT cluster, e.pos,
+          |    SUM(CAST(CAST(CAST(e.x AS VARCHAR) AS DECIMAL(18,9))
+          |      * 1000000000 AS BIGINT)) AS c,
+          |    COUNT(*) AS n
+          |  FROM px GROUP BY cluster, e.pos),
+          |cent AS (SELECT cluster,
+          |    list(CAST(c AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000000.0)
+          |      ORDER BY pos) AS cent,
+          |    CAST(MIN(n) AS BIGINT) AS n_cluster
+          |  FROM cs GROUP BY cluster),
+          |sc AS (SELECT e.vec_id AS id, cent.cluster, cent.n_cluster,
+          |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+          |      cent.cent) AS cos
+          |  FROM embeddings e JOIN cent ON e.label = cent.cluster),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY cluster
+          |    ORDER BY cos DESC, id ASC) AS rn
+          |  FROM sc)
+          |SELECT cluster, id, CAST(rn AS BIGINT) AS rank, n_cluster,
+          |  round(cos, 4) + 0.0 AS cos_r,
+          |  rn > floor(0.25 * n_cluster) AS kept
+          |FROM r ORDER BY cluster, rank""".stripMargin
     )
   }
 }

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout clustering for scan pruning — the write-side half of
+  * "filters reach the parquet scan". Parquet/ORC keep min/max stats
+  * per file and row group; whether a point/range predicate PRUNES
+  * depends entirely on how rows were clustered into files when
+  * written. Linear (insertion-order) layout clusters only the
+  * insertion key; a Z-ORDER curve interleaves the bits of two
+  * dimensions so every contiguous curve range — hence every file —
+  * covers a bounded box in BOTH, making min/max pruning effective for
+  * either predicate column. This operator computes the interleave and
+  * the resulting per-file bounding boxes, i.e. the measurable
+  * skipping story, not just the code assignment.
+  *
+  * Scale notes:
+  *  - File assignment is the morton-code PREFIX (top log₂(nFiles)
+  *    bits) — a pure per-row expression, equivalent to range
+  *    partitioning on the curve. A global `ntile` would funnel every
+  *    row through one partition for the rank; the prefix needs no
+  *    order at all. (File sizes are then data-distribution-dependent;
+  *    on skew you'd range-partition by sampled curve quantiles — same
+  *    boxes, balanced files.)
+  *  - The bounding-box audit is one groupBy(file) over short keys.
+  *  - Bit spreading is the standard magic-mask sequence — 4 shift-or
+  *    steps, all codegen'd integer ops, no UDF, replayable in ANSI SQL
+  *    by any engine with shifts (the DuckDB oracle replays it).
+  */
+object Layout {
+
+  /** Spread the low 16 bits of `v` so bit i lands at position 2i
+    * (Morton/Z-curve bit interleave, one dimension). */
+  def spreadBits16(v: Column): Column = {
+    val m0 = v.bitwiseAND(lit(65535L))
+    val m1 = (m0.bitwiseOR(shiftleft(m0, 8))).bitwiseAND(lit(0x00FF00FFL))
+    val m2 = (m1.bitwiseOR(shiftleft(m1, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+    val m3 = (m2.bitwiseOR(shiftleft(m2, 2))).bitwiseAND(lit(0x33333333L))
+    (m3.bitwiseOR(shiftleft(m3, 1))).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** 32-bit Morton code of two 16-bit dimensions (x even bits, y odd). */
+  def morton(x: Column, y: Column): Column =
+    spreadBits16(x).bitwiseOR(shiftleft(spreadBits16(y), 1))
+
+  /** Per-file bounding boxes under two layouts of the same rows:
+    * 'linear' (files = ranges of `linCol`, the insertion key) and
+    * 'zorder' (files = morton-prefix buckets of (x, y), each < 2^bits).
+    * Output: (layout, file_id, n_rows, min_x, max_x, min_y, max_y) —
+    * the exact inputs a scan planner uses to decide skipping, so the
+    * pruning win is hash-checkable instead of asserted.
+    */
+  def fileStats(df: DataFrame, xCol: Column, yCol: Column, linCol: Column,
+                nFiles: Int, bits: Int): DataFrame = {
+    require(Integer.bitCount(nFiles) == 1 && nFiles > 1,
+      "nFiles must be a power of two")
+    val shift = 2 * bits - Integer.numberOfTrailingZeros(nFiles)
+    val base = df.select(xCol.cast("long").as("x"), yCol.cast("long").as("y"),
+      linCol.cast("long").as("lin"))
+    // linear layout: equal-width ranges of the insertion key; the
+    // min/max come from ONE scalar-agg row (broadcast-crossed — the
+    // q89-class bounded pattern)
+    val bounds = base.agg(min(col("lin")).as("lo"),
+      (max(col("lin")) - min(col("lin")) + 1L).as("w"))
+    val linFiles = base.crossJoin(broadcast(bounds))
+      .select(lit("linear").as("layout"),
+        expr(s"((lin - lo) * $nFiles) div w").as("file_id"),
+        col("x"), col("y"))
+    val zFiles = base
+      .select(lit("zorder").as("layout"),
+        shiftright(Layout.morton(col("x"), col("y")), shift).as("file_id"),
+        col("x"), col("y"))
+    linFiles.unionByName(zFiles)
+      .groupBy("layout", "file_id")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+  }
+
+  /** Fraction of files a point predicate `x = v` could skip under each
+    * layout, for each probe — the end-to-end pruning measure. */
+  def skipRatio(stats: DataFrame, probes: Seq[Long]): DataFrame = {
+    val p = probes.foldLeft(Option.empty[DataFrame]) { (acc, v) =>
+      val row = stats.sparkSession.range(1).select(lit(v).as("probe_x"))
+      Some(acc.fold(row)(_.unionByName(row)))
+    }.get
+    stats.crossJoin(broadcast(p))
+      .groupBy("layout", "probe_x")
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("min_x") <= col("probe_x") &&
+                 col("probe_x") <= col("max_x"), 0L).otherwise(1L))
+          .as("n_skippable"))
+  }
+}

@@ -435,4 +435,55 @@ object Similarity {
       .select(col("id"), (col("pos") + 1).cast("long").as("pos"),
         col("proj_q"))
   }
+
+  /** Prototype-based diversity pruning (the SSL-prototypes policy of
+    * Sorscher et al., "Beyond neural scaling laws", NeurIPS'22): rank
+    * each vector by cosine to its cluster centroid and PRUNE the most
+    * prototypical `pruneFrac` per cluster — on abundant data the
+    * easy/common examples carry the least marginal information, so
+    * dropping them beats random pruning. Clusters here are the given
+    * label column (the q122 assignment); any cluster id works.
+    *
+    * Engine-portable determinism, the part that usually goes wrong:
+    *  - centroids are EXACT — per-(cluster, pos) decimal-e9 integer
+    *    sums (the q55 recipe: float → shortest-string → decimal, so
+    *    both engines see identical decimals), divided into double only
+    *    at the end, one IEEE division per component;
+    *  - cosine is the q39-proven ordered left-fold;
+    *  - the rank orders by the RAW double (bit-identical both sides),
+    *    ties by id — total order, so the kept set is reproducible.
+    *
+    * Scale: one posexplode shuffle on (cluster, pos) short keys for
+    * centroids (map-side partial sums), centroids broadcast back
+    * (#clusters × dim — tiny), scoring is row-local, and the rank is
+    * the q130 per-group window (one partition per cluster; at extreme
+    * per-cluster cardinality swap for the documented top-k aggregate).
+    */
+  def prototypePrune(emb: DataFrame, idCol: String, vecCol: String,
+                     clusterCol: String, pruneFrac: Double): DataFrame = {
+    val sums = emb
+      .select(col(clusterCol).as("cluster"),
+        posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy("cluster", "pos")
+      .agg(sum((col("x").cast("string").cast("decimal(18,9)")
+          * 1000000000L).cast("long")).as("c"),
+        count(lit(1)).as("n"))
+    val cents = sums.groupBy("cluster")
+      .agg(collect_list(struct(col("pos"), col("c"))).as("cs"),
+        first(col("n")).as("n_cluster"))
+      .select(col("cluster"), col("n_cluster"),
+        transform(array_sort(col("cs")), s =>
+          s.getField("c").cast("double")
+            / (col("n_cluster").cast("double") * lit(1.0e9))).as("cent"))
+    emb.select(col(idCol).as("id"), col(clusterCol).as("cluster"),
+        asDouble(col(vecCol)).as("__v"))
+      .join(broadcast(cents), Seq("cluster"))
+      .select(col("cluster"), col("id"), col("n_cluster"),
+        cosine(col("__v"), col("cent")).as("__cos"))
+      .withColumn("rank", row_number().over(Window.partitionBy("cluster")
+        .orderBy(col("__cos").desc, col("id").asc)).cast("long"))
+      .select(col("cluster"), col("id"), col("rank"), col("n_cluster"),
+        (round(col("__cos"), 4) + lit(0.0)).as("cos_r"),
+        (col("rank") > floor(lit(pruneFrac) * col("n_cluster"))).as("kept"))
+  }
 }

@@ -700,4 +700,35 @@ object TextAnalysis {
             .cast("double") /
           (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"),
           4) + 0.0).as("slope"))
+
+  /** Flesch reading-ease per doc — the classic readability feature in
+    * quality-filter stacks ("textbook-quality" selection uses
+    * readability alongside the q16/q96 signals). Three counts, all
+    * row-local regex/arith (zero shuffle): words = non-empty tokens,
+    * syllables ≈ vowel-group runs `[aeiouy]+` (the standard cheap
+    * estimator; spaces break runs, so this equals the per-word sum),
+    * sentences = ceil(words/8) — the corpus is sentence-punctuation-
+    * free word salad, so "sentences" are the q85 8-token chunk
+    * convention (DEVIATION from prose Flesch, documented here; on
+    * punctuated text swap in a `[.!?]+` count).
+    * flesch_e2 = round((206.835 − 1.015·W/S − 84.6·Y/W)·100) as
+    * BIGINT — IEEE-exact arithmetic then one round, engine-portable;
+    * NULL for empty docs (no words → undefined, not a sentinel 0).
+    */
+  def readability(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val toks = filter(tokens(coalesce(textCol, lit(""))), t => length(t) > 0)
+    df.select(idCol.as("doc_id"),
+        size(toks).cast("long").as("n_words"),
+        regexp_count(lower(coalesce(textCol, lit(""))), lit("[aeiouy]+"))
+          .cast("long").as("n_syll"))
+      .withColumn("n_sents", expr("(n_words + 7) div 8"))
+      .withColumn("flesch_e2",
+        when(col("n_words") === 0, lit(null).cast("long"))
+          .otherwise(round((lit(206.835)
+            - lit(1.015) * col("n_words").cast("double") / col("n_sents")
+            - lit(84.6) * col("n_syll").cast("double") / col("n_words"))
+            * lit(100.0), 0).cast("long")))
+      .select(col("doc_id"), col("n_words"), col("n_sents"), col("n_syll"),
+        col("flesch_e2"))
+  }
 }

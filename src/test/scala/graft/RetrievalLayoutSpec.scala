@@ -77,4 +77,78 @@ class RetrievalLayoutSpec extends SparkSpec {
     val edges = Seq((5L, 5L)).toDF("x", "y")
     assert(graft.ops.Graph.triangleStats(edges, "x", "y").count() == 0)
   }
+
+  test("morton: hand-computed interleave and full-mask spread") {
+    // spread(3)=0b0101=5; spread(5)=0b010001=17, shifted → 34; 5|34=39
+    val r = spark.range(1).select(
+      graft.ops.Layout.morton(lit(3L), lit(5L)).as("m"),
+      graft.ops.Layout.spreadBits16(lit(65535L)).as("s"))
+      .head()
+    assert(r.getLong(0) == 39L)
+    assert(r.getLong(1) == 0x55555555L)
+  }
+
+  // uniform 4096-point grid: every z-order file must cover a ≤256-wide
+  // box in BOTH dims (top-2-bit prefix each), while linear files span
+  // essentially the whole x domain — and the skip ratio for a point
+  // predicate follows: 12/16 z-order files skippable, 0 linear
+  test("zorder fileStats: bounded boxes and the pruning consequence") {
+    val base = spark.range(4096).select(
+      pmod(col("id") * 677L, lit(1024L)).as("x"),
+      pmod(col("id") * 509L, lit(1024L)).as("y"),
+      col("id").as("lin"))
+    val stats = graft.ops.Layout.fileStats(base, col("x"), col("y"),
+      col("lin"), nFiles = 16, bits = 10)
+    val z = stats.where(col("layout") === "zorder").collect()
+    assert(z.length == 16)
+    z.foreach { r =>
+      assert(r.getAs[Long]("max_x") - r.getAs[Long]("min_x") < 256)
+      assert(r.getAs[Long]("max_y") - r.getAs[Long]("min_y") < 256)
+    }
+    val lin = stats.where(col("layout") === "linear").collect()
+    assert(lin.length == 16)
+    assert(lin.forall(r =>
+      r.getAs[Long]("max_x") - r.getAs[Long]("min_x") > 512))
+    val skips = graft.ops.Layout.skipRatio(stats, Seq(5L, 700L))
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Long]("probe_x")) ->
+        r.getAs[Long]("n_skippable")).toMap
+    assert(skips(("zorder", 5L)) == 12L && skips(("zorder", 700L)) == 12L)
+    assert(skips(("linear", 5L)) == 0L && skips(("linear", 700L)) == 0L)
+  }
+
+  test("readability: hand-computed flesch, half-up tie, empty→NULL") {
+    // "aa bb": W=2 S=1 Y=1 → (206.835−2.03−42.3)·100 = exactly 16250.5
+    // (pins HALF_UP); "aa ee ii oo": W=4 S=1 Y=4 → 11818
+    val out = graft.text.TextAnalysis.readability(
+        Seq((1L, "aa bb"), (2L, "aa ee ii oo"), (3L, ""),
+          (4L, null.asInstanceOf[String])).toDF("doc_id", "text"),
+        col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(4) == 16251L)
+    assert(out(1).getLong(4) == 11818L)
+    assert((out(0).getLong(1), out(0).getLong(2), out(0).getLong(3)) ==
+      ((2L, 1L, 1L)))
+    assert(out(2).isNullAt(4) && out(2).getLong(1) == 0L)
+    assert(out(3).isNullAt(4))
+  }
+
+  test("prototypePrune: exact centroid, rank order, prune boundary") {
+    // cluster 0: (1,0),(0,1),(1,1) → centroid (2/3,2/3); cos = .7071,
+    // .7071, 1.0 → rank 1 is (1,1), ties by id put (1,0) before (0,1).
+    // pruneFrac .34 → floor(.34·3)=1 → exactly rank 1 pruned.
+    // cluster 1: single member → cos 1.0, floor(.34)=0 → kept.
+    val emb = Seq(
+      (10L, Seq(1.0f, 0.0f), 0), (11L, Seq(0.0f, 1.0f), 0),
+      (12L, Seq(1.0f, 1.0f), 0), (20L, Seq(5.0f, 5.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = graft.sim.Similarity.prototypePrune(emb, "vec_id",
+        "embedding", "label", pruneFrac = 0.34)
+      .orderBy("cluster", "rank").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(4), r.getBoolean(5)))
+    assert(out.toSeq == Seq(
+      (0, 12L, 1L, 1.0, false), (0, 10L, 2L, 0.7071, true),
+      (0, 11L, 3L, 0.7071, true), (1, 20L, 1L, 1.0, true)))
+  }
 }
