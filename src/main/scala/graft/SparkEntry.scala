@@ -1923,7 +1923,25 @@ object SparkEntry {
     "q149_prototype_prune" -> ((s, dir) =>
       Similarity.prototypePrune(T(s, dir, "embeddings"), "vec_id",
           "embedding", "label", pruneFrac = 0.25)
-        .orderBy("cluster", "rank"))
+        .orderBy("cluster", "rank")),
+
+    // unigram-LM tokenizer SEEDING (Kudo 2018): every ≤4-char substring
+    // of every word weighted by occurrence, top-200 + single-char
+    // coverage floor — the SQL-expressible anchor of the q151 trainer
+    "q150_unigram_seed" -> ((s, dir) =>
+      graft.text.UnigramLm.seedCandidates(T(s, dir, "documents"),
+          col("text"), maxLen = 4, seedSize = 200)
+        .orderBy("piece")),
+
+    // unigram-LM hard-EM training (3 rounds over the aggregated word
+    // vocab; Viterbi counts via the codegen'd segment expression).
+    // Iterative ML on engine-internal floats → rows-only; q150 is the
+    // hash-checked seed twin, UnigramLmSpec pins Viterbi fixtures,
+    // EM monotonicity, normalization, and determinism
+    "q151_unigram_lm" -> ((s, dir) =>
+      graft.text.UnigramLm.train(s, T(s, dir, "documents"), col("text"),
+          maxLen = 4, seedSize = 256, rounds = 3)
+        .orderBy("piece"))
   )
 
   /** q145's fixed query set — probe terms known present in the corpus
@@ -4068,7 +4086,29 @@ object SparkEntry {
           |SELECT cluster, id, CAST(rn AS BIGINT) AS rank, n_cluster,
           |  round(cos, 4) + 0.0 AS cos_r,
           |  rn > floor(0.25 * n_cluster) AS kept
-          |FROM r ORDER BY cluster, rank""".stripMargin
+          |FROM r ORDER BY cluster, rank""".stripMargin,
+
+      // unigram seeding: same word vocab as q92's trainer, substring
+      // windows replayed as nested list comprehensions, single-char
+      // coverage floor via the union+max
+      "q150_unigram_seed" ->
+        """WITH v AS (SELECT w, COUNT(*) AS cnt FROM (
+          |    SELECT unnest(list_filter(string_split(COALESCE(text, ''), ' '),
+          |      t -> len(t) > 0)) AS w
+          |    FROM documents)
+          |  GROUP BY w),
+          |subs AS (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS freq FROM (
+          |    SELECT cnt, unnest(flatten(list_transform(range(1, len(w) + 1),
+          |      s -> list_transform(range(1, least(4, len(w) - s + 1) + 1),
+          |        l -> w[s:s+l-1])))) AS piece
+          |    FROM v)
+          |  GROUP BY piece),
+          |top AS (SELECT piece, freq FROM subs
+          |  ORDER BY freq DESC, piece ASC LIMIT 200)
+          |SELECT piece, MAX(freq) AS freq FROM (
+          |  SELECT * FROM top
+          |  UNION ALL SELECT piece, freq FROM subs WHERE len(piece) = 1)
+          |GROUP BY piece ORDER BY piece""".stripMargin
     )
   }
 }

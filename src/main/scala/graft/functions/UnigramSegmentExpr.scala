@@ -1,0 +1,124 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Viterbi segmentation of one WORD under a unigram piece LM (the
+  * decode step of SentencePiece's unigram model, Kudo 2018): among all
+  * ways to cover the word with vocabulary pieces, return the one
+  * maximizing Σ logp(piece). The e-step of [[graft.text.UnigramLm]]'s
+  * hard-EM trainer and the apply side for corpus encoding.
+  *
+  * Dynamic program: dp[i] = best score of the prefix of length i;
+  * dp[i] = max over piece lengths l ≤ maxLen of dp[i−l] +
+  * logp(word[i−l..i]). A character absent from the vocabulary scores
+  * `unkLogp` as a single-char fallback, so coverage is total (the
+  * paper's character-coverage floor). Tie-break is deterministic:
+  * candidate lengths are scanned l = 1..maxLen and only a STRICTLY
+  * better score replaces, so equal-scoring splits resolve to the
+  * shortest last piece — fixed across runs and partitionings.
+  *
+  * Same shape rationale as [[BpeEncodeExpr]]: the piece table rides
+  * into executors once as a codegen reference object; per-row cost is
+  * O(len · maxLen) map probes with no plan growth; the call stays
+  * inside the whole-stage span. Training is offline, but the encode
+  * path is hot at corpus scale, hence codegen rather than an eval-only
+  * fallback.
+  */
+case class UnigramSegmentExpr(child: Expression,
+                              pieces: Seq[(String, Double)],
+                              unkLogp: Double) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  @transient private lazy val table: java.util.HashMap[String, java.lang.Double] = {
+    val m = new java.util.HashMap[String, java.lang.Double](pieces.size * 2)
+    pieces.foreach { case (p, lp) => m.put(p, lp) }
+    m
+  }
+  @transient private lazy val maxLen: Int =
+    if (pieces.isEmpty) 1 else pieces.iterator.map(_._1.length).max.max(1)
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else UnigramSegmentExpr.compute(v.asInstanceOf[UTF8String], table,
+      maxLen, unkLogp)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val tableRef = ctx.addReferenceObj("unigramPieces", table,
+      "java.util.HashMap<String, Double>")
+    val arrCls = classOf[ArrayData].getName
+    ev.copy(code = code"""${c.code}
+      $arrCls ${ev.value} = ${c.isNull} ? null :
+        graft.functions.UnigramSegmentExpr.compute(${c.value}, $tableRef,
+          $maxLen, ${unkLogp}D);
+      boolean ${ev.isNull} = ${ev.value} == null;""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnigramSegmentExpr =
+    copy(child = newChild)
+}
+
+object UnigramSegmentExpr {
+
+  import org.apache.spark.sql.graft.ColumnBridge
+  def unigram_segment(word: Column, pieces: Seq[(String, Double)],
+                      unkLogp: Double = -1e6): Column =
+    ColumnBridge.column(
+      UnigramSegmentExpr(ColumnBridge.expression(word), pieces, unkLogp))
+
+  /** Viterbi over UTF-16 code units (pieces are builder-supplied from
+    * the same representation, so boundaries agree by construction). */
+  def compute(word: UTF8String, table: java.util.HashMap[String, java.lang.Double],
+              maxLen: Int, unkLogp: Double): ArrayData = {
+    val s = word.toString
+    val n = s.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val dp = new Array[Double](n + 1)
+    val back = new Array[Int](n + 1)
+    var i = 1
+    while (i <= n) {
+      var best = Double.NegativeInfinity
+      var arg = 1
+      var l = 1
+      val lMax = if (i < maxLen) i else maxLen
+      while (l <= lMax) {
+        val lpBoxed = table.get(s.substring(i - l, i))
+        val lp: Double =
+          if (lpBoxed != null) lpBoxed.doubleValue()
+          else if (l == 1) unkLogp
+          else Double.NaN
+        if (!java.lang.Double.isNaN(lp)) {
+          val cand = dp(i - l) + lp
+          if (cand > best) { best = cand; arg = l }
+        }
+        l += 1
+      }
+      dp(i) = best
+      back(i) = arg
+      i += 1
+    }
+    var cnt = 0
+    var j = n
+    while (j > 0) { cnt += 1; j -= back(j) }
+    val out = new Array[Any](cnt)
+    j = n
+    var k = cnt - 1
+    while (j > 0) {
+      out(k) = UTF8String.fromString(s.substring(j - back(j), j))
+      k -= 1
+      j -= back(j)
+    }
+    new GenericArrayData(out)
+  }
+}

@@ -1,0 +1,101 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM tokenizer training (the SentencePiece unigram model,
+  * Kudo 2018, "Subword Regularization") — the OTHER standard subword
+  * tokenizer beside BPE ([[BpeTrain]]): hold a piece vocabulary with
+  * probabilities, segment by maximum likelihood, re-estimate from the
+  * segmentation counts.
+  *
+  * Scale shape, mirroring [[BpeTrain]] exactly: the only corpus-sized
+  * pass is the word-vocabulary aggregation (one explode + groupBy with
+  * map-side partials — at 100 TB the distinct-word vocab is orders of
+  * magnitude smaller than the corpus). Seeding and every EM round run
+  * over that aggregated vocab, distributed; the only driver state is
+  * the piece table itself (≤ seedSize rows — the model, same class as
+  * BPE's merge list), collected once per round to parameterize the
+  * segmentation expression.
+  *
+  * Deviations from the paper, documented:
+  *  - HARD EM (Viterbi counts), not forward-backward expected counts —
+  *    the standard approximation; each round re-estimates from the
+  *    best segmentation, so the corpus Viterbi log-likelihood is
+  *    non-decreasing (UnigramLmSpec asserts this on a planted corpus).
+  *  - No explicit prune-to-target-size schedule: pieces that win no
+  *    Viterbi counts simply drop out (single chars are floored to
+  *    count 1 for coverage); rounds are fixed, not loss-thresholded.
+  */
+object UnigramLm {
+
+  /** Seed candidates: every ≤ maxLen-char substring of every word,
+    * weighted by word occurrence count — (piece, freq) top `seedSize`
+    * under the total order (freq desc, piece asc), UNION all single
+    * chars (coverage floor). SQL-expressible — the q150 gate relation.
+    */
+  def seedCandidates(docs: DataFrame, textCol: Column, maxLen: Int,
+                     seedSize: Int): DataFrame = {
+    val vocab = BpeTrain.wordVocab(docs, textCol)
+    val subs = vocab.select(col("cnt"), explode(expr(
+        s"""flatten(transform(sequence(1, length(w)), s ->
+           |  transform(sequence(1, least($maxLen, length(w) - s + 1)),
+           |    l -> substr(w, s, l))))""".stripMargin)).as("piece"))
+      .groupBy("piece").agg(sum("cnt").as("freq"))
+    val top = subs
+      .orderBy(col("freq").desc, col("piece").asc).limit(seedSize)
+    // coverage floor: single chars always survive seeding
+    top.unionByName(subs.where(length(col("piece")) === 1))
+      .groupBy("piece").agg(max("freq").as("freq"))
+  }
+
+  /** Hard-EM training: returns the final (piece, cnt, logp_e6) table.
+    * logp = ln(cnt / Σcnt) over the surviving pieces, e6-scaled; cnt
+    * is the Viterbi count of the last round (chars floored to 1).
+    */
+  def train(spark: SparkSession, docs: DataFrame, textCol: Column,
+            maxLen: Int = 4, seedSize: Int = 512,
+            rounds: Int = 3): DataFrame = {
+    val vocab = BpeTrain.wordVocab(docs, textCol).localCheckpoint(true)
+    // bounded collect: ≤ seedSize + |charset| rows — the model table
+    var pieces: Seq[(String, Long)] =
+      seedCandidates(docs, textCol, maxLen, seedSize)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    for (_ <- 1 to rounds) {
+      val lp = toLogProbs(pieces)
+      val counts = vocab
+        .select(col("cnt"), explode(
+          graft.functions.UnigramSegmentExpr.unigram_segment(col("w"), lp))
+          .as("piece"))
+        .groupBy("piece").agg(sum("cnt").as("vcnt"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val chars = pieces.collect { case (p, _) if p.length == 1 => p }
+      pieces = (counts.keySet ++ chars).toSeq.sorted.map { p =>
+        (p, math.max(counts.getOrElse(p, 0L), if (p.length == 1) 1L else 0L))
+      }.filter(_._2 > 0L)
+    }
+    val lpFinal = toLogProbs(pieces).toMap
+    import spark.implicits._
+    pieces.map { case (p, c) =>
+      (p, c, math.round(lpFinal(p) * 1e6)) }
+      .toDF("piece", "cnt", "logp_e6")
+  }
+
+  /** Corpus Viterbi log-likelihood of a piece table over a word vocab
+    * (Σ words cnt · best-segmentation score) — the hard-EM objective,
+    * exposed for the monotonicity spec. */
+  def corpusLogLik(vocab: DataFrame, pieces: Seq[(String, Long)]): Double = {
+    val lp = toLogProbs(pieces)
+    val lpMap = lp.toMap
+    val scored = vocab.select(col("cnt"), explode(
+        graft.functions.UnigramSegmentExpr.unigram_segment(col("w"), lp))
+        .as("piece"))
+    scored.collect().iterator.map { r =>
+      r.getLong(0) * lpMap.getOrElse(r.getString(1), -1e6) }.sum
+  }
+
+  private def toLogProbs(pieces: Seq[(String, Long)]): Seq[(String, Double)] = {
+    val total = pieces.iterator.map(_._2).sum.toDouble
+    pieces.map { case (p, c) => (p, math.log(c / total)) }
+  }
+}

@@ -106,7 +106,16 @@ class RowsOnlySpec extends AnyFunSuite {
       Seq(),
       Seq("DriftMixSpec" -> "deflate_ratio: repetition compresses"),
       "DuckDB has no deflate; monotone repetition/prose separation, " +
-        "determinism, and null contracts are spec-pinned")
+        "determinism, and null contracts are spec-pinned"),
+    "q151_unigram_lm" -> Evidence(
+      Seq("q150_unigram_seed", "q92_bpe_pair_counts"),
+      Seq("UnigramLmSpec" -> "viterbi: max-likelihood split, hand-computed",
+        "UnigramLmSpec" ->
+          "hard-EM: learns the planted piece, monotone, normalized, deterministic"),
+      "iterative EM over engine-internal floats is not SQL-replayable; " +
+        "the substring seeding is hash-checked in q150, and the spec " +
+        "pins Viterbi fixtures, the non-decreasing EM objective, " +
+        "normalization, and run-to-run determinism")
   )
 
   test("every rows-only query has verified twin+spec evidence; ROWSONLY.json emitted") {

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.UnigramSegmentExpr
+
+/** Unigram-LM tokenizer (q150/q151): Viterbi segmentation fixtures the
+  * hash gate cannot see, plus the hard-EM training guarantees. */
+class UnigramLmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def segment(word: String, pieces: Seq[(String, Double)],
+                      unk: Double = -1e6): Seq[String] =
+    Seq(Tuple1(word)).toDF("w")
+      .select(UnigramSegmentExpr.unigram_segment(col("w"), pieces, unk))
+      .head().getSeq[String](0)
+
+  test("viterbi: max-likelihood split, hand-computed") {
+    val p = Seq("ab" -> -0.5, "a" -> -2.0, "b" -> -2.0, "c" -> -3.0)
+    // ab+c = −3.5 beats a+b+c = −7
+    assert(segment("abc", p) == Seq("ab", "c"))
+    // prefix that tempts greedy: "ab"+"a" (−2.5) loses to "a"+"ba" if
+    // ba is cheap — pins that this is DP, not greedy longest-match
+    val p2 = Seq("ab" -> -0.5, "ba" -> -0.1, "a" -> -1.0, "b" -> -1.0)
+    assert(segment("aba", p2) == Seq("a", "ba"))
+  }
+
+  test("viterbi: deterministic tie-break and unk fallback") {
+    // aa (−2) ties a+a (−2): only strictly-better replaces during the
+    // l=1..maxLen scan → shortest last piece wins
+    assert(segment("aa", Seq("aa" -> -2.0, "a" -> -1.0)) == Seq("a", "a"))
+    // unknown char falls back to a single-char piece at unkLogp
+    assert(segment("xy", Seq("x" -> -1.0)) == Seq("x", "y"))
+    assert(segment("", Seq("x" -> -1.0)) == Seq())
+  }
+
+  test("hard-EM: learns the planted piece, monotone, normalized, deterministic") {
+    val docs = (1 to 40).map(i => (i.toLong, "abab abab cdcd"))
+      .toDF("doc_id", "text")
+    val t1 = graft.text.UnigramLm.train(spark, docs, col("text"),
+      maxLen = 4, seedSize = 64, rounds = 3)
+    val rows = t1.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1)
+    val byPiece = rows.map(r => r._1 -> r._3).toMap
+    // the whole words dominate: segmenting "abab" with the learned
+    // table is a single piece
+    val lp = rows.map(r => (r._1, r._3 / 1e6))
+    assert(segment("abab", lp) == Seq("abab"))
+    assert(segment("cdcd", lp) == Seq("cdcd"))
+    assert(byPiece("abab") > byPiece("a"))
+    // probabilities normalize (counts over total): Σ exp(lp) ≤ 1 + ε
+    assert(rows.map(r => math.exp(r._3 / 1e6)).sum <= 1.0 + 1e-6)
+    // hard-EM objective is non-decreasing: corpus Viterbi log-lik of
+    // the trained table ≥ that of the raw seed table
+    val vocab = graft.text.BpeTrain.wordVocab(docs, col("text"))
+    val seed = graft.text.UnigramLm.seedCandidates(docs, col("text"), 4, 64)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val trained = rows.map(r => (r._1, r._2))
+    assert(graft.text.UnigramLm.corpusLogLik(vocab, trained) >=
+      graft.text.UnigramLm.corpusLogLik(vocab, seed) - 1e-9)
+    // determinism: a second training run yields the identical table
+    val t2 = graft.text.UnigramLm.train(spark, docs, col("text"),
+      maxLen = 4, seedSize = 64, rounds = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+    assert(t2 == rows)
+  }
+}
