@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Write-side partition layout: a date/category-partitioned write must
+  * yield reads where the predicate prunes whole partition DIRECTORIES
+  * (file-list level), not just row groups — the complement of the
+  * bucketed co-located join proven in OpsSpec and the q147 z-order
+  * bounding-box audit.
+  */
+class LayoutWriteSpec extends SparkSpec {
+
+  test("partitioned write prunes: scan touches only the predicate's partition") {
+    val out = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val events = SparkEntry.T(spark, sfDir, "events")
+    events.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    val all = spark.read.parquet(out)
+    val pruned = all.where(col("event_type") === "error")
+    // the pruned read returns exactly the partition's rows
+    val expect = events.where(col("event_type") === "error").count()
+    assert(pruned.count() == expect && expect > 0)
+    // pruning is visible two ways: the plan carries a PartitionFilters
+    // entry (pruned at planning, not a post-scan filter), and the
+    // executed scan's numFiles metric shrinks vs the full read
+    // (DataFrame.inputFiles can NOT show this — it lists the
+    // relation's files before filters)
+    def scanFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect() // execute THIS plan (count() would build a new one)
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      val root = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      root.collectLeaves()
+        .collectFirst { case f: FileSourceScanExec =>
+          f.metrics("numFiles").value }
+        .getOrElse(fail("no FileSourceScanExec in plan"))
+    }
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"),
+      plan.take(2000))
+    val nAll = scanFiles(all)
+    val nPruned = scanFiles(pruned)
+    assert(nPruned < nAll, s"pruned scan read $nPruned of $nAll files")
+  }
+}
