@@ -47,7 +47,11 @@ object PlanAudit {
       "q145_bm25",
       // q147: the ONE-ROW insertion-key min/max bounds broadcast-
       // crossed to derive linear file ids — same scalar-dim pattern
-      "q147_zorder_layout")
+      "q147_zorder_layout",
+      // q152: inherits both intentional broadcasts of its sources —
+      // q145's one-row corpus stats cross and q24's ≤3-row broadcast
+      // query side (brute-force vector baseline)
+      "q152_hybrid_rrf")
     // q144_ivfpq_adc needs no entry: its final plan shows no BNLJ —
     // the candidate scan and LUT attachment are equi hash joins (cell,
     // query_id), and the tiny centroid/codebook cross products sit
@@ -94,7 +98,9 @@ object PlanAudit {
     "q145_bm25" ->
       "corpus N/Σdl stats: global scalar agg, one partial row per task",
     "q147_zorder_layout" ->
-      "insertion-key min/max bounds: global scalar agg, bounded partials"
+      "insertion-key min/max bounds: global scalar agg, bounded partials",
+    "q152_hybrid_rrf" ->
+      "inherited q145 corpus-stats scalar agg: one partial row per task"
     // q129_zipf_slope funnels through a bounded top-30 head (limit +
     // rank window + OLS agg) but plans as TakeOrdered without an
     // explicit SinglePartition exchange, so it needs no entry here

@@ -1941,8 +1941,57 @@ object SparkEntry {
     "q151_unigram_lm" -> ((s, dir) =>
       graft.text.UnigramLm.train(s, T(s, dir, "documents"), col("text"),
           maxLen = 4, seedSize = 256, rounds = 3)
-        .orderBy("piece"))
+        .orderBy("piece")),
+
+    // hybrid retrieval (the modern RAG stack): q145's BM25 lexical
+    // ranking + the q24 brute-force vector ranking on the aligned doc
+    // embedding, fused by reciprocal-rank fusion with integer
+    // 10⁶ div (60+rank) contributions — no score calibration, fully
+    // hash-checked through both source rankings and the fusion
+    "q152_hybrid_rrf" -> ((s, dir) => {
+      import s.implicits._
+      val lex = graft.text.Bm25.topK(T(s, dir, "documents"), col("doc_id"),
+          col("text"), Bm25Queries.toDF("query_id", "term"), k = 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val emb = T(s, dir, "embeddings")
+      val vec = Similarity.bruteForceTopK(emb,
+          emb.where(col("vec_id").isin(1L, 2L, 3L)), "vec_id", "embedding",
+          k = 20)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      graft.text.Bm25.rrfFuse(Seq("lex" -> lex, "vec" -> vec), kRrf = 60,
+          topK = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Luhn checksum validation (the q142 regex scanner's second stage):
+    // planted card numbers — every 13th doc a VALID card, every 17th a
+    // near-miss failing the checksum — must separate exactly; per-doc
+    // digit-run and Luhn-valid counts, pure per-row integer HOFs
+    "q153_luhn_pii" -> ((s, dir) => {
+      val planted = concat(coalesce(col("text"), lit("")),
+        when(col("doc_id") % 13 === 0, concat(lit(" card "),
+            element_at(typedLit(LuhnValidCards),
+              (pmod(col("doc_id"), lit(5)) + 1).cast("int"))))
+          .otherwise(lit("")),
+        when(col("doc_id") % 17 === 0, concat(lit(" num "),
+            element_at(typedLit(LuhnInvalidCards),
+              (pmod(col("doc_id"), lit(5)) + 1).cast("int"))))
+          .otherwise(lit("")))
+      TextAnalysis.luhnScan(
+          T(s, dir, "documents").select(col("doc_id"), planted.as("text")),
+          col("doc_id"), col("text"))
+        .orderBy("doc_id")
+    })
   )
+
+  /** q153 fixtures: five Luhn-VALID 16-digit numbers and their
+    * last-digit-bumped INVALID twins (shared with the oracle). */
+  private val LuhnValidCards: Seq[String] = Seq(
+    "4532001200340005", "4532001200340013", "4532001200340021",
+    "4532001200340039", "4532001200340047")
+  private val LuhnInvalidCards: Seq[String] = Seq(
+    "4532001200340006", "4532001200340014", "4532001200340022",
+    "4532001200340030", "4532001200340048")
 
   /** q145's fixed query set — probe terms known present in the corpus
     * (the q139 CMS probes) plus one absent term so a partially-missing
@@ -1960,6 +2009,43 @@ object SparkEntry {
   val FixedMerges: Seq[(String, String)] = Seq(
     ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("o", "n"),
     ("e", "r"), ("an", "d"), ("r", "e"), ("o", "r"), ("s", "t"))
+
+  /** The q145 BM25 scoring pipeline as a reusable CTE chain ending in
+    * `r(query_id, doc_id, score_e4, n_terms, rn)` — shared by the q145
+    * gate and the q152 hybrid-RRF fusion built on the same ranking.
+    */
+  private lazy val bm25RankedCtes: String = {
+    val vals = Bm25Queries
+      .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+    s"""WITH q(query_id, term) AS (SELECT * FROM (VALUES $vals)),
+       |d AS (SELECT doc_id,
+       |    list_filter(string_split(COALESCE(text, ''), ' '),
+       |      t -> len(t) > 0) AS ts
+       |  FROM documents),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(len(ts)) AS BIGINT) AS sum_dl FROM d),
+       |occ AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl,
+       |    unnest(ts) AS tok FROM d),
+       |tf AS (SELECT doc_id, tok, COUNT(*) AS tf, MIN(dl) AS dl
+       |  FROM occ WHERE tok IN (SELECT DISTINCT term FROM q)
+       |  GROUP BY doc_id, tok),
+       |dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+       |sc AS (SELECT q.query_id, tf.doc_id,
+       |    CAST(round(
+       |      round(ln(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)), 6)
+       |      * (tf.tf * 2.2 / (tf.tf + 1.2 *
+       |          (0.25 + 0.75 * tf.dl / (CAST(st.sum_dl AS DOUBLE) / st.n))))
+       |      * 10000.0, 0) AS BIGINT) AS pts
+       |  FROM tf JOIN dfq USING (tok)
+       |    JOIN q ON q.term = tf.tok CROSS JOIN st),
+       |agg AS (SELECT query_id, doc_id,
+       |    CAST(SUM(pts) AS BIGINT) AS score_e4,
+       |    COUNT(*) AS n_terms
+       |  FROM sc GROUP BY query_id, doc_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score_e4 DESC, doc_id ASC) AS rn
+       |  FROM agg)""".stripMargin
+  }
 
   /** The q44 portable MinHash-LSH pair relation as a reusable CTE chain
     * ending in `mh(id_a, id_b, agree)` — shared verbatim by the q44
@@ -3976,40 +4062,67 @@ object SparkEntry {
 
       // BM25: idf rounded to 6 (q123 recipe), per-term score to integer
       // e4 BEFORE the sum (q55 associativity discipline); k1=1.2 b=0.75
-      "q145_bm25" -> {
-        val vals = Bm25Queries
-          .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
-        s"""WITH q(query_id, term) AS (SELECT * FROM (VALUES $vals)),
-           |d AS (SELECT doc_id,
-           |    list_filter(string_split(COALESCE(text, ''), ' '),
-           |      t -> len(t) > 0) AS ts
-           |  FROM documents),
-           |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
-           |    CAST(SUM(len(ts)) AS BIGINT) AS sum_dl FROM d),
-           |occ AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl,
-           |    unnest(ts) AS tok FROM d),
-           |tf AS (SELECT doc_id, tok, COUNT(*) AS tf, MIN(dl) AS dl
-           |  FROM occ WHERE tok IN (SELECT DISTINCT term FROM q)
-           |  GROUP BY doc_id, tok),
-           |dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
-           |sc AS (SELECT q.query_id, tf.doc_id,
-           |    CAST(round(
-           |      round(ln(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)), 6)
-           |      * (tf.tf * 2.2 / (tf.tf + 1.2 *
-           |          (0.25 + 0.75 * tf.dl / (CAST(st.sum_dl AS DOUBLE) / st.n))))
-           |      * 10000.0, 0) AS BIGINT) AS pts
-           |  FROM tf JOIN dfq USING (tok)
-           |    JOIN q ON q.term = tf.tok CROSS JOIN st),
-           |agg AS (SELECT query_id, doc_id,
-           |    CAST(SUM(pts) AS BIGINT) AS score_e4,
-           |    COUNT(*) AS n_terms
-           |  FROM sc GROUP BY query_id, doc_id),
-           |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
-           |    ORDER BY score_e4 DESC, doc_id ASC) AS rn
-           |  FROM agg)
+      "q145_bm25" ->
+        s"""$bm25RankedCtes
            |SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id, score_e4,
            |  n_terms
-           |FROM r WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin
+           |FROM r WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin,
+
+      // hybrid retrieval: the q145 BM25 CTEs (shared builder) fused
+      // with the q24 vector-ranking formulation by reciprocal-rank
+      // fusion — integer 10⁶//(60+rank) contributions, associative sum
+      "q152_hybrid_rrf" ->
+        s"""$bm25RankedCtes,
+           |vq AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           |  FROM embeddings WHERE vec_id IN (1, 2, 3)),
+           |vs AS (SELECT query_id, c.vec_id AS neighbor_id,
+           |    list_cosine_similarity(qv, CAST(c.embedding AS DOUBLE[])) AS score
+           |  FROM vq, embeddings c WHERE c.vec_id <> query_id),
+           |vr AS (SELECT query_id, neighbor_id, row_number() OVER (
+           |    PARTITION BY query_id ORDER BY score DESC, neighbor_id)
+           |    AS vrank
+           |  FROM vs),
+           |contrib AS (
+           |  SELECT query_id, doc_id, 1000000 // (60 + rn) AS c,
+           |    'lex' AS source
+           |  FROM r WHERE rn <= 20
+           |  UNION ALL
+           |  SELECT query_id, neighbor_id, 1000000 // (60 + vrank), 'vec'
+           |  FROM vr WHERE vrank <= 20),
+           |f AS (SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS rrf_e6,
+           |    string_agg(DISTINCT source, ',' ORDER BY source) AS sources
+           |  FROM contrib GROUP BY query_id, doc_id),
+           |fr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+           |    ORDER BY rrf_e6 DESC, doc_id ASC) AS frank
+           |  FROM f)
+           |SELECT query_id, CAST(frank AS BIGINT) AS rank, doc_id, rrf_e6,
+           |  sources
+           |FROM fr WHERE frank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+      // Luhn: identical right-to-left double-every-second fold over
+      // each extracted digit run; planted cards from the shared lists
+      "q153_luhn_pii" -> {
+        val v = LuhnValidCards.map(c => s"'$c'").mkString(", ")
+        val iv = LuhnInvalidCards.map(c => s"'$c'").mkString(", ")
+        s"""WITH d AS (SELECT doc_id, COALESCE(text, '')
+           |  || CASE WHEN doc_id % 13 = 0
+           |     THEN ' card ' || ([$v])[doc_id % 5 + 1] ELSE '' END
+           |  || CASE WHEN doc_id % 17 = 0
+           |     THEN ' num ' || ([$iv])[doc_id % 5 + 1] ELSE '' END AS t
+           |  FROM documents),
+           |runs AS (SELECT doc_id,
+           |    regexp_extract_all(t, '\\d{13,19}') AS rs
+           |  FROM d)
+           |SELECT doc_id, CAST(len(rs) AS BIGINT) AS n_digit_runs,
+           |  CAST(len(list_filter(rs, s ->
+           |    list_sum(list_transform(range(1, len(s) + 1), i ->
+           |      CASE WHEN (i - 1) % 2 = 1 THEN
+           |        CASE WHEN CAST(reverse(s)[i] AS INTEGER) * 2 > 9
+           |          THEN CAST(reverse(s)[i] AS INTEGER) * 2 - 9
+           |          ELSE CAST(reverse(s)[i] AS INTEGER) * 2 END
+           |      ELSE CAST(reverse(s)[i] AS INTEGER) END)) % 10 = 0))
+           |    AS BIGINT) AS n_luhn_valid
+           |FROM runs ORDER BY doc_id""".stripMargin
       },
 
       // z-order layout audit: the oracle replays the same magic-mask

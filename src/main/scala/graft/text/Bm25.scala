@@ -91,4 +91,34 @@ object Bm25 {
       .select(col("query_id"), col("rank"), col("doc_id"),
         col("score_e4"), col("n_terms"))
   }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard way a
+    * hybrid retrieval stack combines lexical (BM25) and vector (ANN)
+    * rankings without score calibration: each source contributes
+    * 1/(k+rank) for the docs it ranked; fused order is by the sum.
+    *
+    * Contributions are integer micro-units `10⁶ div (k+rank)` so the
+    * per-doc sum is associative and engine-exact (the BM25 e4
+    * discipline — a float Σ of reciprocals would be partition-order-
+    * dependent). Each `sides` frame carries (query_id, doc_id, rank);
+    * sides are typically top-k lists, so the union is bounded by
+    * Σ|sides|·k·|queries| — short-key shuffles only.
+    */
+  def rrfFuse(sides: Seq[(String, DataFrame)], kRrf: Int = 60,
+              topK: Int = 10): DataFrame = {
+    val tagged = sides.map { case (name, df) =>
+      df.select(col("query_id"), col("doc_id"),
+        lit(name).as("source"),
+        expr(s"CAST(1000000 div ($kRrf + rank) AS BIGINT)").as("contrib"))
+    }.reduce(_ unionByName _)
+    import org.apache.spark.sql.expressions.Window
+    tagged.groupBy("query_id", "doc_id")
+      .agg(sum("contrib").as("rrf_e6"),
+        array_join(array_sort(collect_set(col("source"))), ",").as("sources"))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("rrf_e6").desc, col("doc_id").asc)).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("rrf_e6"),
+        col("sources"))
+  }
 }

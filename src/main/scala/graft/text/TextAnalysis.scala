@@ -715,6 +715,41 @@ object TextAnalysis {
     * BIGINT — IEEE-exact arithmetic then one round, engine-portable;
     * NULL for empty docs (no words → undefined, not a sentinel 0).
     */
+  /** Luhn-checksum validation of candidate card numbers — the
+    * second-stage PII filter after regex shape matching (q142/q65):
+    * 13-19 digit runs that PASS the Luhn check are near-certain
+    * payment-card numbers and must drive redaction/drop decisions;
+    * runs that fail are phone numbers, ids, timestamps. Regex-only
+    * scanners overflag badly at corpus scale — the checksum is what
+    * production PII stacks (e.g. presidio's credit-card recognizer)
+    * actually gate on.
+    *
+    * Pure per-row HOF arithmetic (digit run extract → per-digit
+    * double-every-second-from-the-right fold → mod 10), zero shuffle,
+    * integer-only, replayed verbatim by the DuckDB oracle.
+    */
+  def luhnScan(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    df.select(idCol.as("doc_id"),
+        regexp_extract_all(coalesce(textCol, lit("")),
+          lit("\\d{13,19}"), lit(0)).as("__runs"))
+      .select(col("doc_id"),
+        size(col("__runs")).cast("long").as("n_digit_runs"),
+        size(filter(col("__runs"), luhnValid _)).cast("long")
+          .as("n_luhn_valid"))
+
+  /** Luhn check of an all-digit string column: fold right-to-left,
+    * double every second digit (subtract 9 on overflow), sum ≡ 0
+    * mod 10. */
+  private[graft] def luhnValid(s: Column): Column = {
+    val rev = reverse(s)
+    aggregate(sequence(lit(0), length(s) - 1), lit(0), (acc, i) => {
+      val d = rev.substr(i + 1, lit(1)).cast("int")
+      val dd = d * 2
+      acc + when(pmod(i, lit(2)) === 1,
+        when(dd > 9, dd - 9).otherwise(dd)).otherwise(d)
+    }) % 10 === 0
+  }
+
   def readability(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
     val toks = filter(tokens(coalesce(textCol, lit(""))), t => length(t) > 0)
     df.select(idCol.as("doc_id"),

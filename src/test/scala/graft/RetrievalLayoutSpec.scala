@@ -151,4 +151,43 @@ class RetrievalLayoutSpec extends SparkSpec {
       (0, 12L, 1L, 1.0, false), (0, 10L, 2L, 0.7071, true),
       (0, 11L, 3L, 0.7071, true), (1, 20L, 1L, 1.0, true)))
   }
+
+  test("rrfFuse: hand-computed fusion, doc in both sources outranks singles") {
+    // lex ranks: A=1, B=2; vec ranks: B=1, C=2 (k=60, e6 floor-div):
+    // B = ⌊1e6/62⌋+⌊1e6/61⌋ = 16129+16393 = 32522 beats
+    // A = ⌊1e6/61⌋ = 16393 beats C = ⌊1e6/62⌋ = 16129
+    val lex = Seq((1L, 100L, 1L), (1L, 200L, 2L))
+      .toDF("query_id", "doc_id", "rank")
+    val vec = Seq((1L, 200L, 1L), (1L, 300L, 2L))
+      .toDF("query_id", "doc_id", "rank")
+    val out = graft.text.Bm25.rrfFuse(Seq("lex" -> lex, "vec" -> vec))
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(out.toSeq == Seq(
+      (1L, 200L, 32522L, "lex,vec"),
+      (2L, 100L, 16393L, "lex"),
+      (3L, 300L, 16129L, "vec")))
+  }
+
+  test("luhn: valid cards separate from near-miss invalids and short runs") {
+    val docs = Seq(
+      (1L, "pay 4532001200340005 now"),   // valid
+      (2L, "ref 4532001200340006 now"),   // same digits, bad check digit
+      (3L, "tel 555014212345"),           // 12 digits: not a candidate
+      (4L, "a 4532001200340005 b 4532001200340013"), // two valid
+      (5L, "")).toDF("doc_id", "text")
+    val got = graft.text.TextAnalysis.luhnScan(docs, col("doc_id"),
+        col("text"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 1L, 1L), (2L, 1L, 0L), (3L, 0L, 0L),
+      (4L, 2L, 2L), (5L, 0L, 0L)))
+  }
+
+  test("q153 planted fixture: every 13th doc flags, near-misses never do") {
+    val out = SparkEntry.queries("q153_luhn_pii")(spark, sfDir).collect()
+    val flagged = out.filter(_.getLong(2) > 0).map(_.getLong(0)).toSet
+    val expected = out.map(_.getLong(0)).filter(_ % 13 == 0).toSet
+    assert(flagged == expected && expected.nonEmpty)
+  }
 }
