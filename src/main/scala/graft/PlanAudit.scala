@@ -51,7 +51,10 @@ object PlanAudit {
       // q152: inherits both intentional broadcasts of its sources —
       // q145's one-row corpus stats cross and q24's ≤3-row broadcast
       // query side (brute-force vector baseline)
-      "q152_hybrid_rrf")
+      "q152_hybrid_rrf",
+      // q154: three q24-formulation rankings (full + two prefix dims),
+      // each broadcasting the ≤5-row query side by definition
+      "q154_matryoshka_overlap")
     // q144_ivfpq_adc needs no entry: its final plan shows no BNLJ —
     // the candidate scan and LUT attachment are equi hash joins (cell,
     // query_id), and the tiny centroid/codebook cross products sit

@@ -1981,7 +1981,32 @@ object SparkEntry {
           T(s, dir, "documents").select(col("doc_id"), planted.as("text")),
           col("doc_id"), col("text"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // matryoshka prefix-dim retrieval audit (MRL serving design): the
+    // overlap@10 of 16- and 32-dim prefix rankings vs the full 64-dim
+    // top-10 — the recall ceiling of a prefix-dim first pass that
+    // scans p/64 of the bytes before a full-dim shortlist re-rank
+    "q154_matryoshka_overlap" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.matryoshkaOverlap(emb, emb.where(col("vec_id") < 5),
+          "vec_id", "embedding", dims = Seq(16, 32), k = 10)
+        .orderBy("query_id", "prefix_dim")
+    }),
+
+    // DCT perceptual near-dup (pHash beside the q138 dHash): 63-bit
+    // frequency-median fingerprints over the same synthetic luma
+    // fixture, multi-index hamming pairs. Float DCT → rows-only; q138
+    // is the hash-checked multi-index twin, MultimodalSpec pins the
+    // brightness/contrast invariances dHash lacks half of
+    "q155_phash_neardup" -> ((s, dir) =>
+      Multimodal.phashNearDupPairs(
+        T(s, dir, "documents").select(col("doc_id"),
+          Multimodal.synthGray8x8(
+            pmod(col("doc_id"), lit(12)),
+            pmod(col("doc_id"), lit(97)) < 10).as("payload")),
+        "doc_id", "payload", maxDist = 6)
+        .orderBy("hash_a", "hash_b"))
   )
 
   /** q153 fixtures: five Luhn-VALID 16-digit numbers and their
@@ -4124,6 +4149,40 @@ object SparkEntry {
            |    AS BIGINT) AS n_luhn_valid
            |FROM runs ORDER BY doc_id""".stripMargin
       },
+
+      // matryoshka: two q24-formulation rankings (full + prefix slice)
+      // and a left-join conditional count so empty intersections emit 0
+      "q154_matryoshka_overlap" ->
+        """WITH q AS (SELECT vec_id AS query_id,
+          |    CAST(embedding AS DOUBLE[]) AS qv
+          |  FROM embeddings WHERE vec_id < 5),
+          |fs AS (SELECT query_id, c.vec_id AS neighbor_id,
+          |    list_cosine_similarity(qv, CAST(c.embedding AS DOUBLE[]))
+          |      AS score
+          |  FROM q, embeddings c WHERE c.vec_id <> query_id),
+          |fr AS (SELECT query_id, neighbor_id, row_number() OVER (
+          |    PARTITION BY query_id ORDER BY score DESC, neighbor_id)
+          |    AS rnk
+          |  FROM fs),
+          |full_k AS (SELECT query_id, neighbor_id FROM fr WHERE rnk <= 10),
+          |dims(p) AS (SELECT * FROM (VALUES (16), (32))),
+          |ps AS (SELECT dims.p, q.query_id, c.vec_id AS neighbor_id,
+          |    list_cosine_similarity(qv[1:dims.p],
+          |      CAST(c.embedding AS DOUBLE[])[1:dims.p]) AS score
+          |  FROM q, embeddings c, dims WHERE c.vec_id <> query_id),
+          |pr AS (SELECT p, query_id, neighbor_id, row_number() OVER (
+          |    PARTITION BY p, query_id ORDER BY score DESC, neighbor_id)
+          |    AS rnk
+          |  FROM ps),
+          |pk AS (SELECT p, query_id, neighbor_id FROM pr WHERE rnk <= 10)
+          |SELECT pk.query_id, CAST(pk.p AS BIGINT) AS prefix_dim,
+          |  CAST(SUM(CASE WHEN full_k.neighbor_id IS NULL THEN 0 ELSE 1
+          |    END) AS BIGINT) AS overlap
+          |FROM pk LEFT JOIN full_k
+          |  ON pk.query_id = full_k.query_id
+          |  AND pk.neighbor_id = full_k.neighbor_id
+          |GROUP BY pk.query_id, pk.p
+          |ORDER BY pk.query_id, prefix_dim""".stripMargin,
 
       // z-order layout audit: the oracle replays the same magic-mask
       // bit spread (4 shift-or steps) and the morton-prefix / linear

@@ -1,0 +1,118 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
+
+/** 63-bit DCT perceptual hash (pHash, the DCT member of the
+  * average/difference-hash family beside [[DHash56Expr]]) over a
+  * row-major 8×8 grayscale BINARY payload: 2-D DCT-II of the block,
+  * bit u·8+v (skipping the DC term (0,0)) is set iff coefficient
+  * (u,v) exceeds the MEDIAN of the 63 AC coefficients. 63 bits keep
+  * the value a non-negative LONG in every engine (the DHash56
+  * rationale).
+  *
+  * Why a second perceptual hash: dHash compares ADJACENT pixels, so it
+  * is brightness-invariant but sensitive to local gradient flips;
+  * pHash thresholds global FREQUENCY energy against its own median, so
+  * it is additionally invariant to CONTRAST scaling (all AC
+  * coefficients scale together, median comparisons unchanged) and
+  * degrades more gracefully under noise spread across the block —
+  * MultimodalSpec pins both invariances. Production pipelines run both
+  * and intersect candidates.
+  *
+  * Determinism: the DCT basis is a fixed precomputed double matrix and
+  * the fold order is fixed — IEEE arithmetic makes the hash
+  * bit-reproducible across JVMs/partitions (no libm calls besides the
+  * one-time cos table). Payloads shorter than 64 bytes yield NULL;
+  * extra bytes are ignored (the DHash56 contract).
+  */
+case class PHash64Expr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"phash63 needs BINARY, got ${other.sql}")
+    }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val h = PHash64Expr.compute(v.asInstanceOf[Array[Byte]])
+    if (h == PHash64Expr.NullSentinel) null else h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    ev.copy(code = code"""${c.code}
+      long ${ev.value} = ${c.isNull} ? java.lang.Long.MIN_VALUE
+        : graft.functions.PHash64Expr.compute(${c.value});
+      boolean ${ev.isNull} = ${ev.value} == java.lang.Long.MIN_VALUE;""")
+  }
+
+  override protected def withNewChildInternal(c: Expression): PHash64Expr =
+    copy(child = c)
+
+  override def prettyName: String = "phash63"
+}
+
+object PHash64Expr {
+
+  /** Short-payload marker (compute is a primitive-long codegen path;
+    * Long.MinValue can never be a 63-bit hash). */
+  val NullSentinel: Long = Long.MinValue
+
+  /** cos((2x+1)·u·π/16) — the 1-D DCT-II basis, built once. */
+  private val Cos: Array[Array[Double]] = Array.tabulate(8, 8)((u, x) =>
+    math.cos((2 * x + 1) * u * math.Pi / 16.0))
+
+  def compute(payload: Array[Byte]): Long = {
+    if (payload == null || payload.length < 64) return NullSentinel
+    val px = new Array[Double](64)
+    var i = 0
+    while (i < 64) { px(i) = payload(i) & 0xff; i += 1 }
+    // 2-D DCT-II, unnormalized (the scale factor cancels in the
+    // median comparison): F(u,v) = ΣΣ px(x,y)·cos_u(x)·cos_v(y)
+    val f = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0.0
+        var x = 0
+        while (x < 8) {
+          var y = 0
+          val cu = Cos(u)(x)
+          while (y < 8) { s += px(x * 8 + y) * cu * Cos(v)(y); y += 1 }
+          x += 1
+        }
+        f(u * 8 + v) = s
+        v += 1
+      }
+      u += 1
+    }
+    // median of the 63 AC coefficients (sorted index 31 of 0..62)
+    val ac = new Array[Double](63)
+    System.arraycopy(f, 1, ac, 0, 63)
+    val sorted = ac.clone()
+    java.util.Arrays.sort(sorted)
+    val med = sorted(31)
+    var h = 0L
+    i = 1
+    while (i < 64) {
+      if (f(i) > med) h |= 1L << (i - 1)
+      i += 1
+    }
+    h
+  }
+
+  def phash63(payload: Column): Column =
+    ColumnBridge.column(PHash64Expr(ColumnBridge.expression(payload)))
+}

@@ -197,18 +197,47 @@ object Multimodal {
   def dhashNearDupPairs(media: DataFrame, idCol: String, binCol: String,
                         maxDist: Int = 6): DataFrame = {
     require(maxDist <= 7, s"8x7-bit blocks are complete only to hd 7, got $maxDist")
-    val groups = media
-      .select(graft.functions.DHash56Expr.dhash56(col(binCol)).as("dhash"))
-      .where(col("dhash").isNotNull)
-      .groupBy("dhash").agg(count(lit(1)).as("n"))
-    val blocks = groups.select(col("dhash"), col("n"),
-      posexplode(array((0 until 8).map(b =>
-        shiftright(col("dhash"), b * 7).bitwiseAND(lit(0x7fL))): _*))
+    hashNearDupPairs(
+      media.select(graft.functions.DHash56Expr.dhash56(col(binCol))
+        .as("hash")),
+      nBlocks = 8, bitsPerBlock = 7, maxDist = maxDist)
+  }
+
+  /** pHash variant of [[dhashNearDupPairs]]: DCT fingerprints
+    * ([[graft.functions.PHash64Expr]], 63 bits) in 8×8-bit blocks —
+    * pigeonhole-complete to hd 7. Same two-level shape: exact dups
+    * collapse on the hash before any pair logic.
+    */
+  def phashNearDupPairs(media: DataFrame, idCol: String, binCol: String,
+                        maxDist: Int = 6): DataFrame = {
+    require(maxDist <= 7, s"8x8-bit blocks are complete only to hd 7, got $maxDist")
+    hashNearDupPairs(
+      media.select(graft.functions.PHash64Expr.phash63(col(binCol))
+        .as("hash")),
+      nBlocks = 8, bitsPerBlock = 8, maxDist = maxDist)
+  }
+
+  /** Multi-index hamming search (Norouzi et al. 2012) over a LONG hash
+    * column: split each hash into `nBlocks` contiguous blocks of
+    * `bitsPerBlock` bits; two hashes within hamming distance
+    * `nBlocks − 1` must agree on some whole block (pigeonhole), so the
+    * equi-join on (block, value) finds every pair with
+    * hd ≤ maxDist ≤ nBlocks − 1 without an all-pairs scan. Input rows
+    * are raw per-media hashes; exact duplicates collapse first.
+    */
+  private def hashNearDupPairs(hashes: DataFrame, nBlocks: Int,
+                               bitsPerBlock: Int, maxDist: Int): DataFrame = {
+    val mask = (1L << bitsPerBlock) - 1
+    val groups = hashes.where(col("hash").isNotNull)
+      .groupBy("hash").agg(count(lit(1)).as("n"))
+    val blocks = groups.select(col("hash"), col("n"),
+      posexplode(array((0 until nBlocks).map(b =>
+        shiftright(col("hash"), b * bitsPerBlock).bitwiseAND(lit(mask))): _*))
         .as(Seq("blk", "bval")))
     val a = blocks.select(col("blk"), col("bval"),
-      col("dhash").as("hash_a"), col("n").as("n_a"))
+      col("hash").as("hash_a"), col("n").as("n_a"))
     val b = blocks.select(col("blk"), col("bval"),
-      col("dhash").as("hash_b"), col("n").as("n_b"))
+      col("hash").as("hash_b"), col("n").as("n_b"))
     a.join(b, Seq("blk", "bval"))
       .where(col("hash_a") < col("hash_b"))
       .select("hash_a", "hash_b", "n_a", "n_b").distinct()

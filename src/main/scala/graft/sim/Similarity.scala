@@ -459,6 +459,40 @@ object Similarity {
     * the q130 per-group window (one partition per cluster; at extreme
     * per-cluster cardinality swap for the documented top-k aggregate).
     */
+  /** Matryoshka prefix-dimension retrieval audit (Kusupati et al.
+    * NeurIPS'22, "Matryoshka Representation Learning"): how much of
+    * the full-dimension top-k survives when ranking uses only the
+    * first `p` embedding components. The serving design this informs:
+    * a prefix-dim first pass scans p/d of the bytes (or indexes at
+    * p/d the memory), then a full-dim re-rank touches only the
+    * shortlist — the overlap@k measured here IS that first pass's
+    * recall ceiling. Output: (query_id, prefix_dim, overlap) with
+    * overlap = |topk_prefix ∩ topk_full| ≤ k.
+    *
+    * Both rankings are the q24 brute-force formulation (broadcast
+    * ≤|Q|-row query side, corpus never shuffles); the intersection is
+    * an equi-join of two bounded top-k lists.
+    */
+  def matryoshkaOverlap(corpus: DataFrame, queries: DataFrame,
+                        idCol: String, vecCol: String, dims: Seq[Int],
+                        k: Int): DataFrame = {
+    def sliced(df: DataFrame, p: Int): DataFrame =
+      df.withColumn(vecCol, slice(col(vecCol), 1, p))
+    // left join + conditional count (NOT a semi-join + count): a query
+    // whose intersection is empty must still emit overlap = 0
+    val full = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+    dims.map { p =>
+      bruteForceTopK(sliced(corpus, p), sliced(queries, p), idCol, vecCol, k)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(full, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(sum(coalesce(col("__hit"), lit(0L))).as("overlap"))
+        .select(col("query_id"), lit(p.toLong).as("prefix_dim"),
+          col("overlap"))
+    }.reduce(_ unionByName _)
+  }
+
   def prototypePrune(emb: DataFrame, idCol: String, vecCol: String,
                      clusterCol: String, pruneFrac: Double): DataFrame = {
     val sums = emb

@@ -190,4 +190,60 @@ class MultimodalSpec extends SparkSpec {
       Seq(1000L, 2000L, 3000L, 4000L))
     assert(out.forall(_.getAs[Int]("n_boxes") == 2))
   }
+
+  test("phash63: brightness AND contrast invariant, noise-sensitive, short→NULL") {
+    import spark.implicits._
+    def hashOf(px: Seq[Int]): Option[Long] = {
+      val r = Seq(Tuple1(px)).toDF("px")
+        .select(graft.functions.PHash64Expr.phash63(
+          graft.functions.PackBytesExpr.pack_bytes(col("px"))))
+        .head()
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
+    // textured base (substantial AC energy — a near-linear ramp leaves
+    // AC coefficients at float-noise scale where median ties are
+    // meaningless), pixels ≤ 100 so ×2 stays in byte range
+    val base = (0 until 64).map(i => (i * 37 + ((i * i) % 29) * 7) % 101)
+    val h = hashOf(base).get
+    assert(h >= 0L) // 63 bits: non-negative in any engine
+    // brightness shift moves only the DC coefficient → identical hash
+    assert(hashOf(base.map(_ + 40)) == Some(h))
+    // contrast scaling multiplies every AC coefficient AND their
+    // median by the same exact power of two → identical hash
+    assert(hashOf(base.map(_ * 2)) == Some(h))
+    // a single-pixel edit perturbs some frequencies: hash moves, but
+    // only near-median bits flip
+    val noisy = base.updated(27, 255)
+    val hn = hashOf(noisy).get
+    assert(hn != h)
+    assert(java.lang.Long.bitCount(h ^ hn) <= 24)
+    // short payload has no 8×8 block
+    assert(hashOf(Seq(1, 2, 3)).isEmpty)
+    // structurally different content is far in hamming space
+    val other = (0 until 64).map(i => if ((i / 8 + i % 8) % 2 == 0) 9 else 93)
+    assert(java.lang.Long.bitCount(h ^ hashOf(other).get) > 10)
+  }
+
+  test("phashNearDupPairs: perturbed twins pair up, exact dups collapse first") {
+    import spark.implicits._
+    // one near-dup twin pair (3 pixels +20 on a wrap-free texture:
+    // hd 2, hand-verified) plus an unrelated image (hd ≈ 30): the
+    // query must find exactly the twin relation, with exact-dup
+    // copies collapsed into the pair's member counts
+    val clean = (0 until 64).map(i => (i * 23) % 180)
+    val pert = clean.zipWithIndex.map { case (p, i) =>
+      if (i == 5 || i == 21 || i == 42) p + 20 else p }
+    val far = (0 until 64).map(i => if ((i / 8 + i % 8) % 2 == 0) 9 else 173)
+    val media = (Seq.fill(10)(clean) ++ Seq.fill(10)(pert) ++
+        Seq.fill(10)(far)).zipWithIndex
+      .map { case (px, id) => (id.toLong, px) }.toDF("doc_id", "px")
+      .select(col("doc_id"),
+        graft.functions.PackBytesExpr.pack_bytes(col("px")).as("payload"))
+    val pairs = Multimodal.phashNearDupPairs(media, "doc_id", "payload",
+      maxDist = 7).collect()
+    assert(pairs.length == 1, pairs.map(_.toString).mkString("\n"))
+    assert(pairs.head.getAs[Long]("n_a") == 10 &&
+      pairs.head.getAs[Long]("n_b") == 10 &&
+      pairs.head.getAs[Int]("hd") <= 7)
+  }
 }

@@ -184,6 +184,24 @@ class RetrievalLayoutSpec extends SparkSpec {
       (4L, 2L, 2L), (5L, 0L, 0L)))
   }
 
+  test("matryoshkaOverlap: prefix-misled neighbor drops out, full slice is exact") {
+    // query (1,0,1,0). id1 matches everywhere (full 1, prefix 1);
+    // id2 matches ONLY the prefix (full 0, prefix 1); id4 matches only
+    // the tail (full .70, prefix 0); id3 matches nothing.
+    // k=2: full top-2 {1,4}; prefix(2) top-2 {1,2} → overlap 1.
+    // prefix(4) ≡ full → overlap 2.
+    val rows = Seq(
+      (0L, Seq(1f, 0f, 1f, 0f)), (1L, Seq(1f, 0f, 1f, 0f)),
+      (2L, Seq(1f, 0f, -1f, 0f)), (3L, Seq(0f, 1f, 0f, 1f)),
+      (4L, Seq(0f, 0.1f, 1f, 0f))).toDF("vec_id", "embedding")
+    val got = graft.sim.Similarity.matryoshkaOverlap(rows,
+        rows.where(col("vec_id") === 0L), "vec_id", "embedding",
+        dims = Seq(2, 4), k = 2)
+      .orderBy("prefix_dim").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((2L, 1L), (4L, 2L)))
+  }
+
   test("q153 planted fixture: every 13th doc flags, near-misses never do") {
     val out = SparkEntry.queries("q153_luhn_pii")(spark, sfDir).collect()
     val flagged = out.filter(_.getLong(2) > 0).map(_.getLong(0)).toSet

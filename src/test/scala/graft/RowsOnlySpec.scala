@@ -115,7 +115,17 @@ class RowsOnlySpec extends AnyFunSuite {
       "iterative EM over engine-internal floats is not SQL-replayable; " +
         "the substring seeding is hash-checked in q150, and the spec " +
         "pins Viterbi fixtures, the non-decreasing EM objective, " +
-        "normalization, and run-to-run determinism")
+        "normalization, and run-to-run determinism"),
+    "q155_phash_neardup" -> Evidence(
+      Seq("q138_dhash_neardup"),
+      Seq("MultimodalSpec" ->
+          "phash63: brightness AND contrast invariant, noise-sensitive, short→NULL",
+        "MultimodalSpec" ->
+          "phashNearDupPairs: perturbed twins pair up, exact dups collapse first"),
+      "float DCT coefficients are not SQL-replayable; q138 hash-checks " +
+        "the same multi-index hamming pipeline on the dHash " +
+        "fingerprint, and the spec pins the DCT hash's brightness/" +
+        "contrast invariances and the twin-pair relation")
   )
 
   test("every rows-only query has verified twin+spec evidence; ROWSONLY.json emitted") {
