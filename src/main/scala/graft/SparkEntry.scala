@@ -2006,7 +2006,16 @@ object SparkEntry {
             pmod(col("doc_id"), lit(12)),
             pmod(col("doc_id"), lit(97)) < 10).as("payload")),
         "doc_id", "payload", maxDist = 6)
-        .orderBy("hash_a", "hash_b"))
+        .orderBy("hash_a", "hash_b")),
+
+    // per-domain contribution cap (RefinedWeb "no host dominates" — a
+    // COUNT cap vs q50's per-stratum FRACTION): ≤25 docs per source by
+    // salted-md5 priority, via the bounded-heap top_k aggregate so the
+    // shuffle carries O(cap·domains) regardless of the hottest host
+    "q156_domain_cap" -> ((s, dir) =>
+      graft.ops.Sample.domainCap(T(s, dir, "documents"), col("source"),
+          col("doc_id"), cap = 25)
+        .orderBy("domain", "rank"))
   )
 
   /** q153 fixtures: five Luhn-VALID 16-digit numbers and their
@@ -4183,6 +4192,19 @@ object SparkEntry {
           |  AND pk.neighbor_id = full_k.neighbor_id
           |GROUP BY pk.query_id, pk.p
           |ORDER BY pk.query_id, prefix_dim""".stripMargin,
+
+      // domain cap: md5-top-40-bit priority asc, ties by doc-id STRING
+      // (the top_k aggregate's tag order), 25 per source
+      "q156_domain_cap" ->
+        """WITH p AS (SELECT source AS domain, doc_id,
+          |    CAST(('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)),
+          |      1, 10)) AS BIGINT) AS h
+          |  FROM documents),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY domain
+          |    ORDER BY h ASC, CAST(doc_id AS VARCHAR) ASC) AS rn
+          |  FROM p)
+          |SELECT domain, CAST(rn AS BIGINT) AS rank, doc_id AS id, h
+          |FROM r WHERE rn <= 25 ORDER BY domain, rank""".stripMargin,
 
       // z-order layout audit: the oracle replays the same magic-mask
       // bit spread (4 shift-or steps) and the morton-prefix / linear

@@ -154,4 +154,31 @@ object Sample {
         (col("es_key") + 0.0).as("es_key"), col("rank").cast("long")
           .as("rank"))
   }
+
+  /** Per-domain contribution cap (the RefinedWeb/Dolma "no host may
+    * dominate" policy — a COUNT cap per domain, vs [[stratifiedSample]]'s
+    * FRACTION per stratum): keep at most `cap` docs per domain, chosen
+    * by a deterministic salted-md5 priority so reruns and backfills
+    * keep the same docs. Scale shape: the bounded-heap `top_k`
+    * aggregate (the q40 pattern) — map-side partials truncate to `cap`
+    * entries per (task, domain), so the shuffle carries O(cap·domains)
+    * rows no matter how hot the biggest host is; a row_number window
+    * would sort every row of the hottest domain in one partition.
+    * Priority is the top-40-bits of md5 (exact in a DOUBLE heap score;
+    * ties by doc-id string — total order, oracle-replayable).
+    */
+  def domainCap(df: DataFrame, domainCol: Column, idCol: Column, cap: Int,
+                salt: String = "cap"): DataFrame = {
+    val h = conv(substring(md5(concat(lit(salt + ":"),
+        idCol.cast("string"))), 1, 10), 16, 10).cast("long")
+    df.select(domainCol.as("domain"), idCol.cast("long").as("id"),
+        h.as("h"))
+      .groupBy("domain")
+      .agg(graft.functions.TopKAgg.top_k(
+        -col("h").cast("double"), col("id").cast("string"), cap).as("top"))
+      .select(col("domain"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("domain"), (col("pos") + 1).cast("long").as("rank"),
+        col("e.tag").cast("long").as("id"),
+        (-col("e.score")).cast("long").as("h"))
+  }
 }

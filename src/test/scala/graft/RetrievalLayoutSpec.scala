@@ -202,6 +202,28 @@ class RetrievalLayoutSpec extends SparkSpec {
     assert(got.toSeq == Seq((2L, 1L), (4L, 2L)))
   }
 
+  test("domainCap: hot domain truncated, small domain intact, deterministic") {
+    val docs = ((1 to 100).map(i => (i.toLong, "hot")) ++
+      Seq((1001L, "cold"), (1002L, "cold"), (1003L, "cold")))
+      .toDF("doc_id", "source")
+    val out = graft.ops.Sample.domainCap(docs, col("source"),
+      col("doc_id"), cap = 5)
+    val byDomain = out.collect().groupBy(_.getString(0))
+    assert(byDomain("hot").length == 5)
+    assert(byDomain("cold").length == 3)
+    // ranks are dense 1..n and priorities ascend with rank
+    val hot = byDomain("hot").sortBy(_.getLong(1))
+    assert(hot.map(_.getLong(1)).toSeq == (1L to 5L))
+    assert(hot.map(_.getLong(3)).toSeq == hot.map(_.getLong(3)).sorted.toSeq)
+    // deterministic: rerun keeps the same kept set
+    val again = graft.ops.Sample.domainCap(docs, col("source"),
+      col("doc_id"), cap = 5).collect().map(_.getLong(2)).toSet
+    assert(again == out.collect().map(_.getLong(2)).toSet)
+    // plan shape: bounded-heap aggregate, not a per-domain sort window
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(1500))
+  }
+
   test("q153 planted fixture: every 13th doc flags, near-misses never do") {
     val out = SparkEntry.queries("q153_luhn_pii")(spark, sfDir).collect()
     val flagged = out.filter(_.getLong(2) > 0).map(_.getLong(0)).toSet
