@@ -2015,7 +2015,37 @@ object SparkEntry {
     "q156_domain_cap" -> ((s, dir) =>
       graft.ops.Sample.domainCap(T(s, dir, "documents"), col("source"),
           col("doc_id"), cap = 25)
-        .orderBy("domain", "rank"))
+        .orderBy("domain", "rank")),
+
+    // curation capstone: the corpus-curation stack COMPOSED end to end
+    // — normalized dedup keepers → benchmark decontamination (3-gram
+    // overlap drop) → token-count quality floor → per-domain cap →
+    // per-(source, lang) report. Every stage is an already-gated
+    // operator; this query hash-checks the COMPOSITION (stage order,
+    // survivor sets, final stats) against one oracle replay
+    "q157_curation_pipeline" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val toks = (c: org.apache.spark.sql.Column) =>
+        filter(split(coalesce(c, lit("")), " "), t => length(t) > 0)
+      val keepers = Dedup.exact(d, col("doc_id"),
+          TextAnalysis.normalizeForDedup(coalesce(col("text"), lit(""))))
+        .select(col("keeper").as("doc_id"))
+      val s1 = d.join(keepers, "doc_id")
+      val contaminated = TextAnalysis.contamination(s1, col("doc_id"),
+          col("text"), d.where(col("doc_id") % 50 === 0), col("text"),
+          w = 3)
+        .where(col("n_hit") > 0).select("doc_id")
+      val s2 = s1.join(contaminated, Seq("doc_id"), "left_anti")
+      val s3 = s2.where(size(toks(col("text"))) >= 5)
+      val s4 = graft.ops.Sample.domainCap(s3, col("source"), col("doc_id"),
+        cap = 20)
+      s4.select(col("domain").as("source"), col("id").as("doc_id"))
+        .join(d.select(col("doc_id"), col("lang"),
+          size(toks(col("text"))).cast("long").as("tok")), "doc_id")
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("tok").as("sum_tokens"))
+        .orderBy("source", "lang")
+    })
   )
 
   /** q153 fixtures: five Luhn-VALID 16-digit numbers and their
@@ -4205,6 +4235,45 @@ object SparkEntry {
           |  FROM p)
           |SELECT domain, CAST(rn AS BIGINT) AS rank, doc_id AS id, h
           |FROM r WHERE rn <= 25 ORDER BY domain, rank""".stripMargin,
+
+      // curation pipeline: the q97 keeper CTE → q74 contamination CTEs
+      // (restricted to keepers) → quality floor → q156 cap → report,
+      // replayed as one chain
+      "q157_curation_pipeline" ->
+        """WITH n AS (SELECT doc_id,
+          |    md5(trim(regexp_replace(regexp_replace(
+          |      lower(COALESCE(text, '')), '[^a-z0-9 ]', ' ', 'g'),
+          |      ' +', ' ', 'g'))) AS fp
+          |  FROM documents),
+          |k AS (SELECT MIN(doc_id) AS doc_id FROM n GROUP BY fp),
+          |sp AS (SELECT doc_id, string_split(text, ' ') AS t
+          |  FROM documents WHERE text IS NOT NULL),
+          |dg AS (SELECT doc_id, list_distinct(list_transform(
+          |    range(1, greatest(len(t) - 2, 1) + 1),
+          |    i -> array_to_string(t[i:i+2], ' '))) AS sh FROM sp),
+          |bg AS (SELECT DISTINCT unnest(sh) AS gram FROM dg
+          |  WHERE doc_id % 50 = 0),
+          |cont AS (SELECT DISTINCT doc_id FROM (
+          |    SELECT doc_id, unnest(sh) AS gram FROM dg
+          |    WHERE doc_id IN (SELECT doc_id FROM k)) x
+          |  WHERE gram IN (SELECT gram FROM bg)),
+          |s3 AS (SELECT d.doc_id, d.source, d.lang,
+          |    CAST(len(list_filter(string_split(COALESCE(d.text, ''), ' '),
+          |      x -> len(x) > 0)) AS BIGINT) AS tok,
+          |    CAST(('0x' || substr(md5('cap:' || CAST(d.doc_id AS VARCHAR)),
+          |      1, 10)) AS BIGINT) AS h
+          |  FROM documents d
+          |  WHERE d.doc_id IN (SELECT doc_id FROM k)
+          |    AND d.doc_id NOT IN (SELECT doc_id FROM cont)
+          |    AND len(list_filter(string_split(COALESCE(d.text, ''), ' '),
+          |      x -> len(x) > 0)) >= 5),
+          |cap AS (SELECT *, row_number() OVER (PARTITION BY source
+          |    ORDER BY h ASC, CAST(doc_id AS VARCHAR) ASC) AS rn
+          |  FROM s3)
+          |SELECT source, lang, COUNT(*) AS n_docs,
+          |  CAST(SUM(tok) AS BIGINT) AS sum_tokens
+          |FROM cap WHERE rn <= 20
+          |GROUP BY source, lang ORDER BY source, lang""".stripMargin,
 
       // z-order layout audit: the oracle replays the same magic-mask
       // bit spread (4 shift-or steps) and the morton-prefix / linear

@@ -73,4 +73,35 @@ class IngestPipelineSpec extends SparkSpec {
       s"re-ingest passed ${r1.count()} docs through exact dedup")
     assert(reaccepted.count() == 0, "pipeline re-accepted already-ingested docs")
   }
+
+  test("q157 curation: eval slice never survives, caps hold, stages shrink") {
+    val dir = "/root/testdata/sf0.01"
+    val d = SparkEntry.T(spark, dir, "documents")
+    // reconstruct the pipeline's survivor set from the capped report by
+    // replaying the first three stages, then check the invariants the
+    // final aggregate can't show directly
+    val keepers = Dedup.exact(d, col("doc_id"),
+        graft.text.TextAnalysis.normalizeForDedup(
+          coalesce(col("text"), lit(""))))
+      .select(col("keeper").as("doc_id"))
+    val s1 = d.join(keepers, "doc_id")
+    val contaminated = graft.text.TextAnalysis.contamination(s1,
+        col("doc_id"), col("text"), d.where(col("doc_id") % 50 === 0),
+        col("text"), w = 3)
+      .where(col("n_hit") > 0).select("doc_id")
+    val s2 = s1.join(contaminated, Seq("doc_id"), "left_anti")
+    // decontamination must at minimum remove the eval slice itself
+    // (every eval doc trivially shares its own 3-grams)
+    assert(s2.where(col("doc_id") % 50 === 0).count() == 0)
+    // stages only shrink
+    assert(s1.count() <= d.count() && s2.count() < s1.count())
+    // the registered report caps every source at 20 docs and only
+    // counts s2-surviving docs
+    val report = SparkEntry.queries("q157_curation_pipeline")(spark, dir)
+      .collect()
+    val bySource = report.groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(bySource.values.forall(_ <= 20), bySource.toString)
+    assert(report.map(_.getLong(2)).sum > 0)
+  }
 }
