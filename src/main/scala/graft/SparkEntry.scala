@@ -2045,7 +2045,24 @@ object SparkEntry {
         .groupBy("source", "lang")
         .agg(count(lit(1)).as("n_docs"), sum("tok").as("sum_tokens"))
         .orderBy("source", "lang")
-    })
+    }),
+
+    // content-defined chunking (Rabin CDC, the shift-resistant storage
+    // dedup primitive beside q125's fixed token windows): boundaries
+    // where the rolling window hash hits the mask; chunks tile each
+    // doc, md5 fingerprints enable cross-doc shared-chunk detection.
+    // O(1)-rolled in the codegen'd expression; the oracle recomputes
+    // every window O(w) — hash-matching pins the rolling update
+    "q158_cdc_chunks" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"), posexplode(
+          graft.functions.CdcChunksExpr.cdc_chunks(
+            coalesce(col("text"), lit("")), w = 16, maskBits = 6))
+          .as(Seq("chunk_idx", "c")))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          col("c.start").cast("long").as("start"),
+          col("c.len").cast("long").as("len"), col("c.fp").as("fp"))
+        .orderBy("doc_id", "chunk_idx"))
   )
 
   /** q153 fixtures: five Luhn-VALID 16-digit numbers and their
@@ -4274,6 +4291,31 @@ object SparkEntry {
           |  CAST(SUM(tok) AS BIGINT) AS sum_tokens
           |FROM cap WHERE rn <= 20
           |GROUP BY source, lang ORDER BY source, lang""".stripMargin,
+
+      // CDC: each window hash recomputed O(w) as the same fold the
+      // expression rolls O(1); boundary mask 2^6, window 16 chars
+      "q158_cdc_chunks" ->
+        """WITH d AS (SELECT doc_id, COALESCE(text, '') AS t
+          |  FROM documents),
+          |bnds AS (SELECT doc_id, t, list_filter(range(16, len(t) + 1),
+          |    i -> (list_reduce(list_transform(range(i - 15, i + 1),
+          |        j -> CAST(unicode(t[j:j]) AS BIGINT)),
+          |      (a, b) -> (a * 31 + b) % 2147483648) & 63) = 0) AS bs
+          |  FROM d WHERE len(t) > 0),
+          |e AS (SELECT doc_id, t,
+          |    CASE WHEN len(bs) > 0 AND bs[len(bs)] = CAST(len(t) AS BIGINT)
+          |      THEN bs ELSE list_append(bs, CAST(len(t) AS BIGINT)) END
+          |      AS ends
+          |  FROM bnds),
+          |c AS (SELECT doc_id, t, ends,
+          |    unnest(range(1, len(ends) + 1)) AS k
+          |  FROM e)
+          |SELECT doc_id, k - 1 AS chunk_idx,
+          |  CASE WHEN k = 1 THEN 0 ELSE ends[k - 1] END AS start,
+          |  ends[k] - (CASE WHEN k = 1 THEN 0 ELSE ends[k - 1] END) AS len,
+          |  md5(t[(CASE WHEN k = 1 THEN 0 ELSE ends[k - 1] END) + 1
+          |    : ends[k]]) AS fp
+          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
       // z-order layout audit: the oracle replays the same magic-mask
       // bit spread (4 shift-or steps) and the morton-prefix / linear

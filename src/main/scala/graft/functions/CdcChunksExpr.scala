@@ -1,0 +1,127 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Content-defined chunking (Rabin-style CDC — the boundary scheme of
+  * storage dedup à la LBFS/restic/borg, and the shift-resistant
+  * alternative to the q125 fixed token windows): a chunk boundary
+  * falls wherever the rolling hash of the last `w` characters hits
+  * `h % 2^maskBits == 0`, so inserting a byte early in a document
+  * moves ONE boundary instead of re-aligning every later chunk — the
+  * property that lets chunk-fingerprint dedup find shared content
+  * between partially-overlapping documents where whole-doc and
+  * fixed-window fingerprints both miss.
+  *
+  * Hash: the polynomial Σ code(c_j)·31^(w−1−j) mod 2³¹ over the
+  * window — the q43-portable scheme, replayed verbatim by the DuckDB
+  * oracle (which recomputes each window O(w); this expression rolls
+  * it O(1) per position — same values, the oracle pins that). Chunk
+  * fingerprints are md5 of the chunk text.
+  *
+  * Deviations from production CDC, documented: no min/max chunk
+  * clamps (they make boundary selection sequentially dependent on the
+  * previous boundary, which is not SQL-replayable; the mask already
+  * bounds the EXPECTED length at 2^maskBits), and characters rather
+  * than bytes (identical on ASCII corpora; a byte-level variant would
+  * swap `charAt` for the UTF-8 array).
+  *
+  * Returns ARRAY<STRUCT<start INT, len INT, fp STRING>> (start
+  * 0-based; chunks tile the text exactly); empty string → empty
+  * array, NULL → NULL.
+  */
+case class CdcChunksExpr(child: Expression, w: Int, maskBits: Int)
+    extends UnaryExpression {
+
+  require(w >= 2 && maskBits >= 1 && maskBits <= 20)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"cdc_chunks needs STRING, got ${other.sql}")
+    }
+
+  override def dataType: DataType = ArrayType(CdcChunksExpr.ChunkType,
+    containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    CdcChunksExpr.compute(v.asInstanceOf[UTF8String], w, maskBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val arrCls = classOf[ArrayData].getName
+    ev.copy(code = code"""${c.code}
+      $arrCls ${ev.value} = ${c.isNull} ? null :
+        graft.functions.CdcChunksExpr.compute(${c.value}, $w, $maskBits);
+      boolean ${ev.isNull} = ${ev.value} == null;""")
+  }
+
+  override protected def withNewChildInternal(c: Expression): CdcChunksExpr =
+    copy(child = c)
+
+  override def prettyName: String = "cdc_chunks"
+}
+
+object CdcChunksExpr {
+
+  val ChunkType: StructType = StructType(Seq(
+    StructField("start", IntegerType, nullable = false),
+    StructField("len", IntegerType, nullable = false),
+    StructField("fp", StringType, nullable = false)))
+
+  private val M = 2147483648L // 2^31
+
+  def compute(text: UTF8String, w: Int, maskBits: Int): ArrayData = {
+    val s = text.toString
+    val n = s.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val mask = (1L << maskBits) - 1
+    // 31^w mod 2^31, for the O(1) rolling update
+    var pw = 1L
+    var i = 0
+    while (i < w) { pw = (pw * 31) % M; i += 1 }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    def emit(start: Int, end: Int): Unit = {
+      val chunk = s.substring(start, end)
+      val fp = md.digest(chunk.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+      md.reset()
+      out += new GenericInternalRow(Array[Any](start, end - start,
+        UTF8String.fromString(fp)))
+    }
+    var h = 0L
+    var prev = 0
+    i = 0
+    while (i < n) {
+      h = (h * 31 + s.charAt(i)) % M
+      if (i >= w) {
+        // drop the char that left the window: subtract c_out·31^w
+        h = ((h - (s.charAt(i - w) * pw) % M) + M) % M
+      }
+      // boundary once a full window ends at position i+1
+      if (i >= w - 1 && (h & mask) == 0L) {
+        emit(prev, i + 1)
+        prev = i + 1
+      }
+      i += 1
+    }
+    if (prev < n) emit(prev, n)
+    new GenericArrayData(out.toArray)
+  }
+
+  def cdc_chunks(text: Column, w: Int = 16, maskBits: Int = 6): Column =
+    ColumnBridge.column(CdcChunksExpr(ColumnBridge.expression(text), w, maskBits))
+}

@@ -224,6 +224,45 @@ class RetrievalLayoutSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan.take(1500))
   }
 
+  test("cdc_chunks: tiling, short/empty contracts, shift resistance") {
+    def chunksOf(t: String): Seq[(Int, Int, String)] =
+      Seq(Tuple1(t)).toDF("t")
+        .select(explode(graft.functions.CdcChunksExpr.cdc_chunks(col("t")))
+          .as("c"))
+        .select("c.start", "c.len", "c.fp").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSeq
+    // deterministic pseudo-random ASCII text
+    val base = (0 until 600).map(i => ('a' + (i * 31 + i * i % 17) % 26).toChar)
+      .mkString
+    val cs = chunksOf(base)
+    // chunks tile the text exactly
+    assert(cs.head._1 == 0 && cs.map(_._2).sum == base.length)
+    assert(cs.sliding(2).forall {
+      case Seq(a, b) => a._1 + a._2 == b._1; case _ => true })
+    assert(cs.length > 3, s"mask too sparse for the fixture: ${cs.length}")
+    // THE CDC property: inserting one char near the front must
+    // re-align — all boundaries after the perturbed window stay, so
+    // nearly every chunk fingerprint survives. (Fixed-width chunking
+    // would shift every later chunk.)
+    val edited = base.substring(0, 10) + "X" + base.substring(10)
+    val cs2 = chunksOf(edited)
+    // the fixture text is periodic, so distinct fps < chunk instances;
+    // the property is on DISTINCT content: exactly the one chunk
+    // containing the insertion changes, every other fingerprint
+    // survives. (Fixed-width chunking would shift all of them.)
+    val distinctBase = cs.map(_._3).distinct.size
+    val shared = cs.map(_._3).toSet intersect cs2.map(_._3).toSet
+    assert(shared.size >= distinctBase - 1,
+      s"only ${shared.size} of $distinctBase distinct chunks survived " +
+        "a 1-char edit")
+    assert(cs2.length == cs.length) // boundaries re-synced, none lost
+    // short text: one chunk, whole text; empty: no chunks
+    assert(chunksOf("abc") == Seq((0, 3,
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("abc".getBytes("UTF-8")).map("%02x".format(_)).mkString)))
+    assert(chunksOf("").isEmpty)
+  }
+
   test("q153 planted fixture: every 13th doc flags, near-misses never do") {
     val out = SparkEntry.queries("q153_luhn_pii")(spark, sfDir).collect()
     val flagged = out.filter(_.getLong(2) > 0).map(_.getLong(0)).toSet
