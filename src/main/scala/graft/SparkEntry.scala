@@ -2062,7 +2062,25 @@ object SparkEntry {
         .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
           col("c.start").cast("long").as("start"),
           col("c.len").cast("long").as("len"), col("c.fp").as("fp"))
-        .orderBy("doc_id", "chunk_idx"))
+        .orderBy("doc_id", "chunk_idx")),
+
+    // partial-overlap pairs via shared CDC chunks: per-doc distinct
+    // fps, boilerplate df-cap BEFORE the self-join, ≥2 shared chunks.
+    // The storage-dedup signal lifted to corpus dedup — catches one
+    // long shared passage where whole-doc similarity stays low
+    "q159_shared_chunks" -> ((s, dir) =>
+      Dedup.sharedChunkPairs(T(s, dir, "documents"), "doc_id", "text",
+          w = 16, maskBits = 6, maxDf = 10, minShared = 2)
+        .orderBy("id_a", "id_b")),
+
+    // asymmetric containment (Broder): rare-shingle df-cut candidates
+    // (minhash bands can't seed low-Jaccard pairs) verified with exact
+    // shingle-set intersection — catches the quote/subset pairs
+    // symmetric Jaccard misses; e6-integer both directions, ≥0.5 kept
+    "q160_containment_pairs" -> ((s, dir) =>
+      Dedup.containmentPairs(T(s, dir, "documents"), "doc_id", "text",
+          w = 3, maxDf = 10, minContainE6 = 500000L)
+        .orderBy("id_a", "id_b"))
   )
 
   /** q153 fixtures: five Luhn-VALID 16-digit numbers and their
@@ -2128,6 +2146,36 @@ object SparkEntry {
        |  FROM agg)""".stripMargin
   }
 
+  /** The q158 CDC chunk relation as a reusable CTE chain ending in
+    * `cdc(doc_id, chunk_idx, start, len, fp)` — shared by the q158
+    * gate and the q159 shared-chunk pair operator built on it. Window
+    * 16, mask 2⁶, the q43-portable polynomial hash recomputed O(w)
+    * per window (the expression rolls it O(1); the hash match pins
+    * the rolling update).
+    */
+  private lazy val cdcChunksCtes: String =
+    """WITH d AS (SELECT doc_id, COALESCE(text, '') AS t
+      |  FROM documents),
+      |bnds AS (SELECT doc_id, t, list_filter(range(16, len(t) + 1),
+      |    i -> (list_reduce(list_transform(range(i - 15, i + 1),
+      |        j -> CAST(unicode(t[j:j]) AS BIGINT)),
+      |      (a, b) -> (a * 31 + b) % 2147483648) & 63) = 0) AS bs
+      |  FROM d WHERE len(t) > 0),
+      |e AS (SELECT doc_id, t,
+      |    CASE WHEN len(bs) > 0 AND bs[len(bs)] = CAST(len(t) AS BIGINT)
+      |      THEN bs ELSE list_append(bs, CAST(len(t) AS BIGINT)) END
+      |      AS ends
+      |  FROM bnds),
+      |ck AS (SELECT doc_id, t, ends,
+      |    unnest(range(1, len(ends) + 1)) AS k
+      |  FROM e),
+      |cdc AS (SELECT doc_id, k - 1 AS chunk_idx,
+      |  CASE WHEN k = 1 THEN 0 ELSE ends[k - 1] END AS start,
+      |  ends[k] - (CASE WHEN k = 1 THEN 0 ELSE ends[k - 1] END) AS len,
+      |  md5(t[(CASE WHEN k = 1 THEN 0 ELSE ends[k - 1] END) + 1
+      |    : ends[k]]) AS fp
+      |FROM ck)""".stripMargin
+
   /** The q44 portable MinHash-LSH pair relation as a reusable CTE chain
     * ending in `mh(id_a, id_b, agree)` — shared verbatim by the q44
     * oracle and the q146 triangle census built on the same graph, so
@@ -2161,9 +2209,9 @@ object SparkEntry {
        |p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM banded a JOIN banded b
        |    ON a.band = b.band AND $bandJoin AND a.doc_id < b.doc_id),
-       |mh AS (SELECT id_a, id_b, CAST($agree AS INTEGER) AS agree
-       |  FROM p JOIN s da ON p.id_a = da.doc_id JOIN s db ON p.id_b = db.doc_id
-       |  WHERE $agree >= $minAgree)""".stripMargin
+       |mhall AS (SELECT id_a, id_b, CAST($agree AS INTEGER) AS agree
+       |  FROM p JOIN s da ON p.id_a = da.doc_id JOIN s db ON p.id_b = db.doc_id),
+       |mh AS (SELECT * FROM mhall WHERE agree >= $minAgree)""".stripMargin
   }
 
   /** DuckDB-equivalent SQL per query (driver hash-compares). Notes:
@@ -4295,27 +4343,49 @@ object SparkEntry {
       // CDC: each window hash recomputed O(w) as the same fold the
       // expression rolls O(1); boundary mask 2^6, window 16 chars
       "q158_cdc_chunks" ->
-        """WITH d AS (SELECT doc_id, COALESCE(text, '') AS t
-          |  FROM documents),
-          |bnds AS (SELECT doc_id, t, list_filter(range(16, len(t) + 1),
-          |    i -> (list_reduce(list_transform(range(i - 15, i + 1),
-          |        j -> CAST(unicode(t[j:j]) AS BIGINT)),
-          |      (a, b) -> (a * 31 + b) % 2147483648) & 63) = 0) AS bs
-          |  FROM d WHERE len(t) > 0),
-          |e AS (SELECT doc_id, t,
-          |    CASE WHEN len(bs) > 0 AND bs[len(bs)] = CAST(len(t) AS BIGINT)
-          |      THEN bs ELSE list_append(bs, CAST(len(t) AS BIGINT)) END
-          |      AS ends
-          |  FROM bnds),
-          |c AS (SELECT doc_id, t, ends,
-          |    unnest(range(1, len(ends) + 1)) AS k
-          |  FROM e)
-          |SELECT doc_id, k - 1 AS chunk_idx,
-          |  CASE WHEN k = 1 THEN 0 ELSE ends[k - 1] END AS start,
-          |  ends[k] - (CASE WHEN k = 1 THEN 0 ELSE ends[k - 1] END) AS len,
-          |  md5(t[(CASE WHEN k = 1 THEN 0 ELSE ends[k - 1] END) + 1
-          |    : ends[k]]) AS fp
-          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+        s"""$cdcChunksCtes
+           |SELECT doc_id, chunk_idx, start, len, fp
+           |FROM cdc ORDER BY doc_id, chunk_idx""".stripMargin,
+
+      // shared-chunk partial overlap: the cdc relation (shared CTEs) →
+      // per-doc distinct fps → df ≤ 10 boilerplate cap → fp equi-join
+      "q159_shared_chunks" ->
+        s"""$cdcChunksCtes,
+           |ch AS (SELECT DISTINCT doc_id AS id, fp FROM cdc),
+           |dfc AS (SELECT fp FROM ch GROUP BY fp HAVING COUNT(*) <= 10),
+           |kept AS (SELECT ch.id, ch.fp FROM ch JOIN dfc USING (fp))
+           |SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_shared
+           |FROM kept a JOIN kept b ON a.fp = b.fp AND a.id < b.id
+           |GROUP BY a.id, b.id HAVING COUNT(*) >= 2
+           |ORDER BY id_a, id_b""".stripMargin,
+
+      // containment: rare-shingle (df ≤ 10) candidates — minhash bands
+      // cannot seed LOW-Jaccard pairs — verified with exact
+      // shingle-set intersection; integer e6 both directions
+      "q160_containment_pairs" ->
+        """WITH shs AS (SELECT doc_id, list_distinct(list_transform(
+          |    range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+          |    i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))
+          |    AS sh
+          |  FROM documents WHERE text IS NOT NULL),
+          |gr AS (SELECT doc_id, unnest(sh) AS g FROM shs),
+          |rare AS (SELECT g FROM gr GROUP BY g HAVING COUNT(*) <= 10),
+          |rg AS (SELECT gr.doc_id, gr.g FROM gr JOIN rare USING (g)),
+          |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          |  FROM rg a JOIN rg b ON a.g = b.g AND a.doc_id < b.doc_id),
+          |v AS (SELECT cand.id_a, cand.id_b,
+          |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+          |    CAST(len(a.sh) AS BIGINT) AS n_a,
+          |    CAST(len(b.sh) AS BIGINT) AS n_b
+          |  FROM cand JOIN shs a ON cand.id_a = a.doc_id
+          |    JOIN shs b ON cand.id_b = b.doc_id)
+          |SELECT id_a, id_b, inter, n_a, n_b,
+          |  (inter * 1000000) // n_a AS c_ab_e6,
+          |  (inter * 1000000) // n_b AS c_ba_e6
+          |FROM v
+          |WHERE greatest((inter * 1000000) // n_a,
+          |  (inter * 1000000) // n_b) >= 500000
+          |ORDER BY id_a, id_b""".stripMargin,
 
       // z-order layout audit: the oracle replays the same magic-mask
       // bit spread (4 shift-or steps) and the morton-prefix / linear

@@ -857,4 +857,81 @@ object Dedup {
       (round(col("kmv_common").cast("double") / col("k_used"), 4) + 0.0)
         .as("jaccard_kmv"))
   }
+
+  /** Partial-overlap pairs via shared CDC chunks
+    * ([[graft.functions.CdcChunksExpr]]): docs sharing ≥ `minShared`
+    * identical content-defined chunks overlap in CONTENT even when
+    * whole-doc and shingle-similarity measures stay low (one long
+    * quoted passage inside two otherwise-different documents). The
+    * storage-dedup signal lifted to corpus dedup.
+    *
+    * Scale shape is the inverted-index discipline: per-doc DISTINCT
+    * chunk fps, a df-cap that drops boilerplate chunks shared by more
+    * than `maxDf` docs BEFORE the self-join (the stopword-skew
+    * mitigation — a universal boilerplate chunk would otherwise build
+    * an O(n²) bucket), then an equi-join on fp and a count per pair.
+    */
+  def sharedChunkPairs(docs: DataFrame, idCol: String, textCol: String,
+                       w: Int = 16, maskBits: Int = 6, maxDf: Int = 10,
+                       minShared: Int = 2): DataFrame = {
+    val chunks = docs.select(col(idCol).as("id"), explode(
+        graft.functions.CdcChunksExpr.cdc_chunks(
+          coalesce(col(textCol), lit("")), w, maskBits)).as("c"))
+      .select(col("id"), col("c.fp").as("fp")).distinct()
+    val dfc = chunks.groupBy("fp").agg(count(lit(1)).as("dfc"))
+    val kept = chunks.join(dfc.where(col("dfc") <= maxDf).select("fp"),
+      Seq("fp"))
+    kept.select(col("fp"), col("id").as("id_a"))
+      .join(kept.select(col("fp"), col("id").as("id_b")), Seq("fp"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
+  /** Asymmetric containment pairs (Broder's containment coefficient
+    * |A∩B|/|A| over shingle sets): the near-dup measure for docs of
+    * very DIFFERENT lengths — a short doc quoted whole inside a long
+    * one has Jaccard ≈ |A|/|B| ≈ 0 but containment ≈ 1, so symmetric
+    * near-dup passes miss exactly the quote/subset cases this catches.
+    *
+    * Candidates CANNOT come from minhash bands here — band collision
+    * probability is Jaccard-driven (≈ J^(k/bands) per band), and the
+    * whole point is pairs whose Jaccard is LOW. Instead, the q137
+    * df-cut scheme: docs sharing any RARE shingle (df ≤ maxDf) are
+    * candidates — a verbatim quote shares every one of its shingles,
+    * so the pair surfaces unless the quote consists entirely of
+    * corpus-boilerplate shingles (documented miss). Candidate volume
+    * is bounded by Σ_rare df² exactly as in sparseCosinePairs; the
+    * exact shingle-set intersection then verifies — integer e6
+    * containment both directions, keep pairs where either side is at
+    * least `minContainE6` contained.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       w: Int = 3, maxDf: Int = 10,
+                       minContainE6: Long = 500000L): DataFrame = {
+    val sh = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), array_distinct(
+        graft.functions.ShinglesExpr.shingle_strings(col(textCol), w))
+        .as("sh"))
+      .localCheckpoint() // consumed by candidates AND both verify sides
+    val grams = sh.select(col("id"), explode(col("sh")).as("g"))
+    val rare = grams.groupBy("g").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf).select("g")
+    val rareGrams = grams.join(rare, Seq("g"))
+    val cands = rareGrams.select(col("g"), col("id").as("id_a"))
+      .join(rareGrams.select(col("g"), col("id").as("id_b")), Seq("g"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cands
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+          .as("inter"),
+        size(col("sh_a")).cast("long").as("n_a"),
+        size(col("sh_b")).cast("long").as("n_b"))
+      .withColumn("c_ab_e6", expr("(inter * 1000000) div n_a"))
+      .withColumn("c_ba_e6", expr("(inter * 1000000) div n_b"))
+      .where(greatest(col("c_ab_e6"), col("c_ba_e6")) >= minContainE6)
+  }
 }

@@ -263,6 +263,50 @@ class RetrievalLayoutSpec extends SparkSpec {
     assert(chunksOf("").isEmpty)
   }
 
+  test("sharedChunkPairs: planted shared passage pairs; boilerplate capped") {
+    val passage = (0 until 300)
+      .map(i => ('a' + (i * 31 + i * i % 17) % 26).toChar).mkString
+    def noise(seed: Int) = (0 until 120)
+      .map(i => ('a' + (i * seed + 7 * i * i % 13) % 26).toChar).mkString
+    val docs = Seq(
+      (1L, noise(5) + passage + noise(9)),   // passage in different
+      (2L, noise(11) + passage + noise(3)),  //   surroundings
+      (3L, noise(17) + noise(23))).toDF("doc_id", "text")
+    val pairs = graft.dedup.Dedup.sharedChunkPairs(docs, "doc_id", "text",
+      minShared = 2).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L &&
+      pairs.head.getLong(2) >= 2L)
+    // a chunk shared by MORE than maxDf docs is boilerplate: capped
+    // out, no quadratic pair blowup
+    val many = (1 to 12).map(i => (i.toLong, noise(i * 2 + 1) + passage))
+      .toDF("doc_id", "text")
+    val capped = graft.dedup.Dedup.sharedChunkPairs(many, "doc_id", "text",
+      maxDf = 10, minShared = 2).collect()
+    assert(capped.isEmpty, s"boilerplate passage built ${capped.length} pairs")
+  }
+
+  test("containmentPairs: whole-quote containment found where Jaccard is low") {
+    val short0 = (0 until 40)
+      .map(i => "w" + ((i * 13 + i * i % 7) % 97)).mkString(" ")
+    val long0 = (0 until 400).map(i => "v" + ((i * 29 + 3) % 997))
+      .mkString(" ") + " " + short0
+    val docs = Seq((1L, short0), (2L, long0),
+      (3L, (0 until 50).map(i => "z" + i).mkString(" "))).toDF("doc_id", "text")
+    val out = graft.dedup.Dedup.containmentPairs(docs, "doc_id", "text")
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    // the short side is (near-)fully contained...
+    assert(r.getAs[Long]("c_ab_e6") >= 900000L, r.toString)
+    // ...while symmetric Jaccard ≈ inter/union stays low — the case
+    // the operator exists for
+    val jacc = r.getAs[Long]("inter").toDouble /
+      (r.getAs[Long]("n_a") + r.getAs[Long]("n_b") - r.getAs[Long]("inter"))
+    assert(jacc < 0.2, s"jaccard $jacc")
+  }
+
   test("q153 planted fixture: every 13th doc flags, near-misses never do") {
     val out = SparkEntry.queries("q153_luhn_pii")(spark, sfDir).collect()
     val flagged = out.filter(_.getLong(2) > 0).map(_.getLong(0)).toSet
