@@ -4361,11 +4361,14 @@ object SparkEntry {
 
       // containment: rare-shingle (df ≤ 10) candidates — minhash bands
       // cannot seed LOW-Jaccard pairs — verified with exact
-      // shingle-set intersection; integer e6 both directions
+      // intersection of the md5-60-bit hashed shingle sets (a
+      // collision merges identically on both engines); e6 integers
       "q160_containment_pairs" ->
         """WITH shs AS (SELECT doc_id, list_distinct(list_transform(
-          |    range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
-          |    i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))
+          |    list_transform(
+          |      range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+          |      i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')),
+          |    s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)))
           |    AS sh
           |  FROM documents WHERE text IS NOT NULL),
           |gr AS (SELECT doc_id, unnest(sh) AS g FROM shs),
