@@ -2001,11 +2001,11 @@ object SparkEntry {
     // brightness/contrast invariances dHash lacks half of
     "q155_phash_neardup" -> ((s, dir) =>
       Multimodal.phashNearDupPairs(
-        T(s, dir, "documents").select(col("doc_id"),
+        T(s, dir, "documents").select(
           Multimodal.synthGray8x8(
             pmod(col("doc_id"), lit(12)),
             pmod(col("doc_id"), lit(97)) < 10).as("payload")),
-        "doc_id", "payload", maxDist = 6)
+        "payload", maxDist = 6)
         .orderBy("hash_a", "hash_b")),
 
     // per-domain contribution cap (RefinedWeb "no host dominates" — a
@@ -2026,7 +2026,7 @@ object SparkEntry {
     "q157_curation_pipeline" -> ((s, dir) => {
       val d = T(s, dir, "documents")
       val toks = (c: org.apache.spark.sql.Column) =>
-        filter(split(coalesce(c, lit("")), " "), t => length(t) > 0)
+        TextAnalysis.nonEmptyTokens(c)
       val keepers = Dedup.exact(d, col("doc_id"),
           TextAnalysis.normalizeForDedup(coalesce(col("text"), lit(""))))
         .select(col("keeper").as("doc_id"))

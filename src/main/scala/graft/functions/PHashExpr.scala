@@ -69,9 +69,14 @@ object PHash64Expr {
     * Long.MinValue can never be a 63-bit hash). */
   val NullSentinel: Long = Long.MinValue
 
-  /** cos((2x+1)·u·π/16) — the 1-D DCT-II basis, built once. */
+  /** cos((2x+1)·u·π/16) — the 1-D DCT-II basis, built once.
+    * StrictMath, not Math: Math.cos is only 1-ulp-accurate and may use
+    * platform intrinsics, so on a heterogeneous cluster two executors
+    * could build tables differing in the last bit and split identical
+    * payloads into different hash groups; StrictMath is bit-specified
+    * (fdlibm), which is what the reproducibility contract needs. */
   private val Cos: Array[Array[Double]] = Array.tabulate(8, 8)((u, x) =>
-    math.cos((2 * x + 1) * u * math.Pi / 16.0))
+    StrictMath.cos((2 * x + 1) * u * math.Pi / 16.0))
 
   def compute(payload: Array[Byte]): Long = {
     if (payload == null || payload.length < 64) return NullSentinel

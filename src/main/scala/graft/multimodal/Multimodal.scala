@@ -206,9 +206,12 @@ object Multimodal {
   /** pHash variant of [[dhashNearDupPairs]]: DCT fingerprints
     * ([[graft.functions.PHash64Expr]], 63 bits) in 8×8-bit blocks —
     * pigeonhole-complete to hd 7. Same two-level shape: exact dups
-    * collapse on the hash before any pair logic.
+    * collapse on the hash before any pair logic. The output is the
+    * DISTINCT-FINGERPRINT pair relation with member counts (what a
+    * dedup pass feeds connected components) — no per-media id column
+    * is read, so the signature takes none.
     */
-  def phashNearDupPairs(media: DataFrame, idCol: String, binCol: String,
+  def phashNearDupPairs(media: DataFrame, binCol: String,
                         maxDist: Int = 6): DataFrame = {
     require(maxDist <= 7, s"8x8-bit blocks are complete only to hd 7, got $maxDist")
     hashNearDupPairs(

@@ -100,6 +100,13 @@ object Graph {
         least(col(aCol), col(bCol)).cast("long").as("a"),
         greatest(col(aCol), col(bCol)).cast("long").as("b"))
       .where(col("a") =!= col("b")).distinct()
+      // the arithmetic order key needs ids in [0, 2^32): out-of-range
+      // ids (e.g. 60-bit hashed ids) would silently corrupt the
+      // orientation — fail loudly instead. assert_true returns NULL on
+      // pass, so the filter keeps every valid row and the optimizer
+      // cannot prune the check away
+      .where(assert_true(col("a") >= 0L && col("b") < lit(G),
+        lit(s"triangleStats: vertex ids must be in [0, 2^32)")).isNull)
     val deg = e.select(col("a").as("id"))
       .unionAll(e.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))

@@ -55,9 +55,19 @@ object Layout {
                 nFiles: Int, bits: Int): DataFrame = {
     require(Integer.bitCount(nFiles) == 1 && nFiles > 1,
       "nFiles must be a power of two")
+    require(bits >= 1 && bits <= 16,
+      s"spreadBits16 interleaves at most 16 bits per dimension, got $bits")
     val shift = 2 * bits - Integer.numberOfTrailingZeros(nFiles)
+    val dom = 1L << bits
     val base = df.select(xCol.cast("long").as("x"), yCol.cast("long").as("y"),
-      linCol.cast("long").as("lin"))
+        linCol.cast("long").as("lin"))
+      // x/y outside [0, 2^bits) would be silently masked by the bit
+      // spread (aliasing distant values into the same file) — fail
+      // loudly; assert_true yields NULL on pass so the filter keeps
+      // every valid row and survives column pruning
+      .where(assert_true(
+        col("x") >= 0L && col("x") < dom && col("y") >= 0L && col("y") < dom,
+        lit(s"fileStats: x/y must be in [0, 2^$bits)")).isNull)
     // linear layout: equal-width ranges of the insertion key; the
     // min/max come from ONE scalar-agg row (broadcast-crossed — the
     // q89-class bounded pattern)
@@ -81,10 +91,9 @@ object Layout {
   /** Fraction of files a point predicate `x = v` could skip under each
     * layout, for each probe — the end-to-end pruning measure. */
   def skipRatio(stats: DataFrame, probes: Seq[Long]): DataFrame = {
-    val p = probes.foldLeft(Option.empty[DataFrame]) { (acc, v) =>
-      val row = stats.sparkSession.range(1).select(lit(v).as("probe_x"))
-      Some(acc.fold(row)(_.unionByName(row)))
-    }.get
+    require(probes.nonEmpty, "skipRatio needs at least one probe")
+    import stats.sparkSession.implicits._
+    val p = probes.toDF("probe_x")
     stats.crossJoin(broadcast(p))
       .groupBy("layout", "probe_x")
       .agg(count(lit(1)).as("n_files"),

@@ -502,13 +502,19 @@ object Similarity {
       .agg(sum((col("x").cast("string").cast("decimal(18,9)")
           * 1000000000L).cast("long")).as("c"),
         count(lit(1)).as("n"))
+    // each component divides by ITS OWN position's count (carried in
+    // the struct) — `first(n)` would pick an arbitrary position's
+    // count for every component, silently diverging from the oracle's
+    // per-position division on ragged (unequal-length) vectors, and
+    // nondeterministically at that; n_cluster reports min(n), the
+    // oracle's choice
     val cents = sums.groupBy("cluster")
-      .agg(collect_list(struct(col("pos"), col("c"))).as("cs"),
-        first(col("n")).as("n_cluster"))
+      .agg(collect_list(struct(col("pos"), col("c"), col("n"))).as("cs"),
+        min(col("n")).as("n_cluster"))
       .select(col("cluster"), col("n_cluster"),
         transform(array_sort(col("cs")), s =>
           s.getField("c").cast("double")
-            / (col("n_cluster").cast("double") * lit(1.0e9))).as("cent"))
+            / (s.getField("n").cast("double") * lit(1.0e9))).as("cent"))
     emb.select(col(idCol).as("id"), col(clusterCol).as("cluster"),
         asDouble(col(vecCol)).as("__v"))
       .join(broadcast(cents), Seq("cluster"))

@@ -50,8 +50,7 @@ object Bm25 {
   def topK(docs: DataFrame, idCol: Column, textCol: Column,
            queries: DataFrame, k1: Double = 1.2, b: Double = 0.75,
            k: Int = 10): DataFrame = {
-    val toksArr = filter(split(coalesce(textCol, lit("")), " "),
-      t => length(t) > 0)
+    val toksArr = TextAnalysis.nonEmptyTokens(textCol)
     // one scalar row: corpus size and total token count (empty docs
     // count toward N with dl=0 — computed from the doc table, not from
     // the matched occurrences, which drop empty docs)

@@ -26,6 +26,14 @@ object TextAnalysis {
   /** Whitespace token array. */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Null-safe NON-EMPTY whitespace tokens — the token definition the
+    * retrieval/quality operators share (q145/q148/q157/...). One
+    * definition: the expression had been re-inlined at five call
+    * sites, where a future tokenization change would silently
+    * desynchronize hash-checked queries from each other. */
+  def nonEmptyTokens(text: Column): Column =
+    filter(tokens(coalesce(text, lit(""))), t => length(t) > 0)
+
   /** Count of tokens exactly matching one of `words`. */
   def stopwordCount(text: Column, words: Seq[String]): Column =
     size(filter(tokens(text), t => t.isin(words.map(lit(_)): _*)))
@@ -751,7 +759,7 @@ object TextAnalysis {
   }
 
   def readability(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
-    val toks = filter(tokens(coalesce(textCol, lit(""))), t => length(t) > 0)
+    val toks = nonEmptyTokens(textCol)
     df.select(idCol.as("doc_id"),
         size(toks).cast("long").as("n_words"),
         regexp_count(lower(coalesce(textCol, lit(""))), lit("[aeiouy]+"))

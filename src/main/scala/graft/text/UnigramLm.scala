@@ -35,8 +35,16 @@ object UnigramLm {
     * chars (coverage floor). SQL-expressible — the q150 gate relation.
     */
   def seedCandidates(docs: DataFrame, textCol: Column, maxLen: Int,
-                     seedSize: Int): DataFrame = {
-    val vocab = BpeTrain.wordVocab(docs, textCol)
+                     seedSize: Int): DataFrame =
+    seedCandidatesFromVocab(BpeTrain.wordVocab(docs, textCol), maxLen,
+      seedSize)
+
+  /** [[seedCandidates]] over an ALREADY-AGGREGATED (w, cnt) word vocab
+    * — what [[train]] uses so its checkpointed vocab serves both
+    * seeding and the EM rounds with ONE corpus pass, instead of
+    * re-tokenizing the corpus a second time for the seed table. */
+  def seedCandidatesFromVocab(vocab: DataFrame, maxLen: Int,
+                              seedSize: Int): DataFrame = {
     val subs = vocab.select(col("cnt"), explode(expr(
         s"""flatten(transform(sequence(1, length(w)), s ->
            |  transform(sequence(1, least($maxLen, length(w) - s + 1)),
@@ -57,9 +65,11 @@ object UnigramLm {
             maxLen: Int = 4, seedSize: Int = 512,
             rounds: Int = 3): DataFrame = {
     val vocab = BpeTrain.wordVocab(docs, textCol).localCheckpoint(true)
-    // bounded collect: ≤ seedSize + |charset| rows — the model table
+    // bounded collect: ≤ seedSize + |charset| rows — the model table.
+    // Seeding reads the CHECKPOINTED vocab — the corpus is tokenized
+    // exactly once per train() call
     var pieces: Seq[(String, Long)] =
-      seedCandidates(docs, textCol, maxLen, seedSize)
+      seedCandidatesFromVocab(vocab, maxLen, seedSize)
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     for (_ <- 1 to rounds) {
       val lp = toLogProbs(pieces)

@@ -239,7 +239,7 @@ class MultimodalSpec extends SparkSpec {
       .map { case (px, id) => (id.toLong, px) }.toDF("doc_id", "px")
       .select(col("doc_id"),
         graft.functions.PackBytesExpr.pack_bytes(col("px")).as("payload"))
-    val pairs = Multimodal.phashNearDupPairs(media, "doc_id", "payload",
+    val pairs = Multimodal.phashNearDupPairs(media, "payload",
       maxDist = 7).collect()
     assert(pairs.length == 1, pairs.map(_.toString).mkString("\n"))
     assert(pairs.head.getAs[Long]("n_a") == 10 &&
