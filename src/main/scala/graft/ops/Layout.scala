@@ -57,6 +57,11 @@ object Layout {
       "nFiles must be a power of two")
     require(bits >= 1 && bits <= 16,
       s"spreadBits16 interleaves at most 16 bits per dimension, got $bits")
+    // nFiles > 4^bits would make the prefix shift negative; Spark's
+    // shiftright masks the shift amount, so without this guard the
+    // z-order file ids would be silently wrong instead of failing
+    require(Integer.numberOfTrailingZeros(nFiles) <= 2 * bits,
+      s"nFiles=$nFiles exceeds the 4^bits=${1L << (2 * bits)} z-order cells")
     val shift = 2 * bits - Integer.numberOfTrailingZeros(nFiles)
     val dom = 1L << bits
     val base = df.select(xCol.cast("long").as("x"), yCol.cast("long").as("y"),

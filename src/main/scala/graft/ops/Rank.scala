@@ -83,7 +83,8 @@ object Rank {
     */
   def groupedRunningSum(df: DataFrame, group: Column, value: Column,
                         order: Seq[Column], nPartitions: Int,
-                        cumName: String = "cum"): DataFrame = {
+                        cumName: String = "cum",
+                        maxDriverSubtotals: Long = 4000000L): DataFrame = {
     // null-safe prep: SQL running-sum semantics treat a NULL value as
     // contributing nothing (SUM skips NULLs), and a NULL group key as
     // its own group — an unguarded getString/getLong on a null cell
@@ -98,6 +99,18 @@ object Rank {
     val gIdx = sorted.schema.fieldIndex("__g")
     val vIdx = sorted.schema.fieldIndex("__v")
     val rdd = sorted.rdd
+    // GATE (the CC localMaxVertices pattern): the driver prefix path
+    // collects O(partitions × groups) subtotals — fine for the
+    // handful-of-sources callers, catastrophic for a high-cardinality
+    // group key on a big cluster. One scalar approx-distinct job
+    // decides; past the bound, the prefix moves to a distributed
+    // bounded window (≤ nPartitions rows per group) + an equi-join,
+    // and the driver holds nothing.
+    val estGroups = prepared
+      .agg(approx_count_distinct(col("__g")).as("g")).head.getLong(0)
+    if (estGroups * nPartitions.toLong > maxDriverSubtotals)
+      return groupedRunningSumDistributed(
+        df.sparkSession, sorted, rdd, gIdx, vIdx, cumName)
     // pass 1: per-partition per-group subtotals, in encounter order
     val partials: Array[(Int, Seq[(String, Long)])] =
       rdd.mapPartitionsWithIndex { (pi, it) =>
@@ -132,6 +145,45 @@ object Rank {
       }
     }
     df.sparkSession.createDataFrame(labeled, schema).drop("__g", "__v")
+  }
+
+  /** Many-group fallback: identical result, zero driver traffic. Each
+    * row gets its partition id + LOCAL running sum in one imperative
+    * per-partition pass (no shuffle); per-(partition, group) subtotals
+    * re-aggregate from the same RDD; the cross-partition prefix is a
+    * window over `__pi` — bounded at ≤ nPartitions rows per group, so
+    * no single-task funnel — and an equi-join on (partition, group)
+    * adds the offset back. Both consumers reference the ONE
+    * materialized RDD instance, so the range partitioner (sampled once
+    * at construction) is identical across the self-join's traversals.
+    */
+  private def groupedRunningSumDistributed(
+      spark: org.apache.spark.sql.SparkSession,
+      sorted: DataFrame, rdd: org.apache.spark.rdd.RDD[Row],
+      gIdx: Int, vIdx: Int, cumName: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val schema = StructType(sorted.schema.fields ++ Seq(
+      StructField("__pi", LongType, nullable = false),
+      StructField("__local", LongType, nullable = false)))
+    val withLocal = rdd.mapPartitionsWithIndex { (pi, it) =>
+      val acc = scala.collection.mutable.Map.empty[String, Long]
+      it.map { r =>
+        val g = r.getString(gIdx)
+        val c = acc.getOrElse(g, 0L) + r.getLong(vIdx)
+        acc.update(g, c)
+        Row.fromSeq(r.toSeq :+ pi.toLong :+ c)
+      }
+    }
+    val frame = spark.createDataFrame(withLocal, schema)
+    val w = Window.partitionBy("__g").orderBy("__pi")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = frame.groupBy(col("__pi"), col("__g"))
+      .agg(sum(col("__v")).as("__sub"))
+      .select(col("__pi"), col("__g"),
+        coalesce(sum(col("__sub")).over(w), lit(0L)).as("__off"))
+    frame.join(off, Seq("__pi", "__g"))
+      .withColumn(cumName, col("__local") + col("__off"))
+      .drop("__g", "__v", "__pi", "__local", "__off")
   }
 
   /** Deterministic corpus shuffle + shard assignment — the "shuffle the

@@ -98,7 +98,12 @@ object Bm25 {
     val scored = tfM
       .join(broadcast(dfTab), Seq("tok"))
       .crossJoin(broadcast(stats))
-      .join(broadcast(queries.withColumnRenamed("term", "tok")), Seq("tok"))
+      // distinct: a duplicate (query_id, term) row in the caller's
+      // frame would otherwise multiply matched tf rows through this
+      // join, inflating score_e4 and n_terms — the term-set collect
+      // above already dedups the OTHER two uses of `queries`
+      .join(broadcast(queries.select(col("query_id"), col("term").as("tok"))
+        .distinct()), Seq("tok"))
       .select(col("query_id"), col("doc_id"),
         round(
           round(log(lit(1.0) +

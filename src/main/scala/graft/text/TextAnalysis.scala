@@ -709,20 +709,6 @@ object TextAnalysis {
           (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"),
           4) + 0.0).as("slope"))
 
-  /** Flesch reading-ease per doc — the classic readability feature in
-    * quality-filter stacks ("textbook-quality" selection uses
-    * readability alongside the q16/q96 signals). Three counts, all
-    * row-local regex/arith (zero shuffle): words = non-empty tokens,
-    * syllables ≈ vowel-group runs `[aeiouy]+` (the standard cheap
-    * estimator; spaces break runs, so this equals the per-word sum),
-    * sentences = ceil(words/8) — the corpus is sentence-punctuation-
-    * free word salad, so "sentences" are the q85 8-token chunk
-    * convention (DEVIATION from prose Flesch, documented here; on
-    * punctuated text swap in a `[.!?]+` count).
-    * flesch_e2 = round((206.835 − 1.015·W/S − 84.6·Y/W)·100) as
-    * BIGINT — IEEE-exact arithmetic then one round, engine-portable;
-    * NULL for empty docs (no words → undefined, not a sentinel 0).
-    */
   /** Luhn-checksum validation of candidate card numbers — the
     * second-stage PII filter after regex shape matching (q142/q65):
     * 13-19 digit runs that PASS the Luhn check are near-certain
@@ -758,6 +744,20 @@ object TextAnalysis {
     }) % 10 === 0
   }
 
+  /** Flesch reading-ease per doc — the classic readability feature in
+    * quality-filter stacks ("textbook-quality" selection uses
+    * readability alongside the q16/q96 signals). Three counts, all
+    * row-local regex/arith (zero shuffle): words = non-empty tokens,
+    * syllables ≈ vowel-group runs `[aeiouy]+` (the standard cheap
+    * estimator; spaces break runs, so this equals the per-word sum),
+    * sentences = ceil(words/8) — the corpus is sentence-punctuation-
+    * free word salad, so "sentences" are the q85 8-token chunk
+    * convention (DEVIATION from prose Flesch, documented here; on
+    * punctuated text swap in a `[.!?]+` count).
+    * flesch_e2 = round((206.835 − 1.015·W/S − 84.6·Y/W)·100) as
+    * BIGINT — IEEE-exact arithmetic then one round, engine-portable;
+    * NULL for empty docs (no words → undefined, not a sentinel 0).
+    */
   def readability(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
     val toks = nonEmptyTokens(textCol)
     df.select(idCol.as("doc_id"),

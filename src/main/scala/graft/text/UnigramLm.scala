@@ -97,11 +97,19 @@ object UnigramLm {
   def corpusLogLik(vocab: DataFrame, pieces: Seq[(String, Long)]): Double = {
     val lp = toLogProbs(pieces)
     val lpMap = lp.toMap
-    val scored = vocab.select(col("cnt"), explode(
+    // the exploded segmentation is corpus-vocab-sized — aggregate it
+    // to per-piece occurrence totals DISTRIBUTED (map-side partials,
+    // integer sums), so the driver only ever sees ≤ model-size rows
+    // (pieces + unk single chars — the same bounded class as the piece
+    // table itself). The final dot product runs in sorted piece order:
+    // deterministic IEEE association regardless of partitioning.
+    val totals = vocab.select(col("cnt"), explode(
         graft.functions.UnigramSegmentExpr.unigram_segment(col("w"), lp))
         .as("piece"))
-    scored.collect().iterator.map { r =>
-      r.getLong(0) * lpMap.getOrElse(r.getString(1), -1e6) }.sum
+      .groupBy("piece").agg(sum(col("cnt")).as("n"))
+      .collect()
+    totals.sortBy(_.getString(0)).iterator.map { r =>
+      r.getLong(1) * lpMap.getOrElse(r.getString(0), -1e6) }.sum
   }
 
   private def toLogProbs(pieces: Seq[(String, Long)]): Seq[(String, Double)] = {

@@ -29,6 +29,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange SinglePartition"))
   }
 
+  test("groupedRunningSum distributed fallback == oracle on many groups") {
+    // maxDriverSubtotals = 1 forces the high-cardinality path: the
+    // driver prefix map is skipped and the offsets come from the
+    // bounded per-group window + equi-join
+    val base = docs.select(col("doc_id"),
+      (col("doc_id") % 97).cast("string").as("g"),
+      col("n_chars").cast("long").as("v"))
+    val got = Rank.groupedRunningSum(base, col("g"), col("v"),
+        Seq(col("doc_id")), nPartitions = 7, cumName = "cum",
+        maxDriverSubtotals = 1L)
+      .select(col("doc_id"), col("cum"))
+    val w = Window.partitionBy("g").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = base.select(col("doc_id"), sum("v").over(w).as("cum2"))
+    assert(got.join(want, Seq("doc_id"))
+      .where(col("cum") =!= col("cum2")).count() == 0)
+    assert(got.count() == base.count()) // join neither drops nor dups
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"))
+  }
+
   test("tokenBudget: caps each source, keeps a prefix of the hash order") {
     val kept = Sample.tokenBudget(docs, col("doc_id"), col("source"),
       col("text"), budget = 300L).collect()
