@@ -2080,7 +2080,25 @@ object SparkEntry {
     "q160_containment_pairs" -> ((s, dir) =>
       Dedup.containmentPairs(T(s, dir, "documents"), "doc_id", "text",
           w = 3, maxDf = 10, minContainE6 = 500000L)
-        .orderBy("id_a", "id_b"))
+        .orderBy("id_a", "id_b")),
+
+    // paragraph-level dedup (Dolma/RefinedWeb): paragraphs between
+    // blank-line boundaries, deduped corpus-wide on the whitespace/
+    // case-normalized form, keeper = first occurrence. The single-line
+    // fixture corpus gets deterministic paragraph structure: a shared
+    // boilerplate banner (whitespace-variant per doc parity, so
+    // normalization is load-bearing) + the doc's 16-token chunks
+    "q161_paragraph_dedup" -> ((s, dir) =>
+      Dedup.paragraphDedup(
+          T(s, dir, "documents").withColumn("__ptext",
+            concat_ws("\n\n",
+              when(pmod(col("doc_id"), lit(2)) === 0,
+                  lit("Subscribe to our newsletter"))
+                .otherwise(lit("subscribe  to our Newsletter")),
+              array_join(graft.functions.ShinglesExpr.chunk_strings(
+                col("text"), 16), "\n\n"))),
+          col("doc_id"), col("__ptext"))
+        .orderBy("doc_id"))
   )
 
   /** q153 fixtures: five Luhn-VALID 16-digit numbers and their
@@ -4389,6 +4407,38 @@ object SparkEntry {
           |WHERE greatest((inter * 1000000) // n_a,
           |  (inter * 1000000) // n_b) >= 500000
           |ORDER BY id_a, id_b""".stripMargin,
+
+      // paragraph dedup: banner (parity whitespace-variant) + 16-token
+      // chunk paragraphs reconstructed directly (the operator's
+      // \n{2,} split inverts the construction — chunks contain no
+      // newlines); keeper = ROW_NUMBER over normalized form; COUNT
+      // not SUM for the tallies (DuckDB SUM -> HUGEINT)
+      "q161_paragraph_dedup" ->
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+          |    FROM documents WHERE text IS NOT NULL),
+          |c AS (SELECT doc_id, i AS pos,
+          |    array_to_string(w[(i-1)*16+1:(i-1)*16+16], ' ') AS para
+          |  FROM t, UNNEST(range(1,
+          |    CAST(ceil(len(w) / 16.0) AS BIGINT) + 1)) AS u(i)),
+          |p AS (SELECT doc_id, 0 AS pos,
+          |    CASE WHEN doc_id % 2 = 0 THEN 'Subscribe to our newsletter'
+          |      ELSE 'subscribe  to our Newsletter' END AS para
+          |  FROM documents
+          |  UNION ALL
+          |  SELECT doc_id, pos, para FROM c WHERE len(trim(para)) > 0),
+          |k AS (SELECT doc_id, pos, para,
+          |    trim(regexp_replace(lower(para), '\s+', ' ', 'g')) AS key
+          |  FROM p),
+          |r AS (SELECT doc_id, pos, para,
+          |    ROW_NUMBER() OVER (PARTITION BY key ORDER BY doc_id, pos)
+          |      AS rn FROM k)
+          |SELECT doc_id, COUNT(*) AS n_paras,
+          |  COUNT(CASE WHEN rn = 1 THEN 1 END) AS n_kept,
+          |  CAST(COALESCE(SUM(CASE WHEN rn > 1 THEN len(para) END), 0)
+          |    AS BIGINT) AS n_chars_removed,
+          |  COALESCE(string_agg(CASE WHEN rn = 1 THEN para END,
+          |    chr(10) || chr(10) ORDER BY pos), '') AS kept_text
+          |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       // z-order layout audit: the oracle replays the same magic-mask
       // bit spread (4 shift-or steps) and the morton-prefix / linear

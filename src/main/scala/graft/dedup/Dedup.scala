@@ -692,6 +692,69 @@ object Dedup {
         coalesce(col("kept_text"), lit("")).as("kept_text"))
   }
 
+  /** Paragraph-level dedup — the Dolma/RefinedWeb pass between
+    * [[lineDedup]]'s line granularity and span-level q87: the unit is
+    * a PARAGRAPH (maximal run between blank-line boundaries), the
+    * dedup key is the whitespace/case-NORMALIZED paragraph (the same
+    * banner renders as `Subscribe  to` and `subscribe to` across
+    * pages; Dolma's paragraph pass dedups on normalized form), and
+    * the keeper is the corpus-wide first occurrence
+    * (min (doc_id, pos) — within-doc repeats collapse too).
+    *
+    * Unlike [[lineDedup]] the operator owns the split: paragraphs are
+    * `\n{2,}`-separated, blank-only paragraphs are discarded, and
+    * `pos` indexes the surviving paragraphs. Output per doc:
+    * (doc_id, n_paras, n_kept, n_chars_removed, kept_text) — kept
+    * paragraphs re-joined with a blank line in original order, plus
+    * the removed-character count a curation report charges against
+    * boilerplate. Docs with no non-blank paragraph are absent (they
+    * contribute nothing to either side of a removal report).
+    *
+    * Scale shape = [[lineDedup]] exactly: ONE text-weight shuffle into
+    * a groupBy(key) whose min() is partial-ized map-side (the
+    * every-page banner collapses to one row per map task before the
+    * wire); the per-doc regroup then carries only surviving keeper
+    * text + compact counts. No windows, no corpus sorts, no driver
+    * state.
+    */
+  def paragraphDedup(docs: DataFrame, idCol: Column,
+                     textCol: Column): DataFrame = {
+    val paras = docs.select(idCol.as("doc_id"),
+        posexplode(filter(split(coalesce(textCol, lit("")), "\\n{2,}"),
+          p => length(trim(p)) > 0)).as(Seq("pos", "para")))
+      .withColumn("__key",
+        trim(regexp_replace(lower(col("para")), "\\s+", " ")))
+    val perDoc = paras.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_paras"),
+        sum(length(col("para")).cast("long")).as("__total_chars"))
+    // corpus-wide keeper per normalized key; (doc_id, pos) is unique,
+    // so the struct min is total and drags the raw text along
+    val keepers = paras.groupBy("__key")
+      .agg(min(struct(col("doc_id"), col("pos"), col("para"))).as("k"))
+      .select(col("k.doc_id").as("doc_id"), col("k.pos").as("pos"),
+        col("k.para").as("para"))
+    val keptPerDoc = keepers.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(length(col("para")).cast("long")).as("__kept_chars"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("para")))),
+          x => x.getField("para")), "\n\n").as("kept_text"))
+    perDoc.join(keptPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__total_chars") - coalesce(col("__kept_chars"), lit(0L)))
+          .as("n_chars_removed"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
+  /** Docs surviving paragraph dedup: keep a doc iff ≥ `minKeepFrac`
+    * of its paragraphs were corpus-wide first occurrences — the
+    * boilerplate-shell drop rule at paragraph granularity. */
+  def paragraphDedupDocs(docs: DataFrame, idCol: Column, textCol: Column,
+                         minKeepFrac: Double): DataFrame =
+    paragraphDedup(docs, idCol, textCol)
+      .where(col("n_kept") >= col("n_paras") * minKeepFrac)
+
   /** Incremental exact dedup: the rows of `batch` whose text does NOT
     * already exist in `history` — the per-crawl-batch pass of a
     * continuously-ingesting pipeline, where re-joining the full

@@ -45,6 +45,41 @@ class DedupSimSpec extends SparkSpec {
     assert(kept == Set(1L))
   }
 
+  test("paragraph dedup: normalized boilerplate removed, reassembly in order") {
+    import spark.implicits._
+    val d = Seq(
+      // banner + two body paras; extra blank lines between boundaries
+      (1L, "Subscribe to our newsletter\n\nalpha beta\n\n\n\ngamma delta"),
+      // same banner, different whitespace/case -> same normalized key
+      (2L, "subscribe  TO our Newsletter\n\nepsilon zeta"),
+      // within-doc repeated para + a re-used body para from doc 1
+      (3L, "own para\n\nown para\n\nalpha  beta"),
+      // pure boilerplate shell: everything a dup -> empty kept_text
+      (4L, "Subscribe to our newsletter"),
+      // blank-only content drops out entirely (absent from output)
+      (5L, " \n\n  ")
+    ).toDF("id", "text")
+    val out = Dedup.paragraphDedup(d, col("id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // doc 1 keeps everything (owns every first occurrence), order intact
+    assert(out(1L) == ((3L, 3L, 0L,
+      "Subscribe to our newsletter\n\nalpha beta\n\ngamma delta")))
+    // doc 2's banner normalizes to doc 1's -> removed, body kept
+    assert(out(2L) == ((2L, 1L, "subscribe  TO our Newsletter".length.toLong,
+      "epsilon zeta")))
+    // within-doc repeat collapses; "alpha  beta" normalizes to doc 1's
+    assert(out(3L) == ((3L, 1L,
+      ("own para".length + "alpha  beta".length).toLong, "own para")))
+    assert(out(4L) == ((1L, 0L, "Subscribe to our newsletter".length.toLong,
+      "")))
+    assert(!out.contains(5L))
+    // the drop rule at paragraph granularity
+    val survivors = Dedup.paragraphDedupDocs(d, col("id"), col("text"), 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(1L, 2L))
+  }
+
   test("dup spans: corpus-wide k-token window repeats, incl. within-doc and short docs") {
     import spark.implicits._
     val d = Seq(
