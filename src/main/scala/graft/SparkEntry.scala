@@ -2098,8 +2098,32 @@ object SparkEntry {
               array_join(graft.functions.ShinglesExpr.chunk_strings(
                 col("text"), 16), "\n\n"))),
           col("doc_id"), col("__ptext"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // fixed-centroid nearest-neighbor assignment — the deterministic,
+    // hash-checkable twin of q62's KMeans: once centroids are frozen
+    // the assignment is pure integer arithmetic (e9-exact components,
+    // HUGEINT/decimal dist sums, ties to the lowest cluster id); only
+    // the iterative fit is engine-internal
+    "q162_cluster_assign" -> ((s, dir) =>
+      graft.ml.DocCluster.assignFixed(T(s, dir, "embeddings"), "vec_id",
+          "embedding", FixedCentroidsE9)
+        .orderBy("vec_id"))
   )
+
+  /** q162 fixed centroids (e9-scaled longs over the 8-dim prefix —
+    * the q154 matryoshka convention; ±0.05 component scale sits near
+    * the corpus prefix-norm so all four cells — three sign patterns +
+    * the origin — win a healthy share: 117/128/108/147 at sf0.01).
+    * Shared with the oracle's VALUES list. */
+  private val FixedCentroidsE9: Seq[Seq[Long]] = Seq(
+    Seq(50000000L, 50000000L, 50000000L, 50000000L,
+      -50000000L, -50000000L, -50000000L, -50000000L),
+    Seq(-50000000L, -50000000L, -50000000L, -50000000L,
+      50000000L, 50000000L, 50000000L, 50000000L),
+    Seq(50000000L, -50000000L, 50000000L, -50000000L,
+      50000000L, -50000000L, 50000000L, -50000000L),
+    Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L))
 
   /** q153 fixtures: five Luhn-VALID 16-digit numbers and their
     * last-digit-bumped INVALID twins (shared with the oracle). */
@@ -4439,6 +4463,29 @@ object SparkEntry {
           |  COALESCE(string_agg(CASE WHEN rn = 1 THEN para END,
           |    chr(10) || chr(10) ORDER BY pos), '') AS kept_text
           |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // fixed-centroid assignment: same e9-exact component recipe as
+      // q149, HUGEINT squared-L2 sums, argmin ties to lowest cluster
+      "q162_cluster_assign" -> {
+        val dim = FixedCentroidsE9.head.length
+        val vals = FixedCentroidsE9.zipWithIndex.map { case (c, i) =>
+          s"($i, [${c.mkString(", ")}])" }.mkString(", ")
+        s"""WITH cent AS (SELECT * FROM (VALUES $vals) AS t(cluster, c)),
+           |e AS (SELECT vec_id, list_transform(embedding[1:$dim], x ->
+           |    CAST(CAST(CAST(x AS VARCHAR) AS DECIMAL(18,9)) * 1000000000
+           |      AS BIGINT)) AS v
+           |  FROM embeddings),
+           |d AS (SELECT vec_id, cluster,
+           |    SUM(CAST(v[i] - c[i] AS HUGEINT)
+           |      * CAST(v[i] - c[i] AS HUGEINT)) AS dist
+           |  FROM (SELECT e.vec_id, cent.cluster, e.v, cent.c,
+           |      UNNEST(range(1, $dim + 1)) AS i FROM e CROSS JOIN cent)
+           |  GROUP BY vec_id, cluster),
+           |r AS (SELECT vec_id, cluster, row_number() OVER (
+           |    PARTITION BY vec_id ORDER BY dist, cluster) AS rn FROM d)
+           |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster
+           |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
+      },
 
       // z-order layout audit: the oracle replays the same magic-mask
       // bit spread (4 shift-or steps) and the morton-prefix / linear

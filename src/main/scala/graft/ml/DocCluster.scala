@@ -35,6 +35,42 @@ object DocCluster {
     cache.computeIfAbsent((corpusKey, k, seed, numFeatures),
       _ => fit(df, textCol, k, seed, numFeatures))
 
+  /** Nearest-centroid assignment under caller-FIXED centroids — the
+    * deterministic, cross-engine-replayable half of KMeans that the
+    * iterative fit (engine-internal float centroids) is not. Centroids
+    * arrive as e9-scaled integers over a PREFIX of the vector (the
+    * q154 matryoshka convention); components go float → shortest
+    * string → DECIMAL(18,9) → e9 BIGINT (the q55/q149 exact recipe),
+    * so squared-L2 distances are exact integers (diff² and the
+    * dim-sum run in DECIMAL(38,0) — a long multiply would overflow on
+    * legitimate e9-scaled components, ANSI-loudly but needlessly) and
+    * the argmin — ties to the lowest cluster id — cannot flip on
+    * float noise in either engine.
+    *
+    * Scale shape: per-row arithmetic against a literal centroid table,
+    * zero shuffle, no fit, no driver state — the assignment-only path
+    * a 100-TB scoring pass wants once centroids are frozen.
+    */
+  def assignFixed(emb: DataFrame, idCol: String, vecCol: String,
+                  centroidsE9: Seq[Seq[Long]]): DataFrame = {
+    val dim = centroidsE9.head.length
+    require(centroidsE9.forall(_.length == dim),
+      "all centroids must share one dimensionality")
+    val vE9 = transform(slice(col(vecCol), 1, dim), x =>
+      (x.cast("string").cast("decimal(18,9)") * 1000000000L).cast("long"))
+    val dists = centroidsE9.zipWithIndex.map { case (c, ci) =>
+      val diffs = zip_with(col("__v"), typedLit(c), (a, b) =>
+        (a - b).cast("decimal(19,0)") * (a - b).cast("decimal(19,0)"))
+      struct(
+        aggregate(diffs, lit(0L).cast("decimal(38,0)"),
+          (acc, v) => (acc + v).cast("decimal(38,0)")).as("dist"),
+        lit(ci.toLong).as("cluster"))
+    }
+    emb.select(col(idCol).as("vec_id"), vE9.as("__v"))
+      .select(col("vec_id"), array_min(array(dists: _*)).as("m"))
+      .select(col("vec_id"), col("m.cluster").as("cluster"))
+  }
+
   /** Assign clusters and return per-cluster document counts. */
   def clusterCounts(df: DataFrame, textCol: String, k: Int,
                     seed: Long = 42L, corpusKey: String = ""): DataFrame = {

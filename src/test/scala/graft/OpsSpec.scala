@@ -325,6 +325,21 @@ class OpsSpec extends SparkSpec {
     assert(a.values.sum == d.count())
   }
 
+  test("assignFixed: nearest centroid in exact arithmetic, ties to lowest id") {
+    import spark.implicits._
+    // 2-dim prefix of longer vectors (prefix slice is part of the
+    // contract); centroids at (0,0) and (1,0) in e9 units
+    val cents = Seq(Seq(0L, 0L), Seq(1000000000L, 0L))
+    val d = Seq(
+      (1L, Seq(0.1f, 0.0f, 9.9f)),   // nearer origin (extra dim ignored)
+      (2L, Seq(0.9f, 0.0f, -9f)),    // nearer (1, 0)
+      (3L, Seq(0.5f, 123.0f, 0f))    // EXACTLY equidistant -> cluster 0
+    ).toDF("vec_id", "embedding")
+    val got = graft.ml.DocCluster.assignFixed(d, "vec_id", "embedding", cents)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 0L))
+  }
+
   test("boilerplate ngrams: within-doc repeats count once") {
     import spark.implicits._
     val docs = Seq(

@@ -74,10 +74,12 @@ class RowsOnlySpec extends AnyFunSuite {
         "distinct count is hash-checked in q05, sketch-union error ≤5% " +
         "spec-pinned"),
     "q62_doc_clusters" -> Evidence(
-      Seq(),
+      Seq("q162_cluster_assign"),
       Seq("OpsSpec" -> "doc clustering: deterministic under seed"),
-      "KMeans cluster ids are not SQL-replayable; determinism, k " +
-        "clusters, and total assignment are spec-pinned"),
+      "the iterative KMeans fit is not SQL-replayable; the assignment " +
+        "half IS — q162 hash-checks nearest-centroid assignment under " +
+        "frozen centroids in exact integer arithmetic; determinism, k " +
+        "clusters, and total assignment of the fit are spec-pinned"),
     "q80_semantic_dedup" -> Evidence(
       Seq("q67_dedup_embedding_approx"),
       Seq("DedupSimSpec" -> "semantic dedup: planted duplicate groups"),
@@ -105,8 +107,9 @@ class RowsOnlySpec extends AnyFunSuite {
     "q114_compression_ratio" -> Evidence(
       Seq(),
       Seq("DriftMixSpec" -> "deflate_ratio: repetition compresses"),
-      "DuckDB has no deflate; monotone repetition/prose separation, " +
-        "determinism, and null contracts are spec-pinned"),
+      "PERMANENT: DuckDB has no deflate, so no hash twin can exist; " +
+        "monotone repetition/prose separation, determinism, and null " +
+        "contracts are spec-pinned"),
     "q151_unigram_lm" -> Evidence(
       Seq("q150_unigram_seed", "q92_bpe_pair_counts"),
       Seq("UnigramLmSpec" -> "viterbi: max-likelihood split, hand-computed",
