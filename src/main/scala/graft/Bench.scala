@@ -119,19 +119,25 @@ object Bench {
         attempts.collectFirst { case Left(e) => e } else None
       (name, if (times.isEmpty) -1.0 else times.min, err)
     }
-    // The driver captures only a bounded tail of stdout and parses the
-    // JSON line out of it; r3's 66-query full-name map overflowed that
-    // window and the round lost its parsed bench numbers. Keep the
-    // contract line compact (short qNN keys, ms precision — ~1 KB for
-    // 72 queries) and write the full-name full-precision map to
-    // BENCH_FULL.json alongside for the audit trail.
+    // The driver captures only a bounded tail of stdout (~2.4 KB) and
+    // parses the JSON line out of it; r3's 66-query full-name map
+    // overflowed that window, and r9's 160-query line at 3-decimal
+    // precision overflowed it AGAIN (BENCH_r09 parsed=null — the tail
+    // began mid-line). Keep the contract line compact: short qNN keys,
+    // centisecond precision, single-value loadavgs — ~2.1 KB at 162
+    // queries — and write the full-name full-precision map to
+    // BENCH_FULL.json alongside for the audit trail. The line is also
+    // printed AFTER spark.stop() so nothing but sbt's one-line
+    // success trailer can land behind it in the tail window.
     def shortKey(k: String): String = k.takeWhile(_ != '_')
     // explicit Locale.ROOT: under a comma-decimal default locale (de_DE)
     // f"$v%.3f" prints "1,234" and the contract line stops being JSON
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def fmt2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val qs = results.map { case (k, v, err) =>
-      "\"" + shortKey(k) + "\":" + (if (err.isDefined) "-1" else fmt(v))
+      "\"" + shortKey(k) + "\":" + (if (err.isDefined) "-1" else fmt2(v))
     }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) =>
       "\"" + shortKey(k) + "\":\"" + e + "\"" }.mkString("{", ",", "}")
@@ -141,18 +147,33 @@ object Bench {
     val procCpu = cpuSec() - cpuStart
     // {"load":"start|end","wall":s,"cpu":s}: loadavg ≫ cpus/wall·cpu
     // at either end ⇒ external contention ⇒ treat times as upper bounds
-    val ctx = s""""load_start":"$loadStart","load_end":"${loadavg()}",""" +
+    val loadEnd = loadavg()
+    val ctx = s""""load_start":"$loadStart","load_end":"$loadEnd",""" +
       s""""wall_sec":${fmt(wallSec)},"proc_cpu_sec":${fmt(procCpu)}"""
+    // contract-line ctx: 1-minute loadavgs only (the full triplet
+    // lives in the JSON file) — every byte in the line competes with
+    // per-query entries for the driver's tail window
+    def load1(s: String): String = s.takeWhile(_ != ',')
+    val ctxShort =
+      s""""load_start":"${load1(loadStart)}","load_end":"${load1(loadEnd)}",""" +
+      s""""wall_sec":${fmt2(wallSec)},"proc_cpu_sec":${fmt2(procCpu)}"""
     val fullQs = results.map { case (k, v, err) =>
       "\"" + k + "\":" + (if (err.isDefined) "-1" else v.toString)
     }.mkString("{", ",", "}")
+    // SPARK_GRAFT_BENCH_OUT redirects the full-map record — idle
+    // baseline runs write BENCH_IDLE.json, a path the driver's own
+    // bench never touches (r9's driver run clobbered the idle
+    // BENCH_FULL.json map that BASELINE.md cited)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     if (only.isEmpty) // don't clobber the full-surface record from a
                       // SPARK_GRAFT_ONLY profiling run
       try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("BENCH_FULL.json"),
+        java.nio.file.Paths.get(outFile),
         s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"n_failed":${results.size - ok.size},"runs":$runs,"warmup_failed":$warmupFailed,$ctx,"sf":"$sfDir"}""")
       catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${results.size - ok.size},"runs":$runs,"warmup_failed":$warmupFailed,$ctx,"sf":"$sfDir"}""")
+    // stop Spark BEFORE printing: the contract line must be the final
+    // stdout line so the driver's bounded tail always contains it whole
     spark.stop()
+    println(s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${results.size - ok.size},"runs":$runs,"warmup_failed":$warmupFailed,$ctxShort,"sf":"$sfDir"}""")
   }
 }

@@ -2090,13 +2090,7 @@ object SparkEntry {
     // normalization is load-bearing) + the doc's 16-token chunks
     "q161_paragraph_dedup" -> ((s, dir) =>
       Dedup.paragraphDedup(
-          T(s, dir, "documents").withColumn("__ptext",
-            concat_ws("\n\n",
-              when(pmod(col("doc_id"), lit(2)) === 0,
-                  lit("Subscribe to our newsletter"))
-                .otherwise(lit("subscribe  to our Newsletter")),
-              array_join(graft.functions.ShinglesExpr.chunk_strings(
-                col("text"), 16), "\n\n"))),
+          T(s, dir, "documents").withColumn("__ptext", syntheticParaText),
           col("doc_id"), col("__ptext"))
         .orderBy("doc_id")),
 
@@ -2108,8 +2102,29 @@ object SparkEntry {
     "q162_cluster_assign" -> ((s, dir) =>
       graft.ml.DocCluster.assignFixed(T(s, dir, "embeddings"), "vec_id",
           "embedding", FixedCentroidsE9)
-        .orderBy("vec_id"))
+        .orderBy("vec_id")),
+
+    // near-dup paragraph pairs — the fuzzy tier above q161's exact-
+    // normalized pass (boilerplate families with embedded variation).
+    // Distinct normalized paragraphs -> portable minhash LSH; ids are
+    // md5 of the normalized form, so the whole relation hash-checks
+    "q163_paragraph_neardup" -> ((s, dir) =>
+      Dedup.paragraphNearDupPairs(
+          T(s, dir, "documents").withColumn("__ptext", syntheticParaText),
+          col("__ptext"))
+        .orderBy("id_a", "id_b"))
   )
+
+  /** The q161/q163 synthetic paragraph structure over the single-line
+    * fixture corpus: a shared boilerplate banner (whitespace/case
+    * variant by doc parity — normalization is load-bearing) + the
+    * doc's 16-token chunks, blank-line separated. */
+  private def syntheticParaText: org.apache.spark.sql.Column = concat_ws("\n\n",
+    when(pmod(col("doc_id"), lit(2)) === 0,
+        lit("Subscribe to our newsletter"))
+      .otherwise(lit("subscribe  to our Newsletter")),
+    array_join(graft.functions.ShinglesExpr.chunk_strings(
+      col("text"), 16), "\n\n"))
 
   /** q162 fixed centroids (e9-scaled longs over the 8-dim prefix —
     * the q154 matryoshka convention; ±0.05 component scale sits near
@@ -2224,7 +2239,14 @@ object SparkEntry {
     * the edge relation is defined once and hash-checked through both.
     * Parameters mirror the q44 call: k=8, bands=4, minAgree=4, w=3.
     */
-  private lazy val minhashPairsCtes: String = {
+  /** The portable-minhash pair CTE chain over an arbitrary
+    * (doc_id, text) source relation — `srcSql` is a complete
+    * SELECT/FROM body (defaults to the documents table); `prelude`
+    * optionally injects CTEs the source needs. Ends at CTE `mh`
+    * (id_a, id_b, agree). */
+  private def minhashPairsCtesOver(
+      srcSql: String = "SELECT doc_id, text FROM documents",
+      prelude: String = ""): String = {
     val k = 8; val bands = 4; val rows = k / bands; val minAgree = 4
     val sigs = graft.dedup.Dedup.abParams(k).zipWithIndex.map {
       case ((a, b), i) =>
@@ -2237,12 +2259,13 @@ object SparkEntry {
     val bandJoin = (0 until rows).map(r => s"a.v$r = b.v$r").mkString(" AND ")
     val agree = (0 until k).map(i =>
       s"CASE WHEN da.sig_$i = db.sig_$i THEN 1 ELSE 0 END").mkString(" + ")
-    s"""WITH d AS (SELECT doc_id,
+    s"""WITH ${prelude}mhsrc AS ($srcSql),
+       |d AS (SELECT doc_id,
        |  list_transform(
        |    list_transform(range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
        |      i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')),
        |    s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) AS h
-       |  FROM documents),
+       |  FROM mhsrc),
        |s AS (SELECT doc_id,
        |  $sigs
        |FROM d),
@@ -2255,6 +2278,8 @@ object SparkEntry {
        |  FROM p JOIN s da ON p.id_a = da.doc_id JOIN s db ON p.id_b = db.doc_id),
        |mh AS (SELECT * FROM mhall WHERE agree >= $minAgree)""".stripMargin
   }
+
+  private lazy val minhashPairsCtes: String = minhashPairsCtesOver()
 
   /** DuckDB-equivalent SQL per query (driver hash-compares). Notes:
     *  - all SUM(int) wrapped in CAST(.. AS BIGINT) (DuckDB SUM → HUGEINT)
@@ -4463,6 +4488,33 @@ object SparkEntry {
           |  COALESCE(string_agg(CASE WHEN rn = 1 THEN para END,
           |    chr(10) || chr(10) ORDER BY pos), '') AS kept_text
           |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // paragraph near-dup: the q161 paragraph construction feeds the
+      // shared portable-minhash CTE chain over DISTINCT normalized
+      // paragraphs keyed by md5 (string ids — both engines order hex
+      // lexicographically)
+      "q163_paragraph_neardup" -> {
+        val prelude =
+          """t AS (SELECT doc_id, string_split(text, ' ') AS w
+            |    FROM documents WHERE text IS NOT NULL),
+            |c AS (SELECT doc_id,
+            |    array_to_string(w[(i-1)*16+1:(i-1)*16+16], ' ') AS para
+            |  FROM t, UNNEST(range(1,
+            |    CAST(ceil(len(w) / 16.0) AS BIGINT) + 1)) AS u(i)),
+            |pp AS (SELECT CASE WHEN doc_id % 2 = 0
+            |      THEN 'Subscribe to our newsletter'
+            |      ELSE 'subscribe  to our Newsletter' END AS para
+            |    FROM documents
+            |  UNION ALL SELECT para FROM c WHERE len(trim(para)) > 0),
+            |""".stripMargin
+        val src =
+          """SELECT md5(norm) AS doc_id, norm AS text FROM (
+            |  SELECT DISTINCT trim(regexp_replace(lower(para), '\s+', ' ', 'g')) AS norm
+            |  FROM pp)""".stripMargin
+        s"""${minhashPairsCtesOver(src, prelude)}
+           |SELECT id_a, id_b, agree FROM mh
+           |ORDER BY id_a, id_b""".stripMargin
+      },
 
       // fixed-centroid assignment: same e9-exact component recipe as
       // q149, HUGEINT squared-L2 sums, argmin ties to lowest cluster

@@ -215,9 +215,15 @@ object Dedup {
     val t = df.where(col(textCol).isNotNull)
       .select(col(idCol).as("id"), col(textCol).as("t"))
       .withColumn("fp", md5(col("t")))
-    val members = t.select("id", "fp")
+    val members = t.select("id", "fp").localCheckpoint(true)
+    // localCheckpoint: reps feeds the minhash pipeline AND two rep-text
+    // lookups AND the member expansion — Catalyst shares no subplans
+    // across broadcast boundaries, so without it every broadcast job
+    // re-scans + re-hashes the corpus (the documented 2× gotcha).
+    // Size is bounded: one row per distinct text.
     val reps = t.groupBy("fp").agg(min(col("id")).as("rid"),
       first(col("t")).as("rt")) // all t in a group are identical
+      .localCheckpoint(true)
     val intra = members.alias("ma").join(members.alias("mb"), "fp")
       .where(col("ma.id") < col("mb.id"))
       .select(col("ma.id").as("id_a"), col("mb.id").as("id_b"),
@@ -745,6 +751,33 @@ object Dedup {
         (col("__total_chars") - coalesce(col("__kept_chars"), lit(0L)))
           .as("n_chars_removed"),
         coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
+  /** NEAR-dup paragraph pairs — the fuzzy tier above
+    * [[paragraphDedup]]'s exact-normalized pass: boilerplate families
+    * that exact matching misses (banners with embedded dates, counters,
+    * names) surface as high-Jaccard paragraph pairs. Paragraphs
+    * normalize exactly as [[paragraphDedup]] keys them, collapse to
+    * DISTINCT normalized forms first (the q136 exact-dup-collapse
+    * discipline: a paragraph repeated across a million pages costs ONE
+    * signature, not a million², and the pair relation stays at the
+    * distinct-paragraph level), then run portable MinHash-LSH
+    * ([[portableMinhashPairs]] — banded equi-join candidates, exact
+    * signature-agreement verify). Returns (id_a, id_b, agree) where
+    * ids are md5 of the normalized paragraph — stable, engine-portable
+    * keys a removal pass joins back on.
+    */
+  def paragraphNearDupPairs(docs: DataFrame, textCol: Column, k: Int = 8,
+                            bands: Int = 4, minAgree: Int = 4,
+                            w: Int = 3): DataFrame = {
+    val paras = docs.select(explode(filter(
+        split(coalesce(textCol, lit("")), "\\n{2,}"),
+        p => length(trim(p)) > 0)).as("para"))
+      .select(trim(regexp_replace(lower(col("para")), "\\s+", " "))
+        .as("norm"))
+      .distinct()
+      .select(md5(col("norm")).as("pid"), col("norm"))
+    portableMinhashPairs(paras, "pid", "norm", k, bands, minAgree, w)
   }
 
   /** Docs surviving paragraph dedup: keep a doc iff ≥ `minKeepFrac`

@@ -31,6 +31,19 @@ object Bench10x {
     SparkEntry.queries.keys.toSeq.sorted
       .filter(n => n.matches("q(9[5-9]|1[0-9][0-9])_.*"))
 
+  /** Heavy early-numbered queries (sf0.1 ≳ 1 s in BENCH_r09, plus the
+    * VERDICT-named set) — their prior 10× evidence predates the
+    * testdata regeneration. Probed on the replica dir like Targets;
+    * the pair-GENERATING ones (q23 simhash, q66 components, q67
+    * embedding near-dup) instead run on disjoint variants below —
+    * byte-identical replicas make their pair OUTPUT quadratic in the
+    * duplication factor by construction. */
+  private val EarlyHeavy: Seq[String] = Seq(
+    "q29_anti_join", "q31_serving_hot_urls", "q45_geo_map",
+    "q46_geo_details_page", "q48_streaming_zset", "q56_url_parse",
+    "q68_uv_window", "q78_sessionize_stream", "q85_line_dedup",
+    "q93_bpe_merges")
+
   private def minOf2(f: => Unit): Double = {
     val t1 = System.nanoTime(); f; val s1 = (System.nanoTime() - t1) / 1e9
     val t2 = System.nanoTime(); f; val s2 = (System.nanoTime() - t2) / 1e9
@@ -111,6 +124,25 @@ object Bench10x {
         lit("([a-z0-9]+)"), concat(lit("$1"), col("r").cast("string"))))
       .drop("r").repartition(32)
       .write.mode("overwrite").parquet(s"$dir10d/documents.parquet")
+    // DISJOINT-embedding 10× variant for q67's near-dup pair
+    // generator: identical replicated vectors make every vector a
+    // 10-way near-dup (quadratic pair output by construction), and an
+    // additive offset would make all replicas cosine-similar to the
+    // offset direction — so each replica CIRCULARLY ROTATES its
+    // components by 7·r instead: norms and within-replica pairwise
+    // cosines are preserved exactly, cross-replica cosines drop to
+    // noise. The honest linear ground truth for a cosine-LSH op.
+    val dir10e = "/tmp/graft_sf1_emb_disjoint"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir10e))
+    spark.read.parquet(s"$sf01/embeddings.parquet")
+      .crossJoin(broadcast(reps))
+      .withColumn("vec_id", col("vec_id") + col("r") * lit(nVecs))
+      .withColumn("embedding", concat(
+        slice(col("embedding"), (col("r") * lit(7) + lit(1)).cast("int"),
+          (lit(64) - col("r") * lit(7)).cast("int")),
+        slice(col("embedding"), lit(1), (col("r") * lit(7)).cast("int"))))
+      .drop("r").repartition(32)
+      .write.mode("overwrite").parquet(s"$dir10e/embeddings.parquet")
     // one fixed 1e9 stride for every TPC-H key keeps FK joins intact
     // per replica and the q120 +1e7/+2e7 node-id offsets collision-free
     replicate("lineitem", Map("l_orderkey" -> 1000000000L,
@@ -126,7 +158,7 @@ object Bench10x {
 
     // ---- time each target at both scales ----
     warm(spark, sf01); warm(spark, dir10)
-    val rows = Targets.map { name =>
+    val rows = (Targets ++ EarlyHeavy).map { name =>
       val fn = SparkEntry.queries(name)
       val t1 = minOf2 { fn(spark, sf01).count(): Unit }
       val t10 = minOf2 { fn(spark, dir10).count(): Unit }
@@ -145,7 +177,10 @@ object Bench10x {
     val realistic = (Seq("q97_normalized_dedup", "q121_winnowing")
         .map(_ -> dir10r) ++
       Seq("q136_editdist_pairs", "q137_sparse_cosine",
-        "q141_incremental_fuzzy").map(_ -> dir10d)).map { case (name, dir) =>
+        "q141_incremental_fuzzy", "q23_simhash_pairs",
+        "q66_dedup_components").map(_ -> dir10d) ++
+      Seq("q67_dedup_embedding_approx").map(_ -> dir10e))
+      .map { case (name, dir) =>
       val fn = SparkEntry.queries(name)
       val t1 = minOf2 { fn(spark, sf01).count(): Unit }
       val t10 = minOf2 { fn(spark, dir).count(): Unit }
@@ -167,7 +202,7 @@ object Bench10x {
     }
     val json =
       s"""{
-         |"protocol": "10x id-shifted replica of sf0.1 (docs/embeddings text byte-identical per replica: worst case for dedup/CC; TPC-H keys strided 1e9: 10 disjoint graph copies), min-of-2 per scale, local[32], trained artifacts cache-warmed per dir like the driver bench. realistic_text_variant: q97/q121 on suffix-tagged replicas; pair-generating ops (q136/q137/q141) on token-tagged DISJOINT replicas, since any replica protocol that keeps replicas similar makes their pair OUTPUT quadratic in duplication by construction",
+         |"protocol": "10x id-shifted replica of sf0.1 (docs/embeddings text byte-identical per replica: worst case for dedup/CC; TPC-H keys strided 1e9: 10 disjoint graph copies), min-of-2 per scale, local[32], trained artifacts cache-warmed per dir like the driver bench. realistic_text_variant: q97/q121 on suffix-tagged replicas; pair-generating ops (q136/q137/q141 + early-heavy q23/q66) on token-tagged DISJOINT replicas and q67 on component-ROTATED embeddings (norm/within-replica-cosine preserving), since any replica protocol that keeps replicas similar makes their pair OUTPUT quadratic in duplication by construction. EarlyHeavy set (q29/q31/q45/q46/q48/q56/q68/q78/q85/q93) re-probed on the regenerated corpus per VERDICT r9 #4",
          |"n_docs_sf01": $nDocs, "n_docs_10x": ${nDocs * 10},
          |"total_sf01_sec": ${fmt(rows.map(_._2).sum)},
          |"total_10x_sec": ${fmt(rows.map(_._3).sum)},

@@ -80,6 +80,33 @@ class DedupSimSpec extends SparkSpec {
     assert(survivors == Set(1L, 2L))
   }
 
+  test("paragraph near-dup: planted banner family pairs, exact dups collapse") {
+    import spark.implicits._
+    // a banner family varying one token (near-dup, not exact), one
+    // unrelated paragraph, and exact repeats of the first banner
+    val banner1 = "subscribe to our newsletter today for great offers " +
+      "and exclusive member deals delivered weekly v1"
+    val banner2 = "subscribe to our newsletter today for great offers " +
+      "and exclusive member deals delivered weekly v2"
+    val other = "completely different content about unrelated topics here"
+    val d = Seq(
+      (1L, s"$banner1\n\n$other"),
+      (2L, banner2),
+      (3L, banner1) // exact repeat: collapses into banner1's id
+    ).toDF("id", "text")
+    val pairs = Dedup.paragraphNearDupPairs(d, col("text"), minAgree = 4)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val (h1, h2) = (md5hex(banner1), md5hex(banner2))
+    val want = if (h1 < h2) (h1, h2) else (h2, h1)
+    // the banner family is found; the exact repeat created no extra id
+    assert(pairs.contains(want))
+    assert(pairs.flatMap(p => Seq(p._1, p._2)).subsetOf(
+      Set(h1, h2, md5hex(other))))
+  }
+
   test("dup spans: corpus-wide k-token window repeats, incl. within-doc and short docs") {
     import spark.implicits._
     val d = Seq(
