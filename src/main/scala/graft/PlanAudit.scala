@@ -48,6 +48,10 @@ object PlanAudit {
       // q147: the ONE-ROW insertion-key min/max bounds broadcast-
       // crossed to derive linear file ids — same scalar-dim pattern
       "q147_zorder_layout",
+      // q164: the size×size source cross (S² rows for group-sized S —
+      // 20 sources here) that completes zero-overlap pairs; the
+      // corpus-sized gram self-join in the same plan is a hash join
+      "q164_source_overlap",
       // q152: inherits both intentional broadcasts of its sources —
       // q145's one-row corpus stats cross and q24's ≤3-row broadcast
       // query side (brute-force vector baseline)

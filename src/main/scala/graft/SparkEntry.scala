@@ -2112,7 +2112,16 @@ object SparkEntry {
       Dedup.paragraphNearDupPairs(
           T(s, dir, "documents").withColumn("__ptext", syntheticParaText),
           col("__ptext"))
-        .orderBy("id_a", "id_b"))
+        .orderBy("id_a", "id_b")),
+
+    // exact source-overlap matrix (dataset-mixing audit): distinct
+    // md5-60 shingles per source, pairwise intersection + Jaccard e6;
+    // zero-overlap pairs completed from the size cross so the matrix
+    // is total
+    "q164_source_overlap" -> ((s, dir) =>
+      Dedup.sourceOverlapMatrix(T(s, dir, "documents"), col("source"),
+          col("text"), w = 3)
+        .orderBy("src_a", "src_b"))
   )
 
   /** The q161/q163 synthetic paragraph structure over the single-line
@@ -4515,6 +4524,34 @@ object SparkEntry {
            |SELECT id_a, id_b, agree FROM mh
            |ORDER BY id_a, id_b""".stripMargin
       },
+
+      // source overlap: q160's shingle + md5-60 derivation per source,
+      // exact pairwise intersection; zero pairs completed via the size
+      // cross; guarded integer Jaccard
+      "q164_source_overlap" ->
+        """WITH sg AS (SELECT DISTINCT src, g FROM (
+          |    SELECT source AS src, CAST(('0x' || substr(md5(gram), 1, 15))
+          |        AS BIGINT) AS g
+          |    FROM (SELECT source, unnest(list_distinct(list_transform(
+          |        range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+          |        i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))))
+          |        AS gram
+          |      FROM documents WHERE text IS NOT NULL))),
+          |sz AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS n
+          |  FROM sg GROUP BY src),
+          |iv AS (SELECT a.src AS src_a, b.src AS src_b,
+          |    CAST(COUNT(*) AS BIGINT) AS inter
+          |  FROM sg a JOIN sg b ON a.g = b.g AND a.src < b.src
+          |  GROUP BY a.src, b.src),
+          |m AS (SELECT x.src AS src_a, y.src AS src_b, x.n AS n_a,
+          |    y.n AS n_b, COALESCE(iv.inter, 0) AS inter
+          |  FROM sz x JOIN sz y ON x.src < y.src
+          |  LEFT JOIN iv ON iv.src_a = x.src AND iv.src_b = y.src)
+          |SELECT src_a, src_b, n_a, n_b, inter,
+          |  CASE WHEN n_a + n_b - inter = 0 THEN 0
+          |    ELSE CAST((inter * 1000000) // (n_a + n_b - inter) AS BIGINT)
+          |    END AS jaccard_e6
+          |FROM m ORDER BY src_a, src_b""".stripMargin,
 
       // fixed-centroid assignment: same e9-exact component recipe as
       // q149, HUGEINT squared-L2 sums, argmin ties to lowest cluster

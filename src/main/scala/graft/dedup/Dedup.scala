@@ -954,6 +954,52 @@ object Dedup {
         .as("jaccard_kmv"))
   }
 
+  /** Exact pairwise SOURCE-overlap matrix — the dataset-mixing audit
+    * before a multi-source training run: for every source pair, the
+    * distinct-shingle intersection and Jaccard (which crawls/dumps
+    * duplicate each other, how much of a "new" source is already
+    * covered). The per-pair sibling of [[kmvOverlap]]'s two-corpus
+    * sketch: exact, because the GROUP cardinality (sources) is small
+    * even when the corpus is not.
+    *
+    * Scale shape: per-doc distinct shingles hash to md5-60 longs
+    * map-side (16-byte keys, the q160 convention — a collision merges
+    * identically in both engines); (source, gram) distinct is one
+    * partial-ized shuffle; the self-join on gram is bounded by
+    * Σ_g C(df_g, 2) ≤ C(S,2) per gram since gram df ≤ S sources.
+    * S must be group-sized (sources, langs — not domains); for
+    * high-cardinality grouping use [[kmvOverlap]] per pair instead.
+    * Zero-intersection pairs are completed from the tiny size×size
+    * cross so the matrix is total.
+    */
+  def sourceOverlapMatrix(df: DataFrame, srcCol: Column, textCol: Column,
+                          w: Int = 3): DataFrame = {
+    val sg = df.where(textCol.isNotNull)
+      .select(srcCol.as("src"), explode(array_distinct(
+        graft.functions.ShinglesExpr.shingle_strings(textCol, w)))
+        .as("gram"))
+      .select(col("src"),
+        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long")
+          .as("g"))
+      .distinct()
+    val sizes = sg.groupBy("src").agg(count(lit(1)).as("n"))
+    val inter = sg.alias("a").join(sg.alias("b"), Seq("g"))
+      .where(col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    val allPairs = broadcast(sizes.select(col("src").as("src_a"),
+        col("n").as("n_a")))
+      .join(broadcast(sizes.select(col("src").as("src_b"),
+        col("n").as("n_b"))), col("src_a") < col("src_b"))
+    allPairs.join(inter, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        coalesce(col("inter"), lit(0L)).as("inter"))
+      .withColumn("jaccard_e6", when(col("n_a") + col("n_b") === col("inter"),
+          lit(0L)) // only when union = 0 (both sides empty)
+        .otherwise(expr(
+          "CAST((inter * 1000000) DIV (n_a + n_b - inter) AS BIGINT)")))
+  }
+
   /** Partial-overlap pairs via shared CDC chunks
     * ([[graft.functions.CdcChunksExpr]]): docs sharing ≥ `minShared`
     * identical content-defined chunks overlap in CONTENT even when

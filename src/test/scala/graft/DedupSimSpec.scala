@@ -107,6 +107,26 @@ class DedupSimSpec extends SparkSpec {
       Set(h1, h2, md5hex(other))))
   }
 
+  test("source overlap matrix: planted shared shingles, matrix is total") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a", "alpha beta gamma delta"),
+      (2L, "b", "alpha beta gamma zeta"), // shares 1 of 3 union shingles
+      (3L, "c", "totally different words here")
+    ).toDF("id", "src", "text")
+    val m = Dedup.sourceOverlapMatrix(d, col("src"), col("text"), w = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // a: {alpha beta gamma, beta gamma delta}; b: {alpha beta gamma,
+    // beta gamma zeta} -> inter 1, union 3
+    assert(m(("a", "b")) == ((2L, 2L, 1L, 333333L)))
+    // zero-overlap pairs still present (total matrix)
+    assert(m(("a", "c")) == ((2L, 2L, 0L, 0L)))
+    assert(m(("b", "c")) == ((2L, 2L, 0L, 0L)))
+    assert(m.size == 3)
+  }
+
   test("dup spans: corpus-wide k-token window repeats, incl. within-doc and short docs") {
     import spark.implicits._
     val d = Seq(
