@@ -189,6 +189,26 @@ object Bench10x {
       (name, t1, t10, t10 / t1)
     }
 
+    // q67's GATE regime (threshold 0.45, 4-bit keys) has recall-driven
+    // ~n² candidate volume BY DESIGN (PLANS.md reading guide: at
+    // θ≈60° sign-LSH buckets can't prune, the table count is there
+    // for recall) — so its ratio above reflects the documented
+    // regime, not a plan defect. The 100-TB near-dup regime is a high
+    // threshold with wide keys; probe THAT scaling exponent on the
+    // same rotated-replica data.
+    val trueRegime = {
+      def run(dir: String) = minOf2 {
+        graft.sim.Similarity.cosineDupPairsApprox(
+          spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id",
+          "embedding", threshold = 0.9, dim = 64, nTables = 8, nBits = 16)
+          .count(): Unit
+      }
+      val t1 = run(sf01); val t10 = run(dir10e)
+      println(f"[bench10x] q67_true_regime(t=0.9,16-bit) sf0.1=$t1%.2f s " +
+        f"10x=$t10%.2f s ratio=${t10 / t1}%.1f")
+      (t1, t10, t10 / t1)
+    }
+
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qJson = rows.map { case (n, t1, t10, r) =>
@@ -202,7 +222,8 @@ object Bench10x {
     }
     val json =
       s"""{
-         |"protocol": "10x id-shifted replica of sf0.1 (docs/embeddings text byte-identical per replica: worst case for dedup/CC; TPC-H keys strided 1e9: 10 disjoint graph copies), min-of-2 per scale, local[32], trained artifacts cache-warmed per dir like the driver bench. realistic_text_variant: q97/q121 on suffix-tagged replicas; pair-generating ops (q136/q137/q141 + early-heavy q23/q66) on token-tagged DISJOINT replicas and q67 on component-ROTATED embeddings (norm/within-replica-cosine preserving), since any replica protocol that keeps replicas similar makes their pair OUTPUT quadratic in duplication by construction. EarlyHeavy set (q29/q31/q45/q46/q48/q56/q68/q78/q85/q93) re-probed on the regenerated corpus per VERDICT r9 #4",
+         |"protocol": "10x id-shifted replica of sf0.1 (docs/embeddings text byte-identical per replica: worst case for dedup/CC; TPC-H keys strided 1e9: 10 disjoint graph copies), min-of-2 per scale, local[32], trained artifacts cache-warmed per dir like the driver bench. realistic_text_variant: q97/q121 on suffix-tagged replicas; pair-generating ops (q136/q137/q141 + early-heavy q23/q66) on token-tagged DISJOINT replicas and q67 on component-ROTATED embeddings (norm/within-replica-cosine preserving), since any replica protocol that keeps replicas similar makes their pair OUTPUT quadratic in duplication by construction. EarlyHeavy set (q29/q31/q45/q46/q48/q56/q68/q78/q85/q93) re-probed on the regenerated corpus per VERDICT r9 #4. q67's gate regime (threshold 0.45, 4-bit keys) is the documented recall-driven ~n^2 candidate regime (PLANS.md: theta~60deg sign buckets cannot prune) — q67_true_regime probes the 100-TB near-dup config (threshold 0.9, 16-bit keys) on the same rotated data for the honest exponent",
+         |"q67_true_regime": {"sf01_sec": ${fmt(trueRegime._1)}, "x10_sec": ${fmt(trueRegime._2)}, "ratio": ${fmt(trueRegime._3)}},
          |"n_docs_sf01": $nDocs, "n_docs_10x": ${nDocs * 10},
          |"total_sf01_sec": ${fmt(rows.map(_._2).sum)},
          |"total_10x_sec": ${fmt(rows.map(_._3).sum)},
