@@ -2121,8 +2121,23 @@ object SparkEntry {
     "q164_source_overlap" -> ((s, dir) =>
       Dedup.sourceOverlapMatrix(T(s, dir, "documents"), col("source"),
           col("text"), w = 3)
-        .orderBy("src_a", "src_b"))
+        .orderBy("src_a", "src_b")),
+
+    // frozen-weight quality scoring — the deterministic hash-checkable
+    // twin of q94's LR classifier (the q162 frozen-model pattern):
+    // portable md5-hash token buckets, integer logit, monotone-exact
+    // thresholding. The actual 100-TB serving path
+    "q165_quality_logit_fixed" -> ((s, dir) =>
+      graft.ml.QualityClassifier.scoreFixed(T(s, dir, "documents"),
+          col("doc_id"), col("text"), FixedQualityWeights)
+        .orderBy("doc_id"))
   )
+
+  /** q165 frozen classifier weights: 64 hash buckets, small integer
+    * units from a deterministic (j·37 mod 13 − 6) pattern — shared
+    * with the oracle's literal list. */
+  private val FixedQualityWeights: Seq[Long] =
+    Seq.tabulate(64)(j => ((j * 37) % 13 - 6).toLong)
 
   /** The q161/q163 synthetic paragraph structure over the single-line
     * fixture corpus: a shared boilerplate banner (whitespace/case
@@ -4523,6 +4538,23 @@ object SparkEntry {
         s"""${minhashPairsCtesOver(src, prelude)}
            |SELECT id_a, id_b, agree FROM mh
            |ORDER BY id_a, id_b""".stripMargin
+      },
+
+      // frozen-weight scoring: same md5-60 bucket hash, literal weight
+      // list, integer logit — logit > 0 is the monotone-exact class
+      "q165_quality_logit_fixed" -> {
+        val w = FixedQualityWeights.mkString("[", ", ", "]")
+        s"""WITH tk AS (SELECT doc_id,
+           |    list_filter(string_split(COALESCE(text, ''), ' '),
+           |      t -> len(t) > 0) AS toks
+           |  FROM documents),
+           |sc AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+           |    CAST(COALESCE(list_sum(list_transform(toks, t ->
+           |      ($w)[CAST((CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)
+           |        % 64) AS INTEGER) + 1])), 0) AS BIGINT) AS logit
+           |  FROM tk)
+           |SELECT doc_id, n_toks, logit, logit > 0 AS pred_good
+           |FROM sc ORDER BY doc_id""".stripMargin
       },
 
       // source overlap: q160's shingle + md5-60 derivation per source,

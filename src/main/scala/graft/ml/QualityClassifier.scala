@@ -108,6 +108,34 @@ object QualityClassifier {
              threshold: Double): DataFrame =
     score(model, docs).where(col("quality_score") >= threshold)
 
+  /** FROZEN-model scoring — the deterministic, cross-engine-replayable
+    * half of classifier filtering that the iterative LR fit is not
+    * (the q162 fixed-centroid pattern applied to quality scoring, and
+    * the actual 100-TB serving path: weights are trained once offline,
+    * then a linear scorer sweeps the corpus). Features are portable
+    * md5-hash token buckets (mod `weights.length`); the logit is
+    * `bias + Σ_tokens w[bucket(token)]` in plain integers — exact,
+    * associative, no sigmoid float hazard (the sigmoid is monotone, so
+    * thresholding the logit IS thresholding the probability). Pure
+    * per-row arithmetic: zero shuffle, no fit, no driver state.
+    */
+  def scoreFixed(docs: DataFrame, idCol: Column, textCol: Column,
+                 weights: Seq[Long], bias: Long = 0L): DataFrame = {
+    val n = weights.length
+    // object-local `filter(model, docs, threshold)` shadows the SQL HOF
+    val toks = org.apache.spark.sql.functions.filter(
+      split(coalesce(textCol, lit("")), " "), t => length(t) > 0)
+    val wLit = typedLit(weights)
+    def bucket(t: Column): Column =
+      pmod(conv(substring(md5(t), 1, 15), 16, 10).cast("long"),
+        lit(n.toLong)).cast("int")
+    val logit = aggregate(toks, lit(bias),
+      (acc, t) => acc + element_at(wLit, bucket(t) + 1))
+    docs.select(idCol.as("doc_id"),
+      size(toks).cast("long").as("n_toks"),
+      logit.as("logit"), (logit > 0L).as("pred_good"))
+  }
+
   def save(model: PipelineModel, path: String): Unit =
     model.write.overwrite().save(path)
 

@@ -49,4 +49,30 @@ class QualityClassifierSpec extends SparkSpec {
     assert(a == b)
     assert(a(1L) > 0.5 && a(2L) < 0.5)
   }
+
+  test("scoreFixed: integer logit matches a reference bucket-sum, empty/null safe") {
+    import org.apache.spark.sql.functions._
+    val weights = Seq.tabulate(8)(j => (j - 3).toLong) // tiny bucket table
+    // reference: same md5-low-60 bucket as the operator
+    def bucket(t: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      (java.lang.Long.parseLong(hex, 16) % 8).toInt
+    }
+    def refLogit(text: String): Long =
+      text.split(" ").filter(_.nonEmpty).map(t => weights(bucket(t))).sum
+    val texts = Seq((1L, "alpha beta gamma"), (2L, "zz zz zz zz"),
+      (3L, ""), (4L, null.asInstanceOf[String]))
+    val got = QualityClassifier.scoreFixed(texts.toDF("doc_id", "text"),
+        col("doc_id"), col("text"), weights)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    texts.take(2).foreach { case (id, t) =>
+      val want = refLogit(t)
+      assert(got(id) == ((t.split(" ").count(_.nonEmpty).toLong, want,
+        want > 0)), s"doc $id")
+    }
+    assert(got(3L) == ((0L, 0L, false))) // empty: bias-only logit
+    assert(got(4L) == ((0L, 0L, false))) // null-safe
+  }
 }

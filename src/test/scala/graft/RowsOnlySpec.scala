@@ -93,11 +93,13 @@ class RowsOnlySpec extends AnyFunSuite {
         "primitive is hash-checked in q92, the planted merge sequence " +
         "spec-pinned"),
     "q94_quality_filter" -> Evidence(
-      Seq(),
+      Seq("q165_quality_logit_fixed"),
       Seq("QualityClassifierSpec" -> "quality filter: held-out clean docs survive",
         "QualityClassifierSpec" -> "quality model round-trips"),
-      "logistic-regression scores are not SQL-replayable; held-out " +
-        "separation and save/load parity are spec-pinned"),
+      "the iterative LR fit is not SQL-replayable; the frozen-model " +
+        "scoring half IS — q165 hash-checks the linear bucket-weight " +
+        "logit in exact integer arithmetic; held-out separation and " +
+        "save/load parity of the fit are spec-pinned"),
     "q103_bpe_encode_learned" -> Evidence(
       Seq("q102_bpe_encode_portable"),
       Seq("PipelineOpsSpec" -> "BpeEncodeExpr == applyMerge fold semantics"),
