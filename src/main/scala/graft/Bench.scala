@@ -174,6 +174,15 @@ object Bench {
     // stop Spark BEFORE printing: the contract line must be the final
     // stdout line so the driver's bounded tail always contains it whole
     spark.stop()
-    println(s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${results.size - ok.size},"runs":$runs,"warmup_failed":$warmupFailed,$ctxShort,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${results.size - ok.size},"runs":$runs,"warmup_failed":$warmupFailed,$ctxShort,"sf":"$sfDir"}"""
+    // ~2.1 KB at 165 queries vs a ~2.4 KB driver tail window; at
+    // roughly +10 queries/round the margin is one round deep — fail
+    // LOUDLY (stderr, not the contract line) before the driver
+    // silently loses the bench a third time (r3, r9)
+    if (line.length > 2300)
+      System.err.println(s"BENCH LINE ${line.length} B exceeds the ~2.4 KB " +
+        "driver tail budget — shrink the per-query encoding NOW " +
+        "(drop the q prefix, or split the map across a file)")
+    println(line)
   }
 }

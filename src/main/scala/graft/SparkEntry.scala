@@ -4544,6 +4544,8 @@ object SparkEntry {
       // list, integer logit — logit > 0 is the monotone-exact class
       "q165_quality_logit_fixed" -> {
         val w = FixedQualityWeights.mkString("[", ", ", "]")
+        val n = FixedQualityWeights.length // modulus derives from the
+                                           // list, like q162's $dim
         s"""WITH tk AS (SELECT doc_id,
            |    list_filter(string_split(COALESCE(text, ''), ' '),
            |      t -> len(t) > 0) AS toks
@@ -4551,7 +4553,7 @@ object SparkEntry {
            |sc AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
            |    CAST(COALESCE(list_sum(list_transform(toks, t ->
            |      ($w)[CAST((CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)
-           |        % 64) AS INTEGER) + 1])), 0) AS BIGINT) AS logit
+           |        % $n) AS INTEGER) + 1])), 0) AS BIGINT) AS logit
            |  FROM tk)
            |SELECT doc_id, n_toks, logit, logit > 0 AS pred_good
            |FROM sc ORDER BY doc_id""".stripMargin
@@ -4569,8 +4571,10 @@ object SparkEntry {
           |        i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))))
           |        AS gram
           |      FROM documents WHERE text IS NOT NULL))),
-          |sz AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS n
-          |  FROM sg GROUP BY src),
+          |sz AS (SELECT s.src, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+          |  FROM (SELECT DISTINCT source AS src FROM documents) s
+          |  LEFT JOIN (SELECT src, COUNT(*) AS n FROM sg GROUP BY src) c
+          |    ON s.src = c.src),
           |iv AS (SELECT a.src AS src_a, b.src AS src_b,
           |    CAST(COUNT(*) AS BIGINT) AS inter
           |  FROM sg a JOIN sg b ON a.g = b.g AND a.src < b.src

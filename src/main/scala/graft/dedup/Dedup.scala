@@ -212,18 +212,20 @@ object Dedup {
     // members inherit their representative's candidates and distances,
     // and intra-group pairs are definitionally dist 0 (they always
     // band-match with full agreement ≥ any minAgree ≤ k).
+    // NOT localCheckpointed, deliberately (r10, measured): reps/members
+    // do feed multiple broadcast jobs (the no-subplan-sharing gotcha),
+    // but their upstream is one cheap scan + md5 — checkpointing
+    // bought only ~7% process-CPU in isolation while blinding the
+    // plan audit (the audited plan would start at LogicalRDD) and
+    // running eager corpus jobs at plan-construction time (PlanAudit,
+    // explain). The checkpoint pays off where upstream is expensive
+    // (Bm25 re-tokenize, q137's inverted index), not here.
     val t = df.where(col(textCol).isNotNull)
       .select(col(idCol).as("id"), col(textCol).as("t"))
       .withColumn("fp", md5(col("t")))
-    val members = t.select("id", "fp").localCheckpoint(true)
-    // localCheckpoint: reps feeds the minhash pipeline AND two rep-text
-    // lookups AND the member expansion — Catalyst shares no subplans
-    // across broadcast boundaries, so without it every broadcast job
-    // re-scans + re-hashes the corpus (the documented 2× gotcha).
-    // Size is bounded: one row per distinct text.
+    val members = t.select("id", "fp")
     val reps = t.groupBy("fp").agg(min(col("id")).as("rid"),
       first(col("t")).as("rt")) // all t in a group are identical
-      .localCheckpoint(true)
     val intra = members.alias("ma").join(members.alias("mb"), "fp")
       .where(col("ma.id") < col("mb.id"))
       .select(col("ma.id").as("id_a"), col("mb.id").as("id_b"),
@@ -982,7 +984,14 @@ object Dedup {
         conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long")
           .as("g"))
       .distinct()
-    val sizes = sg.groupBy("src").agg(count(lit(1)).as("n"))
+    // sizes enumerate EVERY source (including ones whose docs are all
+    // NULL-text and so contribute no grams) — a source absent from the
+    // matrix would read as "audited, nothing to report" when it was
+    // never compared at all
+    val sizes = df.select(srcCol.as("src")).distinct()
+      .join(sg.groupBy("src").agg(count(lit(1)).as("__n")), Seq("src"),
+        "left")
+      .select(col("src"), coalesce(col("__n"), lit(0L)).as("n"))
     val inter = sg.alias("a").join(sg.alias("b"), Seq("g"))
       .where(col("a.src") < col("b.src"))
       .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))

@@ -45,7 +45,11 @@ object DocCluster {
     * dim-sum run in DECIMAL(38,0) — a long multiply would overflow on
     * legitimate e9-scaled components, ANSI-loudly but needlessly) and
     * the argmin — ties to the lowest cluster id — cannot flip on
-    * float noise in either engine.
+    * float noise in either engine. A component with |x| ≥ 1e9
+    * overflows the DECIMAL(18,9) cast and FAILS LOUDLY under the
+    * engine's ANSI mode (SparkArithmeticException; the DuckDB twin
+    * raises the same cast error — spec-pinned), so corrupt embeddings
+    * can never silently land in cluster 0.
     *
     * Scale shape: per-row arithmetic against a literal centroid table,
     * zero shuffle, no fit, no driver state — the assignment-only path

@@ -80,6 +80,12 @@ object Rank {
     * tiebreak); `group` is stringly-keyed for the offset map. The
     * input plan executes twice (subtotals + labeling) — persist
     * upstream if it is expensive.
+    *
+    * `maxDriverSubtotals` bounds the driver-collected subtotal count;
+    * past it (detected INSIDE pass 1 via capped per-partition maps —
+    * no extra scan, no approximation) the offsets compute distributed
+    * instead: a bounded per-group window + an equi-join, zero driver
+    * state. Same result either way (spec-pinned both paths).
     */
   def groupedRunningSum(df: DataFrame, group: Column, value: Column,
                         order: Seq[Column], nPartitions: Int,
@@ -99,32 +105,39 @@ object Rank {
     val gIdx = sorted.schema.fieldIndex("__g")
     val vIdx = sorted.schema.fieldIndex("__v")
     val rdd = sorted.rdd
-    // GATE (the CC localMaxVertices pattern): the driver prefix path
-    // collects O(partitions × groups) subtotals — fine for the
-    // handful-of-sources callers, catastrophic for a high-cardinality
-    // group key on a big cluster. One scalar approx-distinct job
-    // decides; past the bound, the prefix moves to a distributed
-    // bounded window (≤ nPartitions rows per group) + an equi-join,
-    // and the driver holds nothing.
-    val estGroups = prepared
-      .agg(approx_count_distinct(col("__g")).as("g")).head.getLong(0)
-    if (estGroups * nPartitions.toLong > maxDriverSubtotals)
-      return groupedRunningSumDistributed(
-        df.sparkSession, sorted, rdd, gIdx, vIdx, cumName)
-    // pass 1: per-partition per-group subtotals, in encounter order
-    val partials: Array[(Int, Seq[(String, Long)])] =
+    // pass 1: per-partition per-group subtotals, in encounter order.
+    // The pass DOUBLES as the cardinality gate (the CC
+    // localMaxVertices pattern, but with no extra scan): each
+    // partition's subtotal map is capped. Rows are RANGE-partitioned
+    // on (group, order), so each group occupies a CONTIGUOUS run of
+    // partitions and the total entry count is ≤ groups + nPartitions
+    // — an overflow therefore means the group cardinality genuinely
+    // exceeds the driver budget, and the prefix moves to the
+    // distributed fallback. Driver traffic is bounded at
+    // nPartitions · cap ≈ maxDriverSubtotals either way, and an
+    // overflowing partition stops accumulating at the cap.
+    val cap = math.max(1L, maxDriverSubtotals / math.max(nPartitions, 1))
+    val partials: Array[(Int, Seq[(String, Long)], Boolean)] =
       rdd.mapPartitionsWithIndex { (pi, it) =>
         val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-        it.foreach { r =>
+        var over = false
+        while (it.hasNext && !over) {
+          val r = it.next()
           val g = r.getString(gIdx)
-          m.update(g, m.getOrElse(g, 0L) + r.getLong(vIdx))
+          if (m.contains(g) || m.size < cap)
+            m.update(g, m.getOrElse(g, 0L) + r.getLong(vIdx))
+          else over = true
         }
-        Iterator.single((pi, m.toSeq))
+        Iterator.single(
+          (pi, if (over) Seq.empty[(String, Long)] else m.toSeq, over))
       }.collect()
+    if (partials.exists(_._3))
+      return groupedRunningSumDistributed(
+        df.sparkSession, sorted, rdd, gIdx, vIdx, cumName)
     // prefix per group across partitions (partition order = range order)
     val running = scala.collection.mutable.Map.empty[String, Long]
     val offsets: Map[Int, Map[String, Long]] =
-      partials.sortBy(_._1).map { case (pi, subtotals) =>
+      partials.sortBy(_._1).map { case (pi, subtotals, _) =>
         val before = subtotals.map { case (g, _) =>
           g -> running.getOrElse(g, 0L) }.toMap
         subtotals.foreach { case (g, v) =>

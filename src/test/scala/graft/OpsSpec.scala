@@ -338,6 +338,13 @@ class OpsSpec extends SparkSpec {
     val got = graft.ml.DocCluster.assignFixed(d, "vec_id", "embedding", cents)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 0L))
+    // a corrupt component (|x| >= 1e9 overflows DECIMAL(18,9)) must
+    // fail LOUDLY under ANSI, never silently assign cluster 0
+    val corrupt = Seq((9L, Seq(2.0e9f, 0.0f))).toDF("vec_id", "embedding")
+    intercept[Exception] {
+      graft.ml.DocCluster.assignFixed(corrupt, "vec_id", "embedding", cents)
+        .collect()
+    }
   }
 
   test("boilerplate ngrams: within-doc repeats count once") {
