@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** S1 over a REAL network boundary. The Kafka broker itself is
+  * environment-blocked (no kafka jars, zero egress), so S1/S5 evidence
+  * has been MemoryStream DAG + config assertions (KafkaTopology
+  * scaladoc). This suite closes the remaining gap short of a broker:
+  * Spark's built-in `socket` source is an actual out-of-process
+  * network source — a ServerSocket on this host feeds CLF lines over
+  * TCP, the stream reads them through the SAME line/parse/counter
+  * topology as q48 (`LogStream.startCounters` → idempotent ZsetSink
+  * merge), and the resulting zset table must equal the batch
+  * computation over the same lines, regardless of how the socket
+  * micro-batches sliced the feed.
+  */
+class SocketIngestSpec extends SparkSpec {
+
+  test("S1 network-boundary ingest: socket source ≡ batch through the counter topology") {
+    import spark.implicits._
+    // deterministic CLF lines (single-line records: TCP framing is
+    // newline-delimited, so T1 multi-line splitting stays covered by
+    // the MemoryStream DAG spec)
+    val sent = graft.logs.LogGen.clfLines(SparkSpec.events(sfDir))
+      .limit(200).collect().map(_.getString(0)).toSeq
+    val expected = graft.ops.ZsetTable.fromParsedLogs(
+        graft.logs.ClfParser.parseNative(sent.toDF("value")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+
+    val server = new java.net.ServerSocket(0)
+    @volatile var done = false
+    val feeder = new Thread(() => {
+      try {
+        val sock = server.accept() // blocks until the stream connects
+        val out = new java.io.PrintWriter(sock.getOutputStream, true)
+        sent.foreach(out.println)
+        out.flush()
+        while (!done) Thread.sleep(100) // hold the connection open
+        sock.close()
+      } catch { case _: Throwable => () }
+    })
+    feeder.setDaemon(true)
+    feeder.start()
+
+    val root = java.nio.file.Files.createTempDirectory("graft_socket")
+    val sink = new graft.stream.ZsetSink(root.resolve("zset").toString)
+    val lines = spark.readStream.format("socket")
+      .option("host", "127.0.0.1")
+      .option("port", server.getLocalPort)
+      .load()
+    val q = graft.stream.LogStream.startCounters(spark, lines, sink,
+      root.resolve("ckpt").toString,
+      Trigger.ProcessingTime("500 milliseconds"))
+    try {
+      // counters only grow and the merge is idempotent, so the sink
+      // equals the batch table exactly when every line has landed —
+      // poll until then (socket sources have no AvailableNow)
+      val deadline = System.currentTimeMillis() + 120000
+      var got = Set.empty[(String, String, Long)]
+      while (got != expected && System.currentTimeMillis() < deadline) {
+        Thread.sleep(1000)
+        // the sink has no files until the first non-empty micro-batch
+        // merges — treat an unreadable store as "nothing yet"
+        got = try sink.read(spark)
+          .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+          .toSet
+        catch { case _: org.apache.spark.sql.AnalysisException =>
+          Set.empty[(String, String, Long)] }
+      }
+      assert(got == expected,
+        s"socket-fed zsets diverge from batch: missing=" +
+          s"${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    } finally {
+      done = true
+      q.stop()
+      server.close()
+    }
+  }
+}
