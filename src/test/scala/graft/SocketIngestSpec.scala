@@ -78,4 +78,61 @@ class SocketIngestSpec extends SparkSpec {
       server.close()
     }
   }
+
+  test("S5 network-boundary emit: per-partition TCP producers ≡ the routed records") {
+    import spark.implicits._
+    // scored records → resultRecords routing (the exact S5 frame the
+    // kafka sink would consume), then emit each (topic, key, value)
+    // over a REAL socket from the executors — one connection per
+    // partition, which is precisely the kafka producer-per-executor
+    // shape the topology scaladoc claims
+    val scored = Seq(
+      ("10.0.0.1", "/a", 0.0), ("10.0.0.2", "/b", 1.0),
+      ("10.0.0.3", "/c", 0.0), ("10.0.0.4", "/d", 1.0)
+    ).toDF("host", "req_url", "prediction")
+    val routed = graft.stream.KafkaTopology.resultRecords(scored)
+    val expected = routed.collect()
+      .map(r => s"${r.getString(0)}\t${r.getString(1)}\t${r.getString(2)}")
+      .toSet
+
+    val server = new java.net.ServerSocket(0)
+    val received = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    @volatile var accepting = true
+    val collector = new Thread(() => {
+      try while (accepting) {
+        val sock = server.accept()
+        new Thread(() => {
+          val in = new java.io.BufferedReader(
+            new java.io.InputStreamReader(sock.getInputStream))
+          Iterator.continually(in.readLine()).takeWhile(_ != null)
+            .foreach(received.add)
+          sock.close()
+        }).start()
+      } catch { case _: Throwable => () }
+    })
+    collector.setDaemon(true)
+    collector.start()
+    val port = server.getLocalPort
+    try {
+      routed.repartition(3).foreachPartition {
+        (it: Iterator[org.apache.spark.sql.Row]) =>
+        // per-partition producer init — the kafka sink's lifecycle
+        val sock = new java.net.Socket("127.0.0.1", port)
+        val out = new java.io.PrintWriter(sock.getOutputStream, true)
+        it.foreach { r =>
+          out.println(s"${r.getString(0)}\t${r.getString(1)}\t${r.getString(2)}")
+        }
+        out.flush()
+        sock.close()
+      }
+      val deadline = System.currentTimeMillis() + 30000
+      while (received.size < expected.size &&
+        System.currentTimeMillis() < deadline) Thread.sleep(200)
+      import scala.jdk.CollectionConverters._
+      assert(received.asScala.toSet == expected)
+    } finally {
+      accepting = false
+      server.close()
+    }
+  }
 }
