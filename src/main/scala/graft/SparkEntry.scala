@@ -3855,7 +3855,8 @@ object SparkEntry {
           |    AS BIGINT) AS lw_q
           |  FROM bk CROSS JOIN tot)
           |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-          |  round(CAST(SUM(lw_q) AS DOUBLE) / 1e6, 4) + 0.0 AS dsir_weight
+          |  CAST((SUM(lw_q) + CASE WHEN SUM(lw_q) >= 0 THEN 50 ELSE -50 END)
+          |    // 100 AS BIGINT) AS dsir_weight_e4
           |FROM tb JOIN lw USING (b) GROUP BY doc_id
           |ORDER BY doc_id""".stripMargin,
 

@@ -60,8 +60,12 @@ object Dsir {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum("lw_q").as("w_q"))
       .select(col("doc_id"), col("n_tokens"),
-        // -0.0 guard: a tiny negative integer sum rounds to -0.0 in
-        // engines that keep the sign through round()
-        (round(col("w_q").cast("double") / 1e6, 4) + 0.0).as("dsir_weight"))
+        // e4-integer output, half-away-from-zero in INTEGER arithmetic
+        // (both engines' integer division truncates toward zero —
+        // verified): the former round(w_q/1e6, 4) double flipped its
+        // last digit at exact .5 boundaries (found at sf0.1:
+        // w_q = −90150 → −0.0901 vs −0.0902 across engines)
+        expr("(w_q + CASE WHEN w_q >= 0 THEN 50 ELSE -50 END) div 100")
+          .as("dsir_weight_e4"))
   }
 }

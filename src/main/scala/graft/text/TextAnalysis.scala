@@ -768,8 +768,12 @@ object TextAnalysis {
       .withColumn("flesch_e2",
         when(col("n_words") === 0, lit(null).cast("long"))
           .otherwise(round((lit(206.835)
-            - lit(1.015) * col("n_words").cast("double") / col("n_sents")
-            - lit(84.6) * col("n_syll").cast("double") / col("n_words"))
+            // parenthesized ratio FIRST: the oracle computes
+            // 1.015·(W/S), and (1.015·W)/S differs by an ulp on some
+            // inputs — enough to flip round() at a .5 boundary (found
+            // at sf0.1, doc with flesch ≈ 64.225)
+            - lit(1.015) * (col("n_words").cast("double") / col("n_sents"))
+            - lit(84.6) * (col("n_syll").cast("double") / col("n_words")))
             * lit(100.0), 0).cast("long")))
       .select(col("doc_id"), col("n_words"), col("n_sents"), col("n_syll"),
         col("flesch_e2"))

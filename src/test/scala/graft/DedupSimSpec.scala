@@ -107,6 +107,32 @@ class DedupSimSpec extends SparkSpec {
       Set(h1, h2, md5hex(other))))
   }
 
+  test("property: paragraph dedup on all-unique paragraphs is the identity") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    // unique-paragraph docs: every paragraph distinct corpus-wide ->
+    // nothing is removed, reassembly must reproduce the normalized
+    // paragraph structure exactly (order, separators collapsed)
+    val word = Gen.oneOf("aa", "bb", "cc", "dd")
+    val para = Gen.choose(1, 4).flatMap(n => Gen.listOfN(n, word))
+    val doc = Gen.choose(1, 5).flatMap(n => Gen.listOfN(n, para))
+    val docs = Gen.listOfN(40, doc).sample.get.zipWithIndex.map {
+      case (ps, i) =>
+        // tag every paragraph with (doc, pos) so all are unique
+        val tagged = ps.zipWithIndex.map { case (ws, j) =>
+          (ws :+ s"u${i}x$j").mkString(" ") }
+        (i.toLong, tagged, tagged.mkString("\n\n"))
+    }
+    val out = Dedup.paragraphDedup(docs.map(d => (d._1, d._3))
+        .toDF("id", "text"), col("id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    docs.foreach { case (id, paras, _) =>
+      assert(out(id) == ((paras.length.toLong, paras.length.toLong, 0L,
+        paras.mkString("\n\n"))), s"doc $id")
+    }
+  }
+
   test("source overlap matrix: planted shared shingles, matrix is total") {
     import spark.implicits._
     val d = Seq(

@@ -48,7 +48,7 @@ class Round8OpsSpec extends SparkSpec {
     }.toDF("doc_id", "text", "is_t")
     val scored = Dsir.importanceWeights(docs, col("doc_id"), col("text"),
         isTarget = col("is_t"), nBuckets = 64)
-      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     val tgt = (0L until 40L).filter(_ % 4 == 0).map(scored)
     val bg = (0L until 40L).filter(_ % 4 != 0).map(scored)
     assert(tgt.min > bg.max,
