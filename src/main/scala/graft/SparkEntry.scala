@@ -2130,7 +2130,16 @@ object SparkEntry {
     "q165_quality_logit_fixed" -> ((s, dir) =>
       graft.ml.QualityClassifier.scoreFixed(T(s, dir, "documents"),
           col("doc_id"), col("text"), FixedQualityWeights)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // split-leakage audit: near-dup pairs (q44's portable minhash)
+    // straddling the frozen 80/20 hash split leak training text into
+    // eval — the corpus-internal sibling of q135's benchmark
+    // decontamination
+    "q166_split_leakage" -> ((s, dir) =>
+      Dedup.splitLeakage(T(s, dir, "documents"), "doc_id", "text",
+          trainFrac = 0.8)
+        .orderBy("id_a", "id_b"))
   )
 
   /** q165 frozen classifier weights: 64 hash buckets, small integer
@@ -4540,6 +4549,22 @@ object SparkEntry {
            |SELECT id_a, id_b, agree FROM mh
            |ORDER BY id_a, id_b""".stripMargin
       },
+
+      // split leakage: the shared minhash pair chain + the q49-style
+      // portable hash split, both labels joined back by id
+      "q166_split_leakage" ->
+        s"""$minhashPairsCtes,
+           |sp AS (SELECT doc_id,
+           |    CASE WHEN CAST(('0x' || substr(md5('split:' ||
+           |        CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           |      % 1000000 < 800000 THEN 'train' ELSE 'eval' END AS split
+           |  FROM documents)
+           |SELECT mh.id_a, mh.id_b, mh.agree,
+           |  a.split AS split_a, b.split AS split_b,
+           |  a.split <> b.split AS leaks
+           |FROM mh JOIN sp a ON mh.id_a = a.doc_id
+           |  JOIN sp b ON mh.id_b = b.doc_id
+           |ORDER BY id_a, id_b""".stripMargin,
 
       // frozen-weight scoring: same md5-60 bucket hash, literal weight
       // list, integer logit — logit > 0 is the monotone-exact class

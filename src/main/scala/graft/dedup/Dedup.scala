@@ -956,6 +956,43 @@ object Dedup {
         .as("jaccard_kmv"))
   }
 
+  /** Train/eval SPLIT-LEAKAGE audit — the eval-integrity check that
+    * must run after any dedup + split pipeline: a near-duplicate pair
+    * straddling the split boundary leaks training text into
+    * evaluation (the benchmark-contamination failure mode at the
+    * corpus's OWN eval split, complementing q135's external-benchmark
+    * decontamination). Pairs come from portable MinHash-LSH
+    * ([[portableMinhashPairs]] — banded candidates, exact
+    * signature-agreement verify); the split is the frozen
+    * hash-assignment ([[graft.ops.Sample.hashSplit]] — deterministic,
+    * retry-stable, engine-portable). Returns every near-dup pair with
+    * both split labels and a `leaks` flag; the caller drops or
+    * re-assigns flagged eval docs.
+    *
+    * Scale shape: the pair relation is the LSH equi-join (never
+    * all-pairs); split labels join by id (8-byte keys). At 100 TB the
+    * id→split side is a pure function of the id — the joins carry no
+    * text.
+    */
+  def splitLeakage(docs: DataFrame, idCol: String, textCol: String,
+                   trainFrac: Double, salt: String = "split",
+                   k: Int = 8, bands: Int = 4, minAgree: Int = 4,
+                   w: Int = 3): DataFrame = {
+    val pairs = portableMinhashPairs(docs, idCol, textCol, k, bands,
+      minAgree, w)
+    val split = docs.select(col(idCol).as("id"),
+      when(graft.ops.Sample.hashSplit(col(idCol), trainFrac, salt),
+        "train").otherwise("eval").as("split"))
+    pairs
+      .join(split.select(col("id").as("id_a"), col("split").as("split_a")),
+        Seq("id_a"))
+      .join(split.select(col("id").as("id_b"), col("split").as("split_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("agree"),
+        col("split_a"), col("split_b"),
+        (col("split_a") =!= col("split_b")).as("leaks"))
+  }
+
   /** Exact pairwise SOURCE-overlap matrix — the dataset-mixing audit
     * before a multi-source training run: for every source pair, the
     * distinct-shingle intersection and Jaccard (which crawls/dumps

@@ -39,6 +39,13 @@ object Sample {
                  salt: String = "s"): DataFrame =
     df.where(sampleHash(key, salt) < math.round(fraction * D))
 
+  /** Deterministic split predicate: TRUE for the ~`fraction` side of a
+    * hash split (the train/eval assignment a pipeline freezes once) —
+    * the boolean form of [[hashSample]], exposed so audits (e.g.
+    * [[graft.dedup.Dedup.splitLeakage]]) can label BOTH sides. */
+  def hashSplit(key: Column, fraction: Double, salt: String): Column =
+    sampleHash(key, salt) < math.round(fraction * D)
+
   /** Per-stratum quota sample: the `quota` rows with the smallest
     * sampling hash in each stratum (deterministic; ties broken by key).
     * Returns (stratum, key) pairs.

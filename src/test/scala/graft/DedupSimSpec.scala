@@ -133,6 +133,36 @@ class DedupSimSpec extends SparkSpec {
     }
   }
 
+  test("split leakage: planted near-dup pairs carry consistent frozen-split labels") {
+    import spark.implicits._
+    // six near-dup pairs (one-token variants) across ids 0-11: enough
+    // ids that the 80/20 hash split realizes both sides
+    val base = "subscribe to our newsletter today for great offers " +
+      "and exclusive member deals delivered weekly"
+    val docs = (0L until 12L).map { i =>
+      (i, s"$base group${i / 2} v${i % 2}")
+    }.toDF("doc_id", "text")
+    val out = Dedup.splitLeakage(docs, "doc_id", "text", trainFrac = 0.8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(3), r.getString(4), r.getBoolean(5)))).toMap
+    // every planted pair surfaces (identical but for the vN token)
+    (0L until 12L by 2).foreach { a =>
+      assert(out.contains((a, a + 1)), s"planted pair ($a, ${a + 1})")
+    }
+    // labels must equal the independently-evaluated frozen split, and
+    // the leak flag must be exactly label inequality
+    val labels = docs.select(col("doc_id"),
+        graft.ops.Sample.hashSplit(col("doc_id"), 0.8, "split"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.getBoolean(1)) "train" else "eval")).toMap
+    out.foreach { case ((a, b), (sa, sb, leaks)) =>
+      assert(sa == labels(a) && sb == labels(b) && leaks == (sa != sb),
+        s"pair ($a, $b)")
+    }
+    assert(labels.values.toSet.size == 2, "both split sides realized")
+  }
+
   test("source overlap matrix: planted shared shingles, matrix is total") {
     import spark.implicits._
     val d = Seq(
