@@ -52,6 +52,10 @@ object PlanAudit {
       // 20 sources here) that completes zero-overlap pairs; the
       // corpus-sized gram self-join in the same plan is a hash join
       "q164_source_overlap",
+      // q167: inherits q145's one-row corpus-stats cross through the
+      // BM25 ranking it evaluates; the metric's own aggregation is a
+      // plain hash groupBy over ≤ k rows per query
+      "q167_retrieval_ndcg",
       // q152: inherits both intentional broadcasts of its sources —
       // q145's one-row corpus stats cross and q24's ≤3-row broadcast
       // query side (brute-force vector baseline)
@@ -107,6 +111,8 @@ object PlanAudit {
     "q147_zorder_layout" ->
       "insertion-key min/max bounds: global scalar agg, bounded partials",
     "q152_hybrid_rrf" ->
+      "inherited q145 corpus-stats scalar agg: one partial row per task",
+    "q167_retrieval_ndcg" ->
       "inherited q145 corpus-stats scalar agg: one partial row per task"
     // q129_zipf_slope funnels through a bounded top-30 head (limit +
     // rank window + OLS agg) but plans as TakeOrdered without an

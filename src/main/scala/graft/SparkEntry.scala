@@ -2139,7 +2139,23 @@ object SparkEntry {
     "q166_split_leakage" -> ((s, dir) =>
       Dedup.splitLeakage(T(s, dir, "documents"), "doc_id", "text",
           trainFrac = 0.8)
-        .orderBy("id_a", "id_b"))
+        .orderBy("id_a", "id_b")),
+
+    // retrieval eval metrics over the q145 BM25 ranking: graded
+    // rel = n_terms (how many query terms the doc matched), relevant
+    // for MRR at rel >= 2 (full match for the 2-term fixture queries;
+    // query 3 can never fully match — its mrr_e6 = 0 is the signal).
+    // Position discounts are a shared StrictMath literal table, so
+    // the whole metric is integer arithmetic in both engines
+    "q167_retrieval_ndcg" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.RetrievalMetrics.ndcgMrr(
+          graft.text.Bm25.topK(T(s, dir, "documents"), col("doc_id"),
+            col("text"), NdcgQueries.toDF("query_id", "term"), k = 10),
+          col("query_id"), col("rank"), col("n_terms"), k = 10,
+          minRelevant = 2L)
+        .orderBy("query_id")
+    })
   )
 
   /** q165 frozen classifier weights: 64 hash buckets, small integer
@@ -2189,6 +2205,17 @@ object SparkEntry {
     (1L, "key"), (1L, "row"), (2L, "table"), (2L, "spark"),
     (3L, "key"), (3L, "zzz_absent"))
 
+  /** q167's graded-relevance query fixture. 'dup' is the corpus's one
+    * rare token (df 25 vs ~380 for everything else), so query 1's
+    * five terms cannot all co-occur in ten documents — the top-10 mixes
+    * relevance grades and nDCG gets real discrimination. Query 2 is
+    * the fully-matched baseline (nDCG exactly 1), query 3 can never
+    * reach rel ≥ 2 (its mrr_e6 = 0 is the signal). */
+  private val NdcgQueries: Seq[(Long, String)] = Seq(
+    (1L, "dup"), (1L, "key"), (1L, "row"), (1L, "table"), (1L, "spark"),
+    (2L, "key"), (2L, "row"),
+    (3L, "key"), (3L, "zzz_absent"))
+
   /** q139's probe tokens — fixed so the oracle enumerates the same
     * (source, tok) grid. */
   private val CmsProbes = Seq("key", "row", "table", "spark", "zzz_absent")
@@ -2203,8 +2230,13 @@ object SparkEntry {
     * `r(query_id, doc_id, score_e4, n_terms, rn)` — shared by the q145
     * gate and the q152 hybrid-RRF fusion built on the same ranking.
     */
-  private lazy val bm25RankedCtes: String = {
-    val vals = Bm25Queries
+  private lazy val bm25RankedCtes: String = bm25RankedCtesOver(Bm25Queries)
+
+  /** [[bm25RankedCtes]] over an arbitrary (query_id, term) fixture —
+    * q167's graded-relevance query set needs mid-rarity terms the
+    * q145 set deliberately avoids. */
+  private def bm25RankedCtesOver(queries: Seq[(Long, String)]): String = {
+    val vals = queries
       .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
     s"""WITH q(query_id, term) AS (SELECT * FROM (VALUES $vals)),
        |d AS (SELECT doc_id,
@@ -4548,6 +4580,34 @@ object SparkEntry {
         s"""${minhashPairsCtesOver(src, prelude)}
            |SELECT id_a, id_b, agree FROM mh
            |ORDER BY id_a, id_b""".stripMargin
+      },
+
+      // retrieval metrics: the shared BM25 CTEs + the SAME e6 literal
+      // discount table; integer sums, truncating integer division
+      "q167_retrieval_ndcg" -> {
+        val w = graft.ops.RetrievalMetrics.dcgWeightsE6(10)
+          .mkString("[", ", ", "]")
+        s"""${bm25RankedCtesOver(NdcgQueries)},
+           |rk AS (SELECT query_id, CAST(rn AS INTEGER) AS rank,
+           |    n_terms AS rel
+           |  FROM r WHERE rn <= 10),
+           |g AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_ranked,
+           |    CAST(SUM(rel * ($w)[rank]) AS BIGINT) AS dcg_e6,
+           |    list(rel ORDER BY rel DESC) AS rels,
+           |    MIN(CASE WHEN rel >= 2 THEN rank END) AS fr
+           |  FROM rk GROUP BY query_id),
+           |m AS (SELECT query_id, n_ranked, dcg_e6,
+           |    CAST(COALESCE(list_sum(list_transform(
+           |      range(1, len(rels) + 1), i -> rels[i] * ($w)[i])), 0)
+           |      AS BIGINT) AS idcg_e6, fr
+           |  FROM g)
+           |SELECT query_id, n_ranked, dcg_e6, idcg_e6,
+           |  CASE WHEN idcg_e6 = 0 THEN 0
+           |    ELSE CAST(dcg_e6 * 1000000 // idcg_e6 AS BIGINT)
+           |    END AS ndcg_e6,
+           |  CASE WHEN fr IS NULL THEN 0
+           |    ELSE CAST(1000000 // fr AS BIGINT) END AS mrr_e6
+           |FROM m ORDER BY query_id""".stripMargin
       },
 
       // split leakage: the shared minhash pair chain + the q49-style

@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ranking-quality metrics for the retrieval stack (BM25 / ANN / RRF):
+  * graded nDCG@k and MRR, evaluated the way a 100-TB pipeline must —
+  * per-query integer arithmetic over an already-computed top-k
+  * relation, no re-scoring, no floats that two engines could round
+  * apart.
+  *
+  * Integer discipline (the q126 lesson): the only irrational in nDCG
+  * is the 1/log₂(rank+1) position discount — it is computed ONCE with
+  * StrictMath into an e6-integer literal table and shipped verbatim to
+  * BOTH engines, so neither engine's libm ever touches it. DCG/IDCG
+  * are then exact integer sums; ndcg_e6 = dcg·10⁶ div idcg and
+  * mrr_e6 = 10⁶ div first_relevant_rank use truncating integer
+  * division (identical semantics in Spark `div` and DuckDB `//`,
+  * verified toward-zero in both).
+  *
+  * Scale shape: one groupBy over a ≤ k-rows-per-query relation —
+  * partial-izable, bounded, no windows; the weight table is a k-entry
+  * literal in the task closure.
+  */
+object RetrievalMetrics {
+
+  /** e6-integer DCG position discounts round(10⁶ / log₂(i+1)), i=1..k. */
+  def dcgWeightsE6(k: Int): Seq[Long] =
+    (1 to k).map(i => math.round(1e6 /
+      (StrictMath.log(i + 1.0) / StrictMath.log(2.0))))
+
+  /** Per-query (n_ranked, dcg_e6, idcg_e6, ndcg_e6, mrr_e6) over a
+    * 1-based-ranked relation with graded relevance. IDCG re-ranks the
+    * SAME graded relevances descending (the standard ideal-ordering
+    * normalization); a row counts as "relevant" for MRR at
+    * rel ≥ `minRelevant`. Queries whose ranking holds no relevant row
+    * get mrr_e6 = 0; an all-zero-relevance query gets ndcg_e6 = 0
+    * (0/0 → 0 by convention, guarded).
+    */
+  def ndcgMrr(ranked: DataFrame, queryCol: Column, rankCol: Column,
+              relCol: Column, k: Int, minRelevant: Long = 1L): DataFrame = {
+    val wLit = typedLit(dcgWeightsE6(k))
+    val terms = ranked.select(queryCol.as("query_id"),
+        rankCol.cast("int").as("rank"),
+        coalesce(relCol.cast("long"), lit(0L)).as("rel"))
+      .where(col("rank") <= k)
+    val per = terms.groupBy("query_id").agg(
+      count(lit(1)).as("n_ranked"),
+      sum(col("rel") * element_at(wLit, col("rank"))).as("dcg_e6"),
+      collect_list(col("rel")).as("__rels"),
+      min(when(col("rel") >= minRelevant, col("rank"))).as("__fr"))
+    val sortedRels = reverse(array_sort(col("__rels")))
+    per.select(col("query_id"), col("n_ranked"), col("dcg_e6"),
+        aggregate(
+          transform(sequence(lit(1), size(col("__rels"))),
+            i => element_at(sortedRels, i) * element_at(wLit, i)),
+          lit(0L), (acc, x) => acc + x).as("idcg_e6"),
+        col("__fr"))
+      .select(col("query_id"), col("n_ranked"), col("dcg_e6"),
+        col("idcg_e6"),
+        when(col("idcg_e6") === 0L, lit(0L))
+          .otherwise(expr("dcg_e6 * 1000000 div idcg_e6")).as("ndcg_e6"),
+        when(col("__fr").isNull, lit(0L))
+          .otherwise(expr("1000000 div __fr")).as("mrr_e6"))
+  }
+}

@@ -347,6 +347,32 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("retrieval metrics: hand-computed nDCG/MRR, guards for degenerate queries") {
+    import spark.implicits._
+    val w = graft.ops.RetrievalMetrics.dcgWeightsE6(4)
+    // q1: ideal order (rels descending) -> ndcg = 1; first rel>=1 at 1
+    // q2: best doc ranked LAST -> dcg != idcg, hand-computed
+    // q3: first relevant at rank 3 -> mrr = 1e6 div 3 = 333333
+    // q4: all-zero relevance -> idcg 0 -> ndcg 0, mrr 0
+    val rows = Seq(
+      (1L, 1, 2L), (1L, 2, 1L), (1L, 3, 0L),
+      (2L, 1, 1L), (2L, 2, 1L), (2L, 3, 2L),
+      (3L, 1, 0L), (3L, 2, 0L), (3L, 3, 1L),
+      (4L, 1, 0L), (4L, 2, 0L)
+    ).toDF("q", "rank", "rel")
+    val got = graft.ops.RetrievalMetrics.ndcgMrr(rows, col("q"),
+        col("rank"), col("rel"), k = 4, minRelevant = 1L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val d1 = 2 * w(0) + 1 * w(1)
+    assert(got(1L) == ((d1, d1, 1000000L, 1000000L)))
+    val d2 = 1 * w(0) + 1 * w(1) + 2 * w(2)
+    val i2 = 2 * w(0) + 1 * w(1) + 1 * w(2)
+    assert(got(2L) == ((d2, i2, d2 * 1000000L / i2, 1000000L)))
+    assert(got(3L)._4 == 333333L)
+    assert(got(4L) == ((0L, 0L, 0L, 0L)))
+  }
+
   test("boilerplate ngrams: within-doc repeats count once") {
     import spark.implicits._
     val docs = Seq(
