@@ -181,6 +181,16 @@ class DedupSimSpec extends SparkSpec {
     assert(m(("a", "c")) == ((2L, 2L, 0L, 0L)))
     assert(m(("b", "c")) == ((2L, 2L, 0L, 0L)))
     assert(m.size == 3)
+    // a source whose docs are ALL NULL-text must still appear (n = 0),
+    // never silently vanish from a "total" matrix
+    val withNull = d.unionByName(Seq((4L, "z", null.asInstanceOf[String]))
+      .toDF("id", "src", "text"))
+    val m2 = Dedup.sourceOverlapMatrix(withNull, col("src"), col("text"),
+        w = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(m2.size == 6) // 4 sources -> C(4,2) pairs, z included
+    assert(m2(("a", "z")) == ((2L, 0L, 0L, 0L)))
   }
 
   test("dup spans: corpus-wide k-token window repeats, incl. within-doc and short docs") {
