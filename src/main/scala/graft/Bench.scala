@@ -120,15 +120,17 @@ object Bench {
       (name, if (times.isEmpty) -1.0 else times.min, err)
     }
     // The driver captures only a bounded tail of stdout (~2.4 KB) and
-    // parses the JSON line out of it; r3's 66-query full-name map
-    // overflowed that window, and r9's 160-query line at 3-decimal
-    // precision overflowed it AGAIN (BENCH_r09 parsed=null — the tail
-    // began mid-line). Keep the contract line compact: short qNN keys,
-    // centisecond precision, single-value loadavgs — ~2.1 KB at 162
-    // queries — and write the full-name full-precision map to
-    // BENCH_FULL.json alongside for the audit trail. The line is also
-    // printed AFTER spark.stop() so nothing but sbt's one-line
-    // success trailer can land behind it in the tail window.
+    // parses the JSON line out of it, TRUNCATING FROM THE FRONT; the
+    // full 160+-query map line overflowed that window in r3, r9 AND r10
+    // (BENCH_r10's tail starts mid-map) — at ~12 bytes/query the map
+    // alone is ~2 KB and grows every round, so a full per-query map on
+    // stdout is structurally doomed. The contract line is therefore a
+    // COMPACT summary (~400 B): total + counts + the TOP-10 slowest
+    // queries (the rows a perf triage reads first) + a `map` pointer to
+    // BENCH_FULL.json, where the full-name full-precision per-query map
+    // lives. The line is printed AFTER spark.stop() so nothing but
+    // sbt's one-line success trailer can land behind it in the tail
+    // window.
     def shortKey(k: String): String = k.takeWhile(_ != '_')
     // explicit Locale.ROOT: under a comma-decimal default locale (de_DE)
     // f"$v%.3f" prints "1,234" and the contract line stops being JSON
@@ -136,9 +138,9 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def fmt2(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    val qs = results.map { case (k, v, err) =>
-      "\"" + shortKey(k) + "\":" + (if (err.isDefined) "-1" else fmt2(v))
-    }.mkString("{", ",", "}")
+    val qs = results.filter(_._3.isEmpty).sortBy(-_._2).take(10)
+      .map { case (k, v, _) => "\"" + shortKey(k) + "\":" + fmt2(v) }
+      .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) =>
       "\"" + shortKey(k) + "\":\"" + e + "\"" }.mkString("{", ",", "}")
     val ok = results.filter(_._3.isEmpty)
@@ -174,15 +176,16 @@ object Bench {
     // stop Spark BEFORE printing: the contract line must be the final
     // stdout line so the driver's bounded tail always contains it whole
     spark.stop()
-    val line = s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${results.size - ok.size},"runs":$runs,"warmup_failed":$warmupFailed,$ctxShort,"sf":"$sfDir"}"""
-    // ~2.1 KB at 165 queries vs a ~2.4 KB driver tail window; at
-    // roughly +10 queries/round the margin is one round deep — fail
-    // LOUDLY (stderr, not the contract line) before the driver
-    // silently loses the bench a third time (r3, r9)
-    if (line.length > 2300)
-      System.err.println(s"BENCH LINE ${line.length} B exceeds the ~2.4 KB " +
-        "driver tail budget — shrink the per-query encoding NOW " +
-        "(drop the q prefix, or split the map across a file)")
+    val line = s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qs,"errors":$errs,"n_queries":${results.size},"n_failed":${results.size - ok.size},"runs":$runs,"warmup_failed":$warmupFailed,"map":"$outFile",$ctxShort,"sf":"$sfDir"}"""
+    // hard budget: the summary-only encoding sits ~400 B at any query
+    // count (top-10 map + fixed fields), far inside the ~2.4 KB driver
+    // tail window — but if a future edit re-inflates it, fail LOUDLY
+    // (stderr, not the contract line) before the driver silently loses
+    // the bench a FOURTH time (r3, r9, r10)
+    if (line.length > 1200)
+      System.err.println(s"BENCH LINE ${line.length} B — the contract " +
+        "line must stay summary-only (~400 B); the full per-query map " +
+        s"belongs in $outFile, never on stdout")
     println(line)
   }
 }

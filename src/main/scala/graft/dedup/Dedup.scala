@@ -1010,9 +1010,24 @@ object Dedup {
     * high-cardinality grouping use [[kmvOverlap]] per pair instead.
     * Zero-intersection pairs are completed from the tiny size×size
     * cross so the matrix is total.
+    *
+    * The group-sized contract is ENFORCED, not advisory (the
+    * groupedRunningSum-gate convention): distinct sources are counted
+    * eagerly — one column-pruned pass, trivial next to the audit
+    * itself — and > `maxSources` fails loudly before any candidate
+    * pair is built. A caller passing `domain` as `src` would otherwise
+    * build Σ_g C(df_g, 2) pairs with df_g up to the domain count; the
+    * error routes them to [[kmvOverlap]].
     */
   def sourceOverlapMatrix(df: DataFrame, srcCol: Column, textCol: Column,
-                          w: Int = 3): DataFrame = {
+                          w: Int = 3, maxSources: Int = 1000): DataFrame = {
+    val nSrc = df.select(srcCol.as("src")).distinct().count()
+    require(nSrc <= maxSources,
+      s"sourceOverlapMatrix: $nSrc distinct sources exceeds " +
+        s"maxSources=$maxSources — the exact matrix is quadratic in " +
+        "sources (group-sized: sources, langs; not domains). For " +
+        "high-cardinality grouping use kmvOverlap per pair instead, " +
+        "or raise maxSources deliberately.")
     val sg = df.where(textCol.isNotNull)
       .select(srcCol.as("src"), explode(array_distinct(
         graft.functions.ShinglesExpr.shingle_strings(textCol, w)))

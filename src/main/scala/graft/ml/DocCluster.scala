@@ -48,8 +48,14 @@ object DocCluster {
     * float noise in either engine. A component with |x| ≥ 1e9
     * overflows the DECIMAL(18,9) cast and FAILS LOUDLY under the
     * engine's ANSI mode (SparkArithmeticException; the DuckDB twin
-    * raises the same cast error — spec-pinned), so corrupt embeddings
-    * can never silently land in cluster 0.
+    * raises the same cast error — spec-pinned). A NULL or
+    * shorter-than-dim vector (or a NULL component) is the OTHER way an
+    * embedding can be corrupt: zip_with pads the short side with null,
+    * the distance aggregate goes NULL, and struct ordering would sort
+    * the NULL dist first — silently assigning cluster 0. Guarded: a
+    * NULL aggregated distance raises (coalesce → raise_error names the
+    * vec id), so corrupt embeddings of EITHER kind fail loudly instead
+    * of landing in cluster 0.
     *
     * Scale shape: per-row arithmetic against a literal centroid table,
     * zero shuffle, no fit, no driver state — the assignment-only path
@@ -57,6 +63,7 @@ object DocCluster {
     */
   def assignFixed(emb: DataFrame, idCol: String, vecCol: String,
                   centroidsE9: Seq[Seq[Long]]): DataFrame = {
+    require(centroidsE9.nonEmpty, "assignFixed: at least one centroid")
     val dim = centroidsE9.head.length
     require(centroidsE9.forall(_.length == dim),
       "all centroids must share one dimensionality")
@@ -65,9 +72,17 @@ object DocCluster {
     val dists = centroidsE9.zipWithIndex.map { case (c, ci) =>
       val diffs = zip_with(col("__v"), typedLit(c), (a, b) =>
         (a - b).cast("decimal(19,0)") * (a - b).cast("decimal(19,0)"))
+      // coalesce → raise_error: the aggregate is NULL iff the vector
+      // was NULL, shorter than dim (zip_with null padding), or had a
+      // NULL component — every silent route into cluster 0
       struct(
-        aggregate(diffs, lit(0L).cast("decimal(38,0)"),
-          (acc, v) => (acc + v).cast("decimal(38,0)")).as("dist"),
+        coalesce(
+          aggregate(diffs, lit(0L).cast("decimal(38,0)"),
+            (acc, v) => (acc + v).cast("decimal(38,0)")),
+          raise_error(concat(
+            lit(s"assignFixed: NULL or shorter-than-$dim embedding at " +
+              "id="), col("vec_id").cast("string")))
+            .cast("decimal(38,0)")).as("dist"),
         lit(ci.toLong).as("cluster"))
     }
     emb.select(col(idCol).as("vec_id"), vE9.as("__v"))

@@ -110,13 +110,19 @@ object Rank {
     // localMaxVertices pattern, but with no extra scan): each
     // partition's subtotal map is capped. Rows are RANGE-partitioned
     // on (group, order), so each group occupies a CONTIGUOUS run of
-    // partitions and the total entry count is ≤ groups + nPartitions
-    // — an overflow therefore means the group cardinality genuinely
-    // exceeds the driver budget, and the prefix moves to the
-    // distributed fallback. Driver traffic is bounded at
-    // nPartitions · cap ≈ maxDriverSubtotals either way, and an
+    // partitions and the total entry count is ≤ groups + nPartitions.
+    // The budget is enforced GLOBALLY (Σ entries ≤ maxDriverSubtotals
+    // after collect); the per-partition cap carries an 8× fair-share
+    // slack so one skewed partition holding many distinct groups
+    // doesn't force the fallback while the global total is still well
+    // inside budget (it used to: cap = budget/nPartitions meant a
+    // partition with > fair-share groups bailed even at tiny global
+    // cardinality, and nPartitions > budget degenerated to cap = 1).
+    // Worst-case driver traffic stays bounded either way:
+    // ≤ min(8 · maxDriverSubtotals, nPartitions · cap) entries, and an
     // overflowing partition stops accumulating at the cap.
-    val cap = math.max(1L, maxDriverSubtotals / math.max(nPartitions, 1))
+    val cap = math.min(maxDriverSubtotals,
+      math.max(1L, 8L * maxDriverSubtotals / math.max(nPartitions, 1)))
     val partials: Array[(Int, Seq[(String, Long)], Boolean)] =
       rdd.mapPartitionsWithIndex { (pi, it) =>
         val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
@@ -131,7 +137,8 @@ object Rank {
         Iterator.single(
           (pi, if (over) Seq.empty[(String, Long)] else m.toSeq, over))
       }.collect()
-    if (partials.exists(_._3))
+    if (partials.exists(_._3) ||
+        partials.iterator.map(_._2.size.toLong).sum > maxDriverSubtotals)
       return groupedRunningSumDistributed(
         df.sparkSession, sorted, rdd, gIdx, vIdx, cumName)
     // prefix per group across partitions (partition order = range order)

@@ -345,6 +345,29 @@ class OpsSpec extends SparkSpec {
       graft.ml.DocCluster.assignFixed(corrupt, "vec_id", "embedding", cents)
         .collect()
     }
+    // the OTHER corruption routes into cluster 0 (ADVICE r10): a NULL
+    // vector or one SHORTER than dim null-pads under zip_with, the
+    // distance aggregate goes NULL, and NULL-first struct ordering
+    // would pick cluster 0 — both must raise instead
+    val short = Seq((10L, Seq(0.5f))).toDF("vec_id", "embedding")
+    val eShort = intercept[Exception] {
+      graft.ml.DocCluster.assignFixed(short, "vec_id", "embedding", cents)
+        .collect()
+    }
+    assert(eShort.getMessage.contains("assignFixed") ||
+      Option(eShort.getCause).exists(_.getMessage.contains("assignFixed")))
+    val nul = Seq((11L, null.asInstanceOf[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    intercept[Exception] {
+      graft.ml.DocCluster.assignFixed(nul, "vec_id", "embedding", cents)
+        .collect()
+    }
+    // caller-input mistake fails with a named require, not a bare
+    // NoSuchElementException from .head
+    val eEmpty = intercept[IllegalArgumentException] {
+      graft.ml.DocCluster.assignFixed(d, "vec_id", "embedding", Seq.empty)
+    }
+    assert(eEmpty.getMessage.contains("at least one centroid"))
   }
 
   test("retrieval metrics: hand-computed nDCG/MRR, guards for degenerate queries") {

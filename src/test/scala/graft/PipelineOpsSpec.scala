@@ -50,6 +50,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange SinglePartition"))
   }
 
+  test("groupedRunningSum: global budget survives nPartitions > budget") {
+    // ADVICE r10: the old per-partition cap (budget / nPartitions)
+    // degenerated to 1 whenever nPartitions > maxDriverSubtotals and a
+    // skewed partition forced the fallback even at tiny global
+    // cardinality. The budget is now global with per-partition slack;
+    // whatever path is taken, the result must equal the window oracle
+    // in the degenerate config too
+    val base = docs.select(col("doc_id"), col("source"),
+      col("n_chars").cast("long").as("v"))
+    val got = Rank.groupedRunningSum(base, col("source"), col("v"),
+        Seq(col("doc_id")), nPartitions = 13, cumName = "cum",
+        maxDriverSubtotals = 5L)
+      .select(col("doc_id"), col("cum"))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = base.select(col("doc_id"), sum("v").over(w).as("cum2"))
+    assert(got.join(want, Seq("doc_id"))
+      .where(col("cum") =!= col("cum2")).count() == 0)
+  }
+
   test("tokenBudget: caps each source, keeps a prefix of the hash order") {
     val kept = Sample.tokenBudget(docs, col("doc_id"), col("source"),
       col("text"), budget = 300L).collect()
