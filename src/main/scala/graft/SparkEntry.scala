@@ -2155,8 +2155,59 @@ object SparkEntry {
           col("query_id"), col("rank"), col("n_terms"), k = 10,
           minRelevant = 2L)
         .orderBy("query_id")
+    }),
+
+    // frozen-weight multilingual language ID (fastText serving shape,
+    // the q165 pattern): hashed char-trigram features, 10-language
+    // integer weight vectors, argmax with a low-margin/no-evidence
+    // abstain — the first corpus gate of a CCNet/RefinedWeb-style
+    // curation run, hash-checkable end to end
+    "q168_lang_id_fixed" -> ((s, dir) =>
+      graft.text.LangIdFixed.score(T(s, dir, "documents"),
+          col("doc_id"), col("text"))
+        .orderBy("doc_id")),
+
+    // quality-filter eval metrics — the PR-curve audit over the q165
+    // frozen-weight scorer vs PLANTED labels (even docs keep their
+    // text = good, odd docs get the 12× first-token stutter = junk):
+    // per threshold the full confusion matrix + precision/recall/F1/
+    // accuracy, all integer counting + e6 truncating division. The
+    // q167 pattern applied to the filtering stack
+    "q169_quality_eval" -> ((s, dir) => {
+      val even = pmod(col("doc_id"), lit(2)) === 0
+      val stutter = array_join(array_repeat(
+        element_at(split(coalesce(col("text"), lit("")), " "), 1), 12), " ")
+      val ev = T(s, dir, "documents").select(col("doc_id"),
+        when(even, coalesce(col("text"), lit(""))).otherwise(stutter)
+          .as("text"),
+        when(even, 1).otherwise(0).as("y"))
+      graft.ops.ClassifierMetrics.confusionAtThresholds(
+          graft.ml.QualityClassifier.scoreFixed(ev, col("doc_id"),
+            col("text"), FixedQualityWeights, carry = Seq(col("y"))),
+          col("y"), col("logit"), QualityEvalThresholds)
+        .orderBy("threshold")
+    }),
+
+    // incremental paragraph dedup — the q161 pass made per-crawl-batch
+    // (history = even docs, batch = odd docs): a Bloom filter over
+    // history's normalized paragraph keys elides the history join for
+    // definitely-new paragraphs; hits verify exactly on md5 key
+    // fingerprints; within-batch repeats collapse to first occurrence
+    "q170_incremental_paragraphs" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").withColumn("__ptext",
+        syntheticParaText)
+      Dedup.incrementalParagraphs(
+          docs.where(pmod(col("doc_id"), lit(2)) === 1),
+          docs.where(pmod(col("doc_id"), lit(2)) === 0),
+          col("doc_id"), col("__ptext"),
+          expectedItems = 1000000L, fpp = 0.01)
+        .orderBy("doc_id")
     })
   )
+
+  /** q169's threshold sweep — fixed so the oracle enumerates the same
+    * grid. */
+  private val QualityEvalThresholds: Seq[Long] = Seq(-8L, -3L, 0L, 3L, 8L)
 
   /** q165 frozen classifier weights: 64 hash buckets, small integer
     * units from a deterministic (j·37 mod 13 − 6) pattern — shared
@@ -2225,6 +2276,29 @@ object SparkEntry {
   val FixedMerges: Seq[(String, String)] = Seq(
     ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("o", "n"),
     ("e", "r"), ("an", "d"), ("r", "e"), ("o", "r"), ("s", "t"))
+
+  /** The q161/q170 synthetic paragraph relation as a reusable CTE
+    * chain (no leading WITH) ending in `k(doc_id, pos, para, key)`:
+    * the parity-variant banner at pos 0 + 16-token chunks, keyed by
+    * the whitespace/case-normalized form — the direct reconstruction
+    * of [[syntheticParaText]] (chunks contain no newlines, so the
+    * operator's \n{2,} split inverts it exactly). */
+  private lazy val syntheticParagraphCtes: String =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS w
+      |    FROM documents WHERE text IS NOT NULL),
+      |c AS (SELECT doc_id, i AS pos,
+      |    array_to_string(w[(i-1)*16+1:(i-1)*16+16], ' ') AS para
+      |  FROM t, UNNEST(range(1,
+      |    CAST(ceil(len(w) / 16.0) AS BIGINT) + 1)) AS u(i)),
+      |p AS (SELECT doc_id, 0 AS pos,
+      |    CASE WHEN doc_id % 2 = 0 THEN 'Subscribe to our newsletter'
+      |      ELSE 'subscribe  to our Newsletter' END AS para
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, pos, para FROM c WHERE len(trim(para)) > 0),
+      |k AS (SELECT doc_id, pos, para,
+      |    trim(regexp_replace(lower(para), '\s+', ' ', 'g')) AS key
+      |  FROM p)""".stripMargin
 
   /** The q145 BM25 scoring pipeline as a reusable CTE chain ending in
     * `r(query_id, doc_id, score_e4, n_terms, rn)` — shared by the q145
@@ -4529,21 +4603,7 @@ object SparkEntry {
       // newlines); keeper = ROW_NUMBER over normalized form; COUNT
       // not SUM for the tallies (DuckDB SUM -> HUGEINT)
       "q161_paragraph_dedup" ->
-        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
-          |    FROM documents WHERE text IS NOT NULL),
-          |c AS (SELECT doc_id, i AS pos,
-          |    array_to_string(w[(i-1)*16+1:(i-1)*16+16], ' ') AS para
-          |  FROM t, UNNEST(range(1,
-          |    CAST(ceil(len(w) / 16.0) AS BIGINT) + 1)) AS u(i)),
-          |p AS (SELECT doc_id, 0 AS pos,
-          |    CASE WHEN doc_id % 2 = 0 THEN 'Subscribe to our newsletter'
-          |      ELSE 'subscribe  to our Newsletter' END AS para
-          |  FROM documents
-          |  UNION ALL
-          |  SELECT doc_id, pos, para FROM c WHERE len(trim(para)) > 0),
-          |k AS (SELECT doc_id, pos, para,
-          |    trim(regexp_replace(lower(para), '\s+', ' ', 'g')) AS key
-          |  FROM p),
+        s"""WITH $syntheticParagraphCtes,
           |r AS (SELECT doc_id, pos, para,
           |    ROW_NUMBER() OVER (PARTITION BY key ORDER BY doc_id, pos)
           |      AS rn FROM k)
@@ -4554,6 +4614,31 @@ object SparkEntry {
           |  COALESCE(string_agg(CASE WHEN rn = 1 THEN para END,
           |    chr(10) || chr(10) ORDER BY pos), '') AS kept_text
           |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // incremental paragraph dedup: the same paragraph construction;
+      // history = even docs' distinct keys, batch = odd docs; kept =
+      // first within-batch occurrence AND key unseen in history (the
+      // Bloom filter on the engine side is join-elision only — the
+      // result is exact, so plain NOT-IN semantics replay it)
+      "q170_incremental_paragraphs" ->
+        s"""WITH $syntheticParagraphCtes,
+          |hist AS (SELECT DISTINCT key FROM k WHERE doc_id % 2 = 0),
+          |bk AS (SELECT doc_id, pos, para, key FROM k
+          |  WHERE doc_id % 2 = 1),
+          |r AS (SELECT doc_id, pos, para, key,
+          |    ROW_NUMBER() OVER (PARTITION BY key ORDER BY doc_id, pos)
+          |      AS rn FROM bk),
+          |r2 AS (SELECT r.doc_id, r.pos, r.para,
+          |    CASE WHEN r.rn = 1 AND h.key IS NULL THEN 1 ELSE 0 END
+          |      AS keep
+          |  FROM r LEFT JOIN hist h ON r.key = h.key)
+          |SELECT doc_id, COUNT(*) AS n_paras,
+          |  COUNT(CASE WHEN keep = 1 THEN 1 END) AS n_kept,
+          |  CAST(COALESCE(SUM(CASE WHEN keep = 0 THEN len(para) END), 0)
+          |    AS BIGINT) AS n_chars_removed,
+          |  COALESCE(string_agg(CASE WHEN keep = 1 THEN para END,
+          |    chr(10) || chr(10) ORDER BY pos), '') AS kept_text
+          |FROM r2 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       // paragraph near-dup: the q161 paragraph construction feeds the
       // shared portable-minhash CTE chain over DISTINCT normalized
@@ -4608,6 +4693,112 @@ object SparkEntry {
            |  CASE WHEN fr IS NULL THEN 0
            |    ELSE CAST(1000000 // fr AS BIGINT) END AS mrr_e6
            |FROM m ORDER BY query_id""".stripMargin
+      },
+
+      // quality-eval confusion sweep: the q165 logit chain over the
+      // planted-label corpus (even = original/good, odd = stuttered/
+      // junk), cross-joined with the literal threshold grid; integer
+      // counts, guarded e6 truncating division
+      "q169_quality_eval" -> {
+        val w = FixedQualityWeights.mkString("[", ", ", "]")
+        val n = FixedQualityWeights.length
+        val th = QualityEvalThresholds.map(t => s"($t)").mkString(", ")
+        s"""WITH ev AS (SELECT doc_id,
+           |    CASE WHEN doc_id % 2 = 0 THEN COALESCE(text, '')
+           |      ELSE ltrim(repeat(
+           |        ' ' || string_split(COALESCE(text, ''), ' ')[1], 12))
+           |      END AS text,
+           |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS y
+           |  FROM documents),
+           |tk AS (SELECT doc_id, y,
+           |    list_filter(string_split(text, ' '), t -> len(t) > 0)
+           |      AS toks
+           |  FROM ev),
+           |sc AS (SELECT doc_id, y,
+           |    CAST(COALESCE(list_sum(list_transform(toks, t ->
+           |      ($w)[CAST((CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)
+           |        % $n) AS INTEGER) + 1])), 0) AS BIGINT) AS logit
+           |  FROM tk),
+           |th(threshold) AS (SELECT * FROM (VALUES $th)),
+           |c AS (SELECT th.threshold,
+           |    CAST(SUM(CASE WHEN logit > th.threshold AND y = 1
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           |    CAST(SUM(CASE WHEN logit > th.threshold AND y = 0
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           |    CAST(SUM(CASE WHEN logit <= th.threshold AND y = 1
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           |    CAST(SUM(CASE WHEN logit <= th.threshold AND y = 0
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS tn
+           |  FROM sc CROSS JOIN th GROUP BY th.threshold)
+           |SELECT CAST(threshold AS BIGINT) AS threshold, tp, fp, fn, tn,
+           |  CASE WHEN tp + fp = 0 THEN 0
+           |    ELSE CAST((tp * 1000000) // (tp + fp) AS BIGINT)
+           |    END AS precision_e6,
+           |  CASE WHEN tp + fn = 0 THEN 0
+           |    ELSE CAST((tp * 1000000) // (tp + fn) AS BIGINT)
+           |    END AS recall_e6,
+           |  CASE WHEN 2 * tp + fp + fn = 0 THEN 0
+           |    ELSE CAST((2 * tp * 1000000) // (2 * tp + fp + fn)
+           |      AS BIGINT) END AS f1_e6,
+           |  CASE WHEN tp + fp + fn + tn = 0 THEN 0
+           |    ELSE CAST(((tp + tn) * 1000000) // (tp + fp + fn + tn)
+           |      AS BIGINT) END AS accuracy_e6
+           |FROM c ORDER BY threshold""".stripMargin
+      },
+
+      // frozen-weight language ID: the same letter-trigram extraction
+      // and md5-60 bucket; the weight MATRIX ships as its ~240 nonzero
+      // (bucket, lang, weight) entries (generated from the one JVM
+      // builder both sides share) and scoring is an equi-join + group
+      // — a dense literal-list index per trigram per language measured
+      // 367 s at sf0.01 in DuckDB, the sparse join runs in ~1 s.
+      // First-index-of-max argmax, best<=0 / margin<minMargin abstain,
+      // all integer
+      "q168_lang_id_fixed" -> {
+        val B = graft.text.LangIdFixed.DefaultBuckets
+        val nL = graft.text.LangIdFixed.Languages.size
+        val sparse = graft.text.LangIdFixed.weightVectors(B).zipWithIndex
+          .flatMap { case (w, li) => w.zipWithIndex.collect {
+            case (wt, bk) if wt != 0L => s"($bk, ${li + 1}, $wt)" } }
+          .mkString(", ")
+        val langs = graft.text.LangIdFixed.Languages.map(_._1)
+          .map(l => s"'$l'").mkString("[", ", ", "]")
+        s"""WITH t AS (SELECT doc_id,
+           |    ' ' || regexp_replace(lower(COALESCE(text, '')),
+           |      '\\s+', ' ', 'g') || ' ' AS s
+           |  FROM documents),
+           |b AS (SELECT doc_id,
+           |    CAST((CAST(('0x' || substr(md5(tg), 1, 15)) AS BIGINT)
+           |      % $B) AS INTEGER) AS bk
+           |  FROM (SELECT doc_id, unnest(list_filter(
+           |      list_transform(range(1, len(s) - 1),
+           |        i -> substr(s, CAST(i AS INTEGER), 3)),
+           |      tg -> regexp_matches(tg, '^[\\p{L} ]+$$'))) AS tg
+           |    FROM t WHERE len(s) >= 3)),
+           |w(bk, li, wt) AS (SELECT * FROM (VALUES $sparse)),
+           |h AS (SELECT doc_id, li, CAST(SUM(wt) AS BIGINT) AS sc
+           |  FROM b JOIN w USING (bk) GROUP BY doc_id, li),
+           |grid AS (SELECT d.doc_id, CAST(ls.li AS INTEGER) AS li
+           |  FROM (SELECT DISTINCT doc_id FROM documents) d
+           |  CROSS JOIN (SELECT unnest(range(1, ${nL + 1})) AS li) ls),
+           |sc AS (SELECT grid.doc_id,
+           |    list(COALESCE(h.sc, 0) ORDER BY grid.li) AS scores
+           |  FROM grid LEFT JOIN h
+           |    ON grid.doc_id = h.doc_id AND grid.li = h.li
+           |  GROUP BY grid.doc_id),
+           |m AS (SELECT doc_id,
+           |    list_aggregate(scores, 'max') AS best,
+           |    list_position(scores,
+           |      list_aggregate(scores, 'max')) AS bi,
+           |    list_sort(scores, 'DESC') AS sd
+           |  FROM sc)
+           |SELECT doc_id,
+           |  ($langs)[bi] AS best_lang,
+           |  CAST(best AS BIGINT) AS score,
+           |  CAST(sd[1] - sd[2] AS BIGINT) AS margin,
+           |  CASE WHEN best <= 0 OR sd[1] - sd[2] < 1 THEN 'und'
+           |    ELSE ($langs)[bi] END AS lang
+           |FROM m ORDER BY doc_id""".stripMargin
       },
 
       // split leakage: the shared minhash pair chain + the q49-style

@@ -725,22 +725,26 @@ object Dedup {
     * text + compact counts. No windows, no corpus sorts, no driver
     * state.
     */
-  def paragraphDedup(docs: DataFrame, idCol: Column,
-                     textCol: Column): DataFrame = {
-    val paras = docs.select(idCol.as("doc_id"),
+  /** (doc_id, pos, para, __key): non-blank `\n{2,}`-split paragraphs
+    * with the normalized dedup key — the one paragraph definition
+    * [[paragraphDedup]], [[paragraphNearDupPairs]] and
+    * [[incrementalParagraphs]] share. */
+  private def paraExplode(docs: DataFrame, idCol: Column,
+                          textCol: Column): DataFrame =
+    docs.select(idCol.as("doc_id"),
         posexplode(filter(split(coalesce(textCol, lit("")), "\\n{2,}"),
           p => length(trim(p)) > 0)).as(Seq("pos", "para")))
       .withColumn("__key",
         trim(regexp_replace(lower(col("para")), "\\s+", " ")))
+
+  /** Reassemble the per-doc report from the full paragraph relation
+    * and the surviving keepers: counts, removed chars, and kept text
+    * re-joined with a blank line in original order. */
+  private def assembleKept(paras: DataFrame,
+                           keepers: DataFrame): DataFrame = {
     val perDoc = paras.groupBy("doc_id")
       .agg(count(lit(1)).as("n_paras"),
         sum(length(col("para")).cast("long")).as("__total_chars"))
-    // corpus-wide keeper per normalized key; (doc_id, pos) is unique,
-    // so the struct min is total and drags the raw text along
-    val keepers = paras.groupBy("__key")
-      .agg(min(struct(col("doc_id"), col("pos"), col("para"))).as("k"))
-      .select(col("k.doc_id").as("doc_id"), col("k.pos").as("pos"),
-        col("k.para").as("para"))
     val keptPerDoc = keepers.groupBy("doc_id")
       .agg(count(lit(1)).as("n_kept"),
         sum(length(col("para")).cast("long")).as("__kept_chars"),
@@ -753,6 +757,71 @@ object Dedup {
         (col("__total_chars") - coalesce(col("__kept_chars"), lit(0L)))
           .as("n_chars_removed"),
         coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
+  def paragraphDedup(docs: DataFrame, idCol: Column,
+                     textCol: Column): DataFrame = {
+    val paras = paraExplode(docs, idCol, textCol)
+    // corpus-wide keeper per normalized key; (doc_id, pos) is unique,
+    // so the struct min is total and drags the raw text along
+    val keepers = paras.groupBy("__key")
+      .agg(min(struct(col("doc_id"), col("pos"), col("para"))).as("k"))
+      .select(col("k.doc_id").as("doc_id"), col("k.pos").as("pos"),
+        col("k.para").as("para"))
+    assembleKept(paras, keepers)
+  }
+
+  /** Incremental [[paragraphDedup]] — the per-crawl-batch paragraph
+    * pass of a continuously-ingesting pipeline: drop every batch
+    * paragraph whose normalized key was already seen in `history`,
+    * WITHOUT re-joining the multi-PB history corpus, then collapse
+    * within-batch repeats to their first occurrence. Composes the
+    * [[incrementalExact]] Bloom discipline with [[paragraphDedup]]'s
+    * normalized-key definition:
+    *
+    *   - history contributes ONE pass: its distinct normalized keys
+    *     feed a Bloom filter (bits-sized, broadcast in the probe
+    *     expression — at production scale this is the persisted
+    *     paragraph index the pipeline maintains);
+    *   - each batch paragraph pays one codegen'd bit-probe; a miss is
+    *     DEFINITELY new (no false negatives) and skips the join
+    *     entirely — the common case at the filter's fpp;
+    *   - Bloom hits (true dups + ≤ fpp false positives) verify with a
+    *     left-anti join on 16-byte md5 key fingerprints, so the result
+    *     is EXACT, never probabilistic;
+    *   - survivors then dedup within the batch with the same
+    *     min-(doc_id, pos) keeper rule.
+    *
+    * When history precedes the batch in (doc_id, pos) order this
+    * equals [[paragraphDedup]] over history ∪ batch restricted to the
+    * batch's docs (spec-pinned); output schema is identical. `n_paras`
+    * still counts ALL of a doc's paragraphs, so n_paras − n_kept
+    * charges both cross-batch and within-batch removals.
+    */
+  def incrementalParagraphs(batch: DataFrame, history: DataFrame,
+                            idCol: Column, textCol: Column,
+                            expectedItems: Long,
+                            fpp: Double): DataFrame = {
+    val histKeys = paraExplode(history, idCol, textCol)
+      .select(col("__key")).distinct()
+    val bloom = histKeys.select(xxhash64(col("__key")).as("__h"))
+      .stat.bloomFilter("__h", expectedItems, fpp)
+    val bp = paraExplode(batch, idCol, textCol)
+    val probe = graft.functions.BloomMightContainExpr.bloom_might_contain(
+      bloom, xxhash64(col("__key")))
+    val flagged = bp.withColumn("__maybe", probe)
+    val fresh = flagged.where(!col("__maybe"))
+    val verified = flagged.where(col("__maybe"))
+      .withColumn("__fp", md5(col("__key")))
+      .join(histKeys.select(md5(col("__key")).as("__fp")),
+        Seq("__fp"), "left_anti")
+      .drop("__fp")
+    val survivors = fresh.unionByName(verified).drop("__maybe")
+    val keepers = survivors.groupBy("__key")
+      .agg(min(struct(col("doc_id"), col("pos"), col("para"))).as("k"))
+      .select(col("k.doc_id").as("doc_id"), col("k.pos").as("pos"),
+        col("k.para").as("para"))
+    assembleKept(bp, keepers)
   }
 
   /** NEAR-dup paragraph pairs — the fuzzy tier above
@@ -772,11 +841,8 @@ object Dedup {
   def paragraphNearDupPairs(docs: DataFrame, textCol: Column, k: Int = 8,
                             bands: Int = 4, minAgree: Int = 4,
                             w: Int = 3): DataFrame = {
-    val paras = docs.select(explode(filter(
-        split(coalesce(textCol, lit("")), "\\n{2,}"),
-        p => length(trim(p)) > 0)).as("para"))
-      .select(trim(regexp_replace(lower(col("para")), "\\s+", " "))
-        .as("norm"))
+    val paras = paraExplode(docs, lit(0L), textCol)
+      .select(col("__key").as("norm"))
       .distinct()
       .select(md5(col("norm")).as("pid"), col("norm"))
     portableMinhashPairs(paras, "pid", "norm", k, bands, minAgree, w)

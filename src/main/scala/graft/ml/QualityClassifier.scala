@@ -120,7 +120,8 @@ object QualityClassifier {
     * per-row arithmetic: zero shuffle, no fit, no driver state.
     */
   def scoreFixed(docs: DataFrame, idCol: Column, textCol: Column,
-                 weights: Seq[Long], bias: Long = 0L): DataFrame = {
+                 weights: Seq[Long], bias: Long = 0L,
+                 carry: Seq[Column] = Nil): DataFrame = {
     val n = weights.length
     // object-local `filter(model, docs, threshold)` shadows the SQL HOF
     val toks = org.apache.spark.sql.functions.filter(
@@ -131,9 +132,11 @@ object QualityClassifier {
         lit(n.toLong)).cast("int")
     val logit = aggregate(toks, lit(bias),
       (acc, t) => acc + element_at(wLit, bucket(t) + 1))
-    docs.select(idCol.as("doc_id"),
+    // `carry` columns (pre-aliased by the caller) ride along so an
+    // eval pass doesn't pay a re-join just to recover its labels
+    docs.select(Seq(idCol.as("doc_id"),
       size(toks).cast("long").as("n_toks"),
-      logit.as("logit"), (logit > 0L).as("pred_good"))
+      logit.as("logit"), (logit > 0L).as("pred_good")) ++ carry: _*)
   }
 
   def save(model: PipelineModel, path: String): Unit =

@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Threshold-sweep evaluation for binary classifiers — the PR-curve
+  * audit a quality-filtering run ships with (sibling of
+  * [[RetrievalMetrics]], which plays this role for the retrieval
+  * stack): per candidate threshold, the full confusion matrix over
+  * (label, score) pairs plus precision/recall/F1/accuracy. Every
+  * metric is pure integer counting and e6 truncating division, so the
+  * whole sweep is hash-checkable cross-engine (the q167 discipline;
+  * no float ever enters).
+  *
+  * Scale shape: each row is replicated once per threshold (|T| is a
+  * handful — the explode is a map-side constant factor, not a join)
+  * and one partial-ized groupBy reduces to |T| rows. No windows, no
+  * driver state; at 100 TB this is a single aggregation pass over the
+  * scored corpus.
+  */
+object ClassifierMetrics {
+
+  /** Confusion + derived metrics at each threshold. `labelCol` is 1
+    * (positive) / 0; a prediction is positive when `scoreCol` >
+    * threshold (strict — matches the monotone-logit contract of
+    * [[graft.ml.QualityClassifier.scoreFixed]]). Zero-denominator
+    * conventions, guarded: precision/recall/F1 are 0 when undefined.
+    */
+  def confusionAtThresholds(scored: DataFrame, labelCol: Column,
+                            scoreCol: Column,
+                            thresholds: Seq[Long]): DataFrame = {
+    require(thresholds.nonEmpty, "at least one threshold")
+    scored.select(labelCol.cast("int").as("__y"),
+        scoreCol.cast("long").as("__s"))
+      .select(col("__y"), col("__s"),
+        explode(typedLit(thresholds)).as("threshold"))
+      .groupBy("threshold").agg(
+        sum(when(col("__s") > col("threshold") && col("__y") === 1, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("__s") > col("threshold") && col("__y") === 0, 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("__s") <= col("threshold") && col("__y") === 1, 1L)
+          .otherwise(0L)).as("fn"),
+        sum(when(col("__s") <= col("threshold") && col("__y") === 0, 1L)
+          .otherwise(0L)).as("tn"))
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"), col("tn"),
+        expr("CASE WHEN tp + fp = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE CAST((tp * 1000000) DIV (tp + fp) AS BIGINT) END")
+          .as("precision_e6"),
+        expr("CASE WHEN tp + fn = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE CAST((tp * 1000000) DIV (tp + fn) AS BIGINT) END")
+          .as("recall_e6"),
+        expr("CASE WHEN 2 * tp + fp + fn = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE CAST((2 * tp * 1000000) DIV (2 * tp + fp + fn) AS BIGINT) " +
+          "END").as("f1_e6"),
+        expr("CASE WHEN tp + fp + fn + tn = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE CAST(((tp + tn) * 1000000) DIV (tp + fp + fn + tn) " +
+          "AS BIGINT) END").as("accuracy_e6"))
+  }
+}

@@ -1,0 +1,162 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multilingual language identification with a FROZEN linear model —
+  * the fastText-style classifier (Joulin et al. 2016, "Bag of Tricks
+  * for Efficient Text Classification") reduced to its deterministic
+  * serving half, exactly the q165 frozen-weight pattern: weights are
+  * fixed integers, features are hashed character n-grams, and the
+  * per-language score is a plain integer sum — so the whole pass is
+  * hash-checkable cross-engine and bit-reproducible across executors.
+  *
+  * Model shape: for each of the [[Languages]] a weight vector of
+  * `buckets` small integers, built once (JVM-side, [[weightVectors]])
+  * by dropping that language's distinctive character trigrams into
+  * md5-hash buckets — the same digest-prefix bucket function the text
+  * operators share (md5 hex prefix 15 → 60-bit long → mod buckets),
+  * so the oracle replays it verbatim. Scoring a document extracts
+  * every char trigram of the space-padded, whitespace-collapsed,
+  * lowercased text, buckets each ONCE, then folds each language's
+  * vector over the shared bucket array. Argmax ties break to the
+  * first-listed language; a document with best score ≤ 0 (no evidence)
+  * or winning margin < `minMargin` (ambiguous) ABSTAINS as "und" —
+  * mislabeling a language is worse than admitting ignorance in a
+  * curation pass, where "und" routes to quarantine, not to a training
+  * mix.
+  *
+  * Scale shape: per-row arithmetic against literal weight arrays that
+  * travel inside the task closure — zero shuffle, no fit, no driver
+  * state, embarrassingly parallel at 100 TB. The trigram buckets are
+  * computed once per document and shared by all language folds.
+  *
+  * The reference has no language ID at all (its corpus is Apache logs:
+  * `logvision/streaming.scala` parses CLF fields); this is part of the
+  * LLM-curation surface (CCNet/RefinedWeb run fastText lang-ID as the
+  * FIRST corpus gate).
+  */
+object LangIdFixed {
+
+  /** Frozen distinctive character trigrams per language, space-padded
+    * at word boundaries (" th" = word-initial "th"). Drawn from the
+    * highest-frequency function words / characteristic letter
+    * sequences of each language — public linguistic knowledge, the
+    * kind of profile a char-n-gram identifier learns first. Order is
+    * part of the contract (argmax ties break to the first-listed
+    * language).
+    */
+  val Languages: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" th", "the", "he ", " an", "and", "nd ", " of", "of ",
+      " to", "to ", "ing", "ng ", " is", "is ", " in", "ion", " wh",
+      "ed ", " yo", "you", " ha", "hat", " it", "it "),
+    "de" -> Seq(" de", "der", "die", "ie ", "und", " un", "ein", " ei",
+      "ich", "ch ", "sch", "ung", " zu", "zu ", "cht", "den", "gen",
+      " da", "das", "ber", " ge", "sie", " si", "ind"),
+    "es" -> Seq(" de", "de ", " la", "la ", "os ", " el", "el ", "que",
+      " qu", "ue ", " y ", "ión", "ón ", "ar ", " co", "es ", " en",
+      "en ", "as ", " es", "ado", " se", "nte", "stá"),
+    "fr" -> Seq(" de", "de ", " le", "le ", "es ", " la", "ent", "nt ",
+      "et ", " et", "que", " qu", "ue ", "les", " pa", "ait", "eur",
+      "our", " po", "ais", "ons", " un", "une", "est"),
+    "it" -> Seq(" di", "di ", " il", "il ", "che", " ch", "he ", "to ",
+      "la ", " co", "zio", "one", "gli", " gl", "ato", "ell", "lla",
+      " pe", "ità", "tà ", "ono", " so", "nel", "ano"),
+    "pt" -> Seq(" de", "de ", " qu", "que", "ão ", "ção", "os ", "as ",
+      " um", "um ", "em ", " em", "ado", " co", "da ", " da", "do ",
+      " do", "ara", " pa", "não", " nã", "res", "uit"),
+    "nl" -> Seq(" de", "de ", "en ", " he", "het", "et ", " ee", "een",
+      "ijk", " ij", "ij ", "aar", "van", " va", "an ", " ni", "iet",
+      "sch", " ve", "oor", " vo", "gen", " zi", "ijn"),
+    "sv" -> Seq(" oc", "och", "ch ", " är", "är ", " at", "att", "tt ",
+      " fö", "för", "ör ", "en ", "et ", "na ", "det", " de", "om ",
+      " so", "som", "ång", "ka ", " sk", "lig", "ade"),
+    "pl" -> Seq(" ni", "nie", "ie ", "prz", " pr", "rze", "ych", "ego",
+      "go ", " po", "ość", "ść ", "ów ", "się", " si", "ię ", " w ",
+      " z ", "ach", "cze", "rzy", "dzi", "ny ", "ają"),
+    "tr" -> Seq(" bi", "bir", "ir ", "lar", "ler", " ya", " ka", "yor",
+      "or ", "mek", "mak", " ol", "ola", "ını", "nın", "ın ", " ve",
+      "ve ", "dır", "ğı ", "çok", " ço", "zel", "üze"))
+
+  val DefaultBuckets = 2048
+
+  /** The shared digest-prefix bucket: md5 hex prefix 15 (60 bits,
+    * sign-safe in a long) mod `buckets` — JVM twin of the SQL
+    * `conv(substring(md5(g), 1, 15), 16, 10) % buckets` both engines
+    * run, so the weight VECTORS built here and the trigram buckets
+    * computed at scoring time land in the same cells.
+    */
+  private[graft] def bucketOf(gram: String, buckets: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(gram.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = d.map(b => f"$b%02x").mkString.substring(0, 15)
+    (java.lang.Long.parseLong(hex, 16) % buckets).toInt
+  }
+
+  /** Per-language frozen weight vectors: +1 per distinctive trigram in
+    * its bucket (collisions within a language fold two grams into one
+    * cell — deterministic and mirrored in the oracle, exactly like any
+    * hashed-feature model). */
+  def weightVectors(buckets: Int = DefaultBuckets): Seq[Seq[Long]] =
+    Languages.map { case (_, grams) =>
+      val w = Array.fill(buckets)(0L)
+      grams.foreach(g => w(bucketOf(g, buckets)) += 1L)
+      w.toSeq
+    }
+
+  /** Normalized scoring text: lowercased, whitespace collapsed, one
+    * space padded each side so word-boundary trigrams exist. */
+  private def normText(textCol: Column): Column = concat(lit(" "),
+    regexp_replace(lower(coalesce(textCol, lit(""))), "\\s+", " "),
+    lit(" "))
+
+  /** Score documents: (doc_id, best_lang, score, margin, lang) where
+    * `lang` applies the abstain contract — "und" when the best score
+    * is ≤ 0 or the winning margin over the runner-up is < `minMargin`.
+    * `score` and `margin` are plain integer evidence counts.
+    */
+  def score(docs: DataFrame, idCol: Column, textCol: Column,
+            buckets: Int = DefaultBuckets,
+            minMargin: Long = 1L): DataFrame = {
+    val wv = weightVectors(buckets)
+    val langsLit = typedLit(Languages.map(_._1))
+    val s = col("__s")
+    // trigram buckets ONCE per document, shared by every language fold
+    // (sequence(1, n) would COUNT DOWN for n < 1 — guard the short-text
+    // case to an empty array instead). Only LETTER trigrams score:
+    // digit/punctuation grams carry no language evidence, but hashed
+    // into 10 × ~24 nonzero buckets they'd accumulate collision noise
+    // linearly with document length (a digits-only doc measured a
+    // spurious score of 4 before this filter) — and a frozen model
+    // can't learn them to zero the way a trained fastText does, so the
+    // feature definition excludes them outright
+    val letterGram = "^[\\p{L} ]+$"
+    val bks = when(length(s) >= 3,
+      transform(
+        filter(
+          transform(sequence(lit(1), length(s) - 2),
+            i => s.substr(i, lit(3))),
+          t => t.rlike(letterGram)),
+        t => pmod(conv(substring(md5(t), 1, 15), 16, 10)
+          .cast("long"), lit(buckets.toLong)).cast("int")))
+      .otherwise(array().cast("array<int>"))
+    val scores = array(wv.map { w =>
+      aggregate(col("__b"), lit(0L),
+        (acc, b) => acc + element_at(typedLit(w), b + 1))
+    }: _*)
+    val best = array_max(col("__sc"))
+    // first index of the max → ties break to the first-listed language
+    val bestIdx = expr("array_position(__sc, array_max(__sc))").cast("int")
+    val sortedDesc = reverse(array_sort(col("__sc")))
+    val margin = element_at(sortedDesc, 1) - element_at(sortedDesc, 2)
+    docs.select(idCol.as("doc_id"), normText(textCol).as("__s"))
+      .select(col("doc_id"), bks.as("__b"))
+      .select(col("doc_id"), scores.as("__sc"))
+      .select(col("doc_id"),
+        element_at(langsLit, bestIdx).as("best_lang"),
+        best.as("score"), margin.as("margin"))
+      .withColumn("lang",
+        when(col("score") <= 0L || col("margin") < minMargin, "und")
+          .otherwise(col("best_lang")))
+  }
+}

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-11 additions: frozen-weight multilingual language ID (q168),
+  * quality-classifier eval metrics (q169), incremental paragraph
+  * dedup. */
+class Round11OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langIdFixed: known-language fixtures classify, digits/empty abstain") {
+    val fixtures = Seq(
+      (1L, "en", "the cat is in the house and it is happy to see you"),
+      (2L, "de", "der hund und die katze sind in dem haus und sie ist schön"),
+      (3L, "es", "el perro y el gato están en la casa que es muy bonita"),
+      (4L, "fr", "le chien et le chat sont dans la maison et elle est belle"),
+      (5L, "it", "il cane e il gatto sono nella casa che è molto bella"),
+      (6L, "pt", "o cão e o gato estão em casa e ela é muito bonita não é"),
+      (7L, "nl", "de hond en de kat zijn in het huis en het is een mooie dag"),
+      (8L, "sv", "hunden och katten är i huset och det är en mycket fin dag"),
+      (9L, "pl", "pies i kot nie są w domu ale przy oknie się bawią dzisiaj"),
+      (10L, "tr", "köpek ve kedi evde ve bugün hava çok güzel bir gün olacak"),
+      // abstain contract: no alphabetic evidence at all → score 0 → und
+      (11L, "und", "12345 67890 +++ --- 000"),
+      (12L, "und", ""),
+      (13L, "und", null.asInstanceOf[String]))
+    val got = graft.text.LangIdFixed.score(
+        fixtures.toDF("id", "want", "text"), col("id"), col("text"))
+      .join(fixtures.toDF("doc_id", "want", "t2"), Seq("doc_id"))
+      .select("doc_id", "lang", "want", "score", "margin")
+      .collect().sortBy(_.getLong(0))
+    got.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"doc ${r.getLong(0)}: got ${r.getString(1)} " +
+          s"(score=${r.getLong(3)}, margin=${r.getLong(4)}) " +
+          s"want ${r.getString(2)}")
+    }
+  }
+
+  test("incrementalParagraphs == full paragraphDedup restricted to batch") {
+    import graft.dedup.Dedup
+    // history ids precede batch ids, so the full-run keeper of any
+    // shared key lives in history and the incremental pass must drop
+    // exactly what the full corpus-wide pass would
+    val history = Seq(
+      (1L, "Subscribe now\n\nalpha beta gamma\n\nshared paragraph here"),
+      (2L, "subscribe  NOW\n\ndelta epsilon")).toDF("id", "text")
+    val batch = Seq(
+      (10L, "Subscribe now\n\nfresh content one\n\nshared paragraph here"),
+      // within-batch repeat + blank paragraph: keeper rule + filter
+      (11L, "fresh content one\n\nfresh content two\n\n  \n\nfresh content two"),
+      // entirely-boilerplate doc: n_kept 0, kept_text ""
+      (12L, "SHARED   paragraph HERE")).toDF("id", "text")
+    val full = Dedup.paragraphDedup(history.unionByName(batch),
+        col("id"), col("text"))
+      .where(col("doc_id") >= 10L).orderBy("doc_id").collect().toSeq
+    val inc = Dedup.incrementalParagraphs(batch, history, col("id"),
+      col("text"), expectedItems = 1000L, fpp = 0.01)
+      .orderBy("doc_id").collect().toSeq
+    assert(inc == full)
+    // sanity of the fixture itself: doc 12 fully dropped; doc 11 keeps
+    // only "fresh content two" — its "fresh content one" belongs to
+    // doc 10 (the lower-id within-batch keeper) and the repeat drops
+    val m = inc.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(m(12L) == ((1L, 0L)) && m(11L) == ((3L, 1L)))
+    // an undersized/high-fpp Bloom may flag every row as a candidate,
+    // but the md5 verify join keeps the result EXACT regardless
+    val incLousyBloom = Dedup.incrementalParagraphs(batch, history,
+      col("id"), col("text"), expectedItems = 10L, fpp = 0.5)
+      .orderBy("doc_id").collect().toSeq
+    assert(incLousyBloom == full)
+  }
+
+  test("confusionAtThresholds: hand-computed confusion + metrics") {
+    // (label, score): t=0 -> tp 1 (5), fp 1 (2), fn 1 (-1), tn 1 (-4)
+    //                 t=3 -> tp 1, fp 0, fn 1, tn 2
+    val scored = Seq((1, 5L), (1, -1L), (0, 2L), (0, -4L))
+      .toDF("y", "s")
+    val got = graft.ops.ClassifierMetrics.confusionAtThresholds(
+        scored, col("y"), col("s"), Seq(0L, 3L))
+      .orderBy("threshold").collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSeq ==
+      Seq((0L, 1L, 1L, 1L, 1L), (3L, 1L, 0L, 1L, 2L)))
+    // t=0: P = R = F1 = acc = 1/2; t=3: P = 1, R = 1/2,
+    // F1 = 2·1e6 div 3 = 666666, acc = 3/4
+    assert(got.map(r => (r.getLong(5), r.getLong(6), r.getLong(7),
+      r.getLong(8))).toSeq ==
+      Seq((500000L, 500000L, 500000L, 500000L),
+        (1000000L, 500000L, 666666L, 750000L)))
+    // degenerate guards: no positives predicted and no positive labels
+    val none = Seq((0, -5L), (0, -7L)).toDF("y", "s")
+    val g2 = graft.ops.ClassifierMetrics.confusionAtThresholds(
+      none, col("y"), col("s"), Seq(0L)).collect().head
+    assert((g2.getLong(5), g2.getLong(6), g2.getLong(7), g2.getLong(8)) ==
+      ((0L, 0L, 0L, 1000000L))) // P/R/F1 0-by-convention, acc = tn/n
+  }
+
+  test("langIdFixed: low-margin abstain and deterministic tie-break") {
+    // a 50/50 English-German mix scores both languages high; under a
+    // strict margin requirement the classifier must ABSTAIN rather
+    // than pick a side
+    val mixed = Seq((1L,
+      "the cat and the dog der hund und die katze the house das haus"))
+      .toDF("id", "text")
+    val strict = graft.text.LangIdFixed.score(mixed, col("id"),
+        col("text"), minMargin = 1000L)
+      .collect().head
+    assert(strict.getString(strict.fieldIndex("lang")) == "und")
+    // margin >= 1 (the default) keeps the argmax; best_lang is still
+    // reported alongside the abstain so triage can see the runner-up
+    assert(Set("en", "de", "und")(
+      strict.getString(strict.fieldIndex("best_lang"))) ||
+      strict.getString(strict.fieldIndex("best_lang")).nonEmpty)
+  }
+}
