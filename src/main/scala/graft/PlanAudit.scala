@@ -113,7 +113,9 @@ object PlanAudit {
     "q152_hybrid_rrf" ->
       "inherited q145 corpus-stats scalar agg: one partial row per task",
     "q167_retrieval_ndcg" ->
-      "inherited q145 corpus-stats scalar agg: one partial row per task"
+      "inherited q145 corpus-stats scalar agg: one partial row per task",
+    "q171_language_mix" ->
+      "share window runs on the <=|langs|+1 per-language rollup rows"
     // q129_zipf_slope funnels through a bounded top-30 head (limit +
     // rank window + OLS agg) but plans as TakeOrdered without an
     // explicit SinglePartition exchange, so it needs no entry here

@@ -2202,6 +2202,24 @@ object SparkEntry {
           col("doc_id"), col("__ptext"),
           expectedItems = 1000000L, fpp = 0.01)
         .orderBy("doc_id")
+    }),
+
+    // language-mix audit — the histogram the q168 gate reports before
+    // a mixing decision: per assigned language, doc count, corpus
+    // share (e6 truncating division over the ≤|langs|-row rollup —
+    // the q98 window-on-rollup shape), and the summed evidence/margin
+    // mass that says how confident the bucket is
+    "q171_language_mix" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.text.LangIdFixed.score(T(s, dir, "documents"),
+          col("doc_id"), col("text"))
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"),
+          sum("score").as("sum_score"), sum("margin").as("sum_margin"))
+        .withColumn("share_e6", expr(
+          "CAST((n_docs * 1000000) DIV (SUM(n_docs) OVER ()) AS BIGINT)"))
+        .select(col("lang"), col("n_docs"), col("share_e6"),
+          col("sum_score"), col("sum_margin"))
+        .orderBy("lang")
     })
   )
 
@@ -2276,6 +2294,58 @@ object SparkEntry {
   val FixedMerges: Seq[(String, String)] = Seq(
     ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("o", "n"),
     ("e", "r"), ("an", "d"), ("r", "e"), ("o", "r"), ("s", "t"))
+
+  /** The q168/q171 frozen-weight language-ID scoring as a reusable CTE
+    * chain (no leading WITH) ending in
+    * `lid(doc_id, best_lang, score, margin, lang)`. The weight matrix
+    * ships as its nonzero (bucket, lang, weight) entries from the one
+    * JVM builder the engine side also uses. */
+  private lazy val langIdCtes: String = {
+    val B = graft.text.LangIdFixed.DefaultBuckets
+    val nL = graft.text.LangIdFixed.Languages.size
+    val sparse = graft.text.LangIdFixed.weightVectors(B).zipWithIndex
+      .flatMap { case (w, li) => w.zipWithIndex.collect {
+        case (wt, bk) if wt != 0L => s"($bk, ${li + 1}, $wt)" } }
+      .mkString(", ")
+    val langs = graft.text.LangIdFixed.Languages.map(_._1)
+      .map(l => s"'$l'").mkString("[", ", ", "]")
+    s"""t AS (SELECT doc_id,
+       |    ' ' || regexp_replace(lower(COALESCE(text, '')),
+       |      '\\s+', ' ', 'g') || ' ' AS s
+       |  FROM documents),
+       |b AS (SELECT doc_id,
+       |    CAST((CAST(('0x' || substr(md5(tg), 1, 15)) AS BIGINT)
+       |      % $B) AS INTEGER) AS bk
+       |  FROM (SELECT doc_id, unnest(list_filter(
+       |      list_transform(range(1, len(s) - 1),
+       |        i -> substr(s, CAST(i AS INTEGER), 3)),
+       |      tg -> regexp_matches(tg, '^[\\p{L} ]+$$'))) AS tg
+       |    FROM t WHERE len(s) >= 3)),
+       |w(bk, li, wt) AS (SELECT * FROM (VALUES $sparse)),
+       |h AS (SELECT doc_id, li, CAST(SUM(wt) AS BIGINT) AS sc
+       |  FROM b JOIN w USING (bk) GROUP BY doc_id, li),
+       |grid AS (SELECT d.doc_id, CAST(ls.li AS INTEGER) AS li
+       |  FROM (SELECT DISTINCT doc_id FROM documents) d
+       |  CROSS JOIN (SELECT unnest(range(1, ${nL + 1})) AS li) ls),
+       |sc AS (SELECT grid.doc_id,
+       |    list(COALESCE(h.sc, 0) ORDER BY grid.li) AS scores
+       |  FROM grid LEFT JOIN h
+       |    ON grid.doc_id = h.doc_id AND grid.li = h.li
+       |  GROUP BY grid.doc_id),
+       |m AS (SELECT doc_id,
+       |    list_aggregate(scores, 'max') AS best,
+       |    list_position(scores,
+       |      list_aggregate(scores, 'max')) AS bi,
+       |    list_sort(scores, 'DESC') AS sd
+       |  FROM sc),
+       |lid AS (SELECT doc_id,
+       |  ($langs)[bi] AS best_lang,
+       |  CAST(best AS BIGINT) AS score,
+       |  CAST(sd[1] - sd[2] AS BIGINT) AS margin,
+       |  CASE WHEN best <= 0 OR sd[1] - sd[2] < 1 THEN 'und'
+       |    ELSE ($langs)[bi] END AS lang
+       |FROM m)""".stripMargin
+  }
 
   /** The q161/q170 synthetic paragraph relation as a reusable CTE
     * chain (no leading WITH) ending in `k(doc_id, pos, para, key)`:
@@ -4754,52 +4824,24 @@ object SparkEntry {
       // 367 s at sf0.01 in DuckDB, the sparse join runs in ~1 s.
       // First-index-of-max argmax, best<=0 / margin<minMargin abstain,
       // all integer
-      "q168_lang_id_fixed" -> {
-        val B = graft.text.LangIdFixed.DefaultBuckets
-        val nL = graft.text.LangIdFixed.Languages.size
-        val sparse = graft.text.LangIdFixed.weightVectors(B).zipWithIndex
-          .flatMap { case (w, li) => w.zipWithIndex.collect {
-            case (wt, bk) if wt != 0L => s"($bk, ${li + 1}, $wt)" } }
-          .mkString(", ")
-        val langs = graft.text.LangIdFixed.Languages.map(_._1)
-          .map(l => s"'$l'").mkString("[", ", ", "]")
-        s"""WITH t AS (SELECT doc_id,
-           |    ' ' || regexp_replace(lower(COALESCE(text, '')),
-           |      '\\s+', ' ', 'g') || ' ' AS s
-           |  FROM documents),
-           |b AS (SELECT doc_id,
-           |    CAST((CAST(('0x' || substr(md5(tg), 1, 15)) AS BIGINT)
-           |      % $B) AS INTEGER) AS bk
-           |  FROM (SELECT doc_id, unnest(list_filter(
-           |      list_transform(range(1, len(s) - 1),
-           |        i -> substr(s, CAST(i AS INTEGER), 3)),
-           |      tg -> regexp_matches(tg, '^[\\p{L} ]+$$'))) AS tg
-           |    FROM t WHERE len(s) >= 3)),
-           |w(bk, li, wt) AS (SELECT * FROM (VALUES $sparse)),
-           |h AS (SELECT doc_id, li, CAST(SUM(wt) AS BIGINT) AS sc
-           |  FROM b JOIN w USING (bk) GROUP BY doc_id, li),
-           |grid AS (SELECT d.doc_id, CAST(ls.li AS INTEGER) AS li
-           |  FROM (SELECT DISTINCT doc_id FROM documents) d
-           |  CROSS JOIN (SELECT unnest(range(1, ${nL + 1})) AS li) ls),
-           |sc AS (SELECT grid.doc_id,
-           |    list(COALESCE(h.sc, 0) ORDER BY grid.li) AS scores
-           |  FROM grid LEFT JOIN h
-           |    ON grid.doc_id = h.doc_id AND grid.li = h.li
-           |  GROUP BY grid.doc_id),
-           |m AS (SELECT doc_id,
-           |    list_aggregate(scores, 'max') AS best,
-           |    list_position(scores,
-           |      list_aggregate(scores, 'max')) AS bi,
-           |    list_sort(scores, 'DESC') AS sd
-           |  FROM sc)
-           |SELECT doc_id,
-           |  ($langs)[bi] AS best_lang,
-           |  CAST(best AS BIGINT) AS score,
-           |  CAST(sd[1] - sd[2] AS BIGINT) AS margin,
-           |  CASE WHEN best <= 0 OR sd[1] - sd[2] < 1 THEN 'und'
-           |    ELSE ($langs)[bi] END AS lang
-           |FROM m ORDER BY doc_id""".stripMargin
-      },
+      "q168_lang_id_fixed" ->
+        s"""WITH $langIdCtes
+           |SELECT doc_id, best_lang, score, margin, lang
+           |FROM lid ORDER BY doc_id""".stripMargin,
+
+      // language mix: the shared lang-ID chain rolled up per assigned
+      // language; share over the rollup total, truncating e6
+      "q171_language_mix" ->
+        s"""WITH $langIdCtes,
+           |g AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |    CAST(SUM(score) AS BIGINT) AS sum_score,
+           |    CAST(SUM(margin) AS BIGINT) AS sum_margin
+           |  FROM lid GROUP BY lang)
+           |SELECT lang, n_docs,
+           |  CAST((n_docs * 1000000) // (SELECT SUM(n_docs) FROM g)
+           |    AS BIGINT) AS share_e6,
+           |  sum_score, sum_margin
+           |FROM g ORDER BY lang""".stripMargin,
 
       // split leakage: the shared minhash pair chain + the q49-style
       // portable hash split, both labels joined back by id

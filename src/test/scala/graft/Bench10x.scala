@@ -27,9 +27,13 @@ import org.apache.spark.sql.functions._
   */
 object Bench10x {
 
-  private val Targets: Seq[String] =
+  /** Every registered query from q95 up (unbounded — q100-q999 all
+    * match, so a new round's queries are probe-OBLIGATED the moment
+    * they register; ProbeSurfaceSpec fails the build if BENCH_SF1.json
+    * predates them). */
+  val Targets: Seq[String] =
     SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => n.matches("q(9[5-9]|1[0-9][0-9])_.*"))
+      .filter(n => n.matches("q(9[5-9]|[1-9][0-9][0-9]+)_.*"))
 
   /** Heavy early-numbered queries (sf0.1 ≳ 1 s in BENCH_r09, plus the
     * VERDICT-named set) — their prior 10× evidence predates the
@@ -38,11 +42,18 @@ object Bench10x {
     * embedding near-dup) instead run on disjoint variants below —
     * byte-identical replicas make their pair OUTPUT quadratic in the
     * duplication factor by construction. */
-  private val EarlyHeavy: Seq[String] = Seq(
+  val EarlyHeavy: Seq[String] = Seq(
     "q29_anti_join", "q31_serving_hot_urls", "q45_geo_map",
     "q46_geo_details_page", "q48_streaming_zset", "q56_url_parse",
     "q68_uv_window", "q78_sessionize_stream", "q85_line_dedup",
     "q93_bpe_merges")
+
+  /** The pre-q95 members of the realistic/disjoint-variant probe (the
+    * pair generators whose byte-identical-replica ratio is quadratic
+    * by construction) — probe-obligated like Targets/EarlyHeavy. */
+  val RealisticEarly: Seq[String] = Seq(
+    "q23_simhash_pairs", "q66_dedup_components",
+    "q67_dedup_embedding_approx")
 
   private def minOf2(f: => Unit): Double = {
     val t1 = System.nanoTime(); f; val s1 = (System.nanoTime() - t1) / 1e9

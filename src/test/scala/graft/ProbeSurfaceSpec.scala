@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** VERDICT r10 #2: q166/q167 registered after the last Bench10x run
+  * and silently skipped BENCH_SF1.json — the probe's value is that
+  * NOTHING is exempt without a documented reason, so this gate fails
+  * the build whenever a probe-obligated query is absent from the
+  * artifact (remedy: `sbt "Test/runMain graft.Bench10x"`).
+  *
+  * Probe obligation = [[Bench10x.Targets]] (every registered q95+
+  * query — the regex is unbounded upward, so each new round's queries
+  * become obligated the moment they register) ∪
+  * [[Bench10x.EarlyHeavy]] ∪ [[Bench10x.RealisticEarly]]. The
+  * remaining pre-q95 surface is exempt AS A CLASS: it was probed in
+  * rounds 7–9, is sub-second at sf0.1 in BENCH_IDLE.json, and its
+  * heavy/pair-generating members are exactly the EarlyHeavy +
+  * RealisticEarly lists that ARE obligated.
+  */
+class ProbeSurfaceSpec extends AnyFunSuite {
+
+  test("BENCH_SF1.json covers every probe-obligated registered query") {
+    val f = new java.io.File("BENCH_SF1.json")
+    assert(f.exists(), "BENCH_SF1.json missing — run Test/runMain graft.Bench10x")
+    val json = {
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      try src.mkString finally src.close()
+    }
+    val probed = "\"(q[0-9]+_[a-z0-9_]+)\"".r.findAllMatchIn(json)
+      .map(_.group(1)).toSet
+    val obligated = (Bench10x.Targets ++ Bench10x.EarlyHeavy ++
+      Bench10x.RealisticEarly).toSet
+    // every obligated name must be a real registered query (a rename
+    // in the registry must not leave a stale obligation silently met
+    // by an old artifact entry)
+    val stale = obligated -- SparkEntry.queries.keySet
+    assert(stale.isEmpty, s"probe lists name unregistered queries: " +
+      s"${stale.toSeq.sorted.mkString(", ")}")
+    val missing = obligated -- probed
+    assert(missing.isEmpty,
+      s"BENCH_SF1.json is stale — re-run `sbt \"Test/runMain graft.Bench10x\"` " +
+        s"to cover: ${missing.toSeq.sorted.mkString(", ")}")
+  }
+}
