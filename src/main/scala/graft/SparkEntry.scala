@@ -2220,7 +2220,36 @@ object SparkEntry {
         .select(col("lang"), col("n_docs"), col("share_e6"),
           col("sum_score"), col("sum_margin"))
         .orderBy("lang")
-    })
+    }),
+
+    // tokenizer fertility by language — the tokenizer-fairness audit
+    // (a BPE trained corpus-majority-first over-fragments minority
+    // languages; chars/subtoken and subtokens/word per assigned
+    // language are the numbers that show it). One pass: the count
+    // columns ride the q168 scorer as carry (no corpus re-join), one
+    // rollup per language, e6 truncating ratios
+    "q172_tokenizer_fertility" -> ((s, dir) =>
+      graft.text.LangIdFixed.score(T(s, dir, "documents"),
+          col("doc_id"), col("text"), carry = Seq(
+            length(coalesce(col("text"), lit(""))).cast("long")
+              .as("n_chars"),
+            size(graft.text.TextAnalysis.nonEmptyTokens(col("text")))
+              .cast("long").as("n_words"),
+            size(regexp_extract_all(coalesce(col("text"), lit("")),
+              lit(graft.text.TextAnalysis.BpeishPattern), lit(0)))
+              .cast("long").as("n_subtoks")))
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"), sum("n_words").as("sum_words"),
+          sum("n_subtoks").as("sum_subtoks"))
+        .select(col("lang"), col("n_docs"), col("sum_chars"),
+          col("sum_words"), col("sum_subtoks"),
+          expr("CASE WHEN sum_subtoks = 0 THEN CAST(0 AS BIGINT) " +
+            "ELSE CAST((sum_chars * 1000000) DIV sum_subtoks AS BIGINT) " +
+            "END").as("chars_per_subtok_e6"),
+          expr("CASE WHEN sum_words = 0 THEN CAST(0 AS BIGINT) " +
+            "ELSE CAST((sum_subtoks * 1000000) DIV sum_words AS BIGINT) " +
+            "END").as("subtoks_per_word_e6"))
+        .orderBy("lang"))
   )
 
   /** q169's threshold sweep — fixed so the oracle enumerates the same
@@ -4841,6 +4870,36 @@ object SparkEntry {
            |  CAST((n_docs * 1000000) // (SELECT SUM(n_docs) FROM g)
            |    AS BIGINT) AS share_e6,
            |  sum_score, sum_margin
+           |FROM g ORDER BY lang""".stripMargin,
+
+      // tokenizer fertility: the shared lang-ID chain joined to
+      // per-doc char/word/BPE-ish-subtoken counts (the q92-family
+      // regex, already proven cross-engine), rolled up per language;
+      // guarded e6 truncating ratios
+      "q172_tokenizer_fertility" ->
+        s"""WITH $langIdCtes,
+           |cnt AS (SELECT doc_id,
+           |    CAST(len(COALESCE(text, '')) AS BIGINT) AS n_chars,
+           |    CAST(len(list_filter(string_split(COALESCE(text, ''), ' '),
+           |      x -> len(x) > 0)) AS BIGINT) AS n_words,
+           |    CAST(len(regexp_extract_all(COALESCE(text, ''),
+           |      '[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT)
+           |      AS n_subtoks
+           |  FROM documents),
+           |j AS (SELECT lid.lang, cnt.n_chars, cnt.n_words, cnt.n_subtoks
+           |  FROM lid JOIN cnt USING (doc_id)),
+           |g AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |    CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           |    CAST(SUM(n_words) AS BIGINT) AS sum_words,
+           |    CAST(SUM(n_subtoks) AS BIGINT) AS sum_subtoks
+           |  FROM j GROUP BY lang)
+           |SELECT lang, n_docs, sum_chars, sum_words, sum_subtoks,
+           |  CASE WHEN sum_subtoks = 0 THEN 0
+           |    ELSE CAST((sum_chars * 1000000) // sum_subtoks AS BIGINT)
+           |    END AS chars_per_subtok_e6,
+           |  CASE WHEN sum_words = 0 THEN 0
+           |    ELSE CAST((sum_subtoks * 1000000) // sum_words AS BIGINT)
+           |    END AS subtoks_per_word_e6
            |FROM g ORDER BY lang""".stripMargin,
 
       // split leakage: the shared minhash pair chain + the q49-style

@@ -804,6 +804,10 @@ object Dedup {
                             fpp: Double): DataFrame = {
     val histKeys = paraExplode(history, idCol, textCol)
       .select(col("__key")).distinct()
+    // empty history (a crawl's FIRST batch): the Bloom aggregate
+    // returns a null-buffer filter over zero rows and the probe NPEs —
+    // and semantically the batch just dedups against itself
+    if (histKeys.isEmpty) return paragraphDedup(batch, idCol, textCol)
     val bloom = histKeys.select(xxhash64(col("__key")).as("__h"))
       .stat.bloomFilter("__h", expectedItems, fpp)
     val bp = paraExplode(batch, idCol, textCol)

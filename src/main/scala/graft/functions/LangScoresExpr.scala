@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native per-language trigram scorer for [[graft.text.LangIdFixed]]:
+  * one walk over the normalized text computing, per character trigram,
+  * the letter-gram test, the md5-60 bucket, and ALL language
+  * accumulations — returning the scores array in one compiled pass.
+  *
+  * Bit-identical to the compositional form
+  * (`transform(sequence) → substr → rlike filter → md5 bucket → one
+  * aggregate() fold per language`, spec-pinned in Round11OpsSpec), but
+  * that chain runs every fold as an interpreted higher-order function
+  * over the full bucket array — 10 language folds × ~5 k trigrams of
+  * boxed steps per document measured ~4 s at sf0.1 where this
+  * expression runs the same arithmetic in ~0.3 s. (Column pruning
+  * masked the cost in q168's bench row, which `count()`s the pruned
+  * projection; q171/q172 consume the scores and paid it.)
+  *
+  * Parity notes, each load-bearing for the DuckDB twin:
+  *   - trigrams index CODE POINTS (Spark `substr`/DuckDB `substr`
+  *     semantics), never UTF-16 units;
+  *   - the letter-gram test is `Character.isLetter` per code point +
+  *     literal space — the categories Java regex `\p{L}` matches;
+  *   - the bucket is the first 15 md5 hex digits as a 60-bit integer
+  *     (first 8 digest bytes big-endian, >>> 4) mod `buckets`, exactly
+  *     `conv(substring(md5(g), 1, 15), 16, 10) % buckets`, computed on
+  *     the trigram's UTF-8 bytes sliced straight from the row buffer
+  *     (no per-trigram String allocation).
+  */
+case class LangScoresExpr(child: Expression, weights: Seq[Seq[Long]])
+    extends UnaryExpression {
+
+  require(weights.nonEmpty && weights.forall(_.length == weights.head.length),
+    "one equal-length weight vector per language")
+
+  @transient private lazy val flat: Array[Long] = weights.flatten.toArray
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    LangScoresExpr.compute(input.asInstanceOf[UTF8String], flat,
+      weights.head.length, weights.size)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("langWeights", flat, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.LangScoresExpr.compute($c, $wRef, " +
+        s"${weights.head.length}, ${weights.size})")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+
+  override def prettyName: String = "lang_scores"
+}
+
+object LangScoresExpr {
+
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def compute(s: UTF8String, flat: Array[Long], buckets: Int,
+              nLangs: Int): GenericArrayData = {
+    val str = s.toString
+    val bytes = s.getBytes
+    val n = str.codePointCount(0, str.length)
+    val scores = new Array[Long](nLangs)
+    if (n >= 3) {
+      // per code point: UTF-8 byte offset + letter-or-space flag
+      val offs = new Array[Int](n + 1)
+      val ok = new Array[Boolean](n)
+      var ci = 0 // UTF-16 index
+      var bi = 0 // byte offset
+      var i = 0
+      while (i < n) {
+        val cp = str.codePointAt(ci)
+        offs(i) = bi
+        ok(i) = cp == ' ' || Character.isLetter(cp)
+        bi += (if (cp < 0x80) 1 else if (cp < 0x800) 2
+          else if (cp < 0x10000) 3 else 4)
+        ci += Character.charCount(cp)
+        i += 1
+      }
+      offs(n) = bi
+      val md = md5.get()
+      i = 0
+      while (i <= n - 3) {
+        if (ok(i) && ok(i + 1) && ok(i + 2)) {
+          md.reset()
+          md.update(bytes, offs(i), offs(i + 3) - offs(i))
+          val digest = md.digest()
+          var u = 0L
+          var b = 0
+          while (b < 8) { u = (u << 8) | (digest(b) & 0xffL); b += 1 }
+          val bk = ((u >>> 4) % buckets).toInt // 60-bit value, nonneg
+          var l = 0
+          while (l < nLangs) {
+            scores(l) += flat(l * buckets + bk)
+            l += 1
+          }
+        }
+        i += 1
+      }
+    }
+    new GenericArrayData(scores)
+  }
+
+  def lang_scores(c: Column, weights: Seq[Seq[Long]]): Column =
+    ColumnBridge.column(LangScoresExpr(ColumnBridge.expression(c), weights))
+}

@@ -110,53 +110,72 @@ object LangIdFixed {
     regexp_replace(lower(coalesce(textCol, lit(""))), "\\s+", " "),
     lit(" "))
 
-  /** Score documents: (doc_id, best_lang, score, margin, lang) where
-    * `lang` applies the abstain contract — "und" when the best score
-    * is ≤ 0 or the winning margin over the runner-up is < `minMargin`.
-    * `score` and `margin` are plain integer evidence counts.
+  /** Score documents: (doc_id, [carry...,] best_lang, score, margin,
+    * lang) where `lang` applies the abstain contract — "und" when the
+    * best score is ≤ 0 or the winning margin over the runner-up is <
+    * `minMargin`. `score` and `margin` are plain integer evidence
+    * counts. `carry` columns (pre-aliased, may reference the input
+    * columns) ride along so a downstream rollup doesn't pay a re-join
+    * against the corpus (the scoreFixed convention).
     */
   def score(docs: DataFrame, idCol: Column, textCol: Column,
             buckets: Int = DefaultBuckets,
-            minMargin: Long = 1L): DataFrame = {
-    val wv = weightVectors(buckets)
+            minMargin: Long = 1L, carry: Seq[Column] = Nil): DataFrame = {
     val langsLit = typedLit(Languages.map(_._1))
-    val s = col("__s")
-    // trigram buckets ONCE per document, shared by every language fold
-    // (sequence(1, n) would COUNT DOWN for n < 1 — guard the short-text
-    // case to an empty array instead). Only LETTER trigrams score:
-    // digit/punctuation grams carry no language evidence, but hashed
-    // into 10 × ~24 nonzero buckets they'd accumulate collision noise
-    // linearly with document length (a digits-only doc measured a
-    // spurious score of 4 before this filter) — and a frozen model
-    // can't learn them to zero the way a trained fastText does, so the
-    // feature definition excludes them outright
-    val letterGram = "^[\\p{L} ]+$"
-    val bks = when(length(s) >= 3,
-      transform(
-        filter(
-          transform(sequence(lit(1), length(s) - 2),
-            i => s.substr(i, lit(3))),
-          t => t.rlike(letterGram)),
-        t => pmod(conv(substring(md5(t), 1, 15), 16, 10)
-          .cast("long"), lit(buckets.toLong)).cast("int")))
-      .otherwise(array().cast("array<int>"))
-    val scores = array(wv.map { w =>
-      aggregate(col("__b"), lit(0L),
-        (acc, b) => acc + element_at(typedLit(w), b + 1))
-    }: _*)
+    // the native one-pass scorer (trigram walk + letter filter + md5
+    // bucket + every language accumulation in compiled code);
+    // bit-identical to [[scoresCompositional]], which Round11OpsSpec
+    // pins — the compositional chain's 10 interpreted aggregate()
+    // folds measured ~4 s at sf0.1 vs ~0.3 s here
+    val scores = graft.functions.LangScoresExpr.lang_scores(
+      col("__s"), weightVectors(buckets))
     val best = array_max(col("__sc"))
     // first index of the max → ties break to the first-listed language
     val bestIdx = expr("array_position(__sc, array_max(__sc))").cast("int")
     val sortedDesc = reverse(array_sort(col("__sc")))
     val margin = element_at(sortedDesc, 1) - element_at(sortedDesc, 2)
-    docs.select(idCol.as("doc_id"), normText(textCol).as("__s"))
-      .select(col("doc_id"), bks.as("__b"))
-      .select(col("doc_id"), scores.as("__sc"))
-      .select(col("doc_id"),
-        element_at(langsLit, bestIdx).as("best_lang"),
-        best.as("score"), margin.as("margin"))
+    docs.select(Seq(idCol.as("doc_id"),
+        normText(textCol).as("__s")) ++ carry: _*)
+      .withColumn("__sc", scores)
+      .withColumn("best_lang", element_at(langsLit, bestIdx))
+      .withColumn("score", best)
+      .withColumn("margin", margin)
       .withColumn("lang",
         when(col("score") <= 0L || col("margin") < minMargin, "und")
           .otherwise(col("best_lang")))
+      .drop("__s", "__sc")
+  }
+
+  /** The compositional scores array (trigram substr → `\p{L}` rlike
+    * filter → md5-60 bucket → one `aggregate()` fold per language)
+    * over the [[normText]]-normalized column `__s` — the reference
+    * semantics [[graft.functions.LangScoresExpr]] must reproduce
+    * bit-for-bit (spec-pinned). Interpreted HOFs; keep out of hot
+    * paths. Only LETTER trigrams score: digit/punctuation grams carry
+    * no language evidence, but hashed into 10 × ~24 nonzero buckets
+    * they'd accumulate collision noise linearly with document length
+    * (a digits-only doc measured a spurious score of 4 before this
+    * filter) — and a frozen model can't learn them to zero the way a
+    * trained fastText does, so the feature definition excludes them
+    * outright.
+    */
+  private[graft] def scoresCompositional(buckets: Int): Column = {
+    val wv = weightVectors(buckets)
+    val s = col("__s")
+    // sequence(1, n) would COUNT DOWN for n < 1 — guard short text to
+    // an empty array instead
+    val bks = when(length(s) >= 3,
+      transform(
+        filter(
+          transform(sequence(lit(1), length(s) - 2),
+            i => s.substr(i, lit(3))),
+          t => t.rlike("^[\\p{L} ]+$")),
+        t => pmod(conv(substring(md5(t), 1, 15), 16, 10)
+          .cast("long"), lit(buckets.toLong)).cast("int")))
+      .otherwise(array().cast("array<int>"))
+    array(wv.map { w =>
+      aggregate(bks, lit(0L),
+        (acc, b) => acc + element_at(typedLit(w), b + 1))
+    }: _*)
   }
 }

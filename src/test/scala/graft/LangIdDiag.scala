@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** One-off cost breakdown for the q168 scorer at sf0.1: trigram
+  * extraction vs regex letter-filter vs md5 bucketing vs the 10
+  * language folds. Run: `sbt "Test/runMain graft.LangIdDiag"`. */
+object LangIdDiag {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val B = graft.text.LangIdFixed.DefaultBuckets
+    val wv = graft.text.LangIdFixed.weightVectors(B)
+
+    val s = concat(lit(" "), regexp_replace(lower(coalesce(col("text"),
+      lit(""))), "\\s+", " "), lit(" "))
+    def timed(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      df.count() // warm/compile
+      val t0 = System.nanoTime(); df.count()
+      val t1 = System.nanoTime(); df.count()
+      println(f"$name: ${math.min(t1 - t0, System.nanoTime() - t1) / 1e9}%.2f s")
+    }
+    val base = docs.select(col("doc_id"), s.as("__s"))
+    val grams = when(length(col("__s")) >= 3,
+      transform(sequence(lit(1), length(col("__s")) - 2),
+        i => col("__s").substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+    timed("t1 grams only")(base.select(size(grams).as("n")))
+    val filtered = filter(grams, t => t.rlike("^[\\p{L} ]+$"))
+    timed("t2 + letter filter")(base.select(size(filtered).as("n")))
+    val bks = transform(filtered, t =>
+      pmod(conv(substring(md5(t), 1, 15), 16, 10).cast("long"),
+        lit(B.toLong)).cast("int"))
+    timed("t3 + md5 buckets")(base.select(size(bks).as("n")))
+    val withB = base.select(col("doc_id"), bks.as("__b"))
+    timed("t4 + 1 fold")(withB.select(aggregate(col("__b"), lit(0L),
+      (acc, b) => acc + element_at(typedLit(wv.head), b + 1)).as("x")))
+    timed("t5 + 10 folds")(withB.select(wv.zipWithIndex.map { case (w, i) =>
+      aggregate(col("__b"), lit(0L),
+        (acc, b) => acc + element_at(typedLit(w), b + 1)).as(s"x$i") }: _*)
+      .select((col("x0") + col("x9")).as("x")))
+    // masked variant: drop zero-weight buckets before the folds
+    val mask = {
+      val m = Array.fill(B)(false)
+      wv.foreach(_.zipWithIndex.foreach { case (wt, b) =>
+        if (wt != 0L) m(b) = true })
+      m.toSeq
+    }
+    val bksNz = filter(bks, b => element_at(typedLit(mask), b + 1))
+    val withBNz = base.select(col("doc_id"), bksNz.as("__b"))
+    timed("t6 mask + 10 folds")(withBNz.select(wv.zipWithIndex.map {
+      case (w, i) => aggregate(col("__b"), lit(0L),
+        (acc, b) => acc + element_at(typedLit(w), b + 1)).as(s"x$i") }: _*)
+      .select((col("x0") + col("x9")).as("x")))
+    // the REAL pipeline, piecewise
+    val scored = graft.text.LangIdFixed.score(docs, col("doc_id"),
+      col("text"))
+    timed("t7 score.groupBy(lang).count")(
+      scored.groupBy("lang").count())
+    val scoresArr = array(wv.map { w =>
+      aggregate(col("__b"), lit(0L),
+        (acc, b) => acc + element_at(typedLit(w), b + 1)) }: _*)
+    val withSc = withB.withColumn("__sc", scoresArr)
+    timed("t8 scores ARRAY, sum of [1]")(
+      withSc.select(element_at(col("__sc"), 1).as("x"))
+        .agg(sum("x")))
+    val langsLit = typedLit(graft.text.LangIdFixed.Languages.map(_._1))
+    val full = withSc
+      .withColumn("best_lang", element_at(langsLit,
+        expr("array_position(__sc, array_max(__sc))").cast("int")))
+      .withColumn("score", array_max(col("__sc")))
+      .withColumn("margin",
+        element_at(reverse(array_sort(col("__sc"))), 1) -
+          element_at(reverse(array_sort(col("__sc"))), 2))
+      .withColumn("lang", when(col("score") <= 0L ||
+        col("margin") < 1L, "und").otherwise(col("best_lang")))
+    timed("t9 + argmax/margin, groupBy(lang)")(
+      full.groupBy("lang").count())
+    timed("t9a best only")(withSc
+      .select(array_max(col("__sc")).as("b")).groupBy("b").count())
+    timed("t9b margin only")(withSc
+      .select((element_at(reverse(array_sort(col("__sc"))), 1) -
+        element_at(reverse(array_sort(col("__sc"))), 2)).as("m"))
+      .groupBy("m").count())
+    timed("t9c best_lang only")(withSc
+      .select(element_at(langsLit,
+        expr("array_position(__sc, array_max(__sc))").cast("int"))
+        .as("bl")).groupBy("bl").count())
+    timed("t9d sum of all 10")(withSc
+      .select(aggregate(col("__sc"), lit(0L), (a, x) => a + x).as("s"))
+      .groupBy("s").count())
+    spark.stop()
+  }
+}

@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Count how many times the 10-fold scores array is duplicated in the
+  * OPTIMIZED plan of q171 (string form, no truncation). */
+object LangIdPlanDiag {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (q <- Seq("q168_lang_id_fixed", "q171_language_mix")) {
+      val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+      val s = df.queryExecution.optimizedPlan.toString
+      println(s"$q: len=${s.length} aggregate=${
+        "aggregate\\(".r.findAllIn(s).size} md5=${
+        "md5\\(".r.findAllIn(s).size} sort=${
+        "array_sort\\(".r.findAllIn(s).size}")
+    }
+    spark.stop()
+  }
+}

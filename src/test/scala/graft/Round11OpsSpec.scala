@@ -96,6 +96,37 @@ class Round11OpsSpec extends SparkSpec {
       ((0L, 0L, 0L, 1000000L))) // P/R/F1 0-by-convention, acc = tn/n
   }
 
+  test("LangScoresExpr == compositional trigram/md5/fold chain, bit for bit") {
+    // the native one-pass scorer must reproduce the interpreted
+    // reference semantics exactly: corpus text, multilingual accents
+    // (multi-byte UTF-8 offsets), digits/punct (letter filter), and
+    // degenerate short/empty/null strings
+    val fixtures = Seq(
+      (1L, "the cat is in the house and it is happy to see you"),
+      (2L, "köpek ve kedi evde ve bugün hava çok güzel bir gün olacak"),
+      (3L, "pies i kot nie są w domu ale przy oknie się bawią dzisiaj"),
+      (4L, "o cão e o gato estão em casa não é 12345 +++ mixed"),
+      (5L, "ab"), (6L, ""), (7L, null.asInstanceOf[String]),
+      (8L, "12345 67890 +++ --- 000")).toDF("id", "text")
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").as("id"), col("text"))
+    for (df <- Seq(fixtures, corpus)) {
+      val normed = df.select(col("id"), concat(lit(" "),
+        regexp_replace(lower(coalesce(col("text"), lit(""))),
+          "\\s+", " "), lit(" ")).as("__s"))
+      val B = graft.text.LangIdFixed.DefaultBuckets
+      val native = graft.functions.LangScoresExpr.lang_scores(
+        col("__s"), graft.text.LangIdFixed.weightVectors(B))
+      val mismatches = normed
+        .select(col("id"), native.as("a"),
+          graft.text.LangIdFixed.scoresCompositional(B).as("b"))
+        .where(not(col("a") === col("b")))
+        .count()
+      assert(mismatches == 0)
+    }
+  }
+
   test("langIdFixed: low-margin abstain and deterministic tie-break") {
     // a 50/50 English-German mix scores both languages high; under a
     // strict margin requirement the classifier must ABSTAIN rather
