@@ -2249,7 +2249,17 @@ object SparkEntry {
           expr("CASE WHEN sum_words = 0 THEN CAST(0 AS BIGINT) " +
             "ELSE CAST((sum_subtoks * 1000000) DIV sum_words AS BIGINT) " +
             "END").as("subtoks_per_word_e6"))
-        .orderBy("lang"))
+        .orderBy("lang")),
+
+    // sequence packing — the GPT-style "concatenate in a deterministic
+    // hash shuffle, chop every L tokens" layout a pipeline runs last:
+    // per doc, its token offset and first/last sequence index under
+    // 512-token sequences. Corpus-wide running sum via the two-pass
+    // range-partitioned groupedRunningSum, never a global window
+    "q173_sequence_packing" -> ((s, dir) =>
+      graft.ops.Pack.sequencePacking(T(s, dir, "documents"),
+          col("doc_id"), col("text"), seqLen = 512L)
+        .orderBy("doc_id"))
   )
 
   /** q169's threshold sweep — fixed so the oracle enumerates the same
@@ -4695,6 +4705,31 @@ object SparkEntry {
           |WHERE greatest((inter * 1000000) // n_a,
           |  (inter * 1000000) // n_b) >= 500000
           |ORDER BY id_a, id_b""".stripMargin,
+
+      // sequence packing: the same md5 shuffle clock + a window
+      // running sum (fine at oracle scale; the engine runs the
+      // range-partitioned two-pass instead), integer DIV chopping
+      "q173_sequence_packing" ->
+        """WITH b AS (SELECT doc_id,
+          |    CAST(len(list_filter(string_split(COALESCE(text, ''), ' '),
+          |      x -> len(x) > 0)) AS BIGINT) AS n_toks,
+          |    CAST(('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)),
+          |      1, 15)) AS BIGINT) AS h
+          |  FROM documents),
+          |c AS (SELECT doc_id, n_toks,
+          |    CAST(SUM(n_toks) OVER (ORDER BY h, doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      AS BIGINT) AS cum_toks
+          |  FROM b)
+          |SELECT doc_id, n_toks, cum_toks,
+          |  cum_toks - n_toks AS start_off,
+          |  (cum_toks - n_toks) // 512 AS start_seq,
+          |  CASE WHEN n_toks = 0 THEN (cum_toks - n_toks) // 512
+          |    ELSE (cum_toks - 1) // 512 END AS end_seq,
+          |  CASE WHEN n_toks = 0 THEN 0
+          |    ELSE (cum_toks - 1) // 512 - (cum_toks - n_toks) // 512 + 1
+          |    END AS n_seqs
+          |FROM c ORDER BY doc_id""".stripMargin,
 
       // paragraph dedup: banner (parity whitespace-variant) + 16-token
       // chunk paragraphs reconstructed directly (the operator's

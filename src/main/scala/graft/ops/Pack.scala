@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for training-data prep — the GPT-style "concatenate
+  * everything, chop every `seqLen` tokens" layout (Brown et al. 2020
+  * train on full context windows with documents packed back to back;
+  * the packing step every LM data pipeline runs last): documents
+  * are concatenated in a deterministic hash-shuffled order (portable
+  * md5 clock, the q49/q130 sampling-hash convention — a stable
+  * corpus-wide shuffle that neither preserves crawl order nor needs a
+  * seed exchange) and the token stream is cut into fixed-length
+  * sequences. The output maps each document to its physical location:
+  * token offset, first/last sequence index, and how many sequences it
+  * spans — the relation a packing writer consumes and an epoch-boundary
+  * audit reads (docs spanning many sequences are the attention-mask
+  * leakage risk).
+  *
+  * Scale shape: the only nontrivial step is the corpus-wide running
+  * token count in hash order, which is [[Rank.groupedRunningSum]] with
+  * a single group — the two-pass range-partitioned form, NOT a global
+  * window (`SUM() OVER (ORDER BY …)` funnels the corpus through one
+  * partition; the gate would catch it). Everything else is per-row
+  * arithmetic.
+  */
+object Pack {
+
+  /** Per-doc packing location under `seqLen`-token sequences:
+    * (doc_id, n_toks, cum_toks, start_off, start_seq, end_seq,
+    * n_seqs). Zero-token docs occupy no sequence (n_seqs 0, start_seq
+    * = end_seq = the sequence their offset points into). */
+  def sequencePacking(docs: DataFrame, idCol: Column, textCol: Column,
+                      seqLen: Long, nPartitions: Int = 32): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val base = docs.select(idCol.as("doc_id"),
+      size(graft.text.TextAnalysis.nonEmptyTokens(textCol)).cast("long")
+        .as("n_toks"),
+      // deterministic shuffle clock; doc_id breaks md5 ties totally
+      conv(substring(md5(concat(lit("pack:"), idCol.cast("string"))),
+        1, 15), 16, 10).cast("long").as("__h"))
+    Rank.groupedRunningSum(base, lit("all"), col("n_toks"),
+        Seq(col("__h"), col("doc_id")), nPartitions, cumName = "cum_toks")
+      .select(col("doc_id"), col("n_toks"), col("cum_toks"),
+        (col("cum_toks") - col("n_toks")).as("start_off"))
+      .select(col("doc_id"), col("n_toks"), col("cum_toks"),
+        col("start_off"),
+        expr(s"CAST(start_off DIV $seqLen AS BIGINT)").as("start_seq"),
+        expr(s"CAST(CASE WHEN n_toks = 0 THEN start_off DIV $seqLen " +
+          s"ELSE (cum_toks - 1) DIV $seqLen END AS BIGINT)").as("end_seq"))
+      .withColumn("n_seqs",
+        when(col("n_toks") === 0L, lit(0L))
+          .otherwise(col("end_seq") - col("start_seq") + 1L))
+  }
+}

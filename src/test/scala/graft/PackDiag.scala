@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+object PackDiag {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq((100001L, null.asInstanceOf[String]),
+        (100002L, "")).toDF("doc_id", "text"))
+    val got = graft.ops.Pack.sequencePacking(docs, col("doc_id"),
+        col("text"), 128L)
+      .select("doc_id", "n_toks", "cum_toks", "start_off").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    println(s"rows=${got.length} sumToks=${got.map(_._2).sum} " +
+      s"maxCum=${got.map(_._3).max}")
+    // rows sorted by cum: check consistency
+    val byCum = got.sortBy(_._3)
+    var bad = 0
+    var prev = 0L
+    byCum.foreach { case (id, n, cum, off) =>
+      if (off != prev || cum != off + n) {
+        if (bad < 8) println(s"ANOMALY doc=$id n=$n cum=$cum off=$off expected_off=$prev")
+        bad += 1
+      }
+      prev = cum
+    }
+    println(s"anomalies=$bad")
+    // duplicate cum values?
+    val dup = byCum.groupBy(_._3).filter(_._2.length > 1)
+    println(s"dupCums=${dup.size}")
+    dup.take(3).foreach { case (c, rs) => println(s"cum=$c rows=${rs.mkString(";")}") }
+    spark.stop()
+  }
+}

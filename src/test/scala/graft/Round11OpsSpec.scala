@@ -96,6 +96,42 @@ class Round11OpsSpec extends SparkSpec {
       ((0L, 0L, 0L, 1000000L))) // P/R/F1 0-by-convention, acc = tn/n
   }
 
+  test("sequencePacking: disjoint covering offsets, chop arithmetic, determinism") {
+    import graft.ops.Pack
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq((100001L, null.asInstanceOf[String]),
+        (100002L, "")).toDF("doc_id", "text"))
+    val L = 128L
+    val got = Pack.sequencePacking(docs, col("doc_id"), col("text"), L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.length == docs.count())
+    // token intervals [start_off, cum) tile [0, total) with no gap or
+    // overlap — the packing writer's contract. Sort by (cum, off) so a
+    // zero-token doc (an EMPTY interval at offset X) orders between
+    // the doc ending at X and the doc consuming from X
+    val byOff = got.sortBy(t => (t._3, t._4, t._1))
+    var expect = 0L
+    byOff.foreach { case (_, n, cum, off, _, _, _) =>
+      assert(off == expect && cum == off + n); expect = cum }
+    assert(expect == got.map(_._2).sum)
+    // chop arithmetic recomputed independently per doc
+    got.foreach { case (id, n, cum, off, s0, s1, ns) =>
+      assert(s0 == off / L, s"doc $id start_seq")
+      if (n == 0) assert(s1 == s0 && ns == 0L, s"doc $id empty contract")
+      else {
+        assert(s1 == (cum - 1) / L && ns == s1 - s0 + 1, s"doc $id span")
+        if (n > L) assert(ns >= 2, s"doc $id must span sequences")
+      }
+    }
+    // the md5 clock is seedless and stable: a re-run packs identically
+    val again = Pack.sequencePacking(docs, col("doc_id"), col("text"), L)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(got.forall { case (id, _, _, off, _, _, _) => again(id) == off })
+  }
+
   test("LangScoresExpr == compositional trigram/md5/fold chain, bit for bit") {
     // the native one-pass scorer must reproduce the interpreted
     // reference semantics exactly: corpus text, multilingual accents
