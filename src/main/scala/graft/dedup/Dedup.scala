@@ -905,10 +905,17 @@ object Dedup {
     */
   def incrementalExact(batch: DataFrame, history: DataFrame,
                        textColName: String, expectedItems: Long,
-                       fpp: Double): DataFrame =
+                       fpp: Double): DataFrame = {
+    // empty history (a pipeline's first batch): Spark's
+    // stat.bloomFilter returns a null-buffer filter over zero rows and
+    // the probe NPEs (the bloomContamination /
+    // incrementalParagraphs-hardened hazard) — and semantically
+    // nothing can be a duplicate of an empty history
+    if (history.isEmpty) return batch
     incrementalExact(batch, history, textColName,
       history.select(xxhash64(col(textColName)).as("__h"))
         .stat.bloomFilter("__h", expectedItems, fpp))
+  }
 
   /** Duplicate-span detection — the window form of exact-substring
     * dedup (Lee et al. 2022, "Deduplicating Training Data Makes

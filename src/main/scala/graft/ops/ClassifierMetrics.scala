@@ -25,12 +25,16 @@ object ClassifierMetrics {
     * threshold (strict — matches the monotone-logit contract of
     * [[graft.ml.QualityClassifier.scoreFixed]]). Zero-denominator
     * conventions, guarded: precision/recall/F1 are 0 when undefined.
+    * The sweep is TOTAL over the threshold grid (the
+    * sourceOverlapMatrix totality convention): an empty or
+    * fully-filtered corpus yields one all-zero row per threshold, not
+    * an empty relation a report would misread as "no sweep ran".
     */
   def confusionAtThresholds(scored: DataFrame, labelCol: Column,
                             scoreCol: Column,
                             thresholds: Seq[Long]): DataFrame = {
     require(thresholds.nonEmpty, "at least one threshold")
-    scored.select(labelCol.cast("int").as("__y"),
+    val counts = scored.select(labelCol.cast("int").as("__y"),
         scoreCol.cast("long").as("__s"))
       .select(col("__y"), col("__s"),
         explode(typedLit(thresholds)).as("threshold"))
@@ -43,6 +47,14 @@ object ClassifierMetrics {
           .otherwise(0L)).as("fn"),
         sum(when(col("__s") <= col("threshold") && col("__y") === 0, 1L)
           .otherwise(0L)).as("tn"))
+    val grid = scored.sparkSession.range(1)
+      .select(explode(typedLit(thresholds)).as("threshold"))
+    grid.join(counts, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        coalesce(col("fp"), lit(0L)).as("fp"),
+        coalesce(col("fn"), lit(0L)).as("fn"),
+        coalesce(col("tn"), lit(0L)).as("tn"))
       .select(col("threshold"), col("tp"), col("fp"), col("fn"), col("tn"),
         expr("CASE WHEN tp + fp = 0 THEN CAST(0 AS BIGINT) " +
           "ELSE CAST((tp * 1000000) DIV (tp + fp) AS BIGINT) END")

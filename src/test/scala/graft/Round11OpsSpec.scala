@@ -94,6 +94,28 @@ class Round11OpsSpec extends SparkSpec {
       none, col("y"), col("s"), Seq(0L)).collect().head
     assert((g2.getLong(5), g2.getLong(6), g2.getLong(7), g2.getLong(8)) ==
       ((0L, 0L, 0L, 1000000L))) // P/R/F1 0-by-convention, acc = tn/n
+    // totality: an EMPTY corpus still yields one all-zero row per
+    // threshold — never an empty relation a report would misread
+    val empty = Seq.empty[(Int, Long)].toDF("y", "s")
+    val g3 = graft.ops.ClassifierMetrics.confusionAtThresholds(
+      empty, col("y"), col("s"), Seq(-1L, 4L))
+      .orderBy("threshold").collect()
+    assert(g3.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(8))).toSeq ==
+      Seq((-1L, 0L, 0L, 0L, 0L, 0L), (4L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("incrementalExact: empty history passes the whole batch through") {
+    import graft.dedup.Dedup
+    // the first batch of a pipeline: Spark's bloomFilter aggregate
+    // over zero rows yields a null-buffer filter whose probe NPEs —
+    // the overload must short-circuit instead
+    val batch = Seq((1L, "aa"), (2L, "bb"), (3L, "aa")).toDF("id", "text")
+    val empty = Seq.empty[(Long, String)].toDF("id", "text")
+    val out = Dedup.incrementalExact(batch, empty, "text",
+      expectedItems = 100L, fpp = 0.01)
+    assert(out.collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L)) // batch-internal dups are NOT this op's job
   }
 
   test("sequencePacking: disjoint covering offsets, chop arithmetic, determinism") {
