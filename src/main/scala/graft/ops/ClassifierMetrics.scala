@@ -34,6 +34,8 @@ object ClassifierMetrics {
                             scoreCol: Column,
                             thresholds: Seq[Long]): DataFrame = {
     require(thresholds.nonEmpty, "at least one threshold")
+    require(thresholds.distinct.size == thresholds.size,
+      "duplicate thresholds would emit duplicate sweep rows")
     val counts = scored.select(labelCol.cast("int").as("__y"),
         scoreCol.cast("long").as("__s"))
       .select(col("__y"), col("__s"),

@@ -53,18 +53,21 @@ object LangIdFixed {
     "de" -> Seq(" de", "der", "die", "ie ", "und", " un", "ein", " ei",
       "ich", "ch ", "sch", "ung", " zu", "zu ", "cht", "den", "gen",
       " da", "das", "ber", " ge", "sie", " si", "ind"),
-    "es" -> Seq(" de", "de ", " la", "la ", "os ", " el", "el ", "que",
-      " qu", "ue ", " y ", "ión", "ón ", "ar ", " co", "es ", " en",
-      "en ", "as ", " es", "ado", " se", "nte", "stá"),
-    "fr" -> Seq(" de", "de ", " le", "le ", "es ", " la", "ent", "nt ",
-      "et ", " et", "que", " qu", "ue ", "les", " pa", "ait", "eur",
-      "our", " po", "ais", "ons", " un", "une", "est"),
+    "es" -> Seq(" el", "el ", " la", "la ", "os ", "as ", "que", " y ",
+      "ión", "ón ", "ado", "oy ", "uy ", "ues", "cio", "nes", "eer",
+      "eza", "los", " lo", "ien", "mos", " va", "ada", "ró ", "fue"),
+    "fr" -> Seq(" le", "le ", " la", "la ", "ent", "nt ", "et ", " et",
+      "que", "les", "ais", "ait", "eur", "our", " po", " pa", "une",
+      " un", "ous", " à ", "ée ", "eau", "aux", "ché", "mme", "ans",
+      "oir", "ouv", "vre", "ire", " av"),
     "it" -> Seq(" di", "di ", " il", "il ", "che", " ch", "he ", "to ",
       "la ", " co", "zio", "one", "gli", " gl", "ato", "ell", "lla",
-      " pe", "ità", "tà ", "ono", " so", "nel", "ano"),
-    "pt" -> Seq(" de", "de ", " qu", "que", "ão ", "ção", "os ", "as ",
-      " um", "um ", "em ", " em", "ado", " co", "da ", " da", "do ",
-      " do", "ara", " pa", "não", " nã", "res", "uit"),
+      " pe", "ità", "tà ", "ono", " so", "nel", "ano", "ggi", " è ",
+      "è ", "ova", "ere", "pri"),
+    "pt" -> Seq(" qu", "que", "ão ", "ção", "os ", "as ", " um", "um ",
+      "em ", " em", "ado", " co", "da ", " da", "do ", " do", "ara",
+      " pa", "não", " nã", "res", "uit", "çõe", "ões", "oje", "oi ",
+      "ou ", " é ", "é ", "vro", "çar", "eça"),
     "nl" -> Seq(" de", "de ", "en ", " he", "het", "et ", " ee", "een",
       "ijk", " ij", "ij ", "aar", "van", " va", "an ", " ni", "iet",
       "sch", " ve", "oor", " vo", "gen", " zi", "ijn"),
@@ -73,7 +76,8 @@ object LangIdFixed {
       " so", "som", "ång", "ka ", " sk", "lig", "ade"),
     "pl" -> Seq(" ni", "nie", "ie ", "prz", " pr", "rze", "ych", "ego",
       "go ", " po", "ość", "ść ", "ów ", "się", " si", "ię ", " w ",
-      " z ", "ach", "cze", "rzy", "dzi", "ny ", "ają"),
+      " z ", "ach", "cze", "rzy", "dzi", "ny ", "ają", "ła ", "cję",
+      "ję ", "jes", "emy", "aj "),
     "tr" -> Seq(" bi", "bir", "ir ", "lar", "ler", " ya", " ka", "yor",
       "or ", "mek", "mak", " ol", "ola", "ını", "nın", "ın ", " ve",
       "ve ", "dır", "ğı ", "çok", " ço", "zel", "üze"))

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Print per-language scores for the q168 fixture sentences — the
+  * tuning loop for the frozen gram lists. */
+object LangFitDiag {
+  val Sentences: Seq[(String, String)] = Seq(
+    ("en", "she walked to the market and bought some bread for dinner"),
+    ("en", "the weather is nice today and we are going to the park"),
+    ("en", "it is important to read the instructions before you start"),
+    ("en", "you can find the answer at the end of the book"),
+    ("de", "sie ging zum markt und kaufte brot für das abendessen"),
+    ("de", "das wetter ist heute schön und wir gehen in den park"),
+    ("de", "es ist wichtig die anleitung zu lesen bevor man beginnt"),
+    ("de", "die antwort findet sich am ende des buches"),
+    ("es", "ella fue al mercado y compró pan para la cena"),
+    ("es", "el tiempo está muy bueno hoy y vamos al parque"),
+    ("es", "es importante leer las instrucciones antes de empezar"),
+    ("es", "la respuesta se encuentra al final del libro"),
+    ("fr", "elle est allée au marché et a acheté du pain pour le dîner"),
+    ("fr", "le temps est beau aujourd'hui et nous allons au parc"),
+    ("fr", "il est important de lire les instructions avant de commencer"),
+    ("fr", "la réponse se trouve à la fin du livre"),
+    ("it", "lei è andata al mercato e ha comprato il pane per la cena"),
+    ("it", "il tempo è bello oggi e andiamo al parco insieme"),
+    ("it", "è importante leggere le istruzioni prima di cominciare"),
+    ("it", "la risposta si trova alla fine del libro"),
+    ("pt", "ela foi ao mercado e comprou pão para o jantar"),
+    ("pt", "o tempo está bonito hoje e vamos ao parque"),
+    ("pt", "é importante ler as instruções antes de começar"),
+    ("pt", "a resposta encontra-se no final do livro"),
+    ("nl", "zij ging naar de markt en kocht brood voor het avondeten"),
+    ("nl", "het weer is vandaag mooi en we gaan naar het park"),
+    ("nl", "het is belangrijk de instructies te lezen voor je begint"),
+    ("nl", "het antwoord staat aan het einde van het boek"),
+    ("sv", "hon gick till marknaden och köpte bröd till middagen"),
+    ("sv", "vädret är fint idag och vi ska gå till parken"),
+    ("sv", "det är viktigt att läsa instruktionerna innan man börjar"),
+    ("sv", "svaret finns i slutet av boken och är lätt att hitta"),
+    ("pl", "poszła na targ i kupiła chleb na kolację dla rodziny"),
+    ("pl", "pogoda jest dzisiaj ładna i idziemy do parku"),
+    ("pl", "ważne jest aby przeczytać instrukcję zanim się zacznie"),
+    ("pl", "odpowiedź znajduje się na końcu książki"),
+    ("tr", "pazara gitti ve akşam yemeği için ekmek aldı"),
+    ("tr", "bugün hava çok güzel ve parka gidiyoruz birlikte"),
+    ("tr", "başlamadan önce talimatları okumak çok önemlidir"),
+    ("tr", "cevap kitabın sonunda yer alıyor ve kolay bulunur"),
+    // the smoke-fixture sentences must stay green too
+    ("en", "the cat is in the house and it is happy to see you"),
+    ("de", "der hund und die katze sind in dem haus und sie ist schön"),
+    ("es", "el perro y el gato están en la casa que es muy bonita"),
+    ("fr", "le chien et le chat sont dans la maison et elle est belle"),
+    ("it", "il cane e il gatto sono nella casa che è molto bella"),
+    ("pt", "o cão e o gato estão em casa e ela é muito bonita não é"),
+    ("nl", "de hond en de kat zijn in het huis en het is een mooie dag"),
+    ("sv", "hunden och katten är i huset och det är en mycket fin dag"),
+    ("pl", "pies i kot nie są w domu ale przy oknie się bawią dzisiaj"),
+    ("tr", "köpek ve kedi evde ve bugün hava çok güzel bir gün olacak"))
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val langs = graft.text.LangIdFixed.Languages.map(_._1)
+    val df = Sentences.zipWithIndex
+      .map { case ((l, t), i) => (i.toLong, l, t) }
+      .toDF("id", "want", "text")
+    val normed = df.select(col("id"), col("want"), concat(lit(" "),
+      regexp_replace(lower(coalesce(col("text"), lit(""))),
+        "\\s+", " "), lit(" ")).as("__s"))
+    val sc = graft.functions.LangScoresExpr.lang_scores(col("__s"),
+      graft.text.LangIdFixed.weightVectors())
+    val rows = normed.select(col("id"), col("want"), sc.as("s"))
+      .collect().sortBy(_.getLong(0))
+    var wrong = 0
+    rows.foreach { r =>
+      val s = r.getSeq[Long](2)
+      val bi = s.indexOf(s.max)
+      val got = if (s.max <= 0) "und" else {
+        val sorted = s.sorted.reverse
+        if (sorted(0) - sorted(1) < 1) "und" else langs(bi)
+      }
+      val want = r.getString(1)
+      if (got != want) {
+        wrong += 1
+        val top = langs.zip(s).sortBy(-_._2).take(4)
+          .map { case (l, v) => s"$l=$v" }.mkString(" ")
+        println(s"MISS id=${r.getLong(0)} want=$want got=$got  $top")
+      }
+    }
+    println(s"wrong=$wrong/${rows.length}")
+    spark.stop()
+  }
+}

@@ -185,6 +185,66 @@ class Round11OpsSpec extends SparkSpec {
     }
   }
 
+  test("langIdFixed: 40-sentence multilingual accuracy gate") {
+    // four sentences per language on everyday topics (disjoint from
+    // the 10 smoke fixtures) — the classifier must hold >= 90%
+    // accuracy with NO misassignment to a wrong language (errors may
+    // only be abstentions, which quarantine rather than mislabel)
+    val s = Seq(
+      ("en", "she walked to the market and bought some bread for dinner"),
+      ("en", "the weather is nice today and we are going to the park"),
+      ("en", "it is important to read the instructions before you start"),
+      ("en", "you can find the answer at the end of the book"),
+      ("de", "sie ging zum markt und kaufte brot für das abendessen"),
+      ("de", "das wetter ist heute schön und wir gehen in den park"),
+      ("de", "es ist wichtig die anleitung zu lesen bevor man beginnt"),
+      ("de", "die antwort findet sich am ende des buches"),
+      ("es", "ella fue al mercado y compró pan para la cena"),
+      ("es", "el tiempo está muy bueno hoy y vamos al parque"),
+      ("es", "es importante leer las instrucciones antes de empezar"),
+      ("es", "la respuesta se encuentra al final del libro"),
+      ("fr", "elle est allée au marché et a acheté du pain pour le dîner"),
+      ("fr", "le temps est beau aujourd'hui et nous allons au parc"),
+      ("fr", "il est important de lire les instructions avant de commencer"),
+      ("fr", "la réponse se trouve à la fin du livre"),
+      ("it", "lei è andata al mercato e ha comprato il pane per la cena"),
+      ("it", "il tempo è bello oggi e andiamo al parco insieme"),
+      ("it", "è importante leggere le istruzioni prima di cominciare"),
+      ("it", "la risposta si trova alla fine del libro"),
+      ("pt", "ela foi ao mercado e comprou pão para o jantar"),
+      ("pt", "o tempo está bonito hoje e vamos ao parque"),
+      ("pt", "é importante ler as instruções antes de começar"),
+      ("pt", "a resposta encontra-se no final do livro"),
+      ("nl", "zij ging naar de markt en kocht brood voor het avondeten"),
+      ("nl", "het weer is vandaag mooi en we gaan naar het park"),
+      ("nl", "het is belangrijk de instructies te lezen voor je begint"),
+      ("nl", "het antwoord staat aan het einde van het boek"),
+      ("sv", "hon gick till marknaden och köpte bröd till middagen"),
+      ("sv", "vädret är fint idag och vi ska gå till parken"),
+      ("sv", "det är viktigt att läsa instruktionerna innan man börjar"),
+      ("sv", "svaret finns i slutet av boken och är lätt att hitta"),
+      ("pl", "poszła na targ i kupiła chleb na kolację dla rodziny"),
+      ("pl", "pogoda jest dzisiaj ładna i idziemy do parku"),
+      ("pl", "ważne jest aby przeczytać instrukcję zanim się zacznie"),
+      ("pl", "odpowiedź znajduje się na końcu książki"),
+      ("tr", "pazara gitti ve akşam yemeği için ekmek aldı"),
+      ("tr", "bugün hava çok güzel ve parka gidiyoruz birlikte"),
+      ("tr", "başlamadan önce talimatları okumak çok önemlidir"),
+      ("tr", "cevap kitabın sonunda yer alıyor ve kolay bulunur"))
+      .zipWithIndex.map { case ((l, t), i) => (i.toLong, l, t) }
+    val got = graft.text.LangIdFixed.score(
+        s.toDF("id", "want", "text"), col("id"), col("text"))
+      .join(s.toDF("doc_id", "want", "t2"), Seq("doc_id"))
+      .select("doc_id", "lang", "want").collect()
+    val correct = got.count(r => r.getString(1) == r.getString(2))
+    val mislabeled = got.filter(r =>
+      r.getString(1) != "und" && r.getString(1) != r.getString(2))
+    assert(mislabeled.isEmpty, "wrong-language assignments: " +
+      mislabeled.map(r => s"${r.getLong(0)}:${r.getString(1)}")
+        .mkString(", "))
+    assert(correct >= 36, s"accuracy ${correct}/40 below the 90% gate")
+  }
+
   test("langIdFixed: low-margin abstain and deterministic tie-break") {
     // a 50/50 English-German mix scores both languages high; under a
     // strict margin requirement the classifier must ABSTAIN rather
