@@ -2259,7 +2259,34 @@ object SparkEntry {
     "q173_sequence_packing" -> ((s, dir) =>
       graft.ops.Pack.sequencePacking(T(s, dir, "documents"),
           col("doc_id"), col("text"), seqLen = 512L)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // the round-11 curation chain end to end: language gate (q168) →
+    // frozen-weight quality filter (q165, carried through the language
+    // scorer's single pass — no corpus re-join) → corpus-wide
+    // paragraph dedup over the survivors (q161) → sequence packing of
+    // the kept text (q173). The whole chain is ONE corpus scan until
+    // the paragraph shuffle; hash-checked end to end
+    "q174_curate_pack" -> ((s, dir) => {
+      // the jargon corpus peaks ~4-5% gram surplus (below the 10%
+      // prose default, which would quarantine everything) — the
+      // corpus-calibration knob gates at 2% here, mirrored in the
+      // oracle's langIdCtesWith(20)
+      val survivors = graft.text.LangIdFixed.score(
+          T(s, dir, "documents"), col("doc_id"), col("text"),
+          minSurplusPerMille = 20L,
+          carry = Seq(
+            graft.ml.QualityClassifier.fixedLogit(col("text"),
+              FixedQualityWeights).as("q_logit"),
+            col("text")))
+        .where(col("lang") === "en" && col("q_logit") > 0L)
+        .withColumn("__ptext", syntheticParaText)
+      val deduped = Dedup.paragraphDedup(survivors, col("doc_id"),
+        col("__ptext"))
+      graft.ops.Pack.sequencePacking(deduped, col("doc_id"),
+          regexp_replace(col("kept_text"), "\\n+", " "), seqLen = 256L)
+        .orderBy("doc_id")
+    })
   )
 
   /** q169's threshold sweep — fixed so the oracle enumerates the same
@@ -2339,7 +2366,14 @@ object SparkEntry {
     * `lid(doc_id, best_lang, score, margin, lang)`. The weight matrix
     * ships as its nonzero (bucket, lang, weight) entries from the one
     * JVM builder the engine side also uses. */
-  private lazy val langIdCtes: String = {
+  private lazy val langIdCtes: String =
+    langIdCtesWith(graft.text.LangIdFixed.DefaultMinSurplusPerMille)
+
+  /** [[langIdCtes]] with an explicit evidence floor — q174 documents
+    * the corpus-calibration knob: the synthetic jargon corpus peaks
+    * ~4-5% surplus, under the 10% prose default, so its curation
+    * chain gates at 2%. */
+  private def langIdCtesWith(surplusPerMille: Long): String = {
     val B = graft.text.LangIdFixed.DefaultBuckets
     val nL = graft.text.LangIdFixed.Languages.size
     val sparse = graft.text.LangIdFixed.weightVectors(B).zipWithIndex
@@ -2348,6 +2382,8 @@ object SparkEntry {
       .mkString(", ")
     val langs = graft.text.LangIdFixed.Languages.map(_._1)
       .map(l => s"'$l'").mkString("[", ", ", "]")
+    val nnz = graft.text.LangIdFixed.nonzeroCounts(B)
+      .mkString("[", ", ", "]")
     s"""t AS (SELECT doc_id,
        |    ' ' || regexp_replace(lower(COALESCE(text, '')),
        |      '\\s+', ' ', 'g') || ' ' AS s
@@ -2363,15 +2399,21 @@ object SparkEntry {
        |w(bk, li, wt) AS (SELECT * FROM (VALUES $sparse)),
        |h AS (SELECT doc_id, li, CAST(SUM(wt) AS BIGINT) AS sc
        |  FROM b JOIN w USING (bk) GROUP BY doc_id, li),
+       |tcx AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS tc
+       |  FROM b GROUP BY doc_id),
        |grid AS (SELECT d.doc_id, CAST(ls.li AS INTEGER) AS li
        |  FROM (SELECT DISTINCT doc_id FROM documents) d
        |  CROSS JOIN (SELECT unnest(range(1, ${nL + 1})) AS li) ls),
        |sc AS (SELECT grid.doc_id,
-       |    list(COALESCE(h.sc, 0) ORDER BY grid.li) AS scores
+       |    list(CAST($B * COALESCE(h.sc, 0)
+       |        - ($nnz)[grid.li] * COALESCE(tcx.tc, 0) AS BIGINT)
+       |      ORDER BY grid.li) AS scores,
+       |    CAST(COALESCE(MIN(tcx.tc), 0) AS BIGINT) AS tc
        |  FROM grid LEFT JOIN h
        |    ON grid.doc_id = h.doc_id AND grid.li = h.li
+       |  LEFT JOIN tcx ON grid.doc_id = tcx.doc_id
        |  GROUP BY grid.doc_id),
-       |m AS (SELECT doc_id,
+       |m AS (SELECT doc_id, tc,
        |    list_aggregate(scores, 'max') AS best,
        |    list_position(scores,
        |      list_aggregate(scores, 'max')) AS bi,
@@ -2381,7 +2423,9 @@ object SparkEntry {
        |  ($langs)[bi] AS best_lang,
        |  CAST(best AS BIGINT) AS score,
        |  CAST(sd[1] - sd[2] AS BIGINT) AS margin,
-       |  CASE WHEN best <= 0 OR sd[1] - sd[2] < 1 THEN 'und'
+       |  CASE WHEN best <= 0 OR sd[1] - sd[2] < 1
+       |      OR best * 1000 < $B * tc * $surplusPerMille
+       |      THEN 'und'
        |    ELSE ($langs)[bi] END AS lang
        |FROM m)""".stripMargin
   }
@@ -2393,21 +2437,31 @@ object SparkEntry {
     * of [[syntheticParaText]] (chunks contain no newlines, so the
     * operator's \n{2,} split inverts it exactly). */
   private lazy val syntheticParagraphCtes: String =
-    """t AS (SELECT doc_id, string_split(text, ' ') AS w
-      |    FROM documents WHERE text IS NOT NULL),
-      |c AS (SELECT doc_id, i AS pos,
+    syntheticParagraphCtesOver("documents")
+
+  /** [[syntheticParagraphCtes]] over an arbitrary (doc_id, text)
+    * relation — q174 runs the paragraph pass over the
+    * language+quality-filtered survivor corpus. `pfx` prefixes the
+    * CTE names so the chain composes with others (langIdCtes also
+    * defines a `t`). The final relation is `${pfx}k(doc_id, pos,
+    * para, key)`. */
+  private def syntheticParagraphCtesOver(rel: String,
+                                         pfx: String = ""): String =
+    s"""${pfx}t AS (SELECT doc_id, string_split(text, ' ') AS w
+      |    FROM $rel WHERE text IS NOT NULL),
+      |${pfx}c AS (SELECT doc_id, i AS pos,
       |    array_to_string(w[(i-1)*16+1:(i-1)*16+16], ' ') AS para
-      |  FROM t, UNNEST(range(1,
+      |  FROM ${pfx}t, UNNEST(range(1,
       |    CAST(ceil(len(w) / 16.0) AS BIGINT) + 1)) AS u(i)),
-      |p AS (SELECT doc_id, 0 AS pos,
+      |${pfx}p AS (SELECT doc_id, 0 AS pos,
       |    CASE WHEN doc_id % 2 = 0 THEN 'Subscribe to our newsletter'
       |      ELSE 'subscribe  to our Newsletter' END AS para
-      |  FROM documents
+      |  FROM $rel
       |  UNION ALL
-      |  SELECT doc_id, pos, para FROM c WHERE len(trim(para)) > 0),
-      |k AS (SELECT doc_id, pos, para,
-      |    trim(regexp_replace(lower(para), '\s+', ' ', 'g')) AS key
-      |  FROM p)""".stripMargin
+      |  SELECT doc_id, pos, para FROM ${pfx}c WHERE len(trim(para)) > 0),
+      |${pfx}k AS (SELECT doc_id, pos, para,
+      |    trim(regexp_replace(lower(para), '\\s+', ' ', 'g')) AS key
+      |  FROM ${pfx}p)""".stripMargin
 
   /** The q145 BM25 scoring pipeline as a reusable CTE chain ending in
     * `r(query_id, doc_id, score_e4, n_terms, rn)` — shared by the q145
@@ -4705,6 +4759,58 @@ object SparkEntry {
           |WHERE greatest((inter * 1000000) // n_a,
           |  (inter * 1000000) // n_b) >= 500000
           |ORDER BY id_a, id_b""".stripMargin,
+
+      // the r11 curation chain: lang-ID (shared CTEs) + the q165
+      // logit (renamed qtk/qsc to avoid collision) gate the corpus;
+      // the q161 paragraph chain (prefix g, over the survivors)
+      // yields kept_text; the q173 packing arithmetic chops it
+      "q174_curate_pack" -> {
+        val w = FixedQualityWeights.mkString("[", ", ", "]")
+        val n = FixedQualityWeights.length
+        s"""WITH ${langIdCtesWith(20L)},
+           |qtk AS (SELECT doc_id,
+           |    list_filter(string_split(COALESCE(text, ''), ' '),
+           |      tk -> len(tk) > 0) AS toks
+           |  FROM documents),
+           |qsc AS (SELECT doc_id,
+           |    CAST(COALESCE(list_sum(list_transform(toks, tk ->
+           |      ($w)[CAST((CAST(('0x' || substr(md5(tk), 1, 15)) AS BIGINT)
+           |        % $n) AS INTEGER) + 1])), 0) AS BIGINT) AS logit
+           |  FROM qtk),
+           |keep AS (SELECT d.doc_id, d.text FROM documents d
+           |  JOIN lid ON d.doc_id = lid.doc_id
+           |  JOIN qsc ON d.doc_id = qsc.doc_id
+           |  WHERE lid.lang = 'en' AND qsc.logit > 0),
+           |${syntheticParagraphCtesOver("keep", "g")},
+           |gr AS (SELECT doc_id, pos, para,
+           |    ROW_NUMBER() OVER (PARTITION BY key ORDER BY doc_id, pos)
+           |      AS rn FROM gk),
+           |pd AS (SELECT doc_id,
+           |    COALESCE(string_agg(CASE WHEN rn = 1 THEN para END,
+           |      chr(10) || chr(10) ORDER BY pos), '') AS kept_text
+           |  FROM gr GROUP BY doc_id),
+           |pb AS (SELECT doc_id,
+           |    CAST(len(list_filter(string_split(
+           |      regexp_replace(kept_text, '\\n+', ' ', 'g'), ' '),
+           |      x -> len(x) > 0)) AS BIGINT) AS n_toks,
+           |    CAST(('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)),
+           |      1, 15)) AS BIGINT) AS h2
+           |  FROM pd),
+           |pc AS (SELECT doc_id, n_toks,
+           |    CAST(SUM(n_toks) OVER (ORDER BY h2, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS BIGINT) AS cum_toks
+           |  FROM pb)
+           |SELECT doc_id, n_toks, cum_toks,
+           |  cum_toks - n_toks AS start_off,
+           |  (cum_toks - n_toks) // 256 AS start_seq,
+           |  CASE WHEN n_toks = 0 THEN (cum_toks - n_toks) // 256
+           |    ELSE (cum_toks - 1) // 256 END AS end_seq,
+           |  CASE WHEN n_toks = 0 THEN 0
+           |    ELSE (cum_toks - 1) // 256 - (cum_toks - n_toks) // 256 + 1
+           |    END AS n_seqs
+           |FROM pc ORDER BY doc_id""".stripMargin
+      },
 
       // sequence packing: the same md5 shuffle clock + a window
       // running sum (fine at oracle scale; the engine runs the

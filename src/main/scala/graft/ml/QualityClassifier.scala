@@ -119,19 +119,27 @@ object QualityClassifier {
     * thresholding the logit IS thresholding the probability). Pure
     * per-row arithmetic: zero shuffle, no fit, no driver state.
     */
-  def scoreFixed(docs: DataFrame, idCol: Column, textCol: Column,
-                 weights: Seq[Long], bias: Long = 0L,
-                 carry: Seq[Column] = Nil): DataFrame = {
+  /** The frozen-weight logit as a bare column — for composing into
+    * another operator's single corpus pass (the q174 curation chain
+    * carries it through the language scorer instead of re-joining). */
+  def fixedLogit(textCol: Column, weights: Seq[Long],
+                 bias: Long = 0L): Column = {
     val n = weights.length
-    // object-local `filter(model, docs, threshold)` shadows the SQL HOF
     val toks = org.apache.spark.sql.functions.filter(
       split(coalesce(textCol, lit("")), " "), t => length(t) > 0)
     val wLit = typedLit(weights)
-    def bucket(t: Column): Column =
+    aggregate(toks, lit(bias), (acc, t) => acc + element_at(wLit,
       pmod(conv(substring(md5(t), 1, 15), 16, 10).cast("long"),
-        lit(n.toLong)).cast("int")
-    val logit = aggregate(toks, lit(bias),
-      (acc, t) => acc + element_at(wLit, bucket(t) + 1))
+        lit(n.toLong)).cast("int") + 1))
+  }
+
+  def scoreFixed(docs: DataFrame, idCol: Column, textCol: Column,
+                 weights: Seq[Long], bias: Long = 0L,
+                 carry: Seq[Column] = Nil): DataFrame = {
+    // object-local `filter(model, docs, threshold)` shadows the SQL HOF
+    val toks = org.apache.spark.sql.functions.filter(
+      split(coalesce(textCol, lit("")), " "), t => length(t) > 0)
+    val logit = fixedLogit(textCol, weights, bias)
     // `carry` columns (pre-aliased by the caller) ride along so an
     // eval pass doesn't pay a re-join just to recover its labels
     docs.select(Seq(idCol.as("doc_id"),

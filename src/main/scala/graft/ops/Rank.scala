@@ -78,8 +78,15 @@ object Rank {
     *
     * `order` must be total within each group (include a unique
     * tiebreak); `group` is stringly-keyed for the offset map. The
-    * input plan executes twice (subtotals + labeling) — persist
-    * upstream if it is expensive.
+    * range-partitioned frame is localCheckpointed once: the operator
+    * traverses it THREE times (the range partitioner's sample, the
+    * subtotal pass, the labeling pass) and without the barrier each
+    * traversal re-executed the caller's whole upstream plan — q174's
+    * curation chain paid ~4× its own cost (20 s vs 6 s at sf0.1)
+    * before this landed. The materialized frame is the caller's
+    * PROJECTED columns plus two bookkeeping ones, not the corpus (on
+    * a real cluster a reliable checkpoint would replace the
+    * executor-local one).
     *
     * `maxDriverSubtotals` bounds the driver-collected subtotal count;
     * past it (detected INSIDE pass 1 via capped per-partition maps —
@@ -102,6 +109,7 @@ object Rank {
     val keys = col("__g") +: order
     val sorted = prepared.repartitionByRange(nPartitions, keys: _*)
       .sortWithinPartitions(keys: _*)
+      .localCheckpoint()
     val gIdx = sorted.schema.fieldIndex("__g")
     val vIdx = sorted.schema.fieldIndex("__v")
     val rdd = sorted.rdd

@@ -84,6 +84,15 @@ object LangIdFixed {
 
   val DefaultBuckets = 2048
 
+  /** Default relative evidence floor, in per-mille of the maximum
+    * possible centered score (buckets·T): the winner's hit-rate
+    * surplus over collision expectation must reach 10%. Measured on
+    * the synthetic corpus: domain jargon peaks at ~4-5% surplus on
+    * SOME language's gram list (everyday words like query/part/data
+    * hit pt grams), while real prose in a supported language runs
+    * ~15-35% — the floor sits between the two modes. */
+  val DefaultMinSurplusPerMille = 100L
+
   /** The shared digest-prefix bucket: md5 hex prefix 15 (60 bits,
     * sign-safe in a long) mod `buckets` — JVM twin of the SQL
     * `conv(substring(md5(g), 1, 15), 16, 10) % buckets` both engines
@@ -114,51 +123,95 @@ object LangIdFixed {
     regexp_replace(lower(coalesce(textCol, lit(""))), "\\s+", " "),
     lit(" "))
 
+  /** Nonzero-bucket count per language vector — each language's
+    * collision surface: a random letter trigram hits language l's
+    * vector with probability nnz(l)/buckets. */
+  def nonzeroCounts(buckets: Int = DefaultBuckets): Seq[Long] =
+    weightVectors(buckets).map(_.count(_ != 0L).toLong)
+
   /** Score documents: (doc_id, [carry...,] best_lang, score, margin,
     * lang) where `lang` applies the abstain contract — "und" when the
     * best score is ≤ 0 or the winning margin over the runner-up is <
-    * `minMargin`. `score` and `margin` are plain integer evidence
-    * counts. `carry` columns (pre-aliased, may reference the input
+    * `minMargin`.
+    *
+    * Scores are CENTERED against collision expectation:
+    * `score_l = buckets · raw_l − nnz_l · T` (raw_l = weight hits, T
+    * = letter-trigram count) — exactly `buckets·T` times the excess
+    * of the language's hit rate over its random-collision rate
+    * nnz_l/buckets, in exact integers. Uncentered raw counts made the
+    * language with the LONGEST gram list win on non-language text by
+    * collision volume alone (253/500 synthetic-corpus docs labeled
+    * 'pt' before centering); centered, noise text sits at ≈ 0 for
+    * every language and abstains, while real text keeps its true-gram
+    * surplus. `score`/`margin` are therefore in buckets·trigram
+    * units. `carry` columns (pre-aliased, may reference the input
     * columns) ride along so a downstream rollup doesn't pay a re-join
     * against the corpus (the scoreFixed convention).
     */
   def score(docs: DataFrame, idCol: Column, textCol: Column,
             buckets: Int = DefaultBuckets,
-            minMargin: Long = 1L, carry: Seq[Column] = Nil): DataFrame = {
+            minMargin: Long = 1L,
+            minSurplusPerMille: Long = DefaultMinSurplusPerMille,
+            carry: Seq[Column] = Nil): DataFrame = {
     val langsLit = typedLit(Languages.map(_._1))
+    val nL = Languages.size
     // the native one-pass scorer (trigram walk + letter filter + md5
-    // bucket + every language accumulation in compiled code);
-    // bit-identical to [[scoresCompositional]], which Round11OpsSpec
-    // pins — the compositional chain's 10 interpreted aggregate()
-    // folds measured ~4 s at sf0.1 vs ~0.3 s here
-    val scores = graft.functions.LangScoresExpr.lang_scores(
+    // bucket + every language accumulation + collision centering in
+    // compiled code); bit-identical to [[scoresCompositional]], which
+    // Round11OpsSpec pins — the compositional chain's interpreted
+    // folds measured ~4 s at sf0.1 vs ~0.3 s here, and fusing the
+    // centering into the expression keeps it codegen'd so each
+    // consuming operator's common-subexpression elimination evaluates
+    // it ONCE (a transform() lambda over the raw array re-evaluated
+    // the scorer per element and broke CSE: 19.5 s for a filter on
+    // `lang` at sf0.1)
+    val sc = graft.functions.LangScoresExpr.lang_scores(
       col("__s"), weightVectors(buckets))
-    val best = array_max(col("__sc"))
+    // __sc(1..nL) = centered scores; __sc(nL+1) = letter-trigram count
+    // — slice T off before any max/sort (T would win the max)
+    val langScores = slice(col("__sc"), 1, nL)
+    val best = array_max(langScores)
     // first index of the max → ties break to the first-listed language
-    val bestIdx = expr("array_position(__sc, array_max(__sc))").cast("int")
-    val sortedDesc = reverse(array_sort(col("__sc")))
+    val bestIdx = expr(
+      s"array_position(slice(__sc, 1, $nL), array_max(slice(__sc, 1, $nL)))")
+      .cast("int")
+    val sortedDesc = reverse(array_sort(langScores))
     val margin = element_at(sortedDesc, 1) - element_at(sortedDesc, 2)
+    // relative evidence floor: `score` is buckets·T times the hit-rate
+    // surplus over collision expectation, so `score·1000 < buckets·T·
+    // minSurplusPerMille` means the winner's surplus rate is below
+    // minSurplusPerMille/1000 — the fastText-probability-threshold
+    // analog. Domain jargon ("query part data stream...") scores a
+    // 1-3% accidental surplus on SOME language's gram list; real prose
+    // in a supported language runs 10-30%. Without the floor, half the
+    // synthetic jargon corpus labeled 'pt' off accidental hits in
+    // everyday words (query→"que", part→" pa", data→"da ")
+    val trigramCount = element_at(col("__sc"), nL + 1)
     docs.select(Seq(idCol.as("doc_id"),
         normText(textCol).as("__s")) ++ carry: _*)
-      .withColumn("__sc", scores)
+      .withColumn("__sc", sc)
       .withColumn("best_lang", element_at(langsLit, bestIdx))
       .withColumn("score", best)
       .withColumn("margin", margin)
       .withColumn("lang",
-        when(col("score") <= 0L || col("margin") < minMargin, "und")
+        when(col("score") <= 0L || col("margin") < minMargin ||
+            col("score") * 1000L <
+              lit(buckets.toLong) * trigramCount * minSurplusPerMille,
+          "und")
           .otherwise(col("best_lang")))
       .drop("__s", "__sc")
   }
 
-  /** The compositional scores array (trigram substr → `\p{L}` rlike
-    * filter → md5-60 bucket → one `aggregate()` fold per language)
-    * over the [[normText]]-normalized column `__s` — the reference
-    * semantics [[graft.functions.LangScoresExpr]] must reproduce
-    * bit-for-bit (spec-pinned). Interpreted HOFs; keep out of hot
-    * paths. Only LETTER trigrams score: digit/punctuation grams carry
-    * no language evidence, but hashed into 10 × ~24 nonzero buckets
-    * they'd accumulate collision noise linearly with document length
-    * (a digits-only doc measured a spurious score of 4 before this
+  /** The compositional CENTERED scores array + trailing trigram count
+    * (trigram substr → `\p{L}` rlike filter → md5-60 bucket → one
+    * `aggregate()` fold per language, then `size`) over the
+    * [[normText]]-normalized column `__s` — the reference semantics
+    * [[graft.functions.LangScoresExpr]] must reproduce bit-for-bit
+    * (spec-pinned). Interpreted HOFs; keep out of hot paths. Only
+    * LETTER trigrams score: digit/punctuation grams carry no language
+    * evidence, but hashed into 10 × ~24 nonzero buckets they'd
+    * accumulate collision noise linearly with document length (a
+    * digits-only doc measured a spurious score of 4 before this
     * filter) — and a frozen model can't learn them to zero the way a
     * trained fastText does, so the feature definition excludes them
     * outright.
@@ -177,9 +230,11 @@ object LangIdFixed {
         t => pmod(conv(substring(md5(t), 1, 15), 16, 10)
           .cast("long"), lit(buckets.toLong)).cast("int")))
       .otherwise(array().cast("array<int>"))
-    array(wv.map { w =>
-      aggregate(bks, lit(0L),
-        (acc, b) => acc + element_at(typedLit(w), b + 1))
-    }: _*)
+    val nnz = nonzeroCounts(buckets)
+    array(wv.zip(nnz).map { case (w, z) =>
+      lit(buckets.toLong) * aggregate(bks, lit(0L),
+        (acc, b) => acc + element_at(typedLit(w), b + 1)) -
+        lit(z) * size(bks).cast("long")
+    } :+ size(bks).cast("long"): _*)
   }
 }

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Piecewise cost of the q174 curation chain at sf0.1. */
+object CurateDiag {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    def timed(name: String)(f: => Long): Unit = {
+      f // warm
+      val t0 = System.nanoTime(); val n = f
+      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s (n=$n)")
+    }
+    val wq = Seq.tabulate(64)(j => ((j * 37) % 13 - 6).toLong)
+    timed("a score only")(graft.text.LangIdFixed.score(docs,
+      col("doc_id"), col("text"), minSurplusPerMille = 20L)
+      .where(col("lang") === "en").count())
+    timed("b fixedLogit only")(docs.select(
+      graft.ml.QualityClassifier.fixedLogit(col("text"), wq).as("q"))
+      .where(col("q") > 0).count())
+    val survivors = graft.text.LangIdFixed.score(docs, col("doc_id"),
+        col("text"), minSurplusPerMille = 20L,
+        carry = Seq(graft.ml.QualityClassifier.fixedLogit(col("text"), wq)
+          .as("q_logit"), col("text")))
+      .where(col("lang") === "en" && col("q_logit") > 0L)
+    timed("c survivors")(survivors.count())
+    val withP = survivors.withColumn("__ptext", concat_ws("\n\n",
+      when(pmod(col("doc_id"), lit(2)) === 0,
+        lit("Subscribe to our newsletter"))
+        .otherwise(lit("subscribe  to our Newsletter")),
+      array_join(graft.functions.ShinglesExpr.chunk_strings(
+        col("text"), 16), "\n\n")))
+    val deduped = graft.dedup.Dedup.paragraphDedup(withP, col("doc_id"),
+      col("__ptext"))
+    timed("d deduped")(deduped.count())
+    timed("e packed")(graft.ops.Pack.sequencePacking(deduped,
+      col("doc_id"), regexp_replace(col("kept_text"), "\\n+", " "), 256L)
+      .count())
+    spark.stop()
+  }
+}

@@ -65,31 +65,21 @@ object LangFitDiag {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
-    val langs = graft.text.LangIdFixed.Languages.map(_._1)
     val df = Sentences.zipWithIndex
       .map { case ((l, t), i) => (i.toLong, l, t) }
       .toDF("id", "want", "text")
-    val normed = df.select(col("id"), col("want"), concat(lit(" "),
-      regexp_replace(lower(coalesce(col("text"), lit(""))),
-        "\\s+", " "), lit(" ")).as("__s"))
-    val sc = graft.functions.LangScoresExpr.lang_scores(col("__s"),
-      graft.text.LangIdFixed.weightVectors())
-    val rows = normed.select(col("id"), col("want"), sc.as("s"))
+    val rows = graft.text.LangIdFixed.score(df, col("id"), col("text"),
+        carry = Seq(col("want")))
+      .select("doc_id", "want", "lang", "best_lang", "score", "margin")
       .collect().sortBy(_.getLong(0))
     var wrong = 0
     rows.foreach { r =>
-      val s = r.getSeq[Long](2)
-      val bi = s.indexOf(s.max)
-      val got = if (s.max <= 0) "und" else {
-        val sorted = s.sorted.reverse
-        if (sorted(0) - sorted(1) < 1) "und" else langs(bi)
-      }
-      val want = r.getString(1)
+      val (want, got) = (r.getString(1), r.getString(2))
       if (got != want) {
         wrong += 1
-        val top = langs.zip(s).sortBy(-_._2).take(4)
-          .map { case (l, v) => s"$l=$v" }.mkString(" ")
-        println(s"MISS id=${r.getLong(0)} want=$want got=$got  $top")
+        println(s"MISS id=${r.getLong(0)} want=$want got=$got " +
+          s"best=${r.getString(3)} score=${r.getLong(4)} " +
+          s"margin=${r.getLong(5)}")
       }
     }
     println(s"wrong=$wrong/${rows.length}")

@@ -252,8 +252,11 @@ class Round11OpsSpec extends SparkSpec {
     val mixed = Seq((1L,
       "the cat and the dog der hund und die katze the house das haus"))
       .toDF("id", "text")
+    // margins are in buckets·trigram units since the collision
+    // centering (≈ 2048 per net gram hit) — the strictness threshold
+    // scales accordingly
     val strict = graft.text.LangIdFixed.score(mixed, col("id"),
-        col("text"), minMargin = 1000L)
+        col("text"), minMargin = 100000000L)
       .collect().head
     assert(strict.getString(strict.fieldIndex("lang")) == "und")
     // margin >= 1 (the default) keeps the argmax; best_lang is still
