@@ -802,15 +802,25 @@ object Dedup {
                             idCol: Column, textCol: Column,
                             expectedItems: Long,
                             fpp: Double): DataFrame = {
+    // ONE history scan: the distinct-key relation feeds three
+    // consumers (the emptiness probe, the Bloom build, the verify
+    // join's build side) — localCheckpoint materializes it once
+    // instead of re-running the explode+normalize+distinct per
+    // consumer. At production scale this relation IS the persisted
+    // paragraph-key index the pipeline maintains; here it derives
+    // from `history` inline, so the barrier stands in for the index.
     val histKeys = paraExplode(history, idCol, textCol)
-      .select(col("__key")).distinct()
+      .select(col("__key")).distinct().localCheckpoint()
     // empty history (a crawl's FIRST batch): the Bloom aggregate
     // returns a null-buffer filter over zero rows and the probe NPEs —
     // and semantically the batch just dedups against itself
     if (histKeys.isEmpty) return paragraphDedup(batch, idCol, textCol)
     val bloom = histKeys.select(xxhash64(col("__key")).as("__h"))
       .stat.bloomFilter("__h", expectedItems, fpp)
-    val bp = paraExplode(batch, idCol, textCol)
+    // the batch paragraph relation likewise feeds three consumers
+    // (fresh, verified, the per-doc totals in assembleKept); a batch
+    // is small by the incremental premise, so the barrier is cheap
+    val bp = paraExplode(batch, idCol, textCol).localCheckpoint()
     val probe = graft.functions.BloomMightContainExpr.bloom_might_contain(
       bloom, xxhash64(col("__key")))
     val flagged = bp.withColumn("__maybe", probe)

@@ -88,7 +88,14 @@ object LangScoresExpr {
   def compute(s: UTF8String, flat: Array[Long], nnz: Array[Long],
               buckets: Int, nLangs: Int): GenericArrayData = {
     val str = s.toString
-    val bytes = s.getBytes
+    // re-encode the DECODED string rather than trusting s.getBytes:
+    // Spark does not validate UTF-8 on ingest, and an invalid byte
+    // sequence decodes to U+FFFD (3 bytes re-encoded) while occupying
+    // fewer raw bytes — offsets computed from code points would then
+    // overrun the raw buffer (AIOOBE) or hash shifted slices. Against
+    // the re-encoded buffer the offset walk is total for ANY input;
+    // U+FFFD is not a letter, so mangled grams simply don't score.
+    val bytes = str.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val n = str.codePointCount(0, str.length)
     // scores(0..nLangs-1) = per-language RAW sums until the centering
     // at the end; scores(nLangs) = total letter-trigram count

@@ -80,8 +80,9 @@ object DocCluster {
           aggregate(diffs, lit(0L).cast("decimal(38,0)"),
             (acc, v) => (acc + v).cast("decimal(38,0)")),
           raise_error(concat(
-            lit(s"assignFixed: NULL or shorter-than-$dim embedding at " +
-              "id="), col("vec_id").cast("string")))
+            lit(s"assignFixed: embedding NULL, shorter than dim=$dim, " +
+              "or holding NULL components at id="),
+            col("vec_id").cast("string")))
             .cast("decimal(38,0)")).as("dist"),
         lit(ci.toLong).as("cluster"))
     }

@@ -36,8 +36,19 @@ object ClassifierMetrics {
     require(thresholds.nonEmpty, "at least one threshold")
     require(thresholds.distinct.size == thresholds.size,
       "duplicate thresholds would emit duplicate sweep rows")
-    val counts = scored.select(labelCol.cast("int").as("__y"),
-        scoreCol.cast("long").as("__s"))
+    // a NULL label or score cannot be binned: '__s > t' is NULL, every
+    // when() falls through, and the row would vanish from ALL FOUR
+    // confusion cells — shrinking precision/recall denominators with
+    // no error. An audit must not silently drop rows; fail loudly and
+    // let the caller decide what a NULL means
+    def nonNull(c: Column, what: String): Column = coalesce(c,
+      raise_error(lit(s"confusionAtThresholds: NULL $what — a row " +
+        "with no label/score cannot be binned; filter or impute " +
+        "upstream explicitly")).cast("long"))
+    val counts = scored.select(
+        nonNull(labelCol.cast("int").cast("long"), "label").cast("int")
+          .as("__y"),
+        nonNull(scoreCol.cast("long"), "score").as("__s"))
       .select(col("__y"), col("__s"),
         explode(typedLit(thresholds)).as("threshold"))
       .groupBy("threshold").agg(

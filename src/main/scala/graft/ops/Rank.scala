@@ -120,17 +120,21 @@ object Rank {
     // on (group, order), so each group occupies a CONTIGUOUS run of
     // partitions and the total entry count is ≤ groups + nPartitions.
     // The budget is enforced GLOBALLY (Σ entries ≤ maxDriverSubtotals
-    // after collect); the per-partition cap carries an 8× fair-share
-    // slack so one skewed partition holding many distinct groups
-    // doesn't force the fallback while the global total is still well
-    // inside budget (it used to: cap = budget/nPartitions meant a
-    // partition with > fair-share groups bailed even at tiny global
-    // cardinality, and nPartitions > budget degenerated to cap = 1).
-    // Worst-case driver traffic stays bounded either way:
-    // ≤ min(8 · maxDriverSubtotals, nPartitions · cap) entries, and an
-    // overflowing partition stops accumulating at the cap.
+    // after collect); the per-partition cap carries a 2× fair-share
+    // slack so one skewed partition holding more than its share of
+    // distinct groups doesn't force the fallback while the global
+    // total is still inside budget (it used to: cap =
+    // budget/nPartitions meant a partition with > fair-share groups
+    // bailed even at tiny global cardinality, and nPartitions > budget
+    // degenerated to cap = 1). The slack is deliberately 2×, not
+    // more: the global check runs AFTER the collect, so worst-case
+    // driver traffic is nPartitions · cap ≤ 2 · maxDriverSubtotals
+    // entries — same order as the budget itself (a larger slack would
+    // multiply the driver's worst-case allocation by that factor
+    // before the fallback could refuse it). An overflowing partition
+    // stops accumulating at the cap.
     val cap = math.min(maxDriverSubtotals,
-      math.max(1L, 8L * maxDriverSubtotals / math.max(nPartitions, 1)))
+      math.max(1L, 2L * maxDriverSubtotals / math.max(nPartitions, 1)))
     val partials: Array[(Int, Seq[(String, Long)], Boolean)] =
       rdd.mapPartitionsWithIndex { (pi, it) =>
         val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]

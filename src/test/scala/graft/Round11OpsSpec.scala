@@ -245,6 +245,31 @@ class Round11OpsSpec extends SparkSpec {
     assert(correct >= 36, s"accuracy ${correct}/40 below the 90% gate")
   }
 
+  test("LangScoresExpr: total on invalid UTF-8 bytes; confusion sweep loud on NULLs") {
+    // Spark does not validate UTF-8 on ingest — the scorer must not
+    // overrun its byte buffer on mangled input (offsets come from the
+    // re-encoded decoded string, so they always match)
+    val B = graft.text.LangIdFixed.DefaultBuckets
+    val wv = graft.text.LangIdFixed.weightVectors(B)
+    val bad = org.apache.spark.unsafe.types.UTF8String.fromBytes(
+      Array[Byte](' ', 'a', 0x80.toByte, 0xff.toByte, 'b', 0xc3.toByte,
+        ' '))
+    val out = graft.functions.LangScoresExpr.compute(bad,
+      wv.flatten.toArray, wv.map(_.count(_ != 0L).toLong).toArray,
+      B, wv.size)
+    assert(out.numElements == wv.size + 1) // scored, did not throw
+    // a NULL label/score must fail LOUDLY, never silently vanish from
+    // all four confusion cells
+    val withNull = Seq((Some(1), Some(5L)), (None, Some(2L)))
+      .toDF("y", "s")
+    val e = intercept[Exception] {
+      graft.ops.ClassifierMetrics.confusionAtThresholds(withNull,
+        col("y"), col("s"), Seq(0L)).collect()
+    }
+    assert(e.getMessage.contains("cannot be binned") ||
+      Option(e.getCause).exists(_.getMessage.contains("cannot be binned")))
+  }
+
   test("langIdFixed: low-margin abstain and deterministic tie-break") {
     // a 50/50 English-German mix scores both languages high; under a
     // strict margin requirement the classifier must ABSTAIN rather
@@ -259,10 +284,15 @@ class Round11OpsSpec extends SparkSpec {
         col("text"), minMargin = 100000000L)
       .collect().head
     assert(strict.getString(strict.fieldIndex("lang")) == "und")
-    // margin >= 1 (the default) keeps the argmax; best_lang is still
-    // reported alongside the abstain so triage can see the runner-up
-    assert(Set("en", "de", "und")(
-      strict.getString(strict.fieldIndex("best_lang"))) ||
-      strict.getString(strict.fieldIndex("best_lang")).nonEmpty)
+    // deterministic tie-break, pinned on a REAL tie: empty text scores
+    // every language exactly 0, and first-index-of-max must report the
+    // first-listed language ('en') as best_lang while lang abstains
+    val tie = graft.text.LangIdFixed.score(
+        Seq((1L, "")).toDF("id", "text"), col("id"), col("text"))
+      .collect().head
+    assert(tie.getString(tie.fieldIndex("best_lang")) == "en")
+    assert(tie.getString(tie.fieldIndex("lang")) == "und")
+    assert(tie.getLong(tie.fieldIndex("score")) == 0L &&
+      tie.getLong(tie.fieldIndex("margin")) == 0L)
   }
 }
