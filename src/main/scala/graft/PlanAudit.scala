@@ -115,7 +115,9 @@ object PlanAudit {
     "q167_retrieval_ndcg" ->
       "inherited q145 corpus-stats scalar agg: one partial row per task",
     "q171_language_mix" ->
-      "share window runs on the <=|langs|+1 per-language rollup rows"
+      "share window runs on the <=|langs|+1 per-language rollup rows",
+    "q164_source_overlap" ->
+      "lazy maxSources gate: global scalar count over distinct sources"
     // q129_zipf_slope funnels through a bounded top-30 head (limit +
     // rank window + OLS agg) but plans as TakeOrdered without an
     // explicit SinglePartition exchange, so it needs no entry here

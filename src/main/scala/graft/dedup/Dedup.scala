@@ -787,8 +787,11 @@ object Dedup {
     *     DEFINITELY new (no false negatives) and skips the join
     *     entirely — the common case at the filter's fpp;
     *   - Bloom hits (true dups + ≤ fpp false positives) verify with a
-    *     left-anti join on 16-byte md5 key fingerprints, so the result
-    *     is EXACT, never probabilistic;
+    *     left-anti join on 32-byte sha-256 key fingerprints (curation
+    *     input is untrusted web text and md5 collisions are
+    *     chosen-prefix constructible, so the verify tier uses a
+    *     collision-resistant hash), making the result exact up to
+    *     sha-256 collision resistance;
     *   - survivors then dedup within the batch with the same
     *     min-(doc_id, pos) keeper rule.
     *
@@ -826,8 +829,8 @@ object Dedup {
     val flagged = bp.withColumn("__maybe", probe)
     val fresh = flagged.where(!col("__maybe"))
     val verified = flagged.where(col("__maybe"))
-      .withColumn("__fp", md5(col("__key")))
-      .join(histKeys.select(md5(col("__key")).as("__fp")),
+      .withColumn("__fp", sha2(col("__key"), 256))
+      .join(histKeys.select(sha2(col("__key"), 256).as("__fp")),
         Seq("__fp"), "left_anti")
       .drop("__fp")
     val survivors = fresh.unionByName(verified).drop("__maybe")
@@ -886,14 +889,16 @@ object Dedup {
     *     is emitted with NO join at all — at the filter's fpp this is
     *     ~all genuinely-new rows, the common case;
     *   - hit (true dup or false positive, ≤ fpp of new rows) → verified
-    *     with a left-anti join against history's md5 fingerprints. Only
-    *     candidate rows join, and the join carries 16-byte keys, never
+    *     with a left-anti join against history's sha-256 fingerprints
+    *     (collision-resistant: curation input is untrusted web text,
+    *     where md5 chosen-prefix collisions are constructible). Only
+    *     candidate rows join, and the join carries 32-byte keys, never
     *     text.
-    * The result is therefore EXACT (gate query q86 hash-checks it
-    * against plain NOT IN SQL); the Bloom is purely a join-elision
-    * layer. At production scale the md5 side is the persisted dedup
-    * index the pipeline already maintains; here it derives from
-    * `history` inline.
+    * The result is therefore exact up to sha-256 collision resistance
+    * (gate query q86 hash-checks it against plain NOT IN SQL); the
+    * Bloom is purely a join-elision layer. At production scale the
+    * fingerprint side is the persisted dedup index the pipeline
+    * already maintains; here it derives from `history` inline.
     */
   def incrementalExact(batch: DataFrame, history: DataFrame,
                        textColName: String, bloom: BloomFilter): DataFrame = {
@@ -902,8 +907,8 @@ object Dedup {
     val flagged = batch.withColumn("__maybe_dup", probe)
     val definitelyNew = flagged.where(!col("__maybe_dup"))
     val verifiedNew = flagged.where(col("__maybe_dup"))
-      .withColumn("__fp", md5(col(textColName)))
-      .join(history.select(md5(col(textColName)).as("__fp")).distinct(),
+      .withColumn("__fp", sha2(col(textColName), 256))
+      .join(history.select(sha2(col(textColName), 256).as("__fp")).distinct(),
         Seq("__fp"), "left_anti")
       .drop("__fp")
     definitelyNew.unionByName(verifiedNew).drop("__maybe_dup")
@@ -1099,22 +1104,28 @@ object Dedup {
     * cross so the matrix is total.
     *
     * The group-sized contract is ENFORCED, not advisory (the
-    * groupedRunningSum-gate convention): distinct sources are counted
-    * eagerly — one column-pruned pass, trivial next to the audit
-    * itself — and > `maxSources` fails loudly before any candidate
-    * pair is built. A caller passing `domain` as `src` would otherwise
-    * build Σ_g C(df_g, 2) pairs with df_g up to the domain count; the
-    * error routes them to [[kmvOverlap]].
+    * groupedRunningSum-gate convention), and enforced LAZILY so plan
+    * construction stays side-effect free: the distinct-source count
+    * rides the plan as a broadcast one-row gate inside `sizes`.
+    * Broadcast build sides execute FIRST, so on any action the
+    * raise_error fires before a super-group-sized sizes relation is
+    * collected or any candidate pair is built — a caller passing
+    * `domain` as `src` would otherwise build Σ_g C(df_g, 2) pairs
+    * with df_g up to the domain count; the error routes them to
+    * [[kmvOverlap]]. A never-executed frame now costs nothing.
     */
   def sourceOverlapMatrix(df: DataFrame, srcCol: Column, textCol: Column,
                           w: Int = 3, maxSources: Int = 1000): DataFrame = {
-    val nSrc = df.select(srcCol.as("src")).distinct().count()
-    require(nSrc <= maxSources,
-      s"sourceOverlapMatrix: $nSrc distinct sources exceeds " +
-        s"maxSources=$maxSources — the exact matrix is quadratic in " +
-        "sources (group-sized: sources, langs; not domains). For " +
-        "high-cardinality grouping use kmvOverlap per pair instead, " +
-        "or raise maxSources deliberately.")
+    val srcs = df.select(srcCol.as("src")).distinct()
+    val gate = broadcast(srcs.agg(count(lit(1)).as("__nsrc"))
+      .select(when(col("__nsrc") > maxSources,
+          raise_error(concat(lit("sourceOverlapMatrix: "), col("__nsrc"),
+            lit(s" distinct sources exceeds maxSources=$maxSources — " +
+              "the exact matrix is quadratic in sources (group-sized: " +
+              "sources, langs; not domains). For high-cardinality " +
+              "grouping use kmvOverlap per pair instead, or raise " +
+              "maxSources deliberately."))))
+        .otherwise(lit(1)).as("__gate")))
     val sg = df.where(textCol.isNotNull)
       .select(srcCol.as("src"), explode(array_distinct(
         graft.functions.ShinglesExpr.shingle_strings(textCol, w)))
@@ -1127,10 +1138,16 @@ object Dedup {
     // NULL-text and so contribute no grams) — a source absent from the
     // matrix would read as "audited, nothing to report" when it was
     // never compared at all
-    val sizes = df.select(srcCol.as("src")).distinct()
+    // the gate MULTIPLIES into the n payload (×1 when inside the
+    // bound) rather than riding a dropped column — column pruning
+    // would silently eliminate an unreferenced gate projection and
+    // the raise_error with it
+    val sizes = srcs
       .join(sg.groupBy("src").agg(count(lit(1)).as("__n")), Seq("src"),
         "left")
-      .select(col("src"), coalesce(col("__n"), lit(0L)).as("n"))
+      .crossJoin(gate)
+      .select(col("src"),
+        (coalesce(col("__n"), lit(0L)) * col("__gate")).as("n"))
     val inter = sg.alias("a").join(sg.alias("b"), Seq("g"))
       .where(col("a.src") < col("b.src"))
       .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))

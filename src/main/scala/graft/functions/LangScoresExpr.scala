@@ -53,6 +53,18 @@ case class LangScoresExpr(child: Expression, weights: Seq[Seq[Long]])
   require(weights.nonEmpty && weights.forall(_.length == weights.head.length),
     "one equal-length weight vector per language")
 
+  // analysis-time type contract (the PHashExpr/CdcChunksExpr
+  // discipline): misuse over a non-string child must fail in the
+  // analyzer, not as an executor ClassCastException
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"lang_scores needs STRING, got ${other.sql}")
+    }
+
   @transient private lazy val flat: Array[Long] = weights.flatten.toArray
 
   @transient private lazy val nnz: Array[Long] =

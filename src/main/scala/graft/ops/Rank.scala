@@ -133,8 +133,13 @@ object Rank {
     // multiply the driver's worst-case allocation by that factor
     // before the fallback could refuse it). An overflowing partition
     // stops accumulating at the cap.
+    // saturate the 2× slack: a budget above Long.MaxValue/2 would
+    // overflow negative and degrade cap to 1, sending near-every
+    // multi-group frame down the distributed fallback
+    val slack = if (maxDriverSubtotals > Long.MaxValue / 2) Long.MaxValue
+                else 2L * maxDriverSubtotals
     val cap = math.min(maxDriverSubtotals,
-      math.max(1L, 2L * maxDriverSubtotals / math.max(nPartitions, 1)))
+      math.max(1L, slack / math.max(nPartitions, 1)))
     val partials: Array[(Int, Seq[(String, Long)], Boolean)] =
       rdd.mapPartitionsWithIndex { (pi, it) =>
         val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]

