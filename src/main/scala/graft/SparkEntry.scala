@@ -2114,6 +2114,26 @@ object SparkEntry {
           col("__ptext"))
         .orderBy("id_a", "id_b")),
 
+    // incremental paragraph NEAR-dup — the fuzzy tier of the
+    // per-crawl-batch paragraph pass (q170 closed the exact tier),
+    // split like q170 (history = even docs, batch = odd): a Bloom
+    // over history's band-bucket fingerprints elides the history-
+    // index join for unseen buckets; survivors join the index, the
+    // batch self-joins its own bands, both verify on exact signature
+    // agreement. Result ≡ the q163 one-shot over history ∪ batch
+    // restricted to batch-touching pairs (spec-pinned theorem —
+    // the oracle replays exactly that restriction)
+    "q177_incremental_para_neardup" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").withColumn("__ptext",
+        syntheticParaText)
+      Dedup.incrementalParagraphNearDup(
+          docs.where(pmod(col("doc_id"), lit(2)) === 1),
+          docs.where(pmod(col("doc_id"), lit(2)) === 0),
+          col("__ptext"),
+          expectedItems = 1000000L, fpp = 0.01)
+        .orderBy("id_a", "id_b")
+    }),
+
     // exact source-overlap matrix (dataset-mixing audit): distinct
     // md5-60 shingles per source, pairwise intersection + Jaccard e6;
     // zero-overlap pairs completed from the size cross so the matrix
@@ -2267,19 +2287,66 @@ object SparkEntry {
     // paragraph dedup over the survivors (q161) → sequence packing of
     // the kept text (q173). The whole chain is ONE corpus scan until
     // the paragraph shuffle; hash-checked end to end
+    // script-aware language ID — the q168 trigram model behind a
+    // Unicode-script histogram pre-classifier (one code-point walk,
+    // frozen explicit ranges): CJK/Cyrillic/Arabic/Greek/Hebrew text
+    // labels directly from script occupancy instead of quarantining
+    // as "und"; Latin-dominant text routes to the trigram tier (and
+    // ONLY Latin text pays the trigram pass). Corpus = documents ∪ a
+    // frozen multilingual fixture relation (the synthetic corpus is
+    // all-Latin, so the non-Latin rules need planted rows to bite)
+    "q175_script_lang_id" -> ((s, dir) => {
+      import s.implicits._
+      val fx = MultilingualFixtures.toDF("doc_id", "text")
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+        .unionByName(fx)
+      graft.text.LangIdFixed.scoreScriptAware(docs, col("doc_id"),
+          col("text"))
+        .orderBy("doc_id")
+    }),
+
+    // toxicity/blocklist gate — the standard curation stage between
+    // quality filtering and dedup (C4-style term blocklist), as a
+    // frozen md5-bucketed lexicon: per-category hit counts + an exact
+    // per-mille block rate, one native token pass per doc. Corpus =
+    // documents ∪ planted spam/clean fixture rows (the synthetic
+    // corpus is clean, so the gate needs planted rows to bite)
+    "q176_lexicon_gate" -> ((s, dir) => {
+      import s.implicits._
+      val fx = SpamFixtures.toDF("doc_id", "text")
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+        .unionByName(fx)
+      graft.text.LexiconGate.score(docs, col("doc_id"), col("text"))
+        .orderBy("doc_id")
+    }),
+
     "q174_curate_pack" -> ((s, dir) => {
       // the jargon corpus peaks ~4-5% gram surplus (below the 10%
       // prose default, which would quarantine everything) — the
       // corpus-calibration knob gates at 2% here, mirrored in the
-      // oracle's langIdCtesWith(20)
+      // oracle's langIdCtesWith(20). The r12 lexicon gate (q176)
+      // rides the same single pass as TWO more carry columns (tox
+      // hits + lexicon token count) — blocked docs drop alongside
+      // the language/quality rejects, no corpus re-join
+      val lexK = graft.text.LexiconGate.Categories.size
+      val toxScores = graft.text.LexiconGate.scoresColumn(col("text"))
+      val toxHits = (1 to lexK).map(i => element_at(toxScores, i))
+        .reduce(_ + _)
       val survivors = graft.text.LangIdFixed.score(
           T(s, dir, "documents"), col("doc_id"), col("text"),
           minSurplusPerMille = 20L,
           carry = Seq(
             graft.ml.QualityClassifier.fixedLogit(col("text"),
               FixedQualityWeights).as("q_logit"),
+            toxHits.as("tox_hits"),
+            element_at(toxScores, lexK + 1).as("tox_toks"),
             col("text")))
-        .where(col("lang") === "en" && col("q_logit") > 0L)
+        .where(col("lang") === "en" && col("q_logit") > 0L &&
+          // the q176 gate: floor-div rate >= 20e3 ⟺ hits·1e6 >= n·20e3
+          (col("tox_toks") === 0L ||
+            col("tox_hits") * 1000000L <
+              col("tox_toks") * (graft.text.LexiconGate
+                .DefaultMaxRatePerMille * 1000L)))
         .withColumn("__ptext", syntheticParaText)
       val deduped = Dedup.paragraphDedup(survivors, col("doc_id"),
         col("__ptext"))
@@ -2298,6 +2365,56 @@ object SparkEntry {
     * with the oracle's literal list. */
   private val FixedQualityWeights: Seq[Long] =
     Seq.tabulate(64)(j => ((j * 37) % 13 - 6).toLong)
+
+  /** q176's planted rows (negative doc_ids, disjoint from q175's):
+    * four category-dense spam lines that must block, a punctuation
+    * -mangled one (the normalizer must still catch it), one long
+    * clean sentence with a single incidental term (below the 2% rate
+    * — a gate, not a keyword ban), and a clean control. Shared
+    * verbatim with the oracle's VALUES (no apostrophes). */
+  private val SpamFixtures: Seq[(Long, String)] = Seq(
+    -101L -> ("play casino poker online and win the big jackpot at " +
+      "our casino tonight"),
+    -102L -> "buy viagra and cialis online cheap and fast today",
+    -103L -> "watch xxx and erotic porn videos on our escort site",
+    -104L -> ("reports of the massacre and the bloodbath spread as " +
+      "gore filled the streets"),
+    -105L -> ("the quiet garden was full of flowers and the children " +
+      "played happily all afternoon"),
+    -106L -> "Casino!! Poker, JACKPOT... (roulette)",
+    -107L -> ("after dinner the friends sat around the table and " +
+      "played a friendly game of poker while they talked about " +
+      "their plans for the summer holidays and the long trips they " +
+      "wanted to take together across the mountains and along the " +
+      "coast before the autumn weather arrived with its first cold " +
+      "winds and rains across the quiet hills"))
+
+  /** q175's planted multilingual rows (negative doc_ids keep them
+    * disjoint from every SF's corpus): two everyday sentences per
+    * non-Latin script, a kana-only line, a Han-heavy Japanese line, a
+    * three-script mix that must stay "zzzz"/und, and a Latin control
+    * that must route through the trigram tier. Shared verbatim with
+    * the oracle's VALUES (no apostrophes, so the SQL quoting is
+    * trivial). */
+  private val MultilingualFixtures: Seq[(Long, String)] = Seq(
+    -1L -> "она пошла на рынок и купила хлеб на ужин",
+    -2L -> "сегодня хорошая погода и мы идем в парк",
+    -3L -> "今天天气很好我们一起去公园散步",
+    -4L -> "请在开始之前仔细阅读说明书",
+    -5L -> "今日はいい天気なので公園へ行きます",
+    -6L -> "はじめる前に説明書をよく読んでください",
+    -7L -> "오늘은 날씨가 좋아서 공원에 갑니다",
+    -8L -> "시작하기 전에 설명서를 잘 읽어 주세요",
+    -9L -> "ذهبت إلى السوق واشترت الخبز للعشاء",
+    -10L -> "الطقس جميل اليوم ونحن ذاهبون إلى الحديقة",
+    -11L -> "πήγε στην αγορά και αγόρασε ψωμί για το δείπνο",
+    -12L -> "ο καιρός είναι καλός σήμερα και πάμε στο πάρκο",
+    -13L -> "היא הלכה לשוק וקנתה לחם לארוחת הערב",
+    -14L -> "מזג האוויר יפה היום ואנחנו הולכים לפארק",
+    -15L -> "きょうは とても いい てんきです",
+    -16L -> "日本語の文章です",
+    -17L -> "abc абв αβγ",
+    -18L -> "the weather is nice today and we are going to the park")
 
   /** The q161/q163 synthetic paragraph structure over the single-line
     * fixture corpus: a shared boilerplate banner (whitespace/case
@@ -2372,8 +2489,10 @@ object SparkEntry {
   /** [[langIdCtes]] with an explicit evidence floor — q174 documents
     * the corpus-calibration knob: the synthetic jargon corpus peaks
     * ~4-5% surplus, under the 10% prose default, so its curation
-    * chain gates at 2%. */
-  private def langIdCtesWith(surplusPerMille: Long): String = {
+    * chain gates at 2%. `rel` is the (doc_id, text) source relation —
+    * q175 scores a script-gated relation instead of documents. */
+  private def langIdCtesWith(surplusPerMille: Long,
+                             rel: String = "documents"): String = {
     val B = graft.text.LangIdFixed.DefaultBuckets
     val nL = graft.text.LangIdFixed.Languages.size
     val sparse = graft.text.LangIdFixed.weightVectors(B).zipWithIndex
@@ -2387,7 +2506,7 @@ object SparkEntry {
     s"""t AS (SELECT doc_id,
        |    ' ' || regexp_replace(lower(COALESCE(text, '')),
        |      '\\s+', ' ', 'g') || ' ' AS s
-       |  FROM documents),
+       |  FROM $rel),
        |b AS (SELECT doc_id,
        |    CAST((CAST(('0x' || substr(md5(tg), 1, 15)) AS BIGINT)
        |      % $B) AS INTEGER) AS bk
@@ -2402,7 +2521,7 @@ object SparkEntry {
        |tcx AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS tc
        |  FROM b GROUP BY doc_id),
        |grid AS (SELECT d.doc_id, CAST(ls.li AS INTEGER) AS li
-       |  FROM (SELECT DISTINCT doc_id FROM documents) d
+       |  FROM (SELECT DISTINCT doc_id FROM $rel) d
        |  CROSS JOIN (SELECT unnest(range(1, ${nL + 1})) AS li) ls),
        |sc AS (SELECT grid.doc_id,
        |    list(CAST($B * COALESCE(h.sc, 0)
@@ -4767,6 +4886,13 @@ object SparkEntry {
       "q174_curate_pack" -> {
         val w = FixedQualityWeights.mkString("[", ", ", "]")
         val n = FixedQualityWeights.length
+        val lexB = graft.text.LexiconGate.DefaultBuckets
+        val lexThr = graft.text.LexiconGate.DefaultMaxRatePerMille * 1000L
+        val lexSparse = graft.text.LexiconGate.weightVectors(lexB)
+          .zipWithIndex.flatMap { case (wv, ci) =>
+            wv.zipWithIndex.collect {
+              case (wt, bk) if wt != 0L => s"($bk, ${ci + 1})" } }
+          .mkString(", ")
         s"""WITH ${langIdCtesWith(20L)},
            |qtk AS (SELECT doc_id,
            |    list_filter(string_split(COALESCE(text, ''), ' '),
@@ -4777,10 +4903,29 @@ object SparkEntry {
            |      ($w)[CAST((CAST(('0x' || substr(md5(tk), 1, 15)) AS BIGINT)
            |        % $n) AS INTEGER) + 1])), 0) AS BIGINT) AS logit
            |  FROM qtk),
+           |xtk AS (SELECT doc_id, unnest(list_filter(string_split(
+           |    regexp_replace(lower(COALESCE(text, '')),
+           |      '[^a-z0-9 ]', ' ', 'g'), ' '),
+           |    t -> len(t) > 0)) AS t
+           |  FROM documents),
+           |xbk AS (SELECT doc_id,
+           |    CAST((CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)
+           |      % $lexB) AS INTEGER) AS bk
+           |  FROM xtk),
+           |xw(bk, cat) AS (SELECT * FROM (VALUES $lexSparse)),
+           |xh AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS hits
+           |  FROM xbk JOIN xw USING (bk) GROUP BY doc_id),
+           |xtc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+           |  FROM xtk GROUP BY doc_id),
            |keep AS (SELECT d.doc_id, d.text FROM documents d
            |  JOIN lid ON d.doc_id = lid.doc_id
            |  JOIN qsc ON d.doc_id = qsc.doc_id
-           |  WHERE lid.lang = 'en' AND qsc.logit > 0),
+           |  LEFT JOIN xh ON d.doc_id = xh.doc_id
+           |  LEFT JOIN xtc ON d.doc_id = xtc.doc_id
+           |  WHERE lid.lang = 'en' AND qsc.logit > 0
+           |    AND (COALESCE(xtc.n, 0) = 0
+           |      OR COALESCE(xh.hits, 0) * 1000000
+           |        < COALESCE(xtc.n, 0) * $lexThr)),
            |${syntheticParagraphCtesOver("keep", "g")},
            |gr AS (SELECT doc_id, pos, para,
            |    ROW_NUMBER() OVER (PARTITION BY key ORDER BY doc_id, pos)
@@ -4907,6 +5052,43 @@ object SparkEntry {
            |ORDER BY id_a, id_b""".stripMargin
       },
 
+      // incremental paragraph near-dup: the q163 one-shot pair chain
+      // over ALL docs, restricted to pairs touching a BATCH (odd-doc)
+      // paragraph id — the spec-pinned equivalence of the Bloom-
+      // elided incremental pass (the Bloom is join-elision only;
+      // verify is exact signature agreement, so plain restriction
+      // semantics replay it)
+      "q177_incremental_para_neardup" -> {
+        val prelude =
+          """t AS (SELECT doc_id, string_split(text, ' ') AS w
+            |    FROM documents WHERE text IS NOT NULL),
+            |c AS (SELECT doc_id,
+            |    array_to_string(w[(i-1)*16+1:(i-1)*16+16], ' ') AS para
+            |  FROM t, UNNEST(range(1,
+            |    CAST(ceil(len(w) / 16.0) AS BIGINT) + 1)) AS u(i)),
+            |pp AS (SELECT CASE WHEN doc_id % 2 = 0
+            |      THEN 'Subscribe to our newsletter'
+            |      ELSE 'subscribe  to our Newsletter' END AS para
+            |    FROM documents
+            |  UNION ALL SELECT para FROM c WHERE len(trim(para)) > 0),
+            |bpp AS (SELECT 'subscribe  to our Newsletter' AS para
+            |    FROM documents WHERE doc_id % 2 = 1
+            |  UNION ALL SELECT para FROM c
+            |    WHERE len(trim(para)) > 0 AND doc_id % 2 = 1),
+            |bpid AS (SELECT DISTINCT md5(trim(regexp_replace(
+            |    lower(para), '\s+', ' ', 'g'))) AS pid FROM bpp),
+            |""".stripMargin
+        val src =
+          """SELECT md5(norm) AS doc_id, norm AS text FROM (
+            |  SELECT DISTINCT trim(regexp_replace(lower(para), '\s+', ' ', 'g')) AS norm
+            |  FROM pp)""".stripMargin
+        s"""${minhashPairsCtesOver(src, prelude)}
+           |SELECT id_a, id_b, agree FROM mh
+           |WHERE id_a IN (SELECT pid FROM bpid)
+           |   OR id_b IN (SELECT pid FROM bpid)
+           |ORDER BY id_a, id_b""".stripMargin
+      },
+
       // retrieval metrics: the shared BM25 CTEs + the SAME e6 literal
       // discount table; integer sums, truncating integer division
       "q167_retrieval_ndcg" -> {
@@ -4998,6 +5180,141 @@ object SparkEntry {
         s"""WITH $langIdCtes
            |SELECT doc_id, best_lang, score, margin, lang
            |FROM lid ORDER BY doc_id""".stripMargin,
+
+      // script-aware language ID: per-class code-point counts via
+      // single-code-point regex matches over the SAME explicit ranges
+      // the native expression walks (one len(regexp_extract_all) per
+      // class — never \p{script} properties, which drift across
+      // Unicode table versions), the frozen per-mille decision chain,
+      // then the shared trigram lid chain over the script-GATED text
+      // (non-Latin rows score '', exactly like the engine side)
+      "q175_script_lang_id" -> {
+        import graft.functions.ScriptCountsExpr
+        val fxVals = MultilingualFixtures
+          .map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+        val clsCols = ScriptCountsExpr.Classes.map { case (name, _) =>
+          s"""CAST(len(regexp_extract_all(COALESCE(text, ''),
+             |      '${ScriptCountsExpr.re2Class(name)}')) AS BIGINT)
+             |      AS $name""".stripMargin
+        }.mkString(",\n    ")
+        val th = graft.text.LangIdFixed.ScriptShareThresholdPerMille
+        val kf = graft.text.LangIdFixed.KanaFloorPerMille
+        s"""WITH fx(doc_id, text) AS (SELECT * FROM (VALUES $fxVals)),
+           |corpus AS (SELECT doc_id, text FROM documents
+           |  UNION ALL SELECT CAST(doc_id AS BIGINT), text FROM fx),
+           |scnt AS (SELECT doc_id, text,
+           |    $clsCols,
+           |    latn + hani + hira + kata + hang + cyrl + arab + grek
+           |      + hebr AS tot
+           |  FROM corpus),
+           |sdec AS (SELECT doc_id, text, tot,
+           |    CASE WHEN tot = 0 THEN 'zzzz'
+           |      WHEN (hira + kata) * 1000 >= $kf * tot
+           |        AND (hani + hira + kata) * 1000 >= $th * tot
+           |        THEN 'jpan'
+           |      WHEN hang * 1000 >= $th * tot THEN 'hang'
+           |      WHEN hani * 1000 >= $th * tot THEN 'hani'
+           |      WHEN cyrl * 1000 >= $th * tot THEN 'cyrl'
+           |      WHEN arab * 1000 >= $th * tot THEN 'arab'
+           |      WHEN grek * 1000 >= $th * tot THEN 'grek'
+           |      WHEN hebr * 1000 >= $th * tot THEN 'hebr'
+           |      WHEN latn * 1000 >= $th * tot THEN 'latn'
+           |      ELSE 'zzzz' END AS script,
+           |    CASE WHEN script = 'jpan' THEN hani + hira + kata
+           |      WHEN script = 'hang' THEN hang
+           |      WHEN script = 'hani' THEN hani
+           |      WHEN script = 'cyrl' THEN cyrl
+           |      WHEN script = 'arab' THEN arab
+           |      WHEN script = 'grek' THEN grek
+           |      WHEN script = 'hebr' THEN hebr
+           |      WHEN script = 'latn' THEN latn
+           |      ELSE 0 END AS wc
+           |  FROM scnt),
+           |g AS (SELECT doc_id,
+           |    CASE WHEN script = 'latn' THEN text ELSE '' END AS text,
+           |    script,
+           |    CASE WHEN tot = 0 THEN CAST(0 AS BIGINT)
+           |      ELSE CAST((wc * 1000) // tot AS BIGINT)
+           |      END AS script_share_e3
+           |  FROM sdec),
+           |${langIdCtesWith(graft.text.LangIdFixed.DefaultMinSurplusPerMille, "g")}
+           |SELECT g.doc_id, g.script, g.script_share_e3,
+           |  lid.best_lang, lid.score, lid.margin,
+           |  CASE WHEN g.script = 'latn' THEN lid.lang
+           |    WHEN g.script = 'zzzz' THEN 'und'
+           |    WHEN g.script = 'jpan' THEN 'ja'
+           |    WHEN g.script = 'hang' THEN 'ko'
+           |    WHEN g.script = 'hani' THEN 'zh'
+           |    WHEN g.script = 'cyrl' THEN 'ru'
+           |    WHEN g.script = 'arab' THEN 'ar'
+           |    WHEN g.script = 'grek' THEN 'el'
+           |    WHEN g.script = 'hebr' THEN 'he'
+           |    END AS lang
+           |FROM g JOIN lid ON g.doc_id = lid.doc_id
+           |ORDER BY g.doc_id""".stripMargin
+      },
+
+      // lexicon gate: the same normalize→tokenize→md5-bucket walk,
+      // blocked buckets shipped as sparse (bucket, category) VALUES
+      // from the one JVM builder the engine uses; hits = bucket joins
+      // per category (a bucket blocked in two categories counts
+      // twice, matching the engine's per-vector sums), rate and gate
+      // in exact integers
+      "q176_lexicon_gate" -> {
+        import graft.text.LexiconGate
+        val B = LexiconGate.DefaultBuckets
+        val fxVals = SpamFixtures
+          .map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+        val sparse = LexiconGate.weightVectors(B).zipWithIndex
+          .flatMap { case (w, ci) => w.zipWithIndex.collect {
+            case (wt, bk) if wt != 0L => s"($bk, ${ci + 1})" } }
+          .mkString(", ")
+        val catHits = LexiconGate.Categories.zipWithIndex
+          .map { case ((name, _), ci) =>
+            s"""CAST(COALESCE(SUM(CASE WHEN h.cat = ${ci + 1}
+               |      THEN h.hits END), 0) AS BIGINT) AS ${name}_hits"""
+              .stripMargin }
+          .mkString(",\n    ")
+        val totalExpr = LexiconGate.Categories
+          .map { case (name, _) => s"${name}_hits" }.mkString(" + ")
+        val thr = LexiconGate.DefaultMaxRatePerMille * 1000L
+        s"""WITH fx(doc_id, text) AS (SELECT * FROM (VALUES $fxVals)),
+           |corpus AS (SELECT doc_id, text FROM documents
+           |  UNION ALL SELECT CAST(doc_id AS BIGINT), text FROM fx),
+           |nt AS (SELECT doc_id,
+           |    regexp_replace(lower(COALESCE(text, '')),
+           |      '[^a-z0-9 ]', ' ', 'g') AS s
+           |  FROM corpus),
+           |tk AS (SELECT doc_id, unnest(list_filter(
+           |    string_split(s, ' '), t -> len(t) > 0)) AS t
+           |  FROM nt),
+           |bk AS (SELECT doc_id,
+           |    CAST((CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)
+           |      % $B) AS INTEGER) AS bk
+           |  FROM tk),
+           |w(bk, cat) AS (SELECT * FROM (VALUES $sparse)),
+           |h AS (SELECT doc_id, cat, CAST(COUNT(*) AS BIGINT) AS hits
+           |  FROM bk JOIN w USING (bk) GROUP BY doc_id, cat),
+           |tc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks
+           |  FROM tk GROUP BY doc_id),
+           |base AS (SELECT c.doc_id,
+           |    CAST(COALESCE(MIN(tc.n_toks), 0) AS BIGINT) AS n_toks,
+           |    $catHits
+           |  FROM corpus c
+           |  LEFT JOIN tc ON c.doc_id = tc.doc_id
+           |  LEFT JOIN h ON c.doc_id = h.doc_id
+           |  GROUP BY c.doc_id)
+           |SELECT doc_id, n_toks, $totalExpr AS hits_total,
+           |  ${LexiconGate.Categories.map(_._1)
+                 .map(n => s"${n}_hits").mkString(", ")},
+           |  CASE WHEN n_toks = 0 THEN CAST(0 AS BIGINT)
+           |    ELSE CAST((($totalExpr) * 1000000) // n_toks AS BIGINT)
+           |    END AS block_rate_e6,
+           |  CASE WHEN n_toks = 0 THEN CAST(0 AS BIGINT)
+           |    ELSE CAST((($totalExpr) * 1000000) // n_toks AS BIGINT)
+           |    END >= $thr AS blocked
+           |FROM base ORDER BY doc_id""".stripMargin
+      },
 
       // language mix: the shared lang-ID chain rolled up per assigned
       // language; share over the rollup total, truncating e6

@@ -865,6 +865,90 @@ object Dedup {
     portableMinhashPairs(paras, "pid", "norm", k, bands, minAgree, w)
   }
 
+  /** Incremental [[paragraphNearDupPairs]] — the FUZZY tier of the
+    * per-crawl-batch paragraph pass (q170 closes the exact tier; this
+    * closes the near-dup one): all near-dup paragraph pairs TOUCHING
+    * the batch, without re-joining the multi-PB history, via the
+    * Bloom join-elision discipline at BAND-BUCKET granularity:
+    *
+    *   - history contributes its banded minhash index ONCE (at
+    *     production scale this relation IS the persisted LSH index
+    *     the pipeline maintains; here it derives from `history`
+    *     inline behind a localCheckpoint barrier) plus a Bloom filter
+    *     over its band-bucket fingerprints;
+    *   - each batch band row pays one codegen'd bit-probe; a miss
+    *     means NO history paragraph occupies that bucket (Bloom has
+    *     no false negatives), so the row skips the history join
+    *     entirely — the common case for genuinely-new content;
+    *   - probe survivors equi-join the history index on the band key
+    *     (a false-positive probe finds no matching bucket and emits
+    *     nothing — the result is exact);
+    *   - within-batch candidates come from the batch's own band
+    *     self-join, and both branches verify with the same exact
+    *     signature-agreement rule.
+    *
+    * Returns (id_a, id_b, agree), id_a < id_b, exactly
+    * [[paragraphNearDupPairs]] over history ∪ batch RESTRICTED to
+    * pairs touching at least one batch paragraph (spec-pinned on a
+    * two-batch fixture). Ids are md5 of the normalized paragraph —
+    * the same engine-portable keys the batch tier emits.
+    */
+  def incrementalParagraphNearDup(batch: DataFrame, history: DataFrame,
+                                  textCol: Column, k: Int = 8,
+                                  bands: Int = 4, minAgree: Int = 4,
+                                  w: Int = 3,
+                                  expectedItems: Long = 1000000L,
+                                  fpp: Double = 0.01): DataFrame = {
+    val rows = k / bands
+    val keys = "band" +: (0 until rows).map(r => s"v$r")
+    def paras(docs: DataFrame): DataFrame =
+      paraExplode(docs, lit(0L), textCol)
+        .select(col("__key").as("norm")).distinct()
+        .select(md5(col("norm")).as("pid"), col("norm"))
+    def verify(cand: DataFrame): DataFrame = cand
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => x === y), m => m)).as("agree"))
+      .distinct()
+      .where(col("agree") >= minAgree)
+    // the batch band frame feeds three consumers (self-join sides +
+    // the history probe); small by the incremental premise
+    val bp = bandedMd5(paras(batch), "pid", "norm", k, bands, w)
+      .localCheckpoint()
+    val bandCols = col("band") +: (0 until rows).map(r => col(s"v$r"))
+    val within = verify(
+      bp.select(Seq(col("id").as("id_a"), col("sig").as("sig_a")) ++
+          bandCols: _*)
+        .join(bp.select(Seq(col("id").as("id_b"),
+          col("sig").as("sig_b")) ++ bandCols: _*), keys))
+    // empty history (a crawl's first batch): nothing to probe — and
+    // stat.bloomFilter over zero rows NPEs at probe time (the
+    // incrementalParagraphs hazard)
+    if (history.isEmpty) return within
+    val hb = bandedMd5(paras(history), "pid", "norm", k, bands, w)
+      .localCheckpoint()
+    val bucketFp = xxhash64(
+      col("band") +: (0 until rows).map(r => col(s"v$r")): _*)
+    val bloom = hb.select(bucketFp.as("__h"))
+      .stat.bloomFilter("__h", expectedItems, fpp)
+    val probe = graft.functions.BloomMightContainExpr
+      .bloom_might_contain(bloom, bucketFp)
+    val cross = verify(
+      bp.where(probe)
+        .select(Seq(col("id").as("bpid"), col("sig").as("bsig")) ++
+          bandCols: _*)
+        .join(hb.select(Seq(col("id").as("hpid"),
+          col("sig").as("hsig")) ++ bandCols: _*), keys)
+        .select(least(col("bpid"), col("hpid")).as("id_a"),
+          greatest(col("bpid"), col("hpid")).as("id_b"),
+          when(col("bpid") <= col("hpid"), col("bsig"))
+            .otherwise(col("hsig")).as("sig_a"),
+          when(col("bpid") <= col("hpid"), col("hsig"))
+            .otherwise(col("bsig")).as("sig_b")))
+    within.unionByName(cross).distinct()
+  }
+
   /** Docs surviving paragraph dedup: keep a doc iff ≥ `minKeepFrac`
     * of its paragraphs were corpus-wide first occurrences — the
     * boilerplate-shell drop rule at paragraph granularity. */

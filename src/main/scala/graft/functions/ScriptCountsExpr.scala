@@ -1,0 +1,148 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unicode-script histogram — the exact-integer pre-classifier in
+  * front of the trigram language model ([[graft.text.LangIdFixed]]):
+  * one code-point walk per document counting occupancy of nine frozen
+  * script classes, returned as `array<long>` of the nine counts plus
+  * the total scripted-letter count (index 10, 1-based). Script
+  * classes are EXPLICIT inclusive code-point ranges (below), never
+  * `\p{script=...}` properties, so the counts are identical across
+  * engines and Unicode table versions — the DuckDB oracle replays
+  * each class as `len(regexp_extract_all(text, '[<ranges>]'))`, one
+  * single-code-point match per occupant.
+  *
+  * Why: the trigram model's ten languages are all Latin-script, so
+  * CJK/Cyrillic/Arabic/Greek/Hebrew text — most of a real crawl's
+  * non-English mass — used to quarantine as "und". Script occupancy
+  * is unambiguous for exactly those writing systems (Han→zh modulo
+  * kana, Hangul→ko, Cyrillic/Arabic/Greek/Hebrew→their dominant
+  * language at this model's granularity), and a per-code-point range
+  * test is far cheaper than trigram hashing, so the histogram runs
+  * FIRST and only Latin-dominant text pays the trigram pass.
+  *
+  * Class order (frozen contract, 1-based in the output array):
+  * 1 latn, 2 hani, 3 hira, 4 kata, 5 hang, 6 cyrl, 7 arab, 8 grek,
+  * 9 hebr, 10 total (= sum of 1..9). Code points outside every class
+  * (digits, punctuation, symbols, unlisted scripts) count nowhere —
+  * they carry no script evidence, mirroring the letter-only trigram
+  * feature rule.
+  *
+  * Scale shape: per-row arithmetic, codegen'd (participates in
+  * whole-stage codegen and common-subexpression elimination — the
+  * nine class counts and the total all derive from ONE evaluation),
+  * zero shuffle, no state. Embarrassingly parallel at 100 TB.
+  *
+  * The reference has no language or script handling at all (its
+  * corpus is Apache CLF logs — `logvision/streaming.scala:75-89`);
+  * this is LLM-curation surface (CCNet buckets crawl text by
+  * fastText lang-ID, whose first signal is script).
+  */
+case class ScriptCountsExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"script_counts needs STRING, got ${other.sql}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    ScriptCountsExpr.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ScriptCountsExpr.compute($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+
+  override def prettyName: String = "script_counts"
+}
+
+object ScriptCountsExpr {
+
+  /** The frozen script classes as inclusive code-point ranges. Order
+    * is part of the contract (output array position). Latin excludes
+    * U+00D7 × and U+00F7 ÷ (math symbols inside the Latin-1 letter
+    * run); Han includes Extension A and the compatibility block;
+    * Hangul includes jamo and compatibility jamo alongside the
+    * syllable block; Greek includes the Extended (polytonic) block.
+    */
+  val Classes: Seq[(String, Seq[(Int, Int)])] = Seq(
+    "latn" -> Seq((0x0041, 0x005A), (0x0061, 0x007A), (0x00C0, 0x00D6),
+      (0x00D8, 0x00F6), (0x00F8, 0x024F)),
+    "hani" -> Seq((0x3400, 0x4DBF), (0x4E00, 0x9FFF), (0xF900, 0xFAFF)),
+    "hira" -> Seq((0x3040, 0x309F)),
+    "kata" -> Seq((0x30A0, 0x30FF)),
+    "hang" -> Seq((0x1100, 0x11FF), (0x3130, 0x318F), (0xAC00, 0xD7A3)),
+    "cyrl" -> Seq((0x0400, 0x052F)),
+    "arab" -> Seq((0x0600, 0x06FF), (0x0750, 0x077F), (0x08A0, 0x08FF)),
+    "grek" -> Seq((0x0370, 0x03FF), (0x1F00, 0x1FFF)),
+    "hebr" -> Seq((0x0590, 0x05FF)))
+
+  /** The class a code point belongs to, or -1. Static branches in
+    * expected-frequency order (ASCII Latin first — the common crawl
+    * case exits on the first two comparisons). */
+  private def classify(cp: Int): Int = {
+    if (cp < 0x0250) { // Latin / Basic Latin region
+      if ((cp >= 0x41 && cp <= 0x5A) || (cp >= 0x61 && cp <= 0x7A) ||
+          (cp >= 0xC0 && cp <= 0xD6) || (cp >= 0xD8 && cp <= 0xF6) ||
+          (cp >= 0xF8)) 0 else -1
+    } else if (cp < 0x0370) -1
+    else if (cp <= 0x03FF) 7 // Greek
+    else if (cp <= 0x052F) 5 // Cyrillic + supplement
+    else if (cp < 0x0590) -1
+    else if (cp <= 0x05FF) 8 // Hebrew
+    else if (cp <= 0x06FF) 6 // Arabic
+    else if (cp >= 0x0750 && cp <= 0x077F) 6 // Arabic supplement
+    else if (cp >= 0x08A0 && cp <= 0x08FF) 6 // Arabic extended-A
+    else if (cp >= 0x1100 && cp <= 0x11FF) 4 // Hangul jamo
+    else if (cp >= 0x1F00 && cp <= 0x1FFF) 7 // Greek extended
+    else if (cp >= 0x3040 && cp <= 0x309F) 2 // Hiragana
+    else if (cp >= 0x30A0 && cp <= 0x30FF) 3 // Katakana
+    else if (cp >= 0x3130 && cp <= 0x318F) 4 // Hangul compat jamo
+    else if (cp >= 0x3400 && cp <= 0x4DBF) 1 // CJK ext A
+    else if (cp >= 0x4E00 && cp <= 0x9FFF) 1 // CJK unified
+    else if (cp >= 0xAC00 && cp <= 0xD7A3) 4 // Hangul syllables
+    else if (cp >= 0xF900 && cp <= 0xFAFF) 1 // CJK compatibility
+    else -1
+  }
+
+  /** One code-point walk; invalid UTF-8 is tolerated the LangScores
+    * way (decode via String — malformed bytes become U+FFFD, which is
+    * in no class). */
+  def compute(s: UTF8String): GenericArrayData = {
+    val str = s.toString
+    val out = new Array[Long](Classes.size + 1)
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      val cls = classify(cp)
+      if (cls >= 0) { out(cls) += 1L; out(Classes.size) += 1L }
+      i += Character.charCount(cp)
+    }
+    new GenericArrayData(out)
+  }
+
+  def script_counts(c: Column): Column =
+    ColumnBridge.column(ScriptCountsExpr(ColumnBridge.expression(c)))
+
+  /** The class character set as a DuckDB/RE2 bracket expression of
+    * explicit `\x{...}` ranges — the oracle twin of [[classify]]. */
+  def re2Class(name: String): String =
+    Classes.find(_._1 == name).get._2
+      .map { case (lo, hi) => f"\\x{$lo%04X}-\\x{$hi%04X}" }
+      .mkString("[", "", "]")
+}

@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** K frozen-vector sums over md5-bucketed TOKENS in one pass — the
+  * token-level sibling of [[LangScoresExpr]] (which walks character
+  * trigrams): the input splits on single ASCII spaces (empty tokens
+  * skipped — exactly `filter(split(s, ' '), t -> len(t) > 0)`), each
+  * token buckets ONCE via the shared digest-prefix convention
+  * (`conv(substring(md5(t), 1, 15), 16, 10) % buckets`, computed on
+  * the token's UTF-8 bytes), and every vector accumulates its weight
+  * at that bucket. Output: `array<long>` of the K sums plus the
+  * trailing token count (index K+1, 1-based).
+  *
+  * This is the one-pass serving kernel for every frozen
+  * token-hash model in the engine — the q176 lexicon gate folds its
+  * per-category blocked-bucket indicators here instead of paying K
+  * interpreted `aggregate()` folds (each of which would re-md5 every
+  * token: HOFs are CodegenFallback, so no CSE shares the bucket
+  * array across folds — the q168 lesson, 7× on the trigram scorer).
+  *
+  * Bit-identical to the compositional
+  * `aggregate(transform(filter(split(...)...)...))` chain, which the
+  * Round12 spec pins. Codegen'd: participates in whole-stage codegen
+  * and CSE, so several consumers of one scores array evaluate it
+  * once. Normalization (lowercasing, punctuation stripping) is the
+  * CALLER's job — the expression hashes exactly the tokens it is
+  * given, so engine and oracle normalize identically upstream.
+  *
+  * Scale shape: per-row arithmetic against weight arrays that travel
+  * inside the task closure; zero shuffle, no fit, no driver state.
+  */
+case class TokenBucketScoresExpr(child: Expression,
+                                 weights: Seq[Seq[Long]])
+    extends UnaryExpression {
+
+  require(weights.nonEmpty && weights.forall(_.length == weights.head.length),
+    "one equal-length weight vector per category")
+
+  @transient private lazy val flat: Array[Long] = weights.flatten.toArray
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"token_bucket_scores needs STRING, got ${other.sql}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    TokenBucketScoresExpr.compute(input.asInstanceOf[UTF8String], flat,
+      weights.head.length, weights.size)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("tokWeights", flat, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TokenBucketScoresExpr.compute($c, $wRef, " +
+        s"${weights.head.length}, ${weights.size})")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+
+  override def prettyName: String = "token_bucket_scores"
+}
+
+object TokenBucketScoresExpr {
+
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def compute(s: UTF8String, flat: Array[Long], buckets: Int,
+              k: Int): GenericArrayData = {
+    // re-encode the decoded string (the LangScoresExpr rationale:
+    // Spark does not validate UTF-8 on ingest; the re-encoded buffer
+    // makes the byte walk total for any input, and md5 sees the same
+    // canonical bytes both engines hash)
+    val bytes = s.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new Array[Long](k + 1)
+    val md = md5.get()
+    var start = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        if (i > start) { // non-empty token
+          md.reset()
+          md.update(bytes, start, i - start)
+          val digest = md.digest()
+          var u = 0L
+          var b = 0
+          while (b < 8) { u = (u << 8) | (digest(b) & 0xffL); b += 1 }
+          val bk = ((u >>> 4) % buckets).toInt // 60-bit value, nonneg
+          var j = 0
+          while (j < k) { out(j) += flat(j * buckets + bk); j += 1 }
+          out(k) += 1L
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def token_bucket_scores(c: Column, weights: Seq[Seq[Long]]): Column =
+    ColumnBridge.column(
+      TokenBucketScoresExpr(ColumnBridge.expression(c), weights))
+}

@@ -202,6 +202,112 @@ object LangIdFixed {
       .drop("__s", "__sc")
   }
 
+  /** Script-class → direct language label for script-unambiguous
+    * writing systems, at this model's granularity: Hangul is Korean;
+    * Han without kana is Chinese; kana is Japanese; Cyrillic, Arabic,
+    * Greek and Hebrew map to their dominant language (ru/ar/el/he —
+    * coarse for Cyrillic and Arabic, where a per-script trigram tier
+    * is the refinement path, documented, not attempted here). Order
+    * is part of the contract: the decision chain tests Japanese
+    * BEFORE Chinese because Japanese prose mixes Han with kana — the
+    * kana floor is what separates them. */
+  val ScriptShareThresholdPerMille = 500L
+  val KanaFloorPerMille = 50L
+
+  /** Script-aware language ID — [[score]] behind a Unicode-script
+    * histogram pre-classifier ([[graft.functions.ScriptCountsExpr]]):
+    *
+    *   1. one code-point walk counts the nine frozen script classes;
+    *   2. script-unambiguous text labels DIRECTLY (ja when kana ≥ 5%
+    *      of scripted letters and Han+kana ≥ 50%; ko/zh/ru/ar/el/he
+    *      when their class alone ≥ 50%), in exact integer per-mille
+    *      arithmetic;
+    *   3. Latin-dominant text routes to the trigram model — and ONLY
+    *      Latin text pays the trigram pass: the scorer's input is
+    *      blanked to "" for script-labeled rows (a codegen'd
+    *      conditional, so the md5 trigram walk is skipped per row,
+    *      not just ignored);
+    *   4. anything else (no letters, mixed-script) stays "und" with
+    *      script "zzzz".
+    *
+    * Output: (doc_id, [carry...,] script, script_share_e3, best_lang,
+    * score, margin, lang) — script is the winning class (or "latn"/
+    * "zzzz"), script_share_e3 its per-mille share of scripted
+    * letters, best_lang/score/margin the trigram fields (zeros/`en`
+    * for non-Latin rows, where the scorer saw ""), and lang the final
+    * label. Scale shape: everything per-row against frozen literals,
+    * zero shuffle; the pre-classifier means the expensive trigram
+    * hashing runs only on the Latin fraction of a multilingual crawl.
+    */
+  def scoreScriptAware(docs: DataFrame, idCol: Column, textCol: Column,
+                       buckets: Int = DefaultBuckets,
+                       minMargin: Long = 1L,
+                       minSurplusPerMille: Long = DefaultMinSurplusPerMille,
+                       carry: Seq[Column] = Nil): DataFrame = {
+    import graft.functions.ScriptCountsExpr
+    val nCls = ScriptCountsExpr.Classes.size
+    // user carry columns materialize by alias in the base select (the
+    // scoreFixed convention: pre-aliased, may reference input columns)
+    val base = docs.select(
+      Seq(idCol.as("__id"), textCol.as("__text")) ++ carry: _*)
+    val carryNames = base.columns.drop(2).toSeq
+    // 1-based positions in the counts array (frozen class order)
+    def cnt(name: String): Column = element_at(col("__scr"),
+      ScriptCountsExpr.Classes.indexWhere(_._1 == name) + 1)
+    val total = element_at(col("__scr"), nCls + 1)
+    val kana = cnt("hira") + cnt("kata")
+    val thr = lit(ScriptShareThresholdPerMille)
+    val script =
+      when(total === 0L, "zzzz")
+        .when(kana * 1000L >= lit(KanaFloorPerMille) * total &&
+          (cnt("hani") + kana) * 1000L >= thr * total, "jpan")
+        .when(cnt("hang") * 1000L >= thr * total, "hang")
+        .when(cnt("hani") * 1000L >= thr * total, "hani")
+        .when(cnt("cyrl") * 1000L >= thr * total, "cyrl")
+        .when(cnt("arab") * 1000L >= thr * total, "arab")
+        .when(cnt("grek") * 1000L >= thr * total, "grek")
+        .when(cnt("hebr") * 1000L >= thr * total, "hebr")
+        .when(cnt("latn") * 1000L >= thr * total, "latn")
+        .otherwise("zzzz")
+    // the ja rule wins on Han+kana jointly; every other script's
+    // share is its own class count
+    val winnerCount =
+      when(col("script") === "jpan", cnt("hani") + kana)
+        .when(col("script") === "hang", cnt("hang"))
+        .when(col("script") === "hani", cnt("hani"))
+        .when(col("script") === "cyrl", cnt("cyrl"))
+        .when(col("script") === "arab", cnt("arab"))
+        .when(col("script") === "grek", cnt("grek"))
+        .when(col("script") === "hebr", cnt("hebr"))
+        .when(col("script") === "latn", cnt("latn"))
+        .otherwise(lit(0L))
+    val scriptLang = typedLit(Map(
+      "jpan" -> "ja", "hang" -> "ko", "hani" -> "zh", "cyrl" -> "ru",
+      "arab" -> "ar", "grek" -> "el", "hebr" -> "he"))
+    val prepared = base
+      .withColumn("__scr",
+        ScriptCountsExpr.script_counts(coalesce(col("__text"), lit(""))))
+      .withColumn("script", script)
+      .withColumn("__wc", winnerCount)
+      .withColumn("__tot", total)
+      .withColumn("script_share_e3",
+        when(col("__tot") === 0L, lit(0L))
+          .otherwise(expr("CAST((__wc * 1000) DIV __tot AS BIGINT)")))
+    // the trigram scorer sees "" unless the doc is Latin-routed — a
+    // codegen'd per-row conditional, so non-Latin rows skip the md5
+    // trigram walk instead of paying it and being overridden
+    val gated = when(col("script") === "latn", col("__text"))
+      .otherwise(lit(""))
+    score(prepared, col("__id"), gated, buckets, minMargin,
+        minSurplusPerMille,
+        carry = carryNames.map(col) ++
+          Seq(col("script"), col("script_share_e3")))
+      .withColumn("lang",
+        when(col("script") === "latn", col("lang"))
+          .when(col("script") === "zzzz", "und")
+          .otherwise(element_at(scriptLang, col("script"))))
+  }
+
   /** The compositional CENTERED scores array + trailing trigram count
     * (trigram substr → `\p{L}` rlike filter → md5-60 bucket → one
     * `aggregate()` fold per language, then `size`) over the

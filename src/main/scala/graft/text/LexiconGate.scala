@@ -1,0 +1,120 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Toxicity / blocklist gate with a FROZEN public lexicon — the
+  * standard curation stage between quality filtering and dedup
+  * (C4 drops documents containing blocklisted terms; RefinedWeb and
+  * Gopher run URL/term blocklists before anything expensive), made
+  * hash-checkable by the q165/q168 frozen-model discipline: blocked
+  * terms live as md5-bucket indicator vectors (one per category), a
+  * document's per-category hit counts are plain integer sums over its
+  * bucketed tokens, and the gate thresholds an exact per-mille rate.
+  *
+  * Mechanics: text normalizes to lowercase with every non-[a-z0-9]
+  * code point flattened to a space (so "Casino!!" hits), splits on
+  * spaces, and each token buckets once via the shared digest-prefix
+  * convention (md5 hex prefix 15 → 60-bit long → mod `buckets`) —
+  * the ONE native pass of
+  * [[graft.functions.TokenBucketScoresExpr]]. Each category's vector
+  * is an INDICATOR of its terms' buckets (a within-category collision
+  * folds two terms into one cell, like any hashed-feature model), so
+  * the sums are hit counts. An innocent token colliding into a
+  * blocked bucket is a deterministic false positive at rate
+  * ≈ nnz/buckets per category — the hashed-blocklist trade-off,
+  * mirrored exactly in the oracle; 16384 buckets put it near 1e-3.
+  *
+  * The shipped [[Categories]] lexicon is a deliberately mild PUBLIC
+  * placeholder (classic web-spam categories); the mechanism — not
+  * the word list — is the operator. Swap the terms, keep the
+  * discipline.
+  *
+  * Scale shape: per-row arithmetic against closure-resident vectors,
+  * zero shuffle, no fit, no driver state; the gate composes into a
+  * curation chain as a carry column so the corpus is scanned once
+  * (the q174 convention).
+  *
+  * The reference has no content gating at all (its corpus is Apache
+  * CLF logs, `logvision/streaming.scala:75-89`); this is
+  * LLM-curation surface.
+  */
+object LexiconGate {
+
+  /** Frozen blocklist: category → lowercase terms. Order is part of
+    * the contract (output column order). */
+  val Categories: Seq[(String, Seq[String])] = Seq(
+    "gambling" -> Seq("casino", "poker", "jackpot", "roulette",
+      "betting", "slots", "wager", "bookmaker", "blackjack"),
+    "pharma" -> Seq("viagra", "cialis", "oxycontin", "xanax",
+      "valium", "adderall"),
+    "adult" -> Seq("porn", "xxx", "erotic", "escort", "nudes",
+      "camgirl"),
+    "violence" -> Seq("behead", "massacre", "bloodbath", "slaughter",
+      "gore", "dismember"))
+
+  val DefaultBuckets = 16384
+
+  /** Default gate: ≥ 2% of a document's tokens in blocked buckets. */
+  val DefaultMaxRatePerMille = 20L
+
+  /** Per-category indicator vectors over the shared md5-60 bucket
+    * space — built by the same JVM builder the oracle's sparse VALUES
+    * ship from. */
+  def weightVectors(buckets: Int = DefaultBuckets): Seq[Seq[Long]] =
+    Categories.map { case (_, terms) =>
+      val w = Array.fill(buckets)(0L)
+      terms.foreach(t => w(LangIdFixed.bucketOf(t, buckets)) = 1L)
+      w.toSeq
+    }
+
+  /** The normalized token text both engines hash: lowercase, every
+    * non-[a-z0-9] flattened to a space. */
+  def normTokenText(textCol: Column): Column =
+    regexp_replace(lower(coalesce(textCol, lit(""))), "[^a-z0-9 ]", " ")
+
+  /** The raw scores array (K category hit counts + trailing token
+    * count) as a bare column — for composing into another operator's
+    * single corpus pass (the fixedLogit convention). */
+  def scoresColumn(textCol: Column,
+                   buckets: Int = DefaultBuckets): Column =
+    graft.functions.TokenBucketScoresExpr.token_bucket_scores(
+      normTokenText(textCol), weightVectors(buckets))
+
+  /** Total blocked-token hits across all categories as a bare
+    * column — the q174-chain carry. */
+  def hitsColumn(textCol: Column,
+                 buckets: Int = DefaultBuckets): Column = {
+    val k = Categories.size
+    val sc = scoresColumn(textCol, buckets)
+    aggregate(slice(sc, 1, k), lit(0L), (a, x) => a + x)
+  }
+
+  /** Score documents: (doc_id, [carry...,] n_toks, <cat>_hits...,
+    * hits_total, block_rate_e6, blocked). `blocked` is the gate —
+    * hits_total · 1e6 ≥ n_toks · maxRatePerMille · 1e3, exact
+    * integers; a 0-token document never blocks. */
+  def score(docs: DataFrame, idCol: Column, textCol: Column,
+            buckets: Int = DefaultBuckets,
+            maxRatePerMille: Long = DefaultMaxRatePerMille,
+            carry: Seq[Column] = Nil): DataFrame = {
+    val k = Categories.size
+    val catCols = Categories.zipWithIndex.map { case ((name, _), i) =>
+      element_at(col("__tb"), i + 1).as(s"${name}_hits")
+    }
+    val hitsTotal = Categories.zipWithIndex
+      .map { case (_, i) => element_at(col("__tb"), i + 1) }
+      .reduce(_ + _)
+    docs.select(Seq(idCol.as("doc_id")) ++ carry ++
+        Seq(scoresColumn(textCol, buckets).as("__tb")): _*)
+      .withColumn("n_toks", element_at(col("__tb"), k + 1))
+      .select(col("*") +: catCols: _*)
+      .withColumn("hits_total", hitsTotal)
+      .withColumn("block_rate_e6",
+        when(col("n_toks") === 0L, lit(0L))
+          .otherwise(expr("CAST((hits_total * 1000000) DIV n_toks AS BIGINT)")))
+      .withColumn("blocked",
+        col("block_rate_e6") >= maxRatePerMille * 1000L)
+      .drop("__tb")
+  }
+}

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** 100× spot-probe of the three scale-critical candidate generators
+  * (VERDICT r11 #6): q137 sparse-cosine and q160 containment on a
+  * 100-replica token-tagged documents dir, and the q67 embedding
+  * near-dup in its 100-TB TRUE regime (threshold 0.9, 16-bit keys —
+  * the gate regime's 4-bit/0.45 config has recall-driven ~n²
+  * candidate volume BY DESIGN and is infeasible and meaningless at
+  * this scale) on rotated+sign-flipped embedding replicas.
+  *
+  * Replica protocol extends Bench10x's disjointness discipline to
+  * r ∈ 0..99:
+  *   - documents: every [a-z0-9]+ token is suffixed with the replica
+  *     id, so cross-replica text is fully dissimilar while each
+  *     replica's internal near-dup structure is preserved — the
+  *     honest linear ground truth for Σ df² candidate bounds;
+  *   - embeddings: circular rotation by (r mod 64) components ×
+  *     global sign flip for r ≥ 64. Norms and within-replica cosines
+  *     are preserved exactly (a global flip negates both sides);
+  *     same-rotation cross pairs land at cos = −cos ≈ −1 (excluded
+  *     by any positive threshold) and different rotations decorrelate
+  *     to noise.
+  *
+  * Single-run per scale (the 100× side alone is minutes), loadavg
+  * recorded — this is a spot measurement turning the "survives 100×"
+  * claim from extrapolation into data, not a tracked benchmark.
+  * Run: `sbt "Test/runMain graft.Bench100x"` → BENCH_100X.json.
+  */
+object Bench100x {
+
+  def main(args: Array[String]): Unit = {
+    val sf01 = "/root/testdata/sf0.1"
+    val reps = 100
+    val spark = SparkSession.builder()
+      .master("local[" + sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") + "]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val rdf = broadcast(spark.range(reps).select(col("id").as("r")))
+    val nDocs = spark.read.parquet(s"$sf01/documents.parquet").count()
+    val nVecs = spark.read.parquet(s"$sf01/embeddings.parquet").count()
+
+    val dirD = "/tmp/graft_100x_docs"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dirD))
+    spark.read.parquet(s"$sf01/documents.parquet")
+      .crossJoin(rdf)
+      .withColumn("doc_id", col("doc_id") + col("r") * lit(nDocs))
+      .withColumn("text", regexp_replace(coalesce(col("text"), lit("")),
+        lit("([a-z0-9]+)"), concat(lit("$1"), col("r").cast("string"))))
+      .drop("r").repartition(64)
+      .write.mode("overwrite").parquet(s"$dirD/documents.parquet")
+
+    val dirE = "/tmp/graft_100x_emb"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dirE))
+    spark.read.parquet(s"$sf01/embeddings.parquet")
+      .crossJoin(rdf)
+      .withColumn("vec_id", col("vec_id") + col("r") * lit(nVecs))
+      .withColumn("__rot", (col("r") % 64).cast("int"))
+      .withColumn("__sign",
+        when(col("r") >= 64, lit(-1.0f)).otherwise(lit(1.0f)))
+      .withColumn("embedding", transform(concat(
+          slice(col("embedding"), col("__rot") + lit(1),
+            lit(64) - col("__rot")),
+          slice(col("embedding"), lit(1), col("__rot"))),
+        x => x * col("__sign")))
+      .drop("r", "__rot", "__sign").repartition(64)
+      .write.mode("overwrite").parquet(s"$dirE/embeddings.parquet")
+
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split("\\s+").take(3).mkString(",")
+      catch { case _: Throwable => "" }
+    val loadStart = loadavg()
+
+    def once(f: => Long): (Double, Long) = {
+      val t = System.nanoTime(); val n = f
+      ((System.nanoTime() - t) / 1e9, n)
+    }
+
+    val results = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Double, Double, Double, Long)]
+    for (name <- Seq("q137_sparse_cosine", "q160_containment_pairs")) {
+      val fn = SparkEntry.queries(name)
+      val (t1, _) = once { fn(spark, sf01).count() }
+      val (t100, n) = once { fn(spark, dirD).count() }
+      println(f"[bench100x] $name sf0.1=$t1%.2f s 100x=$t100%.2f s " +
+        f"ratio=${t100 / t1}%.1f rows=$n")
+      results += ((name, t1, t100, t100 / t1, n))
+    }
+    def q67True(dir: String): Long =
+      graft.sim.Similarity.cosineDupPairsApprox(
+        spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id",
+        "embedding", threshold = 0.9, dim = 64, nTables = 8,
+        nBits = 16).count()
+    val (e1, _) = once { q67True(sf01) }
+    val (e100, en) = once { q67True(dirE) }
+    println(f"[bench100x] q67_true_regime sf0.1=$e1%.2f s " +
+      f"100x=$e100%.2f s ratio=${e100 / e1}%.1f rows=$en")
+    results += (("q67_true_regime_t0.9_16bit", e1, e100, e100 / e1, en))
+
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qJson = results.map { case (n, t1, t100, r, rows) =>
+      s"""  "$n": {"sf01_sec": ${fmt(t1)}, "x100_sec": ${fmt(t100)}, """ +
+        s""""ratio": ${fmt(r)}, "out_rows_100x": $rows}"""
+    }.mkString("{\n", ",\n", "\n}")
+    val json =
+      s"""{
+         |"protocol": "100x replica spot-probe (VERDICT r11 #6), single-run per scale: documents token-tagged per replica (fully disjoint cross-replica text, within-replica structure preserved); embeddings rotated by (r mod 64) with a global sign flip for r >= 64 (norm/within-replica-cosine preserving, cross-replica pairs at -cos or noise). q67 probed in the 100-TB TRUE regime (t=0.9, 16-bit keys); its gate regime (t=0.45, 4-bit) is recall-driven ~n^2 by design and not a scaling claim. local[32].",
+         |"n_docs_100x": ${nDocs * reps}, "n_vecs_100x": ${nVecs * reps},
+         |"load_start": "$loadStart", "load_end": "${loadavg()}",
+         |"queries": $qJson
+         |}
+         |""".stripMargin
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_100X.json"), json)
+    println(json)
+    spark.stop()
+  }
+}

@@ -1,0 +1,209 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-12 additions: Unicode-script histogram pre-classifier +
+  * script-aware language ID (q175). */
+class Round12OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("script_counts: exact per-class code-point counts, incl. edges") {
+    import graft.functions.ScriptCountsExpr
+    // (text, expected counts latn..hebr + total)
+    val cases = Seq(
+      ("hello", Seq(5L, 0, 0, 0, 0, 0, 0, 0, 0, 5)),
+      // × U+00D7 and ÷ U+00F7 are NOT Latin letters; é ü are
+      ("é×ü÷", Seq(2L, 0, 0, 0, 0, 0, 0, 0, 0, 2)),
+      ("日本語のテスト", Seq(0L, 3, 1, 3, 0, 0, 0, 0, 0, 7)),
+      ("한국어 테스트", Seq(0L, 0, 0, 0, 6, 0, 0, 0, 0, 6)),
+      ("привет мир", Seq(0L, 0, 0, 0, 0, 9, 0, 0, 0, 9)),
+      ("مرحبا", Seq(0L, 0, 0, 0, 0, 0, 5, 0, 0, 5)),
+      ("γεια σου", Seq(0L, 0, 0, 0, 0, 0, 0, 7, 0, 7)),
+      ("שלום", Seq(0L, 0, 0, 0, 0, 0, 0, 0, 4, 4)),
+      // digits/punct/symbols count nowhere
+      ("123 !? €¥", Seq(0L, 0, 0, 0, 0, 0, 0, 0, 0, 0)),
+      ("", Seq(0L, 0, 0, 0, 0, 0, 0, 0, 0, 0)),
+      // supplementary-plane code point (emoji, surrogate pair in
+      // UTF-16): walks as ONE code point, classified nowhere
+      ("a😀b", Seq(2L, 0, 0, 0, 0, 0, 0, 0, 0, 2)))
+    val got = cases.map(_._1).toDF("text")
+      .select(ScriptCountsExpr.script_counts(col("text")).as("c"))
+      .collect().map(_.getSeq[Long](0))
+    cases.zip(got).foreach { case ((t, want), g) =>
+      assert(g == want, s"counts for '$t': got $g want $want")
+    }
+  }
+
+  test("scoreScriptAware: non-Latin held-out gate — zero wrong-language assignments") {
+    // disjoint from the q175 fixture sentences; same contract as the
+    // 40-sentence Latin gate: errors may only be abstentions ("und"),
+    // never a wrong language
+    val s = Seq(
+      ("ru", "книга лежит на столе рядом с окном в комнате"),
+      ("ru", "мы читаем интересную книгу каждый вечер дома"),
+      ("zh", "我们每天晚上在家里读一本有趣的书"),
+      ("zh", "这本书放在房间里窗户旁边的桌子上"),
+      ("ja", "本は部屋の窓のそばの机の上にあります"),
+      ("ja", "わたしたちは毎晩おもしろい本を読みます"),
+      ("ko", "책은 방 안 창문 옆 책상 위에 있습니다"),
+      ("ko", "우리는 매일 저녁 집에서 재미있는 책을 읽습니다"),
+      ("ar", "الكتاب على الطاولة بجانب النافذة في الغرفة"),
+      ("ar", "نقرأ كتابا ممتعا كل مساء في البيت"),
+      ("el", "το βιβλίο είναι πάνω στο τραπέζι δίπλα στο παράθυρο"),
+      ("el", "διαβάζουμε ένα ενδιαφέρον βιβλίο κάθε βράδυ στο σπίτι"),
+      ("he", "הספר נמצא על השולחן ליד החלון בחדר"),
+      ("he", "אנחנו קוראים ספר מעניין כל ערב בבית"),
+      // Latin text must still route to the trigram tier and label
+      ("en", "the book is on the table next to the window in the room"),
+      ("de", "das buch liegt auf dem tisch neben dem fenster im zimmer"),
+      ("fr", "le livre est sur la table près de la fenêtre dans la chambre"),
+      // mixed three-script text must abstain, not guess
+      ("und", "abc абв αβγ"),
+      ("und", "12345 --- +++"))
+      .zipWithIndex.map { case ((l, t), i) => (i.toLong, l, t) }
+    val got = graft.text.LangIdFixed.scoreScriptAware(
+        s.toDF("id", "want", "text"), col("id"), col("text"))
+      .join(s.toDF("doc_id", "want", "t2"), Seq("doc_id"))
+      .select("doc_id", "lang", "want").collect()
+    val mislabeled = got.filter(r =>
+      r.getString(1) != "und" && r.getString(1) != r.getString(2))
+    assert(mislabeled.isEmpty, "wrong-language assignments: " +
+      mislabeled.map(r => s"${r.getLong(0)}:${r.getString(1)}")
+        .mkString(", "))
+    val correct = got.count(r => r.getString(1) == r.getString(2))
+    assert(correct >= got.length - 2,
+      s"accuracy $correct/${got.length} below the gate")
+  }
+
+  test("lexiconGate: category fixtures block, clean and below-rate docs pass") {
+    import graft.text.LexiconGate
+    val d = Seq(
+      (1L, "play casino poker and hit the jackpot at the roulette table"),
+      (2L, "buy viagra and cialis online"),
+      (3L, "Casino!! Poker, JACKPOT... (roulette)"), // normalizer catches
+      (4L, "the quiet garden was full of flowers and sunshine"),
+      (5L, ""), (6L, null.asInstanceOf[String]),
+      // one incidental term in a long doc: a RATE gate, not a ban
+      (7L, ("they played a friendly game of poker after dinner " +
+        "and then walked for hours along the river talking about " +
+        "books and music and the long summer holidays ahead of " +
+        "them and the many small towns they hoped to visit on " +
+        "their way through the green valleys and over the old " +
+        "stone bridges of the quiet countryside")))
+      .toDF("id", "text")
+    val got = LexiconGate.score(d, col("id"), col("text"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("gambling_hits"), r.getAs[Long]("pharma_hits"),
+          r.getAs[Long]("hits_total"), r.getAs[Boolean]("blocked"))))
+      .toMap
+    assert(got(1L) == ((4L, 0L, 4L, true)))
+    assert(got(2L) == ((0L, 2L, 2L, true)))
+    assert(got(3L) == ((4L, 0L, 4L, true)))
+    assert(got(4L) == ((0L, 0L, 0L, false))) // clean pass-through
+    assert(got(5L) == ((0L, 0L, 0L, false))) // 0 tokens never block
+    assert(got(6L) == ((0L, 0L, 0L, false)))
+    assert(got(7L)._3 == 1L && !got(7L)._4) // below the 2% rate
+  }
+
+  test("TokenBucketScoresExpr == compositional token/md5/fold chain, bit for bit") {
+    import graft.text.LexiconGate
+    val B = LexiconGate.DefaultBuckets
+    val wv = LexiconGate.weightVectors(B)
+    def compositional(s: org.apache.spark.sql.Column) = {
+      val toks = org.apache.spark.sql.functions.filter(
+        split(s, " "), t => length(t) > 0)
+      val bks = transform(toks, t =>
+        pmod(conv(substring(md5(t), 1, 15), 16, 10).cast("long"),
+          lit(B.toLong)).cast("int"))
+      array(wv.map(w => aggregate(bks, lit(0L),
+        (a, b) => a + element_at(typedLit(w), b + 1))) :+
+        size(bks).cast("long"): _*)
+    }
+    val fixtures = Seq(
+      (1L, "casino poker jackpot"), (2L, "plain words here"),
+      (3L, ""), (4L, null.asInstanceOf[String]),
+      (5L, "  double  spaces  and café straße 日本語 tokens "))
+      .toDF("id", "text")
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").as("id"), col("text"))
+    for (df <- Seq(fixtures, corpus)) {
+      val normed = df.select(col("id"),
+        LexiconGate.normTokenText(col("text")).as("__s"))
+      val native = graft.functions.TokenBucketScoresExpr
+        .token_bucket_scores(col("__s"), wv)
+      val mismatches = normed
+        .select(col("id"), native.as("a"), compositional(col("__s")).as("b"))
+        .where(not(col("a") === col("b"))).count()
+      assert(mismatches == 0)
+    }
+    // totality on invalid UTF-8 (Spark does not validate on ingest)
+    val bad = org.apache.spark.unsafe.types.UTF8String.fromBytes(
+      Array[Byte]('a', 0x80.toByte, ' ', 0xff.toByte, 'b'))
+    val out = graft.functions.TokenBucketScoresExpr.compute(bad,
+      wv.flatten.toArray, B, wv.size)
+    assert(out.numElements == wv.size + 1)
+  }
+
+  test("incremental paragraph near-dup ≡ one-shot restricted to batch-touching pairs") {
+    import graft.dedup.Dedup
+    // the q163 banner family (near-dup, one trailing token varies)
+    def banner(v: String) = "subscribe to our newsletter today for " +
+      "great offers and exclusive member deals delivered weekly " + v
+    def news(v: String) = "breaking news update weather report for " +
+      "the coastal region issued this morning " + v
+    val shared = "this exact paragraph appears in both history and batch"
+    val history = Seq(
+      (1L, s"${banner("v1")}\n\nhistory only content about archives"),
+      (2L, s"${news("x1")}\n\n${news("x2")}"), // history-history pair
+      (3L, shared)).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, s"${banner("v2")}\n\n$shared"),
+      (11L, s"${banner("v3")}\n\nfresh batch material about gardens"))
+      .toDF("doc_id", "text")
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // batch pid set, mirroring the shared paraExplode key definition
+    val batchPids = Seq(banner("v2"), shared, banner("v3"),
+      "fresh batch material about gardens")
+      .map(p => md5hex(p.trim.toLowerCase.replaceAll("\\s+", " "))).toSet
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val oneShot = pairSet(Dedup.paragraphNearDupPairs(
+      history.unionByName(batch), col("text")))
+    val incr = pairSet(Dedup.incrementalParagraphNearDup(
+      batch, history, col("text")))
+    val expected = oneShot.filter(p =>
+      batchPids.contains(p._1) || batchPids.contains(p._2))
+    assert(incr == expected,
+      s"incr=$incr\nexpected=$expected\noneShot=$oneShot")
+    // the restriction is real: the history-history news pair exists
+    // in the one-shot set and must NOT leak into the incremental one
+    assert(oneShot.size > expected.size)
+    // the banner family did cross the batch/history boundary
+    val (h1, h2) = (md5hex(banner("v1")), md5hex(banner("v2")))
+    assert(expected.exists(p =>
+      Set(p._1, p._2) == Set(h1, h2).map(identity)))
+    // empty history (first crawl batch): within-batch pairs only,
+    // identical to the one-shot batch run
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(pairSet(Dedup.incrementalParagraphNearDup(batch, empty,
+      col("text"))) ==
+      pairSet(Dedup.paragraphNearDupPairs(batch, col("text"))))
+  }
+
+  test("scoreScriptAware ≡ score on an all-Latin corpus (labels and trigram fields)") {
+    // the pre-classifier must be a no-op for the Latin crawl mass the
+    // trigram model already covers: same lang, same score/margin
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val plain = graft.text.LangIdFixed.score(docs, col("doc_id"),
+      col("text")).select("doc_id", "best_lang", "score", "margin", "lang")
+    val aware = graft.text.LangIdFixed.scoreScriptAware(docs,
+      col("doc_id"), col("text"))
+      .select("doc_id", "best_lang", "score", "margin", "lang")
+    assert(plain.exceptAll(aware).count() == 0 &&
+      aware.exceptAll(plain).count() == 0)
+  }
+}
