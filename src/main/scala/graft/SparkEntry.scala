@@ -2348,6 +2348,11 @@ object SparkEntry {
               col("tox_toks") * (graft.text.LexiconGate
                 .DefaultMaxRatePerMille * 1000L)))
         .withColumn("__ptext", syntheticParaText)
+        // barrier: paragraphDedup's keeper/total/reassembly consumers
+        // re-execute a NARROW upstream once each (no exchange to
+        // reuse), so without this the lang+quality+tox scorer chain
+        // ran ~3× — the survivor frame is gate-shrunk and bounded
+        .localCheckpoint()
       val deduped = Dedup.paragraphDedup(survivors, col("doc_id"),
         col("__ptext"))
       graft.ops.Pack.sequencePacking(deduped, col("doc_id"),
