@@ -117,7 +117,9 @@ object PlanAudit {
     "q171_language_mix" ->
       "share window runs on the <=|langs|+1 per-language rollup rows",
     "q164_source_overlap" ->
-      "lazy maxSources gate: global scalar count over distinct sources"
+      "lazy maxSources gate: global scalar count over distinct sources",
+    "q180_dedup_funnel" ->
+      "four stage-count scalar aggs: one partial row per task, 4 output rows"
     // q129_zipf_slope funnels through a bounded top-30 head (limit +
     // rank window + OLS agg) but plans as TakeOrdered without an
     // explicit SinglePartition exchange, so it needs no entry here

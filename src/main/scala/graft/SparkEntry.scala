@@ -2134,6 +2134,83 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // duplicated-substring EXCISION (Lee et al. 2022 ExactSubstr, the
+    // action step after q87's triage): dup 8-token windows merge into
+    // maximal covered intervals per doc; covered tokens are cut and
+    // the surviving text re-joined — the window runs over dup
+    // positions only, excision is row-local
+    "q178_substring_excise" -> ((s, dir) =>
+      Dedup.substringExcise(T(s, dir, "documents"), col("doc_id"),
+          col("text"), k = 8)
+        .orderBy("doc_id")),
+
+    // intra-doc repetition coverage: the exact Gopher duplicated-
+    // n-gram fraction (positional coverage, each token counted once)
+    // that q69's distinct-ratio approximates — 3-grams, per-doc only
+    "q185_intra_repetition" -> ((s, dir) =>
+      Dedup.intraDocRepetition(T(s, dir, "documents"), col("doc_id"),
+          col("text"), k = 3)
+        .orderBy("doc_id")),
+
+    // benchmark decontamination by EXCISION: corpus windows matching
+    // any benchmark window are cut (islands merged) instead of
+    // dropping docs/lines — bench = doc_id%10==7, corpus = the rest
+    "q184_decontaminate_excise" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      Dedup.substringDecontaminate(
+          d.where(pmod(col("doc_id"), lit(10)) =!= 7),
+          col("doc_id"), col("text"),
+          d.where(pmod(col("doc_id"), lit(10)) === 7),
+          col("text"), k = 8)
+        .orderBy("doc_id")
+    }),
+
+    // boilerplate-line scrub (RefinedWeb line-level correction): lines
+    // whose normalized form appears in >30 docs are nav/footer
+    // boilerplate and are cut everywhere; blank lines keep structure.
+    // Corpus = the shared synthetic-paragraph text (banner planted in
+    // every doc — the removal is real, df=500)
+    "q183_boilerplate_scrub" -> ((s, dir) =>
+      Dedup.boilerplateLineScrub(
+          T(s, dir, "documents").withColumn("__ltext", syntheticParaText),
+          col("doc_id"), col("__ltext"), maxDocFreq = 30)
+        .orderBy("doc_id")),
+
+    // one-pass quality-signals sheet (RedPajama-V2 discipline: ship
+    // per-doc signals with the corpus so consumers threshold without
+    // re-scanning): caps/unique/numeric/no-alpha/terminal-line ppm +
+    // longest line, exact integer ratios, zero shuffle
+    "q182_quality_signals" -> ((s, dir) =>
+      graft.text.TextAnalysis.qualitySignals(T(s, dir, "documents"),
+          col("doc_id"), col("text"))
+        .orderBy("doc_id")),
+
+    // code-vs-prose routing gate: frozen keyword lexicon + symbol/
+    // indent/EOL-density integer per-mille score — the StarCoder-style
+    // corpus router between lang-ID and quality filtering (code wants
+    // its own quality rules and dedup granularity)
+    "q179_code_detect" -> ((s, dir) =>
+      graft.text.TextAnalysis.codeDetect(T(s, dir, "documents"),
+          col("doc_id"), col("text"))
+        .orderBy("doc_id")),
+
+    // dedup-funnel attrition audit: input → exact → normalized →
+    // near-dup survivor counts, each tier over the previous tier's
+    // survivors — the per-stage accounting every curation run reports
+    "q180_dedup_funnel" -> ((s, dir) =>
+      Dedup.dedupFunnel(T(s, dir, "documents"), col("doc_id"),
+          col("text"))
+        .orderBy("stage_ord")),
+
+    // leakage-safe cluster split: q66's simhash components with the
+    // train/eval hash split assigned per COMPONENT, so near-dups never
+    // straddle the split (q166 audits the leak; this removes it by
+    // construction)
+    "q181_cluster_split" -> ((s, dir) =>
+      Dedup.clusterSplit(T(s, dir, "documents"), "doc_id", "text",
+          trainFrac = 0.8)
+        .orderBy("id")),
+
     // exact source-overlap matrix (dataset-mixing audit): distinct
     // md5-60 shingles per source, pairwise intersection + Jaccard e6;
     // zero-overlap pairs completed from the size cross so the matrix
@@ -5056,6 +5133,287 @@ object SparkEntry {
            |SELECT id_a, id_b, agree FROM mh
            |ORDER BY id_a, id_b""".stripMargin
       },
+
+      // intra-doc repetition: q178's island math with the marked set =
+      // windows duplicated WITHIN the same doc (count window over
+      // doc_id+span), 3-token windows
+      "q185_intra_repetition" ->
+        """WITH t AS (SELECT doc_id,
+          |    string_split(COALESCE(text, ''), ' ') AS w FROM documents),
+          |b AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_toks,
+          |    CAST(GREATEST(len(w) - 2, 0) AS BIGINT) AS n_spans, w
+          |  FROM t),
+          |sp AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+          |    array_to_string(w[i:i+2], ' ') AS span
+          |  FROM b, UNNEST(range(1, n_spans + 1)) AS u(i)),
+          |d AS (SELECT doc_id, pos FROM (
+          |    SELECT doc_id, pos,
+          |      COUNT(*) OVER (PARTITION BY doc_id, span) AS c FROM sp)
+          |  WHERE c > 1),
+          |m AS (SELECT doc_id, pos, CASE WHEN pos > COALESCE(
+          |      MAX(pos + 3) OVER (PARTITION BY doc_id ORDER BY pos
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+          |    THEN 1 ELSE 0 END AS flag FROM d),
+          |i0 AS (SELECT doc_id, pos, SUM(flag) OVER (
+          |    PARTITION BY doc_id ORDER BY pos) AS isl FROM m),
+          |isl AS (SELECT doc_id, isl, MIN(pos) AS s, MAX(pos) + 3 AS e
+          |  FROM i0 GROUP BY doc_id, isl),
+          |pd AS (SELECT doc_id, CAST(SUM(e - s) AS BIGINT) AS n_covered
+          |  FROM isl GROUP BY doc_id)
+          |SELECT b.doc_id, n_toks, COALESCE(n_covered, 0) AS n_covered,
+          |  (1000000 * COALESCE(n_covered, 0)) // GREATEST(n_toks, 1)
+          |    AS rep_ppm
+          |FROM b LEFT JOIN pd USING (doc_id) ORDER BY b.doc_id""".stripMargin,
+
+      // decontamination excision: q178's island machinery with the
+      // marked set = corpus windows ∩ benchmark windows (bench =
+      // doc_id%10==7)
+      "q184_decontaminate_excise" ->
+        """WITH t AS (SELECT doc_id,
+          |    string_split(COALESCE(text, ''), ' ') AS w FROM documents
+          |  WHERE doc_id % 10 != 7),
+          |b AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_toks,
+          |    CAST(GREATEST(len(w) - 7, 0) AS BIGINT) AS n_spans FROM t),
+          |sp AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+          |    array_to_string(w[i:i+7], ' ') AS span
+          |  FROM b, UNNEST(range(1, n_spans + 1)) AS u(i)),
+          |bt AS (SELECT string_split(COALESCE(text, ''), ' ') AS w2
+          |  FROM documents WHERE doc_id % 10 = 7),
+          |bt2 AS (SELECT w2, GREATEST(len(w2) - 7, 0) AS ns FROM bt),
+          |bs AS (SELECT DISTINCT array_to_string(w2[i:i+7], ' ') AS span
+          |  FROM bt2, UNNEST(range(1, ns + 1)) AS u(i)),
+          |d AS (SELECT doc_id, pos FROM sp JOIN bs USING (span)),
+          |m AS (SELECT doc_id, pos, CASE WHEN pos > COALESCE(
+          |      MAX(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+          |    THEN 1 ELSE 0 END AS flag FROM d),
+          |i0 AS (SELECT doc_id, pos, SUM(flag) OVER (
+          |    PARTITION BY doc_id ORDER BY pos) AS isl FROM m),
+          |isl AS (SELECT doc_id, isl, MIN(pos) AS s, MAX(pos) + 8 AS e
+          |  FROM i0 GROUP BY doc_id, isl),
+          |pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+          |    CAST(SUM(e - s) AS BIGINT) AS n_removed FROM isl
+          |  GROUP BY doc_id),
+          |cov AS (SELECT doc_id, UNNEST(range(s, e)) AS cp FROM isl),
+          |tp AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS idx, w[i] AS tok
+          |  FROM b, UNNEST(range(1, n_toks + 1)) AS u(i)),
+          |kt AS (SELECT tp.doc_id, idx, tok FROM tp
+          |  WHERE NOT EXISTS (SELECT 1 FROM cov
+          |    WHERE cov.doc_id = tp.doc_id AND cov.cp = tp.idx)),
+          |ktx AS (SELECT doc_id,
+          |    string_agg(tok, ' ' ORDER BY idx) AS kept_text
+          |  FROM kt GROUP BY doc_id)
+          |SELECT b.doc_id, n_toks, COALESCE(n_removed, 0) AS n_removed,
+          |  COALESCE(n_islands, 0) AS n_islands,
+          |  COALESCE(kept_text, '') AS kept_text
+          |FROM b LEFT JOIN pd USING (doc_id)
+          |  LEFT JOIN ktx ON b.doc_id = ktx.doc_id
+          |ORDER BY b.doc_id""".stripMargin,
+
+      // boilerplate scrub: reconstruct the synthetic line corpus
+      // (banner + 16-token chunks joined on blank lines), split on
+      // \n, doc-frequency over normalized non-blank lines, cut >30-df
+      // positions, string_agg the survivors back on \n
+      "q183_boilerplate_scrub" ->
+        s"""WITH $syntheticParagraphCtes,
+          |body AS (SELECT doc_id,
+          |    string_agg(para, chr(10) || chr(10) ORDER BY pos) AS b
+          |  FROM c GROUP BY doc_id),
+          |s AS (SELECT d.doc_id,
+          |    CASE WHEN d.doc_id % 2 = 0 THEN 'Subscribe to our newsletter'
+          |      ELSE 'subscribe  to our Newsletter' END ||
+          |    COALESCE(chr(10) || chr(10) || b, '') AS t
+          |  FROM documents d LEFT JOIN body USING (doc_id)),
+          |l0 AS (SELECT doc_id, t, string_split(t, chr(10)) AS ls FROM s),
+          |l AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ls[i] AS line,
+          |    trim(regexp_replace(lower(ls[i]), '\\s+', ' ', 'g')) AS nk
+          |  FROM l0, UNNEST(range(1, len(ls) + 1)) AS u(i)),
+          |lf AS (SELECT * FROM l WHERE len(nk) > 0),
+          |dfq AS (SELECT nk FROM lf GROUP BY nk
+          |  HAVING COUNT(DISTINCT doc_id) > 30),
+          |badpos AS (SELECT doc_id, pos FROM lf JOIN dfq USING (nk)),
+          |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_removed
+          |  FROM badpos GROUP BY doc_id),
+          |kt AS (SELECT l.doc_id, l.pos, l.line FROM l
+          |  WHERE NOT EXISTS (SELECT 1 FROM badpos b
+          |    WHERE b.doc_id = l.doc_id AND b.pos = l.pos)),
+          |ktx AS (SELECT doc_id, COALESCE(string_agg(line, chr(10)
+          |    ORDER BY pos), '') AS kept_text FROM kt GROUP BY doc_id),
+          |nl AS (SELECT doc_id,
+          |    CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines
+          |  FROM s)
+          |SELECT nl.doc_id, n_lines, COALESCE(n_removed, 0) AS n_removed,
+          |  COALESCE(kept_text, '') AS kept_text
+          |FROM nl LEFT JOIN cnt USING (doc_id) LEFT JOIN ktx USING (doc_id)
+          |ORDER BY nl.doc_id""".stripMargin,
+
+      // quality-signals sheet: exact integer ppm ratios (truncating
+      // div), rtrim default = spaces-only on both engines
+      "q182_quality_signals" ->
+        """WITH s AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents),
+          |f AS (SELECT doc_id, t,
+          |    CAST(len(t) AS BIGINT) AS n_chars,
+          |    list_filter(string_split(t, ' '), x -> len(x) > 0) AS w,
+          |    string_split(t, chr(10)) AS l
+          |  FROM s),
+          |g AS (SELECT doc_id, n_chars,
+          |    CAST(len(w) AS BIGINT) AS n_words,
+          |    CAST(len(l) AS BIGINT) AS n_lines,
+          |    CAST(len(list_filter(w,
+          |      x -> regexp_matches(x, '^[A-Z]{2,}$'))) AS BIGINT)
+          |      AS n_caps_words,
+          |    CAST(len(list_distinct(w)) AS BIGINT) AS n_unique_words,
+          |    CAST(len(regexp_extract_all(t, '[0-9]')) AS BIGINT)
+          |      AS n_numeric_chars,
+          |    CAST(len(list_filter(w,
+          |      x -> NOT regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+          |      AS n_noalpha_words,
+          |    CAST(len(list_filter(l,
+          |      x -> regexp_matches(rtrim(x), '[.!?"'']$'))) AS BIGINT)
+          |      AS n_terminal_lines,
+          |    CAST(COALESCE(list_max(list_transform(l, x -> len(x))), 0)
+          |      AS BIGINT) AS max_line_len
+          |  FROM f)
+          |SELECT doc_id, n_chars, n_words, n_lines, n_caps_words,
+          |  n_unique_words, n_numeric_chars, n_noalpha_words,
+          |  n_terminal_lines, max_line_len,
+          |  (1000000 * n_caps_words) // GREATEST(n_words, 1) AS caps_ppm,
+          |  (1000000 * n_unique_words) // GREATEST(n_words, 1)
+          |    AS unique_ppm,
+          |  (1000000 * n_numeric_chars) // GREATEST(n_chars, 1)
+          |    AS numeric_ppm,
+          |  (1000000 * n_noalpha_words) // GREATEST(n_words, 1)
+          |    AS noalpha_ppm,
+          |  (1000000 * n_terminal_lines) // GREATEST(n_lines, 1)
+          |    AS terminal_line_ppm
+          |FROM g ORDER BY doc_id""".stripMargin,
+
+      // code-vs-prose gate: frozen keyword list (token-exact IN),
+      // regex symbol/indent/EOL counts, integer per-mille score. Both
+      // regex-split engines drop nothing that matters: Java split
+      // trims trailing empties, DuckDB keeps them — '' is not a
+      // keyword, so n_kw agrees
+      "q179_code_detect" ->
+        """WITH s AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents),
+          |f AS (SELECT doc_id,
+          |    CAST(len(list_filter(string_split_regex(t, '\s+'), x -> x IN (
+          |      'def','return','import','function','var','const','void',
+          |      'static','struct','fn','printf','println','elif','lambda',
+          |      'typedef','enum','namespace','#include','public:','private:'
+          |    ))) AS BIGINT) AS n_kw,
+          |    CAST(len(regexp_extract_all(t, '[{}();=<>\[\]]')) AS BIGINT)
+          |      AS n_sym,
+          |    CAST(len(list_filter(string_split(t, chr(10)),
+          |      x -> regexp_matches(x, '^(    |\t)'))) AS BIGINT)
+          |      AS n_indent_lines,
+          |    CAST(len(list_filter(string_split(t, chr(10)),
+          |      x -> regexp_matches(x, '[;{}]$'))) AS BIGINT)
+          |      AS n_code_eol_lines,
+          |    CAST(len(t) AS BIGINT) AS n_chars
+          |  FROM s),
+          |g AS (SELECT *, (1000 * (3 * n_kw + 2 * n_indent_lines +
+          |    2 * n_code_eol_lines + n_sym)) // GREATEST(n_chars, 1)
+          |    AS code_pm FROM f)
+          |SELECT doc_id, n_kw, n_sym, n_indent_lines, n_code_eol_lines,
+          |  n_chars, code_pm, code_pm >= 60 AS is_code
+          |FROM g ORDER BY doc_id""".stripMargin,
+
+      // dedup funnel: each tier over the previous tier's survivors;
+      // min_by keeps the keeper's OWN text (ids unique → deterministic
+      // on both engines); near-dup tier = the shared q44 minhash CTE
+      // over normalized survivors + recursive CC
+      "q180_dedup_funnel" -> {
+        val prelude =
+          """b AS (SELECT doc_id AS id, COALESCE(text, '') AS text
+            |    FROM documents),
+            |e AS (SELECT MIN(id) AS id, min_by(text, id) AS text
+            |  FROM b GROUP BY md5(text)),
+            |n AS (SELECT MIN(id) AS id, min_by(text, id) AS text
+            |  FROM e GROUP BY md5(trim(regexp_replace(regexp_replace(
+            |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))),
+            |""".stripMargin
+        val src = "SELECT id AS doc_id, text FROM n"
+        s"""${minhashPairsCtesOver(src, prelude)
+              .replaceFirst("WITH ", "WITH RECURSIVE ")},
+           |ed AS (SELECT id_a AS src, id_b AS dst FROM mh
+           |  UNION ALL SELECT id_b, id_a FROM mh),
+           |reach AS (
+           |  SELECT doc_id AS a, doc_id AS b FROM mhsrc
+           |  UNION
+           |  SELECT r.a, e2.dst FROM reach r JOIN ed e2 ON r.b = e2.src),
+           |cc AS (SELECT a AS id, MIN(b) AS comp FROM reach GROUP BY a)
+           |SELECT * FROM (
+           |  SELECT 0 AS stage_ord, 'input' AS stage,
+           |    CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n_docs
+           |  UNION ALL SELECT 1, 'exact',
+           |    CAST((SELECT COUNT(*) FROM e) AS BIGINT)
+           |  UNION ALL SELECT 2, 'normalized',
+           |    CAST((SELECT COUNT(*) FROM n) AS BIGINT)
+           |  UNION ALL SELECT 3, 'neardup',
+           |    CAST((SELECT COUNT(DISTINCT comp) FROM cc) AS BIGINT)
+           |) ORDER BY stage_ord""".stripMargin
+      },
+
+      // leakage-safe cluster split: the q66 component CTE + the q49
+      // md5-prefix hash split over the COMPONENT id (cutoff 800000/1e6
+      // = trainFrac 0.8)
+      "q181_cluster_split" ->
+        s"""${portableSimhashCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+           |p AS (SELECT a.doc_id AS src, b.doc_id AS dst
+           |  FROM f a JOIN f b ON a.doc_id <> b.doc_id
+           |  WHERE bit_count(xor(a.fp, b.fp)) <= 3),
+           |reach AS (
+           |  SELECT doc_id AS a, doc_id AS b FROM documents
+           |  UNION
+           |  SELECT r.a, p.dst FROM reach r JOIN p ON r.b = p.src),
+           |cc AS (SELECT a AS id, MIN(b) AS comp FROM reach GROUP BY a)
+           |SELECT id, comp,
+           |  CASE WHEN CAST(('0x' || substr(md5('split:' ||
+           |      CAST(comp AS VARCHAR)), 1, 15)) AS BIGINT)
+           |    % 1000000 < 800000 THEN 'train' ELSE 'eval' END AS split
+           |FROM cc ORDER BY id""".stripMargin,
+
+      // duplicated-substring excision: q87's 8-token dup-window CTE,
+      // then gaps-and-islands interval merge per doc (new island iff
+      // pos > running MAX(prev pos+8); adjacency merges) and token-
+      // position anti-join to rebuild the kept text. All-integer;
+      // split('',' ')=[''] on both engines so empty docs round-trip
+      "q178_substring_excise" ->
+        """WITH t AS (SELECT doc_id,
+          |    string_split(COALESCE(text, ''), ' ') AS w FROM documents),
+          |b AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_toks,
+          |    CAST(GREATEST(len(w) - 7, 0) AS BIGINT) AS n_spans FROM t),
+          |sp AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+          |    array_to_string(w[i:i+7], ' ') AS span
+          |  FROM b, UNNEST(range(1, n_spans + 1)) AS u(i)),
+          |c AS (SELECT span FROM sp GROUP BY span HAVING COUNT(*) > 1),
+          |d AS (SELECT doc_id, pos FROM sp JOIN c USING (span)),
+          |m AS (SELECT doc_id, pos, CASE WHEN pos > COALESCE(
+          |      MAX(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+          |    THEN 1 ELSE 0 END AS flag FROM d),
+          |i0 AS (SELECT doc_id, pos, SUM(flag) OVER (
+          |    PARTITION BY doc_id ORDER BY pos) AS isl FROM m),
+          |isl AS (SELECT doc_id, isl, MIN(pos) AS s, MAX(pos) + 8 AS e
+          |  FROM i0 GROUP BY doc_id, isl),
+          |pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+          |    CAST(SUM(e - s) AS BIGINT) AS n_removed FROM isl
+          |  GROUP BY doc_id),
+          |cov AS (SELECT doc_id, UNNEST(range(s, e)) AS cp FROM isl),
+          |tp AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS idx, w[i] AS tok
+          |  FROM b, UNNEST(range(1, n_toks + 1)) AS u(i)),
+          |kt AS (SELECT tp.doc_id, idx, tok FROM tp
+          |  WHERE NOT EXISTS (SELECT 1 FROM cov
+          |    WHERE cov.doc_id = tp.doc_id AND cov.cp = tp.idx)),
+          |ktx AS (SELECT doc_id,
+          |    string_agg(tok, ' ' ORDER BY idx) AS kept_text
+          |  FROM kt GROUP BY doc_id)
+          |SELECT b.doc_id, n_toks, COALESCE(n_removed, 0) AS n_removed,
+          |  COALESCE(n_islands, 0) AS n_islands,
+          |  COALESCE(kept_text, '') AS kept_text
+          |FROM b LEFT JOIN pd USING (doc_id)
+          |  LEFT JOIN ktx ON b.doc_id = ktx.doc_id
+          |ORDER BY b.doc_id""".stripMargin,
 
       // incremental paragraph near-dup: the q163 one-shot pair chain
       // over ALL docs, restricted to pairs touching a BATCH (odd-doc)

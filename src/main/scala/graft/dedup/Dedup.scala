@@ -1092,6 +1092,240 @@ object Dedup {
             col("n_spans"), 4)).as("dup_ratio"))
   }
 
+  /** Duplicated-substring EXCISION — the action step of exact-substring
+    * dedup (Lee et al. 2022 §4.1: after finding substrings that occur
+    * ≥ 2 times corpus-wide, CUT them out of every document rather than
+    * dropping whole docs). [[dupSpans]] is the triage signal; this
+    * rewrites the text. Every k-token window occurring ≥ 2 times
+    * corpus-wide marks its k token positions covered; overlapping /
+    * adjacent covered windows merge into maximal intervals (islands);
+    * the kept text is the original tokens minus all covered positions,
+    * re-joined on single spaces (split/join round-trips exactly, so a
+    * clean doc's kept_text equals its text verbatim).
+    *
+    * Output per input doc: (doc_id, n_toks, n_removed, n_islands,
+    * kept_text) — n_removed = Σ island lengths in tokens; docs with no
+    * duplicated window pass through untouched (0, 0, full text).
+    *
+    * Scale shape: windows are built map-side (native codegen'd
+    * [[graft.functions.ShinglesExpr]]); the shuffles are the span-count
+    * groupBy (map-side partial agg), the position semi-join, and the
+    * per-doc island window+agg — all equi on span / doc_id, and the
+    * window operates on DUP POSITIONS ONLY (a tiny fraction of tokens),
+    * never the corpus text. Excision itself is row-local: the merged
+    * island list (model-sized per doc) joins back on doc_id and a
+    * filter-over-indices HOF cuts the string in one pass — no per-token
+    * shuffle, no text ever moves except this one equi-join of (doc_id,
+    * islands). With `hashSpans=true` the duplicate-set shuffle carries
+    * 8-byte xxhash64 values instead of verbatim windows (the at-scale
+    * form, same collision caveat as [[dupSpansHashed]]).
+    */
+  def substringExcise(docs: DataFrame, idCol: Column, textCol: Column,
+                      k: Int, hashSpans: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val text = coalesce(textCol, lit(""))
+    val toks = split(text, " ")
+    val nToks = size(toks).cast("long")
+    val nSpans = greatest(size(toks) - (k - 1), lit(0)).cast("long")
+    val spanCol =
+      if (hashSpans) graft.functions.ShingleHashesExpr.span_hashes(text, k)
+      else graft.functions.ShinglesExpr.shingle_strings(text, k)
+    val spanType = if (hashSpans) "bigint" else "string"
+    val base = docs.select(idCol.as("doc_id"), text.as("__text"),
+      nToks.as("n_toks"),
+      when(nSpans > 0, spanCol).otherwise(array().cast(s"array<$spanType>"))
+        .as("__spans"))
+    // (doc_id, pos, span): pos = 0-based index of the window's first token
+    val exploded = base.select(col("doc_id"),
+      posexplode(col("__spans"))).toDF("doc_id", "pos", "span")
+    val dupSpanSet = exploded.groupBy("span")
+      .agg(count(lit(1)).as("cnt")).where(col("cnt") > 1).select("span")
+    val dupPos = exploded.join(dupSpanSet, Seq("span"), "left_semi")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"))
+    exciseByIslands(base, dupPos, k)
+  }
+
+  /** Shared excision core for [[substringExcise]] /
+    * [[substringDecontaminate]]: merge the marked window positions
+    * into maximal covered intervals per doc (gaps-and-islands over the
+    * MARKED positions only) and rebuild each doc's text minus the
+    * covered tokens, row-locally. `base` must carry (doc_id, __text,
+    * n_toks); `markedPos` is (doc_id, pos) of every k-token window to
+    * cut. */
+  private def exciseByIslands(base: DataFrame, markedPos: DataFrame,
+                              k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // gaps-and-islands: a window [pos, pos+k) starts a new island iff it
+    // begins past every previous window's end (adjacency merges: equal
+    // start/end yields one contiguous excision)
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val prevEnd = max(col("pos") + k)
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = markedPos
+      .withColumn("__new",
+        (col("pos") > coalesce(prevEnd, lit(-1L))).cast("int"))
+      .withColumn("__isl", sum(col("__new")).over(w))
+      .groupBy(col("doc_id"), col("__isl"))
+      .agg(min("pos").as("s"), (max(col("pos")) + k).as("e"))
+    val perDoc = islands.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("e") - col("s")).as("n_removed"),
+        sort_array(collect_list(struct(col("s"), col("e")))).as("__isls"))
+    val isls = coalesce(col("__isls"),
+      array().cast("array<struct<s:long,e:long>>"))
+    val toks2 = split(col("__text"), " ")
+    val keptIdx = filter(sequence(lit(0L), col("n_toks") - 1),
+      i => !exists(isls, r => i >= r("s") && i < r("e")))
+    base.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("n_islands"), lit(0L)).as("n_islands"),
+        array_join(transform(keptIdx,
+          i => element_at(toks2, (i + 1).cast("int"))), " ").as("kept_text"))
+  }
+
+  /** Intra-document repetition COVERAGE — the exact form of the
+    * Gopher repetition rule (Rae et al. 2021 §A1.1: drop a doc when
+    * the fraction of characters inside duplicated n-grams exceeds a
+    * threshold). [[graft.text.TextAnalysis.repetitionStats]]'s
+    * distinct-ratio APPROXIMATES it; this computes the published
+    * definition: a k-gram occurring ≥ 2 times WITHIN the doc marks its
+    * token positions covered, overlapping marks merge (each token
+    * counted once — the q178 island math), and rep_ppm =
+    * covered/total tokens as an exact integer ppm.
+    *
+    * Scale shape: the within-doc duplicate test is a count window over
+    * (doc_id, span) — an equi shuffle of (doc_id, pos, span) rows with
+    * no corpus-wide aggregation at all (contrast [[dupSpans]], which
+    * counts spans globally); islands then run over MARKED positions
+    * only. No text moves: the output is counts.
+    */
+  def intraDocRepetition(docs: DataFrame, idCol: Column, textCol: Column,
+                         k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val text = coalesce(textCol, lit(""))
+    val toks = split(text, " ")
+    val nToks = size(toks).cast("long")
+    val nSpans = greatest(size(toks) - (k - 1), lit(0)).cast("long")
+    val base = docs.select(idCol.as("doc_id"), nToks.as("n_toks"),
+      when(nSpans > 0, graft.functions.ShinglesExpr.shingle_strings(text, k))
+        .otherwise(array().cast("array<string>")).as("__spans"))
+    val exploded = base.select(col("doc_id"),
+      posexplode(col("__spans"))).toDF("doc_id", "pos", "span")
+    val dupPos = exploded
+      .withColumn("__c",
+        count(lit(1)).over(Window.partitionBy("doc_id", "span")))
+      .where(col("__c") > 1)
+      .select(col("doc_id"), col("pos").cast("long").as("pos"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val prevEnd = max(col("pos") + k)
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = dupPos
+      .withColumn("__new",
+        (col("pos") > coalesce(prevEnd, lit(-1L))).cast("int"))
+      .withColumn("__isl", sum(col("__new")).over(w))
+      .groupBy(col("doc_id"), col("__isl"))
+      .agg(min("pos").as("s"), (max(col("pos")) + k).as("e"))
+    val perDoc = islands.groupBy("doc_id")
+      .agg(sum(col("e") - col("s")).as("n_covered"))
+    base.select(col("doc_id"), col("n_toks"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"))
+      .withColumn("rep_ppm",
+        expr("(1000000 * n_covered) div greatest(n_toks, 1)"))
+  }
+
+  /** Benchmark decontamination by EXCISION — cut the contaminated
+    * SPANS, keep the document (Lee et al. 2022 / GPT-3 appendix-C
+    * style n-gram decontamination, but surgical: dropping whole docs
+    * for one quoted benchmark sentence wastes good tokens, and q113's
+    * line-level variant needs line structure the text may not have).
+    * Every k-token window of a corpus doc that appears ANYWHERE in the
+    * benchmark's window set marks its positions covered; covered
+    * windows merge and excise via the [[substringExcise]] island core.
+    *
+    * Scale shape: the benchmark side is small by nature (eval sets) —
+    * its distinct window set broadcasts; the corpus pays one map-side
+    * window walk + one broadcast semi-join of (doc_id, pos, span),
+    * then the island window over MARKED positions only. Corpus text
+    * never rides a shuffle (row-local rebuild). At 100 TB hash both
+    * window sets to 64-bit first, as [[dupSpansHashed]] does.
+    */
+  def substringDecontaminate(docs: DataFrame, idCol: Column,
+                             textCol: Column, bench: DataFrame,
+                             benchTextCol: Column, k: Int): DataFrame = {
+    val text = coalesce(textCol, lit(""))
+    val toks = split(text, " ")
+    val nToks = size(toks).cast("long")
+    val nSpans = greatest(size(toks) - (k - 1), lit(0)).cast("long")
+    val base = docs.select(idCol.as("doc_id"), text.as("__text"),
+      nToks.as("n_toks"),
+      when(nSpans > 0, graft.functions.ShinglesExpr.shingle_strings(text, k))
+        .otherwise(array().cast("array<string>")).as("__spans"))
+    val exploded = base.select(col("doc_id"),
+      posexplode(col("__spans"))).toDF("doc_id", "pos", "span")
+    val btext = coalesce(benchTextCol, lit(""))
+    val bSpans = greatest(size(split(btext, " ")) - (k - 1), lit(0))
+    val benchSet = bench
+      .select(explode(when(bSpans > 0,
+        graft.functions.ShinglesExpr.shingle_strings(btext, k))
+        .otherwise(array().cast("array<string>"))).as("span"))
+      .distinct()
+    val markedPos = exploded.join(benchSet, Seq("span"), "left_semi")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"))
+    exciseByIslands(base, markedPos, k)
+  }
+
+  /** Boilerplate-line SCRUB — the line-level correction pass of
+    * RefinedWeb/FineWeb-style curation: a line whose normalized form
+    * (trim/lower/collapse-ws, the shared paragraph-key convention)
+    * appears in MORE than `maxDocFreq` distinct documents is
+    * navigation/footer boilerplate ("Home About Contact", cookie
+    * banners) and is cut from every document; everything else —
+    * including blank lines, which keep document structure and are
+    * never counted — survives verbatim. The corpus-frequency sibling
+    * of [[graft.text.TextAnalysis.contamination]]'s benchmark-set line
+    * removal (q113): there the bad-line set is external, here it is
+    * computed from the corpus itself.
+    *
+    * Scale shape: one doc-frequency aggregation over (key) with
+    * map-side partials, one semi-join of line keys against the bad
+    * set, and a per-doc collect of BAD POSITIONS ONLY (boilerplate
+    * lines per doc are few); the rewrite is row-local — a
+    * filter-over-indices HOF over the doc's own split, so corpus text
+    * never rides a shuffle (the q178 excision discipline at line
+    * granularity).
+    */
+  def boilerplateLineScrub(docs: DataFrame, idCol: Column, textCol: Column,
+                           maxDocFreq: Long): DataFrame = {
+    val text = coalesce(textCol, lit(""))
+    val base = docs.select(idCol.as("doc_id"), text.as("__text"),
+      size(split(text, "\n")).cast("long").as("n_lines"))
+    val lines = base.select(col("doc_id"),
+        posexplode(split(col("__text"), "\n"))).toDF("doc_id", "pos", "line")
+      .withColumn("k",
+        trim(regexp_replace(lower(col("line")), "\\s+", " ")))
+      .where(length(col("k")) > 0)
+    val bad = lines.groupBy("k")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") > maxDocFreq).select("k")
+    val badPos = lines.join(bad, Seq("k"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_removed"),
+        sort_array(collect_list(col("pos").cast("long"))).as("__bad"))
+    val badArr = coalesce(col("__bad"), array().cast("array<bigint>"))
+    val lineArr = split(col("__text"), "\n")
+    base.join(badPos, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        array_join(transform(
+          filter(sequence(lit(0L), col("n_lines") - 1),
+            i => !array_contains(badArr, i)),
+          i => element_at(lineArr, (i + 1).cast("int"))), "\n")
+          .as("kept_text"))
+  }
+
   /** Corpus-overlap estimate via a k-minimum-values sketch (Beyer et
     * al. 2007): how much does corpus B's shingle set overlap corpus
     * A's, without materializing the intersection? Each side reduces
@@ -1167,6 +1401,73 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("agree"),
         col("split_a"), col("split_b"),
         (col("split_a") =!= col("split_b")).as("leaks"))
+  }
+
+  /** Leakage-SAFE split assignment — the constructive counterpart of
+    * [[splitLeakage]]'s audit: assign train/eval by near-dup CLUSTER,
+    * not by doc, so near-duplicates can never straddle the split. The
+    * contamination channel q166 measures is eliminated by construction
+    * (the eval-split discipline of C4/FineWeb-style pipelines: a doc
+    * and its near-copy land on the same side or the eval set is
+    * contaminated). Pairs = the q66 portable-simhash relation;
+    * components via [[connectedComponents]]; every member inherits the
+    * deterministic hash-split of its component id.
+    *
+    * Scale shape: the CC rounds dominate (touched-vertices loop — see
+    * [[connectedComponents]]'s scaladoc); the split assignment itself
+    * is one map-side md5 over the component label, no extra shuffle
+    * beyond CC's own.
+    */
+  def clusterSplit(docs: DataFrame, idCol: String, textCol: String,
+                   trainFrac: Double, salt: String = "split",
+                   maxDist: Int = 3): DataFrame = {
+    val pairs = portableSimhashPairs(docs, idCol, textCol, maxDist)
+    connectedComponents(docs, idCol, pairs, "id_a", "id_b")
+      .select(col("id"), col("comp"),
+        when(graft.ops.Sample.hashSplit(col("comp"), trainFrac, salt),
+          "train").otherwise("eval").as("split"))
+  }
+
+  /** Dedup-funnel attrition audit — the per-stage survivor accounting
+    * every curation run reports (how many docs each dedup tier
+    * removes, so a collapse at one tier is visible before training):
+    * input → exact (md5 of verbatim text) → normalized (md5 of
+    * case/punct/whitespace-normalized text, CCNet-style) → near-dup
+    * (portable-minhash pairs + connected components, one keeper per
+    * component). Each tier runs over the previous tier's SURVIVORS —
+    * the composed funnel, not four independent counts. Output: one row
+    * per stage, (stage_ord, stage, n_docs).
+    *
+    * Scale shape: stages 1-2 are map-side-hash groupBys (16-byte
+    * keys); stage 3 is the q44/q66 banded-minhash + CC machinery over
+    * the already-collapsed survivor set; the four stage counts are
+    * single-row aggregates (partial-ized — the SinglePartition rows
+    * number exactly 4).
+    */
+  def dedupFunnel(docs: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val base = docs.select(idCol.as("id"),
+      coalesce(textCol, lit("")).as("text"))
+    val s1 = base.groupBy(md5(col("text")).as("fp1"))
+      .agg(min(col("id")).as("id"), min_by(col("text"), col("id")).as("text"))
+    val s2 = s1
+      .groupBy(md5(graft.text.TextAnalysis.normalizeForDedup(col("text")))
+        .as("fp2"))
+      .agg(min(col("id")).as("id"), min_by(col("text"), col("id")).as("text"))
+      // three consumers below (pair gen, CC vertex set, count) — bound
+      // the recompute of the two upstream groupBys once
+      .localCheckpoint()
+    val pairs = portableMinhashPairs(s2, "id", "text", k = 8, bands = 4,
+      minAgree = 4, w = 3)
+    val comps = connectedComponents(s2.select("id"), "id", pairs,
+      "id_a", "id_b")
+    def stageRow(n: DataFrame, ord: Int, name: String): DataFrame =
+      n.select(lit(ord).as("stage_ord"), lit(name).as("stage"),
+        col("n").cast("long").as("n_docs"))
+    stageRow(base.agg(count(lit(1)).as("n")), 0, "input")
+      .unionAll(stageRow(s1.agg(count(lit(1)).as("n")), 1, "exact"))
+      .unionAll(stageRow(s2.agg(count(lit(1)).as("n")), 2, "normalized"))
+      .unionAll(stageRow(comps.agg(countDistinct(col("comp")).as("n")),
+        3, "neardup"))
   }
 
   /** Exact pairwise SOURCE-overlap matrix — the dataset-mixing audit

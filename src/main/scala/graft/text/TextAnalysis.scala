@@ -758,6 +758,88 @@ object TextAnalysis {
     * BIGINT — IEEE-exact arithmetic then one round, engine-portable;
     * NULL for empty docs (no words → undefined, not a sentinel 0).
     */
+  /** One-pass per-document quality-signals sheet — the RedPajama-V2
+    * discipline (Together 2023: ship the SIGNALS with the corpus, let
+    * every consumer threshold them without re-scanning 100 TB). The
+    * signals here complement [[quality]]/[[gopherRules]]/
+    * [[readability]] (length/stopword/symbol/Flesch live there):
+    * all-caps-word share, unique-word share, numeric-char share,
+    * no-alphabetic-word share, terminal-punctuation line share, and
+    * the longest line. Exact integer per-million ratios (truncating
+    * division — associativity-free, bit-identical cross-engine), one
+    * codegen'd row-local pass, zero shuffle.
+    */
+  def qualitySignals(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val t = coalesce(textCol, lit(""))
+    val words = filter(split(t, " "), w => length(w) > 0)
+    val lines = split(t, "\n")
+    df.select(idCol.as("doc_id"),
+        length(t).cast("long").as("n_chars"),
+        size(words).cast("long").as("n_words"),
+        size(lines).cast("long").as("n_lines"),
+        size(filter(words, w => w.rlike("^[A-Z]{2,}$"))).cast("long")
+          .as("n_caps_words"),
+        size(array_distinct(words)).cast("long").as("n_unique_words"),
+        regexp_count(t, lit("[0-9]")).cast("long").as("n_numeric_chars"),
+        size(filter(words, w => !w.rlike("[A-Za-z]"))).cast("long")
+          .as("n_noalpha_words"),
+        size(filter(lines, l => rtrim(l).rlike("[.!?\"']$"))).cast("long")
+          .as("n_terminal_lines"),
+        array_max(transform(lines, l => length(l))).cast("long")
+          .as("max_line_len"))
+      .withColumn("caps_ppm", expr(
+        "(1000000 * n_caps_words) div greatest(n_words, 1)"))
+      .withColumn("unique_ppm", expr(
+        "(1000000 * n_unique_words) div greatest(n_words, 1)"))
+      .withColumn("numeric_ppm", expr(
+        "(1000000 * n_numeric_chars) div greatest(n_chars, 1)"))
+      .withColumn("noalpha_ppm", expr(
+        "(1000000 * n_noalpha_words) div greatest(n_words, 1)"))
+      .withColumn("terminal_line_ppm", expr(
+        "(1000000 * n_terminal_lines) div greatest(n_lines, 1)"))
+  }
+
+  /** Frozen code-keyword lexicon for [[codeDetect]]: tokens that are
+    * overwhelmingly source-code evidence when they appear as standalone
+    * whitespace-delimited tokens (prose uses them rarely bare). Frozen
+    * so the gate is deterministic and oracle-replayable — the q165/q168
+    * frozen-model discipline. */
+  val CodeKeywords: Seq[String] = Seq(
+    "def", "return", "import", "function", "var", "const", "void",
+    "static", "struct", "fn", "printf", "println", "elif", "lambda",
+    "typedef", "enum", "namespace", "#include", "public:", "private:")
+
+  /** Code-vs-prose detection — the corpus-routing gate between language
+    * ID and quality filtering (code wants its own quality rules and its
+    * own dedup granularity; StarCoder/The-Stack route it to a separate
+    * pipeline). Frozen integer heuristics, no model: keyword-token hits
+    * ([[CodeKeywords]]), code-symbol density ({}();=<>[]), indented
+    * lines (4 spaces / tab), and ;-or-brace line endings combine into a
+    * per-mille-of-chars score (integer division, exact); `is_code` =
+    * score ≥ threshold. Per-row codegen'd string ops, zero shuffle —
+    * scales trivially.
+    */
+  def codeDetect(df: DataFrame, idCol: Column, textCol: Column,
+                 threshold: Long = 60L): DataFrame = {
+    val t = coalesce(textCol, lit(""))
+    val toks = split(t, "\\s+")
+    val nKw = size(filter(toks,
+      w => w.isin(CodeKeywords.map(lit(_)): _*))).cast("long")
+    val nSym = regexp_count(t, lit("[{}();=<>\\[\\]]")).cast("long")
+    val lines = split(t, "\n")
+    val nIndent = size(filter(lines, l => l.rlike("^(    |\\t)")))
+      .cast("long")
+    val nEol = size(filter(lines, l => l.rlike("[;{}]$"))).cast("long")
+    df.select(idCol.as("doc_id"), nKw.as("n_kw"), nSym.as("n_sym"),
+        nIndent.as("n_indent_lines"), nEol.as("n_code_eol_lines"),
+        length(t).cast("long").as("n_chars"))
+      .withColumn("code_pm", expr(
+        """(1000 * (3 * n_kw + 2 * n_indent_lines +
+          |  2 * n_code_eol_lines + n_sym)) div greatest(n_chars, 1)"""
+          .stripMargin))
+      .withColumn("is_code", col("code_pm") >= threshold)
+  }
+
   def readability(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
     val toks = nonEmptyTokens(textCol)
     df.select(idCol.as("doc_id"),

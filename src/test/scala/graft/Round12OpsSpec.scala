@@ -192,6 +192,208 @@ class Round12OpsSpec extends SparkSpec {
       pairSet(Dedup.paragraphNearDupPairs(batch, col("text"))))
   }
 
+  test("substringExcise: cross-doc + within-doc cuts, island merge, clean pass-through") {
+    import graft.dedup.Dedup
+    val docs = Seq(
+      // (1,2) share the 4-token run "alpha beta gamma delta":
+      // one island each, 4 tokens cut, surroundings kept
+      (1L, "alpha beta gamma delta unique one two three"),
+      (2L, "prefix words here alpha beta gamma delta and more stuff"),
+      // (3) shares a FIVE-token run with (4): windows [0,4) and [1,5)
+      // both duplicated -> ONE merged island of 5, not two of 4
+      (3L, "aa bb cc dd ee tail only here"),
+      (4L, "head part aa bb cc dd ee"),
+      // within-doc repetition: "x1 x2 x3 x4" at pos 0 and 4 -> both
+      // windows dup, adjacent islands merge -> whole doc excised
+      (5L, "x1 x2 x3 x4 x1 x2 x3 x4"),
+      // clean doc: verbatim pass-through
+      (6L, "totally original content with no duplication anywhere at all"),
+      (7L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = Dedup.substringExcise(docs, col("doc_id"), col("text"), k = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got(1L) == ((8L, 4L, 1L, "unique one two three")))
+    assert(got(2L) == ((10L, 4L, 1L, "prefix words here and more stuff")))
+    assert(got(3L) == ((8L, 5L, 1L, "tail only here")))
+    assert(got(4L) == ((7L, 5L, 1L, "head part")))
+    assert(got(5L) == ((8L, 8L, 1L, "")))
+    assert(got(6L) == ((9L, 0L, 0L,
+      "totally original content with no duplication anywhere at all")))
+    // null text -> "" -> split gives [""]: 1 token, nothing excised
+    assert(got(7L) == ((1L, 0L, 0L, "")))
+    // the at-scale hashed-span form is pair-for-pair identical here
+    val hashed = Dedup.substringExcise(docs, col("doc_id"), col("text"),
+      k = 4, hashSpans = true).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(hashed == got)
+  }
+
+  test("codeDetect: code fixtures gate, prose passes, signals exact") {
+    import graft.text.TextAnalysis
+    val py = "def add(a, b):\n    return a + b\n\ndef main():\n" +
+      "    x = add(1, 2)\n    print(x)\n    return x"
+    val c = "#include <stdio.h>\nint main(void) {\n\tprintf(\"hi\");\n" +
+      "\treturn 0;\n}"
+    val prose = "The committee met on Tuesday to discuss the annual " +
+      "budget and approved the proposal after a short debate about " +
+      "infrastructure spending priorities."
+    val got = TextAnalysis.codeDetect(
+        Seq((1L, py), (2L, c), (3L, prose), (4L, null.asInstanceOf[String]))
+          .toDF("id", "text"), col("id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getBoolean(7), s"python snippet must gate: ${got(1L)}")
+    assert(got(2L).getBoolean(7), s"c snippet must gate: ${got(2L)}")
+    assert(!got(3L).getBoolean(7), s"prose must pass: ${got(3L)}")
+    assert(!got(4L).getBoolean(7), "null text must pass")
+    // exact signal values for the python snippet: 4 keyword tokens
+    // (2x def, 2x return), 4 indented lines, 0 ;/{}-terminated lines
+    val p = got(1L)
+    assert(p.getLong(1) == 4L && p.getLong(3) == 4L && p.getLong(4) == 0L,
+      s"python signals: $p")
+  }
+
+  test("dedupFunnel: staged attrition counts on a known fixture") {
+    import graft.dedup.Dedup
+    val near = "the committee approved the annual budget proposal " +
+      "after a long discussion about infrastructure spending and " +
+      "public transportation improvements across the region "
+    val docs = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog today"),
+      (2L, "The quick brown fox jumps over the lazy dog today"), // exact
+      (3L, "Hello World! This is Fine."),
+      (4L, "hello world this is fine"), // normalized dup of 3
+      (5L, near + "v1"),
+      (6L, near + "v2"), // near-dup of 5
+      (7L, "a completely unrelated document about marine biology"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupFunnel(docs, col("doc_id"), col("text"))
+      .orderBy("stage_ord").collect()
+      .map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq("input" -> 7L, "exact" -> 6L, "normalized" -> 5L,
+      "neardup" -> 4L), s"funnel: $got")
+  }
+
+  test("intraDocRepetition: positional coverage counts each token once") {
+    import graft.dedup.Dedup
+    val got = Dedup.intraDocRepetition(Seq(
+        // every 3-gram duplicated: full coverage
+        (1L, "aa bb aa bb aa"),
+        // "x y z" at 0 and 3, islands [0,3) and [3,6) adjacent-merge:
+        // 6 covered of 9 (NOT 3+3 with double-counted overlap)
+        (2L, "x y z x y z end one two"),
+        (3L, "all words here are completely distinct today"),
+        (4L, "")).toDF("id", "text"), col("id"), col("text"), k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((5L, 5L, 1000000L)))
+    assert(got(2L) == ((9L, 6L, 666666L)))
+    assert(got(3L) == ((7L, 0L, 0L)))
+    assert(got(4L) == ((1L, 0L, 0L)))
+  }
+
+  test("substringDecontaminate: benchmark-quoted spans excised, clean docs untouched") {
+    import graft.dedup.Dedup
+    val bench = Seq(
+      (100L, "what is the capital of france paris is the answer"))
+      .toDF("id", "text")
+    val corpus = Seq(
+      // full 10-token benchmark quote at token idx 3..12: windows at
+      // pos 3,4,5 all match -> one island [3,13), 10 tokens cut
+      (1L, "intro words here what is the capital of france paris is " +
+        "the answer trailing commentary"),
+      (2L, "nothing from any benchmark appears in this document at " +
+        "all today"),
+      (3L, null.asInstanceOf[String])).toDF("id", "text")
+    val got = Dedup.substringDecontaminate(corpus, col("id"), col("text"),
+        bench, col("text"), k = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got(1L) == ((15L, 10L, 1L,
+      "intro words here trailing commentary")))
+    assert(got(2L) == ((11L, 0L, 0L,
+      "nothing from any benchmark appears in this document at all today")))
+    assert(got(3L) == ((1L, 0L, 0L, "")))
+  }
+
+  test("boilerplateLineScrub: df-gated removal, blanks preserved, normalization catches variants") {
+    import graft.dedup.Dedup
+    val docs = Seq(
+      (1L, "Home About Contact\nunique one\n\ntail one"),
+      (2L, "home  about   CONTACT\nunique two"), // normalized variant
+      (3L, "Home About Contact\nunique three"),
+      (4L, "only original text\n\nwith a blank line"),
+      (5L, "")).toDF("id", "text")
+    val got = Dedup.boilerplateLineScrub(docs, col("id"), col("text"),
+        maxDocFreq = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // the nav line's normalized key has df 3 > 2: cut everywhere,
+    // including the case/whitespace variant
+    assert(got(1L) == ((4L, 1L, "unique one\n\ntail one")))
+    assert(got(2L) == ((2L, 1L, "unique two")))
+    assert(got(3L) == ((2L, 1L, "unique three")))
+    // df-1 lines and blank lines survive verbatim
+    assert(got(4L) == ((3L, 0L, "only original text\n\nwith a blank line")))
+    assert(got(5L) == ((1L, 0L, "")))
+  }
+
+  test("qualitySignals: exact counts and ppm ratios on hand-computed fixtures") {
+    import graft.text.TextAnalysis
+    val got = TextAnalysis.qualitySignals(
+        Seq((1L, "AA bb 12 cc AA"),
+            (2L, "One line ends.\nsecond \"quoted\"\nthird   "),
+            (3L, ""),
+            (4L, null.asInstanceOf[String])).toDF("id", "text"),
+        col("id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val d1 = got(1L)
+    // 14 chars, 5 words (2x AA caps, "12" no-alpha, 4 unique), 2 digits
+    assert(d1.getLong(1) == 14L && d1.getLong(2) == 5L &&
+      d1.getLong(4) == 2L && d1.getLong(5) == 4L &&
+      d1.getLong(6) == 2L && d1.getLong(7) == 1L)
+    assert(d1.getAs[Long]("caps_ppm") == 400000L &&
+      d1.getAs[Long]("unique_ppm") == 800000L &&
+      d1.getAs[Long]("numeric_ppm") == 142857L && // truncating div
+      d1.getAs[Long]("noalpha_ppm") == 200000L)
+    val d2 = got(2L)
+    // 3 lines; '.' and '"' terminal, trailing spaces rtrimmed first
+    assert(d2.getLong(3) == 3L && d2.getAs[Long]("n_terminal_lines") == 2L
+      && d2.getAs[Long]("max_line_len") == 15L)
+    // empty/null: zero everywhere, ppm denominators guard to 1
+    for (id <- Seq(3L, 4L)) {
+      val d = got(id)
+      assert(d.getLong(1) == 0L && d.getLong(2) == 0L &&
+        d.getLong(3) == 1L && d.getAs[Long]("unique_ppm") == 0L &&
+        d.getAs[Long]("max_line_len") == 0L)
+    }
+  }
+
+  test("clusterSplit: no simhash pair straddles the split, by construction") {
+    import graft.dedup.Dedup
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val split = Dedup.clusterSplit(docs, "doc_id", "text", trainFrac = 0.8)
+    val pairs = Dedup.portableSimhashPairs(docs, "doc_id", "text",
+      maxDist = 3)
+    val straddling = pairs
+      .join(split.select(col("id").as("id_a"), col("split").as("sa")),
+        Seq("id_a"))
+      .join(split.select(col("id").as("id_b"), col("split").as("sb")),
+        Seq("id_b"))
+      .where(col("sa") =!= col("sb"))
+    assert(straddling.count() == 0)
+    // the split is real (both sides populated, near the asked fraction)
+    val frac = split.where(col("split") === "train").count().toDouble /
+      split.count()
+    assert(frac > 0.6 && frac < 0.95, s"train frac $frac")
+    // and it moves whole clusters: at least one multi-doc component
+    val multi = split.groupBy("comp").count().where(col("count") > 1)
+    assert(multi.count() > 0)
+  }
+
   test("scoreScriptAware ≡ score on an all-Latin corpus (labels and trigram fields)") {
     // the pre-classifier must be a no-op for the Latin crawl mass the
     // trigram model already covers: same lang, same score/margin

@@ -707,4 +707,75 @@ class StreamingSpec extends SparkSpec {
     assert(routed.schema.fields.map(f => f.name -> f.dataType.typeName).toSeq
       == Seq("topic" -> "string", "key" -> "string", "value" -> "string"))
   }
+
+  test("streaming crawl loop: per-batch incrementalParagraphNearDup union ≡ one-shot pair set") {
+    // the fuzzy-tier sibling of the q170 crawl-loop test: each
+    // micro-batch emits the near-dup pairs TOUCHING that batch against
+    // the accumulated history, then appends itself to history. Every
+    // one-shot pair is emitted exactly when its LATER member arrives,
+    // so the union over ordered batches must equal the one-shot
+    // paragraphNearDupPairs over the concatenated crawl.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def banner(v: String) = "subscribe to our newsletter today for " +
+      "great offers and exclusive member deals delivered weekly " + v
+    def news(v: String) = "breaking news update weather report for " +
+      "the coastal region issued this morning " + v
+    val b1 = Seq((1L, s"${banner("v1")}\n\nb1 only content here"))
+    val b2 = Seq(
+      (10L, s"${banner("v2")}\n\n${news("x1")}"),
+      (11L, news("x2"))) // within-batch near-dup with doc 10's news
+    val b3 = Seq((20L, s"${banner("v3")}\n\nfinal fresh paragraph"))
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val histDir = tmp("inear_hist") + "/h"
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Int, Long)] // pair + arrival batch
+    val q = mem.toDF().toDF("id", "text").writeStream
+      .outputMode("append")
+      .option("checkpointLocation", tmp("inear_ckpt"))
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+        val hist =
+          if (Files.exists(Paths.get(histDir)))
+            batch.sparkSession.read.parquet(histDir)
+          else batch.sparkSession.emptyDataset[(Long, String)]
+            .toDF("id", "text")
+        val out = graft.dedup.Dedup.incrementalParagraphNearDup(
+            batch, hist, col("text"), expectedItems = 10000L, fpp = 0.01)
+          .collect()
+          .map(r => (r.getString(0), r.getString(1), r.getInt(2), bid))
+        emitted.synchronized { emitted ++= out: Unit }
+        batch.write.mode("append").parquet(histDir)
+        ()
+      }.start()
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    mem.addData(b3: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = emitted.map(e => (e._1, e._2, e._3)).toSet
+    val oneShot = graft.dedup.Dedup.paragraphNearDupPairs(
+        (b1 ++ b2 ++ b3).toDF("id", "text"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+      .toSet
+    assert(streamed == oneShot,
+      s"streamed=$streamed\noneShot=$oneShot")
+    // each pair arrived exactly once, in the batch of its later member
+    assert(emitted.map(e => (e._1, e._2)).distinct.size == emitted.size)
+    def md5hex(s: String) = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def pid(p: String) = md5hex(p.trim.toLowerCase.replaceAll("\\s+", " "))
+    val byBatch = emitted.groupBy(_._4).view
+      .mapValues(_.map(e => Set(e._1, e._2)).toSet).toMap
+    // banner v1-v2 crosses at batch 1 (0-indexed bid), the news pair
+    // is within-batch there too; v1-v3 and v2-v3 arrive at batch 2
+    assert(byBatch.getOrElse(1L, Set.empty).contains(
+      Set(pid(banner("v1")), pid(banner("v2")))))
+    assert(byBatch.getOrElse(1L, Set.empty).contains(
+      Set(pid(news("x1")), pid(news("x2")))))
+    assert(byBatch.getOrElse(2L, Set.empty).contains(
+      Set(pid(banner("v1")), pid(banner("v3")))))
+    assert(byBatch.getOrElse(2L, Set.empty).contains(
+      Set(pid(banner("v2")), pid(banner("v3")))))
+  }
 }
