@@ -2407,8 +2407,7 @@ object SparkEntry {
       // the language/quality rejects, no corpus re-join
       val lexK = graft.text.LexiconGate.Categories.size
       val toxScores = graft.text.LexiconGate.scoresColumn(col("text"))
-      val toxHits = (1 to lexK).map(i => element_at(toxScores, i))
-        .reduce(_ + _)
+      val toxHits = graft.text.LexiconGate.hitsColumn(col("text"))
       val survivors = graft.text.LangIdFixed.score(
           T(s, dir, "documents"), col("doc_id"), col("text"),
           minSurplusPerMille = 20L,

@@ -829,8 +829,8 @@ object Dedup {
     val flagged = bp.withColumn("__maybe", probe)
     val fresh = flagged.where(!col("__maybe"))
     val verified = flagged.where(col("__maybe"))
-      .withColumn("__fp", sha2(col("__key"), 256))
-      .join(histKeys.select(sha2(col("__key"), 256).as("__fp")),
+      .withColumn("__fp", unhex(sha2(col("__key"), 256)))
+      .join(histKeys.select(unhex(sha2(col("__key"), 256)).as("__fp")),
         Seq("__fp"), "left_anti")
       .drop("__fp")
     val survivors = fresh.unionByName(verified).drop("__maybe")
@@ -922,12 +922,15 @@ object Dedup {
           bandCols: _*)
         .join(bp.select(Seq(col("id").as("id_b"),
           col("sig").as("sig_b")) ++ bandCols: _*), keys))
-    // empty history (a crawl's first batch): nothing to probe — and
-    // stat.bloomFilter over zero rows NPEs at probe time (the
-    // incrementalParagraphs hazard)
-    if (history.isEmpty) return within
     val hb = bandedMd5(paras(history), "pid", "norm", k, bands, w)
       .localCheckpoint()
+    // PARAGRAPH-less history (first crawl batch, or history whose docs
+    // are all NULL/blank text): nothing to probe — and stat.bloomFilter
+    // over zero rows NPEs at probe time (the incrementalParagraphs
+    // hazard). Guard on the paragraph frame, not history.isEmpty: a
+    // non-empty history can still yield zero paragraphs, and the
+    // checkpointed hb makes this a free count
+    if (hb.isEmpty) return within
     val bucketFp = xxhash64(
       col("band") +: (0 until rows).map(r => col(s"v$r")): _*)
     val bloom = hb.select(bucketFp.as("__h"))
@@ -991,8 +994,9 @@ object Dedup {
     val flagged = batch.withColumn("__maybe_dup", probe)
     val definitelyNew = flagged.where(!col("__maybe_dup"))
     val verifiedNew = flagged.where(col("__maybe_dup"))
-      .withColumn("__fp", sha2(col(textColName), 256))
-      .join(history.select(sha2(col(textColName), 256).as("__fp")).distinct(),
+      .withColumn("__fp", unhex(sha2(col(textColName), 256)))
+      .join(history.select(unhex(sha2(col(textColName), 256)).as("__fp"))
+        .distinct(),
         Seq("__fp"), "left_anti")
       .drop("__fp")
     definitelyNew.unionByName(verifiedNew).drop("__maybe_dup")
@@ -1122,7 +1126,6 @@ object Dedup {
     */
   def substringExcise(docs: DataFrame, idCol: Column, textCol: Column,
                       k: Int, hashSpans: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val text = coalesce(textCol, lit(""))
     val toks = split(text, " ")
     val nToks = size(toks).cast("long")
@@ -1152,36 +1155,43 @@ object Dedup {
     * covered tokens, row-locally. `base` must carry (doc_id, __text,
     * n_toks); `markedPos` is (doc_id, pos) of every k-token window to
     * cut. */
-  private def exciseByIslands(base: DataFrame, markedPos: DataFrame,
-                              k: Int): DataFrame = {
+  /** Gaps-and-islands merge of marked k-token window positions into
+    * maximal disjoint intervals: a window [pos, pos+k) starts a new
+    * island iff it begins past every previous window's end (adjacency
+    * merges: equal start/end yields one contiguous interval). Shared
+    * by the excision rebuild and [[intraDocRepetition]]'s coverage
+    * count. Input (doc_id, pos); output (doc_id, s, e). */
+  private def mergeIslands(markedPos: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // gaps-and-islands: a window [pos, pos+k) starts a new island iff it
-    // begins past every previous window's end (adjacency merges: equal
-    // start/end yields one contiguous excision)
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val prevEnd = max(col("pos") + k)
       .over(w.rowsBetween(Window.unboundedPreceding, -1))
-    val islands = markedPos
+    markedPos
       .withColumn("__new",
         (col("pos") > coalesce(prevEnd, lit(-1L))).cast("int"))
       .withColumn("__isl", sum(col("__new")).over(w))
       .groupBy(col("doc_id"), col("__isl"))
       .agg(min("pos").as("s"), (max(col("pos")) + k).as("e"))
-    val perDoc = islands.groupBy("doc_id")
+  }
+
+  private def exciseByIslands(base: DataFrame, markedPos: DataFrame,
+                              k: Int): DataFrame = {
+    val perDoc = mergeIslands(markedPos, k).groupBy("doc_id")
       .agg(count(lit(1)).as("n_islands"),
         sum(col("e") - col("s")).as("n_removed"),
         sort_array(collect_list(struct(col("s"), col("e")))).as("__isls"))
     val isls = coalesce(col("__isls"),
       array().cast("array<struct<s:long,e:long>>"))
     val toks2 = split(col("__text"), " ")
-    val keptIdx = filter(sequence(lit(0L), col("n_toks") - 1),
-      i => !exists(isls, r => i >= r("s") && i < r("e")))
+    // native one-walk rebuild (the interpreted filter/exists/transform
+    // chain measured ~5-7 s of the sf0.1 cost — pinned ≡ in
+    // Round12OpsSpec)
     base.join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_toks"),
         coalesce(col("n_removed"), lit(0L)).as("n_removed"),
         coalesce(col("n_islands"), lit(0L)).as("n_islands"),
-        array_join(transform(keptIdx,
-          i => element_at(toks2, (i + 1).cast("int"))), " ").as("kept_text"))
+        graft.functions.ExciseJoinExpr.excise_join(toks2, isls, " ")
+          .as("kept_text"))
   }
 
   /** Intra-document repetition COVERAGE — the exact form of the
@@ -1198,18 +1208,28 @@ object Dedup {
     * (doc_id, span) — an equi shuffle of (doc_id, pos, span) rows with
     * no corpus-wide aggregation at all (contrast [[dupSpans]], which
     * counts spans globally); islands then run over MARKED positions
-    * only. No text moves: the output is counts.
+    * only. No text moves: the output is counts. The contract form
+    * shuffles verbatim k-token windows (~k× the text over the wire —
+    * exact, DuckDB-replayable); `hashSpans=true` is the at-scale form,
+    * shuffling 8-byte xxhash64 window hashes instead (the
+    * [[dupSpansHashed]] trade: a within-doc 64-bit collision can mark
+    * a false duplicate at ~n²/2⁶⁵ per doc — vanishing vs the
+    * repetition thresholds this feeds).
     */
   def intraDocRepetition(docs: DataFrame, idCol: Column, textCol: Column,
-                         k: Int): DataFrame = {
+                         k: Int, hashSpans: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val text = coalesce(textCol, lit(""))
     val toks = split(text, " ")
     val nToks = size(toks).cast("long")
     val nSpans = greatest(size(toks) - (k - 1), lit(0)).cast("long")
+    val spanCol =
+      if (hashSpans) graft.functions.ShingleHashesExpr.span_hashes(text, k)
+      else graft.functions.ShinglesExpr.shingle_strings(text, k)
+    val spanType = if (hashSpans) "bigint" else "string"
     val base = docs.select(idCol.as("doc_id"), nToks.as("n_toks"),
-      when(nSpans > 0, graft.functions.ShinglesExpr.shingle_strings(text, k))
-        .otherwise(array().cast("array<string>")).as("__spans"))
+      when(nSpans > 0, spanCol).otherwise(array().cast(s"array<$spanType>"))
+        .as("__spans"))
     val exploded = base.select(col("doc_id"),
       posexplode(col("__spans"))).toDF("doc_id", "pos", "span")
     val dupPos = exploded
@@ -1217,16 +1237,7 @@ object Dedup {
         count(lit(1)).over(Window.partitionBy("doc_id", "span")))
       .where(col("__c") > 1)
       .select(col("doc_id"), col("pos").cast("long").as("pos"))
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val prevEnd = max(col("pos") + k)
-      .over(w.rowsBetween(Window.unboundedPreceding, -1))
-    val islands = dupPos
-      .withColumn("__new",
-        (col("pos") > coalesce(prevEnd, lit(-1L))).cast("int"))
-      .withColumn("__isl", sum(col("__new")).over(w))
-      .groupBy(col("doc_id"), col("__isl"))
-      .agg(min("pos").as("s"), (max(col("pos")) + k).as("e"))
-    val perDoc = islands.groupBy("doc_id")
+    val perDoc = mergeIslands(dupPos, k).groupBy("doc_id")
       .agg(sum(col("e") - col("s")).as("n_covered"))
     base.select(col("doc_id"), col("n_toks"))
       .join(perDoc, Seq("doc_id"), "left")
@@ -1295,34 +1306,41 @@ object Dedup {
     * lines per doc are few); the rewrite is row-local — a
     * filter-over-indices HOF over the doc's own split, so corpus text
     * never rides a shuffle (the q178 excision discipline at line
-    * granularity).
+    * granularity). The contract form keys the df count and semi-join
+    * on verbatim normalized lines (exact, DuckDB-replayable);
+    * `hashLines=true` is the at-scale form — a 16-byte md5 key, so
+    * the two key shuffles carry fixed-size rows instead of the text
+    * (a collision merges two lines' df counts, the q160 md5-60
+    * convention's accepted trade).
     */
   def boilerplateLineScrub(docs: DataFrame, idCol: Column, textCol: Column,
-                           maxDocFreq: Long): DataFrame = {
+                           maxDocFreq: Long,
+                           hashLines: Boolean = false): DataFrame = {
     val text = coalesce(textCol, lit(""))
     val base = docs.select(idCol.as("doc_id"), text.as("__text"),
       size(split(text, "\n")).cast("long").as("n_lines"))
     val lines = base.select(col("doc_id"),
         posexplode(split(col("__text"), "\n"))).toDF("doc_id", "pos", "line")
-      .withColumn("k",
+      .withColumn("__norm",
         trim(regexp_replace(lower(col("line")), "\\s+", " ")))
-      .where(length(col("k")) > 0)
+      .where(length(col("__norm")) > 0)
+      .withColumn("k",
+        if (hashLines) md5(col("__norm")) else col("__norm"))
     val bad = lines.groupBy("k")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .where(col("nd") > maxDocFreq).select("k")
     val badPos = lines.join(bad, Seq("k"), "left_semi")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_removed"),
-        sort_array(collect_list(col("pos").cast("long"))).as("__bad"))
-    val badArr = coalesce(col("__bad"), array().cast("array<bigint>"))
+        sort_array(collect_list(struct(col("pos").cast("long").as("s"),
+          (col("pos") + 1).cast("long").as("e")))).as("__bad"))
+    val badArr = coalesce(col("__bad"),
+      array().cast("array<struct<s:long,e:long>>"))
     val lineArr = split(col("__text"), "\n")
     base.join(badPos, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_lines"),
         coalesce(col("n_removed"), lit(0L)).as("n_removed"),
-        array_join(transform(
-          filter(sequence(lit(0L), col("n_lines") - 1),
-            i => !array_contains(badArr, i)),
-          i => element_at(lineArr, (i + 1).cast("int"))), "\n")
+        graft.functions.ExciseJoinExpr.excise_join(lineArr, badArr, "\n")
           .as("kept_text"))
   }
 
@@ -1511,6 +1529,12 @@ object Dedup {
               "grouping use kmvOverlap per pair instead, or raise " +
               "maxSources deliberately."))))
         .otherwise(lit(1)).as("__gate")))
+    // the gate multiplies into sg's JOIN KEY (×1 when inside the
+    // bound), so every consumer of sg — including the quadratic
+    // gram self-join below — reads through the broadcast gate and
+    // cannot start its pair stages before the raise_error fires; a
+    // gate on a side branch would leave `inter` an independent
+    // subtree that AQE may materialize first
     val sg = df.where(textCol.isNotNull)
       .select(srcCol.as("src"), explode(array_distinct(
         graft.functions.ShinglesExpr.shingle_strings(textCol, w)))
@@ -1519,6 +1543,8 @@ object Dedup {
         conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long")
           .as("g"))
       .distinct()
+      .crossJoin(gate)
+      .select(col("src"), (col("g") * col("__gate")).as("g"))
     // sizes enumerate EVERY source (including ones whose docs are all
     // NULL-text and so contribute no grams) — a source absent from the
     // matrix would read as "audited, nothing to report" when it was

@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Excise-and-join: given a document's split parts (tokens or lines)
+  * and its SORTED, DISJOINT covered-index intervals `[s, e)`, emit the
+  * uncovered parts joined on `sep` — the rebuild step of the
+  * [[graft.dedup.Dedup.substringExcise]] island family (q178/q183/
+  * q184).
+  *
+  * Exists because the compositional rebuild
+  * (`filter(sequence(0, n-1), i -> !exists(islands, ...))` →
+  * `transform(element_at)` → `array_join`) runs in INTERPRETED
+  * higher-order functions: ~n·|islands| lambda invocations per row
+  * plus n boxed index objects, measured at ~5-7 s of the excision
+  * queries' sf0.1 cost (the r11 LangScoresExpr lesson — hot per-row
+  * loops belong in a native expression). This walks the parts ONCE
+  * with a pointer into the interval list: O(n + |islands|) per row,
+  * zero per-element lambda dispatch, one final buffer copy
+  * (`UTF8String.concatWs`), and the semantics are bit-identical (the
+  * compositional form stays spec-pinned as the executable twin).
+  *
+  * Inputs: parts ARRAY<STRING> (non-null elements), islands
+  * ARRAY<STRUCT<s BIGINT, e BIGINT>> sorted by `s` with
+  * non-overlapping ranges (exciseByIslands' gaps-and-islands merge
+  * guarantees both). NULL in either child → NULL (callers coalesce
+  * islands to the empty array for the no-cut case).
+  */
+case class ExciseJoinExpr(left: Expression, right: Expression, sep: String)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _),
+            ArrayType(StructType(Array(a, b)), _))
+          if a.dataType == LongType && b.dataType == LongType =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"excise_join needs (ARRAY<STRING>, ARRAY<STRUCT<BIGINT, " +
+            s"BIGINT>>), got (${l.sql}, ${r.sql})")
+    }
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def nullSafeEval(p: Any, isl: Any): Any =
+    ExciseJoinExpr.compute(p.asInstanceOf[ArrayData],
+      isl.asInstanceOf[ArrayData], UTF8String.fromString(sep))
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val sepRef = ctx.addReferenceObj("sep", UTF8String.fromString(sep),
+      classOf[UTF8String].getName)
+    nullSafeCodeGen(ctx, ev, (p, isl) =>
+      s"${ev.value} = graft.functions.ExciseJoinExpr.compute($p, $isl, " +
+        s"$sepRef);")
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): ExciseJoinExpr = copy(left = l, right = r)
+
+  override def prettyName: String = "excise_join"
+}
+
+object ExciseJoinExpr {
+
+  /** One forward walk: `isl` only ever advances because the interval
+    * list is sorted and disjoint. */
+  def compute(parts: ArrayData, islands: ArrayData,
+              sep: UTF8String): UTF8String = {
+    val n = parts.numElements()
+    val m = islands.numElements()
+    val kept = new Array[UTF8String](n)
+    var cnt = 0
+    var isl = 0
+    var i = 0
+    while (i < n) {
+      while (isl < m && islands.getStruct(isl, 2).getLong(1) <= i) isl += 1
+      val covered = isl < m && {
+        val r = islands.getStruct(isl, 2)
+        i >= r.getLong(0) && i < r.getLong(1)
+      }
+      if (!covered) { kept(cnt) = parts.getUTF8String(i); cnt += 1 }
+      i += 1
+    }
+    UTF8String.concatWs(sep,
+      java.util.Arrays.copyOf(kept, cnt).toIndexedSeq: _*)
+  }
+
+  def excise_join(parts: Column, islands: Column, sep: String): Column =
+    ColumnBridge.column(ExciseJoinExpr(ColumnBridge.expression(parts),
+      ColumnBridge.expression(islands), sep))
+}

@@ -85,9 +85,15 @@ object LexiconGate {
     * column — the q174-chain carry. */
   def hitsColumn(textCol: Column,
                  buckets: Int = DefaultBuckets): Column = {
-    val k = Categories.size
+    // element_at sum over the native scores vector, NOT an aggregate()
+    // fold: HOFs are CodegenFallback, so the fold would both re-run
+    // the token walk and deny CSE to sibling consumers of the same
+    // scoresColumn (the q168/q174 lesson). The repeated element_at
+    // references share ONE TokenBucketScoresExpr via whole-stage
+    // codegen subexpression elimination.
     val sc = scoresColumn(textCol, buckets)
-    aggregate(slice(sc, 1, k), lit(0L), (a, x) => a + x)
+    (1 to Categories.size).map(i => element_at(sc, i))
+      .reduce(_ + _)
   }
 
   /** Score documents: (doc_id, [carry...,] n_toks, <cat>_hits...,

@@ -190,6 +190,15 @@ class Round12OpsSpec extends SparkSpec {
     assert(pairSet(Dedup.incrementalParagraphNearDup(batch, empty,
       col("text"))) ==
       pairSet(Dedup.paragraphNearDupPairs(batch, col("text"))))
+    // PARAGRAPH-less history (non-empty rows, all NULL/blank text —
+    // fetched-but-empty pages): must behave like empty history, not
+    // NPE building a Bloom over zero rows (guard is on the paragraph
+    // frame, not history.isEmpty)
+    val blankHist = Seq((90L, null.asInstanceOf[String]), (91L, ""),
+      (92L, "   \n\n   ")).toDF("doc_id", "text")
+    assert(pairSet(Dedup.incrementalParagraphNearDup(batch, blankHist,
+      col("text"))) ==
+      pairSet(Dedup.paragraphNearDupPairs(batch, col("text"))))
   }
 
   test("substringExcise: cross-doc + within-doc cuts, island merge, clean pass-through") {
@@ -291,6 +300,38 @@ class Round12OpsSpec extends SparkSpec {
     assert(got(2L) == ((9L, 6L, 666666L)))
     assert(got(3L) == ((7L, 0L, 0L)))
     assert(got(4L) == ((1L, 0L, 0L)))
+    // the at-scale hashed-span form agrees on the real corpus
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val exact = Dedup.intraDocRepetition(docs, col("doc_id"),
+      col("text"), k = 3)
+    val hashed = Dedup.intraDocRepetition(docs, col("doc_id"),
+      col("text"), k = 3, hashSpans = true)
+    assert(exact.exceptAll(hashed).count() == 0 &&
+      hashed.exceptAll(exact).count() == 0)
+  }
+
+  test("excise_join ≡ compositional filter/exists/transform rebuild") {
+    import graft.functions.ExciseJoinExpr
+    val df = Seq(
+      ("a b c d e f", Seq((1L, 3L), (4L, 5L))),
+      ("x", Seq.empty[(Long, Long)]),
+      ("one two three", Seq((0L, 3L))), // full coverage -> ""
+      ("p q r s", Seq((0L, 1L), (1L, 2L), (3L, 4L))), // adjacent ranges
+      ("", Seq.empty[(Long, Long)]))
+      .toDF("text", "isl")
+    val parts = split(col("text"), " ")
+    val keptIdx = filter(sequence(lit(0L), size(parts).cast("long") - 1),
+      i => !exists(col("isl"), r => i >= r("_1") && i < r("_2")))
+    val rows = df.select(
+        ExciseJoinExpr.excise_join(parts, col("isl"), " ").as("native"),
+        array_join(transform(keptIdx,
+          i => element_at(parts, (i + 1).cast("int"))), " ").as("twin"))
+      .collect()
+    rows.foreach(r => assert(r.getString(0) == r.getString(1), r))
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("a d f", "x", "", "r", ""))
   }
 
   test("substringDecontaminate: benchmark-quoted spans excised, clean docs untouched") {
@@ -337,6 +378,12 @@ class Round12OpsSpec extends SparkSpec {
     // df-1 lines and blank lines survive verbatim
     assert(got(4L) == ((3L, 0L, "only original text\n\nwith a blank line")))
     assert(got(5L) == ((1L, 0L, "")))
+    // the at-scale md5-keyed form is row-for-row identical here
+    val hashed = Dedup.boilerplateLineScrub(docs, col("id"), col("text"),
+        maxDocFreq = 2, hashLines = true)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(hashed == got)
   }
 
   test("qualitySignals: exact counts and ppm ratios on hand-computed fixtures") {
