@@ -708,6 +708,43 @@ class StreamingSpec extends SparkSpec {
       == Seq("topic" -> "string", "key" -> "string", "value" -> "string"))
   }
 
+  test("streaming exact dedup with bounded state: dropDuplicatesWithinWatermark semantics") {
+    // the BOUNDED-STATE tier of streaming dedup (vs the exact-forever
+    // Bloom-history incremental ops): duplicate fingerprints within
+    // the watermark horizon are dropped, and state is EVICTED once the
+    // watermark passes — a far-later recurrence re-emits. That
+    // re-emission is the price of finite state; pipelines needing
+    // exact-forever semantics layer incrementalExact's persisted
+    // fingerprint history on top.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: Int) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, String)]
+    val q = mem.toDF().toDF("ts", "text")
+      .withColumn("fp", md5(col("text")))
+      .withWatermark("ts", "10 seconds")
+      .dropDuplicatesWithinWatermark("fp")
+      .writeStream.format("memory").queryName("wmdedup")
+      .outputMode("append")
+      .option("checkpointLocation", tmp("wmdedup_ckpt"))
+      .start()
+    // batch 1: dup within the horizon -> dropped
+    mem.addData((ts(0), "alpha"), (ts(1), "beta"), (ts(5), "alpha"))
+    q.processAllAvailable()
+    // batch 2: advances the watermark far past alpha's expiry
+    mem.addData((ts(300), "gamma")); q.processAllAvailable()
+    // batch 3: alpha recurs AFTER eviction -> re-emitted
+    mem.addData((ts(301), "alpha")); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("wmdedup")
+      .select(col("text"), col("ts")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime)).toSet
+    assert(got == Set(("alpha", ts(0).getTime), ("beta", ts(1).getTime),
+      ("gamma", ts(300).getTime), ("alpha", ts(301).getTime)),
+      s"got $got")
+  }
+
   test("streaming crawl loop: per-batch incrementalParagraphNearDup union ≡ one-shot pair set") {
     // the fuzzy-tier sibling of the q170 crawl-loop test: each
     // micro-batch emits the near-dup pairs TOUCHING that batch against
