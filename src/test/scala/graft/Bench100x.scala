@@ -105,6 +105,30 @@ object Bench100x {
       f"100x=$e100%.2f s ratio=${e100 / e1}%.1f rows=$en")
     results += (("q67_true_regime_t0.9_16bit", e1, e100, e100 / e1, en))
 
+    // q178 excision in its ADVERSARIAL regime: a constant banner (NOT
+    // token-tagged — shared across every replica) gives the corpus
+    // globally-hot duplicated spans, so the dup semi-join's left side
+    // carries one hot key per banner window — the skew shape the
+    // token-tagged corpus can't exhibit. hashSpans=true (the 100-TB
+    // path), and the probe CONSUMES kept_text (sum of lengths) so the
+    // rebuild is not count()-pruned (the r11 bench blind spot).
+    def q178Excise(dir: String): Long = {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .withColumn("text", concat(
+          lit("Subscribe now to our newsletter for great offers today "),
+          coalesce(col("text"), lit(""))))
+      graft.dedup.Dedup.substringExcise(docs, col("doc_id"),
+          col("text"), k = 8, hashSpans = true)
+        .agg(sum(length(col("kept_text")).cast("long") +
+          col("n_removed")).as("n"))
+        .collect()(0).getLong(0)
+    }
+    val (s1, _) = once { q178Excise(sf01) }
+    val (s100, sn) = once { q178Excise(dirD) }
+    println(f"[bench100x] q178_excise_hotspans sf0.1=$s1%.2f s " +
+      f"100x=$s100%.2f s ratio=${s100 / s1}%.1f sumlen=$sn")
+    results += (("q178_excise_hotspans_hashed", s1, s100, s100 / s1, sn))
+
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qJson = results.map { case (n, t1, t100, r, rows) =>
@@ -113,7 +137,7 @@ object Bench100x {
     }.mkString("{\n", ",\n", "\n}")
     val json =
       s"""{
-         |"protocol": "100x replica spot-probe (VERDICT r11 #6), single-run per scale: documents token-tagged per replica (fully disjoint cross-replica text, within-replica structure preserved); embeddings rotated by (r mod 64) with a global sign flip for r >= 64 (norm/within-replica-cosine preserving, cross-replica pairs at -cos or noise). q67 probed in the 100-TB TRUE regime (t=0.9, 16-bit keys); its gate regime (t=0.45, 4-bit) is recall-driven ~n^2 by design and not a scaling claim. local[32].",
+         |"protocol": "100x replica spot-probe (VERDICT r11 #6), single-run per scale: documents token-tagged per replica (fully disjoint cross-replica text, within-replica structure preserved); embeddings rotated by (r mod 64) with a global sign flip for r >= 64 (norm/within-replica-cosine preserving, cross-replica pairs at -cos or noise). q67 probed in the 100-TB TRUE regime (t=0.9, 16-bit keys); its gate regime (t=0.45, 4-bit) is recall-driven ~n^2 by design and not a scaling claim. q178 probed in its ADVERSARIAL hot-span regime: an untagged banner shared by every doc across replicas makes the dup semi-join's left side carry globally-hot keys, hashSpans=true (the 100-TB path), kept_text consumed so the rebuild is measured (not count()-pruned). local[32].",
          |"n_docs_100x": ${nDocs * reps}, "n_vecs_100x": ${nVecs * reps},
          |"load_start": "$loadStart", "load_end": "${loadavg()}",
          |"queries": $qJson
