@@ -2144,6 +2144,16 @@ object SparkEntry {
           col("text"), k = 8)
         .orderBy("doc_id")),
 
+    // semantic sequence packing (in-context pretraining, Shi et al.
+    // 2023): same-topic docs pack into the same sequences — q162's
+    // frozen-centroid clusters as the packing GROUP of the q173
+    // range-partitioned running sum; sequence ids cluster-local
+    "q186_semantic_pack" -> ((s, dir) =>
+      graft.ops.Pack.semanticPacking(T(s, dir, "documents"),
+          col("doc_id"), col("text"), T(s, dir, "embeddings"),
+          "vec_id", "embedding", FixedCentroidsE9, seqLen = 512)
+        .orderBy("doc_id")),
+
     // intra-doc repetition coverage: the exact Gopher duplicated-
     // n-gram fraction (positional coverage, each token counted once)
     // that q69's distinct-ratio approximates — 3-grams, per-doc only
@@ -5131,6 +5141,53 @@ object SparkEntry {
         s"""${minhashPairsCtesOver(src, prelude)}
            |SELECT id_a, id_b, agree FROM mh
            |ORDER BY id_a, id_b""".stripMargin
+      },
+
+      // semantic packing: the q162 centroid-assign CTE (same VALUES
+      // list) joined to q173's token/hash frame, running sum
+      // PARTITIONED BY cluster, q173's seq arithmetic
+      "q186_semantic_pack" -> {
+        val dim = FixedCentroidsE9.head.length
+        val vals = FixedCentroidsE9.zipWithIndex.map { case (c, i) =>
+          s"($i, [${c.mkString(", ")}])" }.mkString(", ")
+        s"""WITH cent AS (SELECT * FROM (VALUES $vals) AS t(cluster, c)),
+           |e AS (SELECT vec_id, list_transform(embedding[1:$dim], x ->
+           |    CAST(CAST(CAST(x AS VARCHAR) AS DECIMAL(18,9)) * 1000000000
+           |      AS BIGINT)) AS v
+           |  FROM embeddings),
+           |d AS (SELECT vec_id, cluster,
+           |    SUM(CAST(v[i] - c[i] AS HUGEINT)
+           |      * CAST(v[i] - c[i] AS HUGEINT)) AS dist
+           |  FROM (SELECT e.vec_id, cent.cluster, e.v, cent.c,
+           |      UNNEST(range(1, $dim + 1)) AS i FROM e CROSS JOIN cent)
+           |  GROUP BY vec_id, cluster),
+           |r AS (SELECT vec_id, cluster, row_number() OVER (
+           |    PARTITION BY vec_id ORDER BY dist, cluster) AS rn FROM d),
+           |cl AS (SELECT vec_id AS doc_id, CAST(cluster AS BIGINT)
+           |    AS cluster FROM r WHERE rn = 1),
+           |b AS (SELECT doc_id,
+           |    CAST(len(list_filter(string_split(COALESCE(text, ''), ' '),
+           |      x -> len(x) > 0)) AS BIGINT) AS n_toks,
+           |    CAST(('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)),
+           |      1, 15)) AS BIGINT) AS h
+           |  FROM documents),
+           |j AS (SELECT b.doc_id, cl.cluster, b.n_toks, b.h
+           |  FROM b JOIN cl USING (doc_id)),
+           |cm AS (SELECT doc_id, cluster, n_toks,
+           |    CAST(SUM(n_toks) OVER (PARTITION BY cluster
+           |      ORDER BY h, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS BIGINT) AS cum_toks
+           |  FROM j)
+           |SELECT doc_id, cluster, n_toks, cum_toks,
+           |  cum_toks - n_toks AS start_off,
+           |  (cum_toks - n_toks) // 512 AS start_seq,
+           |  CASE WHEN n_toks = 0 THEN (cum_toks - n_toks) // 512
+           |    ELSE (cum_toks - 1) // 512 END AS end_seq,
+           |  CASE WHEN n_toks = 0 THEN 0
+           |    ELSE (cum_toks - 1) // 512 - (cum_toks - n_toks) // 512 + 1
+           |    END AS n_seqs
+           |FROM cm ORDER BY doc_id""".stripMargin
       },
 
       // intra-doc repetition: q178's island math with the marked set =

@@ -52,4 +52,53 @@ object Pack {
         when(col("n_toks") === 0L, lit(0L))
           .otherwise(col("end_seq") - col("start_seq") + 1L))
   }
+
+  /** SEMANTIC sequence packing — the in-context-pretraining layout
+    * (Shi et al. 2023, "In-Context Pretraining: Language Modeling
+    * Beyond Document Boundaries"): pack SAME-TOPIC documents into the
+    * same training sequences, so a context window carries related
+    * documents instead of a random concatenation. Cluster = the
+    * frozen-centroid assignment ([[graft.ml.DocCluster.assignFixed]],
+    * the q162 hash-checkable discipline — ICP's full
+    * similarity-chain ordering is a traveling-salesman heuristic; the
+    * cluster tier captures the topical-locality benefit in one
+    * deterministic, scale-safe pass); within-cluster order = the
+    * portable md5 shuffle clock; packing = the per-CLUSTER running
+    * token count. Sequence ids are cluster-local: (cluster,
+    * start_seq) names a physical sequence.
+    *
+    * Scale shape: the running sum is [[Rank.groupedRunningSum]] with
+    * cluster as the GROUP — still the two-pass range-partitioned
+    * form over (cluster, order), NEVER a `SUM() OVER (PARTITION BY
+    * cluster)` window, which with k clusters funnels the corpus
+    * through k partitions. Only documents WITH an embedding pack
+    * (inner join — the upstream embedding stage owns totality).
+    */
+  def semanticPacking(docs: DataFrame, idCol: Column, textCol: Column,
+                      emb: DataFrame, embIdCol: String, vecCol: String,
+                      centroidsE9: Seq[Seq[Long]], seqLen: Long,
+                      nPartitions: Int = 32): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val clusters = graft.ml.DocCluster
+      .assignFixed(emb, embIdCol, vecCol, centroidsE9)
+      .withColumnRenamed("vec_id", "doc_id")
+    val base = docs.select(idCol.as("doc_id"),
+        size(graft.text.TextAnalysis.nonEmptyTokens(textCol)).cast("long")
+          .as("n_toks"),
+        conv(substring(md5(concat(lit("pack:"), idCol.cast("string"))),
+          1, 15), 16, 10).cast("long").as("__h"))
+      .join(clusters, Seq("doc_id"))
+    Rank.groupedRunningSum(base, col("cluster"), col("n_toks"),
+        Seq(col("__h"), col("doc_id")), nPartitions, cumName = "cum_toks")
+      .select(col("doc_id"), col("cluster"), col("n_toks"),
+        col("cum_toks"), (col("cum_toks") - col("n_toks")).as("start_off"))
+      .select(col("doc_id"), col("cluster"), col("n_toks"),
+        col("cum_toks"), col("start_off"),
+        expr(s"CAST(start_off DIV $seqLen AS BIGINT)").as("start_seq"),
+        expr(s"CAST(CASE WHEN n_toks = 0 THEN start_off DIV $seqLen " +
+          s"ELSE (cum_toks - 1) DIV $seqLen END AS BIGINT)").as("end_seq"))
+      .withColumn("n_seqs",
+        when(col("n_toks") === 0L, lit(0L))
+          .otherwise(col("end_seq") - col("start_seq") + 1L))
+  }
 }

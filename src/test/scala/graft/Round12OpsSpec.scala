@@ -284,6 +284,39 @@ class Round12OpsSpec extends SparkSpec {
       "neardup" -> 4L), s"funnel: $got")
   }
 
+  test("semanticPacking ≡ independent sequencePacking of each cluster") {
+    import graft.ops.Pack
+    // two frozen 8-dim centroids (sign split on the prefix) — the
+    // property is group-correctness, not centroid choice
+    val cents = Seq(
+      Seq(50000000L, 50000000L, 50000000L, 50000000L,
+        50000000L, 50000000L, 50000000L, 50000000L),
+      Seq(-50000000L, -50000000L, -50000000L, -50000000L,
+        -50000000L, -50000000L, -50000000L, -50000000L))
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val sp = Pack.semanticPacking(docs, col("doc_id"), col("text"),
+      emb, "vec_id", "embedding", cents, seqLen = 512)
+    val clusters = graft.ml.DocCluster.assignFixed(emb, "vec_id",
+      "embedding", cents).withColumnRenamed("vec_id", "doc_id")
+    // both clusters populated, and within each, the packing equals a
+    // standalone sequencePacking run over just that cluster's docs
+    val sizes = sp.groupBy("cluster").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes.size == 2 && sizes.values.forall(_ > 0), s"$sizes")
+    for (c <- sizes.keys) {
+      val sub = Pack.sequencePacking(
+        docs.join(clusters.where(col("cluster") === c).select("doc_id"),
+          Seq("doc_id")), col("doc_id"), col("text"), seqLen = 512)
+      val got = sp.where(col("cluster") === c).drop("cluster")
+      assert(got.exceptAll(sub).count() == 0 &&
+        sub.exceptAll(got).count() == 0, s"cluster $c mismatch")
+    }
+  }
+
   test("intraDocRepetition: positional coverage counts each token once") {
     import graft.dedup.Dedup
     val got = Dedup.intraDocRepetition(Seq(
