@@ -745,6 +745,75 @@ class StreamingSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("streaming curate loop: lexicon gate → code router → incremental paragraph dedup ≡ one-shot curate") {
+    // the round-12 gates composed into a crawl loop: each micro-batch
+    // filters (toxicity lexicon, code router), dedups its paragraphs
+    // against the accumulated SURVIVOR history, and appends its
+    // survivors to history. The per-row gates are stateless, so three
+    // ordered batches must reproduce, doc for doc, the one-shot
+    // curate: gates over the concatenated crawl, then corpus-wide
+    // paragraphDedup of the survivors.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def curated(df: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = {
+      val lexPass = graft.text.LexiconGate.score(df, col("id"),
+          col("text"), carry = Seq(col("text")))
+        .where(!col("blocked")).select(col("doc_id").as("id"), col("text"))
+      val prose = graft.text.TextAnalysis.codeDetect(lexPass, col("id"),
+        col("text")).where(!col("is_code")).select(col("doc_id").as("id"))
+      lexPass.join(prose, Seq("id"))
+    }
+    val b1 = Seq(
+      (1L, "Subscribe now\n\nalpha beta gamma\n\nunique one"),
+      (2L, "play casino poker jackpot roulette now win big")) // blocked
+    val b2 = Seq(
+      (10L, "Subscribe now\n\nalpha beta gamma\n\nfresh in two"),
+      (11L, "def main():\n    return 0\n    x = (1); y = [2];")) // code
+    val b3 = Seq(
+      (20L, "SUBSCRIBE NOW\n\nunique one\n\nlast batch text"),
+      (21L, "fresh in two\n\ntruly final paragraph"))
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val histDir = tmp("curate_hist") + "/h"
+    val kept = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.Row]
+    val q = mem.toDF().toDF("id", "text").writeStream
+      .outputMode("append")
+      .option("checkpointLocation", tmp("curate_ckpt"))
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val s = curated(batch)
+        val hist =
+          if (Files.exists(Paths.get(histDir)))
+            batch.sparkSession.read.parquet(histDir)
+          else batch.sparkSession.emptyDataset[(Long, String)]
+            .toDF("id", "text")
+        val out = graft.dedup.Dedup.incrementalParagraphs(s, hist,
+          col("id"), col("text"), expectedItems = 10000L, fpp = 0.01)
+          .collect()
+        kept.synchronized { kept ++= out: Unit }
+        s.write.mode("append").parquet(histDir)
+        ()
+      }.start()
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    mem.addData(b3: _*); q.processAllAvailable()
+    q.stop()
+    def asMap(rows: Seq[org.apache.spark.sql.Row]) = rows.map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))).toMap
+    val streamed = asMap(kept.toSeq)
+    val full = asMap(graft.dedup.Dedup.paragraphDedup(
+      curated((b1 ++ b2 ++ b3).toDF("id", "text")),
+      col("id"), col("text")).collect().toSeq)
+    assert(streamed == full, s"streamed=$streamed\nfull=$full")
+    // the gates actually fired: blocked + code docs never reach dedup
+    assert(!streamed.contains(2L) && !streamed.contains(11L))
+    // and cross-batch paragraph dedup happened through the loop:
+    // doc 20's banner + "unique one" were both seen in earlier batches
+    assert(streamed(20L)._2 == 1L, s"doc 20: ${streamed.get(20L)}")
+  }
+
   test("streaming crawl loop: per-batch incrementalParagraphNearDup union ≡ one-shot pair set") {
     // the fuzzy-tier sibling of the q170 crawl-loop test: each
     // micro-batch emits the near-dup pairs TOUCHING that batch against
