@@ -12,6 +12,22 @@ import org.apache.spark.sql.SparkSession
   * (`warmup_failed`) so cold-path numbers are distinguishable.
   */
 object Bench {
+
+  /** The bench action: materialize EVERY output column of the plan the
+    * user would run, via the built-in `noop` sink (executors compute
+    * full rows, nothing returns to the driver). `count()` let Catalyst
+    * prune the whole payload projection — a query whose product is a
+    * rebuilt/scored column benched a plan with the product deleted
+    * (q168 read 0.13 s while its consumers paid 4.2 s in r11; the
+    * entire excision family benched ~0.13 s vs 3–4 s materialized in
+    * r12). Every bench in the repo (driver bench, 10×, 100×) runs this
+    * same consumer so ratios stay comparable. SPARK_GRAFT_BENCH_ACTION
+    * =count restores the pre-r13 pruned-plan convention (kept only for
+    * continuity measurements against old BASELINE.md rows).
+    */
+  def consume(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -34,7 +50,9 @@ object Bench {
     try {
       spark.range(1000000).selectExpr("id % 97 AS k").groupBy("k").count()
         .orderBy("k").count()
-      SparkEntry.queries("q09_tpch_q1")(spark, sfDir).count()
+      // class-load the noop write path the timed consumer uses
+      consume(spark.range(16).toDF("id"))
+      consume(SparkEntry.queries("q09_tpch_q1")(spark, sfDir))
       SparkEntry.queries("q06_status_class")(spark, sfDir).count()
       graft.sim.IvfIndex.buildCached(spark,
         spark.read.parquet(s"$sfDir/embeddings.parquet"),
@@ -90,6 +108,9 @@ object Bench {
     // min-of-2 measures the plan, not the scheduler (a real regression
     // slows every run; load noise rarely hits both)
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt.max(1)
+    // r13: full-row consume by default (see [[consume]]); "count"
+    // restores the pruned-plan convention for old-row continuity
+    val action = sys.env.getOrElse("SPARK_GRAFT_BENCH_ACTION", "consume")
     // run context: machine load before/after + process CPU time. The r6
     // driver bench was 5× inflated by EXTERNAL machine contention and
     // only an idle re-run could prove it; loadavg at both ends plus the
@@ -110,7 +131,11 @@ object Bench {
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val attempts = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+        try {
+          val df = fn(spark, sfDir)
+          if (action == "count") { df.count(): Unit } else consume(df)
+          Right((System.nanoTime() - t0) / 1e9)
+        }
         catch { case t: Throwable => Left(t.getClass.getSimpleName) }
       }
       val times = attempts.collect { case Right(t) => t }
@@ -171,12 +196,12 @@ object Bench {
                       // SPARK_GRAFT_ONLY profiling run
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get(outFile),
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"n_failed":${results.size - ok.size},"runs":$runs,"warmup_failed":$warmupFailed,$ctx,"sf":"$sfDir"}""")
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"n_failed":${results.size - ok.size},"runs":$runs,"action":"$action","warmup_failed":$warmupFailed,$ctx,"sf":"$sfDir"}""")
       catch { case _: Throwable => () }
     // stop Spark BEFORE printing: the contract line must be the final
     // stdout line so the driver's bounded tail always contains it whole
     spark.stop()
-    val line = s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qs,"errors":$errs,"n_queries":${results.size},"n_failed":${results.size - ok.size},"runs":$runs,"warmup_failed":$warmupFailed,"map":"$outFile",$ctxShort,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qs,"errors":$errs,"n_queries":${results.size},"n_failed":${results.size - ok.size},"runs":$runs,"action":"$action","warmup_failed":$warmupFailed,"map":"$outFile",$ctxShort,"sf":"$sfDir"}"""
     // hard budget: the summary-only encoding sits ~400 B at any query
     // count (top-10 map + fixed fields), far inside the ~2.4 KB driver
     // tail window — but if a future edit re-inflates it, fail LOUDLY

@@ -1120,9 +1120,20 @@ object Dedup {
     * island list (model-sized per doc) joins back on doc_id and a
     * filter-over-indices HOF cuts the string in one pass — no per-token
     * shuffle, no text ever moves except this one equi-join of (doc_id,
-    * islands). With `hashSpans=true` the duplicate-set shuffle carries
-    * 8-byte xxhash64 values instead of verbatim windows (the at-scale
-    * form, same collision caveat as [[dupSpansHashed]]).
+    * islands). With `hashSpans=true` the corpus-wide duplicate-set
+    * shuffle carries 8-byte xxhash64 values instead of verbatim
+    * windows, and the hash is CANDIDATE generation only: every
+    * hash-matched position is re-verified against its VERBATIM window
+    * before anything is cut (the Bloom elide-then-verify discipline —
+    * a rewrite must never act on a 64-bit match alone, since at ~1e13
+    * windows birthday collisions alone would falsely excise clean
+    * text, and xxhash64 collisions are adversarially constructible).
+    * All copies of a duplicated window share its hash, so every one of
+    * them is a candidate and the candidate-local verbatim count equals
+    * the global count — the verified hashed path is therefore EXACTLY
+    * ≡ `hashSpans=false`, not approximately (spec-pinned). The verify
+    * shuffles only the CANDIDATE windows (≈ true duplicate positions +
+    * a vanishing collision term), never the corpus's full window set.
     */
   def substringExcise(docs: DataFrame, idCol: Column, textCol: Column,
                       k: Int, hashSpans: Boolean = false): DataFrame = {
@@ -1143,8 +1154,27 @@ object Dedup {
       posexplode(col("__spans"))).toDF("doc_id", "pos", "span")
     val dupSpanSet = exploded.groupBy("span")
       .agg(count(lit(1)).as("cnt")).where(col("cnt") > 1).select("span")
-    val dupPos = exploded.join(dupSpanSet, Seq("span"), "left_semi")
+    val candPos = exploded.join(dupSpanSet, Seq("span"), "left_semi")
       .select(col("doc_id"), col("pos").cast("long").as("pos"))
+    val dupPos =
+      if (!hashSpans) candPos
+      else {
+        // verify tier: re-derive each candidate's verbatim window
+        // row-locally (one doc-keyed equi-join — text moves only for
+        // docs that HAVE candidates) and keep positions whose verbatim
+        // window really occurs ≥ 2×. Candidates are closed under
+        // duplication (all copies share the hash), so counting within
+        // the candidate set IS the global count.
+        val withW = candPos
+          .join(base.select(col("doc_id"), col("__text")), Seq("doc_id"))
+          .select(col("doc_id"), col("pos"),
+            concat_ws(" ", slice(split(col("__text"), " "),
+              (col("pos") + 1).cast("int"), lit(k))).as("__w"))
+        val dupW = withW.groupBy("__w")
+          .agg(count(lit(1)).as("cnt")).where(col("cnt") > 1).select("__w")
+        withW.join(dupW, Seq("__w"), "left_semi")
+          .select(col("doc_id"), col("pos"))
+      }
     exciseByIslands(base, dupPos, k)
   }
 
@@ -1509,13 +1539,15 @@ object Dedup {
     * The group-sized contract is ENFORCED, not advisory (the
     * groupedRunningSum-gate convention), and enforced LAZILY so plan
     * construction stays side-effect free: the distinct-source count
-    * rides the plan as a broadcast one-row gate inside `sizes`.
-    * Broadcast build sides execute FIRST, so on any action the
-    * raise_error fires before a super-group-sized sizes relation is
-    * collected or any candidate pair is built — a caller passing
-    * `domain` as `src` would otherwise build Σ_g C(df_g, 2) pairs
-    * with df_g up to the domain count; the error routes them to
-    * [[kmvOverlap]]. A never-executed frame now costs nothing.
+    * rides the plan as a broadcast one-row gate joined UPSTREAM of
+    * the shingle explode. Broadcast build sides execute FIRST, so on
+    * any action the raise_error fires before any shingle is exploded,
+    * any distinct shuffle runs, or any candidate pair is built — the
+    * only work that precedes the error is the gate's own linear
+    * distinct-source scan of `df`. A caller passing `domain` as `src`
+    * would otherwise build Σ_g C(df_g, 2) pairs with df_g up to the
+    * domain count; the error routes them to [[kmvOverlap]]. A
+    * never-executed frame still costs nothing (the gate is lazy).
     */
   def sourceOverlapMatrix(df: DataFrame, srcCol: Column, textCol: Column,
                           w: Int = 3, maxSources: Int = 1000): DataFrame = {
@@ -1529,22 +1561,25 @@ object Dedup {
               "grouping use kmvOverlap per pair instead, or raise " +
               "maxSources deliberately."))))
         .otherwise(lit(1)).as("__gate")))
-    // the gate multiplies into sg's JOIN KEY (×1 when inside the
-    // bound), so every consumer of sg — including the quadratic
-    // gram self-join below — reads through the broadcast gate and
-    // cannot start its pair stages before the raise_error fires; a
-    // gate on a side branch would leave `inter` an independent
-    // subtree that AQE may materialize first
+    // the gate joins UPSTREAM of the shingle explode and multiplies
+    // into sg's join key (×1 when inside the bound): the explode +
+    // distinct prefix and every pair stage below all sit on the PROBE
+    // side of the gate's broadcast join, and broadcast build sides
+    // execute first, so on any action the raise_error fires before
+    // any shingle is exploded — the only pre-error work is the gate's
+    // own linear distinct-source scan. (A gate on a side branch or
+    // downstream of the explode would let the domain-sized explode/
+    // distinct shuffle run at full cardinality before the error
+    // surfaced, and AQE may materialize independent subtrees first.)
     val sg = df.where(textCol.isNotNull)
-      .select(srcCol.as("src"), explode(array_distinct(
+      .crossJoin(gate)
+      .select(srcCol.as("src"), col("__gate"), explode(array_distinct(
         graft.functions.ShinglesExpr.shingle_strings(textCol, w)))
         .as("gram"))
       .select(col("src"),
-        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long")
-          .as("g"))
+        (conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long")
+          * col("__gate")).as("g"))
       .distinct()
-      .crossJoin(gate)
-      .select(col("src"), (col("g") * col("__gate")).as("g"))
     // sizes enumerate EVERY source (including ones whose docs are all
     // NULL-text and so contribute no grams) — a source absent from the
     // matrix would read as "audited, nothing to report" when it was

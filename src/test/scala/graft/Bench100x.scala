@@ -24,9 +24,11 @@ import org.apache.spark.sql.functions._
   *     by any positive threshold) and different rotations decorrelate
   *     to noise.
   *
-  * Single-run per scale (the 100× side alone is minutes), loadavg
-  * recorded — this is a spot measurement turning the "survives 100×"
-  * claim from extrapolation into data, not a tracked benchmark.
+  * Min-of-2 per scale since r13 (single-run rows moved up to 1.6×
+  * between r12 recordings — VERDICT r12 #5), timed action =
+  * [[Bench.consume]] (full-row materialization), loadavg recorded —
+  * this is a spot measurement turning the "survives 100×" claim from
+  * extrapolation into data, not a tracked benchmark.
   * Run: `sbt "Test/runMain graft.Bench100x"` → BENCH_100X.json.
   */
 object Bench100x {
@@ -79,28 +81,37 @@ object Bench100x {
       catch { case _: Throwable => "" }
     val loadStart = loadavg()
 
-    def once(f: => Long): (Double, Long) = {
-      val t = System.nanoTime(); val n = f
-      ((System.nanoTime() - t) / 1e9, n)
+    // min-of-2 per scale (VERDICT r12 #5: single-run rows moved
+    // 8.7→14.3 / 43.8→35.4 between recordings — one repeat makes the
+    // artifact as load-robust as BENCH_IDLE); timed action is
+    // Bench.consume (full-row noop materialization, the r13 bench
+    // convention), with one extra pruned count() for the output-row
+    // evidence column
+    def minOf2(f: => Unit): Double = {
+      val a = System.nanoTime(); f; val s1 = (System.nanoTime() - a) / 1e9
+      val b = System.nanoTime(); f; val s2 = (System.nanoTime() - b) / 1e9
+      math.min(s1, s2)
     }
+    def probe(f: => org.apache.spark.sql.DataFrame): (Double, Long) =
+      (minOf2 { Bench.consume(f) }, f.count())
 
     val results = scala.collection.mutable.ArrayBuffer
       .empty[(String, Double, Double, Double, Long)]
     for (name <- Seq("q137_sparse_cosine", "q160_containment_pairs")) {
       val fn = SparkEntry.queries(name)
-      val (t1, _) = once { fn(spark, sf01).count() }
-      val (t100, n) = once { fn(spark, dirD).count() }
+      val (t1, _) = probe(fn(spark, sf01))
+      val (t100, n) = probe(fn(spark, dirD))
       println(f"[bench100x] $name sf0.1=$t1%.2f s 100x=$t100%.2f s " +
         f"ratio=${t100 / t1}%.1f rows=$n")
       results += ((name, t1, t100, t100 / t1, n))
     }
-    def q67True(dir: String): Long =
+    def q67True(dir: String): org.apache.spark.sql.DataFrame =
       graft.sim.Similarity.cosineDupPairsApprox(
         spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id",
         "embedding", threshold = 0.9, dim = 64, nTables = 8,
-        nBits = 16).count()
-    val (e1, _) = once { q67True(sf01) }
-    val (e100, en) = once { q67True(dirE) }
+        nBits = 16)
+    val (e1, _) = probe(q67True(sf01))
+    val (e100, en) = probe(q67True(dirE))
     println(f"[bench100x] q67_true_regime sf0.1=$e1%.2f s " +
       f"100x=$e100%.2f s ratio=${e100 / e1}%.1f rows=$en")
     results += (("q67_true_regime_t0.9_16bit", e1, e100, e100 / e1, en))
@@ -123,8 +134,16 @@ object Bench100x {
           col("n_removed")).as("n"))
         .collect()(0).getLong(0)
     }
-    val (s1, _) = once { q178Excise(sf01) }
-    val (s100, sn) = once { q178Excise(dirD) }
+    def onceL(f: => Long): (Double, Long) = {
+      val a = System.nanoTime(); val n1 = f
+      val s1 = (System.nanoTime() - a) / 1e9
+      val b = System.nanoTime(); val n2 = f
+      val s2 = (System.nanoTime() - b) / 1e9
+      require(n1 == n2, "non-deterministic probe output")
+      (math.min(s1, s2), n1)
+    }
+    val (s1, _) = onceL { q178Excise(sf01) }
+    val (s100, sn) = onceL { q178Excise(dirD) }
     println(f"[bench100x] q178_excise_hotspans sf0.1=$s1%.2f s " +
       f"100x=$s100%.2f s ratio=${s100 / s1}%.1f sumlen=$sn")
     results += (("q178_excise_hotspans_hashed", s1, s100, s100 / s1, sn))
@@ -137,7 +156,7 @@ object Bench100x {
     }.mkString("{\n", ",\n", "\n}")
     val json =
       s"""{
-         |"protocol": "100x replica spot-probe (VERDICT r11 #6), single-run per scale: documents token-tagged per replica (fully disjoint cross-replica text, within-replica structure preserved); embeddings rotated by (r mod 64) with a global sign flip for r >= 64 (norm/within-replica-cosine preserving, cross-replica pairs at -cos or noise). q67 probed in the 100-TB TRUE regime (t=0.9, 16-bit keys); its gate regime (t=0.45, 4-bit) is recall-driven ~n^2 by design and not a scaling claim. q178 probed in its ADVERSARIAL hot-span regime: an untagged banner shared by every doc across replicas makes the dup semi-join's left side carry globally-hot keys, hashSpans=true (the 100-TB path), kept_text consumed so the rebuild is measured (not count()-pruned). local[32].",
+         |"protocol": "100x replica spot-probe (VERDICT r11 #6), r13: min-of-2 per scale (VERDICT r12 #5) and timed action is Bench.consume (noop-sink full-row materialization), with one extra pruned count() per probe for the out_rows evidence: documents token-tagged per replica (fully disjoint cross-replica text, within-replica structure preserved); embeddings rotated by (r mod 64) with a global sign flip for r >= 64 (norm/within-replica-cosine preserving, cross-replica pairs at -cos or noise). q67 probed in the 100-TB TRUE regime (t=0.9, 16-bit keys); its gate regime (t=0.45, 4-bit) is recall-driven ~n^2 by design and not a scaling claim. q178 probed in its ADVERSARIAL hot-span regime: an untagged banner shared by every doc across replicas makes the dup semi-join's left side carry globally-hot keys, hashSpans=true (the 100-TB path), kept_text consumed so the rebuild is measured (not count()-pruned). local[32].",
          |"n_docs_100x": ${nDocs * reps}, "n_vecs_100x": ${nVecs * reps},
          |"load_start": "$loadStart", "load_end": "${loadavg()}",
          |"queries": $qJson

@@ -171,8 +171,8 @@ object Bench10x {
     warm(spark, sf01); warm(spark, dir10)
     val rows = (Targets ++ EarlyHeavy).map { name =>
       val fn = SparkEntry.queries(name)
-      val t1 = minOf2 { fn(spark, sf01).count(): Unit }
-      val t10 = minOf2 { fn(spark, dir10).count(): Unit }
+      val t1 = minOf2 { Bench.consume(fn(spark, sf01)) }
+      val t10 = minOf2 { Bench.consume(fn(spark, dir10)) }
       val ratio = t10 / t1
       println(f"[bench10x] $name sf0.1=$t1%.2f s 10x=$t10%.2f s " +
         f"ratio=$ratio%.1f")
@@ -193,8 +193,8 @@ object Bench10x {
       Seq("q67_dedup_embedding_approx").map(_ -> dir10e))
       .map { case (name, dir) =>
       val fn = SparkEntry.queries(name)
-      val t1 = minOf2 { fn(spark, sf01).count(): Unit }
-      val t10 = minOf2 { fn(spark, dir).count(): Unit }
+      val t1 = minOf2 { Bench.consume(fn(spark, sf01)) }
+      val t10 = minOf2 { Bench.consume(fn(spark, dir)) }
       println(f"[bench10x] $name (realistic) sf0.1=$t1%.2f s 10x=$t10%.2f s " +
         f"ratio=${t10 / t1}%.1f")
       (name, t1, t10, t10 / t1)
@@ -209,10 +209,9 @@ object Bench10x {
     // same rotated-replica data.
     val trueRegime = {
       def run(dir: String) = minOf2 {
-        graft.sim.Similarity.cosineDupPairsApprox(
+        Bench.consume(graft.sim.Similarity.cosineDupPairsApprox(
           spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id",
-          "embedding", threshold = 0.9, dim = 64, nTables = 8, nBits = 16)
-          .count(): Unit
+          "embedding", threshold = 0.9, dim = 64, nTables = 8, nBits = 16))
       }
       val t1 = run(sf01); val t10 = run(dir10e)
       println(f"[bench10x] q67_true_regime(t=0.9,16-bit) sf0.1=$t1%.2f s " +
@@ -233,7 +232,7 @@ object Bench10x {
     }
     val json =
       s"""{
-         |"protocol": "10x id-shifted replica of sf0.1 (docs/embeddings text byte-identical per replica: worst case for dedup/CC; TPC-H keys strided 1e9: 10 disjoint graph copies), min-of-2 per scale, local[32], trained artifacts cache-warmed per dir like the driver bench. realistic_text_variant: q97/q121 on suffix-tagged replicas; pair-generating ops (q136/q137/q141 + early-heavy q23/q66) on token-tagged DISJOINT replicas and q67 on component-ROTATED embeddings (norm/within-replica-cosine preserving), since any replica protocol that keeps replicas similar makes their pair OUTPUT quadratic in duplication by construction. EarlyHeavy set (q29/q31/q45/q46/q48/q56/q68/q78/q85/q93) re-probed on the regenerated corpus per VERDICT r9 #4. q67's gate regime (threshold 0.45, 4-bit keys) is the documented recall-driven ~n^2 candidate regime (PLANS.md: theta~60deg sign buckets cannot prune) — q67_true_regime probes the 100-TB near-dup config (threshold 0.9, 16-bit keys) on the same rotated data for the honest exponent",
+         |"protocol": "r13: timed action is Bench.consume (noop-sink full-row materialization — the count()-pruned convention hid rebuild/scoring payload costs). 10x id-shifted replica of sf0.1 (docs/embeddings text byte-identical per replica: worst case for dedup/CC; TPC-H keys strided 1e9: 10 disjoint graph copies), min-of-2 per scale, local[32], trained artifacts cache-warmed per dir like the driver bench. realistic_text_variant: q97/q121 on suffix-tagged replicas; pair-generating ops (q136/q137/q141 + early-heavy q23/q66) on token-tagged DISJOINT replicas and q67 on component-ROTATED embeddings (norm/within-replica-cosine preserving), since any replica protocol that keeps replicas similar makes their pair OUTPUT quadratic in duplication by construction. EarlyHeavy set (q29/q31/q45/q46/q48/q56/q68/q78/q85/q93) re-probed on the regenerated corpus per VERDICT r9 #4. q67's gate regime (threshold 0.45, 4-bit keys) is the documented recall-driven ~n^2 candidate regime (PLANS.md: theta~60deg sign buckets cannot prune) — q67_true_regime probes the 100-TB near-dup config (threshold 0.9, 16-bit keys) on the same rotated data for the honest exponent",
          |"q67_true_regime": {"sf01_sec": ${fmt(trueRegime._1)}, "x10_sec": ${fmt(trueRegime._2)}, "ratio": ${fmt(trueRegime._3)}},
          |"n_docs_sf01": $nDocs, "n_docs_10x": ${nDocs * 10},
          |"total_sf01_sec": ${fmt(rows.map(_._2).sum)},

@@ -231,7 +231,10 @@ class Round12OpsSpec extends SparkSpec {
       "totally original content with no duplication anywhere at all")))
     // null text -> "" -> split gives [""]: 1 token, nothing excised
     assert(got(7L) == ((1L, 0L, 0L, "")))
-    // the at-scale hashed-span form is pair-for-pair identical here
+    // the at-scale hashed-span form is identical BY CONSTRUCTION since
+    // r13: hash matches are candidates only, re-verified against
+    // verbatim windows before any cut (ADVICE r12 — a destructive
+    // rewrite must never act on a 64-bit match alone)
     val hashed = Dedup.substringExcise(docs, col("doc_id"), col("text"),
       k = 4, hashSpans = true).collect()
       .map(r => r.getLong(0) ->
