@@ -2398,6 +2398,24 @@ object SparkEntry {
     // per-mille block rate, one native token pass per doc. Corpus =
     // documents ∪ planted spam/clean fixture rows (the synthetic
     // corpus is clean, so the gate needs planted rows to bite)
+    // per-script trigram language ID — q175's script tier refined
+    // (VERDICT r12 #2): Cyrillic routes to a frozen ru/uk/bg trigram
+    // model and Arabic-script to ar/fa/ur instead of labeling the
+    // script's dominant language wholesale; both tiers keep the full
+    // abstain contract so unmodeled same-script languages quarantine
+    // as "und". Corpus = documents ∪ the q175 fixtures ∪ planted
+    // uk/bg/fa/ur rows (the synthetic corpus is all-Latin)
+    "q187_per_script_lang_id" -> ((s, dir) => {
+      import s.implicits._
+      val fx = (MultilingualFixtures ++ PerScriptFixtures)
+        .toDF("doc_id", "text")
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+        .unionByName(fx)
+      graft.text.LangIdFixed.scorePerScript(docs, col("doc_id"),
+          col("text"))
+        .orderBy("doc_id")
+    }),
+
     "q176_lexicon_gate" -> ((s, dir) => {
       import s.implicits._
       val fx = SpamFixtures.toDF("doc_id", "text")
@@ -2507,6 +2525,22 @@ object SparkEntry {
     -17L -> "abc абв αβγ",
     -18L -> "the weather is nice today and we are going to the park")
 
+  /** q187's planted per-script rows (ids -21..-28, disjoint from
+    * q175's -1..-18 and q176's -101..): two everyday sentences each
+    * for uk/bg/fa/ur — the confusable same-script languages the
+    * per-script trigram tiers exist to separate (q175's script tier
+    * labeled them ru/ar wholesale). Shared verbatim with the oracle's
+    * VALUES (no apostrophes). */
+  private val PerScriptFixtures: Seq[(Long, String)] = Seq(
+    -21L -> "вона пішла на ринок щоб купити свіжий хліб і овочі на вечерю",
+    -22L -> "сьогодні гарна погода і ми йдемо в парк на прогулянку",
+    -23L -> "тя отиде на пазара и купи хляб за вечеря",
+    -24L -> "днес времето е хубаво и ще се разходим в парка край морето",
+    -25L -> "او به بازار رفت و برای شام نان خرید",
+    -26L -> "امروز هوا خوب است و ما به پارک می رویم",
+    -27L -> "وہ بازار گئی اور رات کے کھانے کے لیے روٹی خریدی",
+    -28L -> "آج موسم اچھا ہے اور ہم پارک جا رہے ہیں")
+
   /** The q161/q163 synthetic paragraph structure over the single-line
     * fixture corpus: a shared boilerplate banner (whitespace/case
     * variant by doc parity — normalization is load-bearing) + the
@@ -2583,61 +2617,125 @@ object SparkEntry {
     * chain gates at 2%. `rel` is the (doc_id, text) source relation —
     * q175 scores a script-gated relation instead of documents. */
   private def langIdCtesWith(surplusPerMille: Long,
-                             rel: String = "documents"): String = {
+                             rel: String = "documents"): String =
+    langIdModelCtes(graft.text.LangIdFixed.Languages, surplusPerMille, rel)
+
+  /** [[langIdCtesWith]] over an arbitrary frozen trigram model and CTE
+    * prefix — the per-script tiers (q187) replay each model
+    * ([[graft.text.LangIdFixed.CyrillicLanguages]] /
+    * `ArabicLanguages`) from the same JVM weight builder, prefixed so
+    * three chains coexist in one WITH. Final relation:
+    * `${pfx}lid(doc_id, best_lang, score, margin, lang)`. */
+  private def langIdModelCtes(model: Seq[(String, Seq[String])],
+                              surplusPerMille: Long,
+                              rel: String,
+                              pfx: String = "",
+                              minMargin: Long = 1L): String = {
     val B = graft.text.LangIdFixed.DefaultBuckets
-    val nL = graft.text.LangIdFixed.Languages.size
-    val sparse = graft.text.LangIdFixed.weightVectors(B).zipWithIndex
+    val nL = model.size
+    val sparse = graft.text.LangIdFixed.weightVectorsOf(model, B).zipWithIndex
       .flatMap { case (w, li) => w.zipWithIndex.collect {
         case (wt, bk) if wt != 0L => s"($bk, ${li + 1}, $wt)" } }
       .mkString(", ")
-    val langs = graft.text.LangIdFixed.Languages.map(_._1)
+    val langs = model.map(_._1)
       .map(l => s"'$l'").mkString("[", ", ", "]")
-    val nnz = graft.text.LangIdFixed.nonzeroCounts(B)
+    val nnz = graft.text.LangIdFixed.nonzeroCountsOf(model, B)
       .mkString("[", ", ", "]")
-    s"""t AS (SELECT doc_id,
+    s"""${pfx}t AS (SELECT doc_id,
        |    ' ' || regexp_replace(lower(COALESCE(text, '')),
        |      '\\s+', ' ', 'g') || ' ' AS s
        |  FROM $rel),
-       |b AS (SELECT doc_id,
+       |${pfx}b AS (SELECT doc_id,
        |    CAST((CAST(('0x' || substr(md5(tg), 1, 15)) AS BIGINT)
        |      % $B) AS INTEGER) AS bk
        |  FROM (SELECT doc_id, unnest(list_filter(
        |      list_transform(range(1, len(s) - 1),
        |        i -> substr(s, CAST(i AS INTEGER), 3)),
        |      tg -> regexp_matches(tg, '^[\\p{L} ]+$$'))) AS tg
-       |    FROM t WHERE len(s) >= 3)),
-       |w(bk, li, wt) AS (SELECT * FROM (VALUES $sparse)),
-       |h AS (SELECT doc_id, li, CAST(SUM(wt) AS BIGINT) AS sc
-       |  FROM b JOIN w USING (bk) GROUP BY doc_id, li),
-       |tcx AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS tc
-       |  FROM b GROUP BY doc_id),
-       |grid AS (SELECT d.doc_id, CAST(ls.li AS INTEGER) AS li
+       |    FROM ${pfx}t WHERE len(s) >= 3)),
+       |${pfx}w(bk, li, wt) AS (SELECT * FROM (VALUES $sparse)),
+       |${pfx}h AS (SELECT doc_id, li, CAST(SUM(wt) AS BIGINT) AS sc
+       |  FROM ${pfx}b JOIN ${pfx}w USING (bk) GROUP BY doc_id, li),
+       |${pfx}tcx AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS tc
+       |  FROM ${pfx}b GROUP BY doc_id),
+       |${pfx}grid AS (SELECT d.doc_id, CAST(ls.li AS INTEGER) AS li
        |  FROM (SELECT DISTINCT doc_id FROM $rel) d
        |  CROSS JOIN (SELECT unnest(range(1, ${nL + 1})) AS li) ls),
-       |sc AS (SELECT grid.doc_id,
-       |    list(CAST($B * COALESCE(h.sc, 0)
-       |        - ($nnz)[grid.li] * COALESCE(tcx.tc, 0) AS BIGINT)
-       |      ORDER BY grid.li) AS scores,
-       |    CAST(COALESCE(MIN(tcx.tc), 0) AS BIGINT) AS tc
-       |  FROM grid LEFT JOIN h
-       |    ON grid.doc_id = h.doc_id AND grid.li = h.li
-       |  LEFT JOIN tcx ON grid.doc_id = tcx.doc_id
-       |  GROUP BY grid.doc_id),
-       |m AS (SELECT doc_id, tc,
+       |${pfx}sc AS (SELECT ${pfx}grid.doc_id,
+       |    list(CAST($B * COALESCE(${pfx}h.sc, 0)
+       |        - ($nnz)[${pfx}grid.li] * COALESCE(${pfx}tcx.tc, 0) AS BIGINT)
+       |      ORDER BY ${pfx}grid.li) AS scores,
+       |    CAST(COALESCE(MIN(${pfx}tcx.tc), 0) AS BIGINT) AS tc
+       |  FROM ${pfx}grid LEFT JOIN ${pfx}h
+       |    ON ${pfx}grid.doc_id = ${pfx}h.doc_id AND ${pfx}grid.li = ${pfx}h.li
+       |  LEFT JOIN ${pfx}tcx ON ${pfx}grid.doc_id = ${pfx}tcx.doc_id
+       |  GROUP BY ${pfx}grid.doc_id),
+       |${pfx}m AS (SELECT doc_id, tc,
        |    list_aggregate(scores, 'max') AS best,
        |    list_position(scores,
        |      list_aggregate(scores, 'max')) AS bi,
        |    list_sort(scores, 'DESC') AS sd
-       |  FROM sc),
-       |lid AS (SELECT doc_id,
+       |  FROM ${pfx}sc),
+       |${pfx}lid AS (SELECT doc_id,
        |  ($langs)[bi] AS best_lang,
        |  CAST(best AS BIGINT) AS score,
        |  CAST(sd[1] - sd[2] AS BIGINT) AS margin,
-       |  CASE WHEN best <= 0 OR sd[1] - sd[2] < 1
+       |  CASE WHEN best <= 0 OR sd[1] - sd[2] < $minMargin
        |      OR best * 1000 < $B * tc * $surplusPerMille
        |      THEN 'und'
        |    ELSE ($langs)[bi] END AS lang
-       |FROM m)""".stripMargin
+       |FROM ${pfx}m)""".stripMargin
+  }
+
+  /** The q175/q187 Unicode-script pre-classification as reusable CTEs
+    * over `rel(doc_id, text)` (no leading WITH), ending in
+    * `sg(doc_id, text, script, script_share_e3)` — the oracle twin of
+    * [[graft.text.LangIdFixed]]'s scriptClassified (nine explicit
+    * code-point-range classes via regexp_extract_all, the same
+    * decision chain incl. the kana-before-Han rule, exact integer
+    * per-mille arithmetic). */
+  private def scriptClassCtes(rel: String): String = {
+    import graft.functions.ScriptCountsExpr
+    val clsCols = ScriptCountsExpr.Classes.map { case (name, _) =>
+      s"""CAST(len(regexp_extract_all(COALESCE(text, ''),
+         |      '${ScriptCountsExpr.re2Class(name)}')) AS BIGINT)
+         |      AS $name""".stripMargin
+    }.mkString(",\n    ")
+    val th = graft.text.LangIdFixed.ScriptShareThresholdPerMille
+    val kf = graft.text.LangIdFixed.KanaFloorPerMille
+    s"""scnt AS (SELECT doc_id, text,
+       |    $clsCols,
+       |    latn + hani + hira + kata + hang + cyrl + arab + grek
+       |      + hebr AS tot
+       |  FROM $rel),
+       |sdec AS (SELECT doc_id, text, tot,
+       |    CASE WHEN tot = 0 THEN 'zzzz'
+       |      WHEN (hira + kata) * 1000 >= $kf * tot
+       |        AND (hani + hira + kata) * 1000 >= $th * tot
+       |        THEN 'jpan'
+       |      WHEN hang * 1000 >= $th * tot THEN 'hang'
+       |      WHEN hani * 1000 >= $th * tot THEN 'hani'
+       |      WHEN cyrl * 1000 >= $th * tot THEN 'cyrl'
+       |      WHEN arab * 1000 >= $th * tot THEN 'arab'
+       |      WHEN grek * 1000 >= $th * tot THEN 'grek'
+       |      WHEN hebr * 1000 >= $th * tot THEN 'hebr'
+       |      WHEN latn * 1000 >= $th * tot THEN 'latn'
+       |      ELSE 'zzzz' END AS script,
+       |    CASE WHEN script = 'jpan' THEN hani + hira + kata
+       |      WHEN script = 'hang' THEN hang
+       |      WHEN script = 'hani' THEN hani
+       |      WHEN script = 'cyrl' THEN cyrl
+       |      WHEN script = 'arab' THEN arab
+       |      WHEN script = 'grek' THEN grek
+       |      WHEN script = 'hebr' THEN hebr
+       |      WHEN script = 'latn' THEN latn
+       |      ELSE 0 END AS wc
+       |  FROM scnt),
+       |sg AS (SELECT doc_id, text, script,
+       |    CASE WHEN tot = 0 THEN CAST(0 AS BIGINT)
+       |      ELSE CAST((wc * 1000) // tot AS BIGINT)
+       |      END AS script_share_e3
+       |  FROM sdec)""".stripMargin
   }
 
   /** The q161/q170 synthetic paragraph relation as a reusable CTE
@@ -5608,54 +5706,16 @@ object SparkEntry {
       // then the shared trigram lid chain over the script-GATED text
       // (non-Latin rows score '', exactly like the engine side)
       "q175_script_lang_id" -> {
-        import graft.functions.ScriptCountsExpr
         val fxVals = MultilingualFixtures
           .map { case (id, t) => s"($id, '$t')" }.mkString(", ")
-        val clsCols = ScriptCountsExpr.Classes.map { case (name, _) =>
-          s"""CAST(len(regexp_extract_all(COALESCE(text, ''),
-             |      '${ScriptCountsExpr.re2Class(name)}')) AS BIGINT)
-             |      AS $name""".stripMargin
-        }.mkString(",\n    ")
-        val th = graft.text.LangIdFixed.ScriptShareThresholdPerMille
-        val kf = graft.text.LangIdFixed.KanaFloorPerMille
         s"""WITH fx(doc_id, text) AS (SELECT * FROM (VALUES $fxVals)),
            |corpus AS (SELECT doc_id, text FROM documents
            |  UNION ALL SELECT CAST(doc_id AS BIGINT), text FROM fx),
-           |scnt AS (SELECT doc_id, text,
-           |    $clsCols,
-           |    latn + hani + hira + kata + hang + cyrl + arab + grek
-           |      + hebr AS tot
-           |  FROM corpus),
-           |sdec AS (SELECT doc_id, text, tot,
-           |    CASE WHEN tot = 0 THEN 'zzzz'
-           |      WHEN (hira + kata) * 1000 >= $kf * tot
-           |        AND (hani + hira + kata) * 1000 >= $th * tot
-           |        THEN 'jpan'
-           |      WHEN hang * 1000 >= $th * tot THEN 'hang'
-           |      WHEN hani * 1000 >= $th * tot THEN 'hani'
-           |      WHEN cyrl * 1000 >= $th * tot THEN 'cyrl'
-           |      WHEN arab * 1000 >= $th * tot THEN 'arab'
-           |      WHEN grek * 1000 >= $th * tot THEN 'grek'
-           |      WHEN hebr * 1000 >= $th * tot THEN 'hebr'
-           |      WHEN latn * 1000 >= $th * tot THEN 'latn'
-           |      ELSE 'zzzz' END AS script,
-           |    CASE WHEN script = 'jpan' THEN hani + hira + kata
-           |      WHEN script = 'hang' THEN hang
-           |      WHEN script = 'hani' THEN hani
-           |      WHEN script = 'cyrl' THEN cyrl
-           |      WHEN script = 'arab' THEN arab
-           |      WHEN script = 'grek' THEN grek
-           |      WHEN script = 'hebr' THEN hebr
-           |      WHEN script = 'latn' THEN latn
-           |      ELSE 0 END AS wc
-           |  FROM scnt),
+           |${scriptClassCtes("corpus")},
            |g AS (SELECT doc_id,
            |    CASE WHEN script = 'latn' THEN text ELSE '' END AS text,
-           |    script,
-           |    CASE WHEN tot = 0 THEN CAST(0 AS BIGINT)
-           |      ELSE CAST((wc * 1000) // tot AS BIGINT)
-           |      END AS script_share_e3
-           |  FROM sdec),
+           |    script, script_share_e3
+           |  FROM sg),
            |${langIdCtesWith(graft.text.LangIdFixed.DefaultMinSurplusPerMille, "g")}
            |SELECT g.doc_id, g.script, g.script_share_e3,
            |  lid.best_lang, lid.score, lid.margin,
@@ -5671,6 +5731,78 @@ object SparkEntry {
            |    END AS lang
            |FROM g JOIN lid ON g.doc_id = lid.doc_id
            |ORDER BY g.doc_id""".stripMargin
+      },
+
+      // per-script trigram language ID: the shared script CTEs gate
+      // the corpus into one relation per trigram tier, each tier
+      // replays its frozen model through the ONE generalized lang-ID
+      // CTE builder (weights as sparse VALUES from the same JVM
+      // builder), and the final CASE mirrors the engine's routing —
+      // tiers keep the full abstain contract, script-direct classes
+      // label directly
+      "q187_per_script_lang_id" -> {
+        import graft.text.LangIdFixed
+        val fxVals = (MultilingualFixtures ++ PerScriptFixtures)
+          .map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+        s"""WITH fx(doc_id, text) AS (SELECT * FROM (VALUES $fxVals)),
+           |corpus AS (SELECT doc_id, text FROM documents
+           |  UNION ALL SELECT CAST(doc_id AS BIGINT), text FROM fx),
+           |${scriptClassCtes("corpus")},
+           |g_l AS (SELECT doc_id,
+           |  CASE WHEN script = 'latn' THEN text ELSE '' END AS text
+           |  FROM sg),
+           |g_c AS (SELECT doc_id,
+           |  CASE WHEN script = 'cyrl' THEN text ELSE '' END AS text
+           |  FROM sg),
+           |g_a AS (SELECT doc_id,
+           |  CASE WHEN script = 'arab' THEN text ELSE '' END AS text
+           |  FROM sg),
+           |${langIdModelCtes(LangIdFixed.Languages,
+               LangIdFixed.DefaultMinSurplusPerMille, "g_l", "l_")},
+           |${langIdModelCtes(LangIdFixed.CyrillicLanguages,
+               LangIdFixed.ScriptTierSurplusPerMille, "g_c", "c_",
+               LangIdFixed.ScriptTierMinMargin)},
+           |${langIdModelCtes(LangIdFixed.ArabicLanguages,
+               LangIdFixed.ScriptTierSurplusPerMille, "g_a", "a_",
+               LangIdFixed.ScriptTierMinMargin)}
+           |SELECT sg.doc_id, sg.script, sg.script_share_e3,
+           |  CASE WHEN sg.script = 'latn' THEN 'latn-trigram'
+           |    WHEN sg.script = 'cyrl' THEN 'cyrl-trigram'
+           |    WHEN sg.script = 'arab' THEN 'arab-trigram'
+           |    WHEN sg.script = 'zzzz' THEN 'none'
+           |    ELSE 'script-direct' END AS tier,
+           |  CASE WHEN sg.script = 'latn' THEN l_lid.best_lang
+           |    WHEN sg.script = 'cyrl' THEN c_lid.best_lang
+           |    WHEN sg.script = 'arab' THEN a_lid.best_lang
+           |    WHEN sg.script = 'zzzz' THEN 'und'
+           |    WHEN sg.script = 'jpan' THEN 'ja'
+           |    WHEN sg.script = 'hang' THEN 'ko'
+           |    WHEN sg.script = 'hani' THEN 'zh'
+           |    WHEN sg.script = 'grek' THEN 'el'
+           |    WHEN sg.script = 'hebr' THEN 'he'
+           |    END AS best_lang,
+           |  CAST(CASE WHEN sg.script = 'latn' THEN l_lid.score
+           |    WHEN sg.script = 'cyrl' THEN c_lid.score
+           |    WHEN sg.script = 'arab' THEN a_lid.score
+           |    ELSE 0 END AS BIGINT) AS score,
+           |  CAST(CASE WHEN sg.script = 'latn' THEN l_lid.margin
+           |    WHEN sg.script = 'cyrl' THEN c_lid.margin
+           |    WHEN sg.script = 'arab' THEN a_lid.margin
+           |    ELSE 0 END AS BIGINT) AS margin,
+           |  CASE WHEN sg.script = 'latn' THEN l_lid.lang
+           |    WHEN sg.script = 'cyrl' THEN c_lid.lang
+           |    WHEN sg.script = 'arab' THEN a_lid.lang
+           |    WHEN sg.script = 'zzzz' THEN 'und'
+           |    WHEN sg.script = 'jpan' THEN 'ja'
+           |    WHEN sg.script = 'hang' THEN 'ko'
+           |    WHEN sg.script = 'hani' THEN 'zh'
+           |    WHEN sg.script = 'grek' THEN 'el'
+           |    WHEN sg.script = 'hebr' THEN 'he'
+           |    END AS lang
+           |FROM sg JOIN l_lid ON sg.doc_id = l_lid.doc_id
+           |JOIN c_lid ON sg.doc_id = c_lid.doc_id
+           |JOIN a_lid ON sg.doc_id = a_lid.doc_id
+           |ORDER BY sg.doc_id""".stripMargin
       },
 
       // lexicon gate: the same normalize→tokenize→md5-bucket walk,

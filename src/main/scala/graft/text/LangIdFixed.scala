@@ -82,7 +82,85 @@ object LangIdFixed {
       "or ", "mek", "mak", " ol", "ola", "ını", "nın", "ın ", " ve",
       "ve ", "dır", "ğı ", "çok", " ço", "zel", "üze"))
 
+  /** Frozen distinctive trigrams for the CYRILLIC-script tier (ru /
+    * uk / bg — the script's three highest-volume crawl languages).
+    * Same construction discipline as [[Languages]]: high-frequency
+    * function words and characteristic morphology, space-padded at
+    * word boundaries. Pan-Slavic grams shared by all three (" и "/
+    * " в ", "на ", "не ") appear in EVERY list that uses them — a
+    * shared gram lifts each sharing language identically, so it helps
+    * genuine text clear the evidence floor while the argmax margin is
+    * decided by the distinctive grams (ы/э for ru; і/ї/є and -ння/-ти
+    * for uk; the postposed articles -ът/-ата/-ото and the standalone
+    * copula " е " for bg). A Cyrillic document matching no list —
+    * Serbian, Macedonian, Kazakh — abstains ("und") instead of
+    * mislabeling (VERDICT r12 #2: q175's script tier labeled every
+    * Cyrillic doc ru).
+    */
+  val CyrillicLanguages: Seq[(String, Seq[String])] = Seq(
+    "ru" -> Seq(" и ", " в ", " на", "на ", "не ", " не", " по", "по ",
+      "то ", "что", " чт", "ого", "его", "ть ", "ать", "ет ", "ем ",
+      "ом ", "ой ", "ая ", "ые ", "ый ", "ых ", " бы", "был", "тся",
+      "ся ", "ени", "ост", "ль ", " мы", "мы "),
+    "uk" -> Seq(" і ", " в ", " на", "на ", "не ", " не", " по", "по ",
+      " що", "що ", "ого", "ому", "ти ", "ати", "ити", "ння", "ня ",
+      "ів ", "ої ", "ій ", "ись", "ься", "ськ", "іст", " ві", "від",
+      " є ", "ії ", "їх ", " як", "як ", "ємо"),
+    "bg" -> Seq(" и ", " в ", " на", "на ", "не ", " не", " да", "да ",
+      " е ", " ще", "ще ", "та ", "то ", "те ", "ът ", "ия ", "ите",
+      "ата", "ото", " се", "се ", " за", "за ", "ва ", "ат ", "ят ",
+      " пр", "ред", "ват", "ени", " въ", "ъде", "бъд", "ърв"))
+
+  /** Frozen distinctive trigrams for the ARABIC-script tier (ar / fa /
+    * ur). The script's code points overlap but the languages are
+    * separable by frozen grams: Arabic by the definite article  ال
+    * and its function words; Farsi by its own yeh ی (U+06CC, a
+    * DIFFERENT code point from Arabic ي U+064A) in است/می/های and by
+    * که/را/از; Urdu by heh-goal ہ (U+06C1) in ہے/ہیں, noon-ghunna ں
+    * in میں, and کے/کی/نے/اور. A document matching no list (Pashto,
+    * Kurdish) abstains. */
+  val ArabicLanguages: Seq[(String, Seq[String])] = Seq(
+    "ar" -> Seq(" ال", "الم", "الع", "الل", "الس", " في", "في ", " من",
+      "من ", "إلى", " إل", "لى ", " عل", "على", "ين ", "ون ", "ات ",
+      " وا", "وال", "ها ", " أن", "أن ", "اء ", " ما", "ما ", "هذا",
+      " هذ", " لل", " لا", "لا ", "كان", " كا", " كل", "كل ", "ية ",
+      " مع", "مع ", " عن", "عن ", "قال", " قا", "ذلك", " ذل", "لك "),
+    "fa" -> Seq(" که", "که ", " را", "را ", " به", "به ", " از", "از ",
+      " در", "در ", "است", "ست ", " اس", " می", "می ", "ای ", "های",
+      "ها ", " با", "با ", "ند ", "ید ", "یم ", "ود ", "دار", " دا",
+      "ران", " ای", "ین ", "رد "),
+    "ur" -> Seq(" کے", "کے ", " کی", "کی ", " کا", "کا ", " ہے", "ہے ",
+      "ہیں", "یں ", "میں", " نے", "نے ", " سے", "سے ", " او", "اور",
+      "ور ", "وں ", " ہو", "ہو ", "تا ", "نا ", " جا", "رہے", " رہ",
+      "ئے ", "گا ", "گی ", " اس"))
+
   val DefaultBuckets = 2048
+
+  /** Evidence floor for the PER-SCRIPT tiers (per-mille of buckets·T,
+    * like [[DefaultMinSurplusPerMille]]): 50‰ instead of the Latin
+    * tier's 100‰. The 100‰ floor was calibrated against CROSS-model
+    * collision noise (Latin domain jargon accidentally hitting pt
+    * grams); a script tier only ever sees text already known to be in
+    * its script, where the failure mode is confusable SIBLINGS —
+    * handled by the distinctive grams and the margin, not the floor.
+    * Measured: genuine ru/uk/bg/ar/fa/ur sentences run 5–25% surplus
+    * against ~30–45-gram lists, while an unmodeled same-script
+    * language (Serbian, held out in Round13OpsSpec) hits only the odd
+    * shared function-word gram and stays under ~3% — the 50‰ floor
+    * sits between the modes. */
+  val ScriptTierSurplusPerMille = 50L
+
+  /** Margin floor for the PER-SCRIPT tiers: strictly MORE than one
+    * raw-gram equivalent (one gram hit = `buckets` centered-score
+    * units). Within a confusable-sibling tier a single-gram margin is
+    * inside md5-bucket collision noise — measured: a genuine uk
+    * sentence lost to bg by exactly one gram when two of its trigrams
+    * collided into bg-weighted buckets. A coin-flip label must abstain
+    * instead (mislabeling is worse than "und" in a curation gate); the
+    * Latin tier keeps minMargin=1 — its ten languages are separated by
+    * long gram lists, and its calibration is frozen (q168/q174/q175
+    * hashes). */
+  val ScriptTierMinMargin: Long = DefaultBuckets + 1L
 
   /** Default relative evidence floor, in per-mille of the maximum
     * possible centered score (buckets·T): the winner's hit-rate
@@ -111,7 +189,14 @@ object LangIdFixed {
     * cell — deterministic and mirrored in the oracle, exactly like any
     * hashed-feature model). */
   def weightVectors(buckets: Int = DefaultBuckets): Seq[Seq[Long]] =
-    Languages.map { case (_, grams) =>
+    weightVectorsOf(Languages, buckets)
+
+  /** [[weightVectors]] over an arbitrary frozen model — the per-script
+    * tiers ([[CyrillicLanguages]], [[ArabicLanguages]]) build theirs
+    * from the same one builder the oracle's sparse VALUES ship from. */
+  def weightVectorsOf(model: Seq[(String, Seq[String])],
+                      buckets: Int = DefaultBuckets): Seq[Seq[Long]] =
+    model.map { case (_, grams) =>
       val w = Array.fill(buckets)(0L)
       grams.foreach(g => w(bucketOf(g, buckets)) += 1L)
       w.toSeq
@@ -128,6 +213,10 @@ object LangIdFixed {
     * vector with probability nnz(l)/buckets. */
   def nonzeroCounts(buckets: Int = DefaultBuckets): Seq[Long] =
     weightVectors(buckets).map(_.count(_ != 0L).toLong)
+
+  def nonzeroCountsOf(model: Seq[(String, Seq[String])],
+                      buckets: Int = DefaultBuckets): Seq[Long] =
+    weightVectorsOf(model, buckets).map(_.count(_ != 0L).toLong)
 
   /** Score documents: (doc_id, [carry...,] best_lang, score, margin,
     * lang) where `lang` applies the abstain contract — "und" when the
@@ -152,9 +241,21 @@ object LangIdFixed {
             buckets: Int = DefaultBuckets,
             minMargin: Long = 1L,
             minSurplusPerMille: Long = DefaultMinSurplusPerMille,
-            carry: Seq[Column] = Nil): DataFrame = {
-    val langsLit = typedLit(Languages.map(_._1))
-    val nL = Languages.size
+            carry: Seq[Column] = Nil): DataFrame =
+    scoreWith(docs, idCol, textCol, Languages, buckets, minMargin,
+      minSurplusPerMille, carry)
+
+  /** [[score]] over an arbitrary frozen trigram model — the engine of
+    * every tier (Latin default, [[CyrillicLanguages]],
+    * [[ArabicLanguages]]). Same abstain contract, same centering. */
+  def scoreWith(docs: DataFrame, idCol: Column, textCol: Column,
+                model: Seq[(String, Seq[String])],
+                buckets: Int = DefaultBuckets,
+                minMargin: Long = 1L,
+                minSurplusPerMille: Long = DefaultMinSurplusPerMille,
+                carry: Seq[Column] = Nil): DataFrame = {
+    val langsLit = typedLit(model.map(_._1))
+    val nL = model.size
     // the native one-pass scorer (trigram walk + letter filter + md5
     // bucket + every language accumulation + collision centering in
     // compiled code); bit-identical to [[scoresCompositional]], which
@@ -166,7 +267,7 @@ object LangIdFixed {
     // the scorer per element and broke CSE: 19.5 s for a filter on
     // `lang` at sf0.1)
     val sc = graft.functions.LangScoresExpr.lang_scores(
-      col("__s"), weightVectors(buckets))
+      col("__s"), weightVectorsOf(model, buckets))
     // __sc(1..nL) = centered scores; __sc(nL+1) = letter-trigram count
     // — slice T off before any max/sort (T would win the max)
     val langScores = slice(col("__sc"), 1, nL)
@@ -244,13 +345,38 @@ object LangIdFixed {
                        minMargin: Long = 1L,
                        minSurplusPerMille: Long = DefaultMinSurplusPerMille,
                        carry: Seq[Column] = Nil): DataFrame = {
-    import graft.functions.ScriptCountsExpr
-    val nCls = ScriptCountsExpr.Classes.size
     // user carry columns materialize by alias in the base select (the
     // scoreFixed convention: pre-aliased, may reference input columns)
     val base = docs.select(
       Seq(idCol.as("__id"), textCol.as("__text")) ++ carry: _*)
     val carryNames = base.columns.drop(2).toSeq
+    val scriptLang = typedLit(Map(
+      "jpan" -> "ja", "hang" -> "ko", "hani" -> "zh", "cyrl" -> "ru",
+      "arab" -> "ar", "grek" -> "el", "hebr" -> "he"))
+    val prepared = scriptClassified(base)
+    // the trigram scorer sees "" unless the doc is Latin-routed — a
+    // codegen'd per-row conditional, so non-Latin rows skip the md5
+    // trigram walk instead of paying it and being overridden
+    val gated = when(col("script") === "latn", col("__text"))
+      .otherwise(lit(""))
+    score(prepared, col("__id"), gated, buckets, minMargin,
+        minSurplusPerMille,
+        carry = carryNames.map(col) ++
+          Seq(col("script"), col("script_share_e3")))
+      .withColumn("lang",
+        when(col("script") === "latn", col("lang"))
+          .when(col("script") === "zzzz", "und")
+          .otherwise(element_at(scriptLang, col("script"))))
+  }
+
+  /** The shared script pre-classification frame: adds `__scr` (the
+    * [[graft.functions.ScriptCountsExpr]] histogram), `script`,
+    * `__wc`/`__tot` and `script_share_e3` to a base frame carrying
+    * `__text`. Exact-integer per-mille arithmetic; the decision chain
+    * tests Japanese BEFORE Chinese (the kana floor separates them). */
+  private def scriptClassified(base: DataFrame): DataFrame = {
+    import graft.functions.ScriptCountsExpr
+    val nCls = ScriptCountsExpr.Classes.size
     // 1-based positions in the counts array (frozen class order)
     def cnt(name: String): Column = element_at(col("__scr"),
       ScriptCountsExpr.Classes.indexWhere(_._1 == name) + 1)
@@ -281,10 +407,7 @@ object LangIdFixed {
         .when(col("script") === "hebr", cnt("hebr"))
         .when(col("script") === "latn", cnt("latn"))
         .otherwise(lit(0L))
-    val scriptLang = typedLit(Map(
-      "jpan" -> "ja", "hang" -> "ko", "hani" -> "zh", "cyrl" -> "ru",
-      "arab" -> "ar", "grek" -> "el", "hebr" -> "he"))
-    val prepared = base
+    base
       .withColumn("__scr",
         ScriptCountsExpr.script_counts(coalesce(col("__text"), lit(""))))
       .withColumn("script", script)
@@ -293,19 +416,114 @@ object LangIdFixed {
       .withColumn("script_share_e3",
         when(col("__tot") === 0L, lit(0L))
           .otherwise(expr("CAST((__wc * 1000) DIV __tot AS BIGINT)")))
-    // the trigram scorer sees "" unless the doc is Latin-routed — a
-    // codegen'd per-row conditional, so non-Latin rows skip the md5
-    // trigram walk instead of paying it and being overridden
-    val gated = when(col("script") === "latn", col("__text"))
-      .otherwise(lit(""))
-    score(prepared, col("__id"), gated, buckets, minMargin,
-        minSurplusPerMille,
-        carry = carryNames.map(col) ++
-          Seq(col("script"), col("script_share_e3")))
-      .withColumn("lang",
-        when(col("script") === "latn", col("lang"))
-          .when(col("script") === "zzzz", "und")
-          .otherwise(element_at(scriptLang, col("script"))))
+  }
+
+  /** Appends one frozen model's fields (`best_lang_$sfx`, `score_$sfx`,
+    * `margin_$sfx`, `lang_$sfx`) to a frame, scoring `textGated` —
+    * the per-model building block of [[scorePerScript]]. Same
+    * arithmetic and abstain contract as [[scoreWith]], column-suffixed
+    * so several models coexist on one frame (one codegen'd
+    * LangScoresExpr each; a row gated to "" for a model skips that
+    * model's trigram walk). */
+  private def addModelFields(df: DataFrame, textGated: Column,
+                             model: Seq[(String, Seq[String])],
+                             buckets: Int, minMargin: Long,
+                             minSurplusPerMille: Long,
+                             sfx: String): DataFrame = {
+    val nL = model.size
+    val langsLit = typedLit(model.map(_._1))
+    val scCol = s"__sc_$sfx"
+    val langScores = slice(col(scCol), 1, nL)
+    val best = array_max(langScores)
+    val bestIdx = expr(s"array_position(slice($scCol, 1, $nL), " +
+      s"array_max(slice($scCol, 1, $nL)))").cast("int")
+    val sortedDesc = reverse(array_sort(langScores))
+    val margin = element_at(sortedDesc, 1) - element_at(sortedDesc, 2)
+    val trigramCount = element_at(col(scCol), nL + 1)
+    df.withColumn(scCol, graft.functions.LangScoresExpr.lang_scores(
+        normText(textGated), weightVectorsOf(model, buckets)))
+      .withColumn(s"best_lang_$sfx", element_at(langsLit, bestIdx))
+      .withColumn(s"score_$sfx", best)
+      .withColumn(s"margin_$sfx", margin)
+      .withColumn(s"lang_$sfx",
+        when(col(s"score_$sfx") <= 0L ||
+            col(s"margin_$sfx") < minMargin ||
+            col(s"score_$sfx") * 1000L <
+              lit(buckets.toLong) * trigramCount * minSurplusPerMille,
+          "und")
+          .otherwise(col(s"best_lang_$sfx")))
+      .drop(scCol)
+  }
+
+  /** PER-SCRIPT trigram language ID — [[scoreScriptAware]] with a
+    * frozen trigram tier inside each of the two script classes whose
+    * dominant-language mapping mislabeled confusable languages
+    * (VERDICT r12 #2): Cyrillic routes to a ru/uk/bg model
+    * ([[CyrillicLanguages]]) and Arabic-script to an ar/fa/ur model
+    * ([[ArabicLanguages]]) instead of labeling ru/ar wholesale; both
+    * tiers keep the full abstain contract (centered scores, margin,
+    * evidence floor), so a Cyrillic or Arabic-script document in an
+    * unmodeled language (Serbian, Pashto) quarantines as "und" rather
+    * than mislabeling. Han/kana/Hangul/Greek/Hebrew keep their direct
+    * script labels (unambiguous at this granularity).
+    *
+    * Output: (doc_id, [carry...,] script, script_share_e3, tier,
+    * best_lang, score, margin, lang) — `tier` says which decision
+    * path labeled the row (`latn-trigram` / `cyrl-trigram` /
+    * `arab-trigram` / `script-direct` / `none`); best_lang/score/
+    * margin are the routed tier's fields (the final label and zeros
+    * for script-direct rows, "und"/zeros for `none`).
+    *
+    * Scale shape: identical to [[scoreScriptAware]] — one codegen'd
+    * code-point histogram + per-row arithmetic against frozen weight
+    * literals, zero shuffle; each row pays exactly ONE model's trigram
+    * walk (the other two see "" through a codegen'd conditional).
+    */
+  def scorePerScript(docs: DataFrame, idCol: Column, textCol: Column,
+                     buckets: Int = DefaultBuckets,
+                     minMargin: Long = 1L,
+                     minSurplusPerMille: Long = DefaultMinSurplusPerMille,
+                     scriptSurplusPerMille: Long = ScriptTierSurplusPerMille,
+                     scriptMinMargin: Long = ScriptTierMinMargin,
+                     carry: Seq[Column] = Nil): DataFrame = {
+    val base = docs.select(
+      Seq(idCol.as("__id"), textCol.as("__text")) ++ carry: _*)
+    val carryNames = base.columns.drop(2).toSeq
+    val classified = scriptClassified(base)
+    def gated(s: String): Column =
+      when(col("script") === s, col("__text")).otherwise(lit(""))
+    val tiers = Seq(
+      ("latn", "l", Languages, minSurplusPerMille, minMargin),
+      ("cyrl", "c", CyrillicLanguages, scriptSurplusPerMille,
+        scriptMinMargin),
+      ("arab", "a", ArabicLanguages, scriptSurplusPerMille,
+        scriptMinMargin))
+    val scored = tiers.foldLeft(classified) {
+      case (df, (scr, sfx, model, surplus, margin)) =>
+        addModelFields(df, gated(scr), model, buckets, margin,
+          surplus, sfx)
+    }
+    val direct = typedLit(Map(
+      "jpan" -> "ja", "hang" -> "ko", "hani" -> "zh",
+      "grek" -> "el", "hebr" -> "he"))
+    def pick(f: String) =
+      when(col("script") === "latn", col(s"${f}_l"))
+        .when(col("script") === "cyrl", col(s"${f}_c"))
+        .when(col("script") === "arab", col(s"${f}_a"))
+    val directLang = when(col("script") === "zzzz", "und")
+      .otherwise(element_at(direct, col("script")))
+    val tier =
+      when(col("script") === "latn", "latn-trigram")
+        .when(col("script") === "cyrl", "cyrl-trigram")
+        .when(col("script") === "arab", "arab-trigram")
+        .when(col("script") === "zzzz", "none")
+        .otherwise("script-direct")
+    scored.select(Seq(col("__id").as("doc_id")) ++ carryNames.map(col) ++
+      Seq(col("script"), col("script_share_e3"), tier.as("tier"),
+        pick("best_lang").otherwise(directLang).as("best_lang"),
+        coalesce(pick("score"), lit(0L)).as("score"),
+        coalesce(pick("margin"), lit(0L)).as("margin"),
+        pick("lang").otherwise(directLang).as("lang")): _*)
   }
 
   /** The compositional CENTERED scores array + trailing trigram count

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-13 additions: per-script trigram language tiers (q187),
+  * containment sketch pre-filter (q160), excision-tier capstone
+  * (q188). */
+class Round13OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("scorePerScript: held-out gate — zero wrong-language assignments, confusables separate") {
+    // disjoint from the q187 fixture sentences. Contract: errors may
+    // only be abstentions ("und"), never a wrong language — and the
+    // r12 failure mode (every Cyrillic doc labeled ru, every
+    // Arabic-script doc ar) must be gone: uk/bg/fa/ur sentences must
+    // NOT label ru/ar.
+    val s = Seq(
+      ("ru", "в следующем году мы будем жить в большом доме у моря"),
+      ("ru", "он прочитал эту книгу быстро потому что она была интересной"),
+      ("uk", "наступного року ми будемо жити у великому будинку біля моря"),
+      ("uk", "він швидко прочитав цю книгу тому що вона була цікавою"),
+      ("bg", "следващата година ще живеем в голяма къща до морето"),
+      ("bg", "той прочете тази книга бързо защото беше интересна"),
+      // Serbian: Cyrillic but unmodeled — must abstain, not guess
+      ("und", "следеће године живећемо у великој кући поред мора"),
+      ("ar", "قرأ الكتاب بسرعة لأنه كان ممتعا جدا"),
+      ("ar", "سوف نعيش في بيت كبير قرب البحر في العام المقبل"),
+      ("fa", "سال آینده در خانه بزرگی نزدیک دریا زندگی خواهیم کرد"),
+      ("fa", "او کتاب را سریع خواند چون بسیار جالب بود"),
+      ("ur", "اگلے سال ہم سمندر کے قریب ایک بڑے گھر میں رہیں گے"),
+      ("ur", "اس نے کتاب جلدی پڑھی کیونکہ وہ بہت دلچسپ تھی"),
+      // script-direct classes unchanged
+      ("zh", "我们明年将住在海边的大房子里"),
+      ("ja", "らいねん うみの ちかくの おおきな いえに すみます"),
+      ("ko", "내년에 우리는 바다 근처 큰 집에서 살 것입니다"),
+      ("el", "του χρόνου θα μείνουμε σε ένα μεγάλο σπίτι κοντά στη θάλασσα"),
+      ("he", "בשנה הבאה נגור בבית גדול ליד הים"),
+      // Latin still routes through the Latin trigram tier (sentences
+      // the q175 gate already labels — the tier is unchanged here)
+      ("en", "the book is on the table next to the window in the room"),
+      ("de", "das buch liegt auf dem tisch neben dem fenster im zimmer"),
+      // mixed-script and no-letter text must abstain
+      ("und", "abc абв αβγ"),
+      ("und", "12345 --- +++"))
+      .zipWithIndex.map { case ((l, t), i) => (i.toLong, l, t) }
+    val got = graft.text.LangIdFixed.scorePerScript(
+        s.toDF("id", "want", "text"), col("id"), col("text"))
+      .join(s.toDF("doc_id", "want", "t2"), Seq("doc_id"))
+      .select("doc_id", "lang", "want", "tier").collect()
+    val mislabeled = got.filter(r =>
+      r.getString(1) != "und" && r.getString(1) != r.getString(2))
+    assert(mislabeled.isEmpty, "wrong-language assignments: " +
+      mislabeled.map(r => s"${r.getLong(0)}:${r.getString(1)} " +
+        s"(want ${r.getString(2)}, tier ${r.getString(3)})")
+        .mkString(", "))
+    val correct = got.count(r => r.getString(1) == r.getString(2))
+    assert(correct >= got.length - 3,
+      s"accuracy $correct/${got.length} below the gate: " +
+        got.filter(r => r.getString(1) != r.getString(2))
+          .map(r => s"${r.getLong(0)}:got=${r.getString(1)} " +
+            s"want=${r.getString(2)}").mkString(", "))
+  }
+
+  test("scorePerScript: tier routing and field contract") {
+    val s = Seq(
+      (1L, "the weather is nice today and we are going to the park"),
+      (2L, "она пошла на рынок и купила хлеб на ужин"),
+      (3L, "ذهبت إلى السوق واشترت الخبز للعشاء"),
+      (4L, "오늘은 날씨가 좋아서 공원에 갑니다"),
+      (5L, "12345 --- +++"),
+      (6L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val got = graft.text.LangIdFixed.scorePerScript(s, col("id"),
+        col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("script"), r.getAs[String]("tier"),
+          r.getAs[String]("lang"), r.getAs[Long]("score")))).toMap
+    assert(got(1L)._1 == "latn" && got(1L)._2 == "latn-trigram" &&
+      got(1L)._3 == "en")
+    assert(got(2L)._1 == "cyrl" && got(2L)._2 == "cyrl-trigram" &&
+      got(2L)._3 == "ru")
+    assert(got(3L)._1 == "arab" && got(3L)._2 == "arab-trigram" &&
+      got(3L)._3 == "ar")
+    assert(got(4L)._1 == "hang" && got(4L)._2 == "script-direct" &&
+      got(4L)._3 == "ko" && got(4L)._4 == 0L)
+    assert(got(5L)._1 == "zzzz" && got(5L)._2 == "none" &&
+      got(5L)._3 == "und" && got(5L)._4 == 0L)
+    assert(got(6L)._1 == "zzzz" && got(6L)._3 == "und")
+  }
+}
