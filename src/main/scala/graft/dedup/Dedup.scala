@@ -1658,10 +1658,31 @@ object Dedup {
     * exact shingle-set intersection then verifies — integer e6
     * containment both directions, keep pairs where either side is at
     * least `minContainE6` contained.
+    *
+    * Between candidates and the exact verify sits a SKETCH pre-filter
+    * (VERDICT r12 #3 — the exact verify's full-array joins are what
+    * go compute-bound at 100×): each doc's bottom-`sketchSize` hash
+    * prefix is a KMV sketch the sorted array yields for free, and
+    * [[graft.functions.SortedInterBelowExpr]] computes exact
+    * intersection/membership counts on the hash region both sketches
+    * fully cover — an exact-on-sample containment estimate. Pairs
+    * whose estimated max containment (either direction) falls below
+    * HALF the threshold are dropped before the full arrays ever ride
+    * a join; pairs where either sampled side has < 64 elements in the
+    * covered region pass unconditionally (small-sample guard). The
+    * filter is CONSERVATIVE by construction: for docs with ≤
+    * sketchSize distinct shingles the sketch IS the set and the
+    * estimate is exact (no true pair can be dropped); for larger docs
+    * a qualifying pair needs its ≥ 64-sample estimate to read below
+    * half its true value — Hoeffding ≤ exp(−2·64·0.25²) ≈ 3e-4 at the
+    * 64-sample worst case, vanishing by 128 samples (≈ 3e-8), and
+    * spec-pinned output-identical to the unfiltered path on the
+    * worst-case corpus. `sketchSize = 0` disables the pre-filter.
     */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        w: Int = 3, maxDf: Int = 10,
-                       minContainE6: Long = 500000L): DataFrame = {
+                       minContainE6: Long = 500000L,
+                       sketchSize: Int = 128): DataFrame = {
     // shingles → portable 60-bit md5 longs, distinct + SORTED per doc:
     // integer keys make the candidate explode/join shuffle ~3× leaner
     // than ~20-char gram strings, and the verify becomes the
@@ -1684,7 +1705,33 @@ object Dedup {
       .join(rareGrams.select(col("g"), col("id").as("id_b")), Seq("g"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    cands
+    val surviving =
+      if (sketchSize <= 0) cands
+      else {
+        // sketch pre-filter: the bottom-s prefix of the sorted hash
+        // array rides the candidate joins (bounded payload) instead
+        // of the full arrays; only survivors pay the exact verify
+        val sk = sh.select(col("id"),
+          slice(col("sh"), 1, sketchSize).as("sk"))
+        val pre = graft.functions.SortedInterBelowExpr
+          .sorted_inter_below(col("sk_a"), col("sk_b"), sketchSize)
+        val halfE6 = minContainE6 / 2
+        val guard = 64L
+        cands
+          .join(sk.select(col("id").as("id_a"), col("sk").as("sk_a")),
+            Seq("id_a"))
+          .join(sk.select(col("id").as("id_b"), col("sk").as("sk_b")),
+            Seq("id_b"))
+          .select(col("id_a"), col("id_b"), pre.as("__pre"))
+          .where(element_at(col("__pre"), 2) < guard ||
+            element_at(col("__pre"), 3) < guard ||
+            element_at(col("__pre"), 1) * 1000000L >=
+              element_at(col("__pre"), 2) * halfE6 ||
+            element_at(col("__pre"), 1) * 1000000L >=
+              element_at(col("__pre"), 3) * halfE6)
+          .select("id_a", "id_b")
+      }
+    surviving
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),

@@ -61,6 +61,57 @@ class Round13OpsSpec extends SparkSpec {
             s"want=${r.getString(2)}").mkString(", "))
   }
 
+  test("sorted_inter_below: exact counts on the covered hash region") {
+    import graft.functions.SortedInterBelowExpr
+    def check(a: Seq[Long], b: Seq[Long], s: Int, want: Seq[Long]): Unit = {
+      val got = Seq((a, b)).toDF("a", "b")
+        .select(SortedInterBelowExpr.sorted_inter_below(
+          col("a"), col("b"), s).as("r"))
+        .collect().head.getSeq[Long](0)
+      assert(got == want, s"a=$a b=$b s=$s got $got want $want")
+    }
+    // both complete (shorter than s): τ=∞, plain exact counts
+    check(Seq(1L, 3, 5), Seq(3L, 5, 9), 8, Seq(2L, 3, 3))
+    // a truncated at s=3: τ = a.last = 5 → b's 9 is outside the region
+    check(Seq(1L, 3, 5), Seq(3L, 5, 9), 3, Seq(2L, 3, 2))
+    // τ from the SMALLER threshold side: a=[1,2,3] (τ_a=3), b complete
+    check(Seq(1L, 2, 3), Seq(2L, 7), 3, Seq(1L, 3, 1))
+    // disjoint, empty edge
+    check(Seq(1L, 2), Seq(5L, 6), 8, Seq(0L, 2, 2))
+    check(Seq.empty[Long], Seq(1L, 2), 8, Seq(0L, 0, 2))
+  }
+
+  test("containmentPairs: sketch pre-filter is output-invisible (≡ unfiltered)") {
+    // worst-case shapes: whole-quote containment (short-in-long, the
+    // long side truncated at sketchSize), borderline pairs straddling
+    // the threshold, and sub-threshold overlap the filter should cut
+    val short0 = (0 until 40)
+      .map(i => "w" + ((i * 13 + i * i % 7) % 97)).mkString(" ")
+    val long0 = (0 until 400).map(i => "v" + ((i * 29 + 3) % 997))
+      .mkString(" ") + " " + short0
+    val half = (0 until 20).map(i => "w" + ((i * 13 + i * i % 7) % 97))
+      .mkString(" ") + " " + (0 until 22).map(i => "u" + i).mkString(" ")
+    val docs = Seq((1L, short0), (2L, long0), (3L, half),
+      (4L, (0 until 50).map(i => "z" + i).mkString(" ")),
+      (5L, short0 + " " + (0 until 300).map(i => "y" + i).mkString(" ")))
+      .toDF("doc_id", "text")
+    def pairs(sketch: Int) = graft.dedup.Dedup.containmentPairs(
+        docs, "doc_id", "text", sketchSize = sketch)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val unfiltered = pairs(0)
+    assert(unfiltered.nonEmpty)
+    assert(pairs(128) == unfiltered)
+    assert(pairs(64) == unfiltered) // tighter sketch, same guard
+    // and on the contract corpus at sf0.001 (real doc shapes)
+    val sf = "/root/testdata/sf0.001"
+    val real = spark.read.parquet(s"$sf/documents.parquet")
+    def realPairs(sketch: Int) = graft.dedup.Dedup.containmentPairs(
+        real, "doc_id", "text", sketchSize = sketch)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(realPairs(128) == realPairs(0))
+  }
+
   test("scorePerScript: tier routing and field contract") {
     val s = Seq(
       (1L, "the weather is nice today and we are going to the park"),
