@@ -2426,44 +2426,82 @@ object SparkEntry {
     }),
 
     "q174_curate_pack" -> ((s, dir) => {
-      // the jargon corpus peaks ~4-5% gram surplus (below the 10%
-      // prose default, which would quarantine everything) — the
-      // corpus-calibration knob gates at 2% here, mirrored in the
-      // oracle's langIdCtesWith(20). The r12 lexicon gate (q176)
-      // rides the same single pass as TWO more carry columns (tox
-      // hits + lexicon token count) — blocked docs drop alongside
-      // the language/quality rejects, no corpus re-join
-      val lexK = graft.text.LexiconGate.Categories.size
-      val toxScores = graft.text.LexiconGate.scoresColumn(col("text"))
-      val toxHits = graft.text.LexiconGate.hitsColumn(col("text"))
-      val survivors = graft.text.LangIdFixed.score(
-          T(s, dir, "documents"), col("doc_id"), col("text"),
-          minSurplusPerMille = 20L,
-          carry = Seq(
-            graft.ml.QualityClassifier.fixedLogit(col("text"),
-              FixedQualityWeights).as("q_logit"),
-            toxHits.as("tox_hits"),
-            element_at(toxScores, lexK + 1).as("tox_toks"),
-            col("text")))
-        .where(col("lang") === "en" && col("q_logit") > 0L &&
-          // the q176 gate: floor-div rate >= 20e3 ⟺ hits·1e6 >= n·20e3
-          (col("tox_toks") === 0L ||
-            col("tox_hits") * 1000000L <
-              col("tox_toks") * (graft.text.LexiconGate
-                .DefaultMaxRatePerMille * 1000L)))
-        .withColumn("__ptext", syntheticParaText)
-        // barrier: paragraphDedup's keeper/total/reassembly consumers
-        // re-execute a NARROW upstream once each (no exchange to
-        // reuse), so without this the lang+quality+tox scorer chain
-        // ran ~3× — the survivor frame is gate-shrunk and bounded
-        .localCheckpoint()
-      val deduped = Dedup.paragraphDedup(survivors, col("doc_id"),
-        col("__ptext"))
+      val deduped = Dedup.paragraphDedup(curatedSurvivors(s, dir),
+        col("doc_id"), col("__ptext"))
       graft.ops.Pack.sequencePacking(deduped, col("doc_id"),
           regexp_replace(col("kept_text"), "\\n+", " "), seqLen = 256L)
         .orderBy("doc_id")
+    }),
+
+    // the FULL curation pipeline with the r12 ACTION tier composed in
+    // (VERDICT r12 #4): gates (lang + quality + toxicity, one scan) →
+    // paragraph dedup → cross-survivor substring EXCISION (duplicated
+    // 8-token runs cut, q178) → benchmark DECONTAMINATION by excision
+    // (q184's bench set = doc_id%10==7 of the raw corpus) → sequence
+    // packing of what remains. Multi-consumer frames are
+    // localCheckpoint-bounded at each stage boundary (the q174 barrier
+    // discipline — excise/decontaminate each read their input twice:
+    // the span explode and the rebuild join)
+    "q188_curate_excise_pack" -> ((s, dir) => {
+      val deduped = Dedup.paragraphDedup(curatedSurvivors(s, dir),
+        col("doc_id"), col("__ptext"))
+      val flat = deduped.select(col("doc_id"),
+          regexp_replace(col("kept_text"), "\\n+", " ").as("text"))
+        .localCheckpoint()
+      val excised = Dedup.substringExcise(flat, col("doc_id"),
+          col("text"), k = 8)
+        .select(col("doc_id"), col("n_removed").as("n_excised"),
+          col("kept_text"))
+        .localCheckpoint()
+      val bench = T(s, dir, "documents")
+        .where(pmod(col("doc_id"), lit(10)) === 7)
+      val decon = Dedup.substringDecontaminate(excised, col("doc_id"),
+          col("kept_text"), bench, col("text"), k = 8)
+        .select(col("doc_id"), col("n_removed").as("n_decon"),
+          col("kept_text"))
+        .localCheckpoint()
+      val stats = excised.select(col("doc_id"), col("n_excised"))
+        .join(decon.select(col("doc_id"), col("n_decon")), Seq("doc_id"))
+      graft.ops.Pack.sequencePacking(decon, col("doc_id"),
+          col("kept_text"), seqLen = 256L)
+        .join(stats, Seq("doc_id"))
+        .orderBy("doc_id")
     })
   )
+
+  /** The q174/q188 shared gate chain: language ID at the corpus-
+    * calibrated 2% evidence floor (the jargon corpus peaks ~4-5%
+    * gram surplus, below the 10% prose default — mirrored in the
+    * oracle's langIdCtesWith(20)) with the q165 quality logit and the
+    * q176 toxicity gate riding the SAME single pass as carry columns
+    * (no corpus re-join); survivors get the synthetic paragraph
+    * structure and a localCheckpoint barrier — paragraphDedup's
+    * keeper/total/reassembly consumers re-execute a NARROW upstream
+    * once each (no exchange to reuse), so without it the
+    * lang+quality+tox scorer chain ran ~3×. */
+  private[graft] def curatedSurvivors(s: SparkSession,
+                                      dir: String): DataFrame = {
+    val lexK = graft.text.LexiconGate.Categories.size
+    val toxScores = graft.text.LexiconGate.scoresColumn(col("text"))
+    val toxHits = graft.text.LexiconGate.hitsColumn(col("text"))
+    graft.text.LangIdFixed.score(
+        T(s, dir, "documents"), col("doc_id"), col("text"),
+        minSurplusPerMille = 20L,
+        carry = Seq(
+          graft.ml.QualityClassifier.fixedLogit(col("text"),
+            FixedQualityWeights).as("q_logit"),
+          toxHits.as("tox_hits"),
+          element_at(toxScores, lexK + 1).as("tox_toks"),
+          col("text")))
+      .where(col("lang") === "en" && col("q_logit") > 0L &&
+        // the q176 gate: floor-div rate >= 20e3 ⟺ hits·1e6 >= n·20e3
+        (col("tox_toks") === 0L ||
+          col("tox_hits") * 1000000L <
+            col("tox_toks") * (graft.text.LexiconGate
+              .DefaultMaxRatePerMille * 1000L)))
+      .withColumn("__ptext", syntheticParaText)
+      .localCheckpoint()
+  }
 
   /** q169's threshold sweep — fixed so the oracle enumerates the same
     * grid. */
@@ -2736,6 +2774,125 @@ object SparkEntry {
        |      ELSE CAST((wc * 1000) // tot AS BIGINT)
        |      END AS script_share_e3
        |  FROM sdec)""".stripMargin
+  }
+
+  /** The q178/q184/q188 gaps-and-islands excision machinery as
+    * prefixed CTEs over `rel(doc_id, text)`: k-token windows, marked
+    * positions per `mark` (which must define `${pfx}d(doc_id, pos)`
+    * from `${pfx}sp(doc_id, pos, span)`), island merge, and the
+    * token-level rebuild; ends in `${pfx}out(doc_id, n_toks,
+    * n_removed, n_islands, kept_text)`. */
+  private def exciseCore(rel: String, k: Int, pfx: String,
+                         mark: String): String =
+    s"""${pfx}t AS (SELECT doc_id,
+       |    string_split(COALESCE(text, ''), ' ') AS w FROM $rel),
+       |${pfx}b AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_toks,
+       |    CAST(GREATEST(len(w) - ${k - 1}, 0) AS BIGINT) AS n_spans
+       |  FROM ${pfx}t),
+       |${pfx}sp AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+       |    array_to_string(w[i:i+${k - 1}], ' ') AS span
+       |  FROM ${pfx}b, UNNEST(range(1, n_spans + 1)) AS u(i)),
+       |$mark,
+       |${pfx}m AS (SELECT doc_id, pos, CASE WHEN pos > COALESCE(
+       |      MAX(pos + $k) OVER (PARTITION BY doc_id ORDER BY pos
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+       |    THEN 1 ELSE 0 END AS flag FROM ${pfx}d),
+       |${pfx}i0 AS (SELECT doc_id, pos, SUM(flag) OVER (
+       |    PARTITION BY doc_id ORDER BY pos) AS isl FROM ${pfx}m),
+       |${pfx}isl AS (SELECT doc_id, isl, MIN(pos) AS s, MAX(pos) + $k AS e
+       |  FROM ${pfx}i0 GROUP BY doc_id, isl),
+       |${pfx}pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+       |    CAST(SUM(e - s) AS BIGINT) AS n_removed FROM ${pfx}isl
+       |  GROUP BY doc_id),
+       |${pfx}cov AS (SELECT doc_id, UNNEST(range(s, e)) AS cp
+       |  FROM ${pfx}isl),
+       |${pfx}tp AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS idx, w[i] AS tok
+       |  FROM ${pfx}b, UNNEST(range(1, n_toks + 1)) AS u(i)),
+       |${pfx}kt AS (SELECT ${pfx}tp.doc_id, idx, tok FROM ${pfx}tp
+       |  WHERE NOT EXISTS (SELECT 1 FROM ${pfx}cov
+       |    WHERE ${pfx}cov.doc_id = ${pfx}tp.doc_id
+       |      AND ${pfx}cov.cp = ${pfx}tp.idx)),
+       |${pfx}ktx AS (SELECT doc_id,
+       |    string_agg(tok, ' ' ORDER BY idx) AS kept_text
+       |  FROM ${pfx}kt GROUP BY doc_id),
+       |${pfx}out AS (SELECT ${pfx}b.doc_id, n_toks,
+       |    COALESCE(n_removed, 0) AS n_removed,
+       |    COALESCE(n_islands, 0) AS n_islands,
+       |    COALESCE(kept_text, '') AS kept_text
+       |  FROM ${pfx}b LEFT JOIN ${pfx}pd USING (doc_id)
+       |    LEFT JOIN ${pfx}ktx ON ${pfx}b.doc_id = ${pfx}ktx.doc_id)"""
+      .stripMargin
+
+  /** [[exciseCore]] with q178's mark rule: windows duplicated ≥ 2×
+    * corpus-wide. */
+  private def exciseDupCtes(rel: String, k: Int, pfx: String): String =
+    exciseCore(rel, k, pfx,
+      s"""${pfx}c AS (SELECT span FROM ${pfx}sp
+         |  GROUP BY span HAVING COUNT(*) > 1),
+         |${pfx}d AS (SELECT doc_id, pos FROM ${pfx}sp
+         |  JOIN ${pfx}c USING (span))""".stripMargin)
+
+  /** [[exciseCore]] with q184's mark rule: windows present in the
+    * benchmark relation `benchRel(text)`'s distinct window set. */
+  private def exciseBenchCtes(rel: String, benchRel: String, k: Int,
+                              pfx: String): String =
+    exciseCore(rel, k, pfx,
+      s"""${pfx}bt AS (SELECT string_split(COALESCE(text, ''), ' ') AS w2
+         |  FROM $benchRel),
+         |${pfx}bt2 AS (SELECT w2, GREATEST(len(w2) - ${k - 1}, 0) AS ns
+         |  FROM ${pfx}bt),
+         |${pfx}bs AS (SELECT DISTINCT
+         |    array_to_string(w2[i:i+${k - 1}], ' ') AS span
+         |  FROM ${pfx}bt2, UNNEST(range(1, ns + 1)) AS u(i)),
+         |${pfx}d AS (SELECT doc_id, pos FROM ${pfx}sp
+         |  JOIN ${pfx}bs USING (span))""".stripMargin)
+
+  /** The q174/q188 gate CTEs — quality logit (q165 weights) +
+    * toxicity (q176 lexicon) over documents, joined with the `lid`
+    * relation a preceding [[langIdCtesWith]] chain defines — ending
+    * in `keep(doc_id, text)`: the curated survivor corpus. */
+  private lazy val curateKeepCtes: String = {
+    val w = FixedQualityWeights.mkString("[", ", ", "]")
+    val n = FixedQualityWeights.length
+    val lexB = graft.text.LexiconGate.DefaultBuckets
+    val lexThr = graft.text.LexiconGate.DefaultMaxRatePerMille * 1000L
+    val lexSparse = graft.text.LexiconGate.weightVectors(lexB)
+      .zipWithIndex.flatMap { case (wv, ci) =>
+        wv.zipWithIndex.collect {
+          case (wt, bk) if wt != 0L => s"($bk, ${ci + 1})" } }
+      .mkString(", ")
+    s"""qtk AS (SELECT doc_id,
+       |    list_filter(string_split(COALESCE(text, ''), ' '),
+       |      tk -> len(tk) > 0) AS toks
+       |  FROM documents),
+       |qsc AS (SELECT doc_id,
+       |    CAST(COALESCE(list_sum(list_transform(toks, tk ->
+       |      ($w)[CAST((CAST(('0x' || substr(md5(tk), 1, 15)) AS BIGINT)
+       |        % $n) AS INTEGER) + 1])), 0) AS BIGINT) AS logit
+       |  FROM qtk),
+       |xtk AS (SELECT doc_id, unnest(list_filter(string_split(
+       |    regexp_replace(lower(COALESCE(text, '')),
+       |      '[^a-z0-9 ]', ' ', 'g'), ' '),
+       |    t -> len(t) > 0)) AS t
+       |  FROM documents),
+       |xbk AS (SELECT doc_id,
+       |    CAST((CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)
+       |      % $lexB) AS INTEGER) AS bk
+       |  FROM xtk),
+       |xw(bk, cat) AS (SELECT * FROM (VALUES $lexSparse)),
+       |xh AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS hits
+       |  FROM xbk JOIN xw USING (bk) GROUP BY doc_id),
+       |xtc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM xtk GROUP BY doc_id),
+       |keep AS (SELECT d.doc_id, d.text FROM documents d
+       |  JOIN lid ON d.doc_id = lid.doc_id
+       |  JOIN qsc ON d.doc_id = qsc.doc_id
+       |  LEFT JOIN xh ON d.doc_id = xh.doc_id
+       |  LEFT JOIN xtc ON d.doc_id = xtc.doc_id
+       |  WHERE lid.lang = 'en' AND qsc.logit > 0
+       |    AND (COALESCE(xtc.n, 0) = 0
+       |      OR COALESCE(xh.hits, 0) * 1000000
+       |        < COALESCE(xtc.n, 0) * $lexThr))""".stripMargin
   }
 
   /** The q161/q170 synthetic paragraph relation as a reusable CTE
@@ -5073,48 +5230,8 @@ object SparkEntry {
       // the q161 paragraph chain (prefix g, over the survivors)
       // yields kept_text; the q173 packing arithmetic chops it
       "q174_curate_pack" -> {
-        val w = FixedQualityWeights.mkString("[", ", ", "]")
-        val n = FixedQualityWeights.length
-        val lexB = graft.text.LexiconGate.DefaultBuckets
-        val lexThr = graft.text.LexiconGate.DefaultMaxRatePerMille * 1000L
-        val lexSparse = graft.text.LexiconGate.weightVectors(lexB)
-          .zipWithIndex.flatMap { case (wv, ci) =>
-            wv.zipWithIndex.collect {
-              case (wt, bk) if wt != 0L => s"($bk, ${ci + 1})" } }
-          .mkString(", ")
         s"""WITH ${langIdCtesWith(20L)},
-           |qtk AS (SELECT doc_id,
-           |    list_filter(string_split(COALESCE(text, ''), ' '),
-           |      tk -> len(tk) > 0) AS toks
-           |  FROM documents),
-           |qsc AS (SELECT doc_id,
-           |    CAST(COALESCE(list_sum(list_transform(toks, tk ->
-           |      ($w)[CAST((CAST(('0x' || substr(md5(tk), 1, 15)) AS BIGINT)
-           |        % $n) AS INTEGER) + 1])), 0) AS BIGINT) AS logit
-           |  FROM qtk),
-           |xtk AS (SELECT doc_id, unnest(list_filter(string_split(
-           |    regexp_replace(lower(COALESCE(text, '')),
-           |      '[^a-z0-9 ]', ' ', 'g'), ' '),
-           |    t -> len(t) > 0)) AS t
-           |  FROM documents),
-           |xbk AS (SELECT doc_id,
-           |    CAST((CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)
-           |      % $lexB) AS INTEGER) AS bk
-           |  FROM xtk),
-           |xw(bk, cat) AS (SELECT * FROM (VALUES $lexSparse)),
-           |xh AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS hits
-           |  FROM xbk JOIN xw USING (bk) GROUP BY doc_id),
-           |xtc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
-           |  FROM xtk GROUP BY doc_id),
-           |keep AS (SELECT d.doc_id, d.text FROM documents d
-           |  JOIN lid ON d.doc_id = lid.doc_id
-           |  JOIN qsc ON d.doc_id = qsc.doc_id
-           |  LEFT JOIN xh ON d.doc_id = xh.doc_id
-           |  LEFT JOIN xtc ON d.doc_id = xtc.doc_id
-           |  WHERE lid.lang = 'en' AND qsc.logit > 0
-           |    AND (COALESCE(xtc.n, 0) = 0
-           |      OR COALESCE(xh.hits, 0) * 1000000
-           |        < COALESCE(xtc.n, 0) * $lexThr)),
+           |$curateKeepCtes,
            |${syntheticParagraphCtesOver("keep", "g")},
            |gr AS (SELECT doc_id, pos, para,
            |    ROW_NUMBER() OVER (PARTITION BY key ORDER BY doc_id, pos)
@@ -5323,46 +5440,61 @@ object SparkEntry {
       // marked set = corpus windows ∩ benchmark windows (bench =
       // doc_id%10==7)
       "q184_decontaminate_excise" ->
-        """WITH t AS (SELECT doc_id,
-          |    string_split(COALESCE(text, ''), ' ') AS w FROM documents
-          |  WHERE doc_id % 10 != 7),
-          |b AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_toks,
-          |    CAST(GREATEST(len(w) - 7, 0) AS BIGINT) AS n_spans FROM t),
-          |sp AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-          |    array_to_string(w[i:i+7], ' ') AS span
-          |  FROM b, UNNEST(range(1, n_spans + 1)) AS u(i)),
-          |bt AS (SELECT string_split(COALESCE(text, ''), ' ') AS w2
-          |  FROM documents WHERE doc_id % 10 = 7),
-          |bt2 AS (SELECT w2, GREATEST(len(w2) - 7, 0) AS ns FROM bt),
-          |bs AS (SELECT DISTINCT array_to_string(w2[i:i+7], ' ') AS span
-          |  FROM bt2, UNNEST(range(1, ns + 1)) AS u(i)),
-          |d AS (SELECT doc_id, pos FROM sp JOIN bs USING (span)),
-          |m AS (SELECT doc_id, pos, CASE WHEN pos > COALESCE(
-          |      MAX(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
-          |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-          |    THEN 1 ELSE 0 END AS flag FROM d),
-          |i0 AS (SELECT doc_id, pos, SUM(flag) OVER (
-          |    PARTITION BY doc_id ORDER BY pos) AS isl FROM m),
-          |isl AS (SELECT doc_id, isl, MIN(pos) AS s, MAX(pos) + 8 AS e
-          |  FROM i0 GROUP BY doc_id, isl),
-          |pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
-          |    CAST(SUM(e - s) AS BIGINT) AS n_removed FROM isl
-          |  GROUP BY doc_id),
-          |cov AS (SELECT doc_id, UNNEST(range(s, e)) AS cp FROM isl),
-          |tp AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS idx, w[i] AS tok
-          |  FROM b, UNNEST(range(1, n_toks + 1)) AS u(i)),
-          |kt AS (SELECT tp.doc_id, idx, tok FROM tp
-          |  WHERE NOT EXISTS (SELECT 1 FROM cov
-          |    WHERE cov.doc_id = tp.doc_id AND cov.cp = tp.idx)),
-          |ktx AS (SELECT doc_id,
-          |    string_agg(tok, ' ' ORDER BY idx) AS kept_text
-          |  FROM kt GROUP BY doc_id)
-          |SELECT b.doc_id, n_toks, COALESCE(n_removed, 0) AS n_removed,
-          |  COALESCE(n_islands, 0) AS n_islands,
-          |  COALESCE(kept_text, '') AS kept_text
-          |FROM b LEFT JOIN pd USING (doc_id)
-          |  LEFT JOIN ktx ON b.doc_id = ktx.doc_id
-          |ORDER BY b.doc_id""".stripMargin,
+        s"""WITH corp AS (SELECT doc_id, text FROM documents
+           |  WHERE doc_id % 10 != 7),
+           |bench AS (SELECT text FROM documents WHERE doc_id % 10 = 7),
+           |${exciseBenchCtes("corp", "bench", 8, "e")}
+           |SELECT doc_id, n_toks, n_removed, n_islands, kept_text
+           |FROM eout ORDER BY doc_id""".stripMargin,
+
+      // the full ACTION-tier capstone: the q174 gate+paragraph-dedup
+      // prefix (shared CTEs) → flattened kept_text → q178 duplicated-
+      // window excision (prefix e) → q184 benchmark decontamination
+      // (prefix f, bench = raw-corpus doc_id%10=7) → the q173/q174
+      // packing arithmetic over what remains, with both stages'
+      // removal counts carried into the output
+      "q188_curate_excise_pack" ->
+        s"""WITH ${langIdCtesWith(20L)},
+           |$curateKeepCtes,
+           |${syntheticParagraphCtesOver("keep", "g")},
+           |gr AS (SELECT doc_id, pos, para,
+           |    ROW_NUMBER() OVER (PARTITION BY key ORDER BY doc_id, pos)
+           |      AS rn FROM gk),
+           |pdx AS (SELECT doc_id,
+           |    COALESCE(string_agg(CASE WHEN rn = 1 THEN para END,
+           |      chr(10) || chr(10) ORDER BY pos), '') AS kept_text
+           |  FROM gr GROUP BY doc_id),
+           |flat AS (SELECT doc_id,
+           |    regexp_replace(kept_text, '\\n+', ' ', 'g') AS text
+           |  FROM pdx),
+           |${exciseDupCtes("flat", 8, "e")},
+           |exc AS (SELECT doc_id, n_removed AS n_excised,
+           |    kept_text AS text FROM eout),
+           |bench AS (SELECT text FROM documents WHERE doc_id % 10 = 7),
+           |${exciseBenchCtes("exc", "bench", 8, "f")},
+           |dec AS (SELECT doc_id, n_removed AS n_decon, kept_text
+           |  FROM fout),
+           |pb AS (SELECT dec.doc_id, exc.n_excised, dec.n_decon,
+           |    CAST(len(list_filter(string_split(dec.kept_text, ' '),
+           |      x -> len(x) > 0)) AS BIGINT) AS n_toks,
+           |    CAST(('0x' || substr(md5('pack:' ||
+           |      CAST(dec.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h2
+           |  FROM dec JOIN exc ON dec.doc_id = exc.doc_id),
+           |pc AS (SELECT doc_id, n_excised, n_decon, n_toks,
+           |    CAST(SUM(n_toks) OVER (ORDER BY h2, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS BIGINT) AS cum_toks
+           |  FROM pb)
+           |SELECT doc_id, n_toks, cum_toks,
+           |  cum_toks - n_toks AS start_off,
+           |  (cum_toks - n_toks) // 256 AS start_seq,
+           |  CASE WHEN n_toks = 0 THEN (cum_toks - n_toks) // 256
+           |    ELSE (cum_toks - 1) // 256 END AS end_seq,
+           |  CASE WHEN n_toks = 0 THEN 0
+           |    ELSE (cum_toks - 1) // 256 - (cum_toks - n_toks) // 256 + 1
+           |    END AS n_seqs,
+           |  n_excised, n_decon
+           |FROM pc ORDER BY doc_id""".stripMargin,
 
       // boilerplate scrub: reconstruct the synthetic line corpus
       // (banner + 16-token chunks joined on blank lines), split on
@@ -5533,41 +5665,9 @@ object SparkEntry {
       // position anti-join to rebuild the kept text. All-integer;
       // split('',' ')=[''] on both engines so empty docs round-trip
       "q178_substring_excise" ->
-        """WITH t AS (SELECT doc_id,
-          |    string_split(COALESCE(text, ''), ' ') AS w FROM documents),
-          |b AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_toks,
-          |    CAST(GREATEST(len(w) - 7, 0) AS BIGINT) AS n_spans FROM t),
-          |sp AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-          |    array_to_string(w[i:i+7], ' ') AS span
-          |  FROM b, UNNEST(range(1, n_spans + 1)) AS u(i)),
-          |c AS (SELECT span FROM sp GROUP BY span HAVING COUNT(*) > 1),
-          |d AS (SELECT doc_id, pos FROM sp JOIN c USING (span)),
-          |m AS (SELECT doc_id, pos, CASE WHEN pos > COALESCE(
-          |      MAX(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
-          |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-          |    THEN 1 ELSE 0 END AS flag FROM d),
-          |i0 AS (SELECT doc_id, pos, SUM(flag) OVER (
-          |    PARTITION BY doc_id ORDER BY pos) AS isl FROM m),
-          |isl AS (SELECT doc_id, isl, MIN(pos) AS s, MAX(pos) + 8 AS e
-          |  FROM i0 GROUP BY doc_id, isl),
-          |pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
-          |    CAST(SUM(e - s) AS BIGINT) AS n_removed FROM isl
-          |  GROUP BY doc_id),
-          |cov AS (SELECT doc_id, UNNEST(range(s, e)) AS cp FROM isl),
-          |tp AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS idx, w[i] AS tok
-          |  FROM b, UNNEST(range(1, n_toks + 1)) AS u(i)),
-          |kt AS (SELECT tp.doc_id, idx, tok FROM tp
-          |  WHERE NOT EXISTS (SELECT 1 FROM cov
-          |    WHERE cov.doc_id = tp.doc_id AND cov.cp = tp.idx)),
-          |ktx AS (SELECT doc_id,
-          |    string_agg(tok, ' ' ORDER BY idx) AS kept_text
-          |  FROM kt GROUP BY doc_id)
-          |SELECT b.doc_id, n_toks, COALESCE(n_removed, 0) AS n_removed,
-          |  COALESCE(n_islands, 0) AS n_islands,
-          |  COALESCE(kept_text, '') AS kept_text
-          |FROM b LEFT JOIN pd USING (doc_id)
-          |  LEFT JOIN ktx ON b.doc_id = ktx.doc_id
-          |ORDER BY b.doc_id""".stripMargin,
+        s"""WITH ${exciseDupCtes("documents", 8, "e")}
+           |SELECT doc_id, n_toks, n_removed, n_islands, kept_text
+           |FROM eout ORDER BY doc_id""".stripMargin,
 
       // incremental paragraph near-dup: the q163 one-shot pair chain
       // over ALL docs, restricted to pairs touching a BATCH (odd-doc)

@@ -112,6 +112,42 @@ class Round13OpsSpec extends SparkSpec {
     assert(realPairs(128) == realPairs(0))
   }
 
+  test("q188 capstone ≡ stage-by-stage composition with hard materialization") {
+    import graft.dedup.Dedup
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q188_curate_excise_pack")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    // each stage re-materialized from collected rows — no shared plan,
+    // no localCheckpoint, no fusion: proves the chained query computes
+    // exactly the composition of its published stage operators
+    def remat(df: org.apache.spark.sql.DataFrame) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(df.collect().toSeq, 4), df.schema)
+    val surv = remat(SparkEntry.curatedSurvivors(spark, dir))
+    val dedup = remat(Dedup.paragraphDedup(surv, col("doc_id"),
+      col("__ptext")))
+    val flat = remat(dedup.select(col("doc_id"),
+      regexp_replace(col("kept_text"), "\\n+", " ").as("text")))
+    val exc = remat(Dedup.substringExcise(flat, col("doc_id"),
+        col("text"), k = 8)
+      .select(col("doc_id"), col("n_removed").as("n_excised"),
+        col("kept_text")))
+    val bench = spark.read.parquet(s"$dir/documents.parquet")
+      .where(pmod(col("doc_id"), lit(10)) === 7)
+    val dec = remat(Dedup.substringDecontaminate(exc, col("doc_id"),
+        col("kept_text"), bench, col("text"), k = 8)
+      .select(col("doc_id"), col("n_removed").as("n_decon"),
+        col("kept_text")))
+    val stats = exc.select("doc_id", "n_excised")
+      .join(dec.select("doc_id", "n_decon"), Seq("doc_id"))
+    val want = graft.ops.Pack.sequencePacking(dec, col("doc_id"),
+        col("kept_text"), seqLen = 256L)
+      .join(stats, Seq("doc_id"))
+      .collect().map(_.toSeq).toSet
+    assert(got.nonEmpty, "no survivors at sf0.001 — fixture too small")
+    assert(got == want)
+  }
+
   test("scorePerScript: tier routing and field contract") {
     val s = Seq(
       (1L, "the weather is nice today and we are going to the park"),
