@@ -52,4 +52,106 @@ object SemanticDedup {
       corpus.select(col(idCol).as("id")), "id", pairs, "id_a", "id_b")
       .withColumnRenamed("comp", "keeper")
   }
+
+  /** FIXED-centroid within-cluster cosine near-dup pairs — the
+    * one-shot semantic tier over frozen centroids (the q162
+    * `assignFixed` discipline: stateless per-row assignment, exact
+    * integer distance arithmetic, no fit): every pair of vectors in
+    * the same frozen cluster with cosine ≥ `threshold`. The
+    * deterministic sibling of [[semanticDedup]]'s KMeans path, and
+    * the one-shot twin [[incrementalSemanticDup]] is spec-pinned
+    * against. Returns (id_a, id_b), id_a < id_b. */
+  def semanticDupPairsFixed(emb: DataFrame, idCol: String, vecCol: String,
+                            centroidsE9: Seq[Seq[Long]],
+                            threshold: Double): DataFrame = {
+    val v = clustered(emb, idCol, vecCol, centroidsE9)
+    val a = v.select(col("cluster"), col("vec_id").as("id_a"),
+      col("__vec").as("va"))
+    val b = v.select(col("cluster"), col("vec_id").as("id_b"),
+      col("__vec").as("vb"))
+    a.join(b, Seq("cluster"))
+      .where(col("id_a") < col("id_b"))
+      .where(CosineSimExpr.cosine_sim(col("va"), col("vb")) >= threshold)
+      .select("id_a", "id_b")
+  }
+
+  /** Incremental [[semanticDupPairsFixed]] — the per-crawl-batch
+    * SEMANTIC tier, closing the incremental family (exact docs q86,
+    * exact paragraphs q170, fuzzy docs q141, fuzzy paragraphs q177):
+    * all semantic near-dup pairs TOUCHING the batch, without
+    * re-joining the multi-PB history, via the Bloom join-elision
+    * discipline at CLUSTER granularity. The frozen-centroid
+    * assignment is stateless per-row, so a batch clusters with no
+    * model refit; candidates are cluster-local by the SemDeDup
+    * premise, so the elidable unit is the cluster:
+    *
+    *   - history contributes its (cluster, id, vec) index ONCE (at
+    *     production scale the persisted assignment the pipeline
+    *     maintains; here derived inline behind a localCheckpoint
+    *     barrier) plus a Bloom over its OCCUPIED cluster ids;
+    *   - each batch vector pays one codegen'd bit-probe; a miss means
+    *     no history vector shares its cluster (Bloom has no false
+    *     negatives — a genuinely new topic skips the history join);
+    *   - probe survivors equi-join history on cluster and verify with
+    *     the same exact cosine threshold, as do within-batch pairs.
+    *
+    * Returns (id_a, id_b), id_a < id_b — exactly the one-shot pair
+    * set over history ∪ batch restricted to pairs touching the batch
+    * (spec-pinned on a two-batch fixture and in the StreamingSpec
+    * crawl loop). */
+  def incrementalSemanticDup(batch: DataFrame, history: DataFrame,
+                             idCol: String, vecCol: String,
+                             centroidsE9: Seq[Seq[Long]],
+                             threshold: Double,
+                             expectedItems: Long = 1000000L,
+                             fpp: Double = 0.01): DataFrame = {
+    // the batch frame feeds three consumers (self-join sides + the
+    // history probe); small by the incremental premise
+    val bp = clustered(batch, idCol, vecCol, centroidsE9).localCheckpoint()
+    def verify(j: DataFrame): DataFrame = j
+      .where(col("id_a") < col("id_b"))
+      .where(CosineSimExpr.cosine_sim(col("va"), col("vb")) >= threshold)
+      .select("id_a", "id_b")
+    val within = verify(
+      bp.select(col("cluster"), col("vec_id").as("id_a"),
+          col("__vec").as("va"))
+        .join(bp.select(col("cluster"), col("vec_id").as("id_b"),
+          col("__vec").as("vb")), Seq("cluster")))
+    val hp = clustered(history, idCol, vecCol, centroidsE9)
+      .localCheckpoint()
+    // EMPTY history (first crawl batch): nothing to probe — and
+    // stat.bloomFilter over zero rows NPEs at probe time (the r12
+    // incremental lesson: guard on the DERIVED frame); the
+    // checkpointed hp makes this count free. NULL/short embeddings
+    // raise inside assignFixed by contract — no silent skip route.
+    if (hp.isEmpty) return within
+    val bloom = hp.select(xxhash64(col("cluster")).as("__h"))
+      .stat.bloomFilter("__h", expectedItems, fpp)
+    val probe = graft.functions.BloomMightContainExpr
+      .bloom_might_contain(bloom, xxhash64(col("cluster")))
+    val cross = verify(
+      bp.where(probe)
+        .select(col("cluster"), col("vec_id").as("bid"),
+          col("__vec").as("bv"))
+        .join(hp.select(col("cluster"), col("vec_id").as("hid"),
+          col("__vec").as("hv")), Seq("cluster"))
+        .select(least(col("bid"), col("hid")).as("id_a"),
+          greatest(col("bid"), col("hid")).as("id_b"),
+          when(col("bid") <= col("hid"), col("bv")).otherwise(col("hv"))
+            .as("va"),
+          when(col("bid") <= col("hid"), col("hv")).otherwise(col("bv"))
+            .as("vb")))
+    within.unionByName(cross).distinct()
+  }
+
+  /** Shared (cluster, vec_id, __vec) frame: the frozen-centroid
+    * assignment joined back to the vectors by id. Vectors cast to
+    * array<double> — [[CosineSimExpr]] reads doubles, and the corpus
+    * embedding columns are float arrays. */
+  private def clustered(emb: DataFrame, idCol: String, vecCol: String,
+                        centroidsE9: Seq[Seq[Long]]): DataFrame =
+    emb.select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("__vec"))
+      .join(graft.ml.DocCluster.assignFixed(emb, idCol, vecCol,
+        centroidsE9), Seq("vec_id"))
 }

@@ -148,6 +148,52 @@ class Round13OpsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("incrementalSemanticDup: batch loop ≡ one-shot restricted to batch-touching pairs") {
+    import graft.sim.SemanticDedup
+    val cents = Seq(
+      Seq.fill(8)(500000000L),
+      Seq.fill(8)(-500000000L),
+      Seq.tabulate(8)(i => if (i % 2 == 0) 500000000L else -500000000L))
+    def v(base: Double, tweakIdx: Int = -1, tweak: Double = 0.0) =
+      Seq.tabulate(8)(i => (if (i == tweakIdx) tweak else base).toFloat)
+    def alt(s: Double) = Seq.tabulate(8)(i =>
+      (if (i % 2 == 0) s else -s).toFloat)
+    // history: two cluster-0 near-dups of each other, one cluster-1
+    // vector, one cluster-0 NON-dup (same cell, low cosine)
+    val history = Seq(
+      (1L, v(0.5)), (2L, v(0.5, 3, 0.45)),
+      (3L, v(-0.5)),
+      (4L, Seq(0.9f, 0.1f, 0.9f, 0.1f, 0.9f, 0.1f, 0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    // batch: a cross dup of 1/2, a within-batch dup pair, a new
+    // cluster-2 vector (no history in that cell — Bloom-elided), and
+    // a cluster-1 non-dup of 3
+    val batch = Seq(
+      (10L, v(0.5, 5, 0.48)),
+      (11L, alt(0.5)), (12L, alt(0.48)),
+      (13L, Seq(-0.9f, -0.1f, -0.9f, -0.1f, -0.9f, -0.1f, -0.9f, -0.1f)))
+      .toDF("vec_id", "embedding")
+    val t = 0.95
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inc = pairs(SemanticDedup.incrementalSemanticDup(batch, history,
+      "vec_id", "embedding", cents, t, expectedItems = 1000L))
+    val batchIds = Set(10L, 11L, 12L, 13L)
+    val oneShot = pairs(SemanticDedup.semanticDupPairsFixed(
+        history.unionByName(batch), "vec_id", "embedding", cents, t))
+      .filter(p => batchIds(p._1) || batchIds(p._2))
+    assert(inc == oneShot, s"inc=$inc oneShot=$oneShot")
+    assert(inc.contains((1L, 10L)) && inc.contains((2L, 10L)) &&
+      inc.contains((11L, 12L)), s"expected pairs missing: $inc")
+    // history pairs never re-emit; non-dups never pair
+    assert(!inc.contains((1L, 2L)) && !inc.exists(p =>
+      p._1 == 4L || p._2 == 4L || p._1 == 13L || p._2 == 13L), inc.toString)
+    // empty-history first crawl: within-batch pairs only, no NPE
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(pairs(SemanticDedup.incrementalSemanticDup(batch, empty,
+      "vec_id", "embedding", cents, t)) == Set((11L, 12L)))
+  }
+
   test("scorePerScript: tier routing and field contract") {
     val s = Seq(
       (1L, "the weather is nice today and we are going to the park"),

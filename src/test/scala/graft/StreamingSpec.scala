@@ -814,6 +814,64 @@ class StreamingSpec extends SparkSpec {
     assert(streamed(20L)._2 == 1L, s"doc 20: ${streamed.get(20L)}")
   }
 
+  test("streaming crawl loop: per-batch incrementalSemanticDup union ≡ one-shot pair set") {
+    // the SEMANTIC tier of the crawl loop (r13): each micro-batch of
+    // embeddings emits the within-cluster cosine near-dup pairs
+    // touching that batch against the accumulated history, then
+    // appends itself; the union over ordered batches must equal the
+    // one-shot semanticDupPairsFixed over the whole crawl — every
+    // pair arrives exactly once, with its LATER member.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cents = Seq(Seq.fill(8)(500000000L), Seq.fill(8)(-500000000L))
+    def v(base: Double, tweakIdx: Int = -1, tweak: Double = 0.0) =
+      Seq.tabulate(8)(i => (if (i == tweakIdx) tweak else base).toFloat)
+    val b1 = Seq((1L, v(0.5)), (2L, v(-0.5)))
+    val b2 = Seq((10L, v(0.5, 2, 0.46)), // dup of 1
+      (11L, Seq(0.9f, 0.1f, 0.9f, 0.1f, 0.9f, 0.1f, 0.9f, 0.1f)))
+    val b3 = Seq((20L, v(0.5, 6, 0.47)), // dup of 1 AND 10
+      (21L, v(-0.5, 1, -0.44))) // dup of 2
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float])]
+    val histDir = tmp("isem_hist") + "/h"
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long)] // pair + arrival batch
+    val q = mem.toDF().toDF("vec_id", "embedding").writeStream
+      .outputMode("append")
+      .option("checkpointLocation", tmp("isem_ckpt"))
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+        val hist =
+          if (Files.exists(Paths.get(histDir)))
+            batch.sparkSession.read.parquet(histDir)
+          else batch.sparkSession.emptyDataset[(Long, Seq[Float])]
+            .toDF("vec_id", "embedding")
+        val out = graft.sim.SemanticDedup.incrementalSemanticDup(
+            batch, hist, "vec_id", "embedding", cents, threshold = 0.95,
+            expectedItems = 10000L)
+          .collect().map(r => (r.getLong(0), r.getLong(1), bid))
+        emitted.synchronized { emitted ++= out: Unit }
+        batch.write.mode("append").parquet(histDir)
+        ()
+      }.start()
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    mem.addData(b3: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = emitted.map(e => (e._1, e._2)).toSet
+    val oneShot = graft.sim.SemanticDedup.semanticDupPairsFixed(
+        (b1 ++ b2 ++ b3).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", cents, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == oneShot, s"streamed=$streamed oneShot=$oneShot")
+    // exactly once, at the later member's batch
+    assert(emitted.map(e => (e._1, e._2)).distinct.size == emitted.size)
+    val byBatch = emitted.groupBy(_._3).view
+      .mapValues(_.map(e => (e._1, e._2)).toSet).toMap
+    assert(byBatch.getOrElse(1L, Set.empty) == Set((1L, 10L)))
+    assert(byBatch.getOrElse(2L, Set.empty) ==
+      Set((1L, 20L), (10L, 20L), (2L, 21L)))
+  }
+
   test("streaming crawl loop: per-batch incrementalParagraphNearDup union ≡ one-shot pair set") {
     // the fuzzy-tier sibling of the q170 crawl-loop test: each
     // micro-batch emits the near-dup pairs TOUCHING that batch against
