@@ -1809,18 +1809,7 @@ object SparkEntry {
     // so the oracle replays both the planting and the scan; patterns
     // use the Java∩RE2 common dialect (classes, bounded repeats, \b)
     "q142_pii_scan" -> ((s, dir) => {
-      val id = col("doc_id").cast("string")
-      val t = concat(coalesce(col("text"), lit("")),
-        when(col("doc_id") % 5 === 0,
-          concat(lit(" mail user"), id, lit("@example.com")))
-          .otherwise(lit("")),
-        when(col("doc_id") % 7 === 0,
-          concat(lit(" host 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
-            lit("."), pmod(col("doc_id"), lit(100)).cast("string")))
-          .otherwise(lit("")),
-        when(col("doc_id") % 11 === 0, lit(" ref 555-0142"))
-          .otherwise(lit("")))
-      T(s, dir, "documents").select(col("doc_id"), t.as("t"))
+      T(s, dir, "documents").select(col("doc_id"), piiPlantedText.as("t"))
         .select(col("doc_id"),
           regexp_count(col("t"),
             lit("[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}")).cast("long")
@@ -2466,7 +2455,28 @@ object SparkEntry {
           col("kept_text"), seqLen = 256L)
         .join(stats, Seq("doc_id"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // PII REDACTION — the ACTION tier of q142's scan (policy filters
+    // rewrite emails/IPs/phones out before training, not just count
+    // them): typed placeholders, counts taken on the original text,
+    // replacement order part of the contract. Same planted corpus as
+    // q142 so the redactions are real
+    "q189_pii_redact" -> ((s, dir) =>
+      graft.text.TextAnalysis.piiRedact(
+          T(s, dir, "documents").select(col("doc_id"),
+            piiPlantedText.as("t")),
+          col("doc_id"), col("t"))
+        .orderBy("doc_id")),
+
+    // packing-efficiency audit: packed (corpus-concatenated) vs
+    // unpacked (one doc per padded run) sequence counts per candidate
+    // context length — the sheet a data team reads before choosing
+    // seqLen. One token-count scan, one agg keyed by seq_len
+    "q190_packing_efficiency" -> ((s, dir) =>
+      graft.ops.Pack.packingEfficiency(T(s, dir, "documents"),
+          col("doc_id"), col("text"), Seq(128L, 256L, 512L, 1024L))
+        .orderBy("seq_len"))
   )
 
   /** The q174/q188 shared gate chain: language ID at the corpus-
@@ -2501,6 +2511,23 @@ object SparkEntry {
               .DefaultMaxRatePerMille * 1000L)))
       .withColumn("__ptext", syntheticParaText)
       .localCheckpoint()
+  }
+
+  /** The q142/q189 PII planting: deterministic email/IPv4/phone
+    * substrings synthesized from doc_id (the corpus itself is word
+    * salad), replayed verbatim by both oracles. */
+  private def piiPlantedText: org.apache.spark.sql.Column = {
+    val id = col("doc_id").cast("string")
+    concat(coalesce(col("text"), lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" mail user"), id, lit("@example.com")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" host 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+          lit("."), pmod(col("doc_id"), lit(100)).cast("string")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 11 === 0, lit(" ref 555-0142"))
+        .otherwise(lit("")))
   }
 
   /** q169's threshold sweep — fixed so the oracle enumerates the same
@@ -5023,6 +5050,60 @@ object SparkEntry {
           |  CAST(len(regexp_extract_all(t, '\b\d{3}-\d{4}\b')) AS BIGINT)
           |    AS n_phone
           |FROM d ORDER BY doc_id""".stripMargin,
+
+      // PII redaction: the q142 planting + counts, then the same
+      // ordered global regexp_replace chain (email -> ipv4 -> phone;
+      // placeholders are digit-free so no later-category match can
+      // appear)
+      "q189_pii_redact" ->
+        """WITH d AS (SELECT doc_id, COALESCE(text, '')
+          |  || CASE WHEN doc_id % 5 = 0 THEN ' mail user'
+          |       || CAST(doc_id AS VARCHAR) || '@example.com'
+          |     ELSE '' END
+          |  || CASE WHEN doc_id % 7 = 0 THEN ' host 10.0.'
+          |       || CAST(doc_id % 256 AS VARCHAR) || '.'
+          |       || CAST(doc_id % 100 AS VARCHAR)
+          |     ELSE '' END
+          |  || CASE WHEN doc_id % 11 = 0 THEN ' ref 555-0142'
+          |     ELSE '' END AS t
+          |  FROM documents)
+          |SELECT doc_id,
+          |  CAST(len(regexp_extract_all(t,
+          |    '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_email,
+          |  CAST(len(regexp_extract_all(t,
+          |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT)
+          |    AS n_ipv4,
+          |  CAST(len(regexp_extract_all(t, '\b\d{3}-\d{4}\b')) AS BIGINT)
+          |    AS n_phone,
+          |  regexp_replace(regexp_replace(regexp_replace(t,
+          |    '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+          |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+          |    '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS red_text
+          |FROM d ORDER BY doc_id""".stripMargin,
+
+      // packing efficiency: one token-count scan crossed with the
+      // 4-row seq_len list, grouped by seq_len; ceil via integer
+      // (n + L - 1) // L both engines
+      "q190_packing_efficiency" ->
+        """WITH tok AS (SELECT CAST(len(list_filter(
+          |    string_split(COALESCE(text, ''), ' '),
+          |    x -> len(x) > 0)) AS BIGINT) AS n_toks FROM documents),
+          |ls AS (SELECT CAST(unnest([128, 256, 512, 1024]) AS BIGINT)
+          |  AS seq_len),
+          |g AS (SELECT seq_len, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |    CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+          |    CAST(SUM((n_toks + seq_len - 1) // seq_len) AS BIGINT)
+          |      AS unpacked_seqs
+          |  FROM tok CROSS JOIN ls GROUP BY seq_len)
+          |SELECT seq_len, n_docs, total_tokens,
+          |  CAST((total_tokens + seq_len - 1) // seq_len AS BIGINT)
+          |    AS packed_seqs,
+          |  unpacked_seqs,
+          |  CASE WHEN unpacked_seqs = 0 THEN CAST(0 AS BIGINT)
+          |    ELSE CAST(((unpacked_seqs -
+          |      (total_tokens + seq_len - 1) // seq_len) * 1000000)
+          |      // unpacked_seqs AS BIGINT) END AS saved_ppm
+          |FROM g ORDER BY seq_len""".stripMargin,
 
       // BM25: idf rounded to 6 (q123 recipe), per-term score to integer
       // e4 BEFORE the sum (q55 associativity discipline); k1=1.2 b=0.75

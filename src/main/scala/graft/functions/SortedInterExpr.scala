@@ -53,76 +53,3 @@ object SortedInterExpr {
     ColumnBridge.column(
       SortedInterExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }
-
-/** Bottom-k containment-sketch statistics over two SORTED prefix
-  * sketches (the first `s` elements of each doc's sorted distinct
-  * md5-60 hash array — a KMV sketch the containment verifier gets FOR
-  * FREE from its already-sorted arrays): returns `[inter_τ, a_τ, b_τ]`
-  * where τ = min of the two sketches' thresholds (a sketch of exactly
-  * `s` elements may be truncated, so its threshold is its last
-  * element; a shorter sketch IS its whole set, threshold +∞) and the
-  * three counts are EXACT on the hash region ≤ τ — both sketches
-  * contain every one of their set's elements there. `inter_τ/a_τ`
-  * is therefore an exact-on-sample estimate of the containment
-  * |A∩B|/|A| (hypergeometric concentration over the random hash
-  * order), the cheap pre-filter in front of the full-array exact
-  * verify (VERDICT r12 #3: the exact set-intersection verify is what
-  * goes compute-bound at 100×).
-  */
-case class SortedInterBelowExpr(left: Expression, right: Expression,
-                                s: Int) extends BinaryExpression {
-
-  override def dataType: DataType =
-    org.apache.spark.sql.types.ArrayType(
-      org.apache.spark.sql.types.LongType, containsNull = false)
-
-  override def nullSafeEval(a: Any, b: Any): Any =
-    SortedInterBelowExpr.compute(a.asInstanceOf[ArrayData],
-      b.asInstanceOf[ArrayData], s)
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.SortedInterBelowExpr.compute($a, $b, $s)")
-
-  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
-    copy(left = l, right = r)
-
-  override def prettyName: String = "sorted_inter_below"
-}
-
-object SortedInterBelowExpr {
-
-  def compute(a: ArrayData, b: ArrayData, s: Int):
-      org.apache.spark.sql.catalyst.util.GenericArrayData = {
-    val na = a.numElements()
-    val nb = b.numElements()
-    // a sketch of exactly s elements may be a truncation of a larger
-    // set — its coverage is bounded by its own max; a shorter sketch
-    // is the complete set
-    val tauA = if (na >= s && na > 0) a.getLong(na - 1) else Long.MaxValue
-    val tauB = if (nb >= s && nb > 0) b.getLong(nb - 1) else Long.MaxValue
-    val tau = math.min(tauA, tauB)
-    var i = 0
-    var j = 0
-    var inter = 0L
-    while (i < na && j < nb && a.getLong(i) <= tau && b.getLong(j) <= tau) {
-      val x = a.getLong(i)
-      val y = b.getLong(j)
-      if (x == y) { inter += 1L; i += 1; j += 1 }
-      else if (x < y) i += 1
-      else j += 1
-    }
-    var aT = 0L
-    i = 0
-    while (i < na && a.getLong(i) <= tau) { aT += 1L; i += 1 }
-    var bT = 0L
-    j = 0
-    while (j < nb && b.getLong(j) <= tau) { bT += 1L; j += 1 }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      Array(inter, aT, bT))
-  }
-
-  def sorted_inter_below(a: Column, b: Column, s: Int): Column =
-    ColumnBridge.column(SortedInterBelowExpr(
-      ColumnBridge.expression(a), ColumnBridge.expression(b), s))
-}

@@ -53,6 +53,46 @@ object Pack {
           .otherwise(col("end_seq") - col("start_seq") + 1L))
   }
 
+  /** Packing-efficiency audit — the "why pack at all" sheet a data
+    * team reads before choosing a context length: for each candidate
+    * `seqLen`, how many training sequences the corpus yields PACKED
+    * (GPT-style concatenation, ⌈Σtokens/L⌉ — the [[sequencePacking]]
+    * layout) vs UNPACKED (one doc per padded sequence run,
+    * Σ⌈n_i/L⌉ — the naive fine-tuning layout), and the padding saved.
+    * All exact integers; `saved_ppm` = the fraction of unpacked
+    * sequence slots that packing eliminates, in truncating ppm.
+    *
+    * Scale shape: one per-doc token count, exploded by the (tiny)
+    * seqLen list into (seq_len, n_toks) integer rows, then ONE
+    * partial-ized aggregation keyed by seq_len — no single-partition
+    * funnel, no window, corpus text read once.
+    */
+  def packingEfficiency(docs: DataFrame, idCol: Column, textCol: Column,
+                        seqLens: Seq[Long]): DataFrame = {
+    require(seqLens.nonEmpty && seqLens.forall(_ > 0),
+      "at least one positive seqLen")
+    val perDoc = docs.select(
+      size(graft.text.TextAnalysis.nonEmptyTokens(textCol)).cast("long")
+        .as("n_toks"))
+    perDoc
+      .select(col("n_toks"),
+        explode(typedLit(seqLens)).as("seq_len"))
+      .groupBy("seq_len")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("total_tokens"),
+        sum(expr("(n_toks + seq_len - 1) DIV seq_len"))
+          .as("unpacked_seqs"))
+      .select(col("seq_len"), col("n_docs"), col("total_tokens"),
+        expr("CAST((total_tokens + seq_len - 1) DIV seq_len AS BIGINT)")
+          .as("packed_seqs"),
+        col("unpacked_seqs").cast("long").as("unpacked_seqs"))
+      .withColumn("saved_ppm",
+        when(col("unpacked_seqs") === 0L, lit(0L))
+          .otherwise(expr(
+            "CAST(((unpacked_seqs - packed_seqs) * 1000000) " +
+              "DIV unpacked_seqs AS BIGINT)")))
+  }
+
   /** SEMANTIC sequence packing — the in-context-pretraining layout
     * (Shi et al. 2023, "In-Context Pretraining: Language Modeling
     * Beyond Document Boundaries"): pack SAME-TOPIC documents into the

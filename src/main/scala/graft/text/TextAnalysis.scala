@@ -758,6 +758,38 @@ object TextAnalysis {
     * BIGINT — IEEE-exact arithmetic then one round, engine-portable;
     * NULL for empty docs (no words → undefined, not a sentinel 0).
     */
+  /** PII REDACTION — the ACTION tier of the q142 multi-pattern scan
+    * (C4/Gopher-style policy filtering doesn't just COUNT emails and
+    * IPs, it rewrites them out before training): each matched span is
+    * replaced with a typed placeholder (`<EMAIL>`, `<IP>`, `<PHONE>`),
+    * with the per-category counts carried so downstream audits don't
+    * re-scan. Patterns are the q142 set — the Java∩RE2 common dialect
+    * (character classes, bounded repeats, `\b`), already proven
+    * hash-identical cross-engine — and the replacement order is part
+    * of the contract (email → ipv4 → phone; placeholders contain no
+    * digits, so a replacement can never create a later-category
+    * match). Counts are taken BEFORE any replacement, on the original
+    * text.
+    *
+    * Scale shape: per-row regex arithmetic, zero shuffle — the
+    * redacted corpus streams straight to its sink. 100-TB note: at
+    * scale the regex set grows (SSNs, IBANs, secrets); the shape
+    * stays one row-local pass per doc.
+    */
+  def piiRedact(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val email = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val phone = "\\b\\d{3}-\\d{4}\\b"
+    val t = coalesce(textCol, lit(""))
+    df.select(idCol.as("doc_id"),
+      regexp_count(t, lit(email)).cast("long").as("n_email"),
+      regexp_count(t, lit(ipv4)).cast("long").as("n_ipv4"),
+      regexp_count(t, lit(phone)).cast("long").as("n_phone"),
+      regexp_replace(regexp_replace(regexp_replace(t,
+        email, "<EMAIL>"), ipv4, "<IP>"), phone, "<PHONE>")
+        .as("red_text"))
+  }
+
   /** One-pass per-document quality-signals sheet — the RedPajama-V2
     * discipline (Together 2023: ship the SIGNALS with the corpus, let
     * every consumer threshold them without re-scanning 100 TB). The

@@ -55,6 +55,20 @@ object Bench10x {
     "q23_simhash_pairs", "q66_dedup_components",
     "q67_dedup_embedding_approx")
 
+  /** Pair GENERATORS among Targets whose byte-identical-replica pair
+    * OUTPUT is quadratic in the duplication factor BY CONSTRUCTION
+    * (intra-group member pairs: 10 copies → C(10,2)·groups rows) —
+    * the same reason q23/q66/q67 run on disjoint variants. They are
+    * probed on the token-tagged DISJOINT dir in the realistic section
+    * instead and SKIPPED in the dir10 loop: under the r13 consume
+    * convention their dir10 row measured the quadratic intra set
+    * being materialized and globally sorted (q136 read ratio 33),
+    * which is the degenerate protocol, not the operator. Obligation
+    * (ProbeSurfaceSpec) is unchanged — the artifact still carries
+    * their disjoint-dir rows. */
+  val DisjointOnly: Set[String] = Set("q136_editdist_pairs",
+    "q137_sparse_cosine", "q141_incremental_fuzzy")
+
   private def minOf2(f: => Unit): Double = {
     val t1 = System.nanoTime(); f; val s1 = (System.nanoTime() - t1) / 1e9
     val t2 = System.nanoTime(); f; val s2 = (System.nanoTime() - t2) / 1e9
@@ -169,7 +183,7 @@ object Bench10x {
 
     // ---- time each target at both scales ----
     warm(spark, sf01); warm(spark, dir10)
-    val rows = (Targets ++ EarlyHeavy).map { name =>
+    val rows = (Targets.filterNot(DisjointOnly) ++ EarlyHeavy).map { name =>
       val fn = SparkEntry.queries(name)
       val t1 = minOf2 { Bench.consume(fn(spark, sf01)) }
       val t10 = minOf2 { Bench.consume(fn(spark, dir10)) }

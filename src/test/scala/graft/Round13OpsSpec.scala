@@ -61,30 +61,11 @@ class Round13OpsSpec extends SparkSpec {
             s"want=${r.getString(2)}").mkString(", "))
   }
 
-  test("sorted_inter_below: exact counts on the covered hash region") {
-    import graft.functions.SortedInterBelowExpr
-    def check(a: Seq[Long], b: Seq[Long], s: Int, want: Seq[Long]): Unit = {
-      val got = Seq((a, b)).toDF("a", "b")
-        .select(SortedInterBelowExpr.sorted_inter_below(
-          col("a"), col("b"), s).as("r"))
-        .collect().head.getSeq[Long](0)
-      assert(got == want, s"a=$a b=$b s=$s got $got want $want")
-    }
-    // both complete (shorter than s): τ=∞, plain exact counts
-    check(Seq(1L, 3, 5), Seq(3L, 5, 9), 8, Seq(2L, 3, 3))
-    // a truncated at s=3: τ = a.last = 5 → b's 9 is outside the region
-    check(Seq(1L, 3, 5), Seq(3L, 5, 9), 3, Seq(2L, 3, 2))
-    // τ from the SMALLER threshold side: a=[1,2,3] (τ_a=3), b complete
-    check(Seq(1L, 2, 3), Seq(2L, 7), 3, Seq(1L, 3, 1))
-    // disjoint, empty edge
-    check(Seq(1L, 2), Seq(5L, 6), 8, Seq(0L, 2, 2))
-    check(Seq.empty[Long], Seq(1L, 2), 8, Seq(0L, 0, 2))
-  }
-
-  test("containmentPairs: sketch pre-filter is output-invisible (≡ unfiltered)") {
-    // worst-case shapes: whole-quote containment (short-in-long, the
-    // long side truncated at sketchSize), borderline pairs straddling
-    // the threshold, and sub-threshold overlap the filter should cut
+  test("containmentPairs: upper-bound pre-filter is output-invisible (≡ unfiltered)") {
+    // worst-case shapes: whole-quote containment (short-in-long),
+    // borderline pairs straddling the threshold, sub-threshold overlap
+    // the filter must cut, and a common-gram-heavy pair where the
+    // min(n−r) term carries the bound
     val short0 = (0 until 40)
       .map(i => "w" + ((i * 13 + i * i % 7) % 97)).mkString(" ")
     val long0 = (0 until 400).map(i => "v" + ((i * 29 + 3) % 997))
@@ -93,23 +74,26 @@ class Round13OpsSpec extends SparkSpec {
       .mkString(" ") + " " + (0 until 22).map(i => "u" + i).mkString(" ")
     val docs = Seq((1L, short0), (2L, long0), (3L, half),
       (4L, (0 until 50).map(i => "z" + i).mkString(" ")),
-      (5L, short0 + " " + (0 until 300).map(i => "y" + i).mkString(" ")))
+      (5L, short0 + " " + (0 until 300).map(i => "y" + i).mkString(" ")),
+      // 6-11: six copies of one passage + distinct tails — the shared
+      // grams exceed maxDf=10? no: df=6 ≤ 10, rare; exercises multi-way
+      // candidates with exact shared-rare counts
+      (6L, short0 + " t6a t6b t6c"), (7L, short0 + " t7a t7b t7c"))
       .toDF("doc_id", "text")
-    def pairs(sketch: Int) = graft.dedup.Dedup.containmentPairs(
-        docs, "doc_id", "text", sketchSize = sketch)
+    def pairs(pre: Boolean) = graft.dedup.Dedup.containmentPairs(
+        docs, "doc_id", "text", prefilter = pre)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .toSet
-    val unfiltered = pairs(0)
+    val unfiltered = pairs(false)
     assert(unfiltered.nonEmpty)
-    assert(pairs(128) == unfiltered)
-    assert(pairs(64) == unfiltered) // tighter sketch, same guard
+    assert(pairs(true) == unfiltered)
     // and on the contract corpus at sf0.001 (real doc shapes)
     val sf = "/root/testdata/sf0.001"
     val real = spark.read.parquet(s"$sf/documents.parquet")
-    def realPairs(sketch: Int) = graft.dedup.Dedup.containmentPairs(
-        real, "doc_id", "text", sketchSize = sketch)
+    def realPairs(pre: Boolean) = graft.dedup.Dedup.containmentPairs(
+        real, "doc_id", "text", prefilter = pre)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(realPairs(128) == realPairs(0))
+    assert(realPairs(true) == realPairs(false))
   }
 
   test("q188 capstone ≡ stage-by-stage composition with hard materialization") {
@@ -192,6 +176,45 @@ class Round13OpsSpec extends SparkSpec {
     val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
     assert(pairs(SemanticDedup.incrementalSemanticDup(batch, empty,
       "vec_id", "embedding", cents, t)) == Set((11L, 12L)))
+  }
+
+  test("piiRedact: typed placeholders, counts on original text, order-safe") {
+    import graft.text.TextAnalysis
+    val d = Seq(
+      (1L, "contact user1@example.com or admin@test.org now"),
+      (2L, "server at 10.0.3.44 and 192.168.1.1 up"),
+      (3L, "call 555-0142 about the 555-9999 line"),
+      (4L, "mixed a@b.io from 10.1.2.3 ref 555-0000"),
+      (5L, "clean text with no identifiers at all"),
+      (6L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val got = TextAnalysis.piiRedact(d, col("id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    assert(got(1L) == ((2L, 0L, 0L,
+      "contact <EMAIL> or <EMAIL> now")))
+    assert(got(2L) == ((0L, 2L, 0L, "server at <IP> and <IP> up")))
+    assert(got(3L) == ((0L, 0L, 2L,
+      "call <PHONE> about the <PHONE> line")))
+    assert(got(4L) == ((1L, 1L, 1L, "mixed <EMAIL> from <IP> ref <PHONE>")))
+    assert(got(5L) == ((0L, 0L, 0L, "clean text with no identifiers at all")))
+    assert(got(6L) == ((0L, 0L, 0L, "")))
+  }
+
+  test("packingEfficiency: exact packed/unpacked arithmetic incl. zero-token docs") {
+    import graft.ops.Pack
+    // token counts 3, 5, 0, 8 → total 16
+    val d = Seq((1L, "a b c"), (2L, "d e f g h"), (3L, ""),
+      (4L, "i j k l m n o p")).toDF("id", "text")
+    val got = Pack.packingEfficiency(d, col("id"), col("text"),
+        Seq(4L, 8L)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // L=4: packed ceil(16/4)=4; unpacked ceil(3/4)+ceil(5/4)+0+ceil(8/4)=1+2+0+2=5
+    assert(got(4L) == ((4L, 16L, 4L, 5L, 200000L)))
+    // L=8: packed 2; unpacked 1+1+0+1=3; saved (3-2)/3 → 333333 ppm
+    assert(got(8L) == ((4L, 16L, 2L, 3L, 333333L)))
   }
 
   test("scorePerScript: tier routing and field contract") {
