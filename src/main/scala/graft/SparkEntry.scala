@@ -2469,6 +2469,20 @@ object SparkEntry {
           col("doc_id"), col("t"))
         .orderBy("doc_id")),
 
+    // incremental substring EXCISION — the per-crawl-batch ACTION
+    // tier (batch = odd docs, history = even): batch windows
+    // duplicated within the batch or present in the history's sha-256
+    // window index are cut, Bloom-elided, history text never moves.
+    // ≡ one-shot q178 over the full corpus restricted to batch rows
+    "q191_incremental_excise" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      Dedup.incrementalSubstringExcise(
+          d.where(col("doc_id") % 2 === 1),
+          d.where(col("doc_id") % 2 === 0),
+          col("doc_id"), col("text"), k = 8)
+        .orderBy("doc_id")
+    }),
+
     // packing-efficiency audit: packed (corpus-concatenated) vs
     // unpacked (one doc per padded run) sequence counts per candidate
     // context length — the sheet a data team reads before choosing
@@ -5749,6 +5763,16 @@ object SparkEntry {
         s"""WITH ${exciseDupCtes("documents", 8, "e")}
            |SELECT doc_id, n_toks, n_removed, n_islands, kept_text
            |FROM eout ORDER BY doc_id""".stripMargin,
+
+      // incremental excision: a batch window is duplicated iff its
+      // full-corpus count ≥ 2 (≥2 within batch OR present in
+      // history), so the one-shot chain restricted to batch (odd)
+      // rows replays the incremental semantics exactly — the Bloom is
+      // join-elision only and the cross-match rests on sha-256
+      "q191_incremental_excise" ->
+        s"""WITH ${exciseDupCtes("documents", 8, "e")}
+           |SELECT doc_id, n_toks, n_removed, n_islands, kept_text
+           |FROM eout WHERE doc_id % 2 = 1 ORDER BY doc_id""".stripMargin,
 
       // incremental paragraph near-dup: the q163 one-shot pair chain
       // over ALL docs, restricted to pairs touching a BATCH (odd-doc)

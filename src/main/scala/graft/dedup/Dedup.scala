@@ -1224,6 +1224,80 @@ object Dedup {
           .as("kept_text"))
   }
 
+  /** Incremental [[substringExcise]] — the per-crawl-batch ACTION
+    * tier, completing the incremental family (exact/fuzzy/semantic
+    * dedup all have incremental forms; this adds the rewrite): cut
+    * from each BATCH doc every k-token window that is duplicated
+    * across history ∪ batch, without re-scanning the multi-PB
+    * history text. The standard crawl-pipeline semantic — clean the
+    * new batch against everything seen so far; docs already emitted
+    * in earlier batches are not retroactively rewritten (inherent to
+    * any incremental action pass, documented).
+    *
+    * Mechanics, mirroring [[incrementalExact]]'s two-tier discipline:
+    *   - within-batch duplicates come from the batch's own verbatim
+    *     span groupBy (small by the incremental premise);
+    *   - the history contributes a Bloom over xxhash64 window hashes
+    *     (one codegen'd bit-probe per batch window; a miss means the
+    *     window is DEFINITELY not in history — the common case for
+    *     new content) plus a DISTINCT sha-256 window-fingerprint
+    *     index (at production scale the persisted artifact the
+    *     pipeline maintains; here derived inline). Probe survivors
+    *     semi-join the index on the 32-byte fingerprint — the
+    *     destructive decision rests on sha-256 collision resistance
+    *     (the ADVICE r12 bar for rewrites: never a bare 64-bit
+    *     match), and history TEXT never moves.
+    *
+    * Result ≡ the one-shot [[substringExcise]] over history ∪ batch
+    * restricted to batch rows (spec-pinned; the q191 oracle replays
+    * the restriction), up to sha-256 collision resistance.
+    */
+  def incrementalSubstringExcise(batch: DataFrame, history: DataFrame,
+                                 idCol: Column, textCol: Column, k: Int,
+                                 expectedItems: Long = 1000000L,
+                                 fpp: Double = 0.01): DataFrame = {
+    val text = coalesce(textCol, lit(""))
+    val toks = split(text, " ")
+    val nToks = size(toks).cast("long")
+    val nSpans = greatest(size(toks) - (k - 1), lit(0)).cast("long")
+    def spansOf(docs: DataFrame): DataFrame = docs
+      .select(idCol.as("doc_id"),
+        when(nSpans > 0,
+          graft.functions.ShinglesExpr.shingle_strings(text, k))
+          .otherwise(array().cast("array<string>")).as("__spans"))
+      .select(col("doc_id"), posexplode(col("__spans")))
+      .toDF("doc_id", "pos", "span")
+    val base = batch.select(idCol.as("doc_id"), text.as("__text"),
+      nToks.as("n_toks"))
+    // the batch span frame feeds three consumers (within-dup groupBy,
+    // probe, verify); small by the incremental premise
+    val bs = spansOf(batch).localCheckpoint()
+    val withinDup = bs.groupBy("span").agg(count(lit(1)).as("c"))
+      .where(col("c") > 1).select("span")
+    val withinPos = bs.join(withinDup, Seq("span"), "left_semi")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"))
+    // history window index: distinct spans only (guard on the DERIVED
+    // frame — an all-blank history yields zero spans and
+    // stat.bloomFilter over zero rows NPEs at probe time)
+    val hs = spansOf(history).select("span").distinct().localCheckpoint()
+    val dupPos =
+      if (hs.isEmpty) withinPos
+      else {
+        val bloom = hs.select(xxhash64(col("span")).as("__h"))
+          .stat.bloomFilter("__h", expectedItems, fpp)
+        val probe = graft.functions.BloomMightContainExpr
+          .bloom_might_contain(bloom, xxhash64(col("span")))
+        val hIdx = hs.select(unhex(sha2(col("span"), 256)).as("__fp"))
+        val crossPos = bs.where(probe)
+          .select(col("doc_id"), col("pos").cast("long").as("pos"),
+            unhex(sha2(col("span"), 256)).as("__fp"))
+          .join(hIdx, Seq("__fp"), "left_semi")
+          .select("doc_id", "pos")
+        withinPos.unionByName(crossPos).distinct()
+      }
+    exciseByIslands(base, dupPos, k)
+  }
+
   /** Intra-document repetition COVERAGE — the exact form of the
     * Gopher repetition rule (Rae et al. 2021 §A1.1: drop a doc when
     * the fraction of characters inside duplicated n-grams exceeds a

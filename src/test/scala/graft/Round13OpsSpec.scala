@@ -217,6 +217,47 @@ class Round13OpsSpec extends SparkSpec {
     assert(got(8L) == ((4L, 16L, 2L, 3L, 333333L)))
   }
 
+  test("incrementalSubstringExcise ≡ one-shot excision restricted to batch rows") {
+    import graft.dedup.Dedup
+    val history = Seq(
+      (2L, "alpha beta gamma delta eps zeta eta theta hist tail one"),
+      (4L, "totally different historical content with nothing shared here"),
+      (6L, "x1 x2 x3 x4 x5 x6 x7 x8 another old doc"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      // shares an 8-token run with history doc 2 → cross excision
+      (1L, "alpha beta gamma delta eps zeta eta theta fresh suffix"),
+      // within-batch dup pair (3,5) on an 8-token run
+      (3L, "b1 b2 b3 b4 b5 b6 b7 b8 trailing words"),
+      (5L, "lead in b1 b2 b3 b4 b5 b6 b7 b8"),
+      // clean batch doc: verbatim pass-through
+      (7L, "completely novel text that matches nothing anywhere at all ok"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSet
+    val inc = rows(Dedup.incrementalSubstringExcise(batch, history,
+      col("doc_id"), col("text"), k = 8, expectedItems = 1000L))
+    val oneShot = rows(Dedup.substringExcise(
+        history.unionByName(batch), col("doc_id"), col("text"), k = 8)
+      .where(col("doc_id") % 2 === 1))
+    assert(inc == oneShot, s"inc=$inc\noneShot=$oneShot")
+    // the cross and within cuts actually happened; clean doc untouched
+    val byId = inc.map(r => r._1 -> r._3).toMap
+    assert(byId(1L) > 0 && byId(3L) > 0 && byId(5L) > 0 && byId(7L) == 0)
+    // empty and effectively-blank history: within-batch only, no NPE
+    val blank = Seq((90L, null.asInstanceOf[String]), (91L, ""))
+      .toDF("doc_id", "text")
+    val withinOnly = rows(Dedup.substringExcise(batch, col("doc_id"),
+      col("text"), k = 8))
+    assert(rows(Dedup.incrementalSubstringExcise(batch,
+      blank.limit(0), col("doc_id"), col("text"), k = 8)) == withinOnly)
+    // null/"" history still yields spans ([""] windows for k=8? no —
+    // fewer than k tokens → zero spans) → the derived-frame guard path
+    assert(rows(Dedup.incrementalSubstringExcise(batch, blank,
+      col("doc_id"), col("text"), k = 8)) == withinOnly)
+  }
+
   test("scorePerScript: tier routing and field contract") {
     val s = Seq(
       (1L, "the weather is nice today and we are going to the park"),
