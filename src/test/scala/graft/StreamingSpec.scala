@@ -814,6 +814,73 @@ class StreamingSpec extends SparkSpec {
     assert(streamed(20L)._2 == 1L, s"doc 20: ${streamed.get(20L)}")
   }
 
+  test("streaming crawl loop: per-batch incrementalSubstringExcise ≡ clean-against-seen semantics") {
+    // the ACTION tier in the crawl loop (r13): each micro-batch's docs
+    // are excised against everything seen SO FAR (within-batch dups +
+    // the accumulated history's window index), then the RAW batch
+    // appends to history. Contract: batch b's output equals one-shot
+    // substringExcise over (batches ≤ b) restricted to batch b's docs
+    // — the standard incremental-action semantic (earlier batches are
+    // not retroactively rewritten).
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val banner = "subscribe to our newsletter today for great offers " +
+      "and exclusive member deals"
+    val b1 = Seq((1L, s"$banner plus first unique tail one"))
+    val b2 = Seq(
+      (10L, s"$banner and second batch content here"), // cross-dup w/ 1
+      (11L, "w1 w2 w3 w4 w5 w6 w7 w8 aa bb"),
+      (12L, "cc dd w1 w2 w3 w4 w5 w6 w7 w8")) // within-batch dup w/ 11
+    val b3 = Seq((20L, s"totally fresh final text $banner"))
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val histDir = tmp("iexc_hist") + "/h"
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, String, Long)] // id, n_toks, n_removed, kept, bid
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .outputMode("append")
+      .option("checkpointLocation", tmp("iexc_ckpt"))
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+        val hist =
+          if (Files.exists(Paths.get(histDir)))
+            batch.sparkSession.read.parquet(histDir)
+          else batch.sparkSession.emptyDataset[(Long, String)]
+            .toDF("doc_id", "text")
+        val out = graft.dedup.Dedup.incrementalSubstringExcise(
+            batch, hist, col("doc_id"), col("text"), k = 8,
+            expectedItems = 10000L)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getString(4), bid))
+        emitted.synchronized { emitted ++= out: Unit }
+        batch.write.mode("append").parquet(histDir)
+        ()
+      }.start()
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    mem.addData(b3: _*); q.processAllAvailable()
+    q.stop()
+    // per batch, the one-shot twin over the prefix restricted to it
+    val all = Seq(b1, b2, b3)
+    val want = all.indices.flatMap { i =>
+      val prefix = all.take(i + 1).flatten
+      val batchIds = all(i).map(_._1).toSet
+      graft.dedup.Dedup.substringExcise(prefix.toDF("doc_id", "text"),
+          col("doc_id"), col("text"), k = 8)
+        .collect()
+        .filter(r => batchIds(r.getLong(0)))
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(4), i.toLong))
+    }.toSet
+    assert(emitted.toSet == want,
+      s"streamed=${emitted.toSet}\nwant=$want")
+    // the semantics bit: batch 1's banner doc was cut (the banner was
+    // seen in batch 0), batch 0's copy was NOT retroactively touched
+    val byId = emitted.map(e => e._1 -> e._3).toMap
+    assert(byId(1L) == 0L && byId(10L) > 0L &&
+      byId(11L) > 0L && byId(12L) > 0L && byId(20L) > 0L)
+  }
+
   test("streaming crawl loop: per-batch incrementalSemanticDup union ≡ one-shot pair set") {
     // the SEMANTIC tier of the crawl loop (r13): each micro-batch of
     // embeddings emits the within-cluster cosine near-dup pairs
