@@ -2490,7 +2490,29 @@ object SparkEntry {
     "q190_packing_efficiency" -> ((s, dir) =>
       graft.ops.Pack.packingEfficiency(T(s, dir, "documents"),
           col("doc_id"), col("text"), Seq(128L, 256L, 512L, 1024L))
-        .orderBy("seq_len"))
+        .orderBy("seq_len")),
+
+    // incremental SEMANTIC dedup — the last cell of the incremental
+    // matrix (exact docs q86 / paragraphs q170, fuzzy docs q141 /
+    // paragraphs q177, excision q191): semantic near-dup pairs
+    // touching the batch (odd vec_ids) without re-joining history,
+    // with the history probe BANDED by q67's sign-LSH machinery
+    // inside each frozen cluster (16 tables × 4 bits — the regime
+    // whose recall the q67 gate hash-proves at these SFs), Bloom
+    // join-elision at (cluster, table, band) granularity, exact
+    // cosine verify on survivors. Oracle = the one-shot within-
+    // cluster pair set restricted to batch-touching pairs (the
+    // q177/q191 twin pattern) — a green row IS a measured recall of
+    // 1.0 for the banded probe at this SF
+    "q192_incremental_semantic" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      graft.sim.SemanticDedup.incrementalSemanticDup(
+          e.where(pmod(col("vec_id"), lit(2)) === 1),
+          e.where(pmod(col("vec_id"), lit(2)) === 0),
+          "vec_id", "embedding", FixedCentroidsE9, threshold = 0.45,
+          bandTables = 16, bandBits = 4, dim = 64)
+        .orderBy("id_a", "id_b")
+    })
   )
 
   /** The q174/q188 shared gate chain: language ID at the corpus-
@@ -2529,7 +2551,11 @@ object SparkEntry {
 
   /** The q142/q189 PII planting: deterministic email/IPv4/phone
     * substrings synthesized from doc_id (the corpus itself is word
-    * salad), replayed verbatim by both oracles. */
+    * salad), replayed verbatim by both oracles. The %13 plant is a
+    * 10-DIGIT phone: q189's rewrite tier must redact it WHOLE (its
+    * 10-digit pattern runs before the 7-digit one), while q142's
+    * scan-tier 7-digit count sees its trailing `867-5309` — the
+    * documented scan-vs-rewrite divergence, exercised on purpose. */
   private def piiPlantedText: org.apache.spark.sql.Column = {
     val id = col("doc_id").cast("string")
     concat(coalesce(col("text"), lit("")),
@@ -2541,8 +2567,54 @@ object SparkEntry {
           lit("."), pmod(col("doc_id"), lit(100)).cast("string")))
         .otherwise(lit("")),
       when(col("doc_id") % 11 === 0, lit(" ref 555-0142"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 13 === 0, lit(" call 555-867-5309"))
         .otherwise(lit("")))
   }
+
+  /** The q162/q192 frozen-centroid assignment as reusable CTEs (no
+    * leading WITH) over `embeddings`, ending in
+    * `casg(vec_id, cluster)` — e9-exact integer components
+    * (float → shortest string → DECIMAL(18,9)), HUGEINT dist sums,
+    * argmin ties to the lowest cluster id. */
+  private lazy val fixedClusterAssignCtes: String = {
+    val dim = FixedCentroidsE9.head.length
+    val vals = FixedCentroidsE9.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.mkString(", ")}])" }.mkString(", ")
+    s"""cent AS (SELECT * FROM (VALUES $vals) AS t(cluster, c)),
+       |e AS (SELECT vec_id, list_transform(embedding[1:$dim], x ->
+       |    CAST(CAST(CAST(x AS VARCHAR) AS DECIMAL(18,9)) * 1000000000
+       |      AS BIGINT)) AS v
+       |  FROM embeddings),
+       |d AS (SELECT vec_id, cluster,
+       |    SUM(CAST(v[i] - c[i] AS HUGEINT)
+       |      * CAST(v[i] - c[i] AS HUGEINT)) AS dist
+       |  FROM (SELECT e.vec_id, cent.cluster, e.v, cent.c,
+       |      UNNEST(range(1, $dim + 1)) AS i FROM e CROSS JOIN cent)
+       |  GROUP BY vec_id, cluster),
+       |r AS (SELECT vec_id, cluster, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY dist, cluster) AS rn FROM d),
+       |casg AS (SELECT vec_id, cluster FROM r WHERE rn = 1)""".stripMargin
+  }
+
+  /** [[piiPlantedText]]'s SQL twin — the one planting both PII oracles
+    * (q142 scan, q189 redact) replay; ends in `(doc_id, t)`. Lines
+    * never start with `|` (this string is interpolated into outer
+    * stripMargin blocks, which would eat a leading pipe of `||`). */
+  private val piiPlantSql: String =
+    """SELECT doc_id, concat(COALESCE(text, ''),
+      |    CASE WHEN doc_id % 5 = 0 THEN concat(' mail user',
+      |        CAST(doc_id AS VARCHAR), '@example.com')
+      |      ELSE '' END,
+      |    CASE WHEN doc_id % 7 = 0 THEN concat(' host 10.0.',
+      |        CAST(doc_id % 256 AS VARCHAR), '.',
+      |        CAST(doc_id % 100 AS VARCHAR))
+      |      ELSE '' END,
+      |    CASE WHEN doc_id % 11 = 0 THEN ' ref 555-0142'
+      |      ELSE '' END,
+      |    CASE WHEN doc_id % 13 = 0 THEN ' call 555-867-5309'
+      |      ELSE '' END) AS t
+      |  FROM documents""".stripMargin
 
   /** q169's threshold sweep — fixed so the oracle enumerates the same
     * grid. */
@@ -5042,58 +5114,50 @@ object SparkEntry {
 
       // same deterministic PII planting, RE2's view of the shared
       // regex dialect — len(regexp_extract_all) is DuckDB's
-      // regexp_count
+      // regexp_count. Scan tier: all counts on the ORIGINAL text, so
+      // the %13 10-digit plant's tail shows up in n_phone (the
+      // documented scan-vs-rewrite divergence q189 resolves)
       "q142_pii_scan" ->
-        """WITH d AS (SELECT doc_id, COALESCE(text, '')
-          |  || CASE WHEN doc_id % 5 = 0 THEN ' mail user'
-          |       || CAST(doc_id AS VARCHAR) || '@example.com'
-          |     ELSE '' END
-          |  || CASE WHEN doc_id % 7 = 0 THEN ' host 10.0.'
-          |       || CAST(doc_id % 256 AS VARCHAR) || '.'
-          |       || CAST(doc_id % 100 AS VARCHAR)
-          |     ELSE '' END
-          |  || CASE WHEN doc_id % 11 = 0 THEN ' ref 555-0142'
-          |     ELSE '' END AS t
-          |  FROM documents)
-          |SELECT doc_id,
-          |  CAST(len(regexp_extract_all(t,
-          |    '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_email,
-          |  CAST(len(regexp_extract_all(t,
-          |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT)
-          |    AS n_ipv4,
-          |  CAST(len(regexp_extract_all(t, '\b\d{3}-\d{4}\b')) AS BIGINT)
-          |    AS n_phone
-          |FROM d ORDER BY doc_id""".stripMargin,
+        s"""WITH d AS ($piiPlantSql)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(t,
+           |    '[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS BIGINT) AS n_email,
+           |  CAST(len(regexp_extract_all(t,
+           |    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT)
+           |    AS n_ipv4,
+           |  CAST(len(regexp_extract_all(t, '\\b\\d{3}-\\d{4}\\b')) AS BIGINT)
+           |    AS n_phone
+           |FROM d ORDER BY doc_id""".stripMargin,
 
-      // PII redaction: the q142 planting + counts, then the same
-      // ordered global regexp_replace chain (email -> ipv4 -> phone;
-      // placeholders are digit-free so no later-category match can
-      // appear)
+      // PII redaction: the q142 planting, then the ordered sequential
+      // rewrite (email -> ipv4 -> 10-digit phone -> 7-digit phone;
+      // placeholders digit-free). Each count is taken on the text
+      // AFTER the previous categories' replacements, so counts ==
+      // placeholders present in red_text by construction
       "q189_pii_redact" ->
-        """WITH d AS (SELECT doc_id, COALESCE(text, '')
-          |  || CASE WHEN doc_id % 5 = 0 THEN ' mail user'
-          |       || CAST(doc_id AS VARCHAR) || '@example.com'
-          |     ELSE '' END
-          |  || CASE WHEN doc_id % 7 = 0 THEN ' host 10.0.'
-          |       || CAST(doc_id % 256 AS VARCHAR) || '.'
-          |       || CAST(doc_id % 100 AS VARCHAR)
-          |     ELSE '' END
-          |  || CASE WHEN doc_id % 11 = 0 THEN ' ref 555-0142'
-          |     ELSE '' END AS t
-          |  FROM documents)
-          |SELECT doc_id,
-          |  CAST(len(regexp_extract_all(t,
-          |    '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_email,
-          |  CAST(len(regexp_extract_all(t,
-          |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT)
-          |    AS n_ipv4,
-          |  CAST(len(regexp_extract_all(t, '\b\d{3}-\d{4}\b')) AS BIGINT)
-          |    AS n_phone,
-          |  regexp_replace(regexp_replace(regexp_replace(t,
-          |    '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
-          |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-          |    '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS red_text
-          |FROM d ORDER BY doc_id""".stripMargin,
+        s"""WITH d AS ($piiPlantSql),
+           |r1 AS (SELECT doc_id, t,
+           |    regexp_replace(t,
+           |      '[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g')
+           |      AS t1 FROM d),
+           |r2 AS (SELECT doc_id, t, t1, regexp_replace(t1,
+           |    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g')
+           |      AS t2 FROM r1),
+           |r3 AS (SELECT doc_id, t, t1, t2, regexp_replace(t2,
+           |    '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g') AS t3 FROM r2)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(t,
+           |    '[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS BIGINT) AS n_email,
+           |  CAST(len(regexp_extract_all(t1,
+           |    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT)
+           |    AS n_ipv4,
+           |  CAST(len(regexp_extract_all(t2,
+           |    '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS BIGINT) AS n_phone10,
+           |  CAST(len(regexp_extract_all(t3, '\\b\\d{3}-\\d{4}\\b'))
+           |    AS BIGINT) AS n_phone7,
+           |  regexp_replace(t3, '\\b\\d{3}-\\d{4}\\b', '<PHONE>', 'g')
+           |    AS red_text
+           |FROM r3 ORDER BY doc_id""".stripMargin,
 
       // packing efficiency: one token-count scan crossed with the
       // 4-row seq_len list, grouped by seq_len; ceil via integer
@@ -6183,26 +6247,29 @@ object SparkEntry {
 
       // fixed-centroid assignment: same e9-exact component recipe as
       // q149, HUGEINT squared-L2 sums, argmin ties to lowest cluster
-      "q162_cluster_assign" -> {
-        val dim = FixedCentroidsE9.head.length
-        val vals = FixedCentroidsE9.zipWithIndex.map { case (c, i) =>
-          s"($i, [${c.mkString(", ")}])" }.mkString(", ")
-        s"""WITH cent AS (SELECT * FROM (VALUES $vals) AS t(cluster, c)),
-           |e AS (SELECT vec_id, list_transform(embedding[1:$dim], x ->
-           |    CAST(CAST(CAST(x AS VARCHAR) AS DECIMAL(18,9)) * 1000000000
-           |      AS BIGINT)) AS v
-           |  FROM embeddings),
-           |d AS (SELECT vec_id, cluster,
-           |    SUM(CAST(v[i] - c[i] AS HUGEINT)
-           |      * CAST(v[i] - c[i] AS HUGEINT)) AS dist
-           |  FROM (SELECT e.vec_id, cent.cluster, e.v, cent.c,
-           |      UNNEST(range(1, $dim + 1)) AS i FROM e CROSS JOIN cent)
-           |  GROUP BY vec_id, cluster),
-           |r AS (SELECT vec_id, cluster, row_number() OVER (
-           |    PARTITION BY vec_id ORDER BY dist, cluster) AS rn FROM d)
+      "q162_cluster_assign" ->
+        s"""WITH $fixedClusterAssignCtes
            |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster
-           |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
-      },
+           |FROM casg ORDER BY vec_id""".stripMargin,
+
+      // incremental semantic dedup: the q162 integer cluster
+      // assignment + within-cluster exact-cosine pairs (q39's
+      // list_cosine_similarity parity), RESTRICTED to pairs touching
+      // the batch (odd vec_ids) — the q177/q191 twin pattern: the
+      // banded Bloom probe is candidate generation only, the verify
+      // is the same exact threshold, so plain restriction semantics
+      // replay it (a green row = banded recall 1.0 at this SF)
+      "q192_incremental_semantic" ->
+        s"""WITH $fixedClusterAssignCtes,
+           |ve AS (SELECT casg.vec_id, casg.cluster,
+           |    CAST(e2.embedding AS DOUBLE[]) AS v
+           |  FROM casg JOIN embeddings e2 ON casg.vec_id = e2.vec_id)
+           |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           |FROM ve a JOIN ve b
+           |  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+           |WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+           |  AND (a.vec_id % 2 = 1 OR b.vec_id % 2 = 1)
+           |ORDER BY id_a, id_b""".stripMargin,
 
       // z-order layout audit: the oracle replays the same magic-mask
       // bit spread (4 shift-or steps) and the morton-prefix / linear

@@ -801,10 +801,24 @@ object Dedup {
     * still counts ALL of a doc's paragraphs, so n_paras − n_kept
     * charges both cross-batch and within-batch removals.
     */
+  /** Bloom capacity for an incremental op's history index: the
+    * caller's explicit `expectedItems`, or — when ≤ 0, the auto
+    * default — the ACTUAL row count of the (already-checkpointed)
+    * index frame, floored at 1024. An undersized Bloom saturates
+    * (effective fpp → 1) and silently degrades the elision tier to a
+    * full verify semi-join of every probe row — correctness holds
+    * (the fingerprint verify is exact) but the advertised "new
+    * content skips the history join" property quietly vanishes. The
+    * count is one cheap job over the checkpointed index (production
+    * callers pass the persisted index's known size instead). */
+  private[graft] def bloomCapacity(index: DataFrame,
+                                   explicit: Long): Long =
+    if (explicit > 0L) explicit else math.max(index.count(), 1024L)
+
   def incrementalParagraphs(batch: DataFrame, history: DataFrame,
                             idCol: Column, textCol: Column,
-                            expectedItems: Long,
-                            fpp: Double): DataFrame = {
+                            expectedItems: Long = 0L,
+                            fpp: Double = 0.01): DataFrame = {
     // ONE history scan: the distinct-key relation feeds three
     // consumers (the emptiness probe, the Bloom build, the verify
     // join's build side) — localCheckpoint materializes it once
@@ -819,7 +833,7 @@ object Dedup {
     // and semantically the batch just dedups against itself
     if (histKeys.isEmpty) return paragraphDedup(batch, idCol, textCol)
     val bloom = histKeys.select(xxhash64(col("__key")).as("__h"))
-      .stat.bloomFilter("__h", expectedItems, fpp)
+      .stat.bloomFilter("__h", bloomCapacity(histKeys, expectedItems), fpp)
     // the batch paragraph relation likewise feeds three consumers
     // (fresh, verified, the per-doc totals in assembleKept); a batch
     // is small by the incremental premise, so the barrier is cheap
@@ -897,7 +911,7 @@ object Dedup {
                                   textCol: Column, k: Int = 8,
                                   bands: Int = 4, minAgree: Int = 4,
                                   w: Int = 3,
-                                  expectedItems: Long = 1000000L,
+                                  expectedItems: Long = 0L,
                                   fpp: Double = 0.01): DataFrame = {
     val rows = k / bands
     val keys = "band" +: (0 until rows).map(r => s"v$r")
@@ -934,7 +948,7 @@ object Dedup {
     val bucketFp = xxhash64(
       col("band") +: (0 until rows).map(r => col(s"v$r")): _*)
     val bloom = hb.select(bucketFp.as("__h"))
-      .stat.bloomFilter("__h", expectedItems, fpp)
+      .stat.bloomFilter("__h", bloomCapacity(hb, expectedItems), fpp)
     val probe = graft.functions.BloomMightContainExpr
       .bloom_might_contain(bloom, bucketFp)
     val cross = verify(
@@ -1003,12 +1017,13 @@ object Dedup {
   }
 
   /** [[incrementalExact]] building the history Bloom inline (one pass
-    * over history). `expectedItems` sizes the filter; `fpp` bounds the
-    * fraction of NEW rows that pay the verify join.
+    * over history). `expectedItems` sizes the filter (≤ 0 auto-sizes
+    * from history's row count — a parquet metadata-only job); `fpp`
+    * bounds the fraction of NEW rows that pay the verify join.
     */
   def incrementalExact(batch: DataFrame, history: DataFrame,
-                       textColName: String, expectedItems: Long,
-                       fpp: Double): DataFrame = {
+                       textColName: String, expectedItems: Long = 0L,
+                       fpp: Double = 0.01): DataFrame = {
     // empty history (a pipeline's first batch): Spark's
     // stat.bloomFilter returns a null-buffer filter over zero rows and
     // the probe NPEs (the bloomContamination /
@@ -1017,7 +1032,7 @@ object Dedup {
     if (history.isEmpty) return batch
     incrementalExact(batch, history, textColName,
       history.select(xxhash64(col(textColName)).as("__h"))
-        .stat.bloomFilter("__h", expectedItems, fpp))
+        .stat.bloomFilter("__h", bloomCapacity(history, expectedItems), fpp))
   }
 
   /** Duplicate-span detection — the window form of exact-substring
@@ -1254,7 +1269,7 @@ object Dedup {
     */
   def incrementalSubstringExcise(batch: DataFrame, history: DataFrame,
                                  idCol: Column, textCol: Column, k: Int,
-                                 expectedItems: Long = 1000000L,
+                                 expectedItems: Long = 0L,
                                  fpp: Double = 0.01): DataFrame = {
     val text = coalesce(textCol, lit(""))
     val toks = split(text, " ")
@@ -1284,7 +1299,7 @@ object Dedup {
       if (hs.isEmpty) withinPos
       else {
         val bloom = hs.select(xxhash64(col("span")).as("__h"))
-          .stat.bloomFilter("__h", expectedItems, fpp)
+          .stat.bloomFilter("__h", bloomCapacity(hs, expectedItems), fpp)
         val probe = graft.functions.BloomMightContainExpr
           .bloom_might_contain(bloom, xxhash64(col("span")))
         val hIdx = hs.select(unhex(sha2(col("span"), 256)).as("__fp"))

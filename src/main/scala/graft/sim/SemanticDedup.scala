@@ -77,34 +77,88 @@ object SemanticDedup {
 
   /** Incremental [[semanticDupPairsFixed]] — the per-crawl-batch
     * SEMANTIC tier, closing the incremental family (exact docs q86,
-    * exact paragraphs q170, fuzzy docs q141, fuzzy paragraphs q177):
-    * all semantic near-dup pairs TOUCHING the batch, without
-    * re-joining the multi-PB history, via the Bloom join-elision
-    * discipline at CLUSTER granularity. The frozen-centroid
-    * assignment is stateless per-row, so a batch clusters with no
-    * model refit; candidates are cluster-local by the SemDeDup
-    * premise, so the elidable unit is the cluster:
+    * exact paragraphs q170, fuzzy docs q141, fuzzy paragraphs q177,
+    * substring excision q191): all semantic near-dup pairs TOUCHING
+    * the batch, without re-joining the multi-PB history, via the
+    * Bloom join-elision discipline. The frozen-centroid assignment is
+    * stateless per-row, so a batch clusters with no model refit;
+    * candidates are cluster-local by the SemDeDup premise.
     *
-    *   - history contributes its (cluster, id, vec) index ONCE (at
-    *     production scale the persisted assignment the pipeline
-    *     maintains; here derived inline behind a localCheckpoint
-    *     barrier) plus a Bloom over its OCCUPIED cluster ids;
-    *   - each batch vector pays one codegen'd bit-probe; a miss means
-    *     no history vector shares its cluster (Bloom has no false
-    *     negatives — a genuinely new topic skips the history join);
-    *   - probe survivors equi-join history on cluster and verify with
-    *     the same exact cosine threshold, as do within-batch pairs.
-    *
-    * Returns (id_a, id_b), id_a < id_b — exactly the one-shot pair
-    * set over history ∪ batch restricted to pairs touching the batch
-    * (spec-pinned on a two-batch fixture and in the StreamingSpec
-    * crawl loop). */
+    * This convenience form derives the clustered history inline (one
+    * full history pass per call — fine for a one-off audit, wasteful
+    * in a crawl loop). A production pipeline maintains the
+    * (cluster, vec_id, vec) assignment as a persisted artifact and
+    * calls [[incrementalSemanticDupPre]] with it directly, paying
+    * only batch + probe per micro-batch. */
   def incrementalSemanticDup(batch: DataFrame, history: DataFrame,
                              idCol: String, vecCol: String,
                              centroidsE9: Seq[Seq[Long]],
                              threshold: Double,
-                             expectedItems: Long = 1000000L,
-                             fpp: Double = 0.01): DataFrame = {
+                             expectedItems: Long = 0L,
+                             fpp: Double = 0.01,
+                             bandTables: Int = 0, bandBits: Int = 0,
+                             dim: Int = 0): DataFrame = {
+    // EMPTY-history NPE guard lives in ...Pre; the barrier here stands
+    // in for the persisted assignment (multi-consumer: emptiness
+    // probe + Bloom build + candidate join build side)
+    val hp = clustered(history, idCol, vecCol, centroidsE9)
+      .localCheckpoint()
+    incrementalSemanticDupPre(batch, hp, idCol, vecCol, centroidsE9,
+      threshold, expectedItems, fpp, bandTables, bandBits, dim)
+  }
+
+  /** [[incrementalSemanticDup]] against a PRECOMPUTED clustered
+    * history — `historyClustered(cluster, vec_id, __vec)`, the
+    * persisted assignment a production crawl loop maintains (append
+    * each batch's `clustered` rows after processing; the assignment
+    * is stateless per-row, so maintenance is a blind append). Must be
+    * materialized (localCheckpoint/persisted source): it is consumed
+    * 2-3 times here.
+    *
+    * Probe tiers, composing two disciplines:
+    *
+    *   - `bandTables == 0` (exact): probe survivors equi-join history
+    *     on `cluster` and verify exact cosine ≥ threshold. The result
+    *     is EXACTLY the one-shot [[semanticDupPairsFixed]] over
+    *     history ∪ batch restricted to batch-touching pairs
+    *     (spec-pinned) — but a hot cluster's history side makes the
+    *     per-batch cost Σ|batch∩c|·|history∩c|, unbounded in history.
+    *   - `bandTables > 0` (the 100-TB path, q192): each vector also
+    *     carries its [[graft.functions.CosLshSigExpr]] sign-LSH band
+    *     keys (`bandTables` tables × `bandBits` bits, `dim` required),
+    *     and the history join key tightens from `cluster` to
+    *     `(cluster, table, band)` — the q67 candidate discipline
+    *     INSIDE the cluster. The exploded join carries ids only
+    *     (8-byte keys, never vectors); candidates dedup before ONE
+    *     exact-cosine verify per surviving pair. Per-batch cost drops
+    *     to colliding band buckets instead of whole clusters; recall
+    *     is q67's measured regime (deterministic hyperplanes —
+    *     16×4 at threshold 0.45 recalls every true pair on the gate
+    *     corpus, hash-proven by q192 against the exact restriction
+    *     oracle; honest sub-1.0 recall may appear at larger SF, the
+    *     documented LSH trade).
+    *
+    * Within-batch pairs always use the exact cluster self-join
+    * (batch² is bounded by the incremental premise — no recall trade
+    * where none is needed). The Bloom elides at the history join's
+    * granularity (cluster, or cluster+band when banded): a miss means
+    * no history vector occupies that key — a genuinely new topic
+    * skips the history join entirely. `expectedItems ≤ 0` auto-sizes
+    * the Bloom from the history index count (undersized Blooms
+    * saturate and silently stop eliding).
+    *
+    * Returns (id_a, id_b), id_a < id_b. */
+  def incrementalSemanticDupPre(batch: DataFrame,
+                                historyClustered: DataFrame,
+                                idCol: String, vecCol: String,
+                                centroidsE9: Seq[Seq[Long]],
+                                threshold: Double,
+                                expectedItems: Long = 0L,
+                                fpp: Double = 0.01,
+                                bandTables: Int = 0, bandBits: Int = 0,
+                                dim: Int = 0): DataFrame = {
+    require(bandTables == 0 || (bandBits > 0 && dim > 0),
+      "banded probe needs bandBits and dim alongside bandTables")
     // the batch frame feeds three consumers (self-join sides + the
     // history probe); small by the incremental premise
     val bp = clustered(batch, idCol, vecCol, centroidsE9).localCheckpoint()
@@ -117,39 +171,77 @@ object SemanticDedup {
           col("__vec").as("va"))
         .join(bp.select(col("cluster"), col("vec_id").as("id_b"),
           col("__vec").as("vb")), Seq("cluster")))
-    val hp = clustered(history, idCol, vecCol, centroidsE9)
-      .localCheckpoint()
+    val hp = historyClustered
     // EMPTY history (first crawl batch): nothing to probe — and
     // stat.bloomFilter over zero rows NPEs at probe time (the r12
-    // incremental lesson: guard on the DERIVED frame); the
-    // checkpointed hp makes this count free. NULL/short embeddings
-    // raise inside assignFixed by contract — no silent skip route.
+    // incremental lesson: guard on the DERIVED frame); hp is
+    // checkpointed by contract so this count is free. NULL/short
+    // embeddings raise inside assignFixed by contract — no silent
+    // skip route.
     if (hp.isEmpty) return within
-    val bloom = hp.select(xxhash64(col("cluster")).as("__h"))
-      .stat.bloomFilter("__h", expectedItems, fpp)
-    val probe = graft.functions.BloomMightContainExpr
-      .bloom_might_contain(bloom, xxhash64(col("cluster")))
-    val cross = verify(
-      bp.where(probe)
-        .select(col("cluster"), col("vec_id").as("bid"),
-          col("__vec").as("bv"))
-        .join(hp.select(col("cluster"), col("vec_id").as("hid"),
-          col("__vec").as("hv")), Seq("cluster"))
-        .select(least(col("bid"), col("hid")).as("id_a"),
-          greatest(col("bid"), col("hid")).as("id_b"),
-          when(col("bid") <= col("hid"), col("bv")).otherwise(col("hv"))
-            .as("va"),
-          when(col("bid") <= col("hid"), col("hv")).otherwise(col("bv"))
-            .as("vb")))
+    val cross =
+      if (bandTables == 0) {
+        val bloom = hp.select(xxhash64(col("cluster")).as("__h"))
+          .stat.bloomFilter("__h",
+            graft.dedup.Dedup.bloomCapacity(hp, expectedItems), fpp)
+        val probe = graft.functions.BloomMightContainExpr
+          .bloom_might_contain(bloom, xxhash64(col("cluster")))
+        verify(
+          bp.where(probe)
+            .select(col("cluster"), col("vec_id").as("bid"),
+              col("__vec").as("bv"))
+            .join(hp.select(col("cluster"), col("vec_id").as("hid"),
+              col("__vec").as("hv")), Seq("cluster"))
+            .select(least(col("bid"), col("hid")).as("id_a"),
+              greatest(col("bid"), col("hid")).as("id_b"),
+              when(col("bid") <= col("hid"), col("bv"))
+                .otherwise(col("hv")).as("va"),
+              when(col("bid") <= col("hid"), col("hv"))
+                .otherwise(col("bv")).as("vb")))
+      } else {
+        // band-keyed candidates: ids only through the exploded join
+        // (the q67 discipline — the dim-sized vectors re-join per
+        // SURVIVING pair, never per band row)
+        def banded(df: DataFrame, id: String): DataFrame =
+          df.select(col("cluster"), col("vec_id").as(id),
+            posexplode(graft.functions.CosLshSigExpr.cos_lsh_sig(
+              col("__vec"), bandTables, bandBits, dim))
+              .as(Seq("tbl", "key")))
+        val hk = banded(hp, "hid").localCheckpoint()
+        val keyFp = xxhash64(col("cluster"), col("tbl"), col("key"))
+        val bloom = hk.select(keyFp.as("__h"))
+          .stat.bloomFilter("__h",
+            graft.dedup.Dedup.bloomCapacity(hk, expectedItems), fpp)
+        val probe = graft.functions.BloomMightContainExpr
+          .bloom_might_contain(bloom, keyFp)
+        val cand = banded(bp, "bid").where(probe)
+          .join(hk, Seq("cluster", "tbl", "key"))
+          .select("bid", "hid").distinct()
+        verify(
+          cand
+            .join(bp.select(col("vec_id").as("bid"),
+              col("__vec").as("bv")), "bid")
+            .join(hp.select(col("vec_id").as("hid"),
+              col("__vec").as("hv")), "hid")
+            .select(least(col("bid"), col("hid")).as("id_a"),
+              greatest(col("bid"), col("hid")).as("id_b"),
+              when(col("bid") <= col("hid"), col("bv"))
+                .otherwise(col("hv")).as("va"),
+              when(col("bid") <= col("hid"), col("hv"))
+                .otherwise(col("bv")).as("vb")))
+      }
     within.unionByName(cross).distinct()
   }
 
   /** Shared (cluster, vec_id, __vec) frame: the frozen-centroid
     * assignment joined back to the vectors by id. Vectors cast to
     * array<double> — [[CosineSimExpr]] reads doubles, and the corpus
-    * embedding columns are float arrays. */
-  private def clustered(emb: DataFrame, idCol: String, vecCol: String,
-                        centroidsE9: Seq[Seq[Long]]): DataFrame =
+    * embedding columns are float arrays. Public because this IS the
+    * history-index row format [[incrementalSemanticDupPre]] consumes:
+    * a crawl loop appends each processed batch's `clustered` rows to
+    * its persisted assignment (stateless per-row — blind append). */
+  def clustered(emb: DataFrame, idCol: String, vecCol: String,
+                centroidsE9: Seq[Seq[Long]]): DataFrame =
     emb.select(col(idCol).as("vec_id"),
         col(vecCol).cast("array<double>").as("__vec"))
       .join(graft.ml.DocCluster.assignFixed(emb, idCol, vecCol,

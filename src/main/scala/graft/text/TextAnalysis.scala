@@ -763,13 +763,24 @@ object TextAnalysis {
     * IPs, it rewrites them out before training): each matched span is
     * replaced with a typed placeholder (`<EMAIL>`, `<IP>`, `<PHONE>`),
     * with the per-category counts carried so downstream audits don't
-    * re-scan. Patterns are the q142 set — the Java∩RE2 common dialect
-    * (character classes, bounded repeats, `\b`), already proven
-    * hash-identical cross-engine — and the replacement order is part
-    * of the contract (email → ipv4 → phone; placeholders contain no
-    * digits, so a replacement can never create a later-category
-    * match). Counts are taken BEFORE any replacement, on the original
-    * text.
+    * re-scan. Patterns are the q142 dialect — the Java∩RE2 common
+    * subset (character classes, bounded repeats, `\b`), proven
+    * hash-identical cross-engine — and the category ORDER is part of
+    * the contract: email → ipv4 → 10-digit phone → 7-digit phone.
+    * The 10-digit pattern runs BEFORE the 7-digit one so a full
+    * `555-123-4567` can never be half-matched by the trailing
+    * `123-4567` (spec-pinned in Round14OpsSpec); placeholders contain
+    * no digits, so a replacement can never create a later-category
+    * match.
+    *
+    * Counts use SEQUENTIAL-REWRITE semantics: each category counts on
+    * the text AFTER the previous categories' replacements, so every
+    * count equals the number of that category's placeholders actually
+    * present in `red_text` (an email swallowing an embedded IP — e.g.
+    * `a@10.0.0.1.com` — yields n_email=1, n_ipv4=0, and exactly one
+    * `<EMAIL>`). The q142 SCAN keeps counts-on-original semantics;
+    * the two disagree precisely on nested matches, and the rewrite
+    * tier's contract is "counts describe the rewrite performed".
     *
     * Scale shape: per-row regex arithmetic, zero shuffle — the
     * redacted corpus streams straight to its sink. 100-TB note: at
@@ -779,15 +790,19 @@ object TextAnalysis {
   def piiRedact(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
     val email = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
     val ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-    val phone = "\\b\\d{3}-\\d{4}\\b"
-    val t = coalesce(textCol, lit(""))
+    val phone10 = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+    val phone7 = "\\b\\d{3}-\\d{4}\\b"
+    val t0 = coalesce(textCol, lit(""))
+    val t1 = regexp_replace(t0, email, "<EMAIL>")
+    val t2 = regexp_replace(t1, ipv4, "<IP>")
+    val t3 = regexp_replace(t2, phone10, "<PHONE>")
+    val t4 = regexp_replace(t3, phone7, "<PHONE>")
     df.select(idCol.as("doc_id"),
-      regexp_count(t, lit(email)).cast("long").as("n_email"),
-      regexp_count(t, lit(ipv4)).cast("long").as("n_ipv4"),
-      regexp_count(t, lit(phone)).cast("long").as("n_phone"),
-      regexp_replace(regexp_replace(regexp_replace(t,
-        email, "<EMAIL>"), ipv4, "<IP>"), phone, "<PHONE>")
-        .as("red_text"))
+      regexp_count(t0, lit(email)).cast("long").as("n_email"),
+      regexp_count(t1, lit(ipv4)).cast("long").as("n_ipv4"),
+      regexp_count(t2, lit(phone10)).cast("long").as("n_phone10"),
+      regexp_count(t3, lit(phone7)).cast("long").as("n_phone7"),
+      t4.as("red_text"))
   }
 
   /** One-pass per-document quality-signals sheet — the RedPajama-V2

@@ -75,10 +75,14 @@ class Round13OpsSpec extends SparkSpec {
     val docs = Seq((1L, short0), (2L, long0), (3L, half),
       (4L, (0 until 50).map(i => "z" + i).mkString(" ")),
       (5L, short0 + " " + (0 until 300).map(i => "y" + i).mkString(" ")),
-      // 6-11: six copies of one passage + distinct tails — the shared
-      // grams exceed maxDf=10? no: df=6 ≤ 10, rare; exercises multi-way
-      // candidates with exact shared-rare counts
-      (6L, short0 + " t6a t6b t6c"), (7L, short0 + " t7a t7b t7c"))
+      // 6-11: six copies of one passage + distinct tails — short0's
+      // grams then sit at df=9 (docs 1,2,5,6..11), just under the
+      // maxDf=10 rare cut, exercising multi-way candidates with exact
+      // shared-rare counts at the df boundary
+      (6L, short0 + " t6a t6b t6c"), (7L, short0 + " t7a t7b t7c"),
+      (8L, short0 + " t8a t8b t8c"), (9L, short0 + " t9a t9b t9c"),
+      (10L, short0 + " t10a t10b t10c"),
+      (11L, short0 + " t11a t11b t11c"))
       .toDF("doc_id", "text")
     def pairs(pre: Boolean) = graft.dedup.Dedup.containmentPairs(
         docs, "doc_id", "text", prefilter = pre)
@@ -178,7 +182,7 @@ class Round13OpsSpec extends SparkSpec {
       "vec_id", "embedding", cents, t)) == Set((11L, 12L)))
   }
 
-  test("piiRedact: typed placeholders, counts on original text, order-safe") {
+  test("piiRedact: typed placeholders, sequential-rewrite counts, order-safe") {
     import graft.text.TextAnalysis
     val d = Seq(
       (1L, "contact user1@example.com or admin@test.org now"),
@@ -186,20 +190,33 @@ class Round13OpsSpec extends SparkSpec {
       (3L, "call 555-0142 about the 555-9999 line"),
       (4L, "mixed a@b.io from 10.1.2.3 ref 555-0000"),
       (5L, "clean text with no identifiers at all"),
-      (6L, null.asInstanceOf[String]))
+      (6L, null.asInstanceOf[String]),
+      // a 10-digit phone must redact WHOLE — the 10-digit pattern
+      // runs before the 7-digit one, so the trailing 123-4567 can
+      // never be half-matched (r13 VERDICT #4)
+      (7L, "dial 555-123-4567 then 555-0000 later"),
+      // sequential-count semantics: the email swallows the embedded
+      // IP, so n_ipv4 counts 0 — counts == placeholders in red_text
+      (8L, "ping a@10.0.0.1.com now"))
       .toDF("id", "text")
     val got = TextAnalysis.piiRedact(d, col("id"), col("text"))
       .collect().map(r => r.getLong(0) ->
-        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getString(5))))
       .toMap
-    assert(got(1L) == ((2L, 0L, 0L,
+    assert(got(1L) == ((2L, 0L, 0L, 0L,
       "contact <EMAIL> or <EMAIL> now")))
-    assert(got(2L) == ((0L, 2L, 0L, "server at <IP> and <IP> up")))
-    assert(got(3L) == ((0L, 0L, 2L,
+    assert(got(2L) == ((0L, 2L, 0L, 0L, "server at <IP> and <IP> up")))
+    assert(got(3L) == ((0L, 0L, 0L, 2L,
       "call <PHONE> about the <PHONE> line")))
-    assert(got(4L) == ((1L, 1L, 1L, "mixed <EMAIL> from <IP> ref <PHONE>")))
-    assert(got(5L) == ((0L, 0L, 0L, "clean text with no identifiers at all")))
-    assert(got(6L) == ((0L, 0L, 0L, "")))
+    assert(got(4L) == ((1L, 1L, 0L, 1L,
+      "mixed <EMAIL> from <IP> ref <PHONE>")))
+    assert(got(5L) == ((0L, 0L, 0L, 0L,
+      "clean text with no identifiers at all")))
+    assert(got(6L) == ((0L, 0L, 0L, 0L, "")))
+    assert(got(7L) == ((0L, 0L, 1L, 1L,
+      "dial <PHONE> then <PHONE> later")))
+    assert(got(8L) == ((1L, 0L, 0L, 0L, "ping <EMAIL> now")))
   }
 
   test("packingEfficiency: exact packed/unpacked arithmetic incl. zero-token docs") {

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-14 operator specs: the banded incremental semantic probe
+  * (q192), and the Devanagari language-ID tier (q193). */
+class Round14OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("incrementalSemanticDupPre: banded probe ≡ exact probe ≡ one-shot restriction") {
+    import graft.sim.SemanticDedup
+    val cents = Seq(
+      Seq.fill(8)(500000000L),
+      Seq.fill(8)(-500000000L),
+      Seq.tabulate(8)(i => if (i % 2 == 0) 500000000L else -500000000L))
+    def v(base: Double, tweakIdx: Int = -1, tweak: Double = 0.0) =
+      Seq.tabulate(8)(i => (if (i == tweakIdx) tweak else base).toFloat)
+    def alt(s: Double) = Seq.tabulate(8)(i =>
+      (if (i % 2 == 0) s else -s).toFloat)
+    val history = Seq(
+      (1L, v(0.5)), (2L, v(0.5, 3, 0.45)),
+      (3L, v(-0.5)),
+      (4L, Seq(0.9f, 0.1f, 0.9f, 0.1f, 0.9f, 0.1f, 0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val batch = Seq(
+      (10L, v(0.5, 5, 0.48)),
+      (11L, alt(0.5)), (12L, alt(0.48)),
+      (13L, Seq(-0.9f, -0.1f, -0.9f, -0.1f, -0.9f, -0.1f, -0.9f, -0.1f)))
+      .toDF("vec_id", "embedding")
+    val t = 0.95
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchIds = Set(10L, 11L, 12L, 13L)
+    val oneShot = pairs(SemanticDedup.semanticDupPairsFixed(
+        history.unionByName(batch), "vec_id", "embedding", cents, t))
+      .filter(p => batchIds(p._1) || batchIds(p._2))
+    val hp = SemanticDedup.clustered(history, "vec_id", "embedding",
+      cents).localCheckpoint()
+    // exact probe through the precomputed-history overload
+    val exact = pairs(SemanticDedup.incrementalSemanticDupPre(
+      batch, hp, "vec_id", "embedding", cents, t))
+    assert(exact == oneShot, s"exact=$exact oneShot=$oneShot")
+    // banded probe (the q192 contract parameters scaled to dim 8):
+    // at threshold 0.95 the sign signatures of true near-dups agree
+    // deterministically — the banded candidate set must recall every
+    // exact pair here, so outputs are identical
+    val banded = pairs(SemanticDedup.incrementalSemanticDupPre(
+      batch, hp, "vec_id", "embedding", cents, t,
+      bandTables = 16, bandBits = 4, dim = 8))
+    assert(banded == oneShot, s"banded=$banded oneShot=$oneShot")
+    assert(banded.contains((1L, 10L)) && banded.contains((11L, 12L)))
+    // empty persisted history (first crawl batch): within-batch only,
+    // no Bloom NPE, both probe tiers
+    val emptyHist = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      hp.schema)
+    assert(pairs(SemanticDedup.incrementalSemanticDupPre(
+      batch, emptyHist, "vec_id", "embedding", cents, t))
+      == Set((11L, 12L)))
+    assert(pairs(SemanticDedup.incrementalSemanticDupPre(
+      batch, emptyHist, "vec_id", "embedding", cents, t,
+      bandTables = 16, bandBits = 4, dim = 8))
+      == Set((11L, 12L)))
+  }
+}

@@ -882,12 +882,16 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("streaming crawl loop: per-batch incrementalSemanticDup union ≡ one-shot pair set") {
-    // the SEMANTIC tier of the crawl loop (r13): each micro-batch of
-    // embeddings emits the within-cluster cosine near-dup pairs
-    // touching that batch against the accumulated history, then
-    // appends itself; the union over ordered batches must equal the
-    // one-shot semanticDupPairsFixed over the whole crawl — every
-    // pair arrives exactly once, with its LATER member.
+    // the SEMANTIC tier of the crawl loop (r13, production shape per
+    // r13 ADVICE): the loop maintains the PERSISTED clustered
+    // assignment (cluster, vec_id, __vec) — not raw embeddings — so
+    // each micro-batch pays batch + probe, never a full history
+    // re-clustering; the probe is the BANDED q192 path (sign-LSH
+    // band keys inside the cluster). Each batch emits the pairs
+    // touching it against the accumulated history, then appends its
+    // own clustered rows; the union over ordered batches must equal
+    // the one-shot semanticDupPairsFixed over the whole crawl —
+    // every pair arrives exactly once, with its LATER member.
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val cents = Seq(Seq.fill(8)(500000000L), Seq.fill(8)(-500000000L))
@@ -907,17 +911,20 @@ class StreamingSpec extends SparkSpec {
       .outputMode("append")
       .option("checkpointLocation", tmp("isem_ckpt"))
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+        val s = batch.sparkSession
         val hist =
-          if (Files.exists(Paths.get(histDir)))
-            batch.sparkSession.read.parquet(histDir)
-          else batch.sparkSession.emptyDataset[(Long, Seq[Float])]
-            .toDF("vec_id", "embedding")
-        val out = graft.sim.SemanticDedup.incrementalSemanticDup(
+          if (Files.exists(Paths.get(histDir))) s.read.parquet(histDir)
+          else s.createDataFrame(s.sparkContext
+              .emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "vec_id BIGINT, __vec ARRAY<DOUBLE>, cluster BIGINT"))
+        val out = graft.sim.SemanticDedup.incrementalSemanticDupPre(
             batch, hist, "vec_id", "embedding", cents, threshold = 0.95,
-            expectedItems = 10000L)
+            bandTables = 16, bandBits = 4, dim = 8)
           .collect().map(r => (r.getLong(0), r.getLong(1), bid))
         emitted.synchronized { emitted ++= out: Unit }
-        batch.write.mode("append").parquet(histDir)
+        graft.sim.SemanticDedup.clustered(batch, "vec_id", "embedding",
+          cents).write.mode("append").parquet(histDir)
         ()
       }.start()
     mem.addData(b1: _*); q.processAllAvailable()
