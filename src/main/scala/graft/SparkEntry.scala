@@ -2492,6 +2492,22 @@ object SparkEntry {
           col("doc_id"), col("text"), Seq(128L, 256L, 512L, 1024L))
         .orderBy("seq_len")),
 
+    // the DEVANAGARI tier of per-script language ID (r13 VERDICT #3:
+    // Devanagari text previously fell to und outright — a real
+    // crawl's Indic share is material): the q187 discipline extended
+    // with a frozen hi/mr/ne trigram model, matras/viramas in the
+    // gram alphabet (abugida morphology IS the evidence), same tier
+    // floors, Sanskrit abstain controls held out
+    "q193_devanagari_lang_id" -> ((s, dir) => {
+      import s.implicits._
+      val fx = DevanagariFixtures.toDF("doc_id", "text")
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+        .unionByName(fx)
+      graft.text.LangIdFixed.scorePerScript(docs, col("doc_id"),
+          col("text"))
+        .orderBy("doc_id")
+    }),
+
     // incremental SEMANTIC dedup — the last cell of the incremental
     // matrix (exact docs q86 / paragraphs q170, fuzzy docs q141 /
     // paragraphs q177, excision q191): semantic near-dup pairs
@@ -2570,6 +2586,72 @@ object SparkEntry {
         .otherwise(lit("")),
       when(col("doc_id") % 13 === 0, lit(" call 555-867-5309"))
         .otherwise(lit("")))
+  }
+
+  /** The q187/q193 per-script language-ID oracle: the script CTEs +
+    * one [[langIdModelCtes]] chain per trigram tier (Latin default,
+    * Cyrillic, Arabic, Devanagari — each replayed from the same one
+    * JVM weight builder the engine uses), routed exactly like
+    * [[graft.text.LangIdFixed.scorePerScript]]. Only the planted
+    * fixture set varies between the registered queries. */
+  private def perScriptLangIdOracle(fixtures: Seq[(Long, String)]): String = {
+    import graft.text.LangIdFixed
+    val fxVals = fixtures
+      .map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+    // (script class, CTE prefix, model, surplus floor, margin floor)
+    val tiers = Seq(
+      ("latn", "l", LangIdFixed.Languages,
+        LangIdFixed.DefaultMinSurplusPerMille, 1L),
+      ("cyrl", "c", LangIdFixed.CyrillicLanguages,
+        LangIdFixed.ScriptTierSurplusPerMille,
+        LangIdFixed.ScriptTierMinMargin),
+      ("arab", "a", LangIdFixed.ArabicLanguages,
+        LangIdFixed.ScriptTierSurplusPerMille,
+        LangIdFixed.ScriptTierMinMargin),
+      ("deva", "d", LangIdFixed.DevanagariLanguages,
+        LangIdFixed.ScriptTierSurplusPerMille,
+        LangIdFixed.ScriptTierMinMargin))
+    val gates = tiers.map { case (scr, p, _, _, _) =>
+      s"""g_$p AS (SELECT doc_id,
+         |  CASE WHEN script = '$scr' THEN text ELSE '' END AS text
+         |  FROM sg)""".stripMargin }.mkString(",\n")
+    val chains = tiers.map { case (_, p, model, surplus, margin) =>
+      langIdModelCtes(model, surplus, s"g_$p", s"${p}_", margin) }
+      .mkString(",\n")
+    def routed(field: String): String = tiers.map { case (scr, p, _, _, _) =>
+      s"WHEN sg.script = '$scr' THEN ${p}_lid.$field" }.mkString("\n    ")
+    val direct = Seq("jpan" -> "ja", "hang" -> "ko", "hani" -> "zh",
+      "grek" -> "el", "hebr" -> "he")
+      .map { case (s, l) => s"WHEN sg.script = '$s' THEN '$l'" }
+      .mkString("\n    ")
+    val joins = tiers.map { case (_, p, _, _, _) =>
+      s"JOIN ${p}_lid ON sg.doc_id = ${p}_lid.doc_id" }.mkString("\n")
+    s"""WITH fx(doc_id, text) AS (SELECT * FROM (VALUES $fxVals)),
+       |corpus AS (SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT CAST(doc_id AS BIGINT), text FROM fx),
+       |${scriptClassCtes("corpus")},
+       |$gates,
+       |$chains
+       |SELECT sg.doc_id, sg.script, sg.script_share_e3,
+       |  CASE ${tiers.map { case (scr, _, _, _, _) =>
+            s"WHEN sg.script = '$scr' THEN '$scr-trigram'" }
+            .mkString("\n    ")}
+       |    WHEN sg.script = 'zzzz' THEN 'none'
+       |    ELSE 'script-direct' END AS tier,
+       |  CASE ${routed("best_lang")}
+       |    WHEN sg.script = 'zzzz' THEN 'und'
+       |    $direct
+       |    END AS best_lang,
+       |  CAST(CASE ${routed("score")}
+       |    ELSE 0 END AS BIGINT) AS score,
+       |  CAST(CASE ${routed("margin")}
+       |    ELSE 0 END AS BIGINT) AS margin,
+       |  CASE ${routed("lang")}
+       |    WHEN sg.script = 'zzzz' THEN 'und'
+       |    $direct
+       |    END AS lang
+       |FROM sg $joins
+       |ORDER BY sg.doc_id""".stripMargin
   }
 
   /** The q162/q192 frozen-centroid assignment as reusable CTEs (no
@@ -2692,6 +2774,25 @@ object SparkEntry {
     -27L -> "وہ بازار گئی اور رات کے کھانے کے لیے روٹی خریدی",
     -28L -> "آج موسم اچھا ہے اور ہم پارک جا رہے ہیں")
 
+  /** q193's planted Devanagari rows (ids -31..-38, disjoint from
+    * every other fixture set): two everyday sentences each for
+    * hi/mr/ne — the confusable same-script languages the deva trigram
+    * tier separates — plus two held-out SANSKRIT abstain controls
+    * (classical shlokas: an unmodeled Devanagari language must
+    * quarantine as "und", never mislabel — the q187 Serbian
+    * discipline). Shared verbatim with the oracle's VALUES (no
+    * apostrophes, no dandas — danda is excluded from the deva script
+    * class on purpose). */
+  private val DevanagariFixtures: Seq[(Long, String)] = Seq(
+    -31L -> "वह बाजार गई और रात के खाने के लिए रोटी खरीदी",
+    -32L -> "आज मौसम अच्छा है और हम पार्क जा रहे हैं",
+    -33L -> "ती बाजारात गेली आणि रात्रीच्या जेवणासाठी भाकरी विकत घेतली",
+    -34L -> "आज हवामान छान आहे आणि आम्ही बागेत फिरायला जात आहोत",
+    -35L -> "उनी बजार गइन् र बेलुकाको खानाका लागि रोटी किनिन्",
+    -36L -> "आज मौसम राम्रो छ र हामी पार्क जाँदैछौं",
+    -37L -> "विद्या ददाति विनयं विनयाद्याति पात्रताम्",
+    -38L -> "धर्मो रक्षति रक्षितः सत्यमेव जयते नानृतम्")
+
   /** The q161/q163 synthetic paragraph structure over the single-line
     * fixture corpus: a shared boilerplate banner (whitespace/case
     * variant by doc parity — normalization is load-bearing) + the
@@ -2802,7 +2903,7 @@ object SparkEntry {
        |  FROM (SELECT doc_id, unnest(list_filter(
        |      list_transform(range(1, len(s) - 1),
        |        i -> substr(s, CAST(i AS INTEGER), 3)),
-       |      tg -> regexp_matches(tg, '^[\\p{L} ]+$$'))) AS tg
+       |      tg -> regexp_matches(tg, '^[\\p{L}\\p{M} ]+$$'))) AS tg
        |    FROM ${pfx}t WHERE len(s) >= 3)),
        |${pfx}w(bk, li, wt) AS (SELECT * FROM (VALUES $sparse)),
        |${pfx}h AS (SELECT doc_id, li, CAST(SUM(wt) AS BIGINT) AS sc
@@ -2838,10 +2939,10 @@ object SparkEntry {
        |FROM ${pfx}m)""".stripMargin
   }
 
-  /** The q175/q187 Unicode-script pre-classification as reusable CTEs
-    * over `rel(doc_id, text)` (no leading WITH), ending in
+  /** The q175/q187/q193 Unicode-script pre-classification as reusable
+    * CTEs over `rel(doc_id, text)` (no leading WITH), ending in
     * `sg(doc_id, text, script, script_share_e3)` — the oracle twin of
-    * [[graft.text.LangIdFixed]]'s scriptClassified (nine explicit
+    * [[graft.text.LangIdFixed]]'s scriptClassified (the frozen
     * code-point-range classes via regexp_extract_all, the same
     * decision chain incl. the kana-before-Han rule, exact integer
     * per-mille arithmetic). */
@@ -2852,12 +2953,14 @@ object SparkEntry {
          |      '${ScriptCountsExpr.re2Class(name)}')) AS BIGINT)
          |      AS $name""".stripMargin
     }.mkString(",\n    ")
+    // total generated from the one frozen class list (appending a
+    // script extends the sum without a hand edit going stale)
+    val totSum = ScriptCountsExpr.Classes.map(_._1).mkString(" + ")
     val th = graft.text.LangIdFixed.ScriptShareThresholdPerMille
     val kf = graft.text.LangIdFixed.KanaFloorPerMille
     s"""scnt AS (SELECT doc_id, text,
        |    $clsCols,
-       |    latn + hani + hira + kata + hang + cyrl + arab + grek
-       |      + hebr AS tot
+       |    $totSum AS tot
        |  FROM $rel),
        |sdec AS (SELECT doc_id, text, tot,
        |    CASE WHEN tot = 0 THEN 'zzzz'
@@ -2870,6 +2973,7 @@ object SparkEntry {
        |      WHEN arab * 1000 >= $th * tot THEN 'arab'
        |      WHEN grek * 1000 >= $th * tot THEN 'grek'
        |      WHEN hebr * 1000 >= $th * tot THEN 'hebr'
+       |      WHEN deva * 1000 >= $th * tot THEN 'deva'
        |      WHEN latn * 1000 >= $th * tot THEN 'latn'
        |      ELSE 'zzzz' END AS script,
        |    CASE WHEN script = 'jpan' THEN hani + hira + kata
@@ -2879,6 +2983,7 @@ object SparkEntry {
        |      WHEN script = 'arab' THEN arab
        |      WHEN script = 'grek' THEN grek
        |      WHEN script = 'hebr' THEN hebr
+       |      WHEN script = 'deva' THEN deva
        |      WHEN script = 'latn' THEN latn
        |      ELSE 0 END AS wc
        |  FROM scnt),
@@ -6009,70 +6114,14 @@ object SparkEntry {
       // builder), and the final CASE mirrors the engine's routing —
       // tiers keep the full abstain contract, script-direct classes
       // label directly
-      "q187_per_script_lang_id" -> {
-        import graft.text.LangIdFixed
-        val fxVals = (MultilingualFixtures ++ PerScriptFixtures)
-          .map { case (id, t) => s"($id, '$t')" }.mkString(", ")
-        s"""WITH fx(doc_id, text) AS (SELECT * FROM (VALUES $fxVals)),
-           |corpus AS (SELECT doc_id, text FROM documents
-           |  UNION ALL SELECT CAST(doc_id AS BIGINT), text FROM fx),
-           |${scriptClassCtes("corpus")},
-           |g_l AS (SELECT doc_id,
-           |  CASE WHEN script = 'latn' THEN text ELSE '' END AS text
-           |  FROM sg),
-           |g_c AS (SELECT doc_id,
-           |  CASE WHEN script = 'cyrl' THEN text ELSE '' END AS text
-           |  FROM sg),
-           |g_a AS (SELECT doc_id,
-           |  CASE WHEN script = 'arab' THEN text ELSE '' END AS text
-           |  FROM sg),
-           |${langIdModelCtes(LangIdFixed.Languages,
-               LangIdFixed.DefaultMinSurplusPerMille, "g_l", "l_")},
-           |${langIdModelCtes(LangIdFixed.CyrillicLanguages,
-               LangIdFixed.ScriptTierSurplusPerMille, "g_c", "c_",
-               LangIdFixed.ScriptTierMinMargin)},
-           |${langIdModelCtes(LangIdFixed.ArabicLanguages,
-               LangIdFixed.ScriptTierSurplusPerMille, "g_a", "a_",
-               LangIdFixed.ScriptTierMinMargin)}
-           |SELECT sg.doc_id, sg.script, sg.script_share_e3,
-           |  CASE WHEN sg.script = 'latn' THEN 'latn-trigram'
-           |    WHEN sg.script = 'cyrl' THEN 'cyrl-trigram'
-           |    WHEN sg.script = 'arab' THEN 'arab-trigram'
-           |    WHEN sg.script = 'zzzz' THEN 'none'
-           |    ELSE 'script-direct' END AS tier,
-           |  CASE WHEN sg.script = 'latn' THEN l_lid.best_lang
-           |    WHEN sg.script = 'cyrl' THEN c_lid.best_lang
-           |    WHEN sg.script = 'arab' THEN a_lid.best_lang
-           |    WHEN sg.script = 'zzzz' THEN 'und'
-           |    WHEN sg.script = 'jpan' THEN 'ja'
-           |    WHEN sg.script = 'hang' THEN 'ko'
-           |    WHEN sg.script = 'hani' THEN 'zh'
-           |    WHEN sg.script = 'grek' THEN 'el'
-           |    WHEN sg.script = 'hebr' THEN 'he'
-           |    END AS best_lang,
-           |  CAST(CASE WHEN sg.script = 'latn' THEN l_lid.score
-           |    WHEN sg.script = 'cyrl' THEN c_lid.score
-           |    WHEN sg.script = 'arab' THEN a_lid.score
-           |    ELSE 0 END AS BIGINT) AS score,
-           |  CAST(CASE WHEN sg.script = 'latn' THEN l_lid.margin
-           |    WHEN sg.script = 'cyrl' THEN c_lid.margin
-           |    WHEN sg.script = 'arab' THEN a_lid.margin
-           |    ELSE 0 END AS BIGINT) AS margin,
-           |  CASE WHEN sg.script = 'latn' THEN l_lid.lang
-           |    WHEN sg.script = 'cyrl' THEN c_lid.lang
-           |    WHEN sg.script = 'arab' THEN a_lid.lang
-           |    WHEN sg.script = 'zzzz' THEN 'und'
-           |    WHEN sg.script = 'jpan' THEN 'ja'
-           |    WHEN sg.script = 'hang' THEN 'ko'
-           |    WHEN sg.script = 'hani' THEN 'zh'
-           |    WHEN sg.script = 'grek' THEN 'el'
-           |    WHEN sg.script = 'hebr' THEN 'he'
-           |    END AS lang
-           |FROM sg JOIN l_lid ON sg.doc_id = l_lid.doc_id
-           |JOIN c_lid ON sg.doc_id = c_lid.doc_id
-           |JOIN a_lid ON sg.doc_id = a_lid.doc_id
-           |ORDER BY sg.doc_id""".stripMargin
-      },
+      "q187_per_script_lang_id" ->
+        perScriptLangIdOracle(MultilingualFixtures ++ PerScriptFixtures),
+
+      // the Devanagari tier rides the SAME four-tier oracle builder —
+      // only the planted fixture set differs (hi/mr/ne sentences +
+      // Sanskrit abstain controls)
+      "q193_devanagari_lang_id" ->
+        perScriptLangIdOracle(DevanagariFixtures),
 
       // lexicon gate: the same normalize→tokenize→md5-bucket walk,
       // blocked buckets shipped as sparse (bucket, category) VALUES

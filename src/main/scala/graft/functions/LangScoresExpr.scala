@@ -39,8 +39,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * Parity notes, each load-bearing for the DuckDB twin:
   *   - trigrams index CODE POINTS (Spark `substr`/DuckDB `substr`
   *     semantics), never UTF-16 units;
-  *   - the letter-gram test is `Character.isLetter` per code point +
-  *     literal space — the categories Java regex `\p{L}` matches;
+  *   - the gram-alphabet test is `Character.isLetter` OR a combining
+  *     mark (getType ∈ {NON_SPACING_MARK, ENCLOSING_MARK,
+  *     COMBINING_SPACING_MARK}) per code point + literal space — the
+  *     categories Java regex `[\p{L}\p{M}]` matches (RE2 agrees,
+  *     probed on matra/danda/digit cases). Marks joined the alphabet
+  *     in r14 for the Devanagari tier: abugida vowel signs and
+  *     viramas are category M, not L, and carry exactly the
+  *     morphological evidence the trigram models key on (है, च्या,
+  *     न्छ are all mark-bearing); digits/punctuation stay excluded —
+  *     they carry no language evidence and a frozen model can't
+  *     learn them to zero;
   *   - the bucket is the first 15 md5 hex digits as a 60-bit integer
   *     (first 8 digest bytes big-endian, >>> 4) mod `buckets`, exactly
   *     `conv(substring(md5(g), 1, 15), 16, 10) % buckets`, computed on
@@ -122,7 +131,12 @@ object LangScoresExpr {
       while (i < n) {
         val cp = str.codePointAt(ci)
         offs(i) = bi
-        ok(i) = cp == ' ' || Character.isLetter(cp)
+        ok(i) = cp == ' ' || Character.isLetter(cp) || {
+          val t = Character.getType(cp)
+          t == Character.NON_SPACING_MARK.toInt ||
+            t == Character.ENCLOSING_MARK.toInt ||
+            t == Character.COMBINING_SPACING_MARK.toInt
+        }
         bi += (if (cp < 0x80) 1 else if (cp < 0x800) 2
           else if (cp < 0x10000) 3 else 4)
         ci += Character.charCount(cp)

@@ -10,9 +10,9 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Unicode-script histogram — the exact-integer pre-classifier in
   * front of the trigram language model ([[graft.text.LangIdFixed]]):
-  * one code-point walk per document counting occupancy of nine frozen
-  * script classes, returned as `array<long>` of the nine counts plus
-  * the total scripted-letter count (index 10, 1-based). Script
+  * one code-point walk per document counting occupancy of ten frozen
+  * script classes, returned as `array<long>` of the ten counts plus
+  * the total scripted-letter count (index 11, 1-based). Script
   * classes are EXPLICIT inclusive code-point ranges (below), never
   * `\p{script=...}` properties, so the counts are identical across
   * engines and Unicode table versions — the DuckDB oracle replays
@@ -30,10 +30,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Class order (frozen contract, 1-based in the output array):
   * 1 latn, 2 hani, 3 hira, 4 kata, 5 hang, 6 cyrl, 7 arab, 8 grek,
-  * 9 hebr, 10 total (= sum of 1..9). Code points outside every class
+  * 9 hebr, 10 deva, 11 total (= sum of 1..10; deva APPENDED in r14 —
+  * the order is an output-position contract, so new scripts extend
+  * the tail, never reorder). Code points outside every class
   * (digits, punctuation, symbols, unlisted scripts) count nowhere —
   * they carry no script evidence, mirroring the letter-only trigram
-  * feature rule.
+  * feature rule. The deva range is the full Devanagari block minus
+  * the danda/double-danda/ohm/swasti punctuation-and-symbol run
+  * U+0964–U+0970 (danda terminates sentences across Indic scripts —
+  * counting it would let pure punctuation vote for a script).
   *
   * Scale shape: per-row arithmetic, codegen'd (participates in
   * whole-stage codegen and common-subexpression elimination — the
@@ -90,7 +95,11 @@ object ScriptCountsExpr {
     "cyrl" -> Seq((0x0400, 0x052F)),
     "arab" -> Seq((0x0600, 0x06FF), (0x0750, 0x077F), (0x08A0, 0x08FF)),
     "grek" -> Seq((0x0370, 0x03FF), (0x1F00, 0x1FFF)),
-    "hebr" -> Seq((0x0590, 0x05FF)))
+    "hebr" -> Seq((0x0590, 0x05FF)),
+    // Devanagari letters + matras/viramas (marks ARE script evidence
+    // in an abugida), minus the danda..abbreviation-sign run
+    // U+0964–U+0970 (sentence punctuation + digits, no evidence)
+    "deva" -> Seq((0x0900, 0x0963), (0x0971, 0x097F)))
 
   /** The class a code point belongs to, or -1. Static branches in
     * expected-frequency order (ASCII Latin first — the common crawl
@@ -108,6 +117,8 @@ object ScriptCountsExpr {
     else if (cp <= 0x06FF) 6 // Arabic
     else if (cp >= 0x0750 && cp <= 0x077F) 6 // Arabic supplement
     else if (cp >= 0x08A0 && cp <= 0x08FF) 6 // Arabic extended-A
+    else if (cp >= 0x0900 && cp <= 0x0963) 9 // Devanagari (pre-danda)
+    else if (cp >= 0x0971 && cp <= 0x097F) 9 // Devanagari (post-digits)
     else if (cp >= 0x1100 && cp <= 0x11FF) 4 // Hangul jamo
     else if (cp >= 0x1F00 && cp <= 0x1FFF) 7 // Greek extended
     else if (cp >= 0x3040 && cp <= 0x309F) 2 // Hiragana

@@ -134,6 +134,39 @@ object LangIdFixed {
       "ور ", "وں ", " ہو", "ہو ", "تا ", "نا ", " جا", "رہے", " رہ",
       "ئے ", "گا ", "گی ", " اس"))
 
+  /** Frozen distinctive trigrams for the DEVANAGARI-script tier (hi /
+    * mr / ne — the script's three highest-volume crawl languages).
+    * Same construction as [[CyrillicLanguages]]: high-frequency
+    * function words and characteristic morphology, space-padded at
+    * word boundaries, matras/viramas INCLUDED (they joined the gram
+    * alphabet in r14 — है/च्या/न्छ are all mark-bearing). Hindi keys
+    * on its copulas (है/हैं/था) and case particles (का/की/के/को/
+    * से/में/ने/पर); Marathi on आहे/आणि, the च्य genitive cluster,
+    * -ात/-ीत locatives, -णे infinitives and retroflex ळ codas; Nepali
+    * on the छ copula family (छ/छन्/न्छ/छैन), -एको participles,
+    * the हरू plural and र/मा/लाई particles. Pan-Devanagari grams
+    * ("या "/"्या", shared by Hindi, Marathi AND Sanskrit deverbals)
+    * are deliberately in NO list — they let the held-out Sanskrit
+    * abstain control leak into mr when they scored (measured: 84‰
+    * surplus pre-removal, 34‰ after, against the 50‰ tier floor). A
+    * Devanagari document matching no list — Sanskrit, Bhojpuri,
+    * Maithili — abstains ("und") instead of mislabeling. */
+  val DevanagariLanguages: Seq[(String, Seq[String])] = Seq(
+    "hi" -> Seq(" है", "है ", "हैं", "ैं ", " का", "का ", " की", "की ",
+      " के", "के ", " को", "को ", " से", "से ", " मे", "में", "ें ",
+      " और", "और ", " ने", "ने ", " पर", "पर ", "नही", "हीं", "ीं ",
+      " था", "था ", " यह", "यह ", " वह", "वह ", "िए ", " रह", "रहा",
+      "रहे", "ता ", "ना "),
+    "mr" -> Seq(" आह", "आहे", "हे ", " आण", "आणि", "णि ", "च्य",
+      "ला ", "ध्य", "मध्", " मध", "ात ", "ीत ", " हो", "होत", "ोते",
+      "ते ", " झा", "झाल", "ून ", "णे ", "चा ", "ची ", "चे ", "ाळ ",
+      "ेळ ", " वे", "ल्य", "ंत ", "ास "),
+    "ne" -> Seq(" छ ", "छन्", "न् ", " गर", "गर्", "र्न", " हो",
+      "हो ", " र ", "मा ", "लाई", "ाई ", "एको", "ेको", "को ", "न्छ",
+      "्छ ", "छैन", "ैन ", " पन", "पनि", "नि ", "हरू", "रू ", " भए",
+      "भएक", "्यो", "यो ", "ँदै", "दै ", "ेका", "का ", "हाम", "ामी",
+      "छौं", "ौं "))
+
   val DefaultBuckets = 2048
 
   /** Evidence floor for the PER-SCRIPT tiers (per-mille of buckets·T,
@@ -352,7 +385,7 @@ object LangIdFixed {
     val carryNames = base.columns.drop(2).toSeq
     val scriptLang = typedLit(Map(
       "jpan" -> "ja", "hang" -> "ko", "hani" -> "zh", "cyrl" -> "ru",
-      "arab" -> "ar", "grek" -> "el", "hebr" -> "he"))
+      "arab" -> "ar", "grek" -> "el", "hebr" -> "he", "deva" -> "hi"))
     val prepared = scriptClassified(base)
     // the trigram scorer sees "" unless the doc is Latin-routed — a
     // codegen'd per-row conditional, so non-Latin rows skip the md5
@@ -393,6 +426,7 @@ object LangIdFixed {
         .when(cnt("arab") * 1000L >= thr * total, "arab")
         .when(cnt("grek") * 1000L >= thr * total, "grek")
         .when(cnt("hebr") * 1000L >= thr * total, "hebr")
+        .when(cnt("deva") * 1000L >= thr * total, "deva")
         .when(cnt("latn") * 1000L >= thr * total, "latn")
         .otherwise("zzzz")
     // the ja rule wins on Han+kana jointly; every other script's
@@ -405,6 +439,7 @@ object LangIdFixed {
         .when(col("script") === "arab", cnt("arab"))
         .when(col("script") === "grek", cnt("grek"))
         .when(col("script") === "hebr", cnt("hebr"))
+        .when(col("script") === "deva", cnt("deva"))
         .when(col("script") === "latn", cnt("latn"))
         .otherwise(lit(0L))
     base
@@ -456,23 +491,27 @@ object LangIdFixed {
   }
 
   /** PER-SCRIPT trigram language ID — [[scoreScriptAware]] with a
-    * frozen trigram tier inside each of the two script classes whose
+    * frozen trigram tier inside each script class whose
     * dominant-language mapping mislabeled confusable languages
-    * (VERDICT r12 #2): Cyrillic routes to a ru/uk/bg model
-    * ([[CyrillicLanguages]]) and Arabic-script to an ar/fa/ur model
-    * ([[ArabicLanguages]]) instead of labeling ru/ar wholesale; both
-    * tiers keep the full abstain contract (centered scores, margin,
-    * evidence floor), so a Cyrillic or Arabic-script document in an
-    * unmodeled language (Serbian, Pashto) quarantines as "und" rather
-    * than mislabeling. Han/kana/Hangul/Greek/Hebrew keep their direct
-    * script labels (unambiguous at this granularity).
+    * (VERDICT r12 #2, r13 #3): Cyrillic routes to a ru/uk/bg model
+    * ([[CyrillicLanguages]]), Arabic-script to ar/fa/ur
+    * ([[ArabicLanguages]]), and Devanagari to hi/mr/ne
+    * ([[DevanagariLanguages]], r14 — previously Devanagari text fell
+    * to "und" outright, a real crawl coverage hole) instead of
+    * labeling wholesale; all tiers keep the full abstain contract
+    * (centered scores, margin, evidence floor), so a document in an
+    * unmodeled sibling language (Serbian, Pashto, Sanskrit)
+    * quarantines as "und" rather than mislabeling.
+    * Han/kana/Hangul/Greek/Hebrew keep their direct script labels
+    * (unambiguous at this granularity).
     *
     * Output: (doc_id, [carry...,] script, script_share_e3, tier,
     * best_lang, score, margin, lang) — `tier` says which decision
     * path labeled the row (`latn-trigram` / `cyrl-trigram` /
-    * `arab-trigram` / `script-direct` / `none`); best_lang/score/
-    * margin are the routed tier's fields (the final label and zeros
-    * for script-direct rows, "und"/zeros for `none`).
+    * `arab-trigram` / `deva-trigram` / `script-direct` / `none`);
+    * best_lang/score/margin are the routed tier's fields (the final
+    * label and zeros for script-direct rows, "und"/zeros for
+    * `none`).
     *
     * Scale shape: identical to [[scoreScriptAware]] — one codegen'd
     * code-point histogram + per-row arithmetic against frozen weight
@@ -497,6 +536,8 @@ object LangIdFixed {
       ("cyrl", "c", CyrillicLanguages, scriptSurplusPerMille,
         scriptMinMargin),
       ("arab", "a", ArabicLanguages, scriptSurplusPerMille,
+        scriptMinMargin),
+      ("deva", "d", DevanagariLanguages, scriptSurplusPerMille,
         scriptMinMargin))
     val scored = tiers.foldLeft(classified) {
       case (df, (scr, sfx, model, surplus, margin)) =>
@@ -510,12 +551,14 @@ object LangIdFixed {
       when(col("script") === "latn", col(s"${f}_l"))
         .when(col("script") === "cyrl", col(s"${f}_c"))
         .when(col("script") === "arab", col(s"${f}_a"))
+        .when(col("script") === "deva", col(s"${f}_d"))
     val directLang = when(col("script") === "zzzz", "und")
       .otherwise(element_at(direct, col("script")))
     val tier =
       when(col("script") === "latn", "latn-trigram")
         .when(col("script") === "cyrl", "cyrl-trigram")
         .when(col("script") === "arab", "arab-trigram")
+        .when(col("script") === "deva", "deva-trigram")
         .when(col("script") === "zzzz", "none")
         .otherwise("script-direct")
     scored.select(Seq(col("__id").as("doc_id")) ++ carryNames.map(col) ++
@@ -532,13 +575,14 @@ object LangIdFixed {
     * [[normText]]-normalized column `__s` — the reference semantics
     * [[graft.functions.LangScoresExpr]] must reproduce bit-for-bit
     * (spec-pinned). Interpreted HOFs; keep out of hot paths. Only
-    * LETTER trigrams score: digit/punctuation grams carry no language
-    * evidence, but hashed into 10 × ~24 nonzero buckets they'd
-    * accumulate collision noise linearly with document length (a
-    * digits-only doc measured a spurious score of 4 before this
-    * filter) — and a frozen model can't learn them to zero the way a
-    * trained fastText does, so the feature definition excludes them
-    * outright.
+    * LETTER-OR-MARK trigrams score (`[\p{L}\p{M} ]` — marks joined in
+    * r14 for the Devanagari tier, where matras/viramas carry the
+    * evidence): digit/punctuation grams carry no language evidence,
+    * but hashed into 10 × ~24 nonzero buckets they'd accumulate
+    * collision noise linearly with document length (a digits-only doc
+    * measured a spurious score of 4 before this filter) — and a
+    * frozen model can't learn them to zero the way a trained fastText
+    * does, so the feature definition excludes them outright.
     */
   private[graft] def scoresCompositional(buckets: Int): Column = {
     val wv = weightVectors(buckets)
@@ -550,7 +594,7 @@ object LangIdFixed {
         filter(
           transform(sequence(lit(1), length(s) - 2),
             i => s.substr(i, lit(3))),
-          t => t.rlike("^[\\p{L} ]+$")),
+          t => t.rlike("^[\\p{L}\\p{M} ]+$")),
         t => pmod(conv(substring(md5(t), 1, 15), 16, 10)
           .cast("long"), lit(buckets.toLong)).cast("int")))
       .otherwise(array().cast("array<int>"))

@@ -72,4 +72,46 @@ class Round14OpsSpec extends AnyFunSuite {
       bandTables = 16, bandBits = 4, dim = 8))
       == Set((11L, 12L)))
   }
+
+  test("Devanagari tier held-out gate: hi/mr/ne label, Sanskrit abstains, zero wrong") {
+    import spark.implicits._
+    // held-out sentences NOT in the q193 fixtures (the fixtures are
+    // gate-checked by the oracle; this gate is generalization), plus
+    // unmodeled-language abstain controls: Sanskrit (shloka) and
+    // Bhojpuri-flavored text. Zero wrong-language assignments is the
+    // contract — abstention ('und') is the only acceptable failure.
+    val rows = Seq(
+      // hi: "this book is very good and I am reading it"
+      (1L, "hi", "यह किताब बहुत अच्छी है और मैं उसे पढ़ रहा हूँ"),
+      (2L, "hi", "उसने मुझसे कहा कि वह कल दिल्ली से आ रहा है"),
+      // mr: everyday Marathi with आहे/आणि/च्या
+      (3L, "mr", "मुलांनी शाळेच्या मैदानात खेळ खेळले आणि मग घरी गेले"),
+      (4L, "mr", "पुस्तक वाचणे हा माझा आवडता छंद आहे आणि मी रोज वाचते"),
+      // ne: everyday Nepali with छ/गर्/हरू
+      (5L, "ne", "विद्यार्थीहरू विद्यालय गएका छन् र पढाइ गर्दै छन्"),
+      (6L, "ne", "यो किताब राम्रो छ र म यसलाई पढ्न चाहन्छु"),
+      // Sanskrit abstain control (unmodeled)
+      (7L, "und", "सर्वे भवन्तु सुखिनः सर्वे सन्तु निरामयाः"),
+      // mixed-script noise stays und via the script gate
+      (8L, "und", "abc абв देव"))
+      .toDF("doc_id", "want", "text")
+    val got = graft.text.LangIdFixed.scorePerScript(rows,
+        col("doc_id"), col("text"), carry = Seq(col("want")))
+      .select("doc_id", "want", "lang", "best_lang", "script")
+      .collect()
+    val wrong = got.filter(r => r.getString(2) != "und" &&
+      r.getString(2) != r.getString(1))
+    assert(wrong.isEmpty, "wrong-language assignments: " +
+      wrong.map(r => s"${r.getLong(0)}:got=${r.getString(2)} " +
+        s"want=${r.getString(1)}").mkString(", "))
+    // the modeled languages must actually label (not blanket-abstain)
+    val labeled = got.filter(r => r.getString(2) == r.getString(1) &&
+      r.getString(1) != "und")
+    assert(labeled.length >= 5,
+      s"tier abstains too much: only ${labeled.length}/6 labeled — " +
+        got.map(r => s"${r.getLong(0)}:${r.getString(2)}").mkString(", "))
+    // the controls abstain
+    assert(got.filter(_.getString(1) == "und")
+      .forall(_.getString(2) == "und"))
+  }
 }
