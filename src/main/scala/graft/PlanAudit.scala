@@ -127,11 +127,17 @@ object PlanAudit {
 
   /** Audit the AQE-final plan of a materialized query. */
   def audit(spark: SparkSession, sfDir: String, name: String,
-            fn: (SparkSession, String) => DataFrame): Audit = {
+            fn: (SparkSession, String) => DataFrame): Audit =
+    auditFrame(name, fn(spark, sfDir))
+
+  /** Audit one already-built frame (the [[audit]] body, shared with
+    * the capstone stage rows). The by-name `df` keeps builder
+    * exceptions inside the ERROR path. */
+  def auditFrame(name: String, dfThunk: => DataFrame): Audit = {
     def count(s: String, token: String): Int =
       s.sliding(token.length).count(_ == token)
     try {
-      val df = fn(spark, sfDir)
+      val df = dfThunk
       val rows = df.collect() // materialize THIS plan so AQE finalizes it
                    // (count() would execute a different, re-optimized plan)
       // bitwise -0.0 in a float/double output column is a hash hazard:
@@ -188,6 +194,34 @@ object PlanAudit {
       audit(spark, sfDir, name, fn)
     }
 
+  /** Audit the capstone PRE-barrier stage frames
+    * ([[SparkEntry.stagedQueries]]) as `query[stage]` rows — the
+    * plans the per-query audit cannot see because a localCheckpoint
+    * truncates the final physical plan at a parallelize scan
+    * (VERDICT r13 #2: a regression confined to a pre-barrier stage
+    * used to pass the gate). Same violation rules, same whitelists
+    * (keyed by the bracketed name), same staleness self-check. */
+  def auditStages(spark: SparkSession, sfDir: String): Seq[Audit] =
+    SparkEntry.stagedQueries.toSeq.sortBy(_._1).flatMap {
+      case (qname, fn) =>
+        try fn(spark, sfDir).map { case (stage, df) =>
+          auditFrame(s"$qname[$stage]", df) }
+        catch { case e: Throwable =>
+          Seq(Audit(s"$qname[build]", 0, Nil, 0, 0, cartesian = false,
+            bnlj = false,
+            error = Some(s"${e.getClass.getSimpleName}: ${e.getMessage}")))
+        }
+    }
+
+  /** Expected staged-audit row names — PlanAuditSpec pins the emitted
+    * set to this so a renamed/dropped stage fails loudly. */
+  def expectedStageNames: Set[String] = Set(
+    "q174_curate_pack[gates]",
+    "q188_curate_excise_pack[gates]",
+    "q188_curate_excise_pack[dedup]",
+    "q188_curate_excise_pack[excise]",
+    "q188_curate_excise_pack[decontaminate]")
+
   /** Gate rules; empty = plan accepted. */
   def violations(a: Audit): Seq[String] = Seq(
     a.error.map(e => s"ERROR $e"),
@@ -215,7 +249,7 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     println(f"| query | shuffles | joins | codegen spans | 1-part | notes |")
     println(f"|---|---|---|---|---|---|")
-    auditAll(spark, sfDir).foreach { a =>
+    (auditAll(spark, sfDir) ++ auditStages(spark, sfDir)).foreach { a =>
       a.error match {
         case Some(e) => println(s"| ${a.name} | ERROR ${e.take(60)} | | | | |")
         case None =>

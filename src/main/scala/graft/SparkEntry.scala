@@ -2414,13 +2414,7 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    "q174_curate_pack" -> ((s, dir) => {
-      val deduped = Dedup.paragraphDedup(curatedSurvivors(s, dir),
-        col("doc_id"), col("__ptext"))
-      graft.ops.Pack.sequencePacking(deduped, col("doc_id"),
-          regexp_replace(col("kept_text"), "\\n+", " "), seqLen = 256L)
-        .orderBy("doc_id")
-    }),
+    "q174_curate_pack" -> ((s, dir) => q174Pipeline(s, dir)._2),
 
     // the FULL curation pipeline with the r12 ACTION tier composed in
     // (VERDICT r12 #4): gates (lang + quality + toxicity, one scan) →
@@ -2431,31 +2425,7 @@ object SparkEntry {
     // localCheckpoint-bounded at each stage boundary (the q174 barrier
     // discipline — excise/decontaminate each read their input twice:
     // the span explode and the rebuild join)
-    "q188_curate_excise_pack" -> ((s, dir) => {
-      val deduped = Dedup.paragraphDedup(curatedSurvivors(s, dir),
-        col("doc_id"), col("__ptext"))
-      val flat = deduped.select(col("doc_id"),
-          regexp_replace(col("kept_text"), "\\n+", " ").as("text"))
-        .localCheckpoint()
-      val excised = Dedup.substringExcise(flat, col("doc_id"),
-          col("text"), k = 8)
-        .select(col("doc_id"), col("n_removed").as("n_excised"),
-          col("kept_text"))
-        .localCheckpoint()
-      val bench = T(s, dir, "documents")
-        .where(pmod(col("doc_id"), lit(10)) === 7)
-      val decon = Dedup.substringDecontaminate(excised, col("doc_id"),
-          col("kept_text"), bench, col("text"), k = 8)
-        .select(col("doc_id"), col("n_removed").as("n_decon"),
-          col("kept_text"))
-        .localCheckpoint()
-      val stats = excised.select(col("doc_id"), col("n_excised"))
-        .join(decon.select(col("doc_id"), col("n_decon")), Seq("doc_id"))
-      graft.ops.Pack.sequencePacking(decon, col("doc_id"),
-          col("kept_text"), seqLen = 256L)
-        .join(stats, Seq("doc_id"))
-        .orderBy("doc_id")
-    }),
+    "q188_curate_excise_pack" -> ((s, dir) => q188Pipeline(s, dir)._2),
 
     // PII REDACTION — the ACTION tier of q142's scan (policy filters
     // rewrite emails/IPs/phones out before training, not just count
@@ -2508,6 +2478,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the BENGALI-SCRIPT tier + Tamil direct labels (extending r13
+    // VERDICT #3 past Devanagari): bn/as are the Bengali script's
+    // major-sibling pair, separable on public orthography (Assamese
+    // ৰ/ৱ vs Bengali র) — the q187 discipline, not a wholesale
+    // script→bn label; Tamil is script-unambiguous and labels direct.
+    // A proper-noun-only Bengali-script control must abstain
+    "q194_indic_lang_id" -> ((s, dir) => {
+      import s.implicits._
+      val fx = IndicFixtures.toDF("doc_id", "text")
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+        .unionByName(fx)
+      graft.text.LangIdFixed.scorePerScript(docs, col("doc_id"),
+          col("text"))
+        .orderBy("doc_id")
+    }),
+
     // incremental SEMANTIC dedup — the last cell of the incremental
     // matrix (exact docs q86 / paragraphs q170, fuzzy docs q141 /
     // paragraphs q177, excision q191): semantic near-dup pairs
@@ -2542,7 +2528,15 @@ object SparkEntry {
     * once each (no exchange to reuse), so without it the
     * lang+quality+tox scorer chain ran ~3×. */
   private[graft] def curatedSurvivors(s: SparkSession,
-                                      dir: String): DataFrame = {
+                                      dir: String): DataFrame =
+    curatedGatesStage(s, dir).localCheckpoint()
+
+  /** [[curatedSurvivors]] PRE-barrier — the gates stage's actual plan
+    * (one lang+quality+tox scan), exposed so the staged plan audit
+    * ([[stagedQueries]]) can see through the localCheckpoint that
+    * otherwise truncates it out of the audited capstone plans. */
+  private[graft] def curatedGatesStage(s: SparkSession,
+                                       dir: String): DataFrame = {
     val lexK = graft.text.LexiconGate.Categories.size
     val toxScores = graft.text.LexiconGate.scoresColumn(col("text"))
     val toxHits = graft.text.LexiconGate.hitsColumn(col("text"))
@@ -2562,8 +2556,75 @@ object SparkEntry {
             col("tox_toks") * (graft.text.LexiconGate
               .DefaultMaxRatePerMille * 1000L)))
       .withColumn("__ptext", syntheticParaText)
-      .localCheckpoint()
   }
+
+  /** The q174 capstone as (stage frames, final): each stage frame is
+    * the PRE-barrier plan with all upstream barriers applied — what
+    * production executes between checkpoints, which the final plan's
+    * audit cannot see (a localCheckpoint truncates the physical plan
+    * at a parallelize scan). [[PlanAudit]] audits the stage frames as
+    * `q174_curate_pack[gates]` rows; the registered query row IS the
+    * post-barrier dedup+pack stage. */
+  private[graft] def q174Pipeline(s: SparkSession, dir: String)
+      : (Seq[(String, DataFrame)], DataFrame) = {
+    val gates = curatedGatesStage(s, dir)
+    val deduped = Dedup.paragraphDedup(gates.localCheckpoint(),
+      col("doc_id"), col("__ptext"))
+    val fin = graft.ops.Pack.sequencePacking(deduped, col("doc_id"),
+        regexp_replace(col("kept_text"), "\\n+", " "), seqLen = 256L)
+      .orderBy("doc_id")
+    (Seq("gates" -> gates), fin)
+  }
+
+  /** The q188 five-stage capstone as (stage frames, final) — same
+    * contract as [[q174Pipeline]]: gates → paragraph dedup+flatten →
+    * substring excision → benchmark decontamination → packing, a
+    * localCheckpoint barrier at every boundary (each stage reads its
+    * input 2-3 times; without the barriers the gate-scorer chain
+    * re-executed ~6×). Stage frames are pre-barrier; the registered
+    * query row audits the final packing stage. */
+  private[graft] def q188Pipeline(s: SparkSession, dir: String)
+      : (Seq[(String, DataFrame)], DataFrame) = {
+    val gates = curatedGatesStage(s, dir)
+    val dedupFlat = Dedup.paragraphDedup(gates.localCheckpoint(),
+        col("doc_id"), col("__ptext"))
+      .select(col("doc_id"),
+        regexp_replace(col("kept_text"), "\\n+", " ").as("text"))
+    val flatB = dedupFlat.localCheckpoint()
+    val excised = Dedup.substringExcise(flatB, col("doc_id"),
+        col("text"), k = 8)
+      .select(col("doc_id"), col("n_removed").as("n_excised"),
+        col("kept_text"))
+    val excisedB = excised.localCheckpoint()
+    val bench = T(s, dir, "documents")
+      .where(pmod(col("doc_id"), lit(10)) === 7)
+    val decon = Dedup.substringDecontaminate(excisedB, col("doc_id"),
+        col("kept_text"), bench, col("text"), k = 8)
+      .select(col("doc_id"), col("n_removed").as("n_decon"),
+        col("kept_text"))
+    val deconB = decon.localCheckpoint()
+    val stats = excisedB.select(col("doc_id"), col("n_excised"))
+      .join(deconB.select(col("doc_id"), col("n_decon")), Seq("doc_id"))
+    val fin = graft.ops.Pack.sequencePacking(deconB, col("doc_id"),
+        col("kept_text"), seqLen = 256L)
+      .join(stats, Seq("doc_id"))
+      .orderBy("doc_id")
+    (Seq("gates" -> gates, "dedup" -> dedupFlat, "excise" -> excised,
+      "decontaminate" -> decon), fin)
+  }
+
+  /** Capstone stage frames for the staged plan audit (VERDICT r13 #2:
+    * the barriers that make the capstones cheap also truncate their
+    * audited plans — a capstone-only plan regression in a pre-barrier
+    * stage could pass the per-query gate). Keys are the registered
+    * query names; each value returns (stage name, PRE-barrier frame)
+    * pairs, upstream barriers applied, so the audit sees exactly the
+    * between-checkpoint plans production runs. */
+  def stagedQueries
+      : Map[String, (SparkSession, String) => Seq[(String, DataFrame)]] =
+    Map(
+      "q174_curate_pack" -> ((s, dir) => q174Pipeline(s, dir)._1),
+      "q188_curate_excise_pack" -> ((s, dir) => q188Pipeline(s, dir)._1))
 
   /** The q142/q189 PII planting: deterministic email/IPv4/phone
     * substrings synthesized from doc_id (the corpus itself is word
@@ -2585,6 +2646,10 @@ object SparkEntry {
       when(col("doc_id") % 11 === 0, lit(" ref 555-0142"))
         .otherwise(lit("")),
       when(col("doc_id") % 13 === 0, lit(" call 555-867-5309"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 17 === 0, lit(" card 4532-0012-0034-0005"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 19 === 0, lit(" ssn 987-65-4320"))
         .otherwise(lit("")))
   }
 
@@ -2610,6 +2675,9 @@ object SparkEntry {
         LangIdFixed.ScriptTierMinMargin),
       ("deva", "d", LangIdFixed.DevanagariLanguages,
         LangIdFixed.ScriptTierSurplusPerMille,
+        LangIdFixed.ScriptTierMinMargin),
+      ("beng", "b", LangIdFixed.BengaliLanguages,
+        LangIdFixed.ScriptTierSurplusPerMille,
         LangIdFixed.ScriptTierMinMargin))
     val gates = tiers.map { case (scr, p, _, _, _) =>
       s"""g_$p AS (SELECT doc_id,
@@ -2621,7 +2689,7 @@ object SparkEntry {
     def routed(field: String): String = tiers.map { case (scr, p, _, _, _) =>
       s"WHEN sg.script = '$scr' THEN ${p}_lid.$field" }.mkString("\n    ")
     val direct = Seq("jpan" -> "ja", "hang" -> "ko", "hani" -> "zh",
-      "grek" -> "el", "hebr" -> "he")
+      "grek" -> "el", "hebr" -> "he", "taml" -> "ta")
       .map { case (s, l) => s"WHEN sg.script = '$s' THEN '$l'" }
       .mkString("\n    ")
     val joins = tiers.map { case (_, p, _, _, _) =>
@@ -2695,6 +2763,10 @@ object SparkEntry {
       |    CASE WHEN doc_id % 11 = 0 THEN ' ref 555-0142'
       |      ELSE '' END,
       |    CASE WHEN doc_id % 13 = 0 THEN ' call 555-867-5309'
+      |      ELSE '' END,
+      |    CASE WHEN doc_id % 17 = 0 THEN ' card 4532-0012-0034-0005'
+      |      ELSE '' END,
+      |    CASE WHEN doc_id % 19 = 0 THEN ' ssn 987-65-4320'
       |      ELSE '' END) AS t
       |  FROM documents""".stripMargin
 
@@ -2792,6 +2864,22 @@ object SparkEntry {
     -36L -> "आज मौसम राम्रो छ र हामी पार्क जाँदैछौं",
     -37L -> "विद्या ददाति विनयं विनयाद्याति पात्रताम्",
     -38L -> "धर्मो रक्षति रक्षितः सत्यमेव जयते नानृतम्")
+
+  /** q194's planted Bengali-script + Tamil rows (ids -41..-47):
+    * two everyday sentences each for bn/as (the Bengali-script
+    * sibling pair — Assamese ৰ/ৱ where Bengali writes র), one Tamil
+    * (script-direct), and a proper-noun-only Bengali-script abstain
+    * control (city names carry no function-word evidence — must
+    * quarantine, not coin-flip). Shared verbatim with the oracle's
+    * VALUES (no apostrophes). */
+  private val IndicFixtures: Seq[(Long, String)] = Seq(
+    -41L -> "সে বাজারে গিয়ে রাতের খাবারের জন্য রুটি কিনল",
+    -42L -> "আজ আবহাওয়া ভালো এবং আমরা পার্কে যাচ্ছি",
+    -43L -> "আজি বতৰ ভাল আৰু আমি পাৰ্কলৈ গৈ আছোঁ",
+    -44L -> "তেওঁ বজাৰলৈ গৈ ৰাতিৰ আহাৰৰ বাবে ৰুটী কিনিলে",
+    -45L -> "இன்று வானிலை நன்றாக உள்ளது நாங்கள் பூங்காவிற்கு செல்கிறோம்",
+    -46L -> "அவள் சந்தைக்கு சென்று இரவு உணவிற்கு ரொட்டி வாங்கினாள்",
+    -47L -> "কলিকাতা ঢাকা গুৱাহাটী")
 
   /** The q161/q163 synthetic paragraph structure over the single-line
     * fixture corpus: a shared boilerplate banner (whitespace/case
@@ -2974,6 +3062,8 @@ object SparkEntry {
        |      WHEN grek * 1000 >= $th * tot THEN 'grek'
        |      WHEN hebr * 1000 >= $th * tot THEN 'hebr'
        |      WHEN deva * 1000 >= $th * tot THEN 'deva'
+       |      WHEN beng * 1000 >= $th * tot THEN 'beng'
+       |      WHEN taml * 1000 >= $th * tot THEN 'taml'
        |      WHEN latn * 1000 >= $th * tot THEN 'latn'
        |      ELSE 'zzzz' END AS script,
        |    CASE WHEN script = 'jpan' THEN hani + hira + kata
@@ -2984,6 +3074,8 @@ object SparkEntry {
        |      WHEN script = 'grek' THEN grek
        |      WHEN script = 'hebr' THEN hebr
        |      WHEN script = 'deva' THEN deva
+       |      WHEN script = 'beng' THEN beng
+       |      WHEN script = 'taml' THEN taml
        |      WHEN script = 'latn' THEN latn
        |      ELSE 0 END AS wc
        |  FROM scnt),
@@ -5235,11 +5327,15 @@ object SparkEntry {
            |FROM d ORDER BY doc_id""".stripMargin,
 
       // PII redaction: the q142 planting, then the ordered sequential
-      // rewrite (email -> ipv4 -> 10-digit phone -> 7-digit phone;
-      // placeholders digit-free). Each count is taken on the text
-      // AFTER the previous categories' replacements, so counts ==
-      // placeholders present in red_text by construction
-      "q189_pii_redact" ->
+      // rewrite (email -> ipv4 -> 16-digit card -> SSN -> 10-digit
+      // phone -> 7-digit phone; placeholders digit-free; the card
+      // alternation is explicit — RE2 has no backreferences). Each
+      // count is taken on the text AFTER the previous categories'
+      // replacements, so counts == placeholders present in red_text
+      // by construction
+      "q189_pii_redact" -> {
+        val card = "\\b\\d{4}-\\d{4}-\\d{4}-\\d{4}\\b" +
+          "|\\b\\d{4} \\d{4} \\d{4} \\d{4}\\b|\\b\\d{16}\\b"
         s"""WITH d AS ($piiPlantSql),
            |r1 AS (SELECT doc_id, t,
            |    regexp_replace(t,
@@ -5249,20 +5345,29 @@ object SparkEntry {
            |    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g')
            |      AS t2 FROM r1),
            |r3 AS (SELECT doc_id, t, t1, t2, regexp_replace(t2,
-           |    '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g') AS t3 FROM r2)
+           |    '$card', '<CARD>', 'g') AS t3 FROM r2),
+           |r4 AS (SELECT doc_id, t, t1, t2, t3, regexp_replace(t3,
+           |    '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g') AS t4 FROM r3),
+           |r5 AS (SELECT doc_id, t, t1, t2, t3, t4, regexp_replace(t4,
+           |    '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g') AS t5 FROM r4)
            |SELECT doc_id,
            |  CAST(len(regexp_extract_all(t,
            |    '[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS BIGINT) AS n_email,
            |  CAST(len(regexp_extract_all(t1,
            |    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT)
            |    AS n_ipv4,
-           |  CAST(len(regexp_extract_all(t2,
+           |  CAST(len(regexp_extract_all(t2, '$card')) AS BIGINT)
+           |    AS n_card16,
+           |  CAST(len(regexp_extract_all(t3, '\\b\\d{3}-\\d{2}-\\d{4}\\b'))
+           |    AS BIGINT) AS n_ssn,
+           |  CAST(len(regexp_extract_all(t4,
            |    '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS BIGINT) AS n_phone10,
-           |  CAST(len(regexp_extract_all(t3, '\\b\\d{3}-\\d{4}\\b'))
+           |  CAST(len(regexp_extract_all(t5, '\\b\\d{3}-\\d{4}\\b'))
            |    AS BIGINT) AS n_phone7,
-           |  regexp_replace(t3, '\\b\\d{3}-\\d{4}\\b', '<PHONE>', 'g')
+           |  regexp_replace(t5, '\\b\\d{3}-\\d{4}\\b', '<PHONE>', 'g')
            |    AS red_text
-           |FROM r3 ORDER BY doc_id""".stripMargin,
+           |FROM r5 ORDER BY doc_id""".stripMargin
+      },
 
       // packing efficiency: one token-count scan crossed with the
       // 4-row seq_len list, grouped by seq_len; ceil via integer
@@ -6117,11 +6222,16 @@ object SparkEntry {
       "q187_per_script_lang_id" ->
         perScriptLangIdOracle(MultilingualFixtures ++ PerScriptFixtures),
 
-      // the Devanagari tier rides the SAME four-tier oracle builder —
+      // the Devanagari tier rides the SAME multi-tier oracle builder —
       // only the planted fixture set differs (hi/mr/ne sentences +
       // Sanskrit abstain controls)
       "q193_devanagari_lang_id" ->
         perScriptLangIdOracle(DevanagariFixtures),
+
+      // ... as does the Bengali-script + Tamil tier (bn/as sentences,
+      // Tamil direct rows, a proper-noun abstain control)
+      "q194_indic_lang_id" ->
+        perScriptLangIdOracle(IndicFixtures),
 
       // lexicon gate: the same normalize→tokenize→md5-bucket walk,
       // blocked buckets shipped as sparse (bucket, category) VALUES

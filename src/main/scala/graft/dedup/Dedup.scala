@@ -1266,6 +1266,11 @@ object Dedup {
     * Result ≡ the one-shot [[substringExcise]] over history ∪ batch
     * restricted to batch rows (spec-pinned; the q191 oracle replays
     * the restriction), up to sha-256 collision resistance.
+    *
+    * `expectedItems ≤ 0` (default) auto-sizes the Bloom from the
+    * checkpointed window-index count ([[bloomCapacity]] — an
+    * undersized Bloom saturates and silently stops eliding);
+    * production callers pass the persisted index's known size.
     */
   def incrementalSubstringExcise(batch: DataFrame, history: DataFrame,
                                  idCol: Column, textCol: Column, k: Int,

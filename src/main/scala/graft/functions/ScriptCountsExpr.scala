@@ -10,9 +10,9 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Unicode-script histogram — the exact-integer pre-classifier in
   * front of the trigram language model ([[graft.text.LangIdFixed]]):
-  * one code-point walk per document counting occupancy of ten frozen
-  * script classes, returned as `array<long>` of the ten counts plus
-  * the total scripted-letter count (index 11, 1-based). Script
+  * one code-point walk per document counting occupancy of the frozen
+  * script classes, returned as `array<long>` of the per-class counts
+  * plus the total scripted-letter count (last index, 1-based). Script
   * classes are EXPLICIT inclusive code-point ranges (below), never
   * `\p{script=...}` properties, so the counts are identical across
   * engines and Unicode table versions — the DuckDB oracle replays
@@ -30,9 +30,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Class order (frozen contract, 1-based in the output array):
   * 1 latn, 2 hani, 3 hira, 4 kata, 5 hang, 6 cyrl, 7 arab, 8 grek,
-  * 9 hebr, 10 deva, 11 total (= sum of 1..10; deva APPENDED in r14 —
-  * the order is an output-position contract, so new scripts extend
-  * the tail, never reorder). Code points outside every class
+  * 9 hebr, 10 deva, 11 beng, 12 taml, 13 total (= sum of 1..12;
+  * deva/beng/taml APPENDED in r14 — the order is an output-position
+  * contract, so new scripts extend the tail, never reorder). Code
+  * points outside every class
   * (digits, punctuation, symbols, unlisted scripts) count nowhere —
   * they carry no script evidence, mirroring the letter-only trigram
   * feature rule. The deva range is the full Devanagari block minus
@@ -99,7 +100,14 @@ object ScriptCountsExpr {
     // Devanagari letters + matras/viramas (marks ARE script evidence
     // in an abugida), minus the danda..abbreviation-sign run
     // U+0964–U+0970 (sentence punctuation + digits, no evidence)
-    "deva" -> Seq((0x0900, 0x0963), (0x0971, 0x097F)))
+    "deva" -> Seq((0x0900, 0x0963), (0x0971, 0x097F)),
+    // Bengali-script letters + marks (also writes Assamese — the
+    // bn/as trigram tier separates them; ৰ/ৱ U+09F0/09F1 are the
+    // Assamese letters), minus the digit/currency tail
+    "beng" -> Seq((0x0980, 0x09E3), (0x09F0, 0x09F1)),
+    // Tamil letters + marks, minus digits/symbols (script-unambiguous
+    // at this granularity: Tamil)
+    "taml" -> Seq((0x0B80, 0x0BE5)))
 
   /** The class a code point belongs to, or -1. Static branches in
     * expected-frequency order (ASCII Latin first — the common crawl
@@ -119,6 +127,9 @@ object ScriptCountsExpr {
     else if (cp >= 0x08A0 && cp <= 0x08FF) 6 // Arabic extended-A
     else if (cp >= 0x0900 && cp <= 0x0963) 9 // Devanagari (pre-danda)
     else if (cp >= 0x0971 && cp <= 0x097F) 9 // Devanagari (post-digits)
+    else if (cp >= 0x0980 && cp <= 0x09E3) 10 // Bengali (pre-digits)
+    else if (cp >= 0x09F0 && cp <= 0x09F1) 10 // Bengali ra/wa (Assamese)
+    else if (cp >= 0x0B80 && cp <= 0x0BE5) 11 // Tamil (pre-digits)
     else if (cp >= 0x1100 && cp <= 0x11FF) 4 // Hangul jamo
     else if (cp >= 0x1F00 && cp <= 0x1FFF) 7 // Greek extended
     else if (cp >= 0x3040 && cp <= 0x309F) 2 // Hiragana

@@ -167,6 +167,28 @@ object LangIdFixed {
       "भएक", "्यो", "यो ", "ँदै", "दै ", "ेका", "का ", "हाम", "ामी",
       "छौं", "ौं "))
 
+  /** Frozen distinctive trigrams for the BENGALI-script tier (bn /
+    * as — the script writes both). The classic separator is PUBLIC
+    * orthography: Assamese uses ra ৰ U+09F0 and wa ৱ U+09F1 where
+    * Bengali uses র U+09B0 — so every ৰ-bearing gram (আৰু "and",
+    * কৰে "does", বতৰ "weather", genitive -ৰ) is hard Assamese
+    * evidence, alongside the হৈছে/আছোঁ copulas and the -লৈ allative;
+    * Bengali keys on এবং "and", করে/যাচ্ছি verb morphology, -ের
+    * genitive and the য়/র sequences Assamese spells differently. A
+    * Bengali-script document matching neither list (proper-noun-only
+    * text, Bishnupriya) abstains. */
+  val BengaliLanguages: Seq[(String, Seq[String])] = Seq(
+    "bn" -> Seq(" এব", "এবং", "বং ", " কর", "করে", "রে ", "ের ",
+      "রের", " হয", "হয়ে", "য়ে ", "েছে", "ছে ", " আছ", "আছে",
+      " যা", "যাচ", "াচ্", "চ্ছ", "্ছি", "ছি ", "তে ", "কে ",
+      " রা", "রাত", " না", "না ", "টি ", "িনল", "নল ", "বে ",
+      "লো ", "ালো"),
+    "as" -> Seq(" আৰ", "আৰু", "ৰু ", " কৰ", "কৰে", "ৰে ", " বত",
+      "বতৰ", "তৰ ", " হৈ", "হৈছ", "ৈছে", "ছোঁ", "োঁ ", "লৈ ",
+      "ালৈ", " গৈ", "গৈ ", "ঁও ", "াৰ ", "ৰা ", "ৰি ", "খন ",
+      "বোৰ", "োৰ ", "িছে", "আছো", " আছ", "ছে ", "েওঁ", "ওঁ ",
+      "বাব", "াবে", "াৰৰ", "ৰৰ ", "িলে", "জাৰ", "ুটী"))
+
   val DefaultBuckets = 2048
 
   /** Evidence floor for the PER-SCRIPT tiers (per-mille of buckets·T,
@@ -385,7 +407,8 @@ object LangIdFixed {
     val carryNames = base.columns.drop(2).toSeq
     val scriptLang = typedLit(Map(
       "jpan" -> "ja", "hang" -> "ko", "hani" -> "zh", "cyrl" -> "ru",
-      "arab" -> "ar", "grek" -> "el", "hebr" -> "he", "deva" -> "hi"))
+      "arab" -> "ar", "grek" -> "el", "hebr" -> "he", "deva" -> "hi",
+      "beng" -> "bn", "taml" -> "ta"))
     val prepared = scriptClassified(base)
     // the trigram scorer sees "" unless the doc is Latin-routed — a
     // codegen'd per-row conditional, so non-Latin rows skip the md5
@@ -427,6 +450,8 @@ object LangIdFixed {
         .when(cnt("grek") * 1000L >= thr * total, "grek")
         .when(cnt("hebr") * 1000L >= thr * total, "hebr")
         .when(cnt("deva") * 1000L >= thr * total, "deva")
+        .when(cnt("beng") * 1000L >= thr * total, "beng")
+        .when(cnt("taml") * 1000L >= thr * total, "taml")
         .when(cnt("latn") * 1000L >= thr * total, "latn")
         .otherwise("zzzz")
     // the ja rule wins on Han+kana jointly; every other script's
@@ -440,6 +465,8 @@ object LangIdFixed {
         .when(col("script") === "grek", cnt("grek"))
         .when(col("script") === "hebr", cnt("hebr"))
         .when(col("script") === "deva", cnt("deva"))
+        .when(col("script") === "beng", cnt("beng"))
+        .when(col("script") === "taml", cnt("taml"))
         .when(col("script") === "latn", cnt("latn"))
         .otherwise(lit(0L))
     base
@@ -495,23 +522,26 @@ object LangIdFixed {
     * dominant-language mapping mislabeled confusable languages
     * (VERDICT r12 #2, r13 #3): Cyrillic routes to a ru/uk/bg model
     * ([[CyrillicLanguages]]), Arabic-script to ar/fa/ur
-    * ([[ArabicLanguages]]), and Devanagari to hi/mr/ne
+    * ([[ArabicLanguages]]), Devanagari to hi/mr/ne
     * ([[DevanagariLanguages]], r14 — previously Devanagari text fell
-    * to "und" outright, a real crawl coverage hole) instead of
-    * labeling wholesale; all tiers keep the full abstain contract
-    * (centered scores, margin, evidence floor), so a document in an
-    * unmodeled sibling language (Serbian, Pashto, Sanskrit)
-    * quarantines as "und" rather than mislabeling.
-    * Han/kana/Hangul/Greek/Hebrew keep their direct script labels
-    * (unambiguous at this granularity).
+    * to "und" outright, a real crawl coverage hole) and
+    * Bengali-script to bn/as ([[BengaliLanguages]], r14 — the
+    * script's major-sibling pair, separable on public orthography:
+    * Assamese ৰ/ৱ vs Bengali র) instead of labeling wholesale; all
+    * tiers keep the full abstain contract (centered scores, margin,
+    * evidence floor), so a document in an unmodeled sibling language
+    * (Serbian, Pashto, Sanskrit, Bishnupriya) quarantines as "und"
+    * rather than mislabeling. Han/kana/Hangul/Greek/Hebrew/Tamil
+    * keep their direct script labels (unambiguous at this
+    * granularity).
     *
     * Output: (doc_id, [carry...,] script, script_share_e3, tier,
     * best_lang, score, margin, lang) — `tier` says which decision
     * path labeled the row (`latn-trigram` / `cyrl-trigram` /
-    * `arab-trigram` / `deva-trigram` / `script-direct` / `none`);
-    * best_lang/score/margin are the routed tier's fields (the final
-    * label and zeros for script-direct rows, "und"/zeros for
-    * `none`).
+    * `arab-trigram` / `deva-trigram` / `beng-trigram` /
+    * `script-direct` / `none`); best_lang/score/margin are the
+    * routed tier's fields (the final label and zeros for
+    * script-direct rows, "und"/zeros for `none`).
     *
     * Scale shape: identical to [[scoreScriptAware]] — one codegen'd
     * code-point histogram + per-row arithmetic against frozen weight
@@ -538,6 +568,8 @@ object LangIdFixed {
       ("arab", "a", ArabicLanguages, scriptSurplusPerMille,
         scriptMinMargin),
       ("deva", "d", DevanagariLanguages, scriptSurplusPerMille,
+        scriptMinMargin),
+      ("beng", "b", BengaliLanguages, scriptSurplusPerMille,
         scriptMinMargin))
     val scored = tiers.foldLeft(classified) {
       case (df, (scr, sfx, model, surplus, margin)) =>
@@ -546,12 +578,13 @@ object LangIdFixed {
     }
     val direct = typedLit(Map(
       "jpan" -> "ja", "hang" -> "ko", "hani" -> "zh",
-      "grek" -> "el", "hebr" -> "he"))
+      "grek" -> "el", "hebr" -> "he", "taml" -> "ta"))
     def pick(f: String) =
       when(col("script") === "latn", col(s"${f}_l"))
         .when(col("script") === "cyrl", col(s"${f}_c"))
         .when(col("script") === "arab", col(s"${f}_a"))
         .when(col("script") === "deva", col(s"${f}_d"))
+        .when(col("script") === "beng", col(s"${f}_b"))
     val directLang = when(col("script") === "zzzz", "und")
       .otherwise(element_at(direct, col("script")))
     val tier =
@@ -559,6 +592,7 @@ object LangIdFixed {
         .when(col("script") === "cyrl", "cyrl-trigram")
         .when(col("script") === "arab", "arab-trigram")
         .when(col("script") === "deva", "deva-trigram")
+        .when(col("script") === "beng", "beng-trigram")
         .when(col("script") === "zzzz", "none")
         .otherwise("script-direct")
     scored.select(Seq(col("__id").as("doc_id")) ++ carryNames.map(col) ++

@@ -766,11 +766,16 @@ object TextAnalysis {
     * re-scan. Patterns are the q142 dialect — the Java∩RE2 common
     * subset (character classes, bounded repeats, `\b`), proven
     * hash-identical cross-engine — and the category ORDER is part of
-    * the contract: email → ipv4 → 10-digit phone → 7-digit phone.
-    * The 10-digit pattern runs BEFORE the 7-digit one so a full
-    * `555-123-4567` can never be half-matched by the trailing
-    * `123-4567` (spec-pinned in Round14OpsSpec); placeholders contain
-    * no digits, so a replacement can never create a later-category
+    * the contract: email → ipv4 → 16-digit card (dash/space/plain
+    * groups) → SSN → 10-digit phone → 7-digit phone, each category
+    * strictly longer/more-specific than the ones after it, so a
+    * partial shape can never half-match inside a fuller one (the
+    * 10-digit-before-7-digit rule generalized; spec-pinned in
+    * Round14OpsSpec). Card redaction is SHAPE-based (policy redacts
+    * every card-shaped number; the q153 Luhn checksum stays a SCAN
+    * tier concern — a redactor that skips checksum-invalid numbers
+    * leaks real PANs mistyped by one digit). Placeholders contain no
+    * digits, so a replacement can never create a later-category
     * match.
     *
     * Counts use SEQUENTIAL-REWRITE semantics: each category counts on
@@ -790,19 +795,30 @@ object TextAnalysis {
   def piiRedact(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
     val email = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
     val ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    // 16-digit PAN in 4-groups (uniform dash or space separators) or
+    // one plain run; matched before SSN/phones so its 4-digit groups
+    // are never half-claimed. Explicit alternation, NOT a `\1`
+    // backreference — RE2 (the oracle's engine) has no backreferences
+    val card16 = "\\b\\d{4}-\\d{4}-\\d{4}-\\d{4}\\b" +
+      "|\\b\\d{4} \\d{4} \\d{4} \\d{4}\\b|\\b\\d{16}\\b"
+    val ssn = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
     val phone10 = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
     val phone7 = "\\b\\d{3}-\\d{4}\\b"
     val t0 = coalesce(textCol, lit(""))
     val t1 = regexp_replace(t0, email, "<EMAIL>")
     val t2 = regexp_replace(t1, ipv4, "<IP>")
-    val t3 = regexp_replace(t2, phone10, "<PHONE>")
-    val t4 = regexp_replace(t3, phone7, "<PHONE>")
+    val t3 = regexp_replace(t2, card16, "<CARD>")
+    val t4 = regexp_replace(t3, ssn, "<SSN>")
+    val t5 = regexp_replace(t4, phone10, "<PHONE>")
+    val t6 = regexp_replace(t5, phone7, "<PHONE>")
     df.select(idCol.as("doc_id"),
       regexp_count(t0, lit(email)).cast("long").as("n_email"),
       regexp_count(t1, lit(ipv4)).cast("long").as("n_ipv4"),
-      regexp_count(t2, lit(phone10)).cast("long").as("n_phone10"),
-      regexp_count(t3, lit(phone7)).cast("long").as("n_phone7"),
-      t4.as("red_text"))
+      regexp_count(t2, lit(card16)).cast("long").as("n_card16"),
+      regexp_count(t3, lit(ssn)).cast("long").as("n_ssn"),
+      regexp_count(t4, lit(phone10)).cast("long").as("n_phone10"),
+      regexp_count(t5, lit(phone7)).cast("long").as("n_phone7"),
+      t6.as("red_text"))
   }
 
   /** One-pass per-document quality-signals sheet — the RedPajama-V2

@@ -148,6 +148,24 @@ object Bench100x {
       f"100x=$s100%.2f s ratio=${s100 / s1}%.1f sumlen=$sn")
     results += (("q178_excise_hotspans_hashed", s1, s100, s100 / s1, sn))
 
+    // the two production shapes never probed at 100× (VERDICT r13 #5):
+    // q191 (the per-crawl-batch incremental excision — batch = odd,
+    // history = even docs of the token-tagged corpus: window dups
+    // exist only within a replica, the honest linear ground truth)
+    // and the q188 five-stage curate capstone on the same corpus
+    // (token-tagging preserves word-INITIAL trigrams, so the lang
+    // gate still passes survivors — verified before recording; the
+    // whole gates→dedup→excise→decontaminate→pack chain then runs on
+    // a genuinely 100× survivor corpus)
+    for (name <- Seq("q191_incremental_excise", "q188_curate_excise_pack")) {
+      val fn = SparkEntry.queries(name)
+      val (t1, _) = probe(fn(spark, sf01))
+      val (t100, n) = probe(fn(spark, dirD))
+      println(f"[bench100x] $name sf0.1=$t1%.2f s 100x=$t100%.2f s " +
+        f"ratio=${t100 / t1}%.1f rows=$n")
+      results += ((name, t1, t100, t100 / t1, n))
+    }
+
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qJson = results.map { case (n, t1, t100, r, rows) =>
@@ -156,7 +174,7 @@ object Bench100x {
     }.mkString("{\n", ",\n", "\n}")
     val json =
       s"""{
-         |"protocol": "100x replica spot-probe (VERDICT r11 #6), r13: min-of-2 per scale (VERDICT r12 #5) and timed action is Bench.consume (noop-sink full-row materialization), with one extra pruned count() per probe for the out_rows evidence: documents token-tagged per replica (fully disjoint cross-replica text, within-replica structure preserved); embeddings rotated by (r mod 64) with a global sign flip for r >= 64 (norm/within-replica-cosine preserving, cross-replica pairs at -cos or noise). q67 probed in the 100-TB TRUE regime (t=0.9, 16-bit keys); its gate regime (t=0.45, 4-bit) is recall-driven ~n^2 by design and not a scaling claim. q178 probed in its ADVERSARIAL hot-span regime: an untagged banner shared by every doc across replicas makes the dup semi-join's left side carry globally-hot keys, hashSpans=true (the 100-TB path), kept_text consumed so the rebuild is measured (not count()-pruned). local[32].",
+         |"protocol": "100x replica spot-probe (VERDICT r11 #6), r13: min-of-2 per scale (VERDICT r12 #5) and timed action is Bench.consume (noop-sink full-row materialization), with one extra pruned count() per probe for the out_rows evidence: documents token-tagged per replica (fully disjoint cross-replica text, within-replica structure preserved); embeddings rotated by (r mod 64) with a global sign flip for r >= 64 (norm/within-replica-cosine preserving, cross-replica pairs at -cos or noise). q67 probed in the 100-TB TRUE regime (t=0.9, 16-bit keys); its gate regime (t=0.45, 4-bit) is recall-driven ~n^2 by design and not a scaling claim. q178 probed in its ADVERSARIAL hot-span regime: an untagged banner shared by every doc across replicas makes the dup semi-join's left side carry globally-hot keys, hashSpans=true (the 100-TB path), kept_text consumed so the rebuild is measured (not count()-pruned). r14 adds the two production shapes VERDICT r13 #5 named: q191 incremental excision (batch=odd/history=even over the token-tagged corpus — within-replica-only window dups, honest linear ground truth) and the q188 five-stage curate capstone end-to-end on the token-tagged corpus (word-initial trigrams survive tagging, so the lang gate passes real survivor volume). local[32].",
          |"n_docs_100x": ${nDocs * reps}, "n_vecs_100x": ${nVecs * reps},
          |"load_start": "$loadStart", "load_end": "${loadavg()}",
          |"queries": $qJson

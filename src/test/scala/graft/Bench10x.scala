@@ -67,7 +67,12 @@ object Bench10x {
     * (ProbeSurfaceSpec) is unchanged — the artifact still carries
     * their disjoint-dir rows. */
   val DisjointOnly: Set[String] = Set("q136_editdist_pairs",
-    "q137_sparse_cosine", "q141_incremental_fuzzy")
+    "q137_sparse_cosine", "q141_incremental_fuzzy",
+    // q192 pairs embeddings: on byte-identical replicas every vector
+    // is a 10-way within-cluster near-dup (quadratic pair output by
+    // construction) — probed on the component-ROTATED embedding dir
+    // like q67
+    "q192_incremental_semantic")
 
   private def minOf2(f: => Unit): Double = {
     val t1 = System.nanoTime(); f; val s1 = (System.nanoTime() - t1) / 1e9
@@ -204,7 +209,8 @@ object Bench10x {
       Seq("q136_editdist_pairs", "q137_sparse_cosine",
         "q141_incremental_fuzzy", "q23_simhash_pairs",
         "q66_dedup_components").map(_ -> dir10d) ++
-      Seq("q67_dedup_embedding_approx").map(_ -> dir10e))
+      Seq("q67_dedup_embedding_approx",
+        "q192_incremental_semantic").map(_ -> dir10e))
       .map { case (name, dir) =>
       val fn = SparkEntry.queries(name)
       val t1 = minOf2 { Bench.consume(fn(spark, sf01)) }
@@ -246,7 +252,7 @@ object Bench10x {
     }
     val json =
       s"""{
-         |"protocol": "r13: timed action is Bench.consume (noop-sink full-row materialization — the count()-pruned convention hid rebuild/scoring payload costs). 10x id-shifted replica of sf0.1 (docs/embeddings text byte-identical per replica: worst case for dedup/CC; TPC-H keys strided 1e9: 10 disjoint graph copies), min-of-2 per scale, local[32], trained artifacts cache-warmed per dir like the driver bench. realistic_text_variant: q97/q121 on suffix-tagged replicas; pair-generating ops (q136/q137/q141 + early-heavy q23/q66) on token-tagged DISJOINT replicas and q67 on component-ROTATED embeddings (norm/within-replica-cosine preserving), since any replica protocol that keeps replicas similar makes their pair OUTPUT quadratic in duplication by construction. EarlyHeavy set (q29/q31/q45/q46/q48/q56/q68/q78/q85/q93) re-probed on the regenerated corpus per VERDICT r9 #4. q67's gate regime (threshold 0.45, 4-bit keys) is the documented recall-driven ~n^2 candidate regime (PLANS.md: theta~60deg sign buckets cannot prune) — q67_true_regime probes the 100-TB near-dup config (threshold 0.9, 16-bit keys) on the same rotated data for the honest exponent",
+         |"protocol": "r13: timed action is Bench.consume (noop-sink full-row materialization — the count()-pruned convention hid rebuild/scoring payload costs). 10x id-shifted replica of sf0.1 (docs/embeddings text byte-identical per replica: worst case for dedup/CC; TPC-H keys strided 1e9: 10 disjoint graph copies), min-of-2 per scale, local[32], trained artifacts cache-warmed per dir like the driver bench. realistic_text_variant: q97/q121 on suffix-tagged replicas; pair-generating ops (q136/q137/q141 + early-heavy q23/q66) on token-tagged DISJOINT replicas and q67/q192 on component-ROTATED embeddings (norm/within-replica-cosine preserving), since any replica protocol that keeps replicas similar makes their pair OUTPUT quadratic in duplication by construction. EarlyHeavy set (q29/q31/q45/q46/q48/q56/q68/q78/q85/q93) re-probed on the regenerated corpus per VERDICT r9 #4. q67's gate regime (threshold 0.45, 4-bit keys) is the documented recall-driven ~n^2 candidate regime (PLANS.md: theta~60deg sign buckets cannot prune) — q67_true_regime probes the 100-TB near-dup config (threshold 0.9, 16-bit keys) on the same rotated data for the honest exponent",
          |"q67_true_regime": {"sf01_sec": ${fmt(trueRegime._1)}, "x10_sec": ${fmt(trueRegime._2)}, "ratio": ${fmt(trueRegime._3)}},
          |"n_docs_sf01": $nDocs, "n_docs_10x": ${nDocs * 10},
          |"total_sf01_sec": ${fmt(rows.map(_._2).sum)},

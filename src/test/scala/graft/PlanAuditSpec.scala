@@ -16,13 +16,21 @@ class PlanAuditSpec extends SparkSpec {
     // every registered query was audited (a throwing query is an ERROR
     // violation, not a silent skip)
     assert(audits.map(_.name).toSet == SparkEntry.queries.keySet)
-    val bad = audits.map(a => a -> PlanAudit.violations(a))
+    // the capstone PRE-barrier stage frames too (r13 VERDICT #2: the
+    // barriers truncate the final plans, so a regression confined to
+    // a stage used to pass this gate) — pinned set, so a dropped or
+    // renamed stage fails loudly instead of silently shrinking audit
+    // coverage
+    val staged = PlanAudit.auditStages(spark, "/root/testdata/sf0.001")
+    assert(staged.map(_.name).toSet == PlanAudit.expectedStageNames)
+    val all = audits ++ staged
+    val bad = all.map(a => a -> PlanAudit.violations(a))
       .filter(_._2.nonEmpty)
     assert(bad.isEmpty, bad.map { case (a, v) =>
       s"\n${a.name}: ${v.mkString("; ")}" }.mkString)
     // the whitelists stay honest: entries must still be exercised —
     // a whitelisted query that no longer BNLJs/funnels is stale doc
-    val byName = audits.map(a => a.name -> a).toMap
+    val byName = all.map(a => a.name -> a).toMap
     PlanAudit.bnljWhitelist.foreach(n =>
       assert(byName(n).bnlj, s"$n whitelisted for BNLJ but has none"))
     PlanAudit.singlePartitionWhitelist.keys.foreach(n =>
@@ -36,15 +44,21 @@ class PlanAuditSpec extends SparkSpec {
     // table was not regenerated. Pin table rows == registry so the
     // drift breaks the build instead of waiting for the judge.
     val plans = scala.io.Source.fromFile("PLANS.md", "UTF-8")
-    val tableRows = try plans.getLines()
+    val allRows = try plans.getLines()
       .dropWhile(!_.startsWith("## Per-query audit"))
       .filter(_.matches("\\| q\\d+.*"))
       .map(_.split("\\|")(1).trim).toSet
     finally plans.close()
+    // bracketed rows are the capstone stage audits, gated separately
+    val (stageRows, tableRows) = allRows.partition(_.contains("["))
     val missing = SparkEntry.queries.keySet -- tableRows
     val stale = tableRows -- SparkEntry.queries.keySet
     assert(missing.isEmpty && stale.isEmpty,
       s"PLANS.md per-query table out of date — regenerate with " +
         s"`sbt \"runMain graft.PlanAudit\"`. missing=$missing stale=$stale")
+    assert(stageRows == PlanAudit.expectedStageNames,
+      s"PLANS.md stage-audit rows out of date — regenerate. " +
+        s"missing=${PlanAudit.expectedStageNames -- stageRows} " +
+        s"stale=${stageRows -- PlanAudit.expectedStageNames}")
   }
 }

@@ -9,26 +9,31 @@ class Round12OpsSpec extends SparkSpec {
 
   test("script_counts: exact per-class code-point counts, incl. edges") {
     import graft.functions.ScriptCountsExpr
-    // (text, expected counts latn..deva + total)
+    // (text, expected counts latn..taml + total)
     val cases = Seq(
-      ("hello", Seq(5L, 0, 0, 0, 0, 0, 0, 0, 0, 0, 5)),
+      ("hello", Seq(5L, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 5)),
       // × U+00D7 and ÷ U+00F7 are NOT Latin letters; é ü are
-      ("é×ü÷", Seq(2L, 0, 0, 0, 0, 0, 0, 0, 0, 0, 2)),
-      ("日本語のテスト", Seq(0L, 3, 1, 3, 0, 0, 0, 0, 0, 0, 7)),
-      ("한국어 테스트", Seq(0L, 0, 0, 0, 6, 0, 0, 0, 0, 0, 6)),
-      ("привет мир", Seq(0L, 0, 0, 0, 0, 9, 0, 0, 0, 0, 9)),
-      ("مرحبا", Seq(0L, 0, 0, 0, 0, 0, 5, 0, 0, 0, 5)),
-      ("γεια σου", Seq(0L, 0, 0, 0, 0, 0, 0, 7, 0, 0, 7)),
-      ("שלום", Seq(0L, 0, 0, 0, 0, 0, 0, 0, 4, 0, 4)),
+      ("é×ü÷", Seq(2L, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 2)),
+      ("日本語のテスト", Seq(0L, 3, 1, 3, 0, 0, 0, 0, 0, 0, 0, 0, 7)),
+      ("한국어 테스트", Seq(0L, 0, 0, 0, 6, 0, 0, 0, 0, 0, 0, 0, 6)),
+      ("привет мир", Seq(0L, 0, 0, 0, 0, 9, 0, 0, 0, 0, 0, 0, 9)),
+      ("مرحبا", Seq(0L, 0, 0, 0, 0, 0, 5, 0, 0, 0, 0, 0, 5)),
+      ("γεια σου", Seq(0L, 0, 0, 0, 0, 0, 0, 7, 0, 0, 0, 0, 7)),
+      ("שלום", Seq(0L, 0, 0, 0, 0, 0, 0, 0, 4, 0, 0, 0, 4)),
       // Devanagari (r14, appended class): letters AND matras/virama
       // count; the danda । and digits ०१ do NOT
-      ("नमस्ते। ०१", Seq(0L, 0, 0, 0, 0, 0, 0, 0, 0, 6, 6)),
+      ("नमस्ते। ०१", Seq(0L, 0, 0, 0, 0, 0, 0, 0, 0, 6, 0, 0, 6)),
+      // Bengali (r14): ra/wa ৰ ৱ (the Assamese letters, U+09F0/F1)
+      // count; Bengali digits ০১ do NOT
+      ("নমস্কাৰ ৱ ০১", Seq(0L, 0, 0, 0, 0, 0, 0, 0, 0, 0, 8, 0, 8)),
+      // Tamil (r14): letters + pulli/matras count; digits ௦௧ do NOT
+      ("வணக்கம் ௦௧", Seq(0L, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 7, 7)),
       // digits/punct/symbols count nowhere
-      ("123 !? €¥", Seq(0L, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)),
-      ("", Seq(0L, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)),
+      ("123 !? €¥", Seq(0L, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)),
+      ("", Seq(0L, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)),
       // supplementary-plane code point (emoji, surrogate pair in
       // UTF-16): walks as ONE code point, classified nowhere
-      ("a😀b", Seq(2L, 0, 0, 0, 0, 0, 0, 0, 0, 0, 2)))
+      ("a😀b", Seq(2L, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 2)))
     val got = cases.map(_._1).toDF("text")
       .select(ScriptCountsExpr.script_counts(col("text")).as("c"))
       .collect().map(_.getSeq[Long](0))

@@ -197,26 +197,37 @@ class Round13OpsSpec extends SparkSpec {
       (7L, "dial 555-123-4567 then 555-0000 later"),
       // sequential-count semantics: the email swallows the embedded
       // IP, so n_ipv4 counts 0 — counts == placeholders in red_text
-      (8L, "ping a@10.0.0.1.com now"))
+      (8L, "ping a@10.0.0.1.com now"),
+      // card shapes: dashed, spaced, plain — all redact WHOLE before
+      // any shorter digit pattern can half-claim a 4-digit group
+      (9L, "pay 4532-0012-0034-0005 or 4532 0012 0034 0013 or " +
+        "4532001200340021 now"),
+      // SSN before phones: 987-65-4320 is an SSN, never a phone tail
+      (10L, "ssn 987-65-4320 and phone 555-0000"))
       .toDF("id", "text")
     val got = TextAnalysis.piiRedact(d, col("id"), col("text"))
       .collect().map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
-          r.getString(5))))
+          r.getLong(5), r.getLong(6), r.getString(7))))
       .toMap
-    assert(got(1L) == ((2L, 0L, 0L, 0L,
+    assert(got(1L) == ((2L, 0L, 0L, 0L, 0L, 0L,
       "contact <EMAIL> or <EMAIL> now")))
-    assert(got(2L) == ((0L, 2L, 0L, 0L, "server at <IP> and <IP> up")))
-    assert(got(3L) == ((0L, 0L, 0L, 2L,
+    assert(got(2L) == ((0L, 2L, 0L, 0L, 0L, 0L,
+      "server at <IP> and <IP> up")))
+    assert(got(3L) == ((0L, 0L, 0L, 0L, 0L, 2L,
       "call <PHONE> about the <PHONE> line")))
-    assert(got(4L) == ((1L, 1L, 0L, 1L,
+    assert(got(4L) == ((1L, 1L, 0L, 0L, 0L, 1L,
       "mixed <EMAIL> from <IP> ref <PHONE>")))
-    assert(got(5L) == ((0L, 0L, 0L, 0L,
+    assert(got(5L) == ((0L, 0L, 0L, 0L, 0L, 0L,
       "clean text with no identifiers at all")))
-    assert(got(6L) == ((0L, 0L, 0L, 0L, "")))
-    assert(got(7L) == ((0L, 0L, 1L, 1L,
+    assert(got(6L) == ((0L, 0L, 0L, 0L, 0L, 0L, "")))
+    assert(got(7L) == ((0L, 0L, 0L, 0L, 1L, 1L,
       "dial <PHONE> then <PHONE> later")))
-    assert(got(8L) == ((1L, 0L, 0L, 0L, "ping <EMAIL> now")))
+    assert(got(8L) == ((1L, 0L, 0L, 0L, 0L, 0L, "ping <EMAIL> now")))
+    assert(got(9L) == ((0L, 0L, 3L, 0L, 0L, 0L,
+      "pay <CARD> or <CARD> or <CARD> now")))
+    assert(got(10L) == ((0L, 0L, 0L, 1L, 0L, 1L,
+      "ssn <SSN> and phone <PHONE>")))
   }
 
   test("packingEfficiency: exact packed/unpacked arithmetic incl. zero-token docs") {

@@ -114,4 +114,41 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(got.filter(_.getString(1) == "und")
       .forall(_.getString(2) == "und"))
   }
+
+  test("Bengali-script tier + Tamil held-out gate: bn/as/ta label, controls abstain") {
+    import spark.implicits._
+    // held-out sentences NOT in the q194 fixtures; the bn/as pair is
+    // the Bengali script's sibling separation (Assamese ৰ/ৱ vs
+    // Bengali র); Tamil labels script-direct. Controls: proper-noun
+    // lists (no function-word evidence — must abstain, not coin-flip)
+    val rows = Seq(
+      (1L, "bn", "তারা প্রতিদিন সকালে স্কুলে যায় এবং বিকেলে খেলা করে"),
+      (2L, "bn", "এই বইটি খুব ভালো এবং আমি এটি পড়ছি"),
+      (3L, "as", "ছাত্ৰসকলে পুৱা বিদ্যালয়লৈ যায় আৰু আবেলি খেল খেলে"),
+      (4L, "as", "এই কিতাপখন ভাল আৰু মই ইয়াক পঢ়ি আছোঁ"),
+      (5L, "ta", "நான் தினமும் காலையில் பள்ளிக்கு செல்கிறேன்"),
+      (6L, "und", "ঢাকা বগুড়া যশোর রংপুর কুষ্টিয়া"))
+      .toDF("doc_id", "want", "text")
+    val got = graft.text.LangIdFixed.scorePerScript(rows,
+        col("doc_id"), col("text"), carry = Seq(col("want")))
+      .select("doc_id", "want", "lang", "tier")
+      .collect()
+    val wrong = got.filter(r => r.getString(2) != "und" &&
+      r.getString(2) != r.getString(1))
+    assert(wrong.isEmpty, "wrong-language assignments: " +
+      wrong.map(r => s"${r.getLong(0)}:got=${r.getString(2)} " +
+        s"want=${r.getString(1)}").mkString(", "))
+    val labeled = got.filter(r => r.getString(2) == r.getString(1) &&
+      r.getString(1) != "und")
+    assert(labeled.length == 5,
+      s"tier abstains too much: ${labeled.length}/5 labeled — " +
+        got.map(r => s"${r.getLong(0)}:${r.getString(2)}").mkString(", "))
+    // routing evidence: bn/as rows went through the beng trigram
+    // tier, the Tamil row labeled script-direct, the control abstains
+    assert(got.filter(r => Set("bn", "as")(r.getString(1)))
+      .forall(_.getString(3) == "beng-trigram"))
+    assert(got.find(_.getString(1) == "ta").get.getString(3)
+      == "script-direct")
+    assert(got.find(_.getLong(0) == 6L).get.getString(2) == "und")
+  }
 }

@@ -169,7 +169,15 @@ class Round9OpsSpec extends SparkSpec {
     out.foreach { case (id, (em, ip, ph)) =>
       assert(em == (if (id % 5 == 0) 1L else 0L), s"email at $id")
       assert(ip == (if (id % 7 == 0) 1L else 0L), s"ipv4 at $id")
-      assert(ph == (if (id % 11 == 0) 1L else 0L), s"phone at $id")
+      // the %13 plant is a 10-DIGIT phone whose trailing 867-5309 the
+      // scan tier's 7-digit pattern sees (counts-on-original
+      // semantics — the documented scan-vs-rewrite divergence the
+      // r14 q189 rewrite tier resolves); the %17 card and %19 SSN
+      // plants contain no 7-digit-phone shape (4-4 and 3-2-4 digit
+      // groups never parse as ddd-dddd at a word boundary)
+      val want = (if (id % 11 == 0) 1L else 0L) +
+        (if (id % 13 == 0) 1L else 0L)
+      assert(ph == want, s"phone at $id")
     }
   }
 
