@@ -119,7 +119,11 @@ object PlanAudit {
     "q164_source_overlap" ->
       "lazy maxSources gate: global scalar count over distinct sources",
     "q180_dedup_funnel" ->
-      "four stage-count scalar aggs: one partial row per task, 4 output rows"
+      "four stage-count scalar aggs: one partial row per task, 4 output rows",
+    "q195_incremental_semantic_keep" ->
+      ("Spark-INJECTED runtime bloom-filter join pruning on the batch-id " +
+        "re-join (partial_bloom_filter_agg): one bounded bloom buffer " +
+        "per task merged once — the sketch-merge pattern")
     // q129_zipf_slope funnels through a bounded top-30 head (limit +
     // rank window + OLS agg) but plans as TakeOrdered without an
     // explicit SinglePartition exchange, so it needs no entry here

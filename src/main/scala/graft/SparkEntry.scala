@@ -2514,6 +2514,26 @@ object SparkEntry {
           "vec_id", "embedding", FixedCentroidsE9, threshold = 0.45,
           bandTables = 16, bandBits = 4, dim = 64)
         .orderBy("id_a", "id_b")
+    }),
+
+    // the semantic ACTION tier (q192 emits pair EVIDENCE; a crawl
+    // loop routes on the VERDICT): per batch row, direct-pair degrees
+    // against history and against smaller-id batch siblings + the
+    // keep/drop bit — pessimistic direct-pair rule (never keeps a
+    // dup; documented divergence from offline CC-keeper semantics).
+    // Same banded probe underneath; oracle replays the rule as two
+    // correlated counts over the one-shot within-cluster pair set
+    "q195_incremental_semantic_keep" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val hist = graft.sim.SemanticDedup.clustered(
+          e.where(pmod(col("vec_id"), lit(2)) === 0),
+          "vec_id", "embedding", FixedCentroidsE9)
+        .localCheckpoint()
+      graft.sim.SemanticDedup.incrementalSemanticKeep(
+          e.where(pmod(col("vec_id"), lit(2)) === 1), hist,
+          "vec_id", "embedding", FixedCentroidsE9, threshold = 0.45,
+          bandTables = 16, bandBits = 4, dim = 64)
+        .orderBy("vec_id")
     })
   )
 
@@ -6429,6 +6449,36 @@ object SparkEntry {
            |WHERE list_cosine_similarity(a.v, b.v) >= 0.45
            |  AND (a.vec_id % 2 = 1 OR b.vec_id % 2 = 1)
            |ORDER BY id_a, id_b""".stripMargin,
+
+      // the ACTION verdict over the same pair set: per batch (odd)
+      // vector, the count of history partners and of smaller-id batch
+      // partners — kept ⟺ both zero (the pessimistic direct-pair rule)
+      "q195_incremental_semantic_keep" ->
+        s"""WITH $fixedClusterAssignCtes,
+           |ve AS (SELECT casg.vec_id, casg.cluster,
+           |    CAST(e2.embedding AS DOUBLE[]) AS v
+           |  FROM casg JOIN embeddings e2 ON casg.vec_id = e2.vec_id),
+           |pp AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           |  FROM ve a JOIN ve b
+           |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+           |  WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+           |    AND (a.vec_id % 2 = 1 OR b.vec_id % 2 = 1))
+           |SELECT e.vec_id,
+           |  CAST((SELECT COUNT(*) FROM pp
+           |    WHERE (pp.id_a = e.vec_id AND pp.id_b % 2 = 0)
+           |       OR (pp.id_b = e.vec_id AND pp.id_a % 2 = 0))
+           |    AS BIGINT) AS n_hist_dups,
+           |  CAST((SELECT COUNT(*) FROM pp
+           |    WHERE pp.id_b = e.vec_id AND pp.id_a % 2 = 1)
+           |    AS BIGINT) AS n_prior_batch_dups,
+           |  ((SELECT COUNT(*) FROM pp
+           |    WHERE (pp.id_a = e.vec_id AND pp.id_b % 2 = 0)
+           |       OR (pp.id_b = e.vec_id AND pp.id_a % 2 = 0)) = 0
+           |   AND (SELECT COUNT(*) FROM pp
+           |    WHERE pp.id_b = e.vec_id AND pp.id_a % 2 = 1) = 0)
+           |    AS kept
+           |FROM embeddings e WHERE e.vec_id % 2 = 1
+           |ORDER BY e.vec_id""".stripMargin,
 
       // z-order layout audit: the oracle replays the same magic-mask
       // bit spread (4 shift-or steps) and the morton-prefix / linear

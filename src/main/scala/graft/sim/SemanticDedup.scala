@@ -233,6 +233,66 @@ object SemanticDedup {
     within.unionByName(cross).distinct()
   }
 
+  /** The ACTION tier over [[incrementalSemanticDupPre]]'s pairs — the
+    * per-batch KEEP/DROP decision a crawl loop actually routes on
+    * (q192 emits the pair evidence; this emits the verdict): a batch
+    * vector is dropped when it semantically pairs with ANY history
+    * vector (history is already shipped — it always wins, whatever
+    * the ids say) or with a smaller-id batch sibling.
+    *
+    * The within-batch rule is the PESSIMISTIC direct-pair form, not
+    * connected-component keeper selection: on a chain 1–2, 2–3 (1–3
+    * not a pair) it drops BOTH 2 and 3, where greedy arrival-order
+    * processing would re-keep 3 after dropping 2. Deliberate: the
+    * greedy semantic is sequential (each verdict depends on earlier
+    * verdicts — a recursive computation), while this rule is one
+    * monotone pass, never keeps a duplicate, and errs only toward
+    * dropping near-dup-CHAIN members a curation pass rarely wants
+    * anyway. Documented divergence from [[semanticDedup]]'s
+    * offline CC-keeper semantics; spec-pinned.
+    *
+    * Output: every batch row as (vec_id, n_hist_dups,
+    * n_prior_batch_dups, kept) — counts are direct pair degrees, the
+    * audit numbers a per-batch curation report carries. Scale shape:
+    * the pair frame (bounded by the banded probe) aggregates by
+    * 8-byte ids; batch re-joins once; history never moves. */
+  def incrementalSemanticKeep(batch: DataFrame,
+                              historyClustered: DataFrame,
+                              idCol: String, vecCol: String,
+                              centroidsE9: Seq[Seq[Long]],
+                              threshold: Double,
+                              expectedItems: Long = 0L,
+                              fpp: Double = 0.01,
+                              bandTables: Int = 0, bandBits: Int = 0,
+                              dim: Int = 0): DataFrame = {
+    val pairs = incrementalSemanticDupPre(batch, historyClustered,
+      idCol, vecCol, centroidsE9, threshold, expectedItems, fpp,
+      bandTables, bandBits, dim)
+    val bIds = batch.select(col(idCol).as("vec_id"))
+    // each pair, seen from both ends; only batch-member ends matter
+    val ends = pairs.select(col("id_a").as("vec_id"),
+        col("id_b").as("partner"))
+      .unionByName(pairs.select(col("id_b").as("vec_id"),
+        col("id_a").as("partner")))
+      .join(bIds, Seq("vec_id"), "left_semi")
+    // partner ∈ batch ⟺ the semi-joinable side is nonempty; a left
+    // join against the batch-id relation classifies it
+    val flagged = ends.join(
+      bIds.select(col("vec_id").as("partner"), lit(1L).as("__b")),
+      Seq("partner"), "left")
+    val deg = flagged.groupBy("vec_id").agg(
+      sum(when(col("__b").isNull, 1L).otherwise(0L)).as("n_hist_dups"),
+      sum(when(col("__b").isNotNull && col("partner") < col("vec_id"),
+        1L).otherwise(0L)).as("n_prior_batch_dups"))
+    bIds.join(deg, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_hist_dups"), lit(0L)).as("n_hist_dups"),
+        coalesce(col("n_prior_batch_dups"), lit(0L))
+          .as("n_prior_batch_dups"))
+      .withColumn("kept",
+        col("n_hist_dups") === 0L && col("n_prior_batch_dups") === 0L)
+  }
+
   /** Shared (cluster, vec_id, __vec) frame: the frozen-centroid
     * assignment joined back to the vectors by id. Vectors cast to
     * array<double> — [[CosineSimExpr]] reads doubles, and the corpus

@@ -68,11 +68,11 @@ object Bench10x {
     * their disjoint-dir rows. */
   val DisjointOnly: Set[String] = Set("q136_editdist_pairs",
     "q137_sparse_cosine", "q141_incremental_fuzzy",
-    // q192 pairs embeddings: on byte-identical replicas every vector
-    // is a 10-way within-cluster near-dup (quadratic pair output by
-    // construction) — probed on the component-ROTATED embedding dir
-    // like q67
-    "q192_incremental_semantic")
+    // q192/q195 pair embeddings: on byte-identical replicas every
+    // vector is a 10-way within-cluster near-dup (quadratic pair
+    // volume by construction) — probed on the component-ROTATED
+    // embedding dir like q67
+    "q192_incremental_semantic", "q195_incremental_semantic_keep")
 
   private def minOf2(f: => Unit): Double = {
     val t1 = System.nanoTime(); f; val s1 = (System.nanoTime() - t1) / 1e9
@@ -209,8 +209,8 @@ object Bench10x {
       Seq("q136_editdist_pairs", "q137_sparse_cosine",
         "q141_incremental_fuzzy", "q23_simhash_pairs",
         "q66_dedup_components").map(_ -> dir10d) ++
-      Seq("q67_dedup_embedding_approx",
-        "q192_incremental_semantic").map(_ -> dir10e))
+      Seq("q67_dedup_embedding_approx", "q192_incremental_semantic",
+        "q195_incremental_semantic_keep").map(_ -> dir10e))
       .map { case (name, dir) =>
       val fn = SparkEntry.queries(name)
       val t1 = minOf2 { Bench.consume(fn(spark, sf01)) }

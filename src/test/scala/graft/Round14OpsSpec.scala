@@ -115,6 +115,69 @@ class Round14OpsSpec extends AnyFunSuite {
       .forall(_.getString(2) == "und"))
   }
 
+  test("incrementalSemanticKeep: verdicts derive from the pair set; chains drop pessimistically") {
+    import graft.sim.SemanticDedup
+    val cents = Seq(Seq.fill(8)(500000000L), Seq.fill(8)(-500000000L))
+    def v(base: Double, tweakIdx: Int = -1, tweak: Double = 0.0) =
+      Seq.tabulate(8)(i => (if (i == tweakIdx) tweak else base).toFloat)
+    // history 2 shares batch 11-13's cluster but pairs with none of
+    // them at t (cos ≈ 0.92 to 11) — cluster co-location alone must
+    // not drop anything
+    def vh(tweaks: Map[Int, Double]) =
+      Seq.tabulate(8)(i => tweaks.getOrElse(i, -0.5).toFloat)
+    val history = Seq((1L, v(0.5)),
+      (2L, vh(Map(1 -> -0.1, 5 -> -0.1))))
+      .toDF("vec_id", "embedding")
+    // batch: 10 pairs history 1 (dropped, n_hist=1); a within-batch
+    // CHAIN 11–12–13 at t=0.985 — 11~12 (cos ≈ 0.9904) and 12~13
+    // (≈ 0.9897) pair but 11~13 (≈ 0.9820) does NOT: the pessimistic
+    // rule keeps 11, drops 12 (prior 11) AND 13 (prior 12, even
+    // though 12 itself dropped); 14 is clean in the other cell
+    def v2(tweaks: Map[Int, Double]) =
+      Seq.tabulate(8)(i => tweaks.getOrElse(i, -0.5).toFloat)
+    val batch = Seq(
+      (10L, v(0.5, 5, 0.48)),
+      (11L, v2(Map.empty)), (12L, v2(Map(2 -> -0.3))),
+      (13L, v2(Map(2 -> -0.3, 6 -> -0.3))),
+      (14L, Seq(0.9f, 0.1f, 0.9f, 0.1f, 0.9f, 0.1f, 0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val hp = SemanticDedup.clustered(history, "vec_id", "embedding",
+      cents).localCheckpoint()
+    val t = 0.985
+    val out = SemanticDedup.incrementalSemanticKeep(batch, hp,
+        "vec_id", "embedding", cents, t)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))).toMap
+    // cross-check the verdicts against the pair evidence itself
+    val pairs = SemanticDedup.incrementalSemanticDupPre(batch, hp,
+        "vec_id", "embedding", cents, t)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((11L, 12L)) && pairs.contains((12L, 13L)) &&
+      !pairs.contains((11L, 13L)),
+      s"fixture chain broken: $pairs")
+    val batchIds = Set(10L, 11L, 12L, 13L, 14L)
+    out.foreach { case (id, (nh, np, kept)) =>
+      val wantH = pairs.count(p => (p._1 == id && !batchIds(p._2)) ||
+        (p._2 == id && !batchIds(p._1)))
+      val wantP = pairs.count(p => p._2 == id && batchIds(p._1))
+      assert((nh, np) == ((wantH.toLong, wantP.toLong)), s"degrees at $id")
+      assert(kept == (nh == 0L && np == 0L), s"verdict at $id")
+    }
+    assert(out(10L)._3 == false && out(10L)._1 == 1L)
+    assert(out(11L)._3 == true)
+    assert(out(12L)._3 == false && out(13L)._3 == false)
+    assert(out(14L)._3 == true)
+    // empty history: only the within-batch rule fires, no NPE
+    val emptyHist = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], hp.schema)
+    val e = SemanticDedup.incrementalSemanticKeep(batch, emptyHist,
+        "vec_id", "embedding", cents, t)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(e == Map(10L -> true, 11L -> true, 12L -> false,
+      13L -> false, 14L -> true))
+  }
+
   test("Bengali-script tier + Tamil held-out gate: bn/as/ta label, controls abstain") {
     import spark.implicits._
     // held-out sentences NOT in the q194 fixtures; the bn/as pair is
