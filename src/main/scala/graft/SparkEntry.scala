@@ -2516,6 +2516,40 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // benchmark-ARRIVAL contamination audit — the reverse-direction
+    // incremental op (q191 holds the corpus side still while crawl
+    // batches arrive; here the corpus WINDOW-FINGERPRINT INDEX holds
+    // still while NEW benchmarks arrive): the bench batch's windows
+    // probe the persisted sha-256 index, corpus text untouched,
+    // per-arrival cost ∝ bench size. bench = doc_id%10==7 (the q184
+    // split), corpus index over the rest
+    "q196_bench_arrival_audit" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val idx = Dedup.windowFingerprintIndex(
+          d.where(pmod(col("doc_id"), lit(10)) =!= 7),
+          col("doc_id"), col("text"), k = 8)
+        .localCheckpoint()
+      Dedup.benchArrivalAudit(idx,
+          d.where(pmod(col("doc_id"), lit(10)) === 7), col("text"), k = 8)
+        .orderBy("doc_id")
+    }),
+
+    // ...and the ACTION on that arrival: re-excise ONLY the flagged
+    // docs (≡ q184 restricted to them — unaffected docs are
+    // pass-through there, so nothing is lost; the oracle replays the
+    // restriction). Corpus-sized work = one doc_id semi-join;
+    // excision touches affected docs only
+    "q197_decontaminate_on_arrival" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val corpus = d.where(pmod(col("doc_id"), lit(10)) =!= 7)
+      val bench = d.where(pmod(col("doc_id"), lit(10)) === 7)
+      val idx = Dedup.windowFingerprintIndex(corpus, col("doc_id"),
+        col("text"), k = 8).localCheckpoint()
+      Dedup.decontaminateOnArrival(corpus, col("doc_id"), col("text"),
+          idx, bench, col("text"), k = 8)
+        .orderBy("doc_id")
+    }),
+
     // the semantic ACTION tier (q192 emits pair EVIDENCE; a crawl
     // loop routes on the VERDICT): per batch row, direct-pair degrees
     // against history and against smaller-id batch siblings + the
@@ -2741,6 +2775,24 @@ object SparkEntry {
        |FROM sg $joins
        |ORDER BY sg.doc_id""".stripMargin
   }
+
+  /** The q196/q197 bench-arrival window sets as reusable CTEs (no
+    * leading WITH): `cs(doc_id, span)` — DISTINCT k-token windows per
+    * corpus doc (doc_id%10 != 7) — and `bsx(span)` — the distinct
+    * window set of the arriving bench batch (doc_id%10 == 7). */
+  private def benchArrivalCtes(k: Int): String =
+    s"""ct AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS w
+       |  FROM documents WHERE doc_id % 10 != 7),
+       |cs AS (SELECT DISTINCT doc_id,
+       |    array_to_string(w[i:i+${k - 1}], ' ') AS span
+       |  FROM ct, UNNEST(range(1,
+       |    GREATEST(len(w) - ${k - 1}, 0) + 1)) AS u(i)),
+       |bt0 AS (SELECT string_split(COALESCE(text, ''), ' ') AS w
+       |  FROM documents WHERE doc_id % 10 = 7),
+       |bsx AS (SELECT DISTINCT
+       |    array_to_string(w[i:i+${k - 1}], ' ') AS span
+       |  FROM bt0, UNNEST(range(1,
+       |    GREATEST(len(w) - ${k - 1}, 0) + 1)) AS u(i))""".stripMargin
 
   /** The q162/q192 frozen-centroid assignment as reusable CTEs (no
     * leading WITH) over `embeddings`, ending in
@@ -6449,6 +6501,33 @@ object SparkEntry {
            |WHERE list_cosine_similarity(a.v, b.v) >= 0.45
            |  AND (a.vec_id % 2 = 1 OR b.vec_id % 2 = 1)
            |ORDER BY id_a, id_b""".stripMargin,
+
+      // bench-arrival audit: distinct corpus windows ∩ distinct bench
+      // windows, counted per corpus doc (span-granularity — the
+      // sha-256 fingerprint is injective up to collision resistance,
+      // so verbatim span intersection replays it)
+      "q196_bench_arrival_audit" ->
+        s"""WITH ${benchArrivalCtes(8)}
+           |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_windows
+           |FROM cs JOIN bsx USING (span)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // the arrival ACTION: q184's excision chain over the corpus
+      // RESTRICTED to audit-flagged docs
+      "q197_decontaminate_on_arrival" -> {
+        val prelude =
+          s"""${benchArrivalCtes(8)},
+             |aff AS (SELECT DISTINCT doc_id FROM cs JOIN bsx USING (span)),
+             |corp AS (SELECT doc_id, text FROM documents
+             |  WHERE doc_id % 10 != 7
+             |    AND doc_id IN (SELECT doc_id FROM aff)),
+             |benchrel AS (SELECT text FROM documents WHERE doc_id % 10 = 7)"""
+            .stripMargin
+        s"""WITH $prelude,
+           |${exciseBenchCtes("corp", "benchrel", 8, "x")}
+           |SELECT doc_id, n_toks, n_removed, n_islands, kept_text
+           |FROM xout ORDER BY doc_id""".stripMargin
+      },
 
       // the ACTION verdict over the same pair set: per batch (odd)
       // vector, the count of history partners and of smaller-id batch

@@ -178,6 +178,42 @@ class Round14OpsSpec extends AnyFunSuite {
       13L -> false, 14L -> true))
   }
 
+  test("bench arrival: audit flags exactly the contaminated docs; re-excision ≡ full decontaminate restricted") {
+    import graft.dedup.Dedup
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta eps zeta eta theta tail one two"),
+      (2L, "totally unrelated text with nothing shared at all here ok"),
+      (3L, "lead in alpha beta gamma delta eps zeta eta theta end"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    // the arriving benchmark quotes docs 1/3's 8-token run
+    val bench = Seq((100L, "alpha beta gamma delta eps zeta eta theta"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.windowFingerprintIndex(corpus, col("doc_id"),
+      col("text"), k = 8).localCheckpoint()
+    val audit = Dedup.benchArrivalAudit(idx, bench, col("text"), k = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(audit == Map(1L -> 1L, 3L -> 1L), audit.toString)
+    val got = Dedup.decontaminateOnArrival(corpus, col("doc_id"),
+        col("text"), idx, bench, col("text"), k = 8)
+      .collect().map(_.toSeq).toSet
+    // ≡ the full q184-style decontaminate restricted to flagged docs
+    val want = Dedup.substringDecontaminate(
+        corpus.select(col("doc_id"), col("text").as("__t")),
+        col("doc_id"), col("__t"), bench, col("text"), k = 8)
+      .where(col("doc_id").isin(1L, 3L))
+      .collect().map(_.toSeq).toSet
+    assert(got == want, s"got=$got want=$want")
+    // the cuts are real and doc-local
+    val byId = got.map(s => s.head -> s(4)).toMap
+    assert(byId(1L) == "tail one two" && byId(3L) == "lead in end")
+    // empty bench arrival: nothing flagged, nothing re-excised
+    val empty = bench.where(lit(false))
+    assert(Dedup.benchArrivalAudit(idx, empty, col("text"), 8).isEmpty)
+    assert(Dedup.decontaminateOnArrival(corpus, col("doc_id"),
+      col("text"), idx, empty, col("text"), 8).isEmpty)
+  }
+
   test("Bengali-script tier + Tamil held-out gate: bn/as/ta label, controls abstain") {
     import spark.implicits._
     // held-out sentences NOT in the q194 fixtures; the bn/as pair is
