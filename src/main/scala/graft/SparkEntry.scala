@@ -2969,7 +2969,7 @@ object SparkEntry {
     * the corpus prefix-norm so all four cells — three sign patterns +
     * the origin — win a healthy share: 117/128/108/147 at sf0.01).
     * Shared with the oracle's VALUES list. */
-  private val FixedCentroidsE9: Seq[Seq[Long]] = Seq(
+  private[graft] val FixedCentroidsE9: Seq[Seq[Long]] = Seq(
     Seq(50000000L, 50000000L, 50000000L, 50000000L,
       -50000000L, -50000000L, -50000000L, -50000000L),
     Seq(-50000000L, -50000000L, -50000000L, -50000000L,
