@@ -1897,9 +1897,26 @@ object Dedup {
             expr("(__ub * 1000000) DIV n_b") >= minContainE6)
           .select("id_a", "id_b")
       }
+    // Verify sides restricted to SURVIVOR docs before any array moves.
+    // Unrestricted, the two verify joins SMJ-shuffle the FULL corpus's
+    // shingle arrays on id — measured at 100× (500 k docs) as the
+    // GC/spill driver behind a 24–67 s run-to-run bimodality with a
+    // byte-identical plan (PLANS.md r14 probe notes). Survivor pairs
+    // are the only rows either join can keep, so semi-joining sh to
+    // the survivor id set first is semantics-free; the id set is
+    // 8-byte longs ≈ 2×|surviving| rows (output-scale, far under
+    // broadcast limits — ~10⁸ ids before the 8 GB ceiling matters),
+    // and the broadcast makes the restriction a streaming BHJ over
+    // the checkpoint: full-corpus arrays never ride a shuffle, only
+    // survivor-doc arrays do. The surviving subtree is referenced
+    // three times (ids ×2 + the pair join) — its shuffles dedupe via
+    // ReuseExchange; only the cheap post-shuffle agg re-executes.
+    val survIds = broadcast(surviving.select(col("id_a").as("id"))
+      .union(surviving.select(col("id_b").as("id"))).distinct())
+    val shv = sh.join(survIds, Seq("id"), "left_semi")
     surviving
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(shv.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(shv.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         graft.functions.SortedInterExpr.sorted_inter_count(
           col("sh_a"), col("sh_b")).cast("long").as("inter"),

@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch A/B profiler for containmentPairs at 100×: times the full
+  * operator N times back-to-back (the bimodality shows within-session
+  * — PLANS.md r14 notes), so code variants can be compared run-mode
+  * by run-mode rather than by a single min-of-2 draw. */
+object Q160Diag {
+  def main(args: Array[String]): Unit = {
+    val dir = "/tmp/graft_100x_docs"
+    val n = args.headOption.map(_.toInt).getOrElse(3)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    for (i <- 1 to n) {
+      val t0 = System.nanoTime()
+      val out = graft.dedup.Dedup.containmentPairs(
+        docs, "doc_id", "text", w = 3, maxDf = 10)
+      val t1 = System.nanoTime()
+      Bench.consume(out)
+      val t2 = System.nanoTime()
+      println(f"[q160diag] run $i: call=${(t1 - t0) / 1e9}%.1f s " +
+        f"consume=${(t2 - t1) / 1e9}%.1f s total=${(t2 - t0) / 1e9}%.1f s")
+      spark.sharedState.cacheManager.clearCache()
+    }
+    spark.stop()
+  }
+}
