@@ -2494,6 +2494,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the WORLD script-direct tier (closing r13 VERDICT missing #3
+    // past Indic): fifteen more one-language scripts — te/kn/ml
+    // (Dravidian), gu/pa/or (north Indic), si, th/lo/my/km (SE
+    // Asia), ka/hy (Caucasus), am (Ethiopic), dv (Thaana) — label
+    // from the code-point histogram alone (zero trigram work; the
+    // engine decision chain and the oracle both generate their arms
+    // from the ONE WorldScriptLangs list). A Cherokee control
+    // (unlisted script) must quarantine as und, and brief text must
+    // still clear the share floor
+    "q198_world_script_lang_id" -> ((s, dir) => {
+      import s.implicits._
+      val fx = WorldScriptFixtures.toDF("doc_id", "text")
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+        .unionByName(fx)
+      graft.text.LangIdFixed.scorePerScript(docs, col("doc_id"),
+          col("text"))
+        .orderBy("doc_id")
+    }),
+
     // incremental SEMANTIC dedup — the last cell of the incremental
     // matrix (exact docs q86 / paragraphs q170, fuzzy docs q141 /
     // paragraphs q177, excision q191): semantic near-dup pairs
@@ -2742,8 +2761,11 @@ object SparkEntry {
       .mkString(",\n")
     def routed(field: String): String = tiers.map { case (scr, p, _, _, _) =>
       s"WHEN sg.script = '$scr' THEN ${p}_lid.$field" }.mkString("\n    ")
-    val direct = Seq("jpan" -> "ja", "hang" -> "ko", "hani" -> "zh",
-      "grek" -> "el", "hebr" -> "he", "taml" -> "ta")
+    // script-direct labels = the engine's one canonical list minus
+    // the tiered scripts (generated, like the engine's `direct` map)
+    val tierScripts = tiers.map(_._1).toSet
+    val direct = LangIdFixed.ScriptDirectLangs
+      .filterNot { case (s, _) => tierScripts(s) }
       .map { case (s, l) => s"WHEN sg.script = '$s' THEN '$l'" }
       .mkString("\n    ")
     val joins = tiers.map { case (_, p, _, _, _) =>
@@ -2953,6 +2975,33 @@ object SparkEntry {
     -46L -> "அவள் சந்தைக்கு சென்று இரவு உணவிற்கு ரொட்டி வாங்கினாள்",
     -47L -> "কলিকাতা ঢাকা গুৱাহাটী")
 
+  /** q198's planted world-tier rows: -51..-65 one everyday sentence
+    * per script-direct class of
+    * [[graft.text.LangIdFixed.WorldScriptLangs]] (in list order),
+    * -66 a second Gurmukhi row (a short aphorism — the share floor
+    * must hold on brief text too), and -67 a Cherokee control — an
+    * UNLISTED script whose letters sit in no class, so the row must
+    * quarantine as zzzz/und rather than mislabel. Shared verbatim
+    * with the oracle VALUES (no apostrophes). */
+  private val WorldScriptFixtures: Seq[(Long, String)] = Seq(
+    -51L -> "ఈ రోజు వాతావరణం బాగుంది మేము పార్కుకు వెళ్తున్నాము",
+    -52L -> "ಇಂದು ಹವಾಮಾನ ಚೆನ್ನಾಗಿದೆ ನಾವು ಉದ್ಯಾನವನಕ್ಕೆ ಹೋಗುತ್ತಿದ್ದೇವೆ",
+    -53L -> "ഇന്ന് കാലാവസ്ഥ നല്ലതാണ് ഞങ്ങൾ പാർക്കിലേക്ക് പോകുന്നു",
+    -54L -> "આજે હવામાન સારું છે અને અમે બગીચામાં જઈ રહ્યા છીએ",
+    -55L -> "ਅੱਜ ਮੌਸਮ ਚੰਗਾ ਹੈ ਅਤੇ ਅਸੀਂ ਪਾਰਕ ਜਾ ਰਹੇ ਹਾਂ",
+    -56L -> "ଆଜି ପାଗ ଭଲ ଅଛି ଆମେ ଉଦ୍ୟାନକୁ ଯାଉଛୁ",
+    -57L -> "අද කාලගුණය හොඳයි අපි උයනට යනවා",
+    -58L -> "วันนี้อากาศดีเรากำลังไปสวนสาธารณะ",
+    -59L -> "ມື້ນີ້ອາກາດດີ ພວກເຮົາກໍາລັງໄປສວນສາທາລະນະ",
+    -60L -> "ယနေ့ ရာသီဥတု ကောင်းသည် ကျွန်တော်တို့ ပန်းခြံသို့ သွားနေသည်",
+    -61L -> "ថ្ងៃនេះអាកាសធាតុល្អ យើងកំពុងទៅសួនច្បារ",
+    -62L -> "დღეს ამინდი კარგია და ჩვენ პარკში მივდივართ",
+    -63L -> "այսօր եղանակը լավ է և մենք գնում ենք այգի",
+    -64L -> "ዛሬ አየሩ ጥሩ ነው እና ወደ መናፈሻ እየሄድን ነው",
+    -65L -> "މިއަދު މޫސުން ރަނގަޅު އަހަރެމެން ޕާކަށް ދަނީ",
+    -66L -> "ਸਿਹਤ ਸਭ ਤੋਂ ਵੱਡਾ ਧਨ ਹੈ",
+    -67L -> "ᏣᎳᎩ ᎦᏬᏂᎯᏍᏗ ᎤᏬᏪᎳᏅ")
+
   /** The q161/q163 synthetic paragraph structure over the single-line
     * fixture corpus: a shared boilerplate banner (whitespace/case
     * variant by doc parity — normalization is load-bearing) + the
@@ -3118,6 +3167,14 @@ object SparkEntry {
     val totSum = ScriptCountsExpr.Classes.map(_._1).mkString(" + ")
     val th = graft.text.LangIdFixed.ScriptShareThresholdPerMille
     val kf = graft.text.LangIdFixed.KanaFloorPerMille
+    // the decision/winner arms generate from the SAME frozen
+    // ScriptTestOrder list the engine's scriptClassified folds over —
+    // appending a script cannot drift the two chains apart
+    val order = graft.text.LangIdFixed.ScriptTestOrder :+ "latn"
+    val decArms = order.map(n =>
+      s"      WHEN $n * 1000 >= $th * tot THEN '$n'").mkString("\n")
+    val wcArms = order.map(n =>
+      s"      WHEN script = '$n' THEN $n").mkString("\n")
     s"""scnt AS (SELECT doc_id, text,
        |    $clsCols,
        |    $totSum AS tot
@@ -3127,28 +3184,10 @@ object SparkEntry {
        |      WHEN (hira + kata) * 1000 >= $kf * tot
        |        AND (hani + hira + kata) * 1000 >= $th * tot
        |        THEN 'jpan'
-       |      WHEN hang * 1000 >= $th * tot THEN 'hang'
-       |      WHEN hani * 1000 >= $th * tot THEN 'hani'
-       |      WHEN cyrl * 1000 >= $th * tot THEN 'cyrl'
-       |      WHEN arab * 1000 >= $th * tot THEN 'arab'
-       |      WHEN grek * 1000 >= $th * tot THEN 'grek'
-       |      WHEN hebr * 1000 >= $th * tot THEN 'hebr'
-       |      WHEN deva * 1000 >= $th * tot THEN 'deva'
-       |      WHEN beng * 1000 >= $th * tot THEN 'beng'
-       |      WHEN taml * 1000 >= $th * tot THEN 'taml'
-       |      WHEN latn * 1000 >= $th * tot THEN 'latn'
+       |$decArms
        |      ELSE 'zzzz' END AS script,
        |    CASE WHEN script = 'jpan' THEN hani + hira + kata
-       |      WHEN script = 'hang' THEN hang
-       |      WHEN script = 'hani' THEN hani
-       |      WHEN script = 'cyrl' THEN cyrl
-       |      WHEN script = 'arab' THEN arab
-       |      WHEN script = 'grek' THEN grek
-       |      WHEN script = 'hebr' THEN hebr
-       |      WHEN script = 'deva' THEN deva
-       |      WHEN script = 'beng' THEN beng
-       |      WHEN script = 'taml' THEN taml
-       |      WHEN script = 'latn' THEN latn
+       |$wcArms
        |      ELSE 0 END AS wc
        |  FROM scnt),
        |sg AS (SELECT doc_id, text, script,
@@ -6272,13 +6311,9 @@ object SparkEntry {
            |  lid.best_lang, lid.score, lid.margin,
            |  CASE WHEN g.script = 'latn' THEN lid.lang
            |    WHEN g.script = 'zzzz' THEN 'und'
-           |    WHEN g.script = 'jpan' THEN 'ja'
-           |    WHEN g.script = 'hang' THEN 'ko'
-           |    WHEN g.script = 'hani' THEN 'zh'
-           |    WHEN g.script = 'cyrl' THEN 'ru'
-           |    WHEN g.script = 'arab' THEN 'ar'
-           |    WHEN g.script = 'grek' THEN 'el'
-           |    WHEN g.script = 'hebr' THEN 'he'
+           |    ${graft.text.LangIdFixed.ScriptDirectLangs.map {
+                 case (s, l) => s"WHEN g.script = '$s' THEN '$l'" }
+                 .mkString("\n    ")}
            |    END AS lang
            |FROM g JOIN lid ON g.doc_id = lid.doc_id
            |ORDER BY g.doc_id""".stripMargin
@@ -6304,6 +6339,13 @@ object SparkEntry {
       // Tamil direct rows, a proper-noun abstain control)
       "q194_indic_lang_id" ->
         perScriptLangIdOracle(IndicFixtures),
+
+      // ... and the world script-direct tier (fifteen one-language
+      // scripts + a Cherokee unlisted-script abstain control) — the
+      // oracle's script CTEs and direct-label CASE regenerate from
+      // the same frozen lists the engine folds over
+      "q198_world_script_lang_id" ->
+        perScriptLangIdOracle(WorldScriptFixtures),
 
       // lexicon gate: the same normalize→tokenize→md5-bucket walk,
       // blocked buckets shipped as sparse (bucket, category) VALUES

@@ -30,9 +30,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Class order (frozen contract, 1-based in the output array):
   * 1 latn, 2 hani, 3 hira, 4 kata, 5 hang, 6 cyrl, 7 arab, 8 grek,
-  * 9 hebr, 10 deva, 11 beng, 12 taml, 13 total (= sum of 1..12;
-  * deva/beng/taml APPENDED in r14 — the order is an output-position
-  * contract, so new scripts extend the tail, never reorder). Code
+  * 9 hebr, 10 deva, 11 beng, 12 taml, 13 telu, 14 knda, 15 mlym,
+  * 16 gujr, 17 guru, 18 orya, 19 sinh, 20 thai, 21 laoo, 22 mymr,
+  * 23 khmr, 24 geor, 25 armn, 26 ethi, 27 thaa, 28 total (= sum of
+  * 1..27; deva/beng/taml appended in r14, the world tier appended
+  * later the same round — the order is an output-position contract,
+  * so new scripts extend the tail, never reorder). Code
   * points outside every class
   * (digits, punctuation, symbols, unlisted scripts) count nowhere —
   * they carry no script evidence, mirroring the letter-only trigram
@@ -107,7 +110,39 @@ object ScriptCountsExpr {
     "beng" -> Seq((0x0980, 0x09E3), (0x09F0, 0x09F1)),
     // Tamil letters + marks, minus digits/symbols (script-unambiguous
     // at this granularity: Tamil)
-    "taml" -> Seq((0x0B80, 0x0BE5)))
+    "taml" -> Seq((0x0B80, 0x0BE5)),
+    // r14 world tier: every class below is script-unambiguous at this
+    // model's granularity (one dominant language per script), so the
+    // histogram alone labels — no trigram tier needed. Ranges are
+    // letters + combining marks (marks ARE evidence in abugidas),
+    // minus each block's digit/punctuation runs (no evidence).
+    "telu" -> Seq((0x0C00, 0x0C63)),
+    "knda" -> Seq((0x0C80, 0x0CE3)),
+    // Malayalam letters/marks + the chillu run U+0D7A–U+0D7F
+    "mlym" -> Seq((0x0D00, 0x0D63), (0x0D7A, 0x0D7F)),
+    "gujr" -> Seq((0x0A81, 0x0AE3)),
+    "guru" -> Seq((0x0A01, 0x0A63), (0x0A70, 0x0A75)),
+    // Odia letters/marks + wa U+0B71
+    "orya" -> Seq((0x0B01, 0x0B63), (0x0B71, 0x0B71)),
+    // Sinhala letters/marks + the detached kombuva-haa signs
+    "sinh" -> Seq((0x0D81, 0x0DE5), (0x0DF2, 0x0DF3)),
+    // Thai letters/marks, minus digits and fongman/khomut symbols
+    "thai" -> Seq((0x0E01, 0x0E4E)),
+    // Lao letters/marks + the HO-ligature letters U+0EDC–U+0EDF
+    "laoo" -> Seq((0x0E81, 0x0ECD), (0x0EDC, 0x0EDF)),
+    // Myanmar letters/marks, minus both digit runs (0x1040, 0x1090)
+    "mymr" -> Seq((0x1000, 0x103F), (0x1050, 0x108F)),
+    // Khmer letters/marks minus the khan..numeral punctuation run;
+    // avakraha + atthacan rejoin after it
+    "khmr" -> Seq((0x1780, 0x17D3), (0x17DC, 0x17DD)),
+    // Georgian, minus the paragraph-separator punct U+10FB
+    "geor" -> Seq((0x10A0, 0x10FA), (0x10FC, 0x10FF)),
+    // Armenian upper + lower/ew-ligature letter runs
+    "armn" -> Seq((0x0531, 0x0556), (0x0561, 0x0588)),
+    // Ethiopic syllables + combining marks, minus numerals
+    "ethi" -> Seq((0x1200, 0x135A), (0x135D, 0x135F)),
+    // Thaana letters + vowel signs (Dhivehi)
+    "thaa" -> Seq((0x0780, 0x07B1)))
 
   /** The class a code point belongs to, or -1. Static branches in
     * expected-frequency order (ASCII Latin first — the common crawl
@@ -120,17 +155,42 @@ object ScriptCountsExpr {
     } else if (cp < 0x0370) -1
     else if (cp <= 0x03FF) 7 // Greek
     else if (cp <= 0x052F) 5 // Cyrillic + supplement
+    else if (cp >= 0x0531 && cp <= 0x0556) 24 // Armenian upper
+    else if (cp >= 0x0561 && cp <= 0x0588) 24 // Armenian lower + ew
     else if (cp < 0x0590) -1
     else if (cp <= 0x05FF) 8 // Hebrew
     else if (cp <= 0x06FF) 6 // Arabic
     else if (cp >= 0x0750 && cp <= 0x077F) 6 // Arabic supplement
+    else if (cp >= 0x0780 && cp <= 0x07B1) 26 // Thaana
     else if (cp >= 0x08A0 && cp <= 0x08FF) 6 // Arabic extended-A
     else if (cp >= 0x0900 && cp <= 0x0963) 9 // Devanagari (pre-danda)
     else if (cp >= 0x0971 && cp <= 0x097F) 9 // Devanagari (post-digits)
     else if (cp >= 0x0980 && cp <= 0x09E3) 10 // Bengali (pre-digits)
     else if (cp >= 0x09F0 && cp <= 0x09F1) 10 // Bengali ra/wa (Assamese)
+    else if (cp >= 0x0A01 && cp <= 0x0A63) 16 // Gurmukhi (pre-digits)
+    else if (cp >= 0x0A70 && cp <= 0x0A75) 16 // Gurmukhi tippi..yakash
+    else if (cp >= 0x0A81 && cp <= 0x0AE3) 15 // Gujarati (pre-digits)
+    else if (cp >= 0x0B01 && cp <= 0x0B63) 17 // Odia (pre-digits)
+    else if (cp == 0x0B71) 17 // Odia wa
     else if (cp >= 0x0B80 && cp <= 0x0BE5) 11 // Tamil (pre-digits)
+    else if (cp >= 0x0C00 && cp <= 0x0C63) 12 // Telugu (pre-digits)
+    else if (cp >= 0x0C80 && cp <= 0x0CE3) 13 // Kannada (pre-digits)
+    else if (cp >= 0x0D00 && cp <= 0x0D63) 14 // Malayalam (pre-digits)
+    else if (cp >= 0x0D7A && cp <= 0x0D7F) 14 // Malayalam chillus
+    else if (cp >= 0x0D81 && cp <= 0x0DE5) 18 // Sinhala (pre-digits)
+    else if (cp >= 0x0DF2 && cp <= 0x0DF3) 18 // Sinhala kombuva haa
+    else if (cp >= 0x0E01 && cp <= 0x0E4E) 19 // Thai (pre-digits)
+    else if (cp >= 0x0E81 && cp <= 0x0ECD) 20 // Lao (pre-digits)
+    else if (cp >= 0x0EDC && cp <= 0x0EDF) 20 // Lao HO ligatures
+    else if (cp >= 0x1000 && cp <= 0x103F) 21 // Myanmar (pre-digits)
+    else if (cp >= 0x1050 && cp <= 0x108F) 21 // Myanmar ext (pre-Shan-digits)
+    else if (cp >= 0x10A0 && cp <= 0x10FA) 23 // Georgian (pre-punct)
+    else if (cp >= 0x10FC && cp <= 0x10FF) 23 // Georgian nar..labial
     else if (cp >= 0x1100 && cp <= 0x11FF) 4 // Hangul jamo
+    else if (cp >= 0x1200 && cp <= 0x135A) 25 // Ethiopic syllables
+    else if (cp >= 0x135D && cp <= 0x135F) 25 // Ethiopic marks
+    else if (cp >= 0x1780 && cp <= 0x17D3) 22 // Khmer (pre-punct)
+    else if (cp >= 0x17DC && cp <= 0x17DD) 22 // Khmer avakraha+atthacan
     else if (cp >= 0x1F00 && cp <= 0x1FFF) 7 // Greek extended
     else if (cp >= 0x3040 && cp <= 0x309F) 2 // Hiragana
     else if (cp >= 0x30A0 && cp <= 0x30FF) 3 // Katakana

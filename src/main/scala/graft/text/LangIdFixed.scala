@@ -370,14 +370,52 @@ object LangIdFixed {
   val ScriptShareThresholdPerMille = 500L
   val KanaFloorPerMille = 50L
 
+  /** The r14 world tier: scripts that are one-language at this
+    * model's granularity (each is the dominant — for most, the only
+    * major — language written in that script), so the code-point
+    * histogram alone labels them with zero trigram work: Telugu,
+    * Kannada, Malayalam, Gujarati, Punjabi (Gurmukhi), Odia, Sinhala,
+    * Thai, Lao, Burmese, Khmer, Georgian, Armenian, Amharic
+    * (Ethiopic — coarse: Tigrinya shares the script; a per-script
+    * trigram tier is the documented refinement path, as for
+    * Cyrillic/Arabic before q187), Dhivehi (Thaana). Pair order here
+    * is the [[graft.functions.ScriptCountsExpr.Classes]] append
+    * order; both the engine decision chain and the DuckDB oracle
+    * generate their arms from this ONE list, so extending coverage
+    * is an append here + a Classes range + a classify branch. */
+  private[graft] val WorldScriptLangs: Seq[(String, String)] = Seq(
+    "telu" -> "te", "knda" -> "kn", "mlym" -> "ml", "gujr" -> "gu",
+    "guru" -> "pa", "orya" -> "or", "sinh" -> "si", "thai" -> "th",
+    "laoo" -> "lo", "mymr" -> "my", "khmr" -> "km", "geor" -> "ka",
+    "armn" -> "hy", "ethi" -> "am", "thaa" -> "dv")
+
+  /** The script decision chain's test order AFTER the Japanese
+    * kana-floor rule and BEFORE the final Latin test — frozen (the
+    * oracle replays the same order; classes are mutually exclusive
+    * code-point sets and the ≥50% share floor means at most one
+    * non-overlapping class can win, so the order is a tiebreak
+    * convention, not a semantic lever). */
+  private[graft] val ScriptTestOrder: Seq[String] =
+    Seq("hang", "hani", "cyrl", "arab", "grek", "hebr", "deva",
+      "beng", "taml") ++ WorldScriptLangs.map(_._1)
+
+  /** Script-class → direct language label for EVERY script-direct
+    * class [[scoreScriptAware]] labels (the per-script trigram tiers
+    * in [[scorePerScript]] override the coarse cyrl/arab/deva/beng
+    * entries with sibling models). */
+  private[graft] val ScriptDirectLangs: Seq[(String, String)] = Seq(
+    "jpan" -> "ja", "hang" -> "ko", "hani" -> "zh", "cyrl" -> "ru",
+    "arab" -> "ar", "grek" -> "el", "hebr" -> "he", "deva" -> "hi",
+    "beng" -> "bn", "taml" -> "ta") ++ WorldScriptLangs
+
   /** Script-aware language ID — [[score]] behind a Unicode-script
     * histogram pre-classifier ([[graft.functions.ScriptCountsExpr]]):
     *
-    *   1. one code-point walk counts the nine frozen script classes;
+    *   1. one code-point walk counts the frozen script classes;
     *   2. script-unambiguous text labels DIRECTLY (ja when kana ≥ 5%
-    *      of scripted letters and Han+kana ≥ 50%; ko/zh/ru/ar/el/he
-    *      when their class alone ≥ 50%), in exact integer per-mille
-    *      arithmetic;
+    *      of scripted letters and Han+kana ≥ 50%; every
+    *      [[ScriptDirectLangs]] class when it alone ≥ 50%), in exact
+    *      integer per-mille arithmetic;
     *   3. Latin-dominant text routes to the trigram model — and ONLY
     *      Latin text pays the trigram pass: the scorer's input is
     *      blanked to "" for script-labeled rows (a codegen'd
@@ -405,10 +443,7 @@ object LangIdFixed {
     val base = docs.select(
       Seq(idCol.as("__id"), textCol.as("__text")) ++ carry: _*)
     val carryNames = base.columns.drop(2).toSeq
-    val scriptLang = typedLit(Map(
-      "jpan" -> "ja", "hang" -> "ko", "hani" -> "zh", "cyrl" -> "ru",
-      "arab" -> "ar", "grek" -> "el", "hebr" -> "he", "deva" -> "hi",
-      "beng" -> "bn", "taml" -> "ta"))
+    val scriptLang = typedLit(ScriptDirectLangs.toMap)
     val prepared = scriptClassified(base)
     // the trigram scorer sees "" unless the doc is Latin-routed — a
     // codegen'd per-row conditional, so non-Latin rows skip the md5
@@ -439,36 +474,22 @@ object LangIdFixed {
     val total = element_at(col("__scr"), nCls + 1)
     val kana = cnt("hira") + cnt("kata")
     val thr = lit(ScriptShareThresholdPerMille)
-    val script =
-      when(total === 0L, "zzzz")
-        .when(kana * 1000L >= lit(KanaFloorPerMille) * total &&
-          (cnt("hani") + kana) * 1000L >= thr * total, "jpan")
-        .when(cnt("hang") * 1000L >= thr * total, "hang")
-        .when(cnt("hani") * 1000L >= thr * total, "hani")
-        .when(cnt("cyrl") * 1000L >= thr * total, "cyrl")
-        .when(cnt("arab") * 1000L >= thr * total, "arab")
-        .when(cnt("grek") * 1000L >= thr * total, "grek")
-        .when(cnt("hebr") * 1000L >= thr * total, "hebr")
-        .when(cnt("deva") * 1000L >= thr * total, "deva")
-        .when(cnt("beng") * 1000L >= thr * total, "beng")
-        .when(cnt("taml") * 1000L >= thr * total, "taml")
-        .when(cnt("latn") * 1000L >= thr * total, "latn")
-        .otherwise("zzzz")
+    // the chain arms generate from the ONE frozen ScriptTestOrder
+    // list (the oracle's scriptClassCtes generates from the same
+    // list) — ja first on its joint Han+kana rule, Latin last
+    val script = ScriptTestOrder.foldLeft(
+        when(total === 0L, "zzzz")
+          .when(kana * 1000L >= lit(KanaFloorPerMille) * total &&
+            (cnt("hani") + kana) * 1000L >= thr * total, "jpan")) {
+        (c, name) => c.when(cnt(name) * 1000L >= thr * total, name) }
+      .when(cnt("latn") * 1000L >= thr * total, "latn")
+      .otherwise("zzzz")
     // the ja rule wins on Han+kana jointly; every other script's
     // share is its own class count
-    val winnerCount =
-      when(col("script") === "jpan", cnt("hani") + kana)
-        .when(col("script") === "hang", cnt("hang"))
-        .when(col("script") === "hani", cnt("hani"))
-        .when(col("script") === "cyrl", cnt("cyrl"))
-        .when(col("script") === "arab", cnt("arab"))
-        .when(col("script") === "grek", cnt("grek"))
-        .when(col("script") === "hebr", cnt("hebr"))
-        .when(col("script") === "deva", cnt("deva"))
-        .when(col("script") === "beng", cnt("beng"))
-        .when(col("script") === "taml", cnt("taml"))
-        .when(col("script") === "latn", cnt("latn"))
-        .otherwise(lit(0L))
+    val winnerCount = (ScriptTestOrder :+ "latn").foldLeft(
+        when(col("script") === "jpan", cnt("hani") + kana)) {
+        (c, name) => c.when(col("script") === name, cnt(name)) }
+      .otherwise(lit(0L))
     base
       .withColumn("__scr",
         ScriptCountsExpr.script_counts(coalesce(col("__text"), lit(""))))
@@ -531,9 +552,9 @@ object LangIdFixed {
     * tiers keep the full abstain contract (centered scores, margin,
     * evidence floor), so a document in an unmodeled sibling language
     * (Serbian, Pashto, Sanskrit, Bishnupriya) quarantines as "und"
-    * rather than mislabeling. Han/kana/Hangul/Greek/Hebrew/Tamil
-    * keep their direct script labels (unambiguous at this
-    * granularity).
+    * rather than mislabeling. Han/kana/Hangul/Greek/Hebrew/Tamil and
+    * the [[WorldScriptLangs]] world tier keep their direct script
+    * labels (unambiguous at this granularity).
     *
     * Output: (doc_id, [carry...,] script, script_share_e3, tier,
     * best_lang, score, margin, lang) — `tier` says which decision
@@ -576,9 +597,11 @@ object LangIdFixed {
         addModelFields(df, gated(scr), model, buckets, margin,
           surplus, sfx)
     }
-    val direct = typedLit(Map(
-      "jpan" -> "ja", "hang" -> "ko", "hani" -> "zh",
-      "grek" -> "el", "hebr" -> "he", "taml" -> "ta"))
+    // every script-direct class scoreScriptAware labels, minus the
+    // ones a trigram tier overrides here (latn/cyrl/arab/deva/beng)
+    val tierScripts = tiers.map(_._1).toSet
+    val direct = typedLit(
+      ScriptDirectLangs.filterNot { case (s, _) => tierScripts(s) }.toMap)
     def pick(f: String) =
       when(col("script") === "latn", col(s"${f}_l"))
         .when(col("script") === "cyrl", col(s"${f}_c"))

@@ -34,10 +34,49 @@ class Round12OpsSpec extends SparkSpec {
       // supplementary-plane code point (emoji, surrogate pair in
       // UTF-16): walks as ONE code point, classified nowhere
       ("a😀b", Seq(2L, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 2)))
-    val got = cases.map(_._1).toDF("text")
+    // the r14 world-tier classes appended after taml: pad the twelve
+    // legacy positions out to the full class count, total stays last
+    val nCls = ScriptCountsExpr.Classes.size
+    def pad(w: Seq[Long]): Seq[Long] =
+      w.init ++ Seq.fill(nCls - (w.size - 1))(0L) ++ Seq(w.last)
+    // world-tier cases as (text, class name, count, total) — digits
+    // and local punctuation count nowhere
+    def at(name: String, n: Long): Seq[Long] = {
+      val out = Array.fill(nCls + 1)(0L)
+      out(ScriptCountsExpr.Classes.indexWhere(_._1 == name)) = n
+      out(nCls) = n
+      out.toSeq
+    }
+    val worldCases = Seq(
+      // Telugu letters+marks; Telugu digits ౦౧ count nowhere
+      ("నమస్తే ౦౧", at("telu", 6)),
+      ("ಕನ್ನಡ", at("knda", 5)),
+      // Malayalam incl. a chillu ൻ (U+0D7B)
+      ("നന്ദി ൻ", at("mlym", 6)),
+      ("ગુજરાતી", at("gujr", 7)),
+      // incl. the tippi ੰ (U+0A70, in the post-digit mark run)
+      ("ਪੰਜਾਬੀ", at("guru", 6)),
+      ("ନମସ୍କାର", at("orya", 7)),
+      ("සිංහල", at("sinh", 5)),
+      // Thai letters+marks; Thai digits ๐๑ count nowhere
+      ("ขอบคุณ ๐๑", at("thai", 6)),
+      ("ພາສາລາວ", at("laoo", 7)),
+      ("မြန်မာ", at("mymr", 6)),
+      // Khmer letters+marks; the khan ។ (U+17D4) counts nowhere
+      ("ខ្មែរ។", at("khmr", 5)),
+      // Georgian letters; the paragraph separator ჻ (U+10FB) does not
+      ("ქართული჻", at("geor", 7)),
+      ("հայերեն", at("armn", 7)),
+      // Ethiopic syllables; Ethiopic numeral ፩ (U+1369) counts nowhere
+      ("አማርኛ ፩", at("ethi", 4)),
+      ("ދިވެހި", at("thaa", 6)),
+      // Cherokee: unlisted script, counts nowhere
+      ("ᏣᎳᎩ", Seq.fill(nCls + 1)(0L)))
+    val all = cases.map { case (t, w) => (t, pad(w)) } ++ worldCases
+    val got = all.map(_._1).toDF("text")
       .select(ScriptCountsExpr.script_counts(col("text")).as("c"))
       .collect().map(_.getSeq[Long](0))
-    cases.zip(got).foreach { case ((t, want), g) =>
+    all.zip(got).foreach { case ((t, want), g) =>
       assert(g == want, s"counts for '$t': got $g want $want")
     }
   }

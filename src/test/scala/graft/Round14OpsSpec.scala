@@ -250,4 +250,44 @@ class Round14OpsSpec extends AnyFunSuite {
       == "script-direct")
     assert(got.find(_.getLong(0) == 6L).get.getString(2) == "und")
   }
+
+  test("world script-direct tier held-out gate: 15 scripts label, unlisted script abstains") {
+    import spark.implicits._
+    // held-out sentences NOT in the q198 fixtures — one per
+    // WorldScriptLangs class, in list order, plus a Cherokee control
+    // (unlisted script: must quarantine as und via zzzz, tier none)
+    val rows = Seq(
+      (1L, "te", "నేను ప్రతి రోజు పుస్తకం చదువుతాను"),
+      (2L, "kn", "ನಾನು ಪ್ರತಿದಿನ ಶಾಲೆಗೆ ಹೋಗುತ್ತೇನೆ"),
+      (3L, "ml", "ഞാൻ എല്ലാ ദിവസവും പുസ്തകം വായിക്കുന്നു"),
+      (4L, "gu", "હું દરરોજ શાળાએ જાઉં છું"),
+      (5L, "pa", "ਮੈਂ ਹਰ ਰੋਜ਼ ਕਿਤਾਬ ਪੜ੍ਹਦਾ ਹਾਂ"),
+      (6L, "or", "ମୁଁ ପ୍ରତିଦିନ ବିଦ୍ୟାଳୟକୁ ଯାଏ"),
+      (7L, "si", "මම හැමදාම පොතක් කියවමි"),
+      (8L, "th", "ฉันอ่านหนังสือทุกวัน"),
+      (9L, "lo", "ຂ້ອຍອ່ານປຶ້ມທຸກມື້"),
+      (10L, "my", "ကျွန်တော် နေ့တိုင်း စာအုပ်ဖတ်သည်"),
+      (11L, "km", "ខ្ញុំអានសៀវភៅជារៀងរាល់ថ្ងៃ"),
+      (12L, "ka", "მე ყოველდღე წიგნს ვკითხულობ"),
+      (13L, "hy", "ես ամեն օր գիրք եմ կարդում"),
+      (14L, "am", "እኔ በየቀኑ መጽሐፍ አነባለሁ"),
+      (15L, "dv", "އަހަރެން ކޮންމެ ދުވަހަކު ފޮތް ކިޔަން"),
+      (16L, "und", "ᎣᏏᏲ ᏙᎯᏧ ᎤᎵᎮᎵᏍᏗ"))
+      .toDF("doc_id", "want", "text")
+    val got = graft.text.LangIdFixed.scorePerScript(rows,
+        col("doc_id"), col("text"), carry = Seq(col("want")))
+      .select("doc_id", "want", "lang", "tier", "script")
+      .collect()
+    // zero wrong assignments AND zero abstentions: script-direct
+    // labels need no trigram evidence, so every listed-script row
+    // must label (unlike the trigram tiers, where abstain is legal)
+    val bad = got.filter(r => r.getString(2) != r.getString(1))
+    assert(bad.isEmpty, "world-tier mismatches: " +
+      bad.map(r => s"${r.getLong(0)}:got=${r.getString(2)} " +
+        s"want=${r.getString(1)} script=${r.getString(4)}").mkString(", "))
+    assert(got.filter(_.getString(1) != "und")
+      .forall(_.getString(3) == "script-direct"))
+    val ctl = got.find(_.getLong(0) == 16L).get
+    assert(ctl.getString(4) == "zzzz" && ctl.getString(3) == "none")
+  }
 }
