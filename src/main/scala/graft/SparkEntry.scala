@@ -2513,6 +2513,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the ETHIOPIC trigram tier (am/ti) — refining the world tier's
+    // one deliberately-coarse direct label (ethi→am was the cyrl→ru
+    // of r14): the q187 discipline with frozen copula/particle/
+    // orthography grams (ነው vs እዩ; glottal አ vs ኣ; ናይ/ናብ), tier
+    // floors unchanged, a Ge'ez liturgical abstain control held out
+    "q199_ethiopic_lang_id" -> ((s, dir) => {
+      import s.implicits._
+      val fx = EthiopicFixtures.toDF("doc_id", "text")
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+        .unionByName(fx)
+      graft.text.LangIdFixed.scorePerScript(docs, col("doc_id"),
+          col("text"))
+        .orderBy("doc_id")
+    }),
+
     // incremental SEMANTIC dedup — the last cell of the incremental
     // matrix (exact docs q86 / paragraphs q170, fuzzy docs q141 /
     // paragraphs q177, excision q191): semantic near-dup pairs
@@ -2750,6 +2765,9 @@ object SparkEntry {
         LangIdFixed.ScriptTierSurplusPerMille,
         LangIdFixed.ScriptTierMinMargin),
       ("beng", "b", LangIdFixed.BengaliLanguages,
+        LangIdFixed.ScriptTierSurplusPerMille,
+        LangIdFixed.ScriptTierMinMargin),
+      ("ethi", "e", LangIdFixed.EthiopicLanguages,
         LangIdFixed.ScriptTierSurplusPerMille,
         LangIdFixed.ScriptTierMinMargin))
     val gates = tiers.map { case (scr, p, _, _, _) =>
@@ -3001,6 +3019,20 @@ object SparkEntry {
     -65L -> "މިއަދު މޫސުން ރަނގަޅު އަހަރެމެން ޕާކަށް ދަނީ",
     -66L -> "ਸਿਹਤ ਸਭ ਤੋਂ ਵੱਡਾ ਧਨ ਹੈ",
     -67L -> "ᏣᎳᎩ ᎦᏬᏂᎯᏍᏗ ᎤᏬᏪᎳᏅ")
+
+  /** q199's planted Ethiopic-tier rows (ids -71..-75): two everyday
+    * sentences each for am/ti (the Ethiopic script's major pair —
+    * separable on copulas ነው vs እዩ, the glottal አ vs ኣ orthography,
+    * and the ናይ/ናብ particles Amharic lacks), plus a Ge'ez abstain
+    * control (liturgical text — an unmodeled Ethiopic language must
+    * quarantine, not coin-flip). Shared verbatim with the oracle
+    * VALUES (no apostrophes). */
+  private val EthiopicFixtures: Seq[(Long, String)] = Seq(
+    -71L -> "እሷ ወደ ገበያ ሄዳ ለእራት ዳቦ ገዛች እና ወደ ቤት ተመለሰች",
+    -72L -> "ዛሬ ጠዋት አየሩ ጥሩ ነው እና ወደ ፓርክ እየሄድን ነው",
+    -73L -> "ንሳ ናብ ዕዳጋ ከይዳ ንድራር እንጌራ ዓደገት እሞ ናብ ገዛኣ ተመልሳ",
+    -74L -> "ሎሚ ኩነታት ኣየር ጽቡቕ እዩ እሞ ናብ መናፈሻ ንኸይድ ኣለና",
+    -75L -> "ስብሐት ለእግዚአብሔር ወለወልዱ ወልድ ቅዱስ")
 
   /** The q161/q163 synthetic paragraph structure over the single-line
     * fixture corpus: a shared boilerplate banner (whitespace/case
@@ -6346,6 +6378,12 @@ object SparkEntry {
       // the same frozen lists the engine folds over
       "q198_world_script_lang_id" ->
         perScriptLangIdOracle(WorldScriptFixtures),
+
+      // ... and the Ethiopic am/ti tier (two sentences each + a
+      // Ge'ez abstain control) — the tier rows in engine and oracle
+      // builders extend in lockstep
+      "q199_ethiopic_lang_id" ->
+        perScriptLangIdOracle(EthiopicFixtures),
 
       // lexicon gate: the same normalize→tokenize→md5-bucket walk,
       // blocked buckets shipped as sparse (bucket, category) VALUES

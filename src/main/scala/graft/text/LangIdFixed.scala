@@ -189,6 +189,36 @@ object LangIdFixed {
       "বোৰ", "োৰ ", "িছে", "আছো", " আছ", "ছে ", "েওঁ", "ওঁ ",
       "বাব", "াবে", "াৰৰ", "ৰৰ ", "িলে", "জাৰ", "ুটী"))
 
+  /** Frozen distinctive trigrams for the ETHIOPIC-script tier (am /
+    * ti — the script's two highest-volume crawl languages; the world
+    * tier's ethi→am was the one deliberately COARSE direct label,
+    * like cyrl→ru before q187). Same construction: function words and
+    * characteristic morphology, space-padded. Amharic keys on its
+    * copulas (ነው/ናቸው/ነበር), እና "and", the የሚ- relativizer, the
+    * ውስጥ/ላይ/ወደ/እንደ/ጋር postposition-prepositions, -ታል/-ዳል/-ላል
+    * imperfect-auxiliary codas and the -ዎች plural; Tigrinya on its
+    * own copula family (እዩ/እያ/እዮም/ኢዩ), the ኣ-initial function
+    * words ኣብ/ኣሎ (glottal ኣ U+12A3 where Amharic writes አ U+12A0 —
+    * the orthographic separator, like Assamese ৰ vs Bengali র), the
+    * ናይ genitive and ናብ allative particles (Amharic has no
+    * free-standing genitive particle — it prefixes የ-), ድማ/እውን
+    * connectives, the እቲ/እታ/እቶም article family and ንሕና "we".
+    * Deliberately in NEITHER list: እዚ (Tigrinya "this" — but inside
+    * Amharic's frequent እዚህ/እዚያ "here/there"), bare ከ/ን case
+    * prefixes (shared). An Ethiopic document matching no list —
+    * Ge'ez, Tigre, Harari — abstains ("und") instead of mislabeling. */
+  val EthiopicLanguages: Seq[(String, Seq[String])] = Seq(
+    "am" -> Seq(" ነው", "ነው ", " ናቸ", "ናቸው", "ቸው ", " ነበ", "ነበር",
+      "በር ", " እና", "እና ", " እየ", " የሚ", " ውስ", "ውስጥ", "ስጥ ",
+      " ላይ", "ላይ ", " ወደ", "ወደ ", " እን", "እንደ", "ንደ ", " ይህ",
+      "ይህ ", " ግን", "ግን ", " አለ", "አለ ", "አሉ ", "ታል ", "ዳል ",
+      "ላል ", "ናል ", "ዎች ", " አን", "አንድ", "ንድ ", " ጋር", "ጋር "),
+    "ti" -> Seq(" እዩ", "እዩ ", " እያ", "እያ ", " እዮ", "እዮም", "ዮም ",
+      " ኣብ", "ኣብ ", " ናብ", "ናብ ", " ናይ", "ናይ ", " ኣሎ", "ኣሎ ",
+      "ኣለዉ", " እቲ", "እቲ ", " እታ", "እታ ", " ነቲ", "ነቲ ", " ከም",
+      "ከም ", " ድማ", "ድማ ", " እው", "እውን", "ውን ", " ንሕ", "ንሕና",
+      "ሕና ", " ኢዩ", "ኢዩ ", "ኹም ", " እቶ", "እቶም", "ቶም "))
+
   val DefaultBuckets = 2048
 
   /** Evidence floor for the PER-SCRIPT tiers (per-mille of buckets·T,
@@ -376,9 +406,11 @@ object LangIdFixed {
     * histogram alone labels them with zero trigram work: Telugu,
     * Kannada, Malayalam, Gujarati, Punjabi (Gurmukhi), Odia, Sinhala,
     * Thai, Lao, Burmese, Khmer, Georgian, Armenian, Amharic
-    * (Ethiopic — coarse: Tigrinya shares the script; a per-script
-    * trigram tier is the documented refinement path, as for
-    * Cyrillic/Arabic before q187), Dhivehi (Thaana). Pair order here
+    * (Ethiopic — coarse: Tigrinya shares the script; refined by the
+    * [[EthiopicLanguages]] am/ti trigram tier in [[scorePerScript]],
+    * where this direct entry is overridden — [[scoreScriptAware]]
+    * keeps the coarse label, as it does for cyrl→ru),
+    * Dhivehi (Thaana). Pair order here
     * is the [[graft.functions.ScriptCountsExpr.Classes]] append
     * order; both the engine decision chain and the DuckDB oracle
     * generate their arms from this ONE list, so extending coverage
@@ -560,7 +592,8 @@ object LangIdFixed {
     * best_lang, score, margin, lang) — `tier` says which decision
     * path labeled the row (`latn-trigram` / `cyrl-trigram` /
     * `arab-trigram` / `deva-trigram` / `beng-trigram` /
-    * `script-direct` / `none`); best_lang/score/margin are the
+    * `ethi-trigram` / `script-direct` / `none`); best_lang/score/
+    * margin are the
     * routed tier's fields (the final label and zeros for
     * script-direct rows, "und"/zeros for `none`).
     *
@@ -591,6 +624,8 @@ object LangIdFixed {
       ("deva", "d", DevanagariLanguages, scriptSurplusPerMille,
         scriptMinMargin),
       ("beng", "b", BengaliLanguages, scriptSurplusPerMille,
+        scriptMinMargin),
+      ("ethi", "e", EthiopicLanguages, scriptSurplusPerMille,
         scriptMinMargin))
     val scored = tiers.foldLeft(classified) {
       case (df, (scr, sfx, model, surplus, margin)) =>
@@ -602,22 +637,19 @@ object LangIdFixed {
     val tierScripts = tiers.map(_._1).toSet
     val direct = typedLit(
       ScriptDirectLangs.filterNot { case (s, _) => tierScripts(s) }.toMap)
-    def pick(f: String) =
-      when(col("script") === "latn", col(s"${f}_l"))
-        .when(col("script") === "cyrl", col(s"${f}_c"))
-        .when(col("script") === "arab", col(s"${f}_a"))
-        .when(col("script") === "deva", col(s"${f}_d"))
-        .when(col("script") === "beng", col(s"${f}_b"))
+    // the routing chains fold over the ONE tiers list (adding a tier
+    // is one row there; the oracle builder appends the same row)
+    def pick(f: String) = tiers.tail.foldLeft(
+        when(col("script") === tiers.head._1,
+          col(s"${f}_${tiers.head._2}"))) {
+      case (c, (scr, sfx, _, _, _)) =>
+        c.when(col("script") === scr, col(s"${f}_$sfx")) }
     val directLang = when(col("script") === "zzzz", "und")
       .otherwise(element_at(direct, col("script")))
-    val tier =
-      when(col("script") === "latn", "latn-trigram")
-        .when(col("script") === "cyrl", "cyrl-trigram")
-        .when(col("script") === "arab", "arab-trigram")
-        .when(col("script") === "deva", "deva-trigram")
-        .when(col("script") === "beng", "beng-trigram")
-        .when(col("script") === "zzzz", "none")
-        .otherwise("script-direct")
+    val tier = tiers.foldLeft(when(col("script") === "zzzz", "none")) {
+        case (c, (scr, _, _, _, _)) =>
+          c.when(col("script") === scr, s"$scr-trigram") }
+      .otherwise("script-direct")
     scored.select(Seq(col("__id").as("doc_id")) ++ carryNames.map(col) ++
       Seq(col("script"), col("script_share_e3"), tier.as("tier"),
         pick("best_lang").otherwise(directLang).as("best_lang"),

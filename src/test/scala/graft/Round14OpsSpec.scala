@@ -270,7 +270,7 @@ class Round14OpsSpec extends AnyFunSuite {
       (11L, "km", "ខ្ញុំអានសៀវភៅជារៀងរាល់ថ្ងៃ"),
       (12L, "ka", "მე ყოველდღე წიგნს ვკითხულობ"),
       (13L, "hy", "ես ամեն օր գիրք եմ կարդում"),
-      (14L, "am", "እኔ በየቀኑ መጽሐፍ አነባለሁ"),
+      (14L, "am", "ይህ መጽሐፍ በጣም ጥሩ ነው ግን ረጅም ነው"),
       (15L, "dv", "އަހަރެން ކޮންމެ ދުވަހަކު ފޮތް ކިޔަން"),
       (16L, "und", "ᎣᏏᏲ ᏙᎯᏧ ᎤᎵᎮᎵᏍᏗ"))
       .toDF("doc_id", "want", "text")
@@ -280,14 +280,50 @@ class Round14OpsSpec extends AnyFunSuite {
       .collect()
     // zero wrong assignments AND zero abstentions: script-direct
     // labels need no trigram evidence, so every listed-script row
-    // must label (unlike the trigram tiers, where abstain is legal)
+    // must label (unlike the trigram tiers, where abstain is legal —
+    // the am row routes through the ethi TIER since it landed, so
+    // its label additionally proves tier evidence on held-out text)
     val bad = got.filter(r => r.getString(2) != r.getString(1))
     assert(bad.isEmpty, "world-tier mismatches: " +
       bad.map(r => s"${r.getLong(0)}:got=${r.getString(2)} " +
         s"want=${r.getString(1)} script=${r.getString(4)}").mkString(", "))
-    assert(got.filter(_.getString(1) != "und")
+    assert(got.filter(r => r.getString(1) != "und" && r.getString(1) != "am")
       .forall(_.getString(3) == "script-direct"))
+    assert(got.find(_.getString(1) == "am").get.getString(3)
+      == "ethi-trigram")
     val ctl = got.find(_.getLong(0) == 16L).get
     assert(ctl.getString(4) == "zzzz" && ctl.getString(3) == "none")
+  }
+
+  test("Ethiopic tier held-out gate: am/ti label, Ge'ez abstains, zero wrong") {
+    import spark.implicits._
+    // held-out sentences NOT in the q199 fixtures; am/ti separate on
+    // copulas (ነው vs እዩ), the glottal አ vs ኣ orthography and the
+    // ናይ/ናብ particles; the Ge'ez control (liturgical text, an
+    // unmodeled Ethiopic language) must abstain, not coin-flip
+    val rows = Seq(
+      (1L, "am", "ልጆቹ በየቀኑ ወደ ትምህርት ቤት ይሄዳሉ እና ብዙ ይማራሉ"),
+      (2L, "am", "አንድ ትልቅ ቤት ውስጥ ከቤተሰቡ ጋር ይኖራል"),
+      (3L, "ti", "እቲ መጽሓፍ ኣብ ልዕሊ እቲ ጣውላ ኣሎ"),
+      (4L, "ti", "ንሕና ጽባሕ ናብ ቤት ትምህርቲ ክንከይድ ኢና"),
+      (5L, "und", "ቅዱስ ቅዱስ ቅዱስ እግዚአብሔር ጸባኦት ፍጹም ምሉእ"))
+      .toDF("doc_id", "want", "text")
+    val got = graft.text.LangIdFixed.scorePerScript(rows,
+        col("doc_id"), col("text"), carry = Seq(col("want")))
+      .select("doc_id", "want", "lang", "tier")
+      .collect()
+    val wrong = got.filter(r => r.getString(2) != "und" &&
+      r.getString(2) != r.getString(1))
+    assert(wrong.isEmpty, "wrong-language assignments: " +
+      wrong.map(r => s"${r.getLong(0)}:got=${r.getString(2)} " +
+        s"want=${r.getString(1)}").mkString(", "))
+    val labeled = got.filter(r => r.getString(2) == r.getString(1) &&
+      r.getString(1) != "und")
+    assert(labeled.length == 4,
+      s"tier abstains too much: ${labeled.length}/4 labeled — " +
+        got.map(r => s"${r.getLong(0)}:${r.getString(2)}").mkString(", "))
+    // routing evidence: every Ethiopic row went through the ethi tier
+    assert(got.forall(_.getString(3) == "ethi-trigram"))
+    assert(got.find(_.getLong(0) == 5L).get.getString(2) == "und")
   }
 }
