@@ -81,6 +81,29 @@ class Round12OpsSpec extends SparkSpec {
     }
   }
 
+  test("script_counts: classify branch chain ≡ Classes ranges, every BMP code point") {
+    // Classes (the frozen contract, what the oracle's re2Class
+    // brackets generate from) and the classify() if-chain are
+    // maintained BY HAND in parallel — this exhausts the BMP so an
+    // appended range can never drift between them (surrogates
+    // excluded: not valid lone code points)
+    import graft.functions.ScriptCountsExpr
+    import org.apache.spark.unsafe.types.UTF8String
+    val nCls = ScriptCountsExpr.Classes.size
+    for (cp <- 0 until 0x10000
+         if cp < 0xD800 || cp > 0xDFFF) {
+      val want = ScriptCountsExpr.Classes.indexWhere(_._2.exists {
+        case (lo, hi) => cp >= lo && cp <= hi })
+      val counts = ScriptCountsExpr.compute(
+        UTF8String.fromString(new String(Character.toChars(cp))))
+      val hit = (0 until nCls).find(i => counts.getLong(i) == 1L)
+        .getOrElse(-1)
+      assert(hit == want,
+        f"U+$cp%04X: classify says class $hit, Classes ranges say $want")
+      assert(counts.getLong(nCls) == (if (want >= 0) 1L else 0L))
+    }
+  }
+
   test("scoreScriptAware: non-Latin held-out gate — zero wrong-language assignments") {
     // disjoint from the q175 fixture sentences; same contract as the
     // 40-sentence Latin gate: errors may only be abstentions ("und"),
