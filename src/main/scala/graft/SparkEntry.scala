@@ -2528,6 +2528,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the EXTENDED Cyrillic tier (sr/mk/kk join ru/uk/bg): each new
+    // language keys on letters the first three cannot produce (ј/ћ/њ
+    // for Serbian, ќ/ѓ for Macedonian, қ/ғ/ә/ө for Kazakh), so the
+    // r12 "every Cyrillic doc is ru" failure mode stays dead while
+    // coverage triples; Belarusian/Mongolian controls must abstain
+    "q200_cyrillic_ext_lang_id" -> ((s, dir) => {
+      import s.implicits._
+      val fx = CyrillicExtFixtures.toDF("doc_id", "text")
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+        .unionByName(fx)
+      graft.text.LangIdFixed.scorePerScript(docs, col("doc_id"),
+          col("text"))
+        .orderBy("doc_id")
+    }),
+
     // incremental SEMANTIC dedup — the last cell of the incremental
     // matrix (exact docs q86 / paragraphs q170, fuzzy docs q141 /
     // paragraphs q177, excision q191): semantic near-dup pairs
@@ -3033,6 +3048,23 @@ object SparkEntry {
     -73L -> "ንሳ ናብ ዕዳጋ ከይዳ ንድራር እንጌራ ዓደገት እሞ ናብ ገዛኣ ተመልሳ",
     -74L -> "ሎሚ ኩነታት ኣየር ጽቡቕ እዩ እሞ ናብ መናፈሻ ንኸይድ ኣለና",
     -75L -> "ስብሐት ለእግዚአብሔር ወለወልዱ ወልድ ቅዱስ")
+
+  /** q200's planted extended-Cyrillic rows (ids -81..-88): two
+    * everyday sentences each for sr/mk/kk (the r14 tier extension —
+    * each keyed on letters ru/uk/bg cannot produce: ј/ћ/њ, ќ/ѓ,
+    * қ/ғ/ә/ө), plus Belarusian and Mongolian abstain controls
+    * (Cyrillic, unmodeled — must quarantine, not coin-flip into
+    * ru/kk). Shared verbatim with the oracle VALUES (no
+    * apostrophes). */
+  private val CyrillicExtFixtures: Seq[(Long, String)] = Seq(
+    -81L -> "она је рекла да ће сутра ићи на посао јер је то важно",
+    -82L -> "ово је најбоље решење за наше питање и даље ћемо радити заједно",
+    -83L -> "таа рече дека ќе дојде утре на работа бидејќи е важно",
+    -84L -> "ние ќе одиме во кино и ќе гледаме нов филм меѓу празниците",
+    -85L -> "бүгін ауа райы жақсы және біз саябаққа барамыз",
+    -86L -> "бұл кітап өте қызықты болған соң оны тез оқыдым және досыма бердім",
+    -87L -> "мы чыталі цікавую кнігу ўвесь вечар у хаце",
+    -88L -> "өнөөдөр цаг агаар сайхан байна бид цэцэрлэгт явж байна")
 
   /** The q161/q163 synthetic paragraph structure over the single-line
     * fixture corpus: a shared boilerplate banner (whitespace/case
@@ -6384,6 +6416,13 @@ object SparkEntry {
       // builders extend in lockstep
       "q199_ethiopic_lang_id" ->
         perScriptLangIdOracle(EthiopicFixtures),
+
+      // ... and the extended Cyrillic tier (sr/mk/kk sentences +
+      // Belarusian/Mongolian abstain controls) — the cyrl model's
+      // three appended languages regenerate the oracle's sparse
+      // weight VALUES from the same one JVM builder
+      "q200_cyrillic_ext_lang_id" ->
+        perScriptLangIdOracle(CyrillicExtFixtures),
 
       // lexicon gate: the same normalize→tokenize→md5-bucket walk,
       // blocked buckets shipped as sparse (bucket, category) VALUES

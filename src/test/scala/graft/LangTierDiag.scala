@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch: run the REAL per-script scorer over every Cyrillic-tier
+  * gate/fixture/contract sentence and print want/got/score/margin —
+  * the tuning loop for the r14 sr/mk/kk extension (md5-bucket
+  * collisions make hand-counted hits unreliable). */
+object LangTierDiag {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val rows = Seq(
+      // r13 contract spec (must stay ru)
+      ("ru", "она пошла на рынок и купила хлеб на ужин"),
+      // r13 held-out gate rows (must keep labels)
+      ("ru", "в следующем году мы будем жить в большом доме у моря"),
+      ("ru", "он прочитал эту книгу быстро потому что она была интересной"),
+      ("uk", "наступного року ми будемо жити у великому будинку біля моря"),
+      ("uk", "він швидко прочитав цю книгу тому що вона була цікавою"),
+      ("bg", "следващата година ще живеем в голяма къща до морето"),
+      ("bg", "той прочете тази книга бързо защото беше интересна"),
+      ("sr", "следеће године живећемо у великој кући поред мора"),
+      // q187 fixtures (ru/uk/bg — labels must hold)
+      ("uk", "вона пішла на ринок щоб купити свіжий хліб і овочі на вечерю"),
+      ("uk", "сьогодні гарна погода і ми йдемо в парк на прогулянку"),
+      ("bg", "тя отиде на пазара и купи хляб за вечеря"),
+      ("bg", "днес времето е хубаво и ще се разходим в парка край морето"),
+      // q200 fixtures
+      ("sr", "она је рекла да ће сутра ићи на посао јер је то важно"),
+      ("sr", "ово је најбоље решење за наше питање и даље ћемо радити заједно"),
+      ("mk", "таа рече дека ќе дојде утре на работа бидејќи е важно"),
+      ("mk", "ние ќе одиме во кино и ќе гледаме нов филм меѓу празниците"),
+      ("kk", "бүгін ауа райы жақсы және біз саябаққа барамыз"),
+      ("kk", "бұл кітап өте қызықты болған соң оны тез оқыдым және досыма бердім"),
+      ("und", "мы чыталі цікавую кнігу ўвесь вечар у хаце"),
+      ("und", "өнөөдөр цаг агаар сайхан байна бид цэцэрлэгт явж байна"),
+      // r14 held-out gate rows
+      ("sr", "деца сваког дана иду у школу јер је учење њихово право"),
+      ("sr", "он ће нам донети књигу коју смо тражили прошле недеље"),
+      ("mk", "тие ќе учат многу бидејќи сакаат да знаат повеќе за светот"),
+      ("mk", "таа секогаш оди меѓу луѓето и им помага со нивните работи"),
+      ("kk", "мен бұл кітапты оқыдым және ол маған қатты ұнады"),
+      ("kk", "ол кітапты тез оқыды өйткені ол өте қызық болған еді"),
+      ("und", "яна чытае цікавыя кнігі кожны дзень у бібліятэцы"),
+      ("und", "би өдөр бүр ном уншдаг бөгөөд их зүйл сурдаг"))
+      .zipWithIndex.map { case ((w, t), i) => (i.toLong, w, t) }
+      .toDF("doc_id", "want", "text")
+    val got = graft.text.LangIdFixed.scorePerScript(rows,
+        col("doc_id"), col("text"), carry = Seq(col("want")))
+      .select("doc_id", "want", "lang", "best_lang", "score", "margin")
+      .collect()
+    got.foreach { r =>
+      val ok = if (r.getString(2) == r.getString(1)) "OK  "
+        else if (r.getString(2) == "und") "ABST"
+        else "WRONG"
+      println(s"$ok doc=${r.getLong(0)} want=${r.getString(1)} " +
+        s"got=${r.getString(2)} best=${r.getString(3)} " +
+        s"score=${r.getLong(4)} margin=${r.getLong(5)}")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,31 @@
+package graft
+
+/** Scratch: bucket-level hit attribution for one sentence against one
+  * language's gram list — which text windows land in which weighted
+  * buckets (including md5 collisions the substring count misses). */
+object LangTierDiag2 {
+  def main(args: Array[String]): Unit = {
+    import graft.text.LangIdFixed
+    val texts = Seq(
+      "тя отиде на пазара и купи хляб за вечеря",
+      "сьогодні гарна погода і ми йдемо в парк на прогулянку",
+      "она пошла на рынок и купила хлеб на ужин")
+    val B = LangIdFixed.DefaultBuckets
+    val out = new StringBuilder
+    for (text <- texts; lang <- Seq("sr", "uk", "bg", "ru")) {
+      val grams = LangIdFixed.CyrillicLanguages.find(_._1 == lang).get._2
+      val byBucket = grams.groupBy(g => LangIdFixed.bucketOf(g, B))
+      val n = " " + text.toLowerCase.replaceAll("\\s+", " ").trim + " "
+      val windows = n.sliding(3).filter(
+        _.matches("^[\\p{L}\\p{M} ]+$")).toSeq
+      val hits = windows.flatMap { w =>
+        byBucket.get(LangIdFixed.bucketOf(w, B)).map(gs =>
+          s"[$w]->${gs.mkString("/")}${if (gs.size > 1) " w" + gs.size else ""}")
+      }
+      out ++= s"${text.take(20)}... $lang T=${windows.size} " +
+        s"hits=${hits.size}: ${hits.mkString(" ")}\n"
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/diag2.txt"),
+      out.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+}

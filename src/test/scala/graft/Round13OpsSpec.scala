@@ -21,8 +21,11 @@ class Round13OpsSpec extends SparkSpec {
       ("uk", "він швидко прочитав цю книгу тому що вона була цікавою"),
       ("bg", "следващата година ще живеем в голяма къща до морето"),
       ("bg", "той прочете тази книга бързо защото беше интересна"),
-      // Serbian: Cyrillic but unmodeled — must abstain, not guess
-      ("und", "следеће године живећемо у великој кући поред мора"),
+      // Serbian joined the tier in late r14 (the abstain-control role
+      // this row used to play passes to the Belarusian/Mongolian
+      // controls in Round14OpsSpec) — a label here must be sr, and
+      // abstain stays legal under the zero-wrong contract
+      ("sr", "следеће године живећемо у великој кући поред мора"),
       ("ar", "قرأ الكتاب بسرعة لأنه كان ممتعا جدا"),
       ("ar", "سوف نعيش في بيت كبير قرب البحر في العام المقبل"),
       ("fa", "سال آینده در خانه بزرگی نزدیک دریا زندگی خواهیم کرد"),

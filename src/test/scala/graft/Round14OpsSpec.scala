@@ -326,4 +326,41 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(got.forall(_.getString(3) == "ethi-trigram"))
     assert(got.find(_.getLong(0) == 5L).get.getString(2) == "und")
   }
+
+  test("extended Cyrillic tier held-out gate: sr/mk/kk label, be/mn abstain, zero wrong") {
+    import spark.implicits._
+    // held-out sentences NOT in the q200 fixtures; each new language
+    // keys on letters ru/uk/bg cannot produce (ј/ћ/њ, ќ/ѓ, қ/ғ/ә/ө);
+    // Belarusian (the ru-closest unmodeled sibling) and Mongolian
+    // (Cyrillic with kk-adjacent vowels) must abstain, not coin-flip
+    val rows = Seq(
+      (1L, "sr", "деца сваког дана иду у школу јер је учење њихово право"),
+      (2L, "sr", "он ће нам донети књигу коју смо тражили прошле недеље"),
+      (3L, "mk", "тие ќе учат многу бидејќи сакаат да знаат повеќе за светот"),
+      (4L, "mk", "таа секогаш оди меѓу луѓето и им помага со нивните работи"),
+      (5L, "kk", "мен бұл кітапты оқыдым және ол маған қатты ұнады"),
+      (6L, "kk", "ол кітапты тез оқыды өйткені ол өте қызық болған еді"),
+      (7L, "und", "яна чытае цікавыя кнігі кожны дзень у бібліятэцы"),
+      (8L, "und", "би өдөр бүр ном уншдаг бөгөөд их зүйл сурдаг"))
+      .toDF("doc_id", "want", "text")
+    val got = graft.text.LangIdFixed.scorePerScript(rows,
+        col("doc_id"), col("text"), carry = Seq(col("want")))
+      .select("doc_id", "want", "lang", "tier")
+      .collect()
+    val wrong = got.filter(r => r.getString(2) != "und" &&
+      r.getString(2) != r.getString(1))
+    assert(wrong.isEmpty, "wrong-language assignments: " +
+      wrong.map(r => s"${r.getLong(0)}:got=${r.getString(2)} " +
+        s"want=${r.getString(1)}").mkString(", "))
+    val labeled = got.filter(r => r.getString(2) == r.getString(1) &&
+      r.getString(1) != "und")
+    assert(labeled.length == 6,
+      s"tier abstains too much: ${labeled.length}/6 labeled — " +
+        got.map(r => s"${r.getLong(0)}:${r.getString(2)}").mkString(", "))
+    // routing evidence: every row (controls included) is Cyrillic and
+    // went through the cyrl trigram tier
+    assert(got.forall(_.getString(3) == "cyrl-trigram"))
+    assert(got.filter(_.getString(1) == "und")
+      .forall(_.getString(2) == "und"))
+  }
 }
