@@ -2955,7 +2955,16 @@ object SparkEntry {
     -15L -> "きょうは とても いい てんきです",
     -16L -> "日本語の文章です",
     -17L -> "abc абв αβγ",
-    -18L -> "the weather is nice today and we are going to the park")
+    -18L -> "the weather is nice today and we are going to the park",
+    // r14 Latin-tier extension rows (ids continue the block): one
+    // everyday sentence each for vi/id/ro/ca — before the extension
+    // the vi row's shape LABELED en and the ca shape labeled pt
+    // (LangTierDiag3, the r12 Cyrillic→ru failure class in the Latin
+    // tier); hash-green here is the oracle-checked fix evidence
+    -91L -> "hôm nay thời tiết đẹp và chúng tôi đang đi đến công viên",
+    -92L -> "hari ini cuacanya bagus dan kami sedang pergi ke taman",
+    -93L -> "astăzi vremea este frumoasă și mergem în parc să citim",
+    -94L -> "avui fa bon temps i anem a passejar pel parc amb els amics")
 
   /** q187's planted per-script rows (ids -21..-28, disjoint from
     * q175's -1..-18 and q176's -101..): two everyday sentences each

@@ -80,7 +80,45 @@ object LangIdFixed {
       "ję ", "jes", "emy", "aj "),
     "tr" -> Seq(" bi", "bir", "ir ", "lar", "ler", " ya", " ka", "yor",
       "or ", "mek", "mak", " ol", "ola", "ını", "nın", "ın ", " ve",
-      "ve ", "dır", "ğı ", "çok", " ço", "zel", "üze"))
+      "ve ", "dır", "ğı ", "çok", " ço", "zel", "üze"),
+    // r14 extension — measured live mislabels in LangTierDiag3: a
+    // plain Vietnamese sentence LABELED en (margin 6200 — the r12
+    // Cyrillic→ru failure class) and a Catalan one labeled pt, with
+    // Indonesian abstaining only a hair under the floor. The four
+    // lists below follow the shared-gram rule against the EXISTING
+    // ten (grams like que/ la/ el/nt /ng / da are in the sharing
+    // incumbents' lists already); each also carries what the
+    // incumbents cannot produce: Vietnamese đ/ơ/ư/ệ diacritic grams,
+    // Indonesian -kan/-nya/ber-/men- affixes, Romanian ă/î/ș/ț and
+    // the -ând gerund, Catalan -ció/amb/ny. Czech/Hungarian/Finnish/
+    // Danish text measured SAFE (abstains) and stays unmodeled —
+    // held-out controls in Round14OpsSpec.
+    // " th" and "ang"/"ng " are en/id-shared (and en/id list them),
+    // so vi lists them too — without " th", "thời tiết" lifted ONLY
+    // en and a plain vi weather sentence labeled en by 504
+    "vi" -> Seq(" và", "và ", " củ", "của", "ủa ", " là", "là ",
+      " có", "có ", " kh", "khô", "ông", " ng", "ngà", "ày ", "ười",
+      " nh", "ững", "iệc", "iện", "iệt", " đi", "đi ", " đế", "đến",
+      " đã", "đã ", "đượ", "ược", " mộ", "một", "ột ", " th", "ôi ",
+      "ết ", "ời ", "ang"),
+    "id" -> Seq(" ya", "yan", "ang", "ng ", " da", "dan", " di",
+      "di ", " ke", "ke ", "kan", " me", "men", "mem", " be", "ber",
+      " te", "ter", " un", "unt", "tuk", "nya", "ya ", " se", "seb",
+      "ah "),
+    "ro" -> Seq(" și", "și ", " în", "în ", "ul ", "lui", "ui ",
+      "ără", "ște", "lor", "tru", " pe", "pe ", "ți ", "ție", "ată",
+      "ând", " să", "să ", "ază", "oar", "ile", "ste", " cu"),
+    // ca lists ONLY symmetric shared grams (el/la/que/ pe are in
+    // es/it/fr/pt lists) — al/fa/per are frequent es/it text the
+    // incumbents do not list, and with them ca STOLE an es and an it
+    // gate sentence (measured, removed)
+    // ...and not even " el"/"el " (es-shared): a minimal es sentence
+    // is nearly ALL ca-shared grams, so with minMargin=1 the el-pair
+    // left the decision to md5-collision luck (measured margin 53)
+    "ca" -> Seq(" la", "la ", " i ", " am", "amb",
+      " qu", "que", " pe", " és", "és ", "ció", "tat", "ats",
+      "nt ", "els", "ls ", "ny ", "em ", "jar", "vui", "eig",
+      "ixò", "stà"))
 
   /** Frozen distinctive trigrams for the CYRILLIC-script tier (ru /
     * uk / bg, extended in r14 with sr / mk / kk — the script's six

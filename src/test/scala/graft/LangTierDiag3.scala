@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch: what the LATIN trigram tier does with major unmodeled
+  * Latin-script languages (vi/id/ro/cs/hu/fi/da/ca) — abstain is
+  * acceptable, a wrong label is the r12 Cyrillic→ru failure class. */
+object LangTierDiag3 {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val rows = Seq(
+      ("vi", "hôm nay thời tiết đẹp và chúng tôi đang đi đến công viên"),
+      ("vi", "cô ấy đã đi chợ và mua bánh mì cho bữa tối"),
+      ("vi", "chúng tôi sẽ sống trong một ngôi nhà lớn gần biển vào năm tới"),
+      ("id", "hari ini cuacanya bagus dan kami sedang pergi ke taman"),
+      ("id", "dia pergi ke pasar dan membeli roti untuk makan malam"),
+      ("id", "kami akan tinggal di rumah besar dekat laut tahun depan"),
+      ("ro", "astăzi vremea este frumoasă și mergem în parc"),
+      ("ro", "ea a mers la piață și a cumpărat pâine pentru cină"),
+      ("cs", "dnes je hezké počasí a jdeme do parku na procházku"),
+      ("hu", "ma szép az idő és a parkba megyünk sétálni"),
+      ("fi", "tänään on kaunis ilma ja menemme puistoon kävelylle"),
+      ("da", "i dag er vejret godt og vi går en tur i parken"),
+      ("ca", "avui fa bon temps i anem a passejar pel parc amb els amics"))
+      .zipWithIndex.map { case ((w, t), i) => (i.toLong, w, t) }
+      .toDF("doc_id", "want", "text")
+    val got = graft.text.LangIdFixed.scorePerScript(rows,
+        col("doc_id"), col("text"), carry = Seq(col("want")))
+      .select("doc_id", "want", "lang", "best_lang", "score", "margin")
+      .collect()
+    got.foreach { r =>
+      val ok = if (r.getString(2) == r.getString(1)) "OK  "
+        else if (r.getString(2) == "und") "ABST"
+        else "WRONG"
+      println(s"$ok doc=${r.getLong(0)} want=${r.getString(1)} " +
+        s"got=${r.getString(2)} best=${r.getString(3)} " +
+        s"score=${r.getLong(4)} margin=${r.getLong(5)}")
+    }
+    spark.stop()
+  }
+}

@@ -363,4 +363,44 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(got.filter(_.getString(1) == "und")
       .forall(_.getString(2) == "und"))
   }
+
+  test("Latin tier extension held-out gate: vi/id/ro/ca label, cs/hu/fi/da abstain, zero wrong") {
+    import spark.implicits._
+    // held-out sentences DISJOINT from the LangTierDiag3 tuning set.
+    // Before the extension a plain Vietnamese sentence LABELED en and
+    // a Catalan one labeled pt (measured — the r12 Cyrillic→ru
+    // failure class, live in the Latin tier); cs/hu/fi/da text
+    // measured safe (abstains) and stays unmodeled, asserted here
+    val rows = Seq(
+      (1L, "vi", "tôi đã mua một quyển sách mới và đọc nó mỗi ngày"),
+      (2L, "vi", "họ đang xây một ngôi nhà lớn ở gần trường học của chúng tôi"),
+      (3L, "id", "mereka akan membangun rumah baru di dekat sekolah kami"),
+      (4L, "id", "dia sedang membaca buku yang sangat menarik tentang sejarah"),
+      (5L, "ro", "astăzi mergem în oraș pentru că vrem să cumpărăm cărți și flori"),
+      (6L, "ro", "copiii învață în fiecare zi pentru că vor să citească multe cărți bune în oraș"),
+      (7L, "ca", "la meva germana està aprenent català i li agrada molt la ciutat"),
+      (8L, "ca", "la investigació va demostrar que això és una qüestió important"),
+      (9L, "und", "dnes je hezké počasí a jdeme do parku na procházku"),
+      (10L, "und", "ma szép az idő és a parkba megyünk sétálni"),
+      (11L, "und", "tänään on kaunis ilma ja menemme puistoon kävelylle"),
+      (12L, "und", "i dag er vejret godt og vi går en tur i parken"))
+      .toDF("doc_id", "want", "text")
+    val got = graft.text.LangIdFixed.scorePerScript(rows,
+        col("doc_id"), col("text"), carry = Seq(col("want")))
+      .select("doc_id", "want", "lang", "tier")
+      .collect()
+    val wrong = got.filter(r => r.getString(2) != "und" &&
+      r.getString(2) != r.getString(1))
+    assert(wrong.isEmpty, "wrong-language assignments: " +
+      wrong.map(r => s"${r.getLong(0)}:got=${r.getString(2)} " +
+        s"want=${r.getString(1)}").mkString(", "))
+    val labeled = got.filter(r => r.getString(2) == r.getString(1) &&
+      r.getString(1) != "und")
+    assert(labeled.length == 8,
+      s"tier abstains too much: ${labeled.length}/8 labeled — " +
+        got.map(r => s"${r.getLong(0)}:${r.getString(2)}").mkString(", "))
+    assert(got.forall(_.getString(3) == "latn-trigram"))
+    assert(got.filter(_.getString(1) == "und")
+      .forall(_.getString(2) == "und"))
+  }
 }
