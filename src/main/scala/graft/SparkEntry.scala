@@ -2617,6 +2617,107 @@ object SparkEntry {
           "vec_id", "embedding", FixedCentroidsE9, threshold = 0.45,
           bandTables = 16, bandBits = 4, dim = 64)
         .orderBy("vec_id")
+    }),
+
+    // the Scandinavian sibling tier (VERDICT r14 #3's Danish half):
+    // scorePerScript with the sv/da/no sibling model behind it — a
+    // MEASURED Danish sentence labeled sv at the main tier (the r12
+    // sibling-steal class); routed rows (main-tier sv, or und with
+    // å/ä/ö/æ/ø evidence) re-score at the script-tier floor/margin
+    // where shared grams lift all three and da/no orthography decides
+    // (ejd/øbt/avd vs eid/øpt/dde). Corpus = documents ∪ the q175
+    // fixtures ∪ planted Scandinavian rows
+    "q204_scandinavian_lang_id" -> ((s, dir) => {
+      import s.implicits._
+      val fx = (MultilingualFixtures ++ ScandinavianFixtures)
+        .toDF("doc_id", "text")
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+        .unionByName(fx)
+      graft.text.LangIdFixed.scoreLatinScandinavian(docs, col("doc_id"),
+          col("text"))
+        .orderBy("doc_id")
+    }),
+
+    // the q196 audit answered from a LOOP-MAINTAINED persisted index
+    // (the production crawl loop's missing half — VERDICT r14 #1):
+    // the corpus window-fingerprint index is built by a simulated
+    // maintenance loop — one IndexStore append per crawl batch
+    // (doc_id % 3), an LSM compact mid-loop, and an idempotent REPLAY
+    // of the last batch (the crash-resume path: dynamic partition
+    // overwrite rewrites the same partition to the same rows) — then
+    // read back merged. Loop-maintained ≡ rebuilt-from-scratch
+    // (spec-pinned), so the oracle is q196's one-shot SQL verbatim: a
+    // green row proves the maintained index to the hash
+    "q201_maintained_window_index" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val corpus = d.where(pmod(col("doc_id"), lit(10)) =!= 7)
+      val root = java.nio.file.Files.createTempDirectory("graft_q201")
+      val store = new graft.dedup.IndexStore(
+        root.resolve("winfp").toString, Seq("doc_id", "fp"))
+      def delta(b: Long) = Dedup.windowFingerprintIndex(
+        corpus.where(pmod(col("doc_id"), lit(3)) === b),
+        col("doc_id"), col("text"), k = 8)
+      for (b <- 0L to 2L) {
+        store.append(delta(b), b)
+        if (b == 1L) store.compact(s)
+      }
+      store.append(delta(2L), 2L) // crash-replay of the last batch
+      Dedup.benchArrivalAudit(store.read(s),
+          d.where(pmod(col("doc_id"), lit(10)) === 7), col("text"),
+          k = 8)
+        .orderBy("doc_id")
+    }),
+
+    // q170's incremental paragraph pass against a LOOP-MAINTAINED
+    // paragraph-key index: history (even docs) folds in across two
+    // appends with a compact between them and a crash-replay of the
+    // last batch; the batch (odd docs) then runs the Pre form against
+    // the merged read. Oracle = q170's, verbatim
+    "q202_maintained_paragraph_index" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").withColumn("__ptext",
+        syntheticParaText)
+      val root = java.nio.file.Files.createTempDirectory("graft_q202")
+      val store = new graft.dedup.IndexStore(
+        root.resolve("parakeys").toString, Seq("key"))
+      def delta(m: Int) = Dedup.paragraphKeys(
+        docs.where(pmod(col("doc_id"), lit(4)) === m),
+        col("doc_id"), col("__ptext"))
+      store.append(delta(0), 0L)
+      store.compact(s)
+      store.append(delta(2), 1L)
+      store.append(delta(2), 1L) // crash-replay of the last batch
+      Dedup.incrementalParagraphsPre(
+          docs.where(pmod(col("doc_id"), lit(2)) === 1),
+          store.read(s).localCheckpoint(),
+          col("doc_id"), col("__ptext"),
+          expectedItems = 1000000L, fpp = 0.01)
+        .orderBy("doc_id")
+    }),
+
+    // q195's semantic KEEP/DROP verdict against a LOOP-MAINTAINED
+    // clustered history (the frozen-centroid assignment is stateless
+    // per row, so maintenance is a blind keyed append): even vec_ids
+    // fold in across two appends + compact + crash-replay; the odd
+    // batch then probes the merged read through the same banded
+    // tiers. Oracle = q195's, verbatim
+    "q203_maintained_semantic_index" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val root = java.nio.file.Files.createTempDirectory("graft_q203")
+      val store = new graft.dedup.IndexStore(
+        root.resolve("semhist").toString, Seq("vec_id"))
+      def delta(m: Int) = graft.sim.SemanticDedup.clustered(
+        e.where(pmod(col("vec_id"), lit(4)) === m),
+        "vec_id", "embedding", FixedCentroidsE9)
+      store.append(delta(0), 0L)
+      store.compact(s)
+      store.append(delta(2), 1L)
+      store.append(delta(2), 1L) // crash-replay of the last batch
+      graft.sim.SemanticDedup.incrementalSemanticKeep(
+          e.where(pmod(col("vec_id"), lit(2)) === 1),
+          store.read(s).localCheckpoint(),
+          "vec_id", "embedding", FixedCentroidsE9, threshold = 0.45,
+          bandTables = 16, bandBits = 4, dim = 64)
+        .orderBy("vec_id")
     })
   )
 
@@ -2762,7 +2863,8 @@ object SparkEntry {
     * JVM weight builder the engine uses), routed exactly like
     * [[graft.text.LangIdFixed.scorePerScript]]. Only the planted
     * fixture set varies between the registered queries. */
-  private def perScriptLangIdOracle(fixtures: Seq[(Long, String)]): String = {
+  private def perScriptLangIdOracle(fixtures: Seq[(Long, String)],
+                                    withScand: Boolean = false): String = {
     import graft.text.LangIdFixed
     val fxVals = fixtures
       .map { case (id, t) => s"($id, '$t')" }.mkString(", ")
@@ -2803,31 +2905,60 @@ object SparkEntry {
       .mkString("\n    ")
     val joins = tiers.map { case (_, p, _, _, _) =>
       s"JOIN ${p}_lid ON sg.doc_id = ${p}_lid.doc_id" }.mkString("\n")
+    // the Scandinavian sibling sub-tier (q204): routed = Latin rows
+    // the main tier labeled sv OR abstained on WITH å/ä/ö/æ/ø letter
+    // evidence; routed rows take the s_ chain's fields (falling back
+    // to the main-tier label when the sub-tier abstains) — the exact
+    // scoreLatinScandinavian rule
+    val scandRouted = "(sg.script = 'latn' AND " +
+      "len(regexp_extract_all(COALESCE(sg.text, ''), " +
+      "'[åäöæøÅÄÖÆØ]')) >= 1 AND l_lid.lang IN ('sv', 'nl', 'und'))"
+    val scandGate = if (!withScand) "" else
+      s""",
+         |g_s AS (SELECT sg.doc_id,
+         |  CASE WHEN $scandRouted THEN sg.text ELSE '' END AS text
+         |  FROM sg JOIN l_lid ON sg.doc_id = l_lid.doc_id),
+         |${langIdModelCtes(LangIdFixed.ScandinavianLanguages,
+            LangIdFixed.ScriptTierSurplusPerMille, "g_s", "s_",
+            LangIdFixed.ScriptTierMinMargin)}""".stripMargin
+    val scandJoin = if (!withScand) ""
+      else "\nJOIN s_lid ON sg.doc_id = s_lid.doc_id"
+    def scandOver(field: String, base: String): String =
+      if (!withScand) base
+      else field match {
+        case "tier" =>
+          s"CASE WHEN $scandRouted THEN 'latn-scand' ELSE ($base) END"
+        case "lang" =>
+          s"CASE WHEN $scandRouted AND s_lid.lang != 'und' " +
+            s"THEN s_lid.lang ELSE ($base) END"
+        case f =>
+          s"CASE WHEN $scandRouted THEN s_lid.$f ELSE ($base) END"
+      }
     s"""WITH fx(doc_id, text) AS (SELECT * FROM (VALUES $fxVals)),
        |corpus AS (SELECT doc_id, text FROM documents
        |  UNION ALL SELECT CAST(doc_id AS BIGINT), text FROM fx),
        |${scriptClassCtes("corpus")},
        |$gates,
-       |$chains
+       |$chains$scandGate
        |SELECT sg.doc_id, sg.script, sg.script_share_e3,
-       |  CASE ${tiers.map { case (scr, _, _, _, _) =>
+       |  ${scandOver("tier", s"""CASE ${tiers.map { case (scr, _, _, _, _) =>
             s"WHEN sg.script = '$scr' THEN '$scr-trigram'" }
             .mkString("\n    ")}
        |    WHEN sg.script = 'zzzz' THEN 'none'
-       |    ELSE 'script-direct' END AS tier,
-       |  CASE ${routed("best_lang")}
+       |    ELSE 'script-direct' END""".stripMargin)} AS tier,
+       |  ${scandOver("best_lang", s"""CASE ${routed("best_lang")}
        |    WHEN sg.script = 'zzzz' THEN 'und'
        |    $direct
-       |    END AS best_lang,
-       |  CAST(CASE ${routed("score")}
-       |    ELSE 0 END AS BIGINT) AS score,
-       |  CAST(CASE ${routed("margin")}
-       |    ELSE 0 END AS BIGINT) AS margin,
-       |  CASE ${routed("lang")}
+       |    END""".stripMargin)} AS best_lang,
+       |  CAST(${scandOver("score", s"""CASE ${routed("score")}
+       |    ELSE 0 END""".stripMargin)} AS BIGINT) AS score,
+       |  CAST(${scandOver("margin", s"""CASE ${routed("margin")}
+       |    ELSE 0 END""".stripMargin)} AS BIGINT) AS margin,
+       |  ${scandOver("lang", s"""CASE ${routed("lang")}
        |    WHEN sg.script = 'zzzz' THEN 'und'
        |    $direct
-       |    END AS lang
-       |FROM sg $joins
+       |    END""".stripMargin)} AS lang
+       |FROM sg $joins$scandJoin
        |ORDER BY sg.doc_id""".stripMargin
   }
 
@@ -2964,7 +3095,15 @@ object SparkEntry {
     -91L -> "hôm nay thời tiết đẹp và chúng tôi đang đi đến công viên",
     -92L -> "hari ini cuacanya bagus dan kami sedang pergi ke taman",
     -93L -> "astăzi vremea este frumoasă și mergem în parc să citim",
-    -94L -> "avui fa bon temps i anem a passejar pel parc amb els amics")
+    -94L -> "avui fa bon temps i anem a passejar pel parc amb els amics",
+    // r15 Latin-tier extension rows: one sentence each for cs/hu/fi
+    // (previously measured-abstain; now modeled — hash-green here is
+    // the oracle-checked fix evidence, the -91..-94 discipline).
+    // Danish is deliberately NOT a main-tier fixture: da/no separate
+    // in the Scandinavian sibling tier (its own fixtures/query)
+    -95L -> "můžeme se příští rok přestěhovat do většího domu u moře",
+    -96L -> "jövőre egy nagy házban fogunk lakni a tenger mellett",
+    -97L -> "luin tämän kirjan nopeasti koska se oli mielenkiintoinen")
 
   /** q187's planted per-script rows (ids -21..-28, disjoint from
     * q175's -1..-18 and q176's -101..): two everyday sentences each
@@ -3074,6 +3213,22 @@ object SparkEntry {
     -86L -> "бұл кітап өте қызықты болған соң оны тез оқыдым және досыма бердім",
     -87L -> "мы чыталі цікавую кнігу ўвесь вечар у хаце",
     -88L -> "өнөөдөр цаг агаар сайхан байна бид цэцэрлэгт явж байна")
+
+  /** q204's planted Scandinavian rows (ids -121..-126, disjoint from
+    * every other fixture set): two Danish (the first is the MEASURED
+    * main-tier da→sv steal sentence — hash-green here is the
+    * oracle-checked fix evidence), two Norwegian Bokmål, one Swedish
+    * that routes through the sibling tier (main tier labels sv, the
+    * sub-tier must re-win it on och/är), and the da/no-identical
+    * weather sentence that must abstain rather than coin-flip. Shared
+    * verbatim with the oracle VALUES (no apostrophes). */
+  private val ScandinavianFixtures: Seq[(Long, String)] = Seq(
+    -121L -> "vi skal arbejde sammen i næste uge på det nye projekt",
+    -122L -> "han havde ikke tid til at løbe hele vejen hjem efter arbejdet",
+    -123L -> "vi ble enige om å gjøre arbeidet sammen neste uke",
+    -124L -> "det kom mye ny informasjon etter møtet i går",
+    -125L -> "det är ett stort hus och vi har ett fint rum",
+    -126L -> "i dag er været fint og vi går en tur i parken")
 
   /** The q161/q163 synthetic paragraph structure over the single-line
     * fixture corpus: a shared boilerplate banner (whitespace/case
@@ -3593,7 +3748,7 @@ object SparkEntry {
          |  UNION ALL SELECT 'statcode', status_code, COUNT(*) FROM logs GROUP BY status_code
          |  UNION ALL SELECT 'traffic', 'sum', CAST(SUM(bytes // 1048576) AS BIGINT) FROM logs
          |) ORDER BY metric, member""".stripMargin
-    Map(
+    val m = Map(
       "q01_clf_parse_topk" ->
         s"""$logsCte
            |SELECT req_url, COUNT(*) AS hits FROM logs
@@ -6785,5 +6940,23 @@ object SparkEntry {
           |  UNION ALL SELECT piece, freq FROM subs WHERE len(piece) = 1)
           |GROUP BY piece ORDER BY piece""".stripMargin
     )
+    // the maintained-index queries (q201-q203) answer the SAME
+    // question as their one-shot siblings from a LOOP-MAINTAINED
+    // index (loop-maintained ≡ rebuilt-from-scratch, spec-pinned in
+    // Round15OpsSpec) — so each oracle is its sibling's, verbatim: a
+    // green row proves the maintained index reproduces the one-shot
+    // result to the hash
+    m ++ Map(
+      "q201_maintained_window_index" ->
+        m("q196_bench_arrival_audit"),
+      // the Scandinavian sibling tier: the per-script oracle chain
+      // with the s_ (sv/da/no) model and routing CASE appended
+      "q204_scandinavian_lang_id" ->
+        perScriptLangIdOracle(MultilingualFixtures ++ ScandinavianFixtures,
+          withScand = true),
+      "q202_maintained_paragraph_index" ->
+        m("q170_incremental_paragraphs"),
+      "q203_maintained_semantic_index" ->
+        m("q195_incremental_semantic_keep"))
   }
 }

@@ -815,6 +815,17 @@ object Dedup {
                                    explicit: Long): Long =
     if (explicit > 0L) explicit else math.max(index.count(), 1024L)
 
+  /** The distinct normalized paragraph keys of a corpus — the
+    * PARAGRAPH-KEY INDEX row format `(key)` a production crawl loop
+    * persists ([[graft.dedup.IndexStore]]) and
+    * [[incrementalParagraphsPre]] consumes. Same key definition as
+    * [[paragraphDedup]] (trim/lower/collapse-ws over non-blank
+    * `\n{2,}` paragraphs). */
+  def paragraphKeys(docs: DataFrame, idCol: Column,
+                    textCol: Column): DataFrame =
+    paraExplode(docs, idCol, textCol)
+      .select(col("__key").as("key")).distinct()
+
   def incrementalParagraphs(batch: DataFrame, history: DataFrame,
                             idCol: Column, textCol: Column,
                             expectedItems: Long = 0L,
@@ -824,14 +835,30 @@ object Dedup {
     // join's build side) — localCheckpoint materializes it once
     // instead of re-running the explode+normalize+distinct per
     // consumer. At production scale this relation IS the persisted
-    // paragraph-key index the pipeline maintains; here it derives
-    // from `history` inline, so the barrier stands in for the index.
-    val histKeys = paraExplode(history, idCol, textCol)
-      .select(col("__key")).distinct().localCheckpoint()
+    // paragraph-key index the pipeline maintains
+    // ([[incrementalParagraphsPre]]); here it derives from `history`
+    // inline, so the barrier stands in for the index.
+    incrementalParagraphsPre(batch,
+      paragraphKeys(history, idCol, textCol).localCheckpoint(),
+      idCol, textCol, expectedItems, fpp)
+  }
+
+  /** [[incrementalParagraphs]] against a PRECOMPUTED key index —
+    * `histKeys(key)`, the persisted paragraph-key index a production
+    * crawl loop maintains ([[graft.dedup.IndexStore]]: append each
+    * processed batch's [[paragraphKeys]] after processing). Must be
+    * materialized (localCheckpoint/persisted source): it is consumed
+    * 2-3 times here (emptiness probe, Bloom build, verify build
+    * side). */
+  def incrementalParagraphsPre(batch: DataFrame, histKeysIdx: DataFrame,
+                               idCol: Column, textCol: Column,
+                               expectedItems: Long = 0L,
+                               fpp: Double = 0.01): DataFrame = {
+    val histKeys = histKeysIdx.select(col("key").as("__key"))
     // empty history (a crawl's FIRST batch): the Bloom aggregate
     // returns a null-buffer filter over zero rows and the probe NPEs —
     // and semantically the batch just dedups against itself
-    if (histKeys.isEmpty) return paragraphDedup(batch, idCol, textCol)
+    if (histKeysIdx.isEmpty) return paragraphDedup(batch, idCol, textCol)
     val bloom = histKeys.select(xxhash64(col("__key")).as("__h"))
       .stat.bloomFilter("__h", bloomCapacity(histKeys, expectedItems), fpp)
     // the batch paragraph relation likewise feeds three consumers
@@ -1904,15 +1931,18 @@ object Dedup {
     // byte-identical plan (PLANS.md r14 probe notes). Survivor pairs
     // are the only rows either join can keep, so semi-joining sh to
     // the survivor id set first is semantics-free; the id set is
-    // 8-byte longs ≈ 2×|surviving| rows (output-scale, far under
-    // broadcast limits — ~10⁸ ids before the 8 GB ceiling matters),
-    // and the broadcast makes the restriction a streaming BHJ over
-    // the checkpoint: full-corpus arrays never ride a shuffle, only
-    // survivor-doc arrays do. The surviving subtree is referenced
-    // three times (ids ×2 + the pair join) — its shuffles dedupe via
-    // ReuseExchange; only the cheap post-shuffle agg re-executes.
-    val survIds = broadcast(surviving.select(col("id_a").as("id"))
-      .union(surviving.select(col("id_b").as("id"))).distinct())
+    // 8-byte longs ≈ 2×|surviving| rows (output-scale in the usual
+    // prefiltered case). No explicit broadcast hint: AQE reads the
+    // id set's RUNTIME size and picks BHJ when it fits (the common
+    // case — full-corpus arrays then never ride a shuffle), but on
+    // heavy-duplicate corpora or prefilter=false the survivor set is
+    // corpus-scale and a forced driver-side collect would OOM where
+    // the shuffle semi-join degrades gracefully (r14 ADVICE). The
+    // surviving subtree is referenced three times (ids ×2 + the pair
+    // join) — its shuffles dedupe via ReuseExchange; only the cheap
+    // post-shuffle agg re-executes.
+    val survIds = surviving.select(col("id_a").as("id"))
+      .union(surviving.select(col("id_b").as("id"))).distinct()
     val shv = sh.join(survIds, Seq("id"), "left_semi")
     surviving
       .join(shv.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))

@@ -126,10 +126,13 @@ object ScriptCountsExpr {
     "orya" -> Seq((0x0B01, 0x0B63), (0x0B71, 0x0B71)),
     // Sinhala letters/marks + the detached kombuva-haa signs
     "sinh" -> Seq((0x0D81, 0x0DE5), (0x0DF2, 0x0DF3)),
-    // Thai letters/marks, minus digits and fongman/khomut symbols
-    "thai" -> Seq((0x0E01, 0x0E4E)),
-    // Lao letters/marks + the HO-ligature letters U+0EDC–U+0EDF
-    "laoo" -> Seq((0x0E81, 0x0ECD), (0x0EDC, 0x0EDF)),
+    // Thai letters/marks, minus digits, fongman/khomut symbols, and
+    // the baht currency sign U+0E3F (a symbol — price-heavy mixed
+    // text must not vote thai; r14 ADVICE)
+    "thai" -> Seq((0x0E01, 0x0E3E), (0x0E40, 0x0E4E)),
+    // Lao letters/marks + the HO-ligature letters U+0EDC–U+0EDF,
+    // minus the ellipsis U+0EAF (punctuation, no evidence; r14 ADVICE)
+    "laoo" -> Seq((0x0E81, 0x0EAE), (0x0EB0, 0x0ECD), (0x0EDC, 0x0EDF)),
     // Myanmar letters/marks, minus both digit runs (0x1040, 0x1090)
     "mymr" -> Seq((0x1000, 0x103F), (0x1050, 0x108F)),
     // Khmer letters/marks minus the khan..numeral punctuation run;
@@ -179,8 +182,8 @@ object ScriptCountsExpr {
     else if (cp >= 0x0D7A && cp <= 0x0D7F) 14 // Malayalam chillus
     else if (cp >= 0x0D81 && cp <= 0x0DE5) 18 // Sinhala (pre-digits)
     else if (cp >= 0x0DF2 && cp <= 0x0DF3) 18 // Sinhala kombuva haa
-    else if (cp >= 0x0E01 && cp <= 0x0E4E) 19 // Thai (pre-digits)
-    else if (cp >= 0x0E81 && cp <= 0x0ECD) 20 // Lao (pre-digits)
+    else if (cp >= 0x0E01 && cp <= 0x0E4E && cp != 0x0E3F) 19 // Thai (pre-digits, minus baht ฿)
+    else if (cp >= 0x0E81 && cp <= 0x0ECD && cp != 0x0EAF) 20 // Lao (pre-digits, minus ellipsis ຯ)
     else if (cp >= 0x0EDC && cp <= 0x0EDF) 20 // Lao HO ligatures
     else if (cp >= 0x1000 && cp <= 0x103F) 21 // Myanmar (pre-digits)
     else if (cp >= 0x1050 && cp <= 0x108F) 21 // Myanmar ext (pre-Shan-digits)

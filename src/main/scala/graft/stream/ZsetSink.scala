@@ -81,27 +81,9 @@ class ZsetSink(val path: String) extends Serializable {
       .write.mode("overwrite")
       .partitionBy("batch_id")
       .parquet(path + ".compact")
-    // two-rename swap: the live dir is renamed aside to a `.old` grace
-    // dir (one metadata op — O(1), unlike the recursive delete the
-    // earlier version ran while no table existed), the compacted base
-    // renamed in, and only THEN is the old tree deleted. The no-table
-    // window is two renames wide; in-flight readers that already opened
-    // files under `.old` keep reading them until the final delete. On a
-    // real cluster use a transactional table format (Delta/Iceberg) for
-    // the same merge with true snapshot isolation.
-    def delete(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles.foreach(delete)
-      f.delete()
-    }
-    val live = new java.io.File(path)
-    val old = new java.io.File(path + ".old")
-    if (old.exists()) delete(old) // stale grace dir from a crashed swap
-    if (!live.renameTo(old))
-      throw new java.io.IOException(s"compact: cannot move $path aside")
-    if (!new java.io.File(path + ".compact").renameTo(live)) {
-      old.renameTo(live) // restore the pre-compact table, then fail loud
-      throw new java.io.IOException(s"compact: cannot swap in $path.compact")
-    }
-    delete(old)
+    // two-rename swap, shared with the dedup index stores (the same
+    // LSM pattern at different merge semantics — sum here, keyed-set
+    // dedup there); see the helper's doc for the grace-dir protocol
+    graft.dedup.IndexStore.swapInCompacted(path)
   }
 }

@@ -118,7 +118,47 @@ object LangIdFixed {
     "ca" -> Seq(" la", "la ", " i ", " am", "amb",
       " qu", "que", " pe", " és", "és ", "ció", "tat", "ats",
       "nt ", "els", "ls ", "ny ", "em ", "jar", "vui", "eig",
-      "ixò", "stà"))
+      "ixò", "stà"),
+    // r15 extension — cs/hu/fi graduate from abstain controls to
+    // modeled languages (VERDICT r14 #3). Construction discipline
+    // unchanged: distinctive letters the incumbents cannot produce
+    // carry each list (Czech ř/ě/ů — deliberately NOT ý/é-grams,
+    // which Slovak shares, so the sk abstain control holds; Hungarian
+    // ő/ű and the gy digraph morphology; Finnish ä-heavy case endings
+    // -ssä/-llä/-ään), plus each language's own function words.
+    // Shared grams follow the symmetric rule: only grams an incumbent
+    // sharing language already lists (" ol" tr, "mme" fr; measured in
+    // LangTierDiag4 against every incumbent gate sentence both
+    // directions). Finnish deliberately lists only the WORD-FINAL
+    // "ja " form of its "and" (word-initial " ja" fired twice on an
+    // Estonian control — ja is the same word in Estonian and
+    // et agent nouns/jalutama-family words begin ja- — and tipped a
+    // short et sentence over the floor; measured, removed). Danish
+    // is NOT here: at this tier's 100‰ floor it cannot reach gram
+    // density without pan-Scandinavian function grams (og/er/det/at)
+    // that Norwegian shares verbatim — da/no separate in the
+    // SCANDINAVIAN SIBLING sub-tier instead ([[ScandinavianLanguages]],
+    // the q187 confusable-sibling discipline at the 50‰ floor).
+    "cs" -> Seq(" že", "že ", " př", "pře", "při", "pří", "řek",
+      "řed", "ří ", "ři ", "eři", " mů", "můž", "ůže", "ům ", " js",
+      "jsm", "jso", "jse", " jd", "jde", "byl", " dn", "dne", "ěst",
+      "měs", "ště", "ješ", "dět", " ně", "ně ", "ěl ", "děl", "těl",
+      "ázk", "zké", "šly"),
+    "hu" -> Seq(" az", "az ", " eg", "egy", " gy", "gye", "gy ",
+      "hog", "ogy", "nek", "nak", "ban", "ába", " és", "ség", "ság",
+      "meg", "nem", "ből", "től", "ről", "ött", "öny", "agy", "szt",
+      "unk", "ünk", "ák ", "kol", "enn", "aka"),
+    // fi deliberately does NOT list "ksi" (Polish książki — the
+    // most common pl noun stem — fired it and a pl gate sentence
+    // scored fi; measured, removed) nor " ko"/"jok" (Polish
+    // końcu/kolację share them); the list also stays ≤ ~37 grams —
+    // phantom md5-collision hits grow with nonzero-bucket count, and
+    // the 41-gram draft measured a 6-collision pl sentence
+    "fi" -> Seq("ja ", "ssa", "ssä", "stä", "llä", "lle",
+      "een", "aan", "iin", "uun", "nen", "sen", "kin", "ään",
+      "nää", "tää", "vät", "äiv", "yös", "mme", " ol", "ole",
+      "oli", "äll", "äve", "yll", "itt", "ttä", "täm", "irj",
+      "osk", "uon", "vuo", "iso", "nsi", " hä", "hän"))
 
   /** Frozen distinctive trigrams for the CYRILLIC-script tier (ru /
     * uk / bg, extended in r14 with sr / mk / kk — the script's six
@@ -145,9 +185,14 @@ object LangIdFixed {
       " що", "що ", "ого", "ому", "ти ", "ати", "ити", "ння", "ня ",
       "ів ", "ої ", "ій ", "ись", "ься", "ськ", "іст", " ві", "від",
       " є ", "ії ", "їх ", " як", "як ", "ємо"),
+    // "ва " was dropped in r15: Tatar һава ("air", a top-frequency
+    // word) fired it, and with two md5 collisions a short Tatar
+    // sentence crossed the 50‰ floor and LABELED bg (the r14 ADVICE
+    // Tatar control, measured); bg keeps the "ват"/-verb evidence and
+    // every gate/fixture margin held without it (LangTierDiag)
     "bg" -> Seq(" и ", " в ", " на", "на ", "не ", " не", " да", "да ",
       " е ", " ще", "ще ", "та ", "то ", "те ", "ът ", "ия ", "ите",
-      "ата", "ото", " се", "се ", " за", "за ", "ва ", "ат ", "ят ",
+      "ата", "ото", " се", "се ", " за", "за ", "ат ", "ят ",
       " пр", "ред", "ват", "ени", " въ", "ъде", "бъд", "ърв"),
     // r14 extension — the next three Cyrillic crawl languages, each
     // carrying UNIQUE-letter evidence the first three lack: Serbian
@@ -191,6 +236,69 @@ object LangIdFixed {
     "kk" -> Seq(" жә", "жән", "әне", "қан", "ған", "ның", "дың",
       "тың", "үші", "шін", "ады", "лар", "өте", " өт", " қа", "ғы ",
       "жоқ", "еді"))
+
+  /** Frozen distinctive trigrams for the SCANDINAVIAN sibling tier
+    * (sv / da / no) — the q187 confusable-sibling discipline applied
+    * INSIDE the Latin script. Danish and Norwegian Bokmål share their
+    * function-word inventory almost verbatim (og/er/det/at/jeg/ikke/
+    * til/han), and Danish prose fires Swedish's main-tier grams
+    * (det/en /et /" sk") hard enough that a measured Danish sentence
+    * LABELED sv at the main tier (LangTierDiag4 — the r12 Cyrillic→ru
+    * failure class between siblings). So the three separate the
+    * Cyrillic way: every shared gram appears in EVERY sharing list
+    * (lifting each identically — floor-crossing evidence), and the
+    * margin is decided by what the siblings cannot produce:
+    *
+    *   - sv: och (da/no: og), är (er), jag (jeg), inte (ikke), ett,
+    *     från (fra) — plus the shared " ef"/"eft" with da (no: etter)
+    *     and "ade" with da;
+    *   - da: the soft-d/b/æ-ø orthography where no writes t/p/ei-øy —
+    *     -ejd (no: -eid), høj/øje (høy/øye), købe/løbe (kjøpe/løpe),
+    *     havde (hadde), -ede past, -hed (no: -het), vej/nej (vei/nei),
+    *     -erne definite plurals (no: -ene), uge (uke), hvad (hva);
+    *   - no: the mirror set — eid, høy/øy, kjø/gjø/kje palatals, hadde
+    *     (dde), ble, mye, noe, -asjon (da/sv: -ation) — bokmål forms
+    *     (nynorsk abstains, a documented unmodeled sibling).
+    *
+    * Tier parameters are the script-tier ones (50‰ surplus floor,
+    * margin > one bucket): within-sibling evidence is shared-heavy, so
+    * the 100‰ prose floor is unreachable without the shared mass, and
+    * a one-bucket margin would hand near-ties to md5-collision luck.
+    * Routing (see [[scoreLatinScandinavian]]) requires å/ä/ö/æ/ø
+    * letter evidence for und-routed rows, so plain-ASCII English
+    * jargon never reaches this tier.
+    *
+    * Measured limitation (LangTierDiag5, accepted): a sentence that is
+    * ~100% shared function words ("vi er her og de er der…") can
+    * clear the sibling margin on md5-collision luck alone — repeated
+    * phrases repeat their collision hits, so the noise scales with
+    * repetition while distinctive evidence stays zero. No gram-list
+    * choice fixes text that carries no sibling-distinctive signal;
+    * realistic ambiguous prose (the da/no-identical weather sentence)
+    * measures und, and that is the contract this tier promises. */
+  val ScandinavianLanguages: Seq[(String, Seq[String])] = Seq(
+    "sv" -> Seq(" oc", "och", "ch ", " är", "är ", "jag", "int",
+      "rån", "frå", "ade", " ef", "eft", "ett",
+      // shared Scandinavian mass (each gram in every list that uses
+      // the word): og/at/det/de/til/skal/han/hun/vi/ha/har/med/et/er
+      " og", "og ", " at", "det", " de", "til", " ti", " sk", "ska",
+      "han", "hun", " vi", "vi ", " ha", "har", "med", "et ", "er ",
+      " er"),
+    "da" -> Seq(" af", "af ", "høj", "øje", "ej ", "vej", "ejr",
+      "ejd", "ejl", "øbe", "øbt", "øb ", "ede", "hed", "kab", "jer",
+      "rne", "vad", " næ", "næs", "ørn", "ynd", "uge", "dte", "avd",
+      "ænd", "ælk", "øde", "ødt", "ade", " ef", "eft",
+      "ikk", "kke", "jeg",
+      " og", "og ", " at", "det", " de", "til", " ti", " sk", "ska",
+      "han", "hun", " vi", "vi ", " ha", "har", "med", "et ", "er ",
+      " er"),
+    "no" -> Seq("eid", "eit", "høy", "øy ", "øye", "øpt", "øpe",
+      "kje", "kjø", "gje", "gjø", "jør", "dde", "ble", "mye", "noe",
+      "asj", "sjo", "øte", "ei ", "nei", "vei",
+      "ikk", "kke", "jeg",
+      " og", "og ", " at", "det", " de", "til", " ti", " sk", "ska",
+      "han", "hun", " vi", "vi ", " ha", "har", "med", "et ", "er ",
+      " er"))
 
   /** Frozen distinctive trigrams for the ARABIC-script tier (ar / fa /
     * ur). The script's code points overlap but the languages are
@@ -737,6 +845,71 @@ object LangIdFixed {
         coalesce(pick("score"), lit(0L)).as("score"),
         coalesce(pick("margin"), lit(0L)).as("margin"),
         pick("lang").otherwise(directLang).as("lang")): _*)
+  }
+
+  /** [[scorePerScript]] with the SCANDINAVIAN sibling sub-tier behind
+    * it ([[ScandinavianLanguages]]): Latin-script rows the main tier
+    * left ambiguous re-score against the sv/da/no sibling model at the
+    * script-tier floor and margin. Routing is deliberately narrow:
+    *
+    * Latin rows carrying at least one å/ä/ö/æ/ø letter (Scandinavian
+    * prose always does; the letter gate keeps plain-ASCII English
+    * jargon — the bulk of a real crawl's und mass — and Dutch prose,
+    * which never carries these letters, from ever paying or polluting
+    * the sibling pass) whose main-tier label is:
+    *
+    *   - `sv` — Danish prose fires Swedish's main-tier grams (the
+    *     measured sibling steal this tier exists to fix; genuine
+    *     Swedish re-wins here on och/är/jag);
+    *   - `nl` — Norwegian prose opening on de/det fires Dutch's
+    *     " de"/"de "/"en " mass (measured: a bokmål sentence labeled
+    *     nl at the main tier);
+    *   - `und` — the abstained remainder.
+    *
+    * A routed row gets the sub-tier's label/evidence and
+    * `tier = latn-scand`; a routed row the sub-tier abstains on falls
+    * back to its main-tier label (sv keeps sv — tier-1 evidence
+    * stands; und stays und). Everything else passes through
+    * unchanged, so this is a strict refinement of [[scorePerScript]].
+    *
+    * Scale shape: identical — one extra codegen'd trigram fold over
+    * the routed rows only (the gate blanks everything else to "", so
+    * non-routed rows skip the md5 walk), zero shuffle. */
+  def scoreLatinScandinavian(docs: DataFrame, idCol: Column,
+                             textCol: Column,
+                             buckets: Int = DefaultBuckets,
+                             minMargin: Long = 1L,
+                             minSurplusPerMille: Long = DefaultMinSurplusPerMille,
+                             scriptSurplusPerMille: Long = ScriptTierSurplusPerMille,
+                             scriptMinMargin: Long = ScriptTierMinMargin,
+                             carry: Seq[Column] = Nil): DataFrame = {
+    val base = scorePerScript(docs, idCol, textCol, buckets, minMargin,
+      minSurplusPerMille, scriptSurplusPerMille, scriptMinMargin,
+      carry = textCol.as("__sctext") +: carry)
+    // å/ä/ö/æ/ø evidence count — exact, oracle-replayable as a
+    // regexp_extract_all length
+    val scandLetters = length(regexp_replace(
+      coalesce(col("__sctext"), lit("")), "[^åäöæøÅÄÖÆØ]", ""))
+    val routed = col("script") === "latn" && scandLetters >= 1 &&
+      col("lang").isin("sv", "nl", "und")
+    val gated = when(routed, col("__sctext")).otherwise(lit(""))
+    val scored = addModelFields(base, gated, ScandinavianLanguages,
+      buckets, scriptMinMargin, scriptSurplusPerMille, "sc")
+    val outCols = base.columns.filterNot(_ == "__sctext")
+    scored
+      .withColumn("__routed", routed)
+      .withColumn("tier",
+        when(col("__routed"), "latn-scand").otherwise(col("tier")))
+      .withColumn("best_lang",
+        when(col("__routed"), col("best_lang_sc")).otherwise(col("best_lang")))
+      .withColumn("score",
+        when(col("__routed"), col("score_sc")).otherwise(col("score")))
+      .withColumn("margin",
+        when(col("__routed"), col("margin_sc")).otherwise(col("margin")))
+      .withColumn("lang",
+        when(col("__routed") && col("lang_sc") =!= "und", col("lang_sc"))
+          .otherwise(col("lang")))
+      .select(outCols.map(col): _*)
   }
 
   /** The compositional CENTERED scores array + trailing trigram count

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch: tuning loop for the r15 Latin-tier cs/hu/fi/da extension —
+  * replays (a) tuning + held-out sentences for the four newcomers,
+  * (b) every incumbent Latin gate sentence (Round11 + Round14 +
+  * LangTierDiag3 + q175 fixtures) to prove the newcomers steal no
+  * margin, and (c) the sk/no/et abstain controls (close unmodeled
+  * siblings — a wrong label is the r12 Cyrillic→ru failure class).
+  */
+object LangTierDiag4 {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val rows = Seq(
+      // --- newcomers: tuning set
+      ("cs", "dnes je hezké počasí a jdeme do parku na procházku"),
+      ("cs", "přečetl jsem tu knihu rychle protože byla zajímavá"),
+      ("cs", "děti šly do města a koupily chleba k večeři"),
+      ("cs", "můžeme se příští rok přestěhovat do většího domu u moře"),
+      ("hu", "ma szép az idő és a parkba megyünk sétálni"),
+      ("hu", "elolvastam egy nagyon érdekes könyvet a történelemről"),
+      ("hu", "jövőre egy nagy házban fogunk lakni a tenger mellett"),
+      ("hu", "a gyerekek minden nap iskolába mennek mert tanulni akarnak"),
+      ("fi", "tänään on kaunis ilma ja menemme puistoon kävelylle"),
+      ("fi", "luin tämän kirjan nopeasti koska se oli mielenkiintoinen"),
+      ("fi", "ensi vuonna asumme isossa talossa meren rannalla"),
+      ("fi", "me olemme tänään täällä ja luemme paljon kirjoja talvella"),
+      ("da", "i dag er vejret godt og vi går en tur i parken"),
+      ("da", "hun købte brød og mælk til aftensmaden i butikken"),
+      ("da", "vi skal arbejde sammen i næste uge på det nye projekt"),
+      ("da", "børnene løb hjem fra skolen fordi det begyndte at regne"),
+      // --- abstain controls: sk (Czech's sibling), no (Danish's), et (Finnish's)
+      ("und", "dnes je pekné počasie a ideme do parku na prechádzku"),
+      ("und", "prečítal som tú knihu rýchlo pretože bola zaujímavá"),
+      ("und", "i dag er været fint og vi går en tur i parken"),
+      ("und", "hun kjøpte brød og melk til middagen i butikken"),
+      ("und", "täna on ilus ilm ja me läheme parki jalutama"),
+      ("und", "lapsed lähevad iga päev kooli sest nad tahavad õppida"),
+      // --- incumbents: Round11 gate + q175/LangTierDiag3 shapes
+      ("en", "the dog and the cat are in the house and it is a nice day"),
+      ("en", "the weather is nice today and we are going to the park"),
+      ("de", "der hund und die katze sind im haus und es ist ein schöner tag"),
+      ("es", "el perro y el gato están en la casa y hoy es un día muy bonito"),
+      ("fr", "le chien et le chat sont dans la maison et il fait beau aujourd'hui"),
+      ("it", "il cane e il gatto sono nella casa e oggi è una bella giornata"),
+      ("pt", "o cão e o gato estão na casa e hoje é um dia muito bonito"),
+      ("nl", "de hond en de kat zijn in het huis en het is een mooie dag"),
+      ("sv", "hunden och katten är i huset och det är en mycket fin dag"),
+      ("pl", "pies i kot nie są w domu ale przy oknie się bawią dzisiaj"),
+      ("tr", "köpek ve kedi evde ve bugün hava çok güzel bir gün olacak"),
+      ("vi", "hôm nay thời tiết đẹp và chúng tôi đang đi đến công viên"),
+      ("vi", "tôi đã mua một quyển sách mới và đọc nó mỗi ngày"),
+      ("id", "hari ini cuacanya bagus dan kami sedang pergi ke taman"),
+      ("id", "mereka akan membangun rumah baru di dekat sekolah kami"),
+      ("ro", "astăzi vremea este frumoasă și mergem în parc să citim"),
+      ("ro", "copiii învață în fiecare zi pentru că vor să citească multe cărți bune în oraș"),
+      ("ca", "avui fa bon temps i anem a passejar pel parc amb els amics"),
+      ("ca", "la investigació va demostrar que això és una qüestió important"),
+      // incumbents: distinctive-poor shapes that historically lose
+      // margin to newcomers (the sr-steals-ru lesson)
+      ("es", "ella se fue a la casa y se puso a leer un libro"),
+      ("fr", "nous sommes comme une famille et nous aimons la ville"),
+      ("sv", "det är ett stort hus och vi har ett fint rum"),
+      ("en", "he made the bread on monday and we were on our way"),
+      ("de", "wir haben ja ein leben in der stadt und gehen gerne aus"),
+      ("nl", "ja wij hebben een huis van hout en het is van ons"))
+      .zipWithIndex.map { case ((w, t), i) => (i.toLong, w, t) }
+      .toDF("doc_id", "want", "text")
+    val got = graft.text.LangIdFixed.scorePerScript(rows,
+        col("doc_id"), col("text"), carry = Seq(col("want")))
+      .select("doc_id", "want", "lang", "best_lang", "score", "margin")
+      .collect()
+    var wrong = 0
+    got.foreach { r =>
+      val ok = if (r.getString(2) == r.getString(1)) "OK   "
+        else if (r.getString(2) == "und") "ABST "
+        else { wrong += 1; "WRONG" }
+      println(s"$ok doc=${r.getLong(0)} want=${r.getString(1)} " +
+        s"got=${r.getString(2)} best=${r.getString(3)} " +
+        s"score=${r.getLong(4)} margin=${r.getLong(5)}")
+    }
+    println(s"wrong=$wrong")
+    spark.stop()
+  }
+}

@@ -1,0 +1,247 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-15 operator specs: the persisted-index maintenance store
+  * (append / read / compact / crash-replay / new-session resume for
+  * the three incremental-family indexes — VERDICT r14 #1), the
+  * Latin-tier cs/hu/fi extension and the Scandinavian sibling tier
+  * (VERDICT #3), the Tatar abstain control (r14 ADVICE), and the
+  * Thai/Lao symbol-range fix (r14 ADVICE). */
+class Round15OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_$name")
+      .resolve("idx").toString
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.map {
+      case b: Array[Byte] => b.map("%02x".format(_)).mkString
+      case x => String.valueOf(x)
+    }.mkString("|")).sorted.toSeq
+
+  test("IndexStore: window-fp crawl loop ≡ rebuilt; compact, crash-replay, new-session resume") {
+    import graft.dedup.{Dedup, IndexStore}
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i j k l"),
+      (3L, "x y z w v u t s r q"),
+      (4L, "m n o p q r s t u v"),
+      (5L, "a b c d e f g h x y"),
+      (6L, "p q r s t u v w x y z")).toDF("doc_id", "text")
+    val store = new IndexStore(tmp("winfp"), Seq("doc_id", "fp"))
+    def delta(b: Long) = Dedup.windowFingerprintIndex(
+      docs.where(pmod(col("doc_id"), lit(3)) === b),
+      col("doc_id"), col("text"), k = 8)
+    // the crawl loop: append per batch, compact mid-loop
+    store.append(delta(0), 0L)
+    store.append(delta(1), 1L)
+    store.compact(spark)
+    store.append(delta(2), 2L)
+    // crash-replay: re-appending the SAME batch must be a no-op
+    // (dynamic partition overwrite rewrites batch_id=2 to itself)
+    store.append(delta(2), 2L)
+    // new-session resume: a fresh session + fresh store handle reads
+    // the same table — state lives only in the files
+    val spark2 = spark.newSession()
+    val resumed = new IndexStore(store.path, Seq("doc_id", "fp"))
+    val rebuilt = Dedup.windowFingerprintIndex(
+      docs, col("doc_id"), col("text"), k = 8)
+    assert(sortedRows(resumed.read(spark2)) == sortedRows(rebuilt))
+    // compact again from the resumed handle: still identical
+    resumed.compact(spark2)
+    assert(sortedRows(resumed.read(spark2)) == sortedRows(rebuilt))
+    // and the audit over the maintained index ≡ over the rebuilt one
+    val bench = Seq((100L, "c d e f g h i j k l")).toDF("doc_id", "text")
+    assert(sortedRows(Dedup.benchArrivalAudit(
+        resumed.read(spark2), bench, col("text"), k = 8)) ==
+      sortedRows(Dedup.benchArrivalAudit(rebuilt, bench, col("text"), k = 8)))
+  }
+
+  test("IndexStore: paragraph-key loop-maintained index feeds incrementalParagraphsPre ≡ inline history") {
+    import graft.dedup.{Dedup, IndexStore}
+    val history = Seq(
+      (1L, "Subscribe now\n\nalpha beta gamma\n\nshared paragraph here"),
+      (2L, "subscribe  NOW\n\ndelta epsilon"),
+      (3L, "footer text\n\nalpha beta gamma")).toDF("id", "text")
+    val batch = Seq(
+      (10L, "Subscribe now\n\nfresh content one\n\nshared paragraph here"),
+      (11L, "fresh content one\n\nfresh content two\n\n  \n\nfresh content two"),
+      (12L, "SHARED   paragraph HERE\n\nfooter text")).toDF("id", "text")
+    val store = new IndexStore(tmp("parakeys"), Seq("key"))
+    // two appends + compact + crash-replay of the last batch
+    store.append(Dedup.paragraphKeys(history.where(col("id") <= 2),
+      col("id"), col("text")), 0L)
+    store.compact(spark)
+    store.append(Dedup.paragraphKeys(history.where(col("id") === 3),
+      col("id"), col("text")), 1L)
+    store.append(Dedup.paragraphKeys(history.where(col("id") === 3),
+      col("id"), col("text")), 1L)
+    val viaIndex = Dedup.incrementalParagraphsPre(batch,
+      store.read(spark).localCheckpoint(), col("id"), col("text"),
+      expectedItems = 1000L, fpp = 0.01)
+    val inline = Dedup.incrementalParagraphs(batch, history,
+      col("id"), col("text"), expectedItems = 1000L, fpp = 0.01)
+    assert(sortedRows(viaIndex) == sortedRows(inline))
+    // duplicate keys across appends collapse: the index is a SET
+    val keys = store.read(spark).collect().map(_.getString(0))
+    assert(keys.length == keys.distinct.length)
+    assert(keys.contains("alpha beta gamma")) // in batch 0 AND 1, once
+  }
+
+  test("IndexStore: clustered semantic history loop-maintained ≡ inline, through the banded keep verdict") {
+    import graft.sim.SemanticDedup
+    import graft.dedup.IndexStore
+    val cents = Seq(
+      Seq.fill(8)(500000000L),
+      Seq.fill(8)(-500000000L))
+    def v(base: Double, tweakIdx: Int = -1, tweak: Double = 0.0) =
+      Seq.tabulate(8)(i => (if (i == tweakIdx) tweak else base).toFloat)
+    val history = Seq(
+      (2L, v(0.5)), (4L, v(0.5, 3, 0.45)), (6L, v(-0.5)))
+      .toDF("vec_id", "embedding")
+    val batch = Seq(
+      (1L, v(0.5, 5, 0.48)),
+      // alternating signs: cosine 0 against every uniform history
+      // vector → must be KEPT
+      (3L, Seq.tabulate(8)(i => if (i % 2 == 0) 0.5f else -0.5f)))
+      .toDF("vec_id", "embedding")
+    val store = new IndexStore(tmp("semhist"), Seq("vec_id"))
+    store.append(SemanticDedup.clustered(
+      history.where(col("vec_id") <= 4), "vec_id", "embedding", cents), 0L)
+    store.compact(spark)
+    store.append(SemanticDedup.clustered(
+      history.where(col("vec_id") === 6), "vec_id", "embedding", cents), 1L)
+    store.append(SemanticDedup.clustered(
+      history.where(col("vec_id") === 6), "vec_id", "embedding", cents), 1L)
+    val viaIndex = SemanticDedup.incrementalSemanticKeep(batch,
+      store.read(spark).localCheckpoint(), "vec_id", "embedding",
+      cents, threshold = 0.95, bandTables = 16, bandBits = 4, dim = 8)
+    val inline = SemanticDedup.incrementalSemanticKeep(batch,
+      SemanticDedup.clustered(history, "vec_id", "embedding", cents)
+        .localCheckpoint(),
+      "vec_id", "embedding", cents, threshold = 0.95,
+      bandTables = 16, bandBits = 4, dim = 8)
+    assert(sortedRows(viaIndex) == sortedRows(inline))
+    // the parquet round-trip preserved the double vectors exactly:
+    // 1 pairs with history 2/4 (cos ≥ .95) → dropped; 3 is alone
+    val got = viaIndex.orderBy("vec_id").collect()
+    assert(!got(0).getBoolean(3) && got(0).getLong(1) >= 1L)
+    assert(got(1).getBoolean(3))
+  }
+
+  test("Latin tier r15 held-out gate: cs/hu/fi label, sk/et abstain, zero wrong") {
+    // held-out sentences DISJOINT from LangTierDiag4's tuning set and
+    // the q175 fixtures; sk (Czech's sibling) and et (Finnish's) must
+    // abstain — the r12 wrong-label class between siblings
+    val rows = Seq(
+      (1L, "cs", "děti jsou ještě ve městě a můžeme tam jet za nimi"),
+      (2L, "cs", "nemůžeme jet vlakem protože jsme přišli pozdě na nádraží"),
+      (3L, "hu", "az emberek egy nagy és szép házban laknak a tó mellett"),
+      (4L, "hu", "egy nagyon jó könyvet olvastam a nyáron a tengerparton"),
+      (5L, "fi", "tämä talo on iso ja siellä asumme koko vuoden"),
+      (6L, "fi", "me olimme siellä tänään ja ostimme paljon kirjoja"),
+      (7L, "und", "nemôžeme ísť vlakom pretože sme prišli neskoro na stanicu"),
+      (8L, "und", "nad ostsid uue auto sest vana oli juba halb"))
+      .toDF("doc_id", "want", "text")
+    val got = graft.text.LangIdFixed.scorePerScript(rows,
+        col("doc_id"), col("text"), carry = Seq(col("want")))
+      .select("doc_id", "want", "lang", "tier").collect()
+    val wrong = got.filter(r => r.getString(2) != "und" &&
+      r.getString(2) != r.getString(1))
+    assert(wrong.isEmpty, "wrong: " + wrong.map(r =>
+      s"${r.getLong(0)}:got=${r.getString(2)}").mkString(", "))
+    val labeled = got.filter(r => r.getString(2) == r.getString(1) &&
+      r.getString(1) != "und")
+    assert(labeled.length == 6, "abstains too much: " +
+      got.map(r => s"${r.getLong(0)}:${r.getString(2)}").mkString(", "))
+    assert(got.filter(_.getString(1) == "und")
+      .forall(_.getString(2) == "und"))
+  }
+
+  test("Scandinavian sibling tier held-out gate: da/no/sv label, ambiguous abstains, zero wrong") {
+    // held-out, disjoint from LangTierDiag5 tuning and q204 fixtures.
+    // Danish rows carry the soft-d/b/æ orthography (the only da text
+    // separable from Norwegian at trigram granularity — documented);
+    // the Norwegian rows carry ei/øy/kjø/dde; German-with-umlauts and
+    // pan-Scandinavian shapes must abstain, plain English never routes
+    val rows = Seq(
+      (1L, "da", "hun havde købt en gave og løb hele vejen hjem i regnen"),
+      (2L, "da", "børnene havde ikke set deres venner i flere uger efter ferien"),
+      (3L, "no", "de hadde kjørt hele veien til byen for å kjøpe mye mat"),
+      (4L, "no", "det ble gjort mye arbeid med informasjonen etter møtet"),
+      (5L, "sv", "flickan läste en bok och pojken är i huset med sin far"),
+      (6L, "und", "vi har en fin dag og det er godt å se"),
+      (7L, "und", "die schöne königin wünschte öfter grüne äpfel über können"),
+      (8L, "en", "the quick brown fox jumps over the lazy dog every day"))
+      .toDF("doc_id", "want", "text")
+    val got = graft.text.LangIdFixed.scoreLatinScandinavian(rows,
+        col("doc_id"), col("text"), carry = Seq(col("want")))
+      .select("doc_id", "want", "lang", "tier").collect()
+    val wrong = got.filter(r => r.getString(2) != "und" &&
+      r.getString(2) != r.getString(1))
+    assert(wrong.isEmpty, "wrong: " + wrong.map(r =>
+      s"${r.getLong(0)}:got=${r.getString(2)} tier=${r.getString(3)}")
+      .mkString(", "))
+    val labeled = got.filter(r => r.getString(2) == r.getString(1) &&
+      r.getString(1) != "und" && r.getString(1) != "en")
+    assert(labeled.length == 5, "abstains too much: " +
+      got.map(r => s"${r.getLong(0)}:${r.getString(2)}").mkString(", "))
+    // plain-ASCII English is never routed to the sibling tier
+    assert(got.find(_.getLong(0) == 8L).get.getString(3) == "latn-trigram")
+    // the sv row was routed (main tier labels sv) and re-won
+    assert(got.find(_.getLong(0) == 5L).get.getString(3) == "latn-scand")
+  }
+
+  test("Cyrillic tier: Tatar abstains (r14 ADVICE — shares Kazakh letters ә/ө/ү/ң and -ның/-лар morphology)") {
+    val rows = Seq(
+      (1L, "бүген һава торышы яхшы һәм без паркка барабыз"),
+      (2L, "мин бу китапны укыдым һәм ул миңа бик ошады"),
+      (3L, "татар теле төрки телләр гаиләсенә керә һәм бик матур тел"))
+      .toDF("doc_id", "text")
+    val got = graft.text.LangIdFixed.scorePerScript(rows,
+        col("doc_id"), col("text"))
+      .select("doc_id", "lang", "script").collect()
+    assert(got.forall(_.getString(2) == "cyrl"))
+    assert(got.forall(_.getString(1) == "und"),
+      "Tatar must abstain, got: " + got.map(r =>
+        s"${r.getLong(0)}:${r.getString(1)}").mkString(", "))
+  }
+
+  test("script_counts: Thai baht ฿ and Lao ellipsis ຯ carry no script evidence (r14 ADVICE)") {
+    val rows = Seq(
+      (1L, "฿฿฿ 1500 ฿"),             // currency-only: no class at all
+      (2L, "ราคา ๑๕๐ ฿ ต่อ กิโล"),      // Thai text + baht: baht not counted
+      (3L, "ຯ ຯ ຯ"),                  // ellipsis-only
+      (4L, "ພາສາລາວ ຯ ແລະ ອັກສອນ"))    // Lao text + ellipsis
+      .toDF("doc_id", "text")
+    val got = rows.select(col("doc_id"),
+        graft.functions.ScriptCountsExpr.script_counts(col("text"))
+          .as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val classes = graft.functions.ScriptCountsExpr.Classes.map(_._1)
+    val thaiIdx = classes.indexOf("thai")
+    val laoIdx = classes.indexOf("laoo")
+    // baht-only and ellipsis-only rows count NOTHING anywhere
+    assert(got(1L).forall(_ == 0L), s"baht counted: ${got(1L)}")
+    assert(got(3L).forall(_ == 0L), s"lao ellipsis counted: ${got(3L)}")
+    // mixed rows: the symbol is excluded, the letters still count
+    val thaiLetters = "ราคา ต่อ กิโล".count(c =>
+      (c >= 0x0E01 && c <= 0x0E3E) || (c >= 0x0E40 && c <= 0x0E4E))
+    assert(got(2L)(thaiIdx) == thaiLetters.toLong)
+    assert(got(2L)(laoIdx) == 0L)
+    assert(got(4L)(laoIdx) > 0L)
+    assert(got(4L).sum == got(4L)(laoIdx) + got(4L).last)
+  }
+}
