@@ -610,6 +610,50 @@ object LangIdFixed {
     "laoo" -> "lo", "mymr" -> "my", "khmr" -> "km", "geor" -> "ka",
     "armn" -> "hy", "ethi" -> "am", "thaa" -> "dv")
 
+  /** Frozen Han-sibling EVIDENCE character sets — the kana-free
+    * decision between Japanese and Chinese (VERDICT r14 #5: `hani →
+    * zh` labeled Han-only Japanese text zh). Public orthographic
+    * knowledge, all single code points:
+    *
+    *   - [[HanJaEvidence]]: kokuji (込働畑辻峠枠 — characters coined
+    *     in Japan, absent from Chinese) and shinjitai simplifications
+    *     that differ from BOTH the PRC simplified and the traditional
+    *     form (駅 vs 驿/驛, 図 vs 图/圖, 売 vs 卖/賣, 気 vs 气/氣,
+    *     発 vs 发/發, 絵 vs 绘/繪, 広 vs 广/廣 — distinct code
+    *     points even when visually close);
+    *   - [[HanZhEvidence]]: PRC-simplified-only forms Japanese never
+    *     writes (这们个为说吗请阅读对发经…) plus traditional-only
+    *     forms whose Japanese equivalent is a DIFFERENT shinjitai
+    *     code point (這們說嗎沒點氣學國圖賣實發會體). Shared
+    *     function characters Japanese uses in compounds (的 目的,
+    *     了 完了, 在 現在, 点/没/就/個 — all live joyo kanji) are
+    *     deliberately in NEITHER set: they carry no sibling evidence.
+    *
+    * A hani-dominant row labels ja/zh when one side's count is ≥ 1
+    * and ≥ 3× the other's (small-count robust: one stray character
+    * cannot flip a documented text), and quarantines as "und"
+    * otherwise — evidence-free classical/proper-noun Han text is
+    * genuinely ambiguous at this granularity (the Bengali
+    * proper-noun-abstain discipline). Counting is one `translate`
+    * length-difference per set — codegen'd, oracle-replayable
+    * verbatim. */
+  val HanJaEvidence: String =
+    "駅図売実気発対込働畑辻峠枠絵価済渋観経栄単巻険剣塩労効砕沢浜恵悪桜覚読転広"
+  val HanZhEvidence: String =
+    "这们个为说吗呢吧很请阅读认识谁么什过还时书东车长门马发经对觉" +
+      "這們說嗎沒點氣學國圖賣實發會體"
+
+  /** The Han-sibling label for one hani-dominant row — see
+    * [[HanJaEvidence]]. */
+  private[graft] def hanSiblingLabel(text: Column): Column = {
+    val t = coalesce(text, lit(""))
+    val jaEv = length(t) - length(translate(t, HanJaEvidence, ""))
+    val zhEv = length(t) - length(translate(t, HanZhEvidence, ""))
+    when(jaEv >= 1 && jaEv >= zhEv * 3, "ja")
+      .when(zhEv >= 1 && zhEv >= jaEv * 3, "zh")
+      .otherwise("und")
+  }
+
   /** The script decision chain's test order AFTER the Japanese
     * kana-floor rule and BEFORE the final Latin test — frozen (the
     * oracle replays the same order; classes are mutually exclusive
@@ -674,11 +718,16 @@ object LangIdFixed {
     score(prepared, col("__id"), gated, buckets, minMargin,
         minSurplusPerMille,
         carry = carryNames.map(col) ++
-          Seq(col("script"), col("script_share_e3")))
+          Seq(col("script"), col("script_share_e3"), col("han_lang")))
       .withColumn("lang",
         when(col("script") === "latn", col("lang"))
           .when(col("script") === "zzzz", "und")
+          // hani routes through the Han-sibling evidence decision
+          // (kana-free ja vs zh vs und — VERDICT r14 #5), not the
+          // coarse script map
+          .when(col("script") === "hani", col("han_lang"))
           .otherwise(element_at(scriptLang, col("script"))))
+      .drop("han_lang")
   }
 
   /** The shared script pre-classification frame: adds `__scr` (the
@@ -720,6 +769,12 @@ object LangIdFixed {
       .withColumn("script_share_e3",
         when(col("__tot") === 0L, lit(0L))
           .otherwise(expr("CAST((__wc * 1000) DIV __tot AS BIGINT)")))
+      // the kana-free ja/zh sibling decision, computed only for
+      // hani-dominant rows (a codegen'd conditional — everything else
+      // skips the two translate walks); consumed by the label layers
+      .withColumn("han_lang",
+        when(col("script") === "hani", hanSiblingLabel(col("__text")))
+          .otherwise(lit(null).cast("string")))
   }
 
   /** Appends one frozen model's fields (`best_lang_$sfx`, `score_$sfx`,
@@ -834,6 +889,8 @@ object LangIdFixed {
       case (c, (scr, sfx, _, _, _)) =>
         c.when(col("script") === scr, col(s"${f}_$sfx")) }
     val directLang = when(col("script") === "zzzz", "und")
+      // hani: the Han-sibling evidence decision (kana-free ja/zh/und)
+      .when(col("script") === "hani", col("han_lang"))
       .otherwise(element_at(direct, col("script")))
     val tier = tiers.foldLeft(when(col("script") === "zzzz", "none")) {
         case (c, (scr, _, _, _, _)) =>

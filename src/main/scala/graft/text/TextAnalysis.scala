@@ -792,33 +792,67 @@ object TextAnalysis {
     * scale the regex set grows (SSNs, IBANs, secrets); the shape
     * stays one row-local pass per doc.
     */
-  def piiRedact(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
-    val email = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
-    val ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  /** The PII rewrite categories as ONE frozen `(name, placeholder,
+    * pattern)` list in REWRITE ORDER — [[piiRedact]] folds over it and
+    * the q189 oracle generator replays the same list, so the two
+    * sides cannot drift. Order is the contract: each category is
+    * strictly longer/more-specific than the ones after it, so a
+    * partial shape can never half-match inside a fuller one (secrets
+    * and IBANs carry long digit/alnum runs a card16/phone pattern
+    * would half-claim; the 10-digit-before-7-digit rule generalized).
+    * Patterns are the q142 Java∩RE2 dialect (character classes,
+    * bounded repeats, `\b`, non-capturing alternation — NO
+    * backreferences or lookaround, which RE2 lacks):
+    *
+    *   - email, ipv4 — unchanged (the most structured shapes first);
+    *   - secret — prefix-keyed API-key families (sk- / ghp_ / AKIA /
+    *     xox[baprs]-) plus 40-64 char lowercase-hex runs (token
+    *     digests, SHA-1/SHA-256 secrets). A TRUE entropy predicate
+    *     needs lookaround or per-char arithmetic RE2 cannot express —
+    *     prefix families + long-hex are the redactable-shape subset,
+    *     documented; entropy SCORING stays a scan-tier concern;
+    *   - iban — `[A-Z]{2}\d{2}` checksum head + 11-30 alnum, compact
+    *     or space-grouped-by-4 (the grouped form's digit quads would
+    *     otherwise half-match as a spaced card16);
+    *   - phone_intl — `+CC` then 2-4 dash/space digit groups (its
+    *     tail is exactly a 10-digit phone, so it must claim first);
+    *   - card16, ssn, phone10, phone7 — unchanged.
+    */
+  val PiiCategories: Seq[(String, String, String)] = Seq(
+    ("email", "<EMAIL>", "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"),
+    ("ipv4", "<IP>", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"),
+    ("secret", "<SECRET>",
+      "\\bsk-[A-Za-z0-9]{20,48}\\b|\\bghp_[A-Za-z0-9]{20,48}\\b" +
+        "|\\bAKIA[A-Z0-9]{16}\\b|\\bxox[baprs]-[A-Za-z0-9-]{10,48}\\b" +
+        "|\\b[0-9a-f]{40,64}\\b"),
+    ("iban", "<IBAN>",
+      "\\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\\b" +
+        "|\\b[A-Z]{2}[0-9]{2}( [A-Z0-9]{4}){2,7}( [A-Z0-9]{1,3})?\\b"),
+    ("phone_intl", "<PHONE>", "\\+[0-9]{1,3}([- ][0-9]{2,4}){2,4}\\b"),
     // 16-digit PAN in 4-groups (uniform dash or space separators) or
     // one plain run; matched before SSN/phones so its 4-digit groups
     // are never half-claimed. Explicit alternation, NOT a `\1`
     // backreference — RE2 (the oracle's engine) has no backreferences
-    val card16 = "\\b\\d{4}-\\d{4}-\\d{4}-\\d{4}\\b" +
-      "|\\b\\d{4} \\d{4} \\d{4} \\d{4}\\b|\\b\\d{16}\\b"
-    val ssn = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
-    val phone10 = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
-    val phone7 = "\\b\\d{3}-\\d{4}\\b"
+    ("card16", "<CARD>", "\\b\\d{4}-\\d{4}-\\d{4}-\\d{4}\\b" +
+      "|\\b\\d{4} \\d{4} \\d{4} \\d{4}\\b|\\b\\d{16}\\b"),
+    ("ssn", "<SSN>", "\\b\\d{3}-\\d{2}-\\d{4}\\b"),
+    ("phone10", "<PHONE>", "\\b\\d{3}-\\d{3}-\\d{4}\\b"),
+    ("phone7", "<PHONE>", "\\b\\d{3}-\\d{4}\\b"))
+
+  def piiRedact(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
     val t0 = coalesce(textCol, lit(""))
-    val t1 = regexp_replace(t0, email, "<EMAIL>")
-    val t2 = regexp_replace(t1, ipv4, "<IP>")
-    val t3 = regexp_replace(t2, card16, "<CARD>")
-    val t4 = regexp_replace(t3, ssn, "<SSN>")
-    val t5 = regexp_replace(t4, phone10, "<PHONE>")
-    val t6 = regexp_replace(t5, phone7, "<PHONE>")
-    df.select(idCol.as("doc_id"),
-      regexp_count(t0, lit(email)).cast("long").as("n_email"),
-      regexp_count(t1, lit(ipv4)).cast("long").as("n_ipv4"),
-      regexp_count(t2, lit(card16)).cast("long").as("n_card16"),
-      regexp_count(t3, lit(ssn)).cast("long").as("n_ssn"),
-      regexp_count(t4, lit(phone10)).cast("long").as("n_phone10"),
-      regexp_count(t5, lit(phone7)).cast("long").as("n_phone7"),
-      t6.as("red_text"))
+    // fold the frozen category list: each stage counts on the text
+    // AFTER the previous stages' replacements (sequential-rewrite
+    // count semantics), then rewrites its own matches
+    val (finalText, countCols) =
+      PiiCategories.foldLeft((t0, Seq.empty[Column])) {
+        case ((t, counts), (name, placeholder, pat)) =>
+          (regexp_replace(t, pat, placeholder),
+            counts :+ regexp_count(t, lit(pat)).cast("long")
+              .as(s"n_$name"))
+      }
+    df.select(idCol.as("doc_id") +: countCols :+
+      finalText.as("red_text"): _*)
   }
 
   /** One-pass per-document quality-signals sheet — the RedPajama-V2
