@@ -123,7 +123,11 @@ object PlanAudit {
     "q195_incremental_semantic_keep" ->
       ("Spark-INJECTED runtime bloom-filter join pruning on the batch-id " +
         "re-join (partial_bloom_filter_agg): one bounded bloom buffer " +
-        "per task merged once — the sketch-merge pattern")
+        "per task merged once — the sketch-merge pattern"),
+    "q203_maintained_semantic_index" ->
+      ("inherited q195 pattern (same keep verdict, history read from " +
+        "the maintained IndexStore): Spark-injected runtime " +
+        "bloom-filter pruning, one bounded buffer per task")
     // q129_zipf_slope funnels through a bounded top-30 head (limit +
     // rank window + OLS agg) but plans as TakeOrdered without an
     // explicit SinglePartition exchange, so it needs no entry here

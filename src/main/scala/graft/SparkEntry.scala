@@ -2625,13 +2625,19 @@ object SparkEntry {
     // sibling-steal class); routed rows (main-tier sv, or und with
     // å/ä/ö/æ/ø evidence) re-score at the script-tier floor/margin
     // where shared grams lift all three and da/no orthography decides
-    // (ejd/øbt/avd vs eid/øpt/dde). Corpus = documents ∪ the q175
-    // fixtures ∪ planted Scandinavian rows
+    // (ejd/øbt/avd vs eid/øpt/dde). Corpus = a 10% documents slice ∪
+    // the q175 fixtures ∪ planted Scandinavian rows — the slice
+    // proves corpus-scale routing/pass-through (en labels untouched,
+    // ASCII und never routed) without adding another FULL-corpus
+    // scorer demo to the bench (the r14 VERDICT guidance: tier demos
+    // pay every fold per row; the full-surface evidence is q175/q187)
     "q204_scandinavian_lang_id" -> ((s, dir) => {
       import s.implicits._
       val fx = (MultilingualFixtures ++ ScandinavianFixtures)
         .toDF("doc_id", "text")
-      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val docs = T(s, dir, "documents")
+        .where(pmod(col("doc_id"), lit(10)) === 3)
+        .select(col("doc_id"), col("text"))
         .unionByName(fx)
       graft.text.LangIdFixed.scoreLatinScandinavian(docs, col("doc_id"),
           col("text"))
@@ -2692,6 +2698,31 @@ object SparkEntry {
           col("doc_id"), col("__ptext"),
           expectedItems = 1000000L, fpp = 0.01)
         .orderBy("doc_id")
+    }),
+
+    // q177's fuzzy paragraph pass against a LOOP-MAINTAINED banded
+    // MinHash-LSH index — the fourth maintained index artifact
+    // (window-fp, paragraph-key, clustered-semantic, banded-LSH):
+    // history (even docs) folds in across two appends + compact +
+    // crash-replay, keyed (id, band); the batch (odd docs) then runs
+    // the Pre form against the merged read. Oracle = q177's, verbatim
+    "q205_maintained_band_index" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").withColumn("__ptext",
+        syntheticParaText)
+      val root = java.nio.file.Files.createTempDirectory("graft_q205")
+      val store = new graft.dedup.IndexStore(
+        root.resolve("bandidx").toString, Seq("id", "band"))
+      def delta(m: Int) = Dedup.paragraphBandIndex(
+        docs.where(pmod(col("doc_id"), lit(4)) === m), col("__ptext"))
+      store.append(delta(0), 0L)
+      store.compact(s)
+      store.append(delta(2), 1L)
+      store.append(delta(2), 1L) // crash-replay of the last batch
+      Dedup.incrementalParagraphNearDupPre(
+          docs.where(pmod(col("doc_id"), lit(2)) === 1),
+          store.read(s).localCheckpoint(), col("__ptext"),
+          expectedItems = 1000000L, fpp = 0.01)
+        .orderBy("id_a", "id_b")
     }),
 
     // q195's semantic KEEP/DROP verdict against a LOOP-MAINTAINED
@@ -2886,7 +2917,8 @@ object SparkEntry {
   }
 
   private def perScriptLangIdOracle(fixtures: Seq[(Long, String)],
-                                    withScand: Boolean = false): String = {
+                                    withScand: Boolean = false,
+                                    corpusWhere: String = ""): String = {
     import graft.text.LangIdFixed
     val fxVals = fixtures
       .map { case (id, t) => s"($id, '$t')" }.mkString(", ")
@@ -2963,7 +2995,7 @@ object SparkEntry {
           s"CASE WHEN $scandRouted THEN s_lid.$f ELSE ($base) END"
       }
     s"""WITH fx(doc_id, text) AS (SELECT * FROM (VALUES $fxVals)),
-       |corpus AS (SELECT doc_id, text FROM documents
+       |corpus AS (SELECT doc_id, text FROM documents $corpusWhere
        |  UNION ALL SELECT CAST(doc_id AS BIGINT), text FROM fx),
        |${scriptClassCtes("corpus")},
        |$gates,
@@ -6989,10 +7021,12 @@ object SparkEntry {
       // with the s_ (sv/da/no) model and routing CASE appended
       "q204_scandinavian_lang_id" ->
         perScriptLangIdOracle(MultilingualFixtures ++ ScandinavianFixtures,
-          withScand = true),
+          withScand = true, corpusWhere = "WHERE doc_id % 10 = 3"),
       "q202_maintained_paragraph_index" ->
         m("q170_incremental_paragraphs"),
       "q203_maintained_semantic_index" ->
-        m("q195_incremental_semantic_keep"))
+        m("q195_incremental_semantic_keep"),
+      "q205_maintained_band_index" ->
+        m("q177_incremental_para_neardup"))
   }
 }

@@ -934,18 +934,49 @@ object Dedup {
     * two-batch fixture). Ids are md5 of the normalized paragraph —
     * the same engine-portable keys the batch tier emits.
     */
+  /** The banded MinHash-LSH PARAGRAPH INDEX — one `(id, sig, band,
+    * v0..v{k/bands-1})` row per (distinct normalized paragraph, band),
+    * id = md5 of the normalized paragraph: the persisted near-dup
+    * index row format a production crawl loop maintains
+    * ([[graft.dedup.IndexStore]], key = (id, band)) and
+    * [[incrementalParagraphNearDupPre]] consumes. Same paragraph
+    * definition and signature recipe as [[paragraphNearDupPairs]]. */
+  def paragraphBandIndex(docs: DataFrame, textCol: Column, k: Int = 8,
+                         bands: Int = 4, w: Int = 3): DataFrame =
+    bandedMd5(
+      paraExplode(docs, lit(0L), textCol)
+        .select(col("__key").as("norm")).distinct()
+        .select(md5(col("norm")).as("pid"), col("norm")),
+      "pid", "norm", k, bands, w)
+
   def incrementalParagraphNearDup(batch: DataFrame, history: DataFrame,
                                   textCol: Column, k: Int = 8,
                                   bands: Int = 4, minAgree: Int = 4,
                                   w: Int = 3,
                                   expectedItems: Long = 0L,
-                                  fpp: Double = 0.01): DataFrame = {
+                                  fpp: Double = 0.01): DataFrame =
+    // the banded history frame derives inline here (one full history
+    // pass per call); a production loop maintains it as a persisted
+    // [[paragraphBandIndex]] and calls the Pre form directly
+    incrementalParagraphNearDupPre(batch,
+      paragraphBandIndex(history, textCol, k, bands, w).localCheckpoint(),
+      textCol, k, bands, minAgree, w, expectedItems, fpp)
+
+  /** [[incrementalParagraphNearDup]] against a PRECOMPUTED banded
+    * index — `histBanded` in the [[paragraphBandIndex]] row format,
+    * the persisted LSH index a crawl loop maintains (append each
+    * processed batch's index rows after processing). Must be
+    * materialized (localCheckpoint/persisted source): it is consumed
+    * 2-3 times (emptiness probe, Bloom build, candidate join). */
+  def incrementalParagraphNearDupPre(batch: DataFrame,
+                                     histBanded: DataFrame,
+                                     textCol: Column, k: Int = 8,
+                                     bands: Int = 4, minAgree: Int = 4,
+                                     w: Int = 3,
+                                     expectedItems: Long = 0L,
+                                     fpp: Double = 0.01): DataFrame = {
     val rows = k / bands
     val keys = "band" +: (0 until rows).map(r => s"v$r")
-    def paras(docs: DataFrame): DataFrame =
-      paraExplode(docs, lit(0L), textCol)
-        .select(col("__key").as("norm")).distinct()
-        .select(md5(col("norm")).as("pid"), col("norm"))
     def verify(cand: DataFrame): DataFrame = cand
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
@@ -955,7 +986,7 @@ object Dedup {
       .where(col("agree") >= minAgree)
     // the batch band frame feeds three consumers (self-join sides +
     // the history probe); small by the incremental premise
-    val bp = bandedMd5(paras(batch), "pid", "norm", k, bands, w)
+    val bp = paragraphBandIndex(batch, textCol, k, bands, w)
       .localCheckpoint()
     val bandCols = col("band") +: (0 until rows).map(r => col(s"v$r"))
     val within = verify(
@@ -963,14 +994,13 @@ object Dedup {
           bandCols: _*)
         .join(bp.select(Seq(col("id").as("id_b"),
           col("sig").as("sig_b")) ++ bandCols: _*), keys))
-    val hb = bandedMd5(paras(history), "pid", "norm", k, bands, w)
-      .localCheckpoint()
+    val hb = histBanded
     // PARAGRAPH-less history (first crawl batch, or history whose docs
     // are all NULL/blank text): nothing to probe — and stat.bloomFilter
     // over zero rows NPEs at probe time (the incrementalParagraphs
     // hazard). Guard on the paragraph frame, not history.isEmpty: a
     // non-empty history can still yield zero paragraphs, and the
-    // checkpointed hb makes this a free count
+    // materialized hb makes this a free count
     if (hb.isEmpty) return within
     val bucketFp = xxhash64(
       col("band") +: (0 until rows).map(r => col(s"v$r")): _*)

@@ -208,11 +208,24 @@ class Round13OpsSpec extends SparkSpec {
       // SSN before phones: 987-65-4320 is an SSN, never a phone tail
       (10L, "ssn 987-65-4320 and phone 555-0000"))
       .toDF("id", "text")
-    val got = TextAnalysis.piiRedact(d, col("id"), col("text"))
-      .collect().map(r => r.getLong(0) ->
-        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
-          r.getLong(5), r.getLong(6), r.getString(7))))
+    val out = TextAnalysis.piiRedact(d, col("id"), col("text"))
+      .collect()
+    // r15 added secret/iban/phone_intl between ipv4 and card16 —
+    // read by NAME so this spec pins the original six categories
+    // regardless of position, and assert the new ones stay zero on
+    // these rows (no retro-claiming of old fixtures)
+    val got = out.map(r => r.getLong(0) ->
+        ((r.getLong(r.fieldIndex("n_email")),
+          r.getLong(r.fieldIndex("n_ipv4")),
+          r.getLong(r.fieldIndex("n_card16")),
+          r.getLong(r.fieldIndex("n_ssn")),
+          r.getLong(r.fieldIndex("n_phone10")),
+          r.getLong(r.fieldIndex("n_phone7")),
+          r.getString(r.fieldIndex("red_text")))))
       .toMap
+    assert(out.forall(r => r.getLong(r.fieldIndex("n_secret")) == 0L &&
+      r.getLong(r.fieldIndex("n_iban")) == 0L &&
+      r.getLong(r.fieldIndex("n_phone_intl")) == 0L))
     assert(got(1L) == ((2L, 0L, 0L, 0L, 0L, 0L,
       "contact <EMAIL> or <EMAIL> now")))
     assert(got(2L) == ((0L, 2L, 0L, 0L, 0L, 0L,

@@ -100,6 +100,38 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(keys.contains("alpha beta gamma")) // in batch 0 AND 1, once
   }
 
+  test("IndexStore: banded LSH paragraph index loop-maintained ≡ inline (incrementalParagraphNearDupPre)") {
+    import graft.dedup.{Dedup, IndexStore}
+    val history = Seq(
+      (1L, "Subscribe now for daily offers and deals\n\nalpha beta gamma delta"),
+      (2L, "subscribe  NOW for daily offers and dealz\n\nother text here"),
+      (3L, "completely different historical paragraph about spark")).toDF("id", "text")
+    val batch = Seq(
+      (10L, "Subscribe now for daily offers and deals today\n\nfresh batch text"),
+      (11L, "subscribe now for daily offers and deals\n\nmore fresh text"))
+      .toDF("id", "text")
+    val store = new IndexStore(tmp("bandidx"), Seq("id", "band"))
+    store.append(Dedup.paragraphBandIndex(
+      history.where(col("id") <= 2), col("text")), 0L)
+    store.compact(spark)
+    store.append(Dedup.paragraphBandIndex(
+      history.where(col("id") === 3), col("text")), 1L)
+    store.append(Dedup.paragraphBandIndex(
+      history.where(col("id") === 3), col("text")), 1L) // crash-replay
+    val viaIndex = Dedup.incrementalParagraphNearDupPre(batch,
+      store.read(spark).localCheckpoint(), col("text"),
+      expectedItems = 1000L, fpp = 0.01)
+    val inline = Dedup.incrementalParagraphNearDup(batch, history,
+      col("text"), expectedItems = 1000L, fpp = 0.01)
+    assert(sortedRows(viaIndex) == sortedRows(inline))
+    // the maintained index is a keyed SET: one row per (id, band)
+    val keyCounts = store.read(spark).groupBy("id", "band").count()
+      .where(col("count") > 1).count()
+    assert(keyCounts == 0L)
+    // and the fixture actually produces cross-batch near-dup pairs
+    assert(viaIndex.count() > 0)
+  }
+
   test("IndexStore: clustered semantic history loop-maintained ≡ inline, through the banded keep verdict") {
     import graft.sim.SemanticDedup
     import graft.dedup.IndexStore

@@ -584,6 +584,70 @@ class StreamingSpec extends SparkSpec {
     assert(streamed(21L)._2 == 1L) // "unique one"/"last batch text" seen
   }
 
+  test("streaming index maintenance: foreachBatch IndexStore loop survives restart; maintained ≡ rebuilt (VERDICT r14 #1)") {
+    // the production crawl loop's missing half, e2e: a file-source
+    // stream folds each micro-batch's window-fingerprint delta into a
+    // persisted IndexStore inside foreachBatch; the query checkpoint
+    // owns WHICH files were processed, the store's per-batch dynamic
+    // partition overwrite makes re-delivery idempotent, so a NEW query
+    // resuming from the same checkpoint (the restart) appends exactly
+    // the unseen files and the maintained index equals the
+    // rebuilt-from-scratch one
+    import graft.dedup.{Dedup, IndexStore}
+    import spark.implicits._
+    val srcDir = tmp("idx_src")
+    val ckpt = tmp("idx_ckpt")
+    val store = new IndexStore(tmp("idx_store") + "/winfp",
+      Seq("doc_id", "fp"))
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i j k l"),
+      (3L, "x y z w v u t s r q"),
+      (4L, "m n o p q r s t u v"),
+      (5L, "a b c d e f g h x y"),
+      (6L, "p q r s t u v w x y z"))
+    def writeFile(name: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$srcDir/$name")
+    def runLoop(): Unit = {
+      val src = spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$srcDir/*")
+      val q = src.writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+                         batchId: Long) =>
+          store.append(Dedup.windowFingerprintIndex(batch,
+            col("doc_id"), col("text"), k = 8), batchId)
+        }.start()
+      q.awaitTermination(120000): Unit
+    }
+    writeFile("b0", docs.take(2))
+    writeFile("b1", docs.slice(2, 4))
+    runLoop() // run 1: two micro-batches
+    val idsRun1 = spark.read.parquet(store.path)
+      .select("batch_id").distinct().count()
+    writeFile("b2", docs.drop(4))
+    runLoop() // RESTART: new query, same checkpoint — only b2 is new
+    val idsRun2 = spark.read.parquet(store.path)
+      .select("batch_id").distinct().count()
+    assert(idsRun2 == idsRun1 + 1,
+      s"restart must append exactly one batch: $idsRun1 -> $idsRun2")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+      df.collect().map(r => (r.getLong(0),
+        r.getAs[Array[Byte]](1).map("%02x".format(_)).mkString)).toSet
+    val rebuilt = rows(Dedup.windowFingerprintIndex(
+      docs.toDF("doc_id", "text"), col("doc_id"), col("text"), k = 8))
+    assert(rows(store.read(spark)) == rebuilt)
+    // LSM compact from a NEW session over the restarted table: the
+    // maintained view is unchanged
+    val spark2 = spark.newSession()
+    new IndexStore(store.path, Seq("doc_id", "fp")).compact(spark2)
+    assert(rows(store.read(spark2)) == rebuilt)
+  }
+
   test("kafka topology DAG: MemoryStream → splitLines → parse → score → resultRecords round-trip (S1/S5/T1/T9)") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
