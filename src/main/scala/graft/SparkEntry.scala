@@ -2749,6 +2749,36 @@ object SparkEntry {
           "vec_id", "embedding", FixedCentroidsE9, threshold = 0.45,
           bandTables = 16, bandBits = 4, dim = 64)
         .orderBy("vec_id")
+    }),
+
+    // RETENTION over the maintained window-fingerprint index — the
+    // expire third of the append/compact/expire loop (VERDICT r14 #1
+    // names all three). Three crawl batches partition the corpus by
+    // doc_id%3; batch 3 RE-CRAWLS the even half of batch 0 (TTL
+    // refresh-on-touch: a re-seen key's clock restamps); then
+    // expire(below=1) ages out every key whose freshest sighting
+    // predates batch 1 — i.e. the odd half of batch 0. The audit then
+    // reads only retained fingerprints, and the oracle replays the
+    // retention predicate on the corpus side: retained ⟺
+    // doc_id%3 != 0 OR doc_id%2 = 0
+    "q206_expiring_window_index" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val corpus = d.where(pmod(col("doc_id"), lit(10)) =!= 7)
+      val root = java.nio.file.Files.createTempDirectory("graft_q206")
+      val store = new graft.dedup.IndexStore(
+        root.resolve("winfp").toString, Seq("doc_id", "fp"))
+      def delta(p: org.apache.spark.sql.Column) =
+        Dedup.windowFingerprintIndex(
+          corpus.where(p), col("doc_id"), col("text"), k = 8)
+      for (b <- 0L to 2L)
+        store.append(delta(pmod(col("doc_id"), lit(3)) === b), b)
+      store.append(delta(pmod(col("doc_id"), lit(3)) === 0 &&
+        pmod(col("doc_id"), lit(2)) === 0), 3L) // re-crawl touch
+      store.expire(s, below = 1L)
+      Dedup.benchArrivalAudit(store.read(s),
+          d.where(pmod(col("doc_id"), lit(10)) === 7), col("text"),
+          k = 8)
+        .orderBy("doc_id")
     })
   )
 
@@ -3025,10 +3055,12 @@ object SparkEntry {
   /** The q196/q197 bench-arrival window sets as reusable CTEs (no
     * leading WITH): `cs(doc_id, span)` — DISTINCT k-token windows per
     * corpus doc (doc_id%10 != 7) — and `bsx(span)` — the distinct
-    * window set of the arriving bench batch (doc_id%10 == 7). */
-  private def benchArrivalCtes(k: Int): String =
+    * window set of the arriving bench batch (doc_id%10 == 7).
+    * `corpusAnd` (" AND ..." or empty) further restricts the corpus
+    * side — q206 uses it to replay the retention predicate. */
+  private def benchArrivalCtes(k: Int, corpusAnd: String = ""): String =
     s"""ct AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS w
-       |  FROM documents WHERE doc_id % 10 != 7),
+       |  FROM documents WHERE doc_id % 10 != 7$corpusAnd),
        |cs AS (SELECT DISTINCT doc_id,
        |    array_to_string(w[i:i+${k - 1}], ' ') AS span
        |  FROM ct, UNNEST(range(1,
@@ -7027,6 +7059,16 @@ object SparkEntry {
       "q203_maintained_semantic_index" ->
         m("q195_incremental_semantic_keep"),
       "q205_maintained_band_index" ->
-        m("q177_incremental_para_neardup"))
+        m("q177_incremental_para_neardup"),
+      // the expiring index: q196's audit with the retention predicate
+      // replayed on the corpus side (retained ⟺ freshest sighting ≥
+      // batch 1 ⟺ doc_id%3 != 0 OR doc_id%2 = 0 — batch 3 re-crawled
+      // the even half of batch 0)
+      "q206_expiring_window_index" ->
+        s"""WITH ${benchArrivalCtes(8,
+             " AND (doc_id % 3 != 0 OR doc_id % 2 = 0)")}
+           |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_windows
+           |FROM cs JOIN bsx USING (span)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   }
 }

@@ -31,6 +31,14 @@ import org.apache.spark.sql.functions._
   * - [[compact]] folds old partitions into a `batch_id=-1` base so
   *   the read-side merge stays O(recent batches) — the LSM pattern;
   *   readers see a consistent view before and after.
+  * - [[expire]] drops keys not seen since a batch watermark — the
+  *   retention half of the loop. Every row carries a `last_seen`
+  *   data column (stamped at [[append]], folded as max-per-key at
+  *   [[compact]]), so a key re-observed in a newer batch REFRESHES
+  *   its clock (TTL refresh-on-touch: a re-crawled doc's
+  *   fingerprints stay live) while a key only ever seen before the
+  *   watermark ages out — exactly Redis EXPIRE over the zset the
+  *   reference maintains, re-expressed for a keyed parquet set.
   *
   * The three index row formats the incremental family maintains:
   *
@@ -59,9 +67,12 @@ class IndexStore(val path: String, val keyCols: Seq[String])
   /** Fold one processed batch's index delta in. Idempotent per
     * `batchId` (dynamic overwrite of the batch's own partition). No
     * repartition — the delta arrives AQE-coalesced (the ZsetSink
-    * no-funnel lesson). */
+    * no-funnel lesson). `last_seen` rides as a data column so the
+    * retention clock survives compaction (a replayed batch restamps
+    * the same value — idempotency holds). */
   def append(delta: DataFrame, batchId: Long): Unit =
     delta
+      .withColumn("last_seen", lit(batchId))
       .withColumn("batch_id", lit(batchId))
       .write
       .mode("overwrite")
@@ -75,25 +86,48 @@ class IndexStore(val path: String, val keyCols: Seq[String])
     * consumes it more than once (the q192 multi-consumer contract). */
   def read(spark: SparkSession): DataFrame =
     spark.read.parquet(path)
-      .drop("batch_id")
+      .drop("batch_id", "last_seen")
       .dropDuplicates(keyCols)
+
+  /** One row per key with its freshest `last_seen`. Rows sharing a
+    * key are payload-identical by construction (see the class doc),
+    * so grouping on the payload columns is grouping on the key — the
+    * max() folds only the clock. */
+  private def merged(spark: SparkSession): DataFrame = {
+    val all = spark.read.parquet(path).drop("batch_id")
+    val payload = all.columns.filterNot(_ == "last_seen")
+    all.groupBy(payload.map(col): _*)
+      .agg(max("last_seen").as("last_seen"))
+  }
 
   /** Fold all delta partitions into a single `batch_id=-1` base (the
     * ZsetSink compaction convention, including the two-rename swap —
     * see [[IndexStore.swapInCompacted]]). Run periodically out-of-band;
     * readers see a consistent view before and after (dedup-on-read is
-    * idempotent over the compacted base). */
-  def compact(spark: SparkSession): Unit = {
+    * idempotent over the compacted base). Pass `expireBelow` to also
+    * age out keys whose freshest sighting predates the watermark —
+    * expiry IS a compaction predicate in an LSM, not a separate scan. */
+  def compact(spark: SparkSession, expireBelow: Long = Long.MinValue): Unit = {
     // the base is repartitioned on the key columns so the compacted
     // write scales out with index size AND co-locates each key's rows
     // for the read-side dedup
-    read(spark).repartition(keyCols.map(col): _*)
+    merged(spark)
+      .where(col("last_seen") >= expireBelow)
+      .repartition(keyCols.map(col): _*)
       .withColumn("batch_id", lit(-1L))
       .write.mode("overwrite")
       .partitionBy("batch_id")
       .parquet(path + ".compact")
     IndexStore.swapInCompacted(path)
   }
+
+  /** Retention: drop every key not seen in batch `below` or later.
+    * A key re-appended since keeps its full payload and refreshed
+    * clock; the compacted base that results is the same artifact a
+    * plain [[compact]] writes, so readers and the crash-replay
+    * discipline are unchanged. */
+  def expire(spark: SparkSession, below: Long): Unit =
+    compact(spark, expireBelow = below)
 }
 
 object IndexStore {

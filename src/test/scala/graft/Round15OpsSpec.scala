@@ -69,6 +69,44 @@ class Round15OpsSpec extends AnyFunSuite {
       sortedRows(Dedup.benchArrivalAudit(rebuilt, bench, col("text"), k = 8)))
   }
 
+  test("IndexStore.expire: keys age out by freshest sighting; a re-touch refreshes the clock (TTL)") {
+    import graft.dedup.{Dedup, IndexStore}
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i j k l"),
+      (3L, "x y z w v u t s r q"),
+      (4L, "m n o p q r s t u v"),
+      (5L, "a b c d e f g h x y"),
+      (6L, "p q r s t u v w x y z")).toDF("doc_id", "text")
+    val store = new IndexStore(tmp("winexp"), Seq("doc_id", "fp"))
+    def delta(p: org.apache.spark.sql.Column) =
+      Dedup.windowFingerprintIndex(docs.where(p), col("doc_id"),
+        col("text"), k = 8)
+    store.append(delta(col("doc_id") <= 2), 0L)
+    store.append(delta(col("doc_id").isin(3L, 4L)), 1L)
+    store.append(delta(col("doc_id") === 2), 2L) // doc 2 re-crawled
+    store.append(delta(col("doc_id").isin(5L, 6L)), 3L)
+    store.expire(spark, below = 1L)
+    // doc 1's freshest sighting is batch 0 → aged out; doc 2 was
+    // re-touched at batch 2 → retained IN FULL (payload intact)
+    val rebuilt = Dedup.windowFingerprintIndex(
+      docs.where(col("doc_id") =!= 1), col("doc_id"), col("text"), k = 8)
+    assert(sortedRows(store.read(spark)) == sortedRows(rebuilt))
+    // the loop continues after expiry: append + crash-replay work
+    store.append(delta(col("doc_id") === 1), 4L)
+    store.append(delta(col("doc_id") === 1), 4L)
+    assert(sortedRows(store.read(spark)) == sortedRows(
+      Dedup.windowFingerprintIndex(docs, col("doc_id"), col("text"),
+        k = 8)))
+    // clocks SURVIVE the expire/compact swap: a fresh handle in a new
+    // session expires against them (base rows last_seen 1-3 age out,
+    // the batch-4 re-append of doc 1 remains)
+    val resumed = new IndexStore(store.path, Seq("doc_id", "fp"))
+    resumed.expire(spark.newSession(), below = 4L)
+    assert(sortedRows(resumed.read(spark)) ==
+      sortedRows(delta(col("doc_id") === 1)))
+  }
+
   test("IndexStore: paragraph-key loop-maintained index feeds incrementalParagraphsPre ≡ inline history") {
     import graft.dedup.{Dedup, IndexStore}
     val history = Seq(

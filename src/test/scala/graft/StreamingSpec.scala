@@ -646,6 +646,14 @@ class StreamingSpec extends SparkSpec {
     val spark2 = spark.newSession()
     new IndexStore(store.path, Seq("doc_id", "fp")).compact(spark2)
     assert(rows(store.read(spark2)) == rebuilt)
+    // ...and RETENTION in the same loop: batches 0/1 predate the
+    // watermark (their clocks survived the compact — last_seen folds
+    // as max-per-key), so expire(below=2) keeps only the restart
+    // batch's docs 5/6
+    new IndexStore(store.path, Seq("doc_id", "fp")).expire(spark2, 2L)
+    assert(rows(store.read(spark2)) == rows(Dedup.windowFingerprintIndex(
+      docs.drop(4).toDF("doc_id", "text"), col("doc_id"), col("text"),
+      k = 8)))
   }
 
   test("kafka topology DAG: MemoryStream → splitLines → parse → score → resultRecords round-trip (S1/S5/T1/T9)") {
