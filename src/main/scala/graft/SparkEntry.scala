@@ -2779,6 +2779,28 @@ object SparkEntry {
           d.where(pmod(col("doc_id"), lit(10)) === 7), col("text"),
           k = 8)
         .orderBy("doc_id")
+    }),
+
+    // calibration reliability table over the frozen quality logit —
+    // the PR-sweep's (q169) companion: the same planted corpus
+    // (even = original/good, odd = stuttered/junk) binned by logit
+    // against the q169 threshold grid as bin edges; per bin the
+    // count, positive count, exact positive rate and exact logit sum.
+    // A monotone pos_rate_e6 column is what justifies reading the
+    // q169 sweep as a dial — this is the audit that CHECKS it
+    "q207_calibration_bins" -> ((s, dir) => {
+      val even = pmod(col("doc_id"), lit(2)) === 0
+      val stutter = array_join(array_repeat(
+        element_at(split(coalesce(col("text"), lit("")), " "), 1), 12), " ")
+      val ev = T(s, dir, "documents").select(col("doc_id"),
+        when(even, coalesce(col("text"), lit(""))).otherwise(stutter)
+          .as("text"),
+        when(even, 1).otherwise(0).as("y"))
+      graft.ops.ClassifierMetrics.reliabilityBins(
+          graft.ml.QualityClassifier.scoreFixed(ev, col("doc_id"),
+            col("text"), FixedQualityWeights, carry = Seq(col("y"))),
+          col("y"), col("logit"), QualityEvalThresholds)
+        .orderBy("bin")
     })
   )
 
@@ -7069,6 +7091,48 @@ object SparkEntry {
              " AND (doc_id % 3 != 0 OR doc_id % 2 = 0)")}
            |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_windows
            |FROM cs JOIN bsx USING (span)
-           |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      // calibration bins: the q169 planted-logit chain, binned by the
+      // same frozen edge grid (bin = #edges ≤ logit), left-joined to
+      // the total 0..|E| grid; exact integer counts and sums (no mean
+      // — floor-vs-truncate division divergence on negative sums)
+      "q207_calibration_bins" -> {
+        val w = FixedQualityWeights.mkString("[", ", ", "]")
+        val n = FixedQualityWeights.length
+        val binExpr = QualityEvalThresholds.map(e =>
+          s"(CASE WHEN logit >= ($e) THEN 1 ELSE 0 END)").mkString(" + ")
+        val grid = (0 to QualityEvalThresholds.size).map(b => s"($b)")
+          .mkString(", ")
+        s"""WITH ev AS (SELECT doc_id,
+           |    CASE WHEN doc_id % 2 = 0 THEN COALESCE(text, '')
+           |      ELSE ltrim(repeat(
+           |        ' ' || string_split(COALESCE(text, ''), ' ')[1], 12))
+           |      END AS text,
+           |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS y
+           |  FROM documents),
+           |tk AS (SELECT doc_id, y,
+           |    list_filter(string_split(text, ' '), t -> len(t) > 0)
+           |      AS toks
+           |  FROM ev),
+           |sc AS (SELECT doc_id, y,
+           |    CAST(COALESCE(list_sum(list_transform(toks, t ->
+           |      ($w)[CAST((CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)
+           |        % $n) AS INTEGER) + 1])), 0) AS BIGINT) AS logit
+           |  FROM tk),
+           |b AS (SELECT y, logit, $binExpr AS bin FROM sc),
+           |g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(y) AS BIGINT) AS n_pos,
+           |    CAST(SUM(logit) AS BIGINT) AS sum_score
+           |  FROM b GROUP BY bin),
+           |gr(bin) AS (SELECT * FROM (VALUES $grid))
+           |SELECT CAST(gr.bin AS BIGINT) AS bin,
+           |  COALESCE(n, CAST(0 AS BIGINT)) AS n,
+           |  COALESCE(n_pos, CAST(0 AS BIGINT)) AS n_pos,
+           |  CASE WHEN n IS NULL OR n = 0 THEN CAST(0 AS BIGINT)
+           |    ELSE CAST((n_pos * 1000000) // n AS BIGINT)
+           |    END AS pos_rate_e6,
+           |  COALESCE(sum_score, CAST(0 AS BIGINT)) AS sum_score
+           |FROM gr LEFT JOIN g ON gr.bin = g.bin ORDER BY bin""".stripMargin
+      })
   }
 }

@@ -128,6 +128,22 @@ class IndexStore(val path: String, val keyCols: Seq[String])
     * discipline are unchanged. */
   def expire(spark: SparkSession, below: Long): Unit =
     compact(spark, expireBelow = below)
+
+  /** Loop observability: one row per stored partition —
+    * `(batch_id, rows, keys)`, `batch_id = -1` being the compacted
+    * base — the numbers a maintenance scheduler reads: the delta-row
+    * total above the base is the COMPACTION DEBT (read()-side merge
+    * cost grows with it), and a keys≪rows partition means upstream
+    * sent an un-deduplicated delta. One index-sized aggregation; no
+    * driver state. */
+  def stats(spark: SparkSession): DataFrame =
+    spark.read.parquet(path)
+      // partition-column type inference narrows batch_id to int —
+      // pin the contract schema to long
+      .groupBy(col("batch_id").cast("long").as("batch_id"))
+      .agg(count(lit(1)).as("rows"),
+        countDistinct(keyCols.head, keyCols.tail: _*).as("keys"))
+      .orderBy("batch_id")
 }
 
 object IndexStore {

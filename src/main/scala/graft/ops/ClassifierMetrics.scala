@@ -82,4 +82,52 @@ object ClassifierMetrics {
           "ELSE CAST(((tp + tn) * 1000000) DIV (tp + fp + fn + tn) " +
           "AS BIGINT) END").as("accuracy_e6"))
   }
+
+  /** Calibration reliability table — the sweep's companion audit:
+    * rows binned by score against a frozen ASCENDING edge grid
+    * (bin k = #edges ≤ score, so bin 0 is (-∞, e₀) and bin |E| is
+    * [e_last, ∞)); per bin the row count, positive count, exact
+    * positive rate (e6 truncating) and the exact score SUM — no mean,
+    * because a truncating division of a possibly-NEGATIVE sum floors
+    * in DuckDB but truncates toward zero in Spark, and an audit
+    * metric must not depend on which; the consumer divides. A
+    * well-calibrated filter's pos_rate_e6 rises with the bin — the
+    * table a threshold choice is read against before shipping
+    * (Platt/ECE-style reliability, kept integer-exact).
+    *
+    * Scale shape: one partial-ized aggregation pass to |E|+1 rows —
+    * no explode (unlike the sweep, a row lands in exactly one bin),
+    * no window, no driver state. Total over the bin grid (empty bins
+    * emit zero rows, not absent rows — the sweep's convention).
+    */
+  def reliabilityBins(scored: DataFrame, labelCol: Column,
+                      scoreCol: Column, edges: Seq[Long]): DataFrame = {
+    require(edges.nonEmpty, "at least one bin edge")
+    require(edges == edges.sorted && edges.distinct.size == edges.size,
+      "bin edges must be strictly ascending")
+    def nonNull(c: Column, what: String): Column = coalesce(c,
+      raise_error(lit(s"reliabilityBins: NULL $what — a row with no " +
+        "label/score cannot be binned; filter or impute upstream " +
+        "explicitly")).cast("long"))
+    val binned = scored.select(
+        nonNull(labelCol.cast("int").cast("long"), "label").as("__y"),
+        nonNull(scoreCol.cast("long"), "score").as("__s"))
+      .select(edges.map(e => when(col("__s") >= lit(e), 1L).otherwise(0L))
+          .reduce(_ + _).as("bin"),
+        col("__y"), col("__s"))
+      .groupBy("bin").agg(
+        count(lit(1)).as("n"),
+        sum(col("__y")).as("n_pos"),
+        sum(col("__s")).as("sum_score"))
+    val grid = scored.sparkSession.range(edges.size + 1)
+      .select(col("id").as("bin"))
+    grid.join(binned, Seq("bin"), "left")
+      .select(col("bin").cast("long").as("bin"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+        expr("CASE WHEN n IS NULL OR n = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE CAST((n_pos * 1000000) DIV n AS BIGINT) END")
+          .as("pos_rate_e6"),
+        coalesce(col("sum_score"), lit(0L)).as("sum_score"))
+  }
 }

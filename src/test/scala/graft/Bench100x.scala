@@ -81,31 +81,18 @@ object Bench100x {
       catch { case _: Throwable => "" }
     val loadStart = loadavg()
 
-    // min-of-2 per scale (VERDICT r12 #5: single-run rows moved
-    // 8.7→14.3 / 43.8→35.4 between recordings — one repeat makes the
-    // artifact as load-robust as BENCH_IDLE); timed action is
-    // Bench.consume (full-row noop materialization, the r13 bench
-    // convention), with one extra pruned count() for the output-row
-    // evidence column
-    def minOf2(f: => Unit): Double = {
-      val a = System.nanoTime(); f; val s1 = (System.nanoTime() - a) / 1e9
-      val b = System.nanoTime(); f; val s2 = (System.nanoTime() - b) / 1e9
-      math.min(s1, s2)
-    }
-    def probe(f: => org.apache.spark.sql.DataFrame): (Double, Long) =
-      (minOf2 { Bench.consume(f) }, f.count())
-
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val results = scala.collection.mutable.ArrayBuffer
       .empty[(String, Double, Double, Double, Long)]
-    // VERDICT r14 #2: the two VOLATILE rows (q160's survivor
-    // restriction measured 24-67 s run-to-run bimodality at 100× on a
-    // byte-identical plan; q188 is the five-stage capstone) record as
-    // INTERLEAVED same-window A/B pairs — the scales alternate inside
-    // one window so an epoch shift hits both sides of the ratio
-    // equally (the PLANS.md late-r14 method) — instead of lone
-    // min-of-2 numbers. Headline = min over pairs per side; the full
+    // VERDICT r14 #2, widened late-r15 to EVERY probe: ratios from
+    // lone min-of-2 numbers recorded minutes apart moved up to 7×
+    // between same-code sessions (q67's sf0.1 side read 2.73 s in one
+    // run and 0.38 s in the next — batch position and box heat, not
+    // code), so every row now records as INTERLEAVED same-window A/B
+    // pairs — the scales alternate inside one window so an epoch
+    // shift hits both sides of the ratio equally (the PLANS.md
+    // late-r14 method). Headline = min over pairs per side; the full
     // series ships in the artifact so the variance itself is data.
     val abSeries = scala.collection.mutable.Map.empty[String, String]
     def probeAB(name: String,
@@ -131,11 +118,7 @@ object Bench100x {
     }
     locally {
       val fn = SparkEntry.queries("q137_sparse_cosine")
-      val (t1, _) = probe(fn(spark, sf01))
-      val (t100, n) = probe(fn(spark, dirD))
-      println(f"[bench100x] q137_sparse_cosine sf0.1=$t1%.2f s " +
-        f"100x=$t100%.2f s ratio=${t100 / t1}%.1f rows=$n")
-      results += (("q137_sparse_cosine", t1, t100, t100 / t1, n))
+      probeAB("q137_sparse_cosine", fn(spark, sf01), fn(spark, dirD))
     }
     locally {
       val fn = SparkEntry.queries("q160_containment_pairs")
@@ -146,11 +129,7 @@ object Bench100x {
         spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id",
         "embedding", threshold = 0.9, dim = 64, nTables = 8,
         nBits = 16)
-    val (e1, _) = probe(q67True(sf01))
-    val (e100, en) = probe(q67True(dirE))
-    println(f"[bench100x] q67_true_regime sf0.1=$e1%.2f s " +
-      f"100x=$e100%.2f s ratio=${e100 / e1}%.1f rows=$en")
-    results += (("q67_true_regime_t0.9_16bit", e1, e100, e100 / e1, en))
+    probeAB("q67_true_regime_t0.9_16bit", q67True(sf01), q67True(dirE))
 
     // q178 excision in its ADVERSARIAL regime: a constant banner (NOT
     // token-tagged — shared across every replica) gives the corpus
@@ -170,19 +149,33 @@ object Bench100x {
           col("n_removed")).as("n"))
         .collect()(0).getLong(0)
     }
-    def onceL(f: => Long): (Double, Long) = {
-      val a = System.nanoTime(); val n1 = f
-      val s1 = (System.nanoTime() - a) / 1e9
-      val b = System.nanoTime(); val n2 = f
-      val s2 = (System.nanoTime() - b) / 1e9
-      require(n1 == n2, "non-deterministic probe output")
-      (math.min(s1, s2), n1)
+    // the Long-returning (collect-consuming) A/B form, with the
+    // determinism check onceL carried per side across the pairs
+    def probeABL(name: String, f1: => Long, f100: => Long,
+                 pairs: Int = 3): Unit = {
+      var n1 = -1L; var n100 = -1L
+      val series = (1 to pairs).map { _ =>
+        val a = System.nanoTime(); val r1 = f1
+        val s1 = (System.nanoTime() - a) / 1e9
+        require(n1 < 0 || r1 == n1, "non-deterministic probe output")
+        n1 = r1
+        val b = System.nanoTime(); val r100 = f100
+        val s100 = (System.nanoTime() - b) / 1e9
+        require(n100 < 0 || r100 == n100, "non-deterministic probe output")
+        n100 = r100
+        (s1, s100)
+      }
+      val t1 = series.map(_._1).min
+      val t100 = series.map(_._2).min
+      println(f"[bench100x] $name (A/B x$pairs) sf0.1=$t1%.2f s " +
+        f"100x=$t100%.2f s ratio=${t100 / t1}%.1f sumlen=$n100 series=" +
+        series.map { case (x, y) => f"($x%.1f,$y%.1f)" }.mkString(","))
+      results += ((name, t1, t100, t100 / t1, n100))
+      abSeries += name -> series.map { case (x, y) =>
+        s"[${fmt(x)}, ${fmt(y)}]" }.mkString("[", ", ", "]")
     }
-    val (s1, _) = onceL { q178Excise(sf01) }
-    val (s100, sn) = onceL { q178Excise(dirD) }
-    println(f"[bench100x] q178_excise_hotspans sf0.1=$s1%.2f s " +
-      f"100x=$s100%.2f s ratio=${s100 / s1}%.1f sumlen=$sn")
-    results += (("q178_excise_hotspans_hashed", s1, s100, s100 / s1, sn))
+    probeABL("q178_excise_hotspans_hashed",
+      q178Excise(sf01), q178Excise(dirD))
 
     // the banded incremental-semantic probe (q192's machinery) with
     // the BATCH HELD FIXED while history grows — the operator's
@@ -211,13 +204,8 @@ object Bench100x {
         bandTables = 8, bandBits = 16, dim = 64)
     }
     val gp1 = q192Probe(sf01)   // index/Bloom built here, untimed
-    val (g1, _) = probe(gp1)
-    val gp100 = q192Probe(dirE)
-    val (g100, gn) = probe(gp100)
-    println(f"[bench100x] q192_fixed_batch_vs_100x_history " +
-      f"sf0.1=$g1%.2f s 100x=$g100%.2f s ratio=${g100 / g1}%.1f rows=$gn")
-    results += (("q192_fixed_batch_vs_100x_history_t0.9_16bit",
-      g1, g100, g100 / g1, gn))
+    val gp100 = q192Probe(dirE) // (localCheckpoint persists across pairs)
+    probeAB("q192_fixed_batch_vs_100x_history_t0.9_16bit", gp1, gp100)
 
     // the two production shapes never probed at 100× (VERDICT r13 #5):
     // q191 (the per-crawl-batch incremental excision — batch = odd,
@@ -230,11 +218,7 @@ object Bench100x {
     // a genuinely 100× survivor corpus)
     locally {
       val fn = SparkEntry.queries("q191_incremental_excise")
-      val (t1, _) = probe(fn(spark, sf01))
-      val (t100, n) = probe(fn(spark, dirD))
-      println(f"[bench100x] q191_incremental_excise sf0.1=$t1%.2f s " +
-        f"100x=$t100%.2f s ratio=${t100 / t1}%.1f rows=$n")
-      results += (("q191_incremental_excise", t1, t100, t100 / t1, n))
+      probeAB("q191_incremental_excise", fn(spark, sf01), fn(spark, dirD))
     }
     locally {
       val fn = SparkEntry.queries("q188_curate_excise_pack")
@@ -249,7 +233,7 @@ object Bench100x {
     }.mkString("{\n", ",\n", "\n}")
     val json =
       s"""{
-         |"protocol": "100x replica spot-probe (VERDICT r11 #6), r13: min-of-2 per scale (VERDICT r12 #5) and timed action is Bench.consume (noop-sink full-row materialization), with one extra pruned count() per probe for the out_rows evidence: documents token-tagged per replica (fully disjoint cross-replica text, within-replica structure preserved); embeddings rotated by (r mod 64) with a global sign flip for r >= 64 (norm/within-replica-cosine preserving, cross-replica pairs at -cos or noise). q67 probed in the 100-TB TRUE regime (t=0.9, 16-bit keys); its gate regime (t=0.45, 4-bit) is recall-driven ~n^2 by design and not a scaling claim. q178 probed in its ADVERSARIAL hot-span regime: an untagged banner shared by every doc across replicas makes the dup semi-join's left side carry globally-hot keys, hashSpans=true (the 100-TB path), kept_text consumed so the rebuild is measured (not count()-pruned). r15: the two VOLATILE rows (q160, q188 — q160's 100x stage measured 24-67 s bimodal on identical plans) record as INTERLEAVED same-window A/B pairs (3x alternating 1x/100x consumes; headline = min per side, full series in ab_series_1x_100x) so epoch drift hits both sides of the ratio equally. r14 adds the two production shapes VERDICT r13 #5 named: q191 incremental excision (batch=odd/history=even over the token-tagged corpus — within-replica-only window dups, honest linear ground truth) and the q188 five-stage curate capstone end-to-end on the token-tagged corpus (word-initial trigrams survive tagging, so the lang gate passes real survivor volume); plus the banded incremental-semantic probe with the BATCH HELD FIXED (1000 replica-0 odd vectors) while history grows 1k -> 199k, true regime (t=0.9, 16-bit band keys on rotated embeddings; the registered 4-bit/0.45 config is the recall-driven gate regime, ~n^2 by design like q67's), history index + Bloom built outside the timed region (the persisted artifacts a production loop amortizes) — the ratio reads per-batch probe cost vs a 199x history. local[32].",
+         |"protocol": "100x replica spot-probe (VERDICT r11 #6), r13: min-of-2 per scale (VERDICT r12 #5) and timed action is Bench.consume (noop-sink full-row materialization), with one extra pruned count() per probe for the out_rows evidence: documents token-tagged per replica (fully disjoint cross-replica text, within-replica structure preserved); embeddings rotated by (r mod 64) with a global sign flip for r >= 64 (norm/within-replica-cosine preserving, cross-replica pairs at -cos or noise). q67 probed in the 100-TB TRUE regime (t=0.9, 16-bit keys); its gate regime (t=0.45, 4-bit) is recall-driven ~n^2 by design and not a scaling claim. q178 probed in its ADVERSARIAL hot-span regime: an untagged banner shared by every doc across replicas makes the dup semi-join's left side carry globally-hot keys, hashSpans=true (the 100-TB path), kept_text consumed so the rebuild is measured (not count()-pruned). r15: EVERY row records as INTERLEAVED same-window A/B pairs (3x alternating 1x/100x consumes; headline = min per side, full series in ab_series_1x_100x) so epoch drift hits both sides of each ratio equally — lone min-of-2 ratios recorded minutes apart moved up to 7x between same-code sessions (q160's 100x stage measured 24-84 s bimodal on identical plans; q67's sf0.1 side read 2.73 s vs 0.38 s across two runs). r14 adds the two production shapes VERDICT r13 #5 named: q191 incremental excision (batch=odd/history=even over the token-tagged corpus — within-replica-only window dups, honest linear ground truth) and the q188 five-stage curate capstone end-to-end on the token-tagged corpus (word-initial trigrams survive tagging, so the lang gate passes real survivor volume); plus the banded incremental-semantic probe with the BATCH HELD FIXED (1000 replica-0 odd vectors) while history grows 1k -> 199k, true regime (t=0.9, 16-bit band keys on rotated embeddings; the registered 4-bit/0.45 config is the recall-driven gate regime, ~n^2 by design like q67's), history index + Bloom built outside the timed region (the persisted artifacts a production loop amortizes) — the ratio reads per-batch probe cost vs a 199x history. local[32].",
          |"n_docs_100x": ${nDocs * reps}, "n_vecs_100x": ${nVecs * reps},
          |"load_start": "$loadStart", "load_end": "${loadavg()}",
          |"queries": $qJson

@@ -107,6 +107,60 @@ class Round15OpsSpec extends AnyFunSuite {
       sortedRows(delta(col("doc_id") === 1)))
   }
 
+  test("IndexStore.stats: per-partition rows/keys expose compaction debt and un-deduped deltas") {
+    import graft.dedup.IndexStore
+    val store = new IndexStore(tmp("statidx"), Seq("k"))
+    store.append(Seq(("a", 1), ("b", 2)).toDF("k", "v"), 0L)
+    store.append(Seq(("b", 2), ("c", 3)).toDF("k", "v"), 1L)
+    store.compact(spark)
+    // an UN-DEDUPED delta: 3 rows, 2 keys — stats must show keys < rows
+    store.append(Seq(("c", 3), ("d", 4), ("d", 4)).toDF("k", "v"), 2L)
+    val st = store.stats(spark).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(st == Seq((-1L, 3L, 3L), (2L, 3L, 2L)),
+      s"base a/b/c + one 3-row/2-key delta, got $st")
+    // compaction debt = delta rows above the base
+    assert(st.filter(_._1 >= 0).map(_._2).sum == 3L)
+    assert(store.read(spark).count() == 4L) // a b c d
+  }
+
+  test("reliabilityBins: hand-computed bins, total grid, negative-sum exactness, NULL rejection") {
+    import graft.ops.ClassifierMetrics
+    // edges (-5, 0, 5) → bins: 0 = (-∞,-5), 1 = [-5,0), 2 = [0,5), 3 = [5,∞)
+    val edges = Seq(-5L, 0L, 5L)
+    val scored = Seq(
+      (-9L, 0), (-5L, 0), (-1L, 0), (-1L, 1), // bin1: edge -5 inclusive
+      (0L, 1), (3L, 0),                       // bin2: edge 0 inclusive
+      (7L, 1), (9L, 1)                        // bin3
+    ).toDF("logit", "y")
+    val got = ClassifierMetrics.reliabilityBins(scored, col("y"),
+        col("logit"), edges)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == Seq(
+      (0L, 1L, 0L, 0L, -9L),      // lone -9
+      (1L, 3L, 1L, 333333L, -7L), // -5,-1,-1 → sum -7, 1/3 pos truncates
+      (2L, 2L, 1L, 500000L, 3L),
+      (3L, 2L, 2L, 1000000L, 16L)), s"got $got")
+    // monotone pos_rate on this calibrated fixture — the property the
+    // audit exists to check
+    assert(got.map(_._4) == got.map(_._4).sorted)
+    // an empty corpus still emits the TOTAL grid (all-zero rows)
+    val empty = ClassifierMetrics.reliabilityBins(
+      scored.where(lit(false)), col("y"), col("logit"), edges)
+    assert(empty.collect().map(_.getLong(1)).toSeq == Seq(0L, 0L, 0L, 0L))
+    // a NULL score must fail loudly, not silently vanish from the bins
+    val withNull = Seq((3L, 1), (0L, 0)).toDF("logit", "y")
+      .withColumn("logit",
+        when(col("y") === 0, lit(null).cast("long")).otherwise(col("logit")))
+    val ex = intercept[Exception] {
+      ClassifierMetrics.reliabilityBins(withNull, col("y"), col("logit"),
+        edges).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("IndexStore: paragraph-key loop-maintained index feeds incrementalParagraphsPre ≡ inline history") {
     import graft.dedup.{Dedup, IndexStore}
     val history = Seq(
