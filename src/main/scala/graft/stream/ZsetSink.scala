@@ -83,7 +83,10 @@ class ZsetSink(val path: String) extends Serializable {
       .parquet(path + ".compact")
     // two-rename swap, shared with the dedup index stores (the same
     // LSM pattern at different merge semantics — sum here, keyed-set
-    // dedup there); see the helper's doc for the grace-dir protocol
-    graft.dedup.IndexStore.swapInCompacted(path)
+    // dedup there); see the helper's doc for the grace-dir protocol —
+    // through the Hadoop FS API, so the sink runs on HDFS-compatible
+    // storage, not just driver-local disk
+    graft.dedup.IndexStore.swapInCompacted(path,
+      spark.sessionState.newHadoopConf())
   }
 }
