@@ -235,7 +235,7 @@ class IndexStore(val path: String, val keyCols: Seq[String],
     * and read through it — Catalyst then knows the scan's hash
     * distribution on `keyCols` and plans key-joins and key-groupBys
     * with no Exchange over the base. */
-  private def bucketedBase(spark: SparkSession): DataFrame = {
+  private[graft] def bucketedBase(spark: SparkSession): DataFrame = {
     val schema = spark.read.parquet(baseDir).schema
     val tbl = tableName
     spark.sql(s"DROP TABLE IF EXISTS $tbl")

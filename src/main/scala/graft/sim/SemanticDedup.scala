@@ -111,9 +111,12 @@ object SemanticDedup {
     * history — `historyClustered(cluster, vec_id, __vec)`, the
     * persisted assignment a production crawl loop maintains (append
     * each batch's `clustered` rows after processing; the assignment
-    * is stateless per-row, so maintenance is a blind append). Must be
-    * materialized (localCheckpoint/persisted source): it is consumed
-    * 2-3 times here.
+    * is stateless per-row, so maintenance is a blind append). Must
+    * come from a re-readable source (a persisted store or a
+    * localCheckpoint): it is consumed 2-3 times here, each consumer a
+    * scan — the banded path checkpoints only its ids-only signature
+    * projection and re-joins the vector payload per surviving pair,
+    * so the full-vector history is never materialized or shuffled.
     *
     * Probe tiers, composing two disciplines:
     *
