@@ -127,7 +127,12 @@ object PlanAudit {
     "q203_maintained_semantic_index" ->
       ("inherited q195 pattern (same keep verdict, history read from " +
         "the maintained IndexStore): Spark-injected runtime " +
-        "bloom-filter pruning, one bounded buffer per task")
+        "bloom-filter pruning, one bounded buffer per task"),
+    "q208_auc_exact" ->
+      ("running-negatives window + final scalar fold run on the " +
+        "distinct-logit ROLLUP (|scores| rows, bounded by the integer " +
+        "logit grid) — the q171 rollup-window discipline; the corpus " +
+        "pays one partial-ized groupBy pass")
     // q129_zipf_slope funnels through a bounded top-30 head (limit +
     // rank window + OLS agg) but plans as TakeOrdered without an
     // explicit SinglePartition exchange, so it needs no entry here

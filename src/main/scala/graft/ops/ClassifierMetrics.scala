@@ -20,6 +20,24 @@ import org.apache.spark.sql.functions._
   */
 object ClassifierMetrics {
 
+  /** The family's exact-integer contract, enforced loudly (r15
+    * ADVICE): a caller passing a [0,1] probability column would have
+    * every score silently truncate to 0 or 1 via cast("long") —
+    * whole sweeps collapsing into one or two cells with no error, in
+    * contrast to the loud NULL guard. Scale probabilities to integer
+    * logits (or e6 fixed-point) upstream explicitly. */
+  private def requireIntegralScore(scored: DataFrame, scoreCol: Column,
+                                   who: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = scored.select(scoreCol.as("__s")).schema.head.dataType
+    require(Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+        .contains(dt),
+      s"$who: score column must be an integral type, got " +
+        s"${dt.simpleString} — the exact-integer contract would " +
+        "silently truncate fractional scores; scale to integer logits " +
+        "or e6 fixed-point upstream explicitly")
+  }
+
   /** Confusion + derived metrics at each threshold. `labelCol` is 1
     * (positive) / 0; a prediction is positive when `scoreCol` >
     * threshold (strict — matches the monotone-logit contract of
@@ -36,6 +54,7 @@ object ClassifierMetrics {
     require(thresholds.nonEmpty, "at least one threshold")
     require(thresholds.distinct.size == thresholds.size,
       "duplicate thresholds would emit duplicate sweep rows")
+    requireIntegralScore(scored, scoreCol, "confusionAtThresholds")
     // a NULL label or score cannot be binned: '__s > t' is NULL, every
     // when() falls through, and the row would vanish from ALL FOUR
     // confusion cells — shrinking precision/recall denominators with
@@ -105,6 +124,7 @@ object ClassifierMetrics {
     require(edges.nonEmpty, "at least one bin edge")
     require(edges == edges.sorted && edges.distinct.size == edges.size,
       "bin edges must be strictly ascending")
+    requireIntegralScore(scored, scoreCol, "reliabilityBins")
     def nonNull(c: Column, what: String): Column = coalesce(c,
       raise_error(lit(s"reliabilityBins: NULL $what — a row with no " +
         "label/score cannot be binned; filter or impute upstream " +
@@ -129,5 +149,55 @@ object ClassifierMetrics {
           "ELSE CAST((n_pos * 1000000) DIV n AS BIGINT) END")
           .as("pos_rate_e6"),
         coalesce(col("sum_score"), lit(0L)).as("sum_score"))
+  }
+
+  /** Exact-integer AUC by rank-based pair counting — the
+    * threshold-FREE summary completing the family (the sweep picks an
+    * operating point, the bins audit calibration, this scores the
+    * ranking itself): AUC = P(score_pos > score_neg) + ½P(tie),
+    * computed as concordant/tied pair COUNTS so the whole statistic
+    * is one integer — hash-checkable cross-engine like the sweep.
+    * Tie convention pinned: a (pos, neg) pair at EQUAL scores counts
+    * one half — `auc_e6 = (2·C + T)·1e6 DIV (2·P·N)` keeps the half
+    * in integer arithmetic (truncating, the family's convention).
+    * Degenerate corpora (no positives or no negatives) emit 0-by-
+    * convention with the counts still exact, and the single output
+    * row is TOTAL — an empty corpus yields the all-zero row, never an
+    * empty relation.
+    *
+    * Scale shape: one aggregation to the DISTINCT-SCORE rollup
+    * (|scores| rows — logit grids are small by construction), a
+    * running-negatives window OVER THE ROLLUP (single-partition by
+    * necessity and bounded by it — the q171 rollup-window
+    * discipline), one scalar fold. The corpus pays exactly one
+    * partial-ized groupBy pass; pairs are never enumerated. */
+  def aucExact(scored: DataFrame, labelCol: Column,
+               scoreCol: Column): DataFrame = {
+    requireIntegralScore(scored, scoreCol, "aucExact")
+    def nonNull(c: Column, what: String): Column = coalesce(c,
+      raise_error(lit(s"aucExact: NULL $what — a row with no " +
+        "label/score cannot be ranked; filter or impute upstream " +
+        "explicitly")).cast("long"))
+    val g = scored.select(
+        nonNull(labelCol.cast("int").cast("long"), "label").as("__y"),
+        nonNull(scoreCol.cast("long"), "score").as("__s"))
+      .groupBy("__s").agg(
+        sum(col("__y")).as("pos"),
+        (count(lit(1)) - sum(col("__y"))).as("neg"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("__s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val c = g.withColumn("cum_neg",
+      coalesce(sum(col("neg")).over(w), lit(0L)))
+    c.agg(
+        coalesce(sum(col("pos")), lit(0L)).as("n_pos"),
+        coalesce(sum(col("neg")), lit(0L)).as("n_neg"),
+        coalesce(sum(col("pos") * col("cum_neg")), lit(0L))
+          .as("concordant"),
+        coalesce(sum(col("pos") * col("neg")), lit(0L)).as("tied"))
+      .select(col("n_pos"), col("n_neg"), col("concordant"), col("tied"),
+        expr("CASE WHEN n_pos = 0 OR n_neg = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE CAST(((2 * concordant + tied) * 1000000) " +
+          "DIV (2 * n_pos * n_neg) AS BIGINT) END").as("auc_e6"))
   }
 }

@@ -182,6 +182,57 @@ class Round16OpsSpec extends AnyFunSuite {
     assert(keys == Seq("b"))
   }
 
+  test("aucExact: hand-computed AUC with ties, degenerate/empty conventions, NULL and fractional-score rejection") {
+    import graft.ops.ClassifierMetrics
+    // labels by score:  neg(1), pos(3), neg(3), pos(5), neg(7), pos(9)
+    // P=3, N=3, pairs=9. Concordant (pos>neg): 3@1 + 5@{1,3} + 9@{1,3,7}
+    //  = 1+2+3 = 6. Tied: (3,3) = 1. Discordant = 2.
+    // AUC = (6 + 0.5)/9 = 0.7222… → (2·6+1)·1e6 DIV (2·9) = 722222
+    val scored = Seq((1, 3L), (1, 5L), (1, 9L),
+      (0, 1L), (0, 3L), (0, 7L)).toDF("y", "s")
+    val got = ClassifierMetrics.aucExact(scored, col("y"), col("s"))
+      .collect()(0)
+    assert((got.getLong(0), got.getLong(1), got.getLong(2),
+      got.getLong(3), got.getLong(4)) == ((3L, 3L, 6L, 1L, 722222L)))
+    // perfect ranking → exactly 1e6; reversed → 0
+    val perfect = Seq((1, 10L), (1, 9L), (0, 2L), (0, 1L)).toDF("y", "s")
+    assert(ClassifierMetrics.aucExact(perfect, col("y"), col("s"))
+      .collect()(0).getLong(4) == 1000000L)
+    val reversed = Seq((0, 10L), (1, 2L)).toDF("y", "s")
+    assert(ClassifierMetrics.aucExact(reversed, col("y"), col("s"))
+      .collect()(0).getLong(4) == 0L)
+    // degenerate (single-class) and EMPTY corpora: total all-zero-auc
+    // rows with exact counts, never an empty relation
+    val onlyPos = Seq((1, 5L), (1, 2L)).toDF("y", "s")
+    val dp = ClassifierMetrics.aucExact(onlyPos, col("y"), col("s"))
+      .collect()(0)
+    assert((dp.getLong(0), dp.getLong(1), dp.getLong(4)) == ((2L, 0L, 0L)))
+    val empty = ClassifierMetrics.aucExact(
+      scored.where(lit(false)), col("y"), col("s")).collect()(0)
+    assert((empty.getLong(0), empty.getLong(1), empty.getLong(2),
+      empty.getLong(3), empty.getLong(4)) == ((0L, 0L, 0L, 0L, 0L)))
+    // NULL scores fail loudly (the family convention)
+    val withNull = Seq((1, 3L), (0, 0L)).toDF("y", "s")
+      .withColumn("s",
+        when(col("y") === 0, lit(null).cast("long")).otherwise(col("s")))
+    intercept[Exception] {
+      ClassifierMetrics.aucExact(withNull, col("y"), col("s")).collect()
+    }
+    // fractional scores are rejected at REQUIRE time across the family
+    // (r15 ADVICE: cast("long") would silently collapse probabilities)
+    val frac = Seq((1, 0.9), (0, 0.2)).toDF("y", "p")
+    intercept[IllegalArgumentException] {
+      ClassifierMetrics.aucExact(frac, col("y"), col("p"))
+    }
+    intercept[IllegalArgumentException] {
+      ClassifierMetrics.reliabilityBins(frac, col("y"), col("p"), Seq(0L))
+    }
+    intercept[IllegalArgumentException] {
+      ClassifierMetrics.confusionAtThresholds(frac, col("y"), col("p"),
+        Seq(0L))
+    }
+  }
+
   test("compaction swap recovers from a stale grace dir (crashed swap) through the Hadoop FS path") {
     import graft.dedup.IndexStore
     val store = new IndexStore(tmp("swap"), Seq("k"))
