@@ -102,21 +102,28 @@ class IndexStore(val path: String, val keyCols: Seq[String],
     * so the base never shuffles: it streams through a broadcast anti
     * join against the delta key set, which compaction keeps small. If
     * a loop has let the deltas grow past
-    * [[IndexStore.BroadcastDeltaKeyCap]] (compaction long overdue),
+    * [[IndexStore.BroadcastDeltaByteCap]] (compaction long overdue),
     * the merge falls back to the distributed dedup-over-union — never
     * a driver OOM, just the pre-compaction cost profile. */
   def read(spark: SparkSession): DataFrame = {
-    val all = spark.read.option("mergeSchema", "true").parquet(path)
+    // plain (single-footer) schema read: payload columns are identical
+    // across every partition by construction — only merged() (the
+    // compaction path) needs mergeSchema, for pre-upgrade clocks
+    val all = spark.read.parquet(path)
     def strip(df: DataFrame) = df.drop("batch_id", "last_seen")
     if (!baseIsBucketed(spark))
       // no compacted base yet (or a pre-bucketing base from an older
       // layout, healed by the next compact): the plain delta merge
       return strip(all).dropDuplicates(keyCols)
+    // the broadcast gate is a driver-side file-size sum, not a Spark
+    // job: compaction cadence keeps deltas small; if a loop has let
+    // them outgrow the cap, fall back to the distributed dedup —
+    // never a driver OOM, just the pre-compaction cost profile
+    if (deltaBytes(spark) > IndexStore.BroadcastDeltaByteCap)
+      return strip(all).dropDuplicates(keyCols)
     val deltas = strip(all.where(col("batch_id") =!= -1L))
       .dropDuplicates(keyCols)
     val base = strip(bucketedBase(spark))
-    if (deltas.count() > IndexStore.BroadcastDeltaKeyCap)
-      return strip(all).dropDuplicates(keyCols)
     val deltaKeys = broadcast(deltas.select(keyCols.map(col): _*))
     deltas.unionByName(base.join(deltaKeys, keyCols, "left_anti"))
   }
@@ -193,7 +200,7 @@ class IndexStore(val path: String, val keyCols: Seq[String],
     * sent an un-deduplicated delta. One index-sized aggregation; no
     * driver state. */
   def stats(spark: SparkSession): DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(path)
+    spark.read.parquet(path)
       // partition-column type inference narrows batch_id to int —
       // pin the contract schema to long
       .groupBy(col("batch_id").cast("long").as("batch_id"))
@@ -215,6 +222,19 @@ class IndexStore(val path: String, val keyCols: Seq[String],
       .map("%02x".format(_)).mkString.take(16)
 
   private def baseDir = s"$path/batch_id=-1"
+
+  /** Total bytes across delta partitions — the read() broadcast gate,
+    * a pure driver FS listing (no Spark job on the probe path). */
+  private def deltaBytes(spark: SparkSession): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(p)
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("batch_id=") &&
+        s.getPath.getName != "batch_id=-1")
+      .flatMap(d => fs.listStatus(d.getPath))
+      .filter(_.isFile).map(_.getLen).sum
+  }
 
   /** The compacted base exists AND its files carry Spark bucket ids
     * (written by [[compact]]'s bucketed writer) — a base from the
@@ -250,11 +270,12 @@ class IndexStore(val path: String, val keyCols: Seq[String],
 
 object IndexStore {
 
-  /** read()'s broadcast gate on the delta key set: above this the
-    * merge falls back to the distributed dedup (see [[IndexStore.read]]).
-    * ~4M keys of ≤40 bytes ≈ 160 MB on the driver — the same order as
-    * Spark's own broadcast ceiling. */
-  val BroadcastDeltaKeyCap: Long = 4000000L
+  /** read()'s broadcast gate on the delta partitions' on-disk size:
+    * above this the merge falls back to the distributed dedup (see
+    * [[IndexStore.read]]). 64 MB of compressed delta parquet keeps
+    * the keys-only broadcast in Spark's own broadcast-ceiling order
+    * even after decompression. */
+  val BroadcastDeltaByteCap: Long = 64L * 1024 * 1024
 
   /** Two-rename swap of `path.compact` into `path` (shared with
     * [[graft.stream.ZsetSink.compact]]): the live dir moves aside to
