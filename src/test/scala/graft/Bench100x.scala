@@ -225,6 +225,40 @@ object Bench100x {
       probeAB("q188_curate_excise_pack", fn(spark, sf01), fn(spark, dirD))
     }
 
+    // the MAINTAINED-index probe with the INDEX at 100× and the bench
+    // batch held fixed (VERDICT r15 #1's probe-cost criterion, the
+    // q192 fixed-batch discipline): the window-fp IndexStore builds
+    // OUTSIDE the timed region — 3 crawl appends, an LSM compact into
+    // the bucketed base, one post-compact delta (the realistic steady
+    // state: base + a recent delta) — these are the persisted
+    // artifacts a production loop amortizes. Timed = what every
+    // arrival pays: store.read (bucketed base streamed through the
+    // broadcast-anti delta merge, never shuffled) + the fp semi-join
+    // audit. The bench batch is the SAME replica-0 doc set on both
+    // sides, so the ratio reads pure index-side growth.
+    def maintainedProbe(dir: String, tag: String)
+        : org.apache.spark.sql.DataFrame = {
+      import graft.dedup.{Dedup, IndexStore}
+      val root = s"/tmp/graft_100x_idx_$tag"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      val store = new IndexStore(s"$root/winfp", Seq("doc_id", "fp"),
+        numBuckets = 32)
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+      val corpus = d.where(pmod(col("doc_id"), lit(10)) =!= 7)
+      def delta(b: Long) = Dedup.windowFingerprintIndex(
+        corpus.where(pmod(col("doc_id"), lit(3)) === b),
+        col("doc_id"), col("text"), k = 8)
+      for (b <- 0L to 1L) store.append(delta(b), b)
+      store.compact(spark)
+      store.append(delta(2L), 2L) // the recent, un-compacted delta
+      val bench = d.where(col("doc_id") < nDocs &&
+        pmod(col("doc_id"), lit(10)) === 7) // replica 0 only: FIXED batch
+      Dedup.benchArrivalAudit(store.read(spark), bench, col("text"), k = 8)
+    }
+    val mp1 = maintainedProbe(sf01, "1x")    // stores built here, untimed
+    val mp100 = maintainedProbe(dirD, "100x")
+    probeAB("q201_maintained_probe_fixed_bench", mp1, mp100)
+
     val qJson = results.map { case (n, t1, t100, r, rows) =>
       val ab = abSeries.get(n)
         .map(s => s""", "ab_series_1x_100x": $s""").getOrElse("")
@@ -233,7 +267,7 @@ object Bench100x {
     }.mkString("{\n", ",\n", "\n}")
     val json =
       s"""{
-         |"protocol": "100x replica spot-probe (VERDICT r11 #6), r13: min-of-2 per scale (VERDICT r12 #5) and timed action is Bench.consume (noop-sink full-row materialization), with one extra pruned count() per probe for the out_rows evidence: documents token-tagged per replica (fully disjoint cross-replica text, within-replica structure preserved); embeddings rotated by (r mod 64) with a global sign flip for r >= 64 (norm/within-replica-cosine preserving, cross-replica pairs at -cos or noise). q67 probed in the 100-TB TRUE regime (t=0.9, 16-bit keys); its gate regime (t=0.45, 4-bit) is recall-driven ~n^2 by design and not a scaling claim. q178 probed in its ADVERSARIAL hot-span regime: an untagged banner shared by every doc across replicas makes the dup semi-join's left side carry globally-hot keys, hashSpans=true (the 100-TB path), kept_text consumed so the rebuild is measured (not count()-pruned). r15: EVERY row records as INTERLEAVED same-window A/B pairs (3x alternating 1x/100x consumes; headline = min per side, full series in ab_series_1x_100x) so epoch drift hits both sides of each ratio equally — lone min-of-2 ratios recorded minutes apart moved up to 7x between same-code sessions (q160's 100x stage measured 24-84 s bimodal on identical plans; q67's sf0.1 side read 2.73 s vs 0.38 s across two runs). r14 adds the two production shapes VERDICT r13 #5 named: q191 incremental excision (batch=odd/history=even over the token-tagged corpus — within-replica-only window dups, honest linear ground truth) and the q188 five-stage curate capstone end-to-end on the token-tagged corpus (word-initial trigrams survive tagging, so the lang gate passes real survivor volume); plus the banded incremental-semantic probe with the BATCH HELD FIXED (1000 replica-0 odd vectors) while history grows 1k -> 199k, true regime (t=0.9, 16-bit band keys on rotated embeddings; the registered 4-bit/0.45 config is the recall-driven gate regime, ~n^2 by design like q67's), history index + Bloom built outside the timed region (the persisted artifacts a production loop amortizes) — the ratio reads per-batch probe cost vs a 199x history. local[32].",
+         |"protocol": "100x replica spot-probe (VERDICT r11 #6), r13: min-of-2 per scale (VERDICT r12 #5) and timed action is Bench.consume (noop-sink full-row materialization), with one extra pruned count() per probe for the out_rows evidence: documents token-tagged per replica (fully disjoint cross-replica text, within-replica structure preserved); embeddings rotated by (r mod 64) with a global sign flip for r >= 64 (norm/within-replica-cosine preserving, cross-replica pairs at -cos or noise). q67 probed in the 100-TB TRUE regime (t=0.9, 16-bit keys); its gate regime (t=0.45, 4-bit) is recall-driven ~n^2 by design and not a scaling claim. q178 probed in its ADVERSARIAL hot-span regime: an untagged banner shared by every doc across replicas makes the dup semi-join's left side carry globally-hot keys, hashSpans=true (the 100-TB path), kept_text consumed so the rebuild is measured (not count()-pruned). r15: EVERY row records as INTERLEAVED same-window A/B pairs (3x alternating 1x/100x consumes; headline = min per side, full series in ab_series_1x_100x) so epoch drift hits both sides of each ratio equally — lone min-of-2 ratios recorded minutes apart moved up to 7x between same-code sessions (q160's 100x stage measured 24-84 s bimodal on identical plans; q67's sf0.1 side read 2.73 s vs 0.38 s across two runs). r14 adds the two production shapes VERDICT r13 #5 named: q191 incremental excision (batch=odd/history=even over the token-tagged corpus — within-replica-only window dups, honest linear ground truth) and the q188 five-stage curate capstone end-to-end on the token-tagged corpus (word-initial trigrams survive tagging, so the lang gate passes real survivor volume); plus the banded incremental-semantic probe with the BATCH HELD FIXED (1000 replica-0 odd vectors) while history grows 1k -> 199k, true regime (t=0.9, 16-bit band keys on rotated embeddings; the registered 4-bit/0.45 config is the recall-driven gate regime, ~n^2 by design like q67's), history index + Bloom built outside the timed region (the persisted artifacts a production loop amortizes) — the ratio reads per-batch probe cost vs a 199x history. r16 adds the MAINTAINED-index probe (VERDICT r15 #1): a window-fp IndexStore at 1x vs 100x corpus scale — 3 appends, an LSM compact into the BUCKETED base, one post-compact delta, all built untimed — with the bench batch held fixed (replica-0 docs on both sides); timed = store.read (base streamed through the broadcast-anti delta merge, no index shuffle) + the fp semi-join arrival audit, i.e. exactly what every benchmark arrival pays against a 100x index. local[32].",
          |"n_docs_100x": ${nDocs * reps}, "n_vecs_100x": ${nVecs * reps},
          |"load_start": "$loadStart", "load_end": "${loadavg()}",
          |"queries": $qJson
