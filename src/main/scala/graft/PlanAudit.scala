@@ -131,7 +131,7 @@ object PlanAudit {
     "q208_auc_exact" ->
       ("running-negatives window + final scalar fold run on the " +
         "distinct-logit ROLLUP (|scores| rows, bounded by the integer " +
-        "logit grid) — the q171 rollup-window discipline; the corpus " +
+        "logit grid): the q171 rollup-window discipline; the corpus " +
         "pays one partial-ized groupBy pass")
     // q129_zipf_slope funnels through a bounded top-30 head (limit +
     // rank window + OLS agg) but plans as TakeOrdered without an
