@@ -2885,8 +2885,39 @@ object SparkEntry {
         graft.ml.QualityClassifier.scoreFixed(ev, col("doc_id"),
           col("text"), FixedQualityWeights, carry = Seq(col("y"))),
         col("y"), col("logit"))
+    }),
+
+    // key-pruned point lookups into a MAINTAINED index — the
+    // engine-native Redis ZSCORE over the crawl loop's persisted
+    // artifact (the reference's serving reads hit the zset the stream
+    // maintains; here the probe hits the IndexStore the loop
+    // maintains): q203's semantic store built base + post-compact
+    // delta, then literal vec_ids looked up — the bucketed base scan
+    // prunes to the touched buckets (SelectedBucketsCount in
+    // PLANS.md; spec-pinned), so a point probe reads ~1/numBuckets of
+    // the base plus the small delta instead of the whole index.
+    // Oracle = the q162 integer assignment restricted to the same ids
+    "q209_maintained_index_lookup" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val root = freshIdxRoot("q209", dir)
+      val store = new graft.dedup.IndexStore(
+        root.resolve("semhist").toString, Seq("vec_id"))
+      def delta(m: Int) = graft.sim.SemanticDedup.clustered(
+        e.where(pmod(col("vec_id"), lit(4)) === m),
+        "vec_id", "embedding", FixedCentroidsE9)
+      store.append(delta(0), 0L)
+      store.compact(s)
+      store.append(delta(2), 1L) // base + a recent delta: both probed
+      store.lookup(s, LookupVecIds.map(Long.box))
+        .select(col("vec_id"), col("cluster"))
+        .orderBy("vec_id")
     })
   )
+
+  /** q209's literal probe ids: base residents (0, 4 — batch
+    * vec_id%4==0), delta residents (2, 6 — vec_id%4==2), and an
+    * absent key (-1, present at no SF). */
+  private val LookupVecIds: Seq[Long] = Seq(0L, 2L, 4L, 6L, -1L)
 
   /** The q174/q188 shared gate chain: language ID at the corpus-
     * calibrated 2% evidence floor (the jargon corpus peaks ~4-5%
@@ -7264,6 +7295,17 @@ object SparkEntry {
            |      * 1000000) // (2 * SUM(pos) * SUM(neg)) AS BIGINT)
            |    END AS auc_e6
            |FROM c""".stripMargin
-      })
+      },
+      // maintained-index point lookup: the q162 integer cluster
+      // assignment restricted to the literal probe ids (the store
+      // holds exactly the even ids — batches %4==0 and %4==2 — and
+      // every probed id is even or absent, so the restriction IS the
+      // lookup's contract; a green row proves base- and
+      // delta-resident keys and the absent-key miss to the hash)
+      "q209_maintained_index_lookup" ->
+        s"""WITH $fixedClusterAssignCtes
+           |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster
+           |FROM casg WHERE vec_id IN (${LookupVecIds.mkString(", ")})
+           |ORDER BY vec_id""".stripMargin)
   }
 }

@@ -128,6 +128,74 @@ class IndexStore(val path: String, val keyCols: Seq[String],
     deltas.unionByName(base.join(deltaKeys, keyCols, "left_anti"))
   }
 
+  /** Key-pruned point lookups — the engine-native Redis ZSCORE analog
+    * the reference serves its zsets with (`app.py:84-109`): the
+    * current index restricted to literal key values, reading ONLY the
+    * touched base bucket FILES plus the small deltas instead of the
+    * whole index. The bucket ids come from the same hash the bucketed
+    * writer used (Murmur3 pmod numBuckets — Spark's
+    * `HashPartitioning.partitionIdExpression`), evaluated driver-side
+    * per probe key; pruning is done on the file list directly because
+    * Spark's own bucket-filter pruning is discarded whenever its
+    * planner auto-disables the bucketed scan (the
+    * `autoBucketedScan` rule — flipping that session-wide would force
+    * numBuckets-task scans on every OTHER read of the table).
+    * Cross-engine hash-checked by q209: a wrong bucket id would make
+    * base-resident keys vanish from the oracle compare. Single-key
+    * stores only — multi-key stores' probes are joins against
+    * [[read]], which carry the same no-index-shuffle guarantees. */
+  def lookup(spark: SparkSession, values: Seq[Any]): DataFrame = {
+    require(keyCols.size == 1,
+      "lookup prunes on the single bucket column; this store is keyed " +
+        s"(${keyCols.mkString(", ")}) — probe multi-key stores with a " +
+        "join against read()")
+    require(values.nonEmpty, "at least one key to look up")
+    val pred = col(keyCols.head).isin(values: _*)
+    if (!baseIsBucketed(spark)) return read(spark).where(pred)
+    val schema = spark.read.parquet(baseDir).schema
+    val files = prunedBaseFiles(spark, values,
+      schema(keyCols.head).dataType)
+    val base = (if (files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(files: _*))
+      .where(pred).drop("last_seen")
+    // same merge rule as read(): the delta copy of an overlapping key
+    // wins (payload-identical by construction); both sides here are
+    // probe-sized, so the anti join is trivially broadcast
+    val deltas = spark.read.parquet(path)
+      .where(col("batch_id") =!= -1L).where(pred)
+      .drop("batch_id", "last_seen")
+      .dropDuplicates(keyCols)
+    deltas.unionByName(base.join(
+      broadcast(deltas.select(keyCols.map(col): _*)), keyCols, "left_anti"))
+  }
+
+  /** The base bucket files a probe-key set touches: bucket id =
+    * pmod(murmur3(key), numBuckets), exactly the bucketed writer's
+    * assignment, parsed back out of Spark's `..._NNNNN.cNNN` bucket
+    * file names. */
+  private[graft] def prunedBaseFiles(spark: SparkSession,
+                                     values: Seq[Any],
+                                     keyType: org.apache.spark.sql.types.DataType)
+      : Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}
+    val n = numBuckets
+    val touched = values.map { v =>
+      val h = new Murmur3Hash(Seq(Literal.create(v, keyType)))
+        .eval(null).asInstanceOf[Int]
+      ((h % n) + n) % n
+    }.toSet
+    val p = new org.apache.hadoop.fs.Path(baseDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val bucketOf = "_(\\d{5})\\.c\\d+".r
+    fs.listStatus(p).map(_.getPath)
+      .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
+      .filter(f => bucketOf.findFirstMatchIn(f.getName)
+        .exists(m => touched(m.group(1).toInt)))
+      .map(_.toString).toSeq
+  }
+
   /** One row per key with its freshest `last_seen`. Rows sharing a
     * key are payload-identical by construction (see the class doc),
     * so grouping on the payload columns is grouping on the key — the

@@ -182,6 +182,42 @@ class Round16OpsSpec extends AnyFunSuite {
     assert(keys == Seq("b"))
   }
 
+  test("IndexStore.lookup: point probes prune to touched buckets and see base + delta consistently") {
+    import graft.dedup.IndexStore
+    val store = new IndexStore(tmp("lookup"), Seq("k"), numBuckets = 8)
+    store.append(Seq(("a", 1), ("b", 2), ("c", 3), ("d", 4), ("e", 5),
+      ("f", 6), ("g", 7), ("h", 8)).toDF("k", "v"), 0L)
+    store.compact(spark)
+    store.append(Seq(("z", 26)).toDF("k", "v"), 1L) // delta-resident key
+    // correctness: base key, delta key, absent key
+    val got = store.lookup(spark, Seq("c", "z", "nope")).orderBy("k")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(got == Seq(("c", 3), ("z", 26)))
+    // the probe PRUNES to the touched bucket files (driver-side
+    // murmur3-pmod — the bucketed writer's own assignment; Spark's
+    // planner discards its bucket-filter pruning when it
+    // auto-disables the bucketed scan, so the store prunes the FILE
+    // LIST itself — the reference's ZSCORE point read, engine-native)
+    import org.apache.spark.sql.types.StringType
+    val all = store.prunedBaseFiles(spark,
+      Seq("a", "b", "c", "d", "e", "f", "g", "h"), StringType)
+    val one = store.prunedBaseFiles(spark, Seq("c"), StringType)
+    assert(one.nonEmpty && one.size < all.size,
+      s"one=${one.size} all=${all.size}")
+    // ...and the pruned read finds exactly what an unpruned read does
+    assert(store.lookup(spark, Seq("c")).collect().map(_.getString(0))
+      .toSeq == Seq("c"))
+    // every stored key is found through its pruned file set (a wrong
+    // bucket id would lose the key silently — this is the gate)
+    for (k <- Seq("a", "b", "c", "d", "e", "f", "g", "h"))
+      assert(store.lookup(spark, Seq(k)).count() == 1L, s"key $k lost")
+    // multi-key stores refuse loudly (pruning is single-column)
+    val multi = new IndexStore(tmp("lookup2"), Seq("a", "b"))
+    intercept[IllegalArgumentException] {
+      multi.lookup(spark, Seq("x"))
+    }
+  }
+
   test("aucExact: hand-computed AUC with ties, degenerate/empty conventions, NULL and fractional-score rejection") {
     import graft.ops.ClassifierMetrics
     // labels by score:  neg(1), pos(3), neg(3), pos(5), neg(7), pos(9)
