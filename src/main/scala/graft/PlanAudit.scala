@@ -132,7 +132,12 @@ object PlanAudit {
       ("running-negatives window + final scalar fold run on the " +
         "distinct-logit ROLLUP (|scores| rows, bounded by the integer " +
         "logit grid): the q171 rollup-window discipline; the corpus " +
-        "pays one partial-ized groupBy pass")
+        "pays one partial-ized groupBy pass"),
+    "q211_avg_precision_exact" ->
+      ("descending-cumulative window + final scalar fold run on the " +
+        "distinct-logit ROLLUP (|scores| rows): the q208/q171 " +
+        "rollup-window discipline; the corpus pays one partial-ized " +
+        "groupBy pass")
     // q129_zipf_slope funnels through a bounded top-30 head (limit +
     // rank window + OLS agg) but plans as TakeOrdered without an
     // explicit SinglePartition exchange, so it needs no entry here

@@ -2911,6 +2911,79 @@ object SparkEntry {
       store.lookup(s, LookupVecIds.map(Long.box))
         .select(col("vec_id"), col("cluster"))
         .orderBy("vec_id")
+    }),
+
+    // the q169 sweep SLICED by source — the per-domain audit a
+    // corpus-wide operating point hides: one confusion row per
+    // (source, threshold) over the same planted-label chain, so a
+    // report reads which domains a chosen threshold starves (recall
+    // row → 0) or fails to clean (precision row collapses). Same
+    // exact-integer cells; the slice domain falls out of the one
+    // aggregation pass, no second corpus scan
+    "q210_quality_eval_by_source" -> ((s, dir) => {
+      val even = pmod(col("doc_id"), lit(2)) === 0
+      val stutter = array_join(array_repeat(
+        element_at(split(coalesce(col("text"), lit("")), " "), 1), 12), " ")
+      val ev = T(s, dir, "documents").select(col("doc_id"),
+        when(even, coalesce(col("text"), lit(""))).otherwise(stutter)
+          .as("text"),
+        when(even, 1).otherwise(0).as("y"), col("source"))
+      graft.ops.ClassifierMetrics.confusionAtThresholdsBy(
+          graft.ml.QualityClassifier.scoreFixed(ev, col("doc_id"),
+            col("text"), FixedQualityWeights,
+            carry = Seq(col("y"), col("source"))),
+          col("source"), col("y"), col("logit"), QualityEvalThresholds)
+        .orderBy("slice", "threshold")
+    }),
+
+    // exact-integer AVERAGE PRECISION over the same planted-logit
+    // chain — the PR-curve summary beside q208's ROC summary (AP
+    // weights the head of the ranking, where a filter's kept docs
+    // live): distinct-logit rollup, descending-cumulative window over
+    // the rollup, per-block precision terms with the BLOCK-END tie
+    // convention (ties rank worst-case-last — coarse scores cannot
+    // inflate AP), one scalar fold; all integer, pairs never
+    // enumerated
+    "q211_avg_precision_exact" -> ((s, dir) => {
+      val even = pmod(col("doc_id"), lit(2)) === 0
+      val stutter = array_join(array_repeat(
+        element_at(split(coalesce(col("text"), lit("")), " "), 1), 12), " ")
+      val ev = T(s, dir, "documents").select(col("doc_id"),
+        when(even, coalesce(col("text"), lit(""))).otherwise(stutter)
+          .as("text"),
+        when(even, 1).otherwise(0).as("y"))
+      graft.ops.ClassifierMetrics.averagePrecisionExact(
+        graft.ml.QualityClassifier.scoreFixed(ev, col("doc_id"),
+          col("text"), FixedQualityWeights, carry = Seq(col("y"))),
+        col("y"), col("logit"))
+    }),
+
+    // q202's maintained paragraph index kept healthy by MINOR
+    // compaction instead of the major one: two history appends fold
+    // into one reserved delta partition at O(deltas) — the bucketed
+    // base is never rewritten — then a post-fold crash-REPLAY of the
+    // last batch lands a redundant copy the read-side dedup absorbs.
+    // Oracle = q170's verbatim: a green row proves the folded index
+    // answers the incremental pass exactly as the rebuilt one
+    "q212_minor_compacted_index" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").withColumn("__ptext",
+        syntheticParaText)
+      val root = freshIdxRoot("q212", dir)
+      val store = new graft.dedup.IndexStore(
+        root.resolve("parakeys").toString, Seq("key"))
+      def delta(m: Int) = Dedup.paragraphKeys(
+        docs.where(pmod(col("doc_id"), lit(4)) === m),
+        col("doc_id"), col("__ptext"))
+      store.append(delta(0), 0L)
+      store.append(delta(2), 1L)
+      store.compactDeltas(s) // L0 fold: O(deltas), base untouched
+      store.append(delta(2), 1L) // crash-replay AFTER the fold
+      Dedup.incrementalParagraphsPre(
+          docs.where(pmod(col("doc_id"), lit(2)) === 1),
+          store.read(s),
+          col("doc_id"), col("__ptext"),
+          expectedItems = 1000000L, fpp = 0.01)
+        .orderBy("doc_id")
     })
   )
 
@@ -7198,6 +7271,10 @@ object SparkEntry {
           withScand = true, corpusWhere = "WHERE doc_id % 10 = 3"),
       "q202_maintained_paragraph_index" ->
         m("q170_incremental_paragraphs"),
+      // minor compaction preserves the maintained ≡ rebuilt
+      // equivalence: same one-shot sibling SQL as q202
+      "q212_minor_compacted_index" ->
+        m("q170_incremental_paragraphs"),
       "q203_maintained_semantic_index" ->
         m("q195_incremental_semantic_keep"),
       "q205_maintained_band_index" ->
@@ -7306,6 +7383,104 @@ object SparkEntry {
         s"""WITH $fixedClusterAssignCtes
            |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster
            |FROM casg WHERE vec_id IN (${LookupVecIds.mkString(", ")})
-           |ORDER BY vec_id""".stripMargin)
+           |ORDER BY vec_id""".stripMargin,
+
+      // per-source sweep: the q169 chain with `source` carried into
+      // the grouping — one confusion row per (source, threshold),
+      // identical exact-integer cells and guarded e6 divisions
+      "q210_quality_eval_by_source" -> {
+        val w = FixedQualityWeights.mkString("[", ", ", "]")
+        val n = FixedQualityWeights.length
+        val th = QualityEvalThresholds.map(t => s"($t)").mkString(", ")
+        s"""WITH ev AS (SELECT doc_id, source,
+           |    CASE WHEN doc_id % 2 = 0 THEN COALESCE(text, '')
+           |      ELSE ltrim(repeat(
+           |        ' ' || string_split(COALESCE(text, ''), ' ')[1], 12))
+           |      END AS text,
+           |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS y
+           |  FROM documents),
+           |tk AS (SELECT doc_id, source, y,
+           |    list_filter(string_split(text, ' '), t -> len(t) > 0)
+           |      AS toks
+           |  FROM ev),
+           |sc AS (SELECT doc_id, source, y,
+           |    CAST(COALESCE(list_sum(list_transform(toks, t ->
+           |      ($w)[CAST((CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)
+           |        % $n) AS INTEGER) + 1])), 0) AS BIGINT) AS logit
+           |  FROM tk),
+           |th(threshold) AS (SELECT * FROM (VALUES $th)),
+           |c AS (SELECT sc.source AS slice, th.threshold,
+           |    CAST(SUM(CASE WHEN logit > th.threshold AND y = 1
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           |    CAST(SUM(CASE WHEN logit > th.threshold AND y = 0
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           |    CAST(SUM(CASE WHEN logit <= th.threshold AND y = 1
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           |    CAST(SUM(CASE WHEN logit <= th.threshold AND y = 0
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS tn
+           |  FROM sc CROSS JOIN th GROUP BY sc.source, th.threshold)
+           |SELECT slice, CAST(threshold AS BIGINT) AS threshold,
+           |  tp, fp, fn, tn,
+           |  CASE WHEN tp + fp = 0 THEN CAST(0 AS BIGINT)
+           |    ELSE CAST((tp * 1000000) // (tp + fp) AS BIGINT)
+           |    END AS precision_e6,
+           |  CASE WHEN tp + fn = 0 THEN CAST(0 AS BIGINT)
+           |    ELSE CAST((tp * 1000000) // (tp + fn) AS BIGINT)
+           |    END AS recall_e6,
+           |  CASE WHEN 2 * tp + fp + fn = 0 THEN CAST(0 AS BIGINT)
+           |    ELSE CAST((2 * tp * 1000000) // (2 * tp + fp + fn)
+           |      AS BIGINT) END AS f1_e6,
+           |  CASE WHEN tp + fp + fn + tn = 0 THEN CAST(0 AS BIGINT)
+           |    ELSE CAST(((tp + tn) * 1000000) // (tp + fp + fn + tn)
+           |      AS BIGINT) END AS accuracy_e6
+           |FROM c ORDER BY slice, threshold""".stripMargin
+      },
+
+      // exact-integer average precision: the q208 chain rolled up to
+      // distinct logits, DESCENDING cumulative window over the
+      // rollup, block-end tie terms (pos·cumPos·1e6 // cumAll through
+      // HUGEINT — the engine routes the same product through
+      // DECIMAL(38,0)), final truncating division by n_pos
+      "q211_avg_precision_exact" -> {
+        val w = FixedQualityWeights.mkString("[", ", ", "]")
+        val n = FixedQualityWeights.length
+        s"""WITH ev AS (SELECT doc_id,
+           |    CASE WHEN doc_id % 2 = 0 THEN COALESCE(text, '')
+           |      ELSE ltrim(repeat(
+           |        ' ' || string_split(COALESCE(text, ''), ' ')[1], 12))
+           |      END AS text,
+           |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS y
+           |  FROM documents),
+           |tk AS (SELECT doc_id, y,
+           |    list_filter(string_split(text, ' '), t -> len(t) > 0)
+           |      AS toks
+           |  FROM ev),
+           |sc AS (SELECT doc_id, y,
+           |    CAST(COALESCE(list_sum(list_transform(toks, t ->
+           |      ($w)[CAST((CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)
+           |        % $n) AS INTEGER) + 1])), 0) AS BIGINT) AS logit
+           |  FROM tk),
+           |g AS (SELECT logit AS s, CAST(SUM(y) AS BIGINT) AS pos,
+           |    CAST(COUNT(*) AS BIGINT) AS al
+           |  FROM sc GROUP BY logit),
+           |c AS (SELECT pos, al,
+           |    CAST(SUM(pos) OVER (ORDER BY s DESC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS BIGINT) AS cum_pos,
+           |    CAST(SUM(al) OVER (ORDER BY s DESC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS BIGINT) AS cum_all
+           |  FROM g),
+           |t AS (SELECT pos, al,
+           |    CAST((CAST(pos AS HUGEINT) * cum_pos * 1000000)
+           |      // cum_all AS BIGINT) AS term
+           |  FROM c)
+           |SELECT CAST(COALESCE(SUM(pos), 0) AS BIGINT) AS n_pos,
+           |  CAST(COALESCE(SUM(al - pos), 0) AS BIGINT) AS n_neg,
+           |  CAST(COALESCE(SUM(term), 0) AS BIGINT) AS sum_prec_e6,
+           |  CASE WHEN COALESCE(SUM(pos), 0) = 0 THEN CAST(0 AS BIGINT)
+           |    ELSE CAST(SUM(term) // SUM(pos) AS BIGINT) END AS ap_e6
+           |FROM t""".stripMargin
+      })
   }
 }

@@ -17,6 +17,8 @@ import org.apache.spark.sql.functions._
   *
   *   path/batch_id=N/  →  one keyed-SET delta per processed batch
   *   path/batch_id=-1/ →  the compacted base, BUCKETED on `keyCols`
+  *   path/batch_id=-2,-3,… → minor-compaction folds ([[compactDeltas]]:
+  *                       deltas collapsed at O(deltas), base untouched)
   *
   * - [[append]] writes a batch's delta into its OWN `batch_id`
   *   partition via dynamic partition overwrite — replaying a batch
@@ -206,14 +208,17 @@ class IndexStore(val path: String, val keyCols: Seq[String],
     * base to -1 = oldest — so a plain compact() over an upgraded
     * store stays lossless instead of silently dropping NULL-clock
     * rows at the retention predicate. */
-  private def merged(spark: SparkSession): DataFrame = {
+  private def merged(spark: SparkSession,
+                     deltasOnly: Boolean = false): DataFrame = {
     val raw = spark.read.option("mergeSchema", "true").parquet(path)
     val clocked =
       if (raw.columns.contains("last_seen"))
         raw.withColumn("last_seen",
           coalesce(col("last_seen"), col("batch_id").cast("long")))
       else raw.withColumn("last_seen", col("batch_id").cast("long"))
-    val all = clocked.drop("batch_id")
+    val scoped =
+      if (deltasOnly) clocked.where(col("batch_id") =!= -1L) else clocked
+    val all = scoped.drop("batch_id")
     val payload = all.columns.filterNot(_ == "last_seen")
     all.groupBy(payload.map(col): _*)
       .agg(max("last_seen").as("last_seen"))
@@ -252,6 +257,65 @@ class IndexStore(val path: String, val keyCols: Seq[String],
       spark.sessionState.newHadoopConf())
   }
 
+  /** MINOR compaction (the LSM L0→L1 fold): collapse every delta
+    * partition into ONE — per-key max clock preserved — WITHOUT
+    * touching the bucketed base. [[compact]] pays O(base + deltas)
+    * and rewrites the whole index; a loop that appends faster than it
+    * can afford major compactions calls this instead at O(deltas) to
+    * keep [[read]]'s broadcast-delta gate (and merge cost) bounded,
+    * reserving [[compact]] for out-of-band windows. The fold lands in
+    * a FRESH reserved partition below the base id (first fold
+    * `batch_id=-2`, then -3, …): fold ids can never collide with a
+    * caller's append ids (which a replayed crash rewrites by name),
+    * and every reader already treats any `batch_id != -1` partition
+    * as a delta, so folds need no new read path.
+    *
+    * Crash-safe with no invisible window: the fold stages OUTSIDE the
+    * live tree, reaches it as ONE rename of a dir whose name nothing
+    * else uses, and only then are the now-redundant source partitions
+    * deleted — a crash at any step leaves at worst duplicate copies
+    * of folded keys, which dedup-on-read already absorbs and the next
+    * fold (or major compact) cleans. A caller replaying a folded
+    * batch after a crash likewise just re-creates a redundant copy
+    * with an older clock; `merged`'s max-per-key keeps retention
+    * exact. */
+  def compactDeltas(spark: SparkSession): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val ids = deltaPartitionIds(fs)
+    if (ids.size <= 1) return // already minimal — nothing to fold
+    val target = math.min(ids.min, -1L) - 1L
+    val staging = new org.apache.hadoop.fs.Path(path + ".deltafold")
+    if (fs.exists(staging)) fs.delete(staging, true) // stale crash debris
+    merged(spark, deltasOnly = true)
+      .withColumn("batch_id", lit(target))
+      .write.mode("overwrite")
+      .partitionBy("batch_id")
+      .parquet(staging.toString)
+    val foldDir =
+      new org.apache.hadoop.fs.Path(staging, s"batch_id=$target")
+    // all-empty deltas fold to no rows → no partition dir: the
+    // sources are deletable garbage and there is nothing to move in
+    if (fs.exists(foldDir) &&
+        !fs.rename(foldDir,
+          new org.apache.hadoop.fs.Path(path, s"batch_id=$target")))
+      throw new java.io.IOException(
+        s"compactDeltas: cannot move the fold into $path")
+    ids.foreach(id => fs.delete(
+      new org.apache.hadoop.fs.Path(path, s"batch_id=$id"), true))
+    fs.delete(staging, true)
+  }
+
+  /** The delta partition ids present on disk (everything but the
+    * `batch_id=-1` base) — a driver FS listing, no Spark job. */
+  private def deltaPartitionIds(
+      fs: org.apache.hadoop.fs.FileSystem): Seq[Long] =
+    fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("batch_id=") &&
+        s.getPath.getName != "batch_id=-1")
+      .map(_.getPath.getName.stripPrefix("batch_id=").toLong).toSeq
+
   /** Retention: drop every key not seen in batch `below` or later.
     * A key re-appended since keeps its full payload and refreshed
     * clock; the compacted base that results is the same artifact a
@@ -262,7 +326,8 @@ class IndexStore(val path: String, val keyCols: Seq[String],
 
   /** Loop observability: one row per stored partition —
     * `(batch_id, rows, keys)`, `batch_id = -1` being the compacted
-    * base — the numbers a maintenance scheduler reads: the delta-row
+    * base and ids below it minor-compaction folds — the numbers a
+    * maintenance scheduler reads: the delta-row
     * total above the base is the COMPACTION DEBT (read()-side merge
     * cost grows with it), and a keys≪rows partition means upstream
     * sent an un-deduplicated delta. One index-sized aggregation; no

@@ -200,4 +200,132 @@ object ClassifierMetrics {
           "ELSE CAST(((2 * concordant + tied) * 1000000) " +
           "DIV (2 * n_pos * n_neg) AS BIGINT) END").as("auc_e6"))
   }
+
+  /** The sweep SLICED by an attribution column — the per-source audit
+    * a corpus-wide operating point hides: a threshold that looks fine
+    * on the aggregate can be discarding one domain wholesale (its
+    * recall row goes to zero) while another domain's junk sails
+    * through (precision row collapses). Same cells and derived
+    * metrics as [[confusionAtThresholds]], one row per
+    * (slice, threshold).
+    *
+    * Totality differs from the global sweep BY NECESSITY: the slice
+    * domain is data-defined, so absent slices cannot emit rows — but
+    * within every OBSERVED slice the grid is total for free (the
+    * explode replicates each row to every threshold, so an observed
+    * slice owns all |T| rows). A NULL slice is rejected loudly like
+    * NULL labels: a row that cannot be attributed would silently form
+    * its own NULL group and a per-source report would misread it.
+    *
+    * Scale shape: identical to the sweep — the explode is a map-side
+    * |T|-constant factor and one partial-ized groupBy reduces to
+    * |slices|·|T| rows. No second corpus pass for the slice domain
+    * (it falls out of the same aggregation), no window, no driver
+    * state.
+    */
+  def confusionAtThresholdsBy(scored: DataFrame, sliceCol: Column,
+                              labelCol: Column, scoreCol: Column,
+                              thresholds: Seq[Long]): DataFrame = {
+    require(thresholds.nonEmpty, "at least one threshold")
+    require(thresholds.distinct.size == thresholds.size,
+      "duplicate thresholds would emit duplicate sweep rows")
+    requireIntegralScore(scored, scoreCol, "confusionAtThresholdsBy")
+    def nonNull(c: Column, what: String): Column = coalesce(c,
+      raise_error(lit(s"confusionAtThresholdsBy: NULL $what — a row " +
+        "that cannot be attributed/binned would silently skew its " +
+        "slice; filter or impute upstream explicitly")).cast("long"))
+    scored.select(
+        coalesce(sliceCol.cast("string"),
+          raise_error(lit("confusionAtThresholdsBy: NULL slice — a " +
+            "row that cannot be attributed would form a phantom NULL " +
+            "group; filter or impute upstream explicitly")))
+          .as("slice"),
+        nonNull(labelCol.cast("int").cast("long"), "label").cast("int")
+          .as("__y"),
+        nonNull(scoreCol.cast("long"), "score").as("__s"))
+      .select(col("slice"), col("__y"), col("__s"),
+        explode(typedLit(thresholds)).as("threshold"))
+      .groupBy("slice", "threshold").agg(
+        sum(when(col("__s") > col("threshold") && col("__y") === 1, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("__s") > col("threshold") && col("__y") === 0, 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("__s") <= col("threshold") && col("__y") === 1, 1L)
+          .otherwise(0L)).as("fn"),
+        sum(when(col("__s") <= col("threshold") && col("__y") === 0, 1L)
+          .otherwise(0L)).as("tn"))
+      .select(col("slice"), col("threshold"),
+        col("tp"), col("fp"), col("fn"), col("tn"),
+        expr("CASE WHEN tp + fp = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE CAST((tp * 1000000) DIV (tp + fp) AS BIGINT) END")
+          .as("precision_e6"),
+        expr("CASE WHEN tp + fn = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE CAST((tp * 1000000) DIV (tp + fn) AS BIGINT) END")
+          .as("recall_e6"),
+        expr("CASE WHEN 2 * tp + fp + fn = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE CAST((2 * tp * 1000000) DIV (2 * tp + fp + fn) AS BIGINT) " +
+          "END").as("f1_e6"),
+        expr("CASE WHEN tp + fp + fn + tn = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE CAST(((tp + tn) * 1000000) DIV (tp + fp + fn + tn) " +
+          "AS BIGINT) END").as("accuracy_e6"))
+  }
+
+  /** Exact-integer AVERAGE PRECISION (the PR-curve's area, as [[aucExact]]
+    * is the ROC curve's) by the same distinct-score rollup — the
+    * ranking summary that weights the head of the ranking, which is
+    * what a quality FILTER actually ships (AUC treats all ranks
+    * equally; AP is dominated by precision where the kept documents
+    * live). AP = (1/P) · Σ_positives precision@rank.
+    *
+    * Tie convention pinned, BLOCK-END (pessimistic): every positive
+    * inside a tied-score block takes the precision at the END of the
+    * block — `term = pos_i · cumPos_i · 1e6 DIV cumAll_i` with the
+    * cumulatives inclusive in DESCENDING score order. Equivalent to
+    * ranking ties worst-case-last, so a classifier cannot inflate AP
+    * by emitting coarse scores; truncation is per-block then once at
+    * the final division (both pinned — the oracle replays the exact
+    * same arithmetic, so the convention IS the contract).
+    *
+    * Output one TOTAL row `(n_pos, n_neg, sum_prec_e6, ap_e6)` — the
+    * intermediate sum rides along so a report can audit the fold; an
+    * empty or single-class corpus yields the row with `ap_e6 = 0` by
+    * convention, never an empty relation.
+    *
+    * Scale shape: the [[aucExact]] shape exactly — one partial-ized
+    * groupBy to the distinct-score rollup, one window OVER THE ROLLUP
+    * (single-partition by necessity, bounded by the integer score
+    * grid — the q171 rollup-window discipline), one scalar fold; pairs
+    * and ranks are never enumerated. Block products route through
+    * DECIMAL(38,0) so the fold stays exact past the ~3e6-positive
+    * point where `pos·cumPos·1e6` leaves the long range.
+    */
+  def averagePrecisionExact(scored: DataFrame, labelCol: Column,
+                            scoreCol: Column): DataFrame = {
+    requireIntegralScore(scored, scoreCol, "averagePrecisionExact")
+    def nonNull(c: Column, what: String): Column = coalesce(c,
+      raise_error(lit(s"averagePrecisionExact: NULL $what — a row " +
+        "with no label/score cannot be ranked; filter or impute " +
+        "upstream explicitly")).cast("long"))
+    val g = scored.select(
+        nonNull(labelCol.cast("int").cast("long"), "label").as("__y"),
+        nonNull(scoreCol.cast("long"), "score").as("__s"))
+      .groupBy("__s").agg(
+        sum(col("__y")).as("pos"),
+        count(lit(1)).as("all"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.withColumn("cum_pos", sum(col("pos")).over(w))
+      .withColumn("cum_all", sum(col("all")).over(w))
+      .select(col("pos"), col("all"),
+        expr("CAST((CAST(pos AS DECIMAL(38,0)) * cum_pos * 1000000) " +
+          "DIV cum_all AS BIGINT)").as("term_e6"))
+      .agg(
+        coalesce(sum(col("pos")), lit(0L)).as("n_pos"),
+        coalesce(sum(col("all") - col("pos")), lit(0L)).as("n_neg"),
+        coalesce(sum(col("term_e6")), lit(0L)).as("sum_prec_e6"))
+      .select(col("n_pos"), col("n_neg"), col("sum_prec_e6"),
+        expr("CASE WHEN n_pos = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE CAST(sum_prec_e6 DIV n_pos AS BIGINT) END").as("ap_e6"))
+  }
 }

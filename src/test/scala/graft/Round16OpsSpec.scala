@@ -284,4 +284,137 @@ class Round16OpsSpec extends AnyFunSuite {
     assert(!new java.io.File(store.path + ".old").exists())
     assert(!new java.io.File(store.path + ".compact").exists())
   }
+
+  test("compactDeltas: O(deltas) fold into a reserved partition — contents, clocks, base untouched, replay absorbed") {
+    import graft.dedup.IndexStore
+    val store = new IndexStore(tmp("fold"), Seq("k"))
+    // a lone delta is already minimal — the fold is a no-op
+    store.append(Seq(("a", 1)).toDF("k", "v"), 0L)
+    store.compactDeltas(spark)
+    assert(store.stats(spark).select("batch_id").as[Long].collect()
+      .toSeq == Seq(0L))
+    // key `a` seen ONLY at batch 0; `b` re-observed at batch 2 — the
+    // fold must carry each key's FRESHEST clock, not restamp its own
+    store.append(Seq(("b", 2), ("c", 3)).toDF("k", "v"), 1L)
+    store.append(Seq(("b", 2)).toDF("k", "v"), 2L)
+    val before = store.read(spark).orderBy("k").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq
+    store.compactDeltas(spark)
+    // one reserved fold partition replaces the three source deltas
+    assert(store.stats(spark).select("batch_id").as[Long].collect()
+      .toSeq == Seq(-2L))
+    assert(store.read(spark).orderBy("k").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq == before)
+    // a caller replaying a folded batch after a crash just lands a
+    // redundant copy the read-side dedup absorbs
+    store.append(Seq(("a", 1)).toDF("k", "v"), 0L)
+    assert(store.read(spark).orderBy("k").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq == before)
+    store.compactDeltas(spark) // re-fold: ids {-2, 0} → target -3
+    assert(store.stats(spark).select("batch_id").as[Long].collect()
+      .toSeq == Seq(-3L))
+    // clocks survived both folds: `a` was last seen at batch 0, `b`
+    // at batch 2 — expire at watermark 1 ages out exactly a
+    store.expire(spark, below = 1L)
+    assert(store.read(spark).orderBy("k").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq ==
+      Seq(("b", 2), ("c", 3)))
+  }
+
+  test("compactDeltas with a bucketed base: the base is never read or rewritten by the fold") {
+    import graft.dedup.IndexStore
+    val store = new IndexStore(tmp("foldbase"), Seq("k"))
+    store.append(Seq(("a", 1), ("b", 2)).toDF("k", "v"), 0L)
+    store.compact(spark)
+    val baseDir = new java.io.File(store.path + "/batch_id=-1")
+    val baseSnapshot = baseDir.listFiles().filterNot(_.getName
+      .startsWith("_")).map(f => (f.getName, f.lastModified)).toSeq
+    store.append(Seq(("b", 2), ("c", 3)).toDF("k", "v"), 1L)
+    store.append(Seq(("d", 4)).toDF("k", "v"), 2L)
+    store.compactDeltas(spark)
+    // the fold collapsed the two deltas but left every base file
+    // byte-identical in place — minor compaction is O(deltas)
+    assert(baseDir.listFiles().filterNot(_.getName.startsWith("_"))
+      .map(f => (f.getName, f.lastModified)).toSeq == baseSnapshot)
+    assert(store.stats(spark).select("batch_id").as[Long].collect()
+      .toSeq == Seq(-2L, -1L))
+    assert(store.read(spark).orderBy("k").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq ==
+      Seq(("a", 1), ("b", 2), ("c", 3), ("d", 4)))
+    // stale fold staging from a crashed previous run is swept, and
+    // the store reads consistently around it
+    val stale = new java.io.File(store.path + ".deltafold")
+    assert(stale.mkdirs())
+    store.append(Seq(("e", 5)).toDF("k", "v"), 3L)
+    store.compactDeltas(spark)
+    assert(!stale.exists())
+    assert(store.read(spark).count() == 5L)
+  }
+
+  test("averagePrecisionExact: hand-computed AP with ties, perfect/reversed/degenerate conventions, loud rejections") {
+    import graft.ops.ClassifierMetrics
+    def ap(df: DataFrame): (Long, Long, Long, Long) = {
+      val r = ClassifierMetrics.averagePrecisionExact(df, col("y"),
+        col("s")).collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    // ties: (s=3,y=1),(s=3,y=0),(s=2,y=1),(s=1,y=0) — block s=3 has
+    // the positive at block-END precision 1/2 → 500000; block s=2 at
+    // 2/3 → 666666; AP = 1166666 DIV 2 = 583333 (hand-computed)
+    assert(ap(Seq((1, 3L), (0, 3L), (1, 2L), (0, 1L)).toDF("y", "s")) ==
+      (2L, 2L, 1166666L, 583333L))
+    // perfect ranking: every positive above every negative → 1e6
+    assert(ap(Seq((1, 9L), (1, 8L), (0, 2L), (0, 1L)).toDF("y", "s")) ==
+      (2L, 2L, 2000000L, 1000000L))
+    // reversed 1-pos/1-neg: the positive at precision 1/2 → 500000
+    assert(ap(Seq((0, 2L), (1, 1L)).toDF("y", "s")) ==
+      (1L, 1L, 500000L, 500000L))
+    // degenerate conventions: total row, never an empty relation
+    assert(ap(Seq.empty[(Int, Long)].toDF("y", "s")) == (0L, 0L, 0L, 0L))
+    assert(ap(Seq((0, 5L)).toDF("y", "s")) == (0L, 1L, 0L, 0L))
+    assert(ap(Seq((1, 5L), (1, 1L)).toDF("y", "s")) ==
+      (2L, 0L, 2000000L, 1000000L)) // all-positive corpus: AP = 1
+    // loud NULL / fractional-score rejection (the family contract)
+    intercept[Exception] {
+      ClassifierMetrics.averagePrecisionExact(
+        Seq((Some(1), Option.empty[Long]), (Some(0), Some(1L)))
+          .toDF("y", "s"), col("y"), col("s")).collect()
+    }
+    intercept[IllegalArgumentException] {
+      ClassifierMetrics.averagePrecisionExact(
+        Seq((1, 0.9), (0, 0.2)).toDF("y", "s"), col("y"), col("s"))
+    }
+  }
+
+  test("confusionAtThresholdsBy: per-slice cells, per-observed-slice grid totality, loud rejections") {
+    import graft.ops.ClassifierMetrics
+    val df = Seq(("A", 1, 5L), ("A", 0, 1L), ("B", 1, 1L))
+      .toDF("src", "y", "s")
+    val out = ClassifierMetrics.confusionAtThresholdsBy(df, col("src"),
+        col("y"), col("s"), Seq(0L, 3L))
+      .orderBy("slice", "threshold").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7)))
+    assert(out.toSeq == Seq(
+      // A@0: tp=1 fp=1 → precision 1/2, recall 1
+      ("A", 0L, 1L, 1L, 0L, 0L, 500000L, 1000000L),
+      // A@3: the junk row falls to tn — a clean operating point
+      ("A", 3L, 1L, 0L, 0L, 1L, 1000000L, 1000000L),
+      // B@0: its one positive clears the threshold
+      ("B", 0L, 1L, 0L, 0L, 0L, 1000000L, 1000000L),
+      // B@3 exists even though nothing in B scores above 3 — the
+      // observed-slice grid is total: recall 0 is a REPORTED row
+      ("B", 3L, 0L, 0L, 1L, 0L, 0L, 0L)))
+    intercept[Exception] { // NULL slice would form a phantom group
+      ClassifierMetrics.confusionAtThresholdsBy(
+        Seq((Option.empty[String], 1, 5L)).toDF("src", "y", "s"),
+        col("src"), col("y"), col("s"), Seq(0L)).collect()
+    }
+    intercept[IllegalArgumentException] { // fractional scores rejected
+      ClassifierMetrics.confusionAtThresholdsBy(
+        Seq(("A", 1, 0.9)).toDF("src", "y", "s"),
+        col("src"), col("y"), col("s"), Seq(0L))
+    }
+  }
 }
