@@ -627,6 +627,10 @@ class StreamingSpec extends SparkSpec {
     writeFile("b0", docs.take(2))
     writeFile("b1", docs.slice(2, 4))
     runLoop() // run 1: two micro-batches
+    // MINOR compaction at the loop's cadence: the two deltas fold at
+    // O(deltas) into the reserved partition (clocks preserved); the
+    // restart below must resume cleanly ON TOP of the fold
+    store.compactDeltas(spark)
     val idsRun1 = spark.read.parquet(store.path)
       .select("batch_id").distinct().count()
     writeFile("b2", docs.drop(4))
