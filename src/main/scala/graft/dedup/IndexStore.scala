@@ -208,17 +208,19 @@ class IndexStore(val path: String, val keyCols: Seq[String],
     * base to -1 = oldest — so a plain compact() over an upgraded
     * store stays lossless instead of silently dropping NULL-clock
     * rows at the retention predicate. */
-  private def merged(spark: SparkSession,
-                     deltasOnly: Boolean = false): DataFrame = {
-    val raw = spark.read.option("mergeSchema", "true").parquet(path)
+  private def merged(spark: SparkSession): DataFrame =
+    foldByKey(spark.read.option("mergeSchema", "true").parquet(path))
+
+  /** One row per key with its freshest clock, from any raw
+    * partition-carrying read (see [[merged]]'s doc above for the
+    * pre-upgrade clock derivation). */
+  private def foldByKey(raw: DataFrame): DataFrame = {
     val clocked =
       if (raw.columns.contains("last_seen"))
         raw.withColumn("last_seen",
           coalesce(col("last_seen"), col("batch_id").cast("long")))
       else raw.withColumn("last_seen", col("batch_id").cast("long"))
-    val scoped =
-      if (deltasOnly) clocked.where(col("batch_id") =!= -1L) else clocked
-    val all = scoped.drop("batch_id")
+    val all = clocked.drop("batch_id")
     val payload = all.columns.filterNot(_ == "last_seen")
     all.groupBy(payload.map(col): _*)
       .agg(max("last_seen").as("last_seen"))
@@ -287,7 +289,12 @@ class IndexStore(val path: String, val keyCols: Seq[String],
     val target = math.min(ids.min, -1L) - 1L
     val staging = new org.apache.hadoop.fs.Path(path + ".deltafold")
     if (fs.exists(staging)) fs.delete(staging, true) // stale crash debris
-    merged(spark, deltasOnly = true)
+    // read ONLY the delta directories (basePath recovers the partition
+    // column): the base is never listed, never footer-read, never
+    // scanned — the fold's cost is a function of the deltas alone
+    foldByKey(spark.read
+        .option("mergeSchema", "true").option("basePath", path)
+        .parquet(ids.map(id => s"$path/batch_id=$id"): _*))
       .withColumn("batch_id", lit(target))
       .write.mode("overwrite")
       .partitionBy("batch_id")
@@ -340,6 +347,46 @@ class IndexStore(val path: String, val keyCols: Seq[String],
       .agg(count(lit(1)).as("rows"),
         countDistinct(keyCols.head, keyCols.tail: _*).as("keys"))
       .orderBy("batch_id")
+
+  /** The maintenance scheduler's decision, derived from driver-side
+    * FS listings alone (no Spark job — callable from a foreachBatch
+    * loop every batch at zero plan cost): one row
+    * `(n_delta_partitions, delta_bytes, base_bytes, action)` where
+    * `action` is the cheapest move that restores the read-side cost
+    * contract —
+    *
+    *   - `"major"`: the delta bytes have outgrown
+    *     [[IndexStore.BroadcastDeltaByteCap]] — [[read]] has already
+    *     degraded to the distributed dedup, so the next window must
+    *     pay the full [[compact]] (folding less would leave the gate
+    *     still blown);
+    *   - `"minor"`: delta bytes past a quarter of the cap or delta
+    *     partitions past [[IndexStore.MinorFoldPartitionCap]] —
+    *     [[compactDeltas]] at O(deltas) keeps the broadcast gate and
+    *     the per-probe file listing bounded without touching the
+    *     base;
+    *   - `"none"`: within contract.
+    *
+    * The thresholds are deliberately part of the store's layout
+    * contract (like `numBuckets`), not tunables — a crawl loop calls
+    * this after each append and dispatches on the answer. */
+  def maintenancePlan(spark: SparkSession): (Long, Long, Long, String) = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val nDeltas = deltaPartitionIds(fs).size.toLong
+    val dBytes = deltaBytes(spark)
+    val basePath = new org.apache.hadoop.fs.Path(baseDir)
+    val bBytes =
+      if (fs.exists(basePath))
+        fs.listStatus(basePath).filter(_.isFile).map(_.getLen).sum
+      else 0L
+    val action =
+      if (dBytes > IndexStore.BroadcastDeltaByteCap) "major"
+      else if (dBytes > IndexStore.BroadcastDeltaByteCap / 4 ||
+               nDeltas > IndexStore.MinorFoldPartitionCap) "minor"
+      else "none"
+    (nDeltas, dBytes, bBytes, action)
+  }
 
   // ---- bucketed-base plumbing ---------------------------------------
 
@@ -409,6 +456,12 @@ object IndexStore {
     * the keys-only broadcast in Spark's own broadcast-ceiling order
     * even after decompression. */
   val BroadcastDeltaByteCap: Long = 64L * 1024 * 1024
+
+  /** [[IndexStore.maintenancePlan]]'s partition-count trigger for a
+    * minor fold: past this many delta partitions the per-probe file
+    * listing and footer reads dominate small-delta merges, so the
+    * L0 fold pays for itself regardless of byte volume. */
+  val MinorFoldPartitionCap: Long = 16L
 
   /** Two-rename swap of `path.compact` into `path` (shared with
     * [[graft.stream.ZsetSink.compact]]): the live dir moves aside to

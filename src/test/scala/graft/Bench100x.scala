@@ -259,6 +259,75 @@ object Bench100x {
     val mp100 = maintainedProbe(dirD, "100x")
     probeAB("q201_maintained_probe_fixed_bench", mp1, mp100)
 
+    // the MINOR-compaction fold at a 100× BASE with the DELTAS held
+    // fixed — compactDeltas' O(deltas) claim as data: the fold reads
+    // only the delta directories (the base is never listed, never
+    // footer-read), so its cost must be flat in base size. Both
+    // stores carry identical replica-0 delta bytes; only the bucketed
+    // base differs 100×. A fold consumes its sources, so each timed
+    // pair first restores the pristine delta partitions driver-side
+    // (untimed); timed = compactDeltas alone.
+    locally {
+      import graft.dedup.{Dedup, IndexStore}
+      def mkFoldStore(dir: String, tag: String): IndexStore = {
+        val root = s"/tmp/graft_100x_fold_$tag"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        val store = new IndexStore(s"$root/winfp", Seq("doc_id", "fp"),
+          numBuckets = 32)
+        val d = spark.read.parquet(s"$dir/documents.parquet")
+        store.append(Dedup.windowFingerprintIndex(
+          d.where(pmod(col("doc_id"), lit(10)) =!= 7),
+          col("doc_id"), col("text"), k = 8), 0L)
+        store.compact(spark) // the base: 1× vs 100×
+        val fixed = d.where(col("doc_id") < nDocs &&
+          pmod(col("doc_id"), lit(10)) === 7) // replica 0: SAME both sides
+        def fdelta(m: Int) = Dedup.windowFingerprintIndex(
+          fixed.where(pmod(col("doc_id"), lit(2)) === m),
+          col("doc_id"), col("text"), k = 8)
+        store.append(fdelta(0), 1L)
+        store.append(fdelta(1), 2L)
+        for (b <- 1 to 2) // snapshot: the fold consumes its sources
+          org.apache.commons.io.FileUtils.copyDirectory(
+            new java.io.File(s"${store.path}/batch_id=$b"),
+            new java.io.File(s"$root/pristine/batch_id=$b"))
+        store
+      }
+      def restoreDeltas(store: IndexStore, tag: String): Unit = {
+        new java.io.File(store.path).listFiles()
+          .filter(f => f.getName.startsWith("batch_id=") &&
+            f.getName != "batch_id=-1")
+          .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+        for (b <- 1 to 2)
+          org.apache.commons.io.FileUtils.copyDirectory(
+            new java.io.File(s"/tmp/graft_100x_fold_$tag/pristine/batch_id=$b"),
+            new java.io.File(s"${store.path}/batch_id=$b"))
+      }
+      val fs1 = mkFoldStore(sf01, "1x")
+      val fs100 = mkFoldStore(dirD, "100x")
+      val series = (1 to 3).map { _ =>
+        restoreDeltas(fs1, "1x")
+        val a = System.nanoTime(); fs1.compactDeltas(spark)
+        val s1 = (System.nanoTime() - a) / 1e9
+        restoreDeltas(fs100, "100x")
+        val b = System.nanoTime(); fs100.compactDeltas(spark)
+        val s100 = (System.nanoTime() - b) / 1e9
+        (s1, s100)
+      }
+      val t1 = series.map(_._1).min
+      val t100 = series.map(_._2).min
+      val n = spark.read.parquet(fs100.path)
+        .where(col("batch_id") < -1).count() // the fold's rows
+      println(f"[bench100x] q212_fold_fixed_deltas_vs_100x_base " +
+        f"(A/B x3) sf0.1=$t1%.2f s 100x=$t100%.2f s " +
+        f"ratio=${t100 / t1}%.1f rows=$n series=" +
+        series.map { case (x, y) => f"($x%.1f,$y%.1f)" }.mkString(","))
+      results += (("q212_fold_fixed_deltas_vs_100x_base", t1, t100,
+        t100 / t1, n))
+      abSeries += "q212_fold_fixed_deltas_vs_100x_base" ->
+        series.map { case (x, y) =>
+          s"[${fmt(x)}, ${fmt(y)}]" }.mkString("[", ", ", "]")
+    }
+
     val qJson = results.map { case (n, t1, t100, r, rows) =>
       val ab = abSeries.get(n)
         .map(s => s""", "ab_series_1x_100x": $s""").getOrElse("")
@@ -267,7 +336,7 @@ object Bench100x {
     }.mkString("{\n", ",\n", "\n}")
     val json =
       s"""{
-         |"protocol": "100x replica spot-probe (VERDICT r11 #6), r13: min-of-2 per scale (VERDICT r12 #5) and timed action is Bench.consume (noop-sink full-row materialization), with one extra pruned count() per probe for the out_rows evidence: documents token-tagged per replica (fully disjoint cross-replica text, within-replica structure preserved); embeddings rotated by (r mod 64) with a global sign flip for r >= 64 (norm/within-replica-cosine preserving, cross-replica pairs at -cos or noise). q67 probed in the 100-TB TRUE regime (t=0.9, 16-bit keys); its gate regime (t=0.45, 4-bit) is recall-driven ~n^2 by design and not a scaling claim. q178 probed in its ADVERSARIAL hot-span regime: an untagged banner shared by every doc across replicas makes the dup semi-join's left side carry globally-hot keys, hashSpans=true (the 100-TB path), kept_text consumed so the rebuild is measured (not count()-pruned). r15: EVERY row records as INTERLEAVED same-window A/B pairs (3x alternating 1x/100x consumes; headline = min per side, full series in ab_series_1x_100x) so epoch drift hits both sides of each ratio equally — lone min-of-2 ratios recorded minutes apart moved up to 7x between same-code sessions (q160's 100x stage measured 24-84 s bimodal on identical plans; q67's sf0.1 side read 2.73 s vs 0.38 s across two runs). r14 adds the two production shapes VERDICT r13 #5 named: q191 incremental excision (batch=odd/history=even over the token-tagged corpus — within-replica-only window dups, honest linear ground truth) and the q188 five-stage curate capstone end-to-end on the token-tagged corpus (word-initial trigrams survive tagging, so the lang gate passes real survivor volume); plus the banded incremental-semantic probe with the BATCH HELD FIXED (1000 replica-0 odd vectors) while history grows 1k -> 199k, true regime (t=0.9, 16-bit band keys on rotated embeddings; the registered 4-bit/0.45 config is the recall-driven gate regime, ~n^2 by design like q67's), history index + Bloom built outside the timed region (the persisted artifacts a production loop amortizes) — the ratio reads per-batch probe cost vs a 199x history. r16 adds the MAINTAINED-index probe (VERDICT r15 #1): a window-fp IndexStore at 1x vs 100x corpus scale — 3 appends, an LSM compact into the BUCKETED base, one post-compact delta, all built untimed — with the bench batch held fixed (replica-0 docs on both sides); timed = store.read (base streamed through the broadcast-anti delta merge, no index shuffle) + the fp semi-join arrival audit, i.e. exactly what every benchmark arrival pays against a 100x index. local[32].",
+         |"protocol": "100x replica spot-probe (VERDICT r11 #6), r13: min-of-2 per scale (VERDICT r12 #5) and timed action is Bench.consume (noop-sink full-row materialization), with one extra pruned count() per probe for the out_rows evidence: documents token-tagged per replica (fully disjoint cross-replica text, within-replica structure preserved); embeddings rotated by (r mod 64) with a global sign flip for r >= 64 (norm/within-replica-cosine preserving, cross-replica pairs at -cos or noise). q67 probed in the 100-TB TRUE regime (t=0.9, 16-bit keys); its gate regime (t=0.45, 4-bit) is recall-driven ~n^2 by design and not a scaling claim. q178 probed in its ADVERSARIAL hot-span regime: an untagged banner shared by every doc across replicas makes the dup semi-join's left side carry globally-hot keys, hashSpans=true (the 100-TB path), kept_text consumed so the rebuild is measured (not count()-pruned). r15: EVERY row records as INTERLEAVED same-window A/B pairs (3x alternating 1x/100x consumes; headline = min per side, full series in ab_series_1x_100x) so epoch drift hits both sides of each ratio equally — lone min-of-2 ratios recorded minutes apart moved up to 7x between same-code sessions (q160's 100x stage measured 24-84 s bimodal on identical plans; q67's sf0.1 side read 2.73 s vs 0.38 s across two runs). r14 adds the two production shapes VERDICT r13 #5 named: q191 incremental excision (batch=odd/history=even over the token-tagged corpus — within-replica-only window dups, honest linear ground truth) and the q188 five-stage curate capstone end-to-end on the token-tagged corpus (word-initial trigrams survive tagging, so the lang gate passes real survivor volume); plus the banded incremental-semantic probe with the BATCH HELD FIXED (1000 replica-0 odd vectors) while history grows 1k -> 199k, true regime (t=0.9, 16-bit band keys on rotated embeddings; the registered 4-bit/0.45 config is the recall-driven gate regime, ~n^2 by design like q67's), history index + Bloom built outside the timed region (the persisted artifacts a production loop amortizes) — the ratio reads per-batch probe cost vs a 199x history. r16 adds the MAINTAINED-index probe (VERDICT r15 #1): a window-fp IndexStore at 1x vs 100x corpus scale — 3 appends, an LSM compact into the BUCKETED base, one post-compact delta, all built untimed — with the bench batch held fixed (replica-0 docs on both sides); timed = store.read (base streamed through the broadcast-anti delta merge, no index shuffle) + the fp semi-join arrival audit, i.e. exactly what every benchmark arrival pays against a 100x index. Late-r16 adds the MINOR-compaction fold probe: compactDeltas timed over identical replica-0 delta bytes against a 1x vs 100x bucketed base (pristine deltas restored driver-side per pair, untimed, because a fold consumes its sources) — the fold reads only the delta directories, so a flat ratio is the O(deltas) claim as data. local[32].",
          |"n_docs_100x": ${nDocs * reps}, "n_vecs_100x": ${nVecs * reps},
          |"load_start": "$loadStart", "load_end": "${loadavg()}",
          |"queries": $qJson

@@ -351,6 +351,32 @@ class Round16OpsSpec extends AnyFunSuite {
     assert(store.read(spark).count() == 5L)
   }
 
+  test("maintenancePlan: none → minor (partition cap) → none after fold → major (byte cap) from on-disk state alone") {
+    import graft.dedup.IndexStore
+    val store = new IndexStore(tmp("plan"), Seq("k"))
+    store.append(Seq(("a", 1)).toDF("k", "v"), 0L)
+    assert(store.maintenancePlan(spark)._4 == "none")
+    // blow the partition-count trigger: 17 more tiny deltas
+    (1 to 17).foreach(i =>
+      store.append(Seq((s"k$i", i)).toDF("k", "v"), i.toLong))
+    val (n, d, b, act) = store.maintenancePlan(spark)
+    assert(n == 18L && d > 0L && b == 0L && act == "minor")
+    store.compactDeltas(spark) // the recommended move restores contract
+    assert(store.maintenancePlan(spark)._4 == "none")
+    store.compact(spark) // major: deltas fold into the bucketed base
+    val (n2, d2, b2, act2) = store.maintenancePlan(spark)
+    assert(n2 == 0L && d2 == 0L && b2 > 0L && act2 == "none")
+    // byte-cap breach reads from the listing (sparse file: the FS
+    // reports the logical length — no 64 MB actually written)
+    val big = new java.io.File(store.path + "/batch_id=99")
+    assert(big.mkdirs())
+    val raf = new java.io.RandomAccessFile(
+      new java.io.File(big, "part-huge.parquet"), "rw")
+    raf.setLength(IndexStore.BroadcastDeltaByteCap + 1)
+    raf.close()
+    assert(store.maintenancePlan(spark)._4 == "major")
+  }
+
   test("averagePrecisionExact: hand-computed AP with ties, perfect/reversed/degenerate conventions, loud rejections") {
     import graft.ops.ClassifierMetrics
     def ap(df: DataFrame): (Long, Long, Long, Long) = {
