@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-16 phase profiler (optimization scaffolding, not a contract
+  * entrypoint): times the PHASES inside the maintained-index loop
+  * queries so the optimization targets the phase that actually costs,
+  * per guide §1 — the bench times only whole queries.
+  */
+object ProfileR16 {
+  def time[A](label: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"  [$label%-28s] ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    r
+  }
+
+  def consume(df: DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val reps = sys.env.getOrElse("PROFILE_REPS", "2").toInt
+
+    // warmup: codegen + parquet paths
+    consume(spark.read.parquet(s"$sfDir/documents.parquet"))
+
+    val syntheticParaText = concat_ws("\n\n",
+      when(pmod(col("doc_id"), lit(2)) === 0,
+          lit("Subscribe to our newsletter"))
+        .otherwise(lit("subscribe  to our Newsletter")),
+      array_join(graft.functions.ShinglesExpr.chunk_strings(
+        col("text"), 16), "\n\n"))
+
+    for (r <- 1 to reps) {
+      println(s"=== q202 phases, rep $r ===")
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .withColumn("__ptext", syntheticParaText)
+      val root = java.nio.file.Files.createTempDirectory("prof_q202")
+      val store = new graft.dedup.IndexStore(
+        root.resolve("parakeys").toString, Seq("key"))
+      def delta(m: Int) = graft.dedup.Dedup.paragraphKeys(
+        docs.where(pmod(col("doc_id"), lit(4)) === m),
+        col("doc_id"), col("__ptext"))
+      time("append b0") { store.append(delta(0), 0L) }
+      time("compact") { store.compact(spark) }
+      time("append b1") { store.append(delta(2), 1L) }
+      time("append b1 replay") { store.append(delta(2), 1L) }
+      val merged = time("read()") { store.read(spark) }
+      time("probe+consume") {
+        consume(graft.dedup.Dedup.incrementalParagraphsPre(
+          docs.where(pmod(col("doc_id"), lit(2)) === 1),
+          merged, col("doc_id"), col("__ptext"),
+          expectedItems = 1000000L, fpp = 0.01))
+      }
+      time("delta(0) compute only") { consume(delta(0)) }
+
+      // probe sub-phases (mirrors incrementalParagraphsPre internals)
+      println(s"--- q202 probe sub-phases, rep $r ---")
+      val batch = docs.where(pmod(col("doc_id"), lit(2)) === 1)
+      val histKeys = merged.select(col("key").as("__key"))
+      time("isEmpty") { histKeys.isEmpty }
+      val bloom = time("bloom build") {
+        histKeys.select(xxhash64(col("__key")).as("__h"))
+          .stat.bloomFilter("__h", 1000000L, 0.01)
+      }
+      val bp = time("bp explode+ckpt") {
+        batch.select(col("doc_id"),
+            posexplode(org.apache.spark.sql.functions.filter(
+              split(coalesce(col("__ptext"), lit("")), "\\n{2,}"),
+              p => length(trim(p)) > 0)).as(Seq("pos", "para")))
+          .withColumn("__key",
+            trim(regexp_replace(lower(col("para")), "\\s+", " ")))
+          .localCheckpoint()
+      }
+      time("bp count") { bp.count() }
+      time("histHits semi+anti+asm") {
+        val probe = graft.functions.BloomMightContainExpr
+          .bloom_might_contain(bloom, xxhash64(col("__key")))
+        val flagged = bp.withColumn("__maybe", probe)
+        val maybe = flagged.where(col("__maybe"))
+          .withColumn("__fp", unhex(sha2(col("__key"), 256)))
+        val maybeFps = maybe.select(col("__fp")).distinct()
+        val histHits = histKeys
+          .select(unhex(sha2(col("__key"), 256)).as("__fp"))
+          .join(broadcast(maybeFps), Seq("__fp"), "left_semi")
+        val verified = maybe.join(broadcast(histHits), Seq("__fp"), "left_anti").drop("__fp")
+        consume(flagged.where(!col("__maybe")).unionByName(verified).drop("__maybe"))
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+    }
+
+    for (r <- 1 to reps) {
+      println(s"=== q203 phases, rep $r ===")
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val root = java.nio.file.Files.createTempDirectory("prof_q203")
+      val store = new graft.dedup.IndexStore(
+        root.resolve("semhist").toString, Seq("vec_id"))
+      def delta(m: Int) = graft.sim.SemanticDedup.clustered(
+        e.where(pmod(col("vec_id"), lit(4)) === m),
+        "vec_id", "embedding", SparkEntry.FixedCentroidsE9)
+      time("append b0") { store.append(delta(0), 0L) }
+      time("compact") { store.compact(spark) }
+      time("append b1") { store.append(delta(2), 1L) }
+      time("append b1 replay") { store.append(delta(2), 1L) }
+      val hist = time("read()") { store.read(spark) }
+      time("probe keep+consume") {
+        consume(graft.sim.SemanticDedup.incrementalSemanticKeep(
+          e.where(pmod(col("vec_id"), lit(2)) === 1), hist,
+          "vec_id", "embedding", SparkEntry.FixedCentroidsE9,
+          threshold = 0.45, bandTables = 16, bandBits = 4, dim = 64))
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+    }
+
+    for (r <- 1 to reps) {
+      println(s"=== q195 (inline hist) phases, rep $r ===")
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val hist = time("clustered+ckpt") {
+        graft.sim.SemanticDedup.clustered(
+          e.where(pmod(col("vec_id"), lit(2)) === 0),
+          "vec_id", "embedding", SparkEntry.FixedCentroidsE9)
+          .localCheckpoint()
+      }
+      time("keep probe+consume") {
+        consume(graft.sim.SemanticDedup.incrementalSemanticKeep(
+          e.where(pmod(col("vec_id"), lit(2)) === 1), hist,
+          "vec_id", "embedding", SparkEntry.FixedCentroidsE9,
+          threshold = 0.45, bandTables = 16, bandBits = 4, dim = 64))
+      }
+    }
+    spark.stop()
+  }
+}

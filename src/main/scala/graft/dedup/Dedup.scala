@@ -856,12 +856,15 @@ object Dedup {
                                expectedItems: Long = 0L,
                                fpp: Double = 0.01): DataFrame = {
     val histKeys = histKeysIdx.select(col("key").as("__key"))
-    // empty history (a crawl's FIRST batch): the Bloom aggregate
-    // returns a null-buffer filter over zero rows and the probe NPEs —
-    // and semantically the batch just dedups against itself
-    if (histKeysIdx.isEmpty) return paragraphDedup(batch, idCol, textCol)
-    val bloom = histKeys.select(xxhash64(col("__key")).as("__h"))
-      .stat.bloomFilter("__h", bloomCapacity(histKeys, expectedItems), fpp)
+    // empty history (a crawl's FIRST batch): semantically the batch
+    // just dedups against itself. Emptiness and the Bloom come from
+    // ONE aggregation pass (BloomBuild) — the old isEmpty probe alone
+    // re-ran the full index-merge plan per probe batch (~0.4 s at
+    // sf0.1 against a maintained IndexStore read)
+    val (nHist, bloom) = graft.functions.BloomBuild.bloomAutoCapacity(
+      histKeys.select(xxhash64(col("__key")).as("__h")), col("__h"),
+      expectedItems, fpp)
+    if (nHist == 0L) return paragraphDedup(batch, idCol, textCol)
     // the batch paragraph relation likewise feeds three consumers
     // (fresh, verified, the per-doc totals in assembleKept); a batch
     // is small by the incremental premise, so the barrier is cheap
@@ -1012,16 +1015,16 @@ object Dedup {
           col("sig").as("sig_b")) ++ bandCols: _*), keys))
     val hb = histBanded
     // PARAGRAPH-less history (first crawl batch, or history whose docs
-    // are all NULL/blank text): nothing to probe — and stat.bloomFilter
-    // over zero rows NPEs at probe time (the incrementalParagraphs
-    // hazard). Guard on the paragraph frame, not history.isEmpty: a
-    // non-empty history can still yield zero paragraphs, and the
-    // materialized hb makes this a free count
-    if (hb.isEmpty) return within
+    // are all NULL/blank text): nothing to probe. Guard on the
+    // paragraph frame, not history.isEmpty: a non-empty history can
+    // still yield zero paragraphs. Count and Bloom come from ONE
+    // aggregation pass (BloomBuild — the old isEmpty-then-build pair
+    // scanned the index twice per probe batch)
     val bucketFp = xxhash64(
       col("band") +: (0 until rows).map(r => col(s"v$r")): _*)
-    val bloom = hb.select(bucketFp.as("__h"))
-      .stat.bloomFilter("__h", bloomCapacity(hb, expectedItems), fpp)
+    val (nHist, bloom) = graft.functions.BloomBuild.bloomAutoCapacity(
+      hb.select(bucketFp.as("__h")), col("__h"), expectedItems, fpp)
+    if (nHist == 0L) return within
     val probe = graft.functions.BloomMightContainExpr
       .bloom_might_contain(bloom, bucketFp)
     val cross = verify(
@@ -1097,15 +1100,15 @@ object Dedup {
   def incrementalExact(batch: DataFrame, history: DataFrame,
                        textColName: String, expectedItems: Long = 0L,
                        fpp: Double = 0.01): DataFrame = {
-    // empty history (a pipeline's first batch): Spark's
-    // stat.bloomFilter returns a null-buffer filter over zero rows and
-    // the probe NPEs (the bloomContamination /
-    // incrementalParagraphs-hardened hazard) — and semantically
-    // nothing can be a duplicate of an empty history
-    if (history.isEmpty) return batch
-    incrementalExact(batch, history, textColName,
-      history.select(xxhash64(col(textColName)).as("__h"))
-        .stat.bloomFilter("__h", bloomCapacity(history, expectedItems), fpp))
+    // empty history (a pipeline's first batch): semantically nothing
+    // can be a duplicate of an empty history. Emptiness + Bloom in ONE
+    // aggregation pass (BloomBuild) instead of the old isEmpty-then-
+    // build pair of full history scans
+    val (nHist, bloom) = graft.functions.BloomBuild.bloomAutoCapacity(
+      history.select(xxhash64(col(textColName)).as("__h")), col("__h"),
+      expectedItems, fpp)
+    if (nHist == 0L) return batch
+    incrementalExact(batch, history, textColName, bloom)
   }
 
   /** Duplicate-span detection — the window form of exact-substring
@@ -1370,14 +1373,16 @@ object Dedup {
     val withinPos = bs.join(withinDup, Seq("span"), "left_semi")
       .select(col("doc_id"), col("pos").cast("long").as("pos"))
     // history window index: distinct spans only (guard on the DERIVED
-    // frame — an all-blank history yields zero spans and
-    // stat.bloomFilter over zero rows NPEs at probe time)
+    // frame — an all-blank history yields zero spans). Emptiness +
+    // Bloom in ONE aggregation pass (BloomBuild)
     val hs = spansOf(history).select("span").distinct().localCheckpoint()
+    val (nHist, histBloom) = graft.functions.BloomBuild.bloomAutoCapacity(
+      hs.select(xxhash64(col("span")).as("__h")), col("__h"),
+      expectedItems, fpp)
     val dupPos =
-      if (hs.isEmpty) withinPos
+      if (nHist == 0L) withinPos
       else {
-        val bloom = hs.select(xxhash64(col("span")).as("__h"))
-          .stat.bloomFilter("__h", bloomCapacity(hs, expectedItems), fpp)
+        val bloom = histBloom
         val probe = graft.functions.BloomMightContainExpr
           .bloom_might_contain(bloom, xxhash64(col("span")))
         val hIdx = hs.select(unhex(sha2(col("span"), 256)).as("__fp"))

@@ -62,7 +62,19 @@ object DocCluster {
     * a 100-TB scoring pass wants once centroids are frozen.
     */
   def assignFixed(emb: DataFrame, idCol: String, vecCol: String,
-                  centroidsE9: Seq[Seq[Long]]): DataFrame = {
+                  centroidsE9: Seq[Seq[Long]]): DataFrame =
+    assignFixedCarry(emb, idCol, vecCol, centroidsE9, Nil)
+
+  /** [[assignFixed]] with pre-aliased `carry` columns riding the same
+    * single pass — so a caller that wants (vec_id, payload, cluster)
+    * gets it in ONE per-row projection instead of joining the
+    * assignment back to the payload by id (the assignment is
+    * stateless per row; a join re-shuffles the corpus for nothing —
+    * [[graft.sim.SemanticDedup.clustered]] paid exactly that per
+    * call). */
+  def assignFixedCarry(emb: DataFrame, idCol: String, vecCol: String,
+                       centroidsE9: Seq[Seq[Long]],
+                       carry: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
     require(centroidsE9.nonEmpty, "assignFixed: at least one centroid")
     val dim = centroidsE9.head.length
     require(centroidsE9.forall(_.length == dim),
@@ -86,9 +98,13 @@ object DocCluster {
             .cast("decimal(38,0)")).as("dist"),
         lit(ci.toLong).as("cluster"))
     }
-    emb.select(col(idCol).as("vec_id"), vE9.as("__v"))
-      .select(col("vec_id"), array_min(array(dists: _*)).as("m"))
-      .select(col("vec_id"), col("m.cluster").as("cluster"))
+    val carryCols = carry.map { case (n, c) => c.as(n) }
+    val carryNames = carry.map { case (n, _) => col(n) }
+    emb.select(Seq(col(idCol).as("vec_id"), vE9.as("__v")) ++ carryCols: _*)
+      .select(Seq(col("vec_id"), array_min(array(dists: _*)).as("m"))
+        ++ carryNames: _*)
+      .select(Seq(col("vec_id"), col("m.cluster").as("cluster"))
+        ++ carryNames: _*)
   }
 
   /** Assign clusters and return per-cluster document counts. */

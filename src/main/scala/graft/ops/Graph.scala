@@ -49,11 +49,16 @@ object Graph {
     // convergence aggregate — it parameterizes the recurrence constants
     val n = nodes.count()
     require(n > 0, "pageRankFixed: empty graph")
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    // outdeg folds into the edge relation ONCE, outside the loop — the
+    // old shape re-joined outdeg every iteration (3 extra joins and
+    // their Exchanges per run; guide §2.4). `r div deg` per edge is
+    // unchanged: same r and deg reach every edge row either way.
+    val edgesDeg = e.join(
+        e.groupBy("src").agg(count(lit(1)).as("deg")), Seq("src"))
+      .localCheckpoint(true)
     var ranks = nodes.select(col("id"), lit(scale / n).as("r"))
     for (_ <- 1 to iters) {
-      val inflow = ranks.join(e, col("id") === col("src"))
-        .join(outdeg, Seq("src"))
+      val inflow = ranks.join(edgesDeg, col("id") === col("src"))
         .select(col("dst"), expr("r div deg").as("contrib"))
         .groupBy("dst").agg(sum("contrib").as("inflow"))
       ranks = nodes

@@ -175,18 +175,19 @@ object SemanticDedup {
         .join(bp.select(col("cluster"), col("vec_id").as("id_b"),
           col("__vec").as("vb")), Seq("cluster")))
     val hp = historyClustered
-    // EMPTY history (first crawl batch): nothing to probe — and
-    // stat.bloomFilter over zero rows NPEs at probe time (the r12
-    // incremental lesson: guard on the DERIVED frame); hp is
-    // checkpointed by contract so this count is free. NULL/short
+    // EMPTY history (first crawl batch): nothing to probe. NULL/short
     // embeddings raise inside assignFixed by contract — no silent
-    // skip route.
-    if (hp.isEmpty) return within
+    // skip route. Emptiness + Bloom come from ONE aggregation pass
+    // (BloomBuild) over the frame the Bloom is built on (the r12
+    // lesson: guard the DERIVED frame) — the old hp.isEmpty probe
+    // re-ran the full history plan (a maintained IndexStore read() in
+    // q203) once more per probe batch.
     val cross =
       if (bandTables == 0) {
-        val bloom = hp.select(xxhash64(col("cluster")).as("__h"))
-          .stat.bloomFilter("__h",
-            graft.dedup.Dedup.bloomCapacity(hp, expectedItems), fpp)
+        val (nHist, bloom) = graft.functions.BloomBuild.bloomAutoCapacity(
+          hp.select(xxhash64(col("cluster")).as("__h")), col("__h"),
+          expectedItems, fpp)
+        if (nHist == 0L) return within
         val probe = graft.functions.BloomMightContainExpr
           .bloom_might_contain(bloom, xxhash64(col("cluster")))
         verify(
@@ -212,9 +213,12 @@ object SemanticDedup {
               .as(Seq("tbl", "key")))
         val hk = banded(hp, "hid").localCheckpoint()
         val keyFp = xxhash64(col("cluster"), col("tbl"), col("key"))
-        val bloom = hk.select(keyFp.as("__h"))
-          .stat.bloomFilter("__h",
-            graft.dedup.Dedup.bloomCapacity(hk, expectedItems), fpp)
+        // hp is empty ⟺ hk is empty (cos_lsh_sig emits bandTables
+        // rows per valid vector, and invalid vectors raise), so the
+        // fused count doubles as the empty-history guard
+        val (nHist, bloom) = graft.functions.BloomBuild.bloomAutoCapacity(
+          hk.select(keyFp.as("__h")), col("__h"), expectedItems, fpp)
+        if (nHist == 0L) return within
         val probe = graft.functions.BloomMightContainExpr
           .bloom_might_contain(bloom, keyFp)
         val cand = banded(bp, "bid").where(probe)
@@ -305,8 +309,12 @@ object SemanticDedup {
     * its persisted assignment (stateless per-row — blind append). */
   def clustered(emb: DataFrame, idCol: String, vecCol: String,
                 centroidsE9: Seq[Seq[Long]]): DataFrame =
-    emb.select(col(idCol).as("vec_id"),
-        col(vecCol).cast("array<double>").as("__vec"))
-      .join(graft.ml.DocCluster.assignFixed(emb, idCol, vecCol,
-        centroidsE9), Seq("vec_id"))
+    // ONE per-row pass: the assignment is stateless per row, so the
+    // vector payload rides the same projection as the cluster id
+    // (assignFixedCarry) — the previous emb ⋈ assignFixed(emb) form
+    // re-shuffled the corpus by vec_id just to glue two columns of the
+    // SAME row back together (guide §2.4: remove shuffles outright)
+    graft.ml.DocCluster.assignFixedCarry(emb, idCol, vecCol, centroidsE9,
+        carry = Seq("__vec" -> col(vecCol).cast("array<double>")))
+      .select(col("vec_id"), col("__vec"), col("cluster"))
 }

@@ -589,17 +589,17 @@ object TextAnalysis {
         .as("gram"))
       .distinct()
     val hashes = benchGrams.select(xxhash64(col("gram")).as("__h"))
-    // Spark's stat.bloomFilter NPEs on an empty input (no partial to
-    // merge); an empty benchmark legitimately means "everything is
-    // clean" — short-circuit before building the filter. The emptiness
-    // probe is a limit-1 job against the (small) benchmark side, and
-    // the filter build right after is an action anyway.
-    if (hashes.isEmpty)
+    // An empty benchmark legitimately means "everything is clean" —
+    // short-circuit. Emptiness and the filter come from ONE
+    // aggregation pass (BloomBuild) instead of an isEmpty job plus a
+    // build job over the benchmark grams.
+    val (nGrams, bloom) = graft.functions.BloomBuild.bloomWithCount(
+      hashes, col("__h"), expectedItems, fpp)
+    if (nGrams == 0L)
       return docs.where(textCol.isNotNull)
         .select(idCol.as("doc_id"),
           size(array_distinct(sh)).cast("long").as("n_grams"),
           lit(0L).as("n_hit"))
-    val bloom = hashes.stat.bloomFilter("__h", expectedItems, fpp)
     val withGrams = docs.where(textCol.isNotNull)
       .select(idCol.as("doc_id"), array_distinct(sh).as("grams"))
       .withColumn("__maybe", exists(col("grams"), g =>
