@@ -122,6 +122,21 @@ object ProfileR16 {
       org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
     }
 
+    locally {
+      println("=== orderBy tax on the q187 scorer ===")
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val scored = graft.text.LangIdFixed.scorePerScript(
+        docs, col("doc_id"), col("text"))
+      consume(scored) // warmup
+      for (r <- 1 to reps) {
+        time("no orderBy") { consume(scored) }
+        time("orderBy(doc_id)") { consume(scored.orderBy("doc_id")) }
+        time("sortWithinPartitions") {
+          consume(scored.sortWithinPartitions("doc_id")) }
+      }
+    }
+
     for (r <- 1 to reps) {
       println(s"=== q195 (inline hist) phases, rep $r ===")
       val e = spark.read.parquet(s"$sfDir/embeddings.parquet")

@@ -101,6 +101,17 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q01_clf_parse_topk")(spark, "/root/testdata/sf0.001")
 
+  /** Presentation-sort convention (r16 optimization): queries end with
+    * `sortWithinPartitions(keys)` instead of a global `orderBy(keys)`.
+    * A terminal global sort is a range Exchange whose bounds-SAMPLING
+    * pass re-executes the query's whole plan — measured 2.1× on the
+    * q187 scorer at sf0.1 (0.71 s → 1.47 s) and the guide (§2.4) names
+    * "an orderBy used only to make output deterministic" as the
+    * canonical removable shuffle. The result SET is unchanged and both
+    * correctness gates (driver DuckDB oracle, scripts/check.py) sort
+    * rows by all columns before comparing, so hashes are unaffected.
+    * Global order stays where it is SEMANTIC: topK limits (q10) and
+    * window specs keep `orderBy`. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference surface (SURVEY §2) --------------------------------
     // T1/T2 + A8 + K1: the minimum end-to-end slice (SURVEY §7.2)
@@ -114,11 +125,11 @@ object SparkEntry {
     // A3-A10: count-by-column
     "q02_count_by_type" -> ((s, dir) =>
       Aggregations.countBy(T(s, dir, "events"), col("event_type"))
-        .orderBy("member")),
+        .sortWithinPartitions("member")),
 
     // A6: per-second event-time timeline
     "q03_timeline" -> ((s, dir) =>
-      Aggregations.timeline(T(s, dir, "events"), col("ts")).orderBy("member")),
+      Aggregations.timeline(T(s, dir, "events"), col("ts")).sortWithinPartitions("member")),
 
     // A11: traffic sum with per-record MB truncation quirk
     "q04_traffic_sum" -> ((s, dir) =>
@@ -137,7 +148,7 @@ object SparkEntry {
       parsedLogs(s, dir)
         .groupBy(Aggregations.statusClass(col("status_code")).as("class"))
         .agg(count(lit(1)).as("hits"))
-        .orderBy("class")),
+        .sortWithinPartitions("class")),
 
     // J1 + K5: full-outer timeline merge (goodts/badts analog)
     "q07_full_outer_merge" -> ((s, dir) => {
@@ -170,7 +181,7 @@ object SparkEntry {
           // gate loses no precision evidence.
           sum((col("c_acctbal").cast("decimal(18,2)") * 100).cast("long"))
             .as("total_bal_c"))
-        .orderBy("r_name")
+        .sortWithinPartitions("r_name")
     }),
 
     // multi-aggregate scan (TPC-H Q1 shape; decimal-exact for the oracle)
@@ -189,7 +200,7 @@ object SparkEntry {
             "CAST((1 - CAST(l_discount AS DECIMAL(18,2))) * 100 AS BIGINT)"))
             .as("sum_disc_e4"),
           count(lit(1)).as("n_rows"))
-        .orderBy("l_returnflag", "l_linestatus")),
+        .sortWithinPartitions("l_returnflag", "l_linestatus")),
 
     // K1: distributed top-k with deterministic tie-break
     "q10_topk_customers" -> ((s, dir) =>
@@ -203,7 +214,7 @@ object SparkEntry {
       val d = T(s, dir, "documents")
       val good = d.where(col("lang") === "en").select(col("doc_id"), lit(0).as("label"))
       val bad = d.where(col("lang") =!= "en").select(col("doc_id"), lit(1).as("label"))
-      good.union(bad).groupBy("label").agg(count(lit(1)).as("n")).orderBy("label")
+      good.union(bad).groupBy("label").agg(count(lit(1)).as("n")).sortWithinPartitions("label")
     }),
 
     // scalar funcs: JSON extract + null-fill (T5/§2.6)
@@ -212,7 +223,7 @@ object SparkEntry {
         .select(coalesce(get_json_object(col("props"), "$.k").cast("int"), lit(0)).as("k"))
         .groupBy((col("k") % 10).as("k_mod"))
         .agg(count(lit(1)).as("n"))
-        .orderBy("k_mod")),
+        .sortWithinPartitions("k_mod")),
 
     // window functions (engine-completeness extension)
     "q13_window_first_event" -> ((s, dir) => {
@@ -222,7 +233,7 @@ object SparkEntry {
         .withColumn("rn", row_number().over(w))
         .where(col("rn") === 1)
         .select(col("user_id"), col("event_id").as("first_event"))
-        .orderBy("user_id")
+        .sortWithinPartitions("user_id")
     }),
 
     // the full zset-table materialization (A1-A11, FIXTURES.md §3);
@@ -230,53 +241,53 @@ object SparkEntry {
     "q14_zset_table" -> ((s, dir) =>
       ZsetTable.fromParsedLogs(
         ClfParser.parseNative(LogGen.clfLines(T(s, dir, "events"))))
-        .orderBy("metric", "member")),
+        .sortWithinPartitions("metric", "member")),
 
     // ---- north-star: text analysis ------------------------------------
     "q15_lang_id" -> ((s, dir) =>
       T(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
-        .orderBy("doc_id")),
+        .sortWithinPartitions("doc_id")),
 
     "q16_text_quality" -> ((s, dir) =>
       TextAnalysis.quality(T(s, dir, "documents"), col("text"))
-        .orderBy("doc_id")),
+        .sortWithinPartitions("doc_id")),
 
     "q17_token_count" -> ((s, dir) =>
       T(s, dir, "documents")
         .groupBy("lang")
         .agg(sum(TextAnalysis.bpeishCount(col("text"))).cast("long").as("bpeish_tokens"),
           sum(size(TextAnalysis.tokens(col("text")))).cast("long").as("ws_tokens"))
-        .orderBy("lang")),
+        .sortWithinPartitions("lang")),
 
     "q18_fingerprint" -> ((s, dir) =>
       T(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.md5Fingerprint(col("text")).as("fp"))
-        .orderBy("doc_id")),
+        .sortWithinPartitions("doc_id")),
 
     // rolling-hash fingerprint (xxhash64-based — no SQL oracle)
     "q19_rolling_fp" -> ((s, dir) =>
       T(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.rollingFingerprint(col("text")).as("fp"))
-        .orderBy("doc_id")),
+        .sortWithinPartitions("doc_id")),
 
     // ---- north-star: dedup --------------------------------------------
     "q20_dedup_exact" -> ((s, dir) =>
       Dedup.exact(T(s, dir, "documents"), col("doc_id"), col("text"))
-        .orderBy("fp")),
+        .sortWithinPartitions("fp")),
 
     "q21_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(T(s, dir, "documents"), "doc_id", "text",
           blockCol = "source", lenBucket = 16, w = 3, minInter = 1)
         .select(col("id_a"), col("id_b"),
           col("inter").cast("long").as("inter"), col("uni").cast("long").as("uni"))
-        .orderBy("id_a", "id_b")),
+        .sortWithinPartitions("id_a", "id_b")),
 
     // MinHash-LSH near-dup candidates (engine-hash-based — no SQL oracle)
     "q22_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashPairs(T(s, dir, "documents"), "doc_id", "text",
           k = 16, bands = 4, minAgree = 4)
-        .orderBy("id_a", "id_b")),
+        .sortWithinPartitions("id_a", "id_b")),
 
     // SimHash near-dup pairs (engine-hash-based — no SQL oracle).
     // maxDist = 3, the standard web-dedup radius: C(8,3) combination
@@ -284,7 +295,7 @@ object SparkEntry {
     // DedupSimSpec asserts bucketed ≡ brute-force popcount pairs.
     "q23_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(T(s, dir, "documents"), "doc_id", "text", maxDist = 3)
-        .orderBy("id_a", "id_b")),
+        .sortWithinPartitions("id_a", "id_b")),
 
     // ---- north-star: similarity search --------------------------------
     "q24_knn_bruteforce" -> ((s, dir) => {
@@ -293,7 +304,7 @@ object SparkEntry {
           "vec_id", "embedding", k = 5)
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           (round(col("score"), 4) + lit(0.0)).as("score_r"))
-        .orderBy("query_id", "rank")
+        .sortWithinPartitions("query_id", "rank")
     }),
 
     // LSH-bucketed ANN (engine-hash hyperplanes — no SQL oracle)
@@ -302,7 +313,7 @@ object SparkEntry {
       Similarity.annTopK(emb, emb.where(col("vec_id") < 10),
           "vec_id", "embedding", k = 5, dim = 64, nBits = 4)
         .select(col("query_id"), col("rank"), col("neighbor_id"))
-        .orderBy("query_id", "rank")
+        .sortWithinPartitions("query_id", "rank")
     }),
 
     // ---- north-star: multimodal plumbing ------------------------------
@@ -310,7 +321,7 @@ object SparkEntry {
       Multimodal.extractMeta(
         T(s, dir, "documents").select(col("doc_id"), col("text").cast("binary").as("payload")),
         "doc_id", "payload")
-        .orderBy("media_id")),
+        .sortWithinPartitions("media_id")),
 
     // REAL image-header decode (PNG/GIF/BMP/JPEG magic-byte parse):
     // payloads are valid headers synthesized per-row from doc_id via
@@ -326,7 +337,7 @@ object SparkEntry {
         T(s, dir, "documents").select(col("doc_id"),
           Multimodal.synthHeader(fmtSel, w, h).as("payload")),
         "doc_id", "payload")
-        .orderBy("media_id")
+        .sortWithinPartitions("media_id")
     }),
 
     // binary frame sampling (engine-side slicing — no SQL oracle)
@@ -335,7 +346,7 @@ object SparkEntry {
         T(s, dir, "documents").select(col("doc_id"), col("text").cast("binary").as("payload")),
         "doc_id", "payload", frameBytes = 64, stride = 2)
         .select(col("media_id"), col("frame_idx"), octet_length(col("frame")).cast("long").as("frame_len"))
-        .orderBy("media_id", "frame_idx")),
+        .sortWithinPartitions("media_id", "frame_idx")),
 
     // ---- engine completeness: joins / grouping extensions -------------
     // left-semi join (EXISTS)
@@ -344,7 +355,7 @@ object SparkEntry {
         T(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
         Seq("c_custkey"), "left_semi")
       active.groupBy("c_mktsegment").agg(count(lit(1)).as("n_active"))
-        .orderBy("c_mktsegment")
+        .sortWithinPartitions("c_mktsegment")
     }),
 
     // left-anti join (NOT EXISTS) — orders with no lineitems
@@ -353,7 +364,7 @@ object SparkEntry {
         T(s, dir, "lineitem").select(col("l_orderkey").as("o_orderkey")),
         Seq("o_orderkey"), "left_anti")
       empty.groupBy("o_orderstatus").agg(count(lit(1)).as("n_empty"))
-        .orderBy("o_orderstatus")
+        .sortWithinPartitions("o_orderstatus")
     }),
 
     // rollup grouping (subtotals + grand total)
@@ -367,7 +378,7 @@ object SparkEntry {
         .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("status"),
           col("n"), col("sum_qty_c"))
-        .orderBy("flag", "status")),
+        .sortWithinPartitions("flag", "status")),
 
     // serving-path top-k through the zset table (S11/K1 + T7 sentinel filter)
     "q31_serving_hot_urls" -> ((s, dir) =>
@@ -379,7 +390,7 @@ object SparkEntry {
     "q32_sessionize" -> ((s, dir) =>
       graft.ops.Sessionize.summarize(
         T(s, dir, "events"), col("user_id"), col("ts"), gapSeconds = 1800)
-        .orderBy("key", "session_id")),
+        .sortWithinPartitions("key", "session_id")),
 
     // cube grouping (all subtotal combinations)
     "q35_cube" -> ((s, dir) =>
@@ -392,14 +403,14 @@ object SparkEntry {
         .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
           coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
           col("n"), col("sum_price_c"))
-        .orderBy("status", "prio")),
+        .sortWithinPartitions("status", "prio")),
 
     // the /count_board dashboard (S11/A15/A16/A17/T8) end-to-end
     "q36_count_board" -> ((s, dir) =>
       ServingQueries.countBoard(
         graft.ops.ZsetTable.fromParsedLogs(
           ClfParser.parseNative(LogGen.clfLines(T(s, dir, "events")))))
-        .orderBy("stat")),
+        .sortWithinPartitions("stat")),
 
     // portable SimHash (md5 token hash, 60-bit → oracle-checkable;
     // fused native expression, HOF twin asserted ≡ in DedupSimSpec)
@@ -407,7 +418,7 @@ object SparkEntry {
       T(s, dir, "documents")
         .select(col("doc_id"),
           graft.functions.SimHash64Expr.simhash_md5(col("text"), 60).as("fp"))
-        .orderBy("doc_id")),
+        .sortWithinPartitions("doc_id")),
 
     // portable SimHash near-dup pairs — the oracle is the BRUTE-FORCE
     // pair set, so the combination-table recall guarantee is itself
@@ -415,7 +426,7 @@ object SparkEntry {
     "q57_simhash_pairs_portable" -> ((s, dir) =>
       Dedup.portableSimhashPairs(T(s, dir, "documents"), "doc_id", "text",
           maxDist = 3)
-        .orderBy("id_a", "id_b")),
+        .sortWithinPartitions("id_a", "id_b")),
 
     // id-timeline serving merge over goodts/badts zset metrics (J1+S11)
     "q38_id_timeline" -> ((s, dir) => {
@@ -438,14 +449,14 @@ object SparkEntry {
         .where(col("event_type") === "error")
         .select(col("event_id"), col("user_id"),
           coalesce(col("prior_click"), lit(-1L)).as("prior_click"))
-        .orderBy("event_id")),
+        .sortWithinPartitions("event_id")),
 
     // order-sensitive rolling fingerprint, portable hash (oracle-checked)
     "q43_rolling_fp_portable" -> ((s, dir) =>
       T(s, dir, "documents")
         .select(col("doc_id"),
           TextAnalysis.portableRollingFingerprint(col("text")).as("fp"))
-        .orderBy("doc_id")),
+        .sortWithinPartitions("doc_id")),
 
     // mergeable HLL distinct sketches per day → unioned estimate
     // (DataSketches HLL ≠ DuckDB's HLL → rows-only; merge property and
@@ -467,7 +478,7 @@ object SparkEntry {
         .select(col("user_id"), posexplode(col("top")).as(Seq("pos", "e")))
         .select(col("user_id"), (col("pos") + 1).as("rank"),
           col("e.tag").cast("long").as("event_id"), col("e.score").as("value"))
-        .orderBy("user_id", "rank")),
+        .sortWithinPartitions("user_id", "rank")),
 
     // embedding-cosine near-dup EXACT pairs — DEMOTED to a small-corpus
     // cross-check: in high dim the band prunes little (~O(n²) compare,
@@ -481,7 +492,7 @@ object SparkEntry {
       Similarity.cosineDupPairsBlocked(T(s, dir, "embeddings"), "vec_id",
           "embedding", threshold = 0.45, dim = 64)
         .select(col("id_a"), col("id_b"), round(col("score"), 4).as("score_r"))
-        .orderBy("id_a", "id_b")),
+        .sortWithinPartitions("id_a", "id_b")),
 
     // int8 embedding quantization (4× storage cut for vector corpora);
     // integer codes exact on both engines, scale rounded for hashing;
@@ -492,7 +503,7 @@ object SparkEntry {
         .withColumnRenamed("id", "vec_id")
         .select(col("vec_id"), col("scale_r"),
           array_join(col("qvec"), ",").as("qcsv"))
-        .orderBy("vec_id")),
+        .sortWithinPartitions("vec_id")),
 
     // the LINEAR-cost twin of q39 (the 100 TB path): multi-table LSH
     // candidates + exact cosine verify. Oracle = the exact all-pairs
@@ -506,13 +517,13 @@ object SparkEntry {
       Similarity.cosineDupPairsApprox(T(s, dir, "embeddings"), "vec_id",
           "embedding", threshold = 0.45, dim = 64, nTables = 16, nBits = 4)
         .select(col("id_a"), col("id_b"), round(col("score"), 4).as("score_r"))
-        .orderBy("id_a", "id_b")),
+        .sortWithinPartitions("id_a", "id_b")),
 
     // portable MinHash signatures (md5 shingle hash → oracle-checkable)
     "q34_minhash_portable" -> ((s, dir) =>
       Dedup.portableMinhash(T(s, dir, "documents"), "doc_id", "text",
           k = 8, w = 3)
-        .orderBy("doc_id")),
+        .sortWithinPartitions("doc_id")),
 
     // portable MinHash-LSH pairs — the full band-bucket → verify
     // pipeline on md5-based signatures, hash-compared against DuckDB
@@ -520,7 +531,7 @@ object SparkEntry {
     "q44_minhash_pairs_portable" -> ((s, dir) =>
       Dedup.portableMinhashPairs(T(s, dir, "documents"), "doc_id", "text",
           k = 8, bands = 4, minAgree = 4, w = 3)
-        .orderBy("id_a", "id_b")),
+        .sortWithinPartitions("id_a", "id_b")),
 
     // fuzzy-dedup completion: connected components over the portable
     // simhash near-dup pairs → cluster keeper per doc. Oracle = a
@@ -531,7 +542,7 @@ object SparkEntry {
       val pairs = Dedup.portableSimhashPairs(docs, "doc_id", "text",
         maxDist = 3)
       Dedup.connectedComponents(docs, "doc_id", pairs, "id_a", "id_b")
-        .orderBy("id")
+        .sortWithinPartitions("id")
     }),
 
     // skew-safe two-phase aggregation registered AGAINST the plain
@@ -539,7 +550,7 @@ object SparkEntry {
     // hash-checked by the gate, not just spec-asserted
     "q64_salted_count" -> ((s, dir) =>
       graft.ops.Skew.saltedCountBy(T(s, dir, "events"), col("event_type"))
-        .orderBy("member")),
+        .sortWithinPartitions("member")),
 
     // PII-style redaction (training-data cleaning): digit runs masked,
     // distinct redacted shapes counted per event type
@@ -549,7 +560,7 @@ object SparkEntry {
           regexp_replace(col("props"), "[0-9]+", "#").as("shape"))
         .groupBy("event_type", "shape")
         .agg(count(lit(1)).as("n"))
-        .orderBy("event_type", "shape")),
+        .sortWithinPartitions("event_type", "shape")),
 
     // running total (cumulative window aggregate) — decimal so the
     // accumulation is order-independent (engines use different window
@@ -564,7 +575,7 @@ object SparkEntry {
           // minor-units BIGINT (see q08 note)
           sum((col("l_quantity").cast("decimal(18,2)") * 100).cast("long"))
             .over(w).as("run_qty_c"))
-        .orderBy("l_orderkey", "l_linenumber")
+        .sortWithinPartitions("l_orderkey", "l_linenumber")
     }),
 
     // boilerplate n-gram detection (corpus-frequency cleaning pass):
@@ -572,14 +583,14 @@ object SparkEntry {
     "q61_boilerplate" -> ((s, dir) =>
       TextAnalysis.boilerplateNgrams(T(s, dir, "documents"),
           col("doc_id"), col("text"), w = 2, minDocs = 30)
-        .orderBy("ngram")),
+        .sortWithinPartitions("ngram")),
 
     // intra-doc repetition stats (Gopher/C4 repetition rule): total vs
     // distinct 2-grams per doc; pure per-row expressions, no shuffle
     "q69_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionStats(T(s, dir, "documents"),
           col("doc_id"), col("text"), w = 2)
-        .orderBy("doc_id")),
+        .sortWithinPartitions("doc_id")),
 
     // benchmark-contamination check (train/test n-gram overlap): every
     // doc scored for distinct 3-gram collisions with the "benchmark"
@@ -590,7 +601,7 @@ object SparkEntry {
       val d = T(s, dir, "documents")
       TextAnalysis.contamination(d, col("doc_id"), col("text"),
           d.where(col("doc_id") % 50 === 0), col("text"), w = 3)
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     }),
 
     // corpus vocabulary top-k (tokenizer-vocab building): explode
@@ -620,7 +631,7 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"),
           unix_timestamp(date_trunc("second", col("ts"))).as("sec"))
         .withColumn("n_trailing_5m", count(lit(1)).over(w))
-        .orderBy("user_id", "sec", "event_id")
+        .sortWithinPartitions("user_id", "sec", "event_id")
     }),
 
     // exact median (interpolated, both engines' native median) next to
@@ -633,7 +644,7 @@ object SparkEntry {
           (round(median(col("value")), 4) + lit(0.0)).as("med_r"),
           (round(min(col("value")), 4) + lit(0.0)).as("min_r"),
           (round(max(col("value")), 4) + lit(0.0)).as("max_r"))
-        .orderBy("event_type")),
+        .sortWithinPartitions("event_type")),
 
     // global NTILE without the single-partition window exchange: spend
     // quartiles over all customers via ops/Rank (range repartition +
@@ -649,7 +660,7 @@ object SparkEntry {
           n = 4, nPartitions = 8, bucketName = "quartile")
         .groupBy("quartile")
         .agg(count(lit(1)).as("n_cust"), sum("spend_c").as("tot_c"))
-        .orderBy("quartile")
+        .sortWithinPartitions("quartile")
     }),
 
     // sequence packing (concat-and-chunk into 512-token training
@@ -657,7 +668,7 @@ object SparkEntry {
     "q70_pack_sequences" -> ((s, dir) =>
       TextAnalysis.packSequences(T(s, dir, "documents"), col("doc_id"),
           col("text"), col("lang"), targetTokens = 512)
-        .orderBy("shard", "seq_id")),
+        .sortWithinPartitions("shard", "seq_id")),
 
     // TF-IDF + KMeans document clustering (unsupervised corpus
     // exploration; deterministic seed — rows-only, spec-covered). The
@@ -712,7 +723,7 @@ object SparkEntry {
         .agg(sum(expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) * " +
           "CAST((1 - CAST(l_discount AS DECIMAL(18,2))) * 100 AS BIGINT)"))
           .as("revenue_e4"))
-        .orderBy("n_name")
+        .sortWithinPartitions("n_name")
     }),
 
     // the composed training-data pipeline in ONE declarative plan:
@@ -732,7 +743,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(TextAnalysis.bpeishCount(col("text"))).cast("long")
             .as("bpeish_tokens"))
-        .orderBy("lang")
+        .sortWithinPartitions("lang")
     }),
 
     // min-ts conversion funnel: furthest stage per user (view → click →
@@ -749,7 +760,7 @@ object SparkEntry {
           .when(col("p").isNull || col("p") < col("c"), 2)
           .otherwise(3).as("stage"))
         .groupBy("stage").agg(count(lit(1)).as("n_users"))
-        .orderBy("stage")
+        .sortWithinPartitions("stage")
     }),
 
     // per-cluster embedding centroids as exact decimal component sums —
@@ -769,7 +780,7 @@ object SparkEntry {
         .agg(sum((col("x").cast("string").cast("decimal(18,9)")
               * 1000000000L).cast("long")).as("csum_e9"),
           count(lit(1)).as("n"))
-        .orderBy("grp", "pos")),
+        .sortWithinPartitions("grp", "pos")),
 
     // URL parsing (path + query param extraction) over parsed logs
     "q56_url_parse" -> ((s, dir) =>
@@ -780,14 +791,14 @@ object SparkEntry {
             lit("QUERY"), lit("id")).cast("int").as("id"))
         .groupBy(col("path"), (col("id") % 10).as("id_mod"))
         .agg(count(lit(1)).as("n"))
-        .orderBy("path", "id_mod")),
+        .sortWithinPartitions("path", "id_mod")),
 
     // deterministic hash sample (retry/partitioning-invariant, portable
     // md5 decision hash — a per-row pushable predicate, no shuffle)
     "q49_sample_hash" -> ((s, dir) =>
       graft.ops.Sample.hashSample(T(s, dir, "documents"), col("doc_id"), 0.1)
         .select(col("doc_id"), col("lang"))
-        .orderBy("doc_id")),
+        .sortWithinPartitions("doc_id")),
 
     // training-mix assembly: per-source deterministic rates (en-as-wiki
     // ×0.8, rest-as-web ×0.25), independent per-source decisions
@@ -798,7 +809,7 @@ object SparkEntry {
           ("web", d.where(col("lang") =!= "en"), 0.25)),
         col("doc_id"))
         .select(col("source"), col("doc_id"))
-        .orderBy("source", "doc_id")
+        .sortWithinPartitions("source", "doc_id")
     }),
 
     // stratified quota sample via the bounded-heap top_k aggregate
@@ -806,7 +817,7 @@ object SparkEntry {
     "q50_stratified_sample" -> ((s, dir) =>
       graft.ops.Sample.stratifiedSample(T(s, dir, "documents"),
           col("lang"), col("doc_id"), quota = 5)
-        .orderBy("stratum", "key")),
+        .sortWithinPartitions("stratum", "key")),
 
     // pivot (long→wide reshape) with explicit value list — no
     // distinct-values collect job, scale-safe
@@ -817,7 +828,7 @@ object SparkEntry {
           Seq("click", "error", "purchase", "signup", "view"))
         .agg(count(lit(1)))
         .na.fill(0L)
-        .orderBy("day")),
+        .sortWithinPartitions("day")),
 
     // point-in-interval range join, banded (equi-join on time buckets +
     // exact between verify — not a nested-loop; see ops/RangeJoin)
@@ -831,7 +842,7 @@ object SparkEntry {
       graft.ops.RangeJoin.pointInInterval(clicks, "v", signups, "lo", "hi",
           band = 300)
         .groupBy("i_id").agg(count(lit(1)).as("n_clicks"))
-        .orderBy("i_id")
+        .sortWithinPartitions("i_id")
     }),
 
     // mergeable equi-width histogram sketch (exact portable bin counts;
@@ -839,7 +850,7 @@ object SparkEntry {
     "q53_histogram" -> ((s, dir) =>
       graft.ops.Aggregations.histogramBins(T(s, dir, "events"),
           col("event_type"), col("value"), lo = 0.0, hi = 500.0, nBins = 50)
-        .orderBy("bucket", "bin")),
+        .sortWithinPartitions("bucket", "bin")),
 
     // grouping sets (the third grouping flavor next to rollup/cube):
     // per-status and per-priority subtotals plus grand total in one pass
@@ -855,7 +866,7 @@ object SparkEntry {
         .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
           coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
           col("n"), col("sum_price_c"))
-        .orderBy("status", "prio")),
+        .sortWithinPartitions("status", "prio")),
 
     // the streaming counters pipeline END-TO-END inside the correctness
     // gate: synthesized CLF files → file stream → foreachBatch parse +
@@ -876,7 +887,7 @@ object SparkEntry {
         throw new IllegalStateException(
           "q48 stream did not complete within 180s")
       }
-      sink.read(s).orderBy("metric", "member")
+      sink.read(s).sortWithinPartitions("metric", "member")
     }),
 
     // v3 Flink UV counter (v3/flink_uv_counter.py:34-39) as a real
@@ -899,7 +910,7 @@ object SparkEntry {
         throw new IllegalStateException(
           "q68 stream did not complete within 180s")
       }
-      s.table("q68_uv").orderBy("win_s", "host")
+      s.table("q68_uv").sortWithinPartitions("win_s", "host")
     }),
 
     // custom-state streaming IN-GATE: flatMapGroupsWithState
@@ -958,13 +969,13 @@ object SparkEntry {
       }
       s.table("q78_sessions")
         .select("key", "session_id", "n_events", "start_s", "end_s")
-        .orderBy("key", "session_id")
+        .sortWithinPartitions("key", "session_id")
     }),
 
     // /get_map markers: per-host counts enriched with the deterministic
     // geo fixture (one parse, aggregate-then-derive — see geoEnrich)
     "q45_geo_map" -> ((s, dir) =>
-      ServingQueries.geoMap(parsedLogs(s, dir)).orderBy("host")),
+      ServingQueries.geoMap(parsedLogs(s, dir)).sortWithinPartitions("host")),
 
     // paged geo details (25-row page 2, deterministic total order)
     "q46_geo_details_page" -> ((s, dir) =>
@@ -983,7 +994,7 @@ object SparkEntry {
         .topK(emb.where(col("vec_id") < 10), "vec_id", "embedding",
           k = 5, nProbe = 3)
         .select(col("query_id"), col("rank"), col("neighbor_id"))
-        .orderBy("query_id", "rank")
+        .sortWithinPartitions("query_id", "rank")
     }),
 
     // one-pass data profile (training-batch validation): null counts,
@@ -1010,7 +1021,7 @@ object SparkEntry {
       graft.sim.SemanticDedup.semanticDedup(s,
           T(s, dir, "embeddings"), s"$dir/embeddings", "vec_id",
           "embedding", threshold = 0.45, nLists = 8, maxIter = 8)
-        .orderBy("id")),
+        .sortWithinPartitions("id")),
 
     // decimal canonical-text evidence (r3 ADVICE): the oracle keeps
     // NATIVE decimal arithmetic end-to-end — DuckDB's own DECIMAL sums
@@ -1031,7 +1042,7 @@ object SparkEntry {
           sum(col("l_extendedprice").cast("decimal(18,2)")).cast("string")
             .as("sum_price_t"),
           count(lit(1)).as("n_rows"))
-        .orderBy("l_returnflag", "l_linestatus")),
+        .sortWithinPartitions("l_returnflag", "l_linestatus")),
 
     // per-group z-score outliers (data-quality triage): join-form stats
     // (broadcast of #groups rows) instead of the window form that sorts
@@ -1044,7 +1055,7 @@ object SparkEntry {
         .withColumn("z_r", round(col("z"), 4) + lit(0.0))
         .where(abs(col("z_r")) > 3.0)
         .select(col("event_id"), col("event_type"), col("value"), col("z_r"))
-        .orderBy("event_id")),
+        .sortWithinPartitions("event_id")),
 
     // CDC snapshot (latest version per key): hash-aggregate max_by over
     // a composite (ts, event_id) version struct — the oracle is the
@@ -1054,7 +1065,7 @@ object SparkEntry {
       graft.ops.Snapshot.latestByKey(T(s, dir, "events"), col("user_id"),
           versionCols = Seq(col("ts"), col("event_id")),
           payload = Seq(col("event_type"), col("event_id")))
-        .orderBy("user_id")),
+        .sortWithinPartitions("user_id")),
 
     // inverted index: term → (df, sorted posting list); per-doc-distinct
     // explode so the shuffle moves one (term, doc) pair per distinct
@@ -1063,7 +1074,7 @@ object SparkEntry {
     "q84_inverted_index" -> ((s, dir) =>
       graft.text.InvertedIndex.postingLists(T(s, dir, "documents"),
           col("doc_id"), col("text"), "[a-z]+")
-        .orderBy("term")),
+        .sortWithinPartitions("term")),
 
     // line-level dedup (C4/RefinedWeb boilerplate pass): each LINE kept
     // only at its corpus-wide first occurrence. The fixture corpus is
@@ -1077,7 +1088,7 @@ object SparkEntry {
           T(s, dir, "documents").withColumn("__lines",
             graft.functions.ShinglesExpr.chunk_strings(col("text"), 8)),
           col("doc_id"), col("__lines"))
-        .orderBy("doc_id")),
+        .sortWithinPartitions("doc_id")),
 
     // incremental exact dedup (continuous-ingest pattern): batch =
     // docs with doc_id % 4 = 3 deduped against history = the rest.
@@ -1090,7 +1101,7 @@ object SparkEntry {
           docs.where(pmod(col("doc_id"), lit(4)) =!= 3),
           "text", expectedItems = 100000L, fpp = 0.01)
         .select("doc_id")
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     }),
 
     // duplicate-span detection (exact-substring dedup, window form):
@@ -1102,7 +1113,7 @@ object SparkEntry {
     "q87_dup_spans" -> ((s, dir) =>
       Dedup.dupSpans(T(s, dir, "documents"), col("doc_id"),
           coalesce(col("text"), lit("")), k = 8)
-        .orderBy("doc_id")),
+        .sortWithinPartitions("doc_id")),
 
     // deterministic corpus shuffle + shard assignment (pre-training
     // layout): total order = md5 of id||text (reproducible cross-engine
@@ -1115,7 +1126,7 @@ object SparkEntry {
       graft.ops.Rank.shardAssign(keyed, Seq(col("skey").asc),
           nShards = 16, nPartitions = 8)
         .select(col("doc_id"), col("shard"), col("pos"))
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     }),
 
     // corpus-frequency quality stats (CCNet-style): rare = below 0.5%
@@ -1126,7 +1137,7 @@ object SparkEntry {
       graft.text.TextAnalysis.tokenFrequencyStats(
           T(s, dir, "documents"), col("doc_id"),
           coalesce(col("text"), lit("")), rareFraction = 0.005)
-        .orderBy("doc_id")),
+        .sortWithinPartitions("doc_id")),
 
     // crawl-to-crawl corpus diff: old = docs with doc_id % 7 != 0
     // (so % 7 == 0 rows are added), new = docs with doc_id % 11 != 0
@@ -1141,7 +1152,7 @@ object SparkEntry {
           when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
             .otherwise(col("text")).as("text"))
       graft.ops.Snapshot.corpusDiff(oldSnap, newSnap, "doc_id", col("text"))
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     }),
 
     // PII scrub: fixture text has no PII, so both engines append the
@@ -1162,7 +1173,7 @@ object SparkEntry {
       graft.text.TextAnalysis.redactPii(
           T(s, dir, "documents").select(col("doc_id"), withPii.as("text")),
           col("doc_id"), col("text"))
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     }),
 
     // BPE tokenizer training, round-0 primitive: adjacent char-pair
@@ -1175,7 +1186,7 @@ object SparkEntry {
           vocab.select(col("cnt"),
             graft.text.BpeTrain.initSymbols(col("w")).as("symbols")),
           col("cnt"), col("symbols"))
-        .orderBy("sym_l", "sym_r")
+        .sortWithinPartitions("sym_l", "sym_r")
     }),
 
     // full BPE merge learning (iterative argmax; not SQL-expressible →
@@ -1205,7 +1216,7 @@ object SparkEntry {
         junk.where(col("doc_id") % 2 === 1))
       graft.ml.QualityClassifier.score(model, docs)
         .select(col("doc_id"), (col("quality_score") >= 0.5).as("keep"))
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     }),
 
     // Gopher rule-based quality filter (Rae et al. 2021 Appendix A):
@@ -1214,7 +1225,7 @@ object SparkEntry {
     "q96_gopher_rules" -> ((s, dir) =>
       graft.text.TextAnalysis.gopherRules(
           T(s, dir, "documents"), col("doc_id"), col("text"))
-        .orderBy("doc_id")),
+        .sortWithinPartitions("doc_id")),
 
     // normalization-aware exact dedup (CCNet preprocessing): lowercase /
     // strip punctuation / collapse whitespace, THEN group by md5 — the
@@ -1224,7 +1235,7 @@ object SparkEntry {
       Dedup.exact(T(s, dir, "documents"), col("doc_id"),
           graft.text.TextAnalysis.normalizeForDedup(
             coalesce(col("text"), lit(""))))
-        .orderBy("fp")),
+        .sortWithinPartitions("fp")),
 
     // corpus mixture report (Pile/Dolma-style source breakdown): one
     // corpus-scale aggregate, then share+rank over the bounded
@@ -1232,7 +1243,7 @@ object SparkEntry {
     "q98_source_mix" -> ((s, dir) =>
       graft.ops.Profile.sourceMix(
           T(s, dir, "documents"), col("source"), col("text"))
-        .orderBy("source")),
+        .sortWithinPartitions("source")),
 
     // CCNet-style bigram-LM "perplexity" filter (Wenzek et al. 2020):
     // unsupervised fluency scoring — LM built from the corpus itself
@@ -1245,7 +1256,7 @@ object SparkEntry {
       graft.text.NgramLm.scoreDocs(d, col("doc_id"), col("text"),
           graft.text.NgramLm.bigramLmCached(s"$dir/documents", d,
             col("text")))
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     }),
 
     // per-source token-budget cap (Paloma/Dolma quota): keep docs in
@@ -1256,7 +1267,7 @@ object SparkEntry {
     "q100_token_budget" -> ((s, dir) =>
       graft.ops.Sample.tokenBudget(T(s, dir, "documents"), col("doc_id"),
           col("source"), col("text"), budget = 600L)
-        .orderBy("doc_id")),
+        .sortWithinPartitions("doc_id")),
 
     // deterministic fractional upsampling (mixture epochs): weight by
     // lang, floor(w) copies + hash-selected extra — expected
@@ -1271,7 +1282,7 @@ object SparkEntry {
       graft.ops.Sample.upsample(
           T(s, dir, "documents").select(col("doc_id"), col("lang")),
           col("doc_id"), w)
-        .orderBy("doc_id", "epoch")
+        .sortWithinPartitions("doc_id", "epoch")
     }),
 
     // BPE ENCODE with a fixed merge list over normalized text — the
@@ -1286,7 +1297,7 @@ object SparkEntry {
           col("doc_id"), col("text"), SparkEntry.FixedMerges)
         .select(col("doc_id"), size(col("symbols")).cast("long")
           .as("n_bpe_tokens"))
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     }),
 
     // BPE encode with merges LEARNED from the corpus (depth 16, cached
@@ -1301,7 +1312,7 @@ object SparkEntry {
           coalesce(col("text"), lit("")), merges)
         .select(col("doc_id"), size(col("symbols")).cast("long")
           .as("n_bpe_tokens"))
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     }),
 
     // REAL audio-header decode (WAV RIFF walk): payloads synthesized
@@ -1318,7 +1329,7 @@ object SparkEntry {
         T(s, dir, "documents").select(col("doc_id"),
           Multimodal.synthWavHeader(ch, rate, nSamples).as("payload")),
         "doc_id", "payload")
-        .orderBy("media_id")
+        .sortWithinPartitions("media_id")
     }),
 
     // HTML-to-text extraction (the WARC-to-text step that runs before
@@ -1343,7 +1354,7 @@ object SparkEntry {
       graft.text.Markup.stripHtml(
           T(s, dir, "documents").select(col("doc_id"), html.as("html")),
           col("doc_id"), col("html"))
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     }),
 
     // URL canonicalization + URL-level dedup: messy-spelling variants
@@ -1370,7 +1381,7 @@ object SparkEntry {
         when(id % 5 === 0, lit("#section-2")).otherwise(lit("")))
       graft.text.Markup.urlDedup(
           T(s, dir, "documents").select(url.as("url")), col("url"))
-        .orderBy("canonical_url")
+        .sortWithinPartitions("canonical_url")
     }),
 
     // Unicode NFC normalization (native codegen'd Normalizer wrap —
@@ -1393,7 +1404,7 @@ object SparkEntry {
           (col("text") =!= col("raw")).as("changed"),
           (length(col("raw")) - length(col("text"))).cast("long")
             .as("chars_saved"))
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     }),
 
     // sentence segmentation stats (the sentence-level C4 shape signal):
@@ -1405,7 +1416,7 @@ object SparkEntry {
       graft.text.Markup.sentenceStats(
           T(s, dir, "documents").select(col("doc_id"), punct.as("text")),
           col("doc_id"), col("text"))
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     }),
 
     // heavy hitters via the mergeable DataSketches frequent-items
@@ -1424,7 +1435,7 @@ object SparkEntry {
         .select(explode(col("hh")).as("h"))
         .select(col("h.item").as("token"), col("h.est").as("est"),
           col("h.lb").as("lb"), col("h.ub").as("ub"))
-        .orderBy(col("est").desc, col("token"))),
+        .sortWithinPartitions(col("est").desc, col("token"))),
 
     // distribution drift between crawls (PSI over a 16-bin length
     // histogram): q90's snapshot derivation, with every 5th new-crawl
@@ -1445,7 +1456,7 @@ object SparkEntry {
       graft.ops.Snapshot.histogramDrift(
           oldSnap.select(nWords.as("v")), newSnap.select(nWords.as("v")),
           col("v"), lo = 0.0, hi = 256.0, nBins = 16)
-        .orderBy("bin")
+        .sortWithinPartitions("bin")
     }),
 
     // tokenizer fertility by language (BPE tokens per word — the
@@ -1459,7 +1470,7 @@ object SparkEntry {
           T(s, dir, "documents").select(col("lang"), norm.as("text")),
           col("lang"), col("text"), SparkEntry.FixedMerges)
         .withColumnRenamed("grp", "lang")
-        .orderBy("lang")
+        .sortWithinPartitions("lang")
     }),
 
     // temperature-scaled mixture rates (mT5/XLM-R sampling, τ = 2
@@ -1471,7 +1482,7 @@ object SparkEntry {
       graft.ops.Profile.temperatureMix(
           T(s, dir, "documents"), col("source"), col("text"),
           temperature = 2.0)
-        .orderBy("source")),
+        .sortWithinPartitions("source")),
 
     // cross-corpus exact-line decontamination: every 10th doc plays
     // the benchmark; ITS lines vanish from every training doc
@@ -1486,7 +1497,7 @@ object SparkEntry {
           docs.withColumn("__lines", lines), col("doc_id"), col("__lines"),
           docs.where(col("doc_id") % 10 === 0).withColumn("__lines", lines),
           col("__lines"))
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     }),
 
     // deflate compression-ratio quality signal (whole-doc
@@ -1497,7 +1508,7 @@ object SparkEntry {
       T(s, dir, "documents").select(col("doc_id"),
           round(graft.functions.DeflateRatioExpr.deflate_ratio(
             coalesce(col("text"), lit(""))), 4).as("deflate_ratio"))
-        .orderBy("doc_id")),
+        .sortWithinPartitions("doc_id")),
 
     // T5 span corruption with the portable deterministic mask: per-row
     // array expressions, mask = md5(doc_id:pos) — both engines replay
@@ -1505,7 +1516,7 @@ object SparkEntry {
     "q115_span_corrupt" -> ((s, dir) =>
       graft.text.TextAnalysis.spanCorrupt(T(s, dir, "documents"),
           col("doc_id"), col("text"))
-        .orderBy("doc_id")),
+        .sortWithinPartitions("doc_id")),
 
     // fuzzy-dedup keep-BEST completion: the q66 components, but the
     // cluster keeper is the highest-quality member (length as the
@@ -1522,7 +1533,7 @@ object SparkEntry {
           docs.select(col("doc_id"),
             length(coalesce(col("text"), lit(""))).as("q")),
           "doc_id", "q")
-        .orderBy("id")
+        .sortWithinPartitions("id")
     }),
 
     // collocation mining: corpus-wide adjacent-bigram PMI, every
@@ -1531,7 +1542,7 @@ object SparkEntry {
     "q117_pmi_collocations" -> ((s, dir) =>
       graft.text.TextAnalysis.pmiCollocations(
           T(s, dir, "documents"), col("text"), minCount = 5L)
-        .orderBy("w1", "w2")),
+        .sortWithinPartitions("w1", "w2")),
 
     // Heaps-law vocabulary growth over 8 deterministic shards: each
     // type reduces map-side to its first shard; the cumulative curve
@@ -1539,7 +1550,7 @@ object SparkEntry {
     "q118_vocab_growth" -> ((s, dir) =>
       graft.text.TextAnalysis.vocabGrowth(
           T(s, dir, "documents"), col("doc_id"), col("text"), nShards = 8)
-        .orderBy("shard")),
+        .sortWithinPartitions("shard")),
 
     // domain-suffix blocklist (UT1-style): hosts derived
     // deterministically from doc_id, two blocklist rules; the suffix
@@ -1556,7 +1567,7 @@ object SparkEntry {
       graft.text.Markup.domainBlocklist(
           T(s, dir, "documents").select(col("doc_id"), host.as("host")),
           col("doc_id"), col("host"), blocklist, "domain")
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     }),
 
     // link-graph centrality: 3-iteration scaled-integer PageRank over
@@ -1573,7 +1584,7 @@ object SparkEntry {
         (col("l_partkey") + lit(20000000L)).as("dst"))
       graft.ops.Graph.pageRankFixed(e1.unionAll(e2), "src", "dst",
           iters = 3)
-        .orderBy("id")
+        .sortWithinPartitions("id")
     }),
 
     // MOSS winnowing fingerprints (k=3 shingles, w=4 windows):
@@ -1583,7 +1594,7 @@ object SparkEntry {
     "q121_winnowing" -> ((s, dir) =>
       graft.text.TextAnalysis.winnowing(T(s, dir, "documents"),
           col("doc_id"), col("text"), k = 3, w = 4)
-        .orderBy("doc_id", "pos", "fp")),
+        .sortWithinPartitions("doc_id", "pos", "fp")),
 
     // per-label embedding centroids in quantized integer space: float
     // sums are shuffle-order-dependent; round(v*1e6) longs sum exactly
@@ -1592,14 +1603,14 @@ object SparkEntry {
       graft.sim.Similarity.labelCentroids(
           s.read.parquet(s"$dir/embeddings.parquet"),
           col("label"), col("embedding"))
-        .orderBy("label", "pos")),
+        .sortWithinPartitions("label", "pos")),
 
     // per-doc top-3 tf-idf keywords: idf fed round(.,6) doubles (the
     // PSI/PMI recipe), ties on token asc -> total-ordered selection
     "q123_tfidf_keywords" -> ((s, dir) =>
       graft.text.TextAnalysis.tfidfKeywords(T(s, dir, "documents"),
           col("doc_id"), col("text"), k = 3)
-        .orderBy("doc_id", "rank")),
+        .sortWithinPartitions("doc_id", "rank")),
 
     // mergeable KLL quantile sketch (the q41-HLL / q109-freq-items
     // family, completing distinct/heavy-hitter/quantile): per-source
@@ -1616,7 +1627,7 @@ object SparkEntry {
         .select(col("source"), explode(col("qs")).as("s"))
         .select(col("source"), col("s.rank").as("rank"),
           col("s.q").cast("long").as("q_len"))
-        .orderBy("source", "rank")),
+        .sortWithinPartitions("source", "rank")),
 
     // RAG/long-context chunking: overlapping 8-token windows every 4
     // tokens — pure per-row array exprs, zero shuffle, (doc_id,
@@ -1624,7 +1635,7 @@ object SparkEntry {
     "q125_chunk_overlap" -> ((s, dir) =>
       graft.text.Chunker.chunkWithOverlap(T(s, dir, "documents"),
           col("doc_id"), col("text"), window = 8, stride = 4)
-        .orderBy("doc_id", "chunk_idx")),
+        .sortWithinPartitions("doc_id", "chunk_idx")),
 
     // DSIR importance resampling weights (hashed-unigram LLR vs the
     // doc_id%7==0 "curated" slice): 256-bucket broadcast LM, one
@@ -1633,7 +1644,7 @@ object SparkEntry {
       graft.text.Dsir.importanceWeights(T(s, dir, "documents"),
           col("doc_id"), col("text"), isTarget = col("doc_id") % 7 === 0,
           nBuckets = 256)
-        .orderBy("doc_id")),
+        .sortWithinPartitions("doc_id")),
 
     // KMV corpus-overlap sketch: even-doc vs odd-doc token vocabularies;
     // bottom-128 of the hash union estimates Jaccard, exact counts ride
@@ -1654,7 +1665,7 @@ object SparkEntry {
       val emb = T(s, dir, "embeddings")
       Similarity.hammingTopK(emb, emb.where(col("vec_id") < 10),
           "vec_id", "embedding", k = 5)
-        .orderBy("query_id", "rank")
+        .sortWithinPartitions("query_id", "rank")
     }),
 
     // Zipf rank-frequency slope over the top-30 tokens: scaled-integer
@@ -1670,14 +1681,14 @@ object SparkEntry {
       graft.ops.Sample.weightedSample(T(s, dir, "documents"),
           col("source"), col("doc_id"),
           (col("doc_id") % 5 + 1).cast("double"), k = 10)
-        .orderBy("grp", "rank")),
+        .sortWithinPartitions("grp", "rank")),
 
     // deterministic random projection 64->8: seed-regenerable rational
     // matrix, exact integer dot products, per-row with no shuffle
     "q131_random_projection" -> ((s, dir) =>
       Similarity.randomProjection(T(s, dir, "embeddings"),
           col("vec_id"), col("embedding"), dim = 64, outDim = 8)
-        .orderBy("id", "pos")),
+        .sortWithinPartitions("id", "pos")),
 
     // template/boilerplate-page detection: volatile tokens (urls,
     // emails, digit runs) masked, then the q20 one-16-byte-key-shuffle
@@ -1696,7 +1707,7 @@ object SparkEntry {
       graft.text.Markup.templateCluster(
           T(s, dir, "documents").select(col("doc_id"), templ.as("text")),
           col("doc_id"), col("text"))
-        .orderBy("template_fp")
+        .sortWithinPartitions("template_fp")
     }),
 
     // REAL MP4 header decode (hardened ISO-BMFF box walk): payloads
@@ -1714,7 +1725,7 @@ object SparkEntry {
         T(s, dir, "documents").select(col("doc_id"),
           Multimodal.synthMp4Header(brand, ts, dur).as("payload")),
         "doc_id", "payload")
-        .orderBy("media_id")
+        .sortWithinPartitions("media_id")
     }),
 
     // MMR diversity selection after ANN: greedy λ-tradeoff over the
@@ -1724,7 +1735,7 @@ object SparkEntry {
       val emb = T(s, dir, "embeddings")
       Similarity.mmrSelect(emb, emb.where(col("vec_id") < 5),
           "vec_id", "embedding", nCandidates = 15, k = 3)
-        .orderBy("query_id", "round")
+        .sortWithinPartitions("query_id", "round")
     }),
 
     // Bloom-prefiltered benchmark decontamination (the q74 exact-join
@@ -1738,7 +1749,7 @@ object SparkEntry {
           d.where(col("doc_id") % 50 =!= 0), col("doc_id"), col("text"),
           d.where(col("doc_id") % 50 === 0), col("text"), w = 4,
           expectedItems = 4096, fpp = 0.03)
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     }),
 
     // edit-distance near-dup: minhash-band candidates (recall knob low)
@@ -1748,7 +1759,7 @@ object SparkEntry {
     "q136_editdist_pairs" -> ((s, dir) =>
       Dedup.editDistancePairs(T(s, dir, "documents"), "doc_id", "text",
           k = 8, bands = 4, minAgree = 2, w = 3, maxDist = 20)
-        .orderBy("id_a", "id_b")),
+        .sortWithinPartitions("id_a", "id_b")),
 
     // sparse cosine via inverted index + df-cut (Bayardo all-pairs):
     // pairs only through shared rare 3-gram features, candidate volume
@@ -1758,7 +1769,7 @@ object SparkEntry {
       TextAnalysis.sparseCosinePairs(T(s, dir, "documents"),
           col("doc_id"), col("text"), w = 3, maxDf = 10,
           minCos2Ppm = 250000L)
-        .orderBy("id_a", "id_b")),
+        .sortWithinPartitions("id_a", "id_b")),
 
     // perceptual near-dup over image payloads: 8×8 luma fixture
     // (closed-form in doc_id, the q95 synthesis pattern) → codegen'd
@@ -1772,7 +1783,7 @@ object SparkEntry {
             pmod(col("doc_id"), lit(12)),
             pmod(col("doc_id"), lit(97)) < 10).as("payload")),
         "doc_id", "payload", maxDist = 6)
-        .orderBy("hash_a", "hash_b")),
+        .sortWithinPartitions("hash_a", "hash_b")),
 
     // mergeable count-min-sketch point frequencies per source (the
     // q41/q109/q124 sketch family's point-query member): width 4096 ≫
@@ -1792,7 +1803,7 @@ object SparkEntry {
         .select(col("source"), explode(col("ests")).as("e"))
         .select(col("source"), col("e.tok").as("tok"),
           col("e.est").as("est"))
-        .orderBy("source", "tok")
+        .sortWithinPartitions("source", "tok")
     }),
 
     // Spark's NATIVE session_window aggregation (the built-in gap
@@ -1811,7 +1822,7 @@ object SparkEntry {
           (unix_micros(col("session_window.end")) - lit(1800000000L))
             .as("last_us"),
           col("n_events"))
-        .orderBy("user_id", "start_us")),
+        .sortWithinPartitions("user_id", "start_us")),
 
     // incremental FUZZY dedup: the new batch (doc_id % 4 == 3) screened
     // against the history near-dup index (everything else) — batch
@@ -1822,7 +1833,7 @@ object SparkEntry {
       Dedup.incrementalFuzzy(
           d.where(col("doc_id") % 4 === 3), d.where(col("doc_id") % 4 =!= 3),
           "doc_id", "text", k = 8, bands = 4, minAgree = 4, w = 3)
-        .orderBy("id")
+        .sortWithinPartitions("id")
     }),
 
     // multi-pattern PII scan (the C4/Gopher policy-filter shape beyond
@@ -1842,7 +1853,7 @@ object SparkEntry {
             .cast("long").as("n_ipv4"),
           regexp_count(col("t"), lit("\\b\\d{3}-\\d{4}\\b")).cast("long")
             .as("n_phone"))
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     }),
 
     // product-quantization ADC search (Jégou 2011): m=8 subspace
@@ -1860,7 +1871,7 @@ object SparkEntry {
           topK = 10)
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           (round(col("adc_dist"), 4) + lit(0.0)).as("adc_dist_r"))
-        .orderBy("query_id", "rank")
+        .sortWithinPartitions("query_id", "rank")
     }),
 
     // IVF-PQ composition (the FAISS IVFx,PQy family): L2 cell routing
@@ -1876,7 +1887,7 @@ object SparkEntry {
           k = 10, nProbe = 3)
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           (round(col("adc_dist"), 4) + lit(0.0)).as("adc_dist_r"))
-        .orderBy("query_id", "rank")
+        .sortWithinPartitions("query_id", "rank")
     }),
 
     // BM25 ranked retrieval (the scoring side of the q84 inverted
@@ -1887,7 +1898,7 @@ object SparkEntry {
       import s.implicits._
       graft.text.Bm25.topK(T(s, dir, "documents"), col("doc_id"),
           col("text"), Bm25Queries.toDF("query_id", "term"), k = 10)
-        .orderBy("query_id", "rank")
+        .sortWithinPartitions("query_id", "rank")
     }),
 
     // triangle census over the q44 minhash near-dup graph: per-vertex
@@ -1901,7 +1912,7 @@ object SparkEntry {
           Dedup.portableMinhashPairs(T(s, dir, "documents"), "doc_id",
             "text", k = 8, bands = 4, minAgree = 4, w = 3),
           "id_a", "id_b")
-        .orderBy("id"))
+        .sortWithinPartitions("id"))
 ,
 
     // Z-order layout audit: per-file min/max bounding boxes of
@@ -1917,7 +1928,7 @@ object SparkEntry {
           pmod(col("user_id") * 677L, lit(1024L)),
           pmod(col("event_id") * 509L, lit(1024L)),
           col("event_id"), nFiles = 16, bits = 10)
-        .orderBy("layout", "file_id")),
+        .sortWithinPartitions("layout", "file_id")),
 
     // Flesch reading-ease (readability quality feature): row-local
     // counts + one rounded double → integer e2; NULL for empty docs.
@@ -1926,7 +1937,7 @@ object SparkEntry {
     "q148_readability" -> ((s, dir) =>
       TextAnalysis.readability(T(s, dir, "documents"), col("doc_id"),
           col("text"))
-        .orderBy("doc_id")),
+        .sortWithinPartitions("doc_id")),
 
     // SSL-prototypes diversity pruning (Sorscher et al. NeurIPS'22):
     // rank by cosine to the EXACT per-label centroid (q55 decimal-e9
@@ -1935,7 +1946,7 @@ object SparkEntry {
     "q149_prototype_prune" -> ((s, dir) =>
       Similarity.prototypePrune(T(s, dir, "embeddings"), "vec_id",
           "embedding", "label", pruneFrac = 0.25)
-        .orderBy("cluster", "rank")),
+        .sortWithinPartitions("cluster", "rank")),
 
     // unigram-LM tokenizer SEEDING (Kudo 2018): every ≤4-char substring
     // of every word weighted by occurrence, top-200 + single-char
@@ -1943,7 +1954,7 @@ object SparkEntry {
     "q150_unigram_seed" -> ((s, dir) =>
       graft.text.UnigramLm.seedCandidates(T(s, dir, "documents"),
           col("text"), maxLen = 4, seedSize = 200)
-        .orderBy("piece")),
+        .sortWithinPartitions("piece")),
 
     // unigram-LM hard-EM training (3 rounds over the aggregated word
     // vocab; Viterbi counts via the codegen'd segment expression).
@@ -1953,7 +1964,7 @@ object SparkEntry {
     "q151_unigram_lm" -> ((s, dir) =>
       graft.text.UnigramLm.train(s, T(s, dir, "documents"), col("text"),
           maxLen = 4, seedSize = 256, rounds = 3)
-        .orderBy("piece")),
+        .sortWithinPartitions("piece")),
 
     // hybrid retrieval (the modern RAG stack): q145's BM25 lexical
     // ranking + the q24 brute-force vector ranking on the aligned doc
@@ -1972,7 +1983,7 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
       graft.text.Bm25.rrfFuse(Seq("lex" -> lex, "vec" -> vec), kRrf = 60,
           topK = 10)
-        .orderBy("query_id", "rank")
+        .sortWithinPartitions("query_id", "rank")
     }),
 
     // Luhn checksum validation (the q142 regex scanner's second stage):
@@ -1992,7 +2003,7 @@ object SparkEntry {
       TextAnalysis.luhnScan(
           T(s, dir, "documents").select(col("doc_id"), planted.as("text")),
           col("doc_id"), col("text"))
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     }),
 
     // matryoshka prefix-dim retrieval audit (MRL serving design): the
@@ -2003,7 +2014,7 @@ object SparkEntry {
       val emb = T(s, dir, "embeddings")
       Similarity.matryoshkaOverlap(emb, emb.where(col("vec_id") < 5),
           "vec_id", "embedding", dims = Seq(16, 32), k = 10)
-        .orderBy("query_id", "prefix_dim")
+        .sortWithinPartitions("query_id", "prefix_dim")
     }),
 
     // DCT perceptual near-dup (pHash beside the q138 dHash): 63-bit
@@ -2018,7 +2029,7 @@ object SparkEntry {
             pmod(col("doc_id"), lit(12)),
             pmod(col("doc_id"), lit(97)) < 10).as("payload")),
         "payload", maxDist = 6)
-        .orderBy("hash_a", "hash_b")),
+        .sortWithinPartitions("hash_a", "hash_b")),
 
     // per-domain contribution cap (RefinedWeb "no host dominates" — a
     // COUNT cap vs q50's per-stratum FRACTION): ≤25 docs per source by
@@ -2027,7 +2038,7 @@ object SparkEntry {
     "q156_domain_cap" -> ((s, dir) =>
       graft.ops.Sample.domainCap(T(s, dir, "documents"), col("source"),
           col("doc_id"), cap = 25)
-        .orderBy("domain", "rank")),
+        .sortWithinPartitions("domain", "rank")),
 
     // curation capstone: the corpus-curation stack COMPOSED end to end
     // — normalized dedup keepers → benchmark decontamination (3-gram
@@ -2056,7 +2067,7 @@ object SparkEntry {
           size(toks(col("text"))).cast("long").as("tok")), "doc_id")
         .groupBy("source", "lang")
         .agg(count(lit(1)).as("n_docs"), sum("tok").as("sum_tokens"))
-        .orderBy("source", "lang")
+        .sortWithinPartitions("source", "lang")
     }),
 
     // content-defined chunking (Rabin CDC, the shift-resistant storage
@@ -2074,7 +2085,7 @@ object SparkEntry {
         .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
           col("c.start").cast("long").as("start"),
           col("c.len").cast("long").as("len"), col("c.fp").as("fp"))
-        .orderBy("doc_id", "chunk_idx")),
+        .sortWithinPartitions("doc_id", "chunk_idx")),
 
     // partial-overlap pairs via shared CDC chunks: per-doc distinct
     // fps, boilerplate df-cap BEFORE the self-join, ≥2 shared chunks.
@@ -2083,7 +2094,7 @@ object SparkEntry {
     "q159_shared_chunks" -> ((s, dir) =>
       Dedup.sharedChunkPairs(T(s, dir, "documents"), "doc_id", "text",
           w = 16, maskBits = 6, maxDf = 10, minShared = 2)
-        .orderBy("id_a", "id_b")),
+        .sortWithinPartitions("id_a", "id_b")),
 
     // asymmetric containment (Broder): rare-shingle df-cut candidates
     // (minhash bands can't seed low-Jaccard pairs) verified with exact
@@ -2092,7 +2103,7 @@ object SparkEntry {
     "q160_containment_pairs" -> ((s, dir) =>
       Dedup.containmentPairs(T(s, dir, "documents"), "doc_id", "text",
           w = 3, maxDf = 10, minContainE6 = 500000L)
-        .orderBy("id_a", "id_b")),
+        .sortWithinPartitions("id_a", "id_b")),
 
     // paragraph-level dedup (Dolma/RefinedWeb): paragraphs between
     // blank-line boundaries, deduped corpus-wide on the whitespace/
@@ -2104,7 +2115,7 @@ object SparkEntry {
       Dedup.paragraphDedup(
           T(s, dir, "documents").withColumn("__ptext", syntheticParaText),
           col("doc_id"), col("__ptext"))
-        .orderBy("doc_id")),
+        .sortWithinPartitions("doc_id")),
 
     // fixed-centroid nearest-neighbor assignment — the deterministic,
     // hash-checkable twin of q62's KMeans: once centroids are frozen
@@ -2114,7 +2125,7 @@ object SparkEntry {
     "q162_cluster_assign" -> ((s, dir) =>
       graft.ml.DocCluster.assignFixed(T(s, dir, "embeddings"), "vec_id",
           "embedding", FixedCentroidsE9)
-        .orderBy("vec_id")),
+        .sortWithinPartitions("vec_id")),
 
     // near-dup paragraph pairs — the fuzzy tier above q161's exact-
     // normalized pass (boilerplate families with embedded variation).
@@ -2124,7 +2135,7 @@ object SparkEntry {
       Dedup.paragraphNearDupPairs(
           T(s, dir, "documents").withColumn("__ptext", syntheticParaText),
           col("__ptext"))
-        .orderBy("id_a", "id_b")),
+        .sortWithinPartitions("id_a", "id_b")),
 
     // incremental paragraph NEAR-dup — the fuzzy tier of the
     // per-crawl-batch paragraph pass (q170 closed the exact tier),
@@ -2143,7 +2154,7 @@ object SparkEntry {
           docs.where(pmod(col("doc_id"), lit(2)) === 0),
           col("__ptext"),
           expectedItems = 1000000L, fpp = 0.01)
-        .orderBy("id_a", "id_b")
+        .sortWithinPartitions("id_a", "id_b")
     }),
 
     // duplicated-substring EXCISION (Lee et al. 2022 ExactSubstr, the
@@ -2154,7 +2165,7 @@ object SparkEntry {
     "q178_substring_excise" -> ((s, dir) =>
       Dedup.substringExcise(T(s, dir, "documents"), col("doc_id"),
           col("text"), k = 8)
-        .orderBy("doc_id")),
+        .sortWithinPartitions("doc_id")),
 
     // semantic sequence packing (in-context pretraining, Shi et al.
     // 2023): same-topic docs pack into the same sequences — q162's
@@ -2164,7 +2175,7 @@ object SparkEntry {
       graft.ops.Pack.semanticPacking(T(s, dir, "documents"),
           col("doc_id"), col("text"), T(s, dir, "embeddings"),
           "vec_id", "embedding", FixedCentroidsE9, seqLen = 512)
-        .orderBy("doc_id")),
+        .sortWithinPartitions("doc_id")),
 
     // intra-doc repetition coverage: the exact Gopher duplicated-
     // n-gram fraction (positional coverage, each token counted once)
@@ -2172,7 +2183,7 @@ object SparkEntry {
     "q185_intra_repetition" -> ((s, dir) =>
       Dedup.intraDocRepetition(T(s, dir, "documents"), col("doc_id"),
           col("text"), k = 3)
-        .orderBy("doc_id")),
+        .sortWithinPartitions("doc_id")),
 
     // benchmark decontamination by EXCISION: corpus windows matching
     // any benchmark window are cut (islands merged) instead of
@@ -2184,7 +2195,7 @@ object SparkEntry {
           col("doc_id"), col("text"),
           d.where(pmod(col("doc_id"), lit(10)) === 7),
           col("text"), k = 8)
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     }),
 
     // boilerplate-line scrub (RefinedWeb line-level correction): lines
@@ -2196,7 +2207,7 @@ object SparkEntry {
       Dedup.boilerplateLineScrub(
           T(s, dir, "documents").withColumn("__ltext", syntheticParaText),
           col("doc_id"), col("__ltext"), maxDocFreq = 30)
-        .orderBy("doc_id")),
+        .sortWithinPartitions("doc_id")),
 
     // one-pass quality-signals sheet (RedPajama-V2 discipline: ship
     // per-doc signals with the corpus so consumers threshold without
@@ -2205,7 +2216,7 @@ object SparkEntry {
     "q182_quality_signals" -> ((s, dir) =>
       graft.text.TextAnalysis.qualitySignals(T(s, dir, "documents"),
           col("doc_id"), col("text"))
-        .orderBy("doc_id")),
+        .sortWithinPartitions("doc_id")),
 
     // code-vs-prose routing gate: frozen keyword lexicon + symbol/
     // indent/EOL-density integer per-mille score — the StarCoder-style
@@ -2214,7 +2225,7 @@ object SparkEntry {
     "q179_code_detect" -> ((s, dir) =>
       graft.text.TextAnalysis.codeDetect(T(s, dir, "documents"),
           col("doc_id"), col("text"))
-        .orderBy("doc_id")),
+        .sortWithinPartitions("doc_id")),
 
     // dedup-funnel attrition audit: input → exact → normalized →
     // near-dup survivor counts, each tier over the previous tier's
@@ -2222,7 +2233,7 @@ object SparkEntry {
     "q180_dedup_funnel" -> ((s, dir) =>
       Dedup.dedupFunnel(T(s, dir, "documents"), col("doc_id"),
           col("text"))
-        .orderBy("stage_ord")),
+        .sortWithinPartitions("stage_ord")),
 
     // leakage-safe cluster split: q66's simhash components with the
     // train/eval hash split assigned per COMPONENT, so near-dups never
@@ -2231,7 +2242,7 @@ object SparkEntry {
     "q181_cluster_split" -> ((s, dir) =>
       Dedup.clusterSplit(T(s, dir, "documents"), "doc_id", "text",
           trainFrac = 0.8)
-        .orderBy("id")),
+        .sortWithinPartitions("id")),
 
     // exact source-overlap matrix (dataset-mixing audit): distinct
     // md5-60 shingles per source, pairwise intersection + Jaccard e6;
@@ -2240,7 +2251,7 @@ object SparkEntry {
     "q164_source_overlap" -> ((s, dir) =>
       Dedup.sourceOverlapMatrix(T(s, dir, "documents"), col("source"),
           col("text"), w = 3)
-        .orderBy("src_a", "src_b")),
+        .sortWithinPartitions("src_a", "src_b")),
 
     // frozen-weight quality scoring — the deterministic hash-checkable
     // twin of q94's LR classifier (the q162 frozen-model pattern):
@@ -2249,7 +2260,7 @@ object SparkEntry {
     "q165_quality_logit_fixed" -> ((s, dir) =>
       graft.ml.QualityClassifier.scoreFixed(T(s, dir, "documents"),
           col("doc_id"), col("text"), FixedQualityWeights)
-        .orderBy("doc_id")),
+        .sortWithinPartitions("doc_id")),
 
     // split-leakage audit: near-dup pairs (q44's portable minhash)
     // straddling the frozen 80/20 hash split leak training text into
@@ -2258,7 +2269,7 @@ object SparkEntry {
     "q166_split_leakage" -> ((s, dir) =>
       Dedup.splitLeakage(T(s, dir, "documents"), "doc_id", "text",
           trainFrac = 0.8)
-        .orderBy("id_a", "id_b")),
+        .sortWithinPartitions("id_a", "id_b")),
 
     // retrieval eval metrics over the q145 BM25 ranking: graded
     // rel = n_terms (how many query terms the doc matched), relevant
@@ -2273,7 +2284,7 @@ object SparkEntry {
             col("text"), NdcgQueries.toDF("query_id", "term"), k = 10),
           col("query_id"), col("rank"), col("n_terms"), k = 10,
           minRelevant = 2L)
-        .orderBy("query_id")
+        .sortWithinPartitions("query_id")
     }),
 
     // frozen-weight multilingual language ID (fastText serving shape,
@@ -2284,7 +2295,7 @@ object SparkEntry {
     "q168_lang_id_fixed" -> ((s, dir) =>
       graft.text.LangIdFixed.score(T(s, dir, "documents"),
           col("doc_id"), col("text"))
-        .orderBy("doc_id")),
+        .sortWithinPartitions("doc_id")),
 
     // quality-filter eval metrics — the PR-curve audit over the q165
     // frozen-weight scorer vs PLANTED labels (even docs keep their
@@ -2304,7 +2315,7 @@ object SparkEntry {
           graft.ml.QualityClassifier.scoreFixed(ev, col("doc_id"),
             col("text"), FixedQualityWeights, carry = Seq(col("y"))),
           col("y"), col("logit"), QualityEvalThresholds)
-        .orderBy("threshold")
+        .sortWithinPartitions("threshold")
     }),
 
     // incremental paragraph dedup — the q161 pass made per-crawl-batch
@@ -2320,7 +2331,7 @@ object SparkEntry {
           docs.where(pmod(col("doc_id"), lit(2)) === 0),
           col("doc_id"), col("__ptext"),
           expectedItems = 1000000L, fpp = 0.01)
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     }),
 
     // language-mix audit — the histogram the q168 gate reports before
@@ -2338,7 +2349,7 @@ object SparkEntry {
           "CAST((n_docs * 1000000) DIV (SUM(n_docs) OVER ()) AS BIGINT)"))
         .select(col("lang"), col("n_docs"), col("share_e6"),
           col("sum_score"), col("sum_margin"))
-        .orderBy("lang")
+        .sortWithinPartitions("lang")
     }),
 
     // tokenizer fertility by language — the tokenizer-fairness audit
@@ -2368,7 +2379,7 @@ object SparkEntry {
           expr("CASE WHEN sum_words = 0 THEN CAST(0 AS BIGINT) " +
             "ELSE CAST((sum_subtoks * 1000000) DIV sum_words AS BIGINT) " +
             "END").as("subtoks_per_word_e6"))
-        .orderBy("lang")),
+        .sortWithinPartitions("lang")),
 
     // sequence packing — the GPT-style "concatenate in a deterministic
     // hash shuffle, chop every L tokens" layout a pipeline runs last:
@@ -2378,7 +2389,7 @@ object SparkEntry {
     "q173_sequence_packing" -> ((s, dir) =>
       graft.ops.Pack.sequencePacking(T(s, dir, "documents"),
           col("doc_id"), col("text"), seqLen = 512L)
-        .orderBy("doc_id")),
+        .sortWithinPartitions("doc_id")),
 
     // the round-11 curation chain end to end: language gate (q168) →
     // frozen-weight quality filter (q165, carried through the language
@@ -2401,7 +2412,7 @@ object SparkEntry {
         .unionByName(fx)
       graft.text.LangIdFixed.scoreScriptAware(docs, col("doc_id"),
           col("text"))
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     }),
 
     // toxicity/blocklist gate — the standard curation stage between
@@ -2425,7 +2436,7 @@ object SparkEntry {
         .unionByName(fx)
       graft.text.LangIdFixed.scorePerScript(docs, col("doc_id"),
           col("text"))
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     }),
 
     "q176_lexicon_gate" -> ((s, dir) => {
@@ -2434,7 +2445,7 @@ object SparkEntry {
       val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
         .unionByName(fx)
       graft.text.LexiconGate.score(docs, col("doc_id"), col("text"))
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     }),
 
     "q174_curate_pack" -> ((s, dir) => q174Pipeline(s, dir)._2),
@@ -2460,7 +2471,7 @@ object SparkEntry {
           T(s, dir, "documents").select(col("doc_id"),
             piiPlantedText.as("t")),
           col("doc_id"), col("t"))
-        .orderBy("doc_id")),
+        .sortWithinPartitions("doc_id")),
 
     // incremental substring EXCISION — the per-crawl-batch ACTION
     // tier (batch = odd docs, history = even): batch windows
@@ -2473,7 +2484,7 @@ object SparkEntry {
           d.where(col("doc_id") % 2 === 1),
           d.where(col("doc_id") % 2 === 0),
           col("doc_id"), col("text"), k = 8)
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     }),
 
     // packing-efficiency audit: packed (corpus-concatenated) vs
@@ -2483,7 +2494,7 @@ object SparkEntry {
     "q190_packing_efficiency" -> ((s, dir) =>
       graft.ops.Pack.packingEfficiency(T(s, dir, "documents"),
           col("doc_id"), col("text"), Seq(128L, 256L, 512L, 1024L))
-        .orderBy("seq_len")),
+        .sortWithinPartitions("seq_len")),
 
     // the DEVANAGARI tier of per-script language ID (r13 VERDICT #3:
     // Devanagari text previously fell to und outright — a real
@@ -2504,7 +2515,7 @@ object SparkEntry {
         .unionByName(fx)
       graft.text.LangIdFixed.scorePerScript(docs, col("doc_id"),
           col("text"))
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     }),
 
     // the BENGALI-SCRIPT tier + Tamil direct labels (extending r13
@@ -2526,7 +2537,7 @@ object SparkEntry {
         .unionByName(fx)
       graft.text.LangIdFixed.scorePerScript(docs, col("doc_id"),
           col("text"))
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     }),
 
     // the WORLD script-direct tier (closing r13 VERDICT missing #3
@@ -2551,7 +2562,7 @@ object SparkEntry {
         .unionByName(fx)
       graft.text.LangIdFixed.scorePerScript(docs, col("doc_id"),
           col("text"))
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     }),
 
     // the ETHIOPIC trigram tier (am/ti) — refining the world tier's
@@ -2572,7 +2583,7 @@ object SparkEntry {
         .unionByName(fx)
       graft.text.LangIdFixed.scorePerScript(docs, col("doc_id"),
           col("text"))
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     }),
 
     // the EXTENDED Cyrillic tier (sr/mk/kk join ru/uk/bg): each new
@@ -2593,7 +2604,7 @@ object SparkEntry {
         .unionByName(fx)
       graft.text.LangIdFixed.scorePerScript(docs, col("doc_id"),
           col("text"))
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     }),
 
     // incremental SEMANTIC dedup — the last cell of the incremental
@@ -2615,7 +2626,7 @@ object SparkEntry {
           e.where(pmod(col("vec_id"), lit(2)) === 0),
           "vec_id", "embedding", FixedCentroidsE9, threshold = 0.45,
           bandTables = 16, bandBits = 4, dim = 64)
-        .orderBy("id_a", "id_b")
+        .sortWithinPartitions("id_a", "id_b")
     }),
 
     // benchmark-ARRIVAL contamination audit — the reverse-direction
@@ -2633,7 +2644,7 @@ object SparkEntry {
         .localCheckpoint()
       Dedup.benchArrivalAudit(idx,
           d.where(pmod(col("doc_id"), lit(10)) === 7), col("text"), k = 8)
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     }),
 
     // ...and the ACTION on that arrival: re-excise ONLY the flagged
@@ -2649,7 +2660,7 @@ object SparkEntry {
         col("text"), k = 8).localCheckpoint()
       Dedup.decontaminateOnArrival(corpus, col("doc_id"), col("text"),
           idx, bench, col("text"), k = 8)
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     }),
 
     // the semantic ACTION tier (q192 emits pair EVIDENCE; a crawl
@@ -2669,7 +2680,7 @@ object SparkEntry {
           e.where(pmod(col("vec_id"), lit(2)) === 1), hist,
           "vec_id", "embedding", FixedCentroidsE9, threshold = 0.45,
           bandTables = 16, bandBits = 4, dim = 64)
-        .orderBy("vec_id")
+        .sortWithinPartitions("vec_id")
     }),
 
     // the Scandinavian sibling tier (VERDICT r14 #3's Danish half):
@@ -2694,7 +2705,7 @@ object SparkEntry {
         .unionByName(fx)
       graft.text.LangIdFixed.scoreLatinScandinavian(docs, col("doc_id"),
           col("text"))
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     }),
 
     // the q196 audit answered from a LOOP-MAINTAINED persisted index
@@ -2724,7 +2735,7 @@ object SparkEntry {
       Dedup.benchArrivalAudit(store.read(s),
           d.where(pmod(col("doc_id"), lit(10)) === 7), col("text"),
           k = 8)
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     }),
 
     // q170's incremental paragraph pass against a LOOP-MAINTAINED
@@ -2753,7 +2764,7 @@ object SparkEntry {
           store.read(s),
           col("doc_id"), col("__ptext"),
           expectedItems = 1000000L, fpp = 0.01)
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     }),
 
     // q177's fuzzy paragraph pass against a LOOP-MAINTAINED banded
@@ -2780,7 +2791,7 @@ object SparkEntry {
           docs.where(pmod(col("doc_id"), lit(2)) === 1),
           store.read(s), col("__ptext"),
           expectedItems = 1000000L, fpp = 0.01)
-        .orderBy("id_a", "id_b")
+        .sortWithinPartitions("id_a", "id_b")
     }),
 
     // q195's semantic KEEP/DROP verdict against a LOOP-MAINTAINED
@@ -2811,7 +2822,7 @@ object SparkEntry {
           store.read(s),
           "vec_id", "embedding", FixedCentroidsE9, threshold = 0.45,
           bandTables = 16, bandBits = 4, dim = 64)
-        .orderBy("vec_id")
+        .sortWithinPartitions("vec_id")
     }),
 
     // RETENTION over the maintained window-fingerprint index — the
@@ -2841,7 +2852,7 @@ object SparkEntry {
       Dedup.benchArrivalAudit(store.read(s),
           d.where(pmod(col("doc_id"), lit(10)) === 7), col("text"),
           k = 8)
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     }),
 
     // calibration reliability table over the frozen quality logit —
@@ -2863,7 +2874,7 @@ object SparkEntry {
           graft.ml.QualityClassifier.scoreFixed(ev, col("doc_id"),
             col("text"), FixedQualityWeights, carry = Seq(col("y"))),
           col("y"), col("logit"), QualityEvalThresholds)
-        .orderBy("bin")
+        .sortWithinPartitions("bin")
     }),
 
     // exact-integer AUC over the same planted-logit chain — the
@@ -2910,7 +2921,7 @@ object SparkEntry {
       store.append(delta(2), 1L) // base + a recent delta: both probed
       store.lookup(s, LookupVecIds.map(Long.box))
         .select(col("vec_id"), col("cluster"))
-        .orderBy("vec_id")
+        .sortWithinPartitions("vec_id")
     }),
 
     // the q169 sweep SLICED by source — the per-domain audit a
@@ -2933,7 +2944,7 @@ object SparkEntry {
             col("text"), FixedQualityWeights,
             carry = Seq(col("y"), col("source"))),
           col("source"), col("y"), col("logit"), QualityEvalThresholds)
-        .orderBy("slice", "threshold")
+        .sortWithinPartitions("slice", "threshold")
     }),
 
     // exact-integer AVERAGE PRECISION over the same planted-logit
@@ -2983,7 +2994,7 @@ object SparkEntry {
           store.read(s),
           col("doc_id"), col("__ptext"),
           expectedItems = 1000000L, fpp = 0.01)
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     })
   )
 
@@ -3047,7 +3058,7 @@ object SparkEntry {
       col("doc_id"), col("__ptext"))
     val fin = graft.ops.Pack.sequencePacking(deduped, col("doc_id"),
         regexp_replace(col("kept_text"), "\\n+", " "), seqLen = 256L)
-      .orderBy("doc_id")
+      .sortWithinPartitions("doc_id")
     (Seq("gates" -> gates), fin)
   }
 
@@ -3083,7 +3094,7 @@ object SparkEntry {
     val fin = graft.ops.Pack.sequencePacking(deconB, col("doc_id"),
         col("kept_text"), seqLen = 256L)
       .join(stats, Seq("doc_id"))
-      .orderBy("doc_id")
+      .sortWithinPartitions("doc_id")
     (Seq("gates" -> gates, "dedup" -> dedupFlat, "excise" -> excised,
       "decontaminate" -> decon), fin)
   }
