@@ -120,14 +120,10 @@ object PlanAudit {
       "lazy maxSources gate: global scalar count over distinct sources",
     "q180_dedup_funnel" ->
       "four stage-count scalar aggs: one partial row per task, 4 output rows",
-    "q195_incremental_semantic_keep" ->
-      ("Spark-INJECTED runtime bloom-filter join pruning on the batch-id " +
-        "re-join (partial_bloom_filter_agg): one bounded bloom buffer " +
-        "per task merged once — the sketch-merge pattern"),
-    "q203_maintained_semantic_index" ->
-      ("inherited q195 pattern (same keep verdict, history read from " +
-        "the maintained IndexStore): Spark-injected runtime " +
-        "bloom-filter pruning, one bounded buffer per task"),
+    // q195/q203 left the whitelist in r16: the single-pass clustered()
+    // (no vec_id re-join) removed the join Spark was injecting its
+    // runtime bloom filter (and the filter's single-partition
+    // aggregate) into
     "q208_auc_exact" ->
       ("running-negatives window + final scalar fold run on the " +
         "distinct-logit ROLLUP (|scores| rows, bounded by the integer " +

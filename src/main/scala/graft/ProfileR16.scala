@@ -123,6 +123,46 @@ object ProfileR16 {
     }
 
     locally {
+      println("=== q78 sessionize stream phases ===")
+      import org.apache.spark.sql.streaming.Trigger
+      val ev = SparkEntry.T(spark, sfDir, "events")
+        .select(col("user_id"), col("ts"))
+      val root = java.nio.file.Files.createTempDirectory("prof_q78")
+      val Array(lo, hi) = ev.agg(min(unix_timestamp(col("ts"))),
+        max(unix_timestamp(col("ts")))).collect()(0)
+        .toSeq.map(_.asInstanceOf[Long]).toArray
+      val cut = lo + (hi - lo) / 2
+      val c0 = root.resolve("src/c0").toString
+      val c1 = root.resolve("src/c1").toString
+      ev.where(unix_timestamp(col("ts")) < cut).coalesce(1).write.parquet(c0)
+      ev.where(unix_timestamp(col("ts")) >= cut).coalesce(1).write.parquet(c1)
+      val now = System.currentTimeMillis()
+      new java.io.File(c0).listFiles().foreach(_.setLastModified(now - 60000))
+      new java.io.File(c1).listFiles().foreach(_.setLastModified(now))
+      val srcGlob = root.resolve("src").toString + "/*"
+      for (parts <- Seq("32", "32", "8", "4")) {
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        time(s"stream run, state parts=$parts") {
+          val ckptRoot = java.nio.file.Files.createTempDirectory("prof_q78ck")
+          val stream = spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1").parquet(srcGlob)
+          val q = graft.stream.StatefulSessions.sessionize(
+              spark, stream, "user_id", "ts", gapSeconds = 1800,
+              watermarkDelay = "3650 days", emitOpenAtTimeout = false)
+            .toDF()
+            .writeStream.outputMode("append")
+            .format("memory").queryName("prof_q78_" + parts +
+              java.util.UUID.randomUUID().toString.take(4))
+            .option("checkpointLocation", ckptRoot.resolve("ckpt").toString)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination(180000)
+        }
+      }
+      spark.conf.set("spark.sql.shuffle.partitions", cpus)
+    }
+
+    locally {
       println("=== orderBy tax on the q187 scorer ===")
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
         .select(col("doc_id"), col("text"))

@@ -877,15 +877,21 @@ object SparkEntry {
       val root = java.nio.file.Files.createTempDirectory("graft_q48")
       val src = clfSrcDir(s, dir) // shared with q68; 2 files → 2 batches
       val sink = new graft.stream.ZsetSink(root.resolve("zset").toString)
-      val q = graft.stream.LogStream.startCounters(s,
-        s.readStream.option("maxFilesPerTrigger", "1").text(src), sink,
-        root.resolve("ckpt").toString, Trigger.AvailableNow())
-      // a timeout must FAIL the query, not fall through to a partially
-      // merged sink (and leave the stream writing during later queries)
-      if (!q.awaitTermination(180000)) {
-        q.stop()
-        throw new IllegalStateException(
-          "q48 stream did not complete within 180s")
+      // state/batch partitions derived from SOURCE size, not driver
+      // cores (StreamScale: per-store per-batch commit overhead is
+      // fixed-cost; the checkpoint is fresh per invocation)
+      graft.stream.StreamScale.withStatePartitions(s,
+          graft.stream.StreamScale.statePartitions(s, src)) {
+        val q = graft.stream.LogStream.startCounters(s,
+          s.readStream.option("maxFilesPerTrigger", "1").text(src), sink,
+          root.resolve("ckpt").toString, Trigger.AvailableNow())
+        // a timeout must FAIL the query, not fall through to a partially
+        // merged sink (and leave the stream writing during later queries)
+        if (!q.awaitTermination(180000)) {
+          q.stop()
+          throw new IllegalStateException(
+            "q48 stream did not complete within 180s")
+        }
       }
       sink.read(s).sortWithinPartitions("metric", "member")
     }),
@@ -898,17 +904,21 @@ object SparkEntry {
       import org.apache.spark.sql.streaming.Trigger
       val root = java.nio.file.Files.createTempDirectory("graft_q68")
       val src = clfSrcDir(s, dir) // shared with q48
-      val q = graft.stream.LogStream.uvWindowCounts(
-          s.readStream.option("maxFilesPerTrigger", "1").text(src))
-        .writeStream.outputMode("complete")
-        .format("memory").queryName("q68_uv")
-        .option("checkpointLocation", root.resolve("ckpt").toString)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      if (!q.awaitTermination(180000)) {
-        q.stop()
-        throw new IllegalStateException(
-          "q68 stream did not complete within 180s")
+      // source-derived state partitioning (see q48)
+      graft.stream.StreamScale.withStatePartitions(s,
+          graft.stream.StreamScale.statePartitions(s, src)) {
+        val q = graft.stream.LogStream.uvWindowCounts(
+            s.readStream.option("maxFilesPerTrigger", "1").text(src))
+          .writeStream.outputMode("complete")
+          .format("memory").queryName("q68_uv")
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        if (!q.awaitTermination(180000)) {
+          q.stop()
+          throw new IllegalStateException(
+            "q68 stream did not complete within 180s")
+        }
       }
       s.table("q68_uv").sortWithinPartitions("win_s", "host")
     }),
@@ -951,21 +961,27 @@ object SparkEntry {
         root.resolve("src").toString + "/*"
       })
       val ckptRoot = java.nio.file.Files.createTempDirectory("graft_q78ck")
-      val stream = s.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", "1").parquet(srcGlob)
-      val q = graft.stream.StatefulSessions.sessionize(
-          s, stream, "user_id", "ts", gapSeconds = 1800,
-          watermarkDelay = "3650 days", emitOpenAtTimeout = false)
-        .toDF()
-        .writeStream.outputMode("append")
-        .format("memory").queryName("q78_sessions")
-        .option("checkpointLocation", ckptRoot.resolve("ckpt").toString)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      if (!q.awaitTermination(180000)) {
-        q.stop()
-        throw new IllegalStateException(
-          "q78 stream did not complete within 180s")
+      // source-derived state partitioning (see q48): measured 7.3-8.7 s
+      // at 32 state stores vs 2.9 s at 4 for this replay, identical rows
+      graft.stream.StreamScale.withStatePartitions(s,
+          graft.stream.StreamScale.statePartitions(s,
+            srcGlob.stripSuffix("/*"))) {
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcGlob)
+        val q = graft.stream.StatefulSessions.sessionize(
+            s, stream, "user_id", "ts", gapSeconds = 1800,
+            watermarkDelay = "3650 days", emitOpenAtTimeout = false)
+          .toDF()
+          .writeStream.outputMode("append")
+          .format("memory").queryName("q78_sessions")
+          .option("checkpointLocation", ckptRoot.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        if (!q.awaitTermination(180000)) {
+          q.stop()
+          throw new IllegalStateException(
+            "q78 stream did not complete within 180s")
+        }
       }
       s.table("q78_sessions")
         .select("key", "session_id", "n_events", "start_s", "end_s")

@@ -1,0 +1,73 @@
+package graft.stream
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale-adaptive STATE partitioning for the streaming contract
+  * queries (r16 optimization; guide §2 "make partitioning
+  * scale-adaptive ... rather than a constant tuned for either local
+  * mode or the cluster").
+  *
+  * A stateful streaming query's `spark.sql.shuffle.partitions` at
+  * START time fixes its state-store count for the life of the
+  * checkpoint (Spark pins it in the offset log; restarts reuse it
+  * regardless of the session value — StreamingSpec's cross-session
+  * restart relies on exactly that). Each state store then pays
+  * per-BATCH fixed costs (delta file create/commit/fsync, snapshot
+  * maintenance) that are independent of row volume. Sizing the count
+  * to the driver's core count — what the bench session does for batch
+  * shuffles — charges a 2-file sf0.1 replay 32 stores × 2 batches of
+  * commit overhead for a few MB of rows: measured 7.3–8.7 s at 32
+  * state partitions vs 2.9 s at 4 for the q78 sessionize replay
+  * (identical emitted rows; the state API is exact under any
+  * partitioning).
+  *
+  * Policy: one state partition per [[BytesPerStatePartition]] of
+  * SOURCE bytes, clamped to [[MinPartitions]] (keep genuine
+  * parallelism even for tiny replays) and to the session's configured
+  * shuffle partitions (a 100-TB source derives to the cluster's full
+  * width — the cap, not the floor, binds at scale). Derived from a
+  * driver FS listing of the source, no Spark job.
+  */
+object StreamScale {
+
+  /** ~32 MB of source per state store: state per partition stays well
+    * inside an executor task's working memory, and per-batch store
+    * commit overhead stays amortized over real rows. */
+  val BytesPerStatePartition: Long = 32L * 1024 * 1024
+
+  val MinPartitions: Int = 4
+
+  /** Total file bytes under `path` (recursive driver FS listing). */
+  def sourceBytes(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) 0L
+    else {
+      val it = fs.listFiles(p, true)
+      var sum = 0L
+      while (it.hasNext) sum += it.next().getLen
+      sum
+    }
+  }
+
+  /** The derived state-partition count for a source directory. */
+  def statePartitions(spark: SparkSession, srcPath: String): Int = {
+    val sessionParts =
+      spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val byBytes =
+      (sourceBytes(spark, srcPath) / BytesPerStatePartition).toInt + 1
+    math.min(math.max(byBytes, MinPartitions), math.max(sessionParts, 1))
+  }
+
+  /** Run `f` (start + await a streaming query) with
+    * `spark.sql.shuffle.partitions` set to `n`, restoring the session
+    * value after. Safe for the contract queries: each uses a FRESH
+    * checkpoint per invocation (a restarted checkpoint ignores the
+    * session value anyway), and the bench/verify drivers run queries
+    * sequentially on one session. */
+  def withStatePartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+}

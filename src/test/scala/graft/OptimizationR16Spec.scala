@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-16 optimization pins: each test freezes the CONTRACT of an
+  * operator whose internals changed for performance, proving the
+  * optimized form computes exactly what the old form did.
+  */
+class OptimizationR16Spec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("BloomBuild.bloomWithCount: one pass ≡ isEmpty + stat.bloomFilter") {
+    import spark.implicits._
+    val df = Seq("a", "b", "c", "a").toDF("k")
+      .select(xxhash64(col("k")).as("__h"))
+    val (n, bloom) = graft.functions.BloomBuild.bloomWithCount(
+      df, col("__h"), expectedItems = 100L, fpp = 0.01)
+    assert(n === 4L)
+    // no false negatives — every inserted hash must probe true
+    val hashes = df.collect().map(_.getLong(0))
+    hashes.foreach(h => assert(bloom.mightContainLong(h)))
+    // sizing matches stat.bloomFilter's (same optimalNumOfBits recipe)
+    val ref = df.stat.bloomFilter("__h", 100L, 0.01)
+    assert(bloom.bitSize() === ref.bitSize())
+
+    // empty input: (0, null) — the caller's empty-history branch,
+    // where the old stat.bloomFilter path NPE'd
+    val (n0, b0) = graft.functions.BloomBuild.bloomWithCount(
+      df.where(lit(false)), col("__h"), 100L, 0.01)
+    assert(n0 === 0L && b0 == null)
+  }
+
+  test("BloomBuild.bloomAutoCapacity: auto mode sizes from the exact count") {
+    import spark.implicits._
+    val df = (1 to 50).map(_.toString).toDF("k")
+      .select(xxhash64(col("k")).as("__h"))
+    val (n, bloom) = graft.functions.BloomBuild.bloomAutoCapacity(
+      df, col("__h"), expectedItems = 0L, fpp = 0.01)
+    assert(n === 50L)
+    // bloomCapacity floors auto sizing at 1024
+    val ref = df.stat.bloomFilter("__h", 1024L, 0.01)
+    assert(bloom.bitSize() === ref.bitSize())
+    df.collect().map(_.getLong(0))
+      .foreach(h => assert(bloom.mightContainLong(h)))
+  }
+
+  test("clustered: single-pass form ≡ the old emb ⋈ assignFixed join") {
+    import spark.implicits._
+    val cents = Seq(Seq(1000000000L, 0L), Seq(0L, 1000000000L))
+    val emb = Seq(
+      (1L, Seq(0.9, 0.1)), (2L, Seq(0.1, 0.95)), (3L, Seq(0.7, 0.6)),
+      (4L, Seq(-0.2, 0.4))).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val got = graft.sim.SemanticDedup.clustered(
+      emb, "vec_id", "embedding", cents)
+    assert(got.columns.toSeq === Seq("vec_id", "__vec", "cluster"))
+    val old = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("__vec"))
+      .join(graft.ml.DocCluster.assignFixed(emb, "vec_id", "embedding",
+        cents), Seq("vec_id"))
+    val g = got.orderBy("vec_id").collect().map(r =>
+      (r.getLong(0), r.getSeq[Double](1), r.getLong(2)))
+    val o = old.orderBy("vec_id").collect().map(r =>
+      (r.getLong(0), r.getSeq[Double](1), r.getLong(2)))
+    assert(g.toSeq === o.toSeq)
+  }
+
+  test("StreamScale.statePartitions: source-derived, floored and capped") {
+    val dir = java.nio.file.Files.createTempDirectory("streamscale")
+    // tiny source → the 4-partition floor binds
+    java.nio.file.Files.writeString(dir.resolve("a.txt"), "x" * 1000)
+    assert(graft.stream.StreamScale.statePartitions(
+      spark, dir.toString) === 4)
+    // the session shuffle-partition cap binds for huge derived counts:
+    // fake it by lowering the session value below the floor
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      assert(graft.stream.StreamScale.statePartitions(
+        spark, dir.toString) === 2)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    // missing dir → floor (0 bytes)
+    assert(graft.stream.StreamScale.statePartitions(
+      spark, dir.resolve("nope").toString) === 4)
+    org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+
+  test("withStatePartitions: sets for the block, restores after (even on throw)") {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val inside = graft.stream.StreamScale.withStatePartitions(spark, 7) {
+      spark.conf.get("spark.sql.shuffle.partitions")
+    }
+    assert(inside === "7")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === prev)
+    intercept[RuntimeException] {
+      graft.stream.StreamScale.withStatePartitions(spark, 9) {
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === prev)
+  }
+
+  test("pageRankFixed: outdeg-hoisted loop matches the hand recurrence") {
+    import spark.implicits._
+    // 1→2, 1→3, 2→3: hand-computed 2 iterations at scale=100
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val got = graft.ops.Graph.pageRankFixed(e, "src", "dst",
+        iters = 2, scale = 1000000L)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // r0 = 333333 each; iter1: base = 15*1000000/300 = 50000
+    //   r(1)=50000; r(2)=50000+85*(333333 div 2) div 100 = 50000+141666
+    //   r(3)=50000+85*(333333 div 2 + 333333) div 100
+    // iter2 from those — replay the exact integer recurrence:
+    def it(r: Map[Long, Long]): Map[Long, Long] = {
+      val inflow = Map(
+        2L -> r(1L) / 2,
+        3L -> (r(1L) / 2 + r(2L)))
+      Seq(1L, 2L, 3L).map(id => id ->
+        (50000L + 85L * inflow.getOrElse(id, 0L) / 100L)).toMap
+    }
+    var r = Map(1L -> 333333L, 2L -> 333333L, 3L -> 333333L)
+    r = it(r); r = it(r)
+    assert(got.map(_._1) === Seq(1L, 2L, 3L))
+    got.foreach { case (id, v) => assert(v === r(id), s"id=$id") }
+  }
+}
