@@ -122,6 +122,30 @@ object ProfileR16 {
       org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
     }
 
+    for (r <- 1 to reps) {
+      println(s"=== q201 phases, rep $r ===")
+      val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      val corpus = d.where(pmod(col("doc_id"), lit(10)) =!= 7)
+      val root = java.nio.file.Files.createTempDirectory("prof_q201")
+      val store = new graft.dedup.IndexStore(
+        root.resolve("winfp").toString, Seq("doc_id", "fp"))
+      def delta(b: Long) = graft.dedup.Dedup.windowFingerprintIndex(
+        corpus.where(pmod(col("doc_id"), lit(3)) === b),
+        col("doc_id"), col("text"), k = 8)
+      time("delta(0) compute only") { consume(delta(0)) }
+      time("append b0") { store.append(delta(0), 0L) }
+      time("append b1") { store.append(delta(1), 1L) }
+      time("compact") { store.compact(spark) }
+      time("append b2") { store.append(delta(2), 2L) }
+      time("append b2 replay") { store.append(delta(2), 2L) }
+      val idx = time("read()") { store.read(spark) }
+      time("audit probe+consume") {
+        consume(graft.dedup.Dedup.benchArrivalAudit(idx,
+          d.where(pmod(col("doc_id"), lit(10)) === 7), col("text"), k = 8))
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+    }
+
     locally {
       println("=== q78 sessionize stream phases ===")
       import org.apache.spark.sql.streaming.Trigger
