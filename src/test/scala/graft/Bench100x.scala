@@ -281,8 +281,12 @@ object Bench100x {
         store.compact(spark) // the base: 1× vs 100×
         val fixed = d.where(col("doc_id") < nDocs &&
           pmod(col("doc_id"), lit(10)) === 7) // replica 0: SAME both sides
+        // split on (doc_id div 10) parity: ids ≡ 7 (mod 10) are all
+        // ODD, so the original doc_id%2 split left fdelta(0) EMPTY
+        // and append wrote no batch_id=1 partition (probe added by
+        // the interrupted pre-r16 session, never successfully run)
         def fdelta(m: Int) = Dedup.windowFingerprintIndex(
-          fixed.where(pmod(col("doc_id"), lit(2)) === m),
+          fixed.where(pmod(expr("doc_id div 10"), lit(2)) === m),
           col("doc_id"), col("text"), k = 8)
         store.append(fdelta(0), 1L)
         store.append(fdelta(1), 2L)
