@@ -898,29 +898,34 @@ object SparkEntry {
 
     // v3 Flink UV counter (v3/flink_uv_counter.py:34-39) as a real
     // stream in the gate: CLF file replay → per-host 10 s tumbling
-    // windows → complete-mode memory sink; oracle = batch epoch-bucket
-    // SQL, so stream ≡ batch window semantics is hash-checked
+    // windows → per-batch DELTA merge (update-mode foreachBatch, the
+    // q48 ZsetSink discipline — r17: the previous complete-mode
+    // memory sink re-collected the ENTIRE result to the driver every
+    // micro-batch, O(total state) per batch); oracle = batch
+    // epoch-bucket SQL, so stream ≡ batch window semantics is
+    // hash-checked, and the merged totals are row-identical to the
+    // complete-mode final state (counts are additive over the
+    // batch partition of the input)
     "q68_uv_window" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val root = java.nio.file.Files.createTempDirectory("graft_q68")
       val src = clfSrcDir(s, dir) // shared with q48
-      // source-derived state partitioning (see q48)
+      val sink = root.resolve("uv").toString
+      // source-derived batch-shuffle partitioning (see q48); no state
+      // store exists on this path anymore
       graft.stream.StreamScale.withStatePartitions(s,
           graft.stream.StreamScale.statePartitions(s, src)) {
-        val q = graft.stream.LogStream.uvWindowCounts(
-            s.readStream.option("maxFilesPerTrigger", "1").text(src))
-          .writeStream.outputMode("complete")
-          .format("memory").queryName("q68_uv")
-          .option("checkpointLocation", root.resolve("ckpt").toString)
-          .trigger(Trigger.AvailableNow())
-          .start()
+        val q = graft.stream.LogStream.startUvWindowDeltas(
+          s.readStream.option("maxFilesPerTrigger", "1").text(src),
+          sink, root.resolve("ckpt").toString, Trigger.AvailableNow())
         if (!q.awaitTermination(180000)) {
           q.stop()
           throw new IllegalStateException(
             "q68 stream did not complete within 180s")
         }
       }
-      s.table("q68_uv").sortWithinPartitions("win_s", "host")
+      graft.stream.LogStream.uvWindowTotals(s, sink)
+        .sortWithinPartitions("win_s", "host")
     }),
 
     // custom-state streaming IN-GATE: flatMapGroupsWithState
@@ -2763,9 +2768,16 @@ object SparkEntry {
       val docs = T(s, dir, "documents").withColumn("__ptext",
         syntheticParaText)
       val root = freshIdxRoot("q202", dir)
+      // r17 row format (key, h64, fp), keyed on the 32-byte sha-256
+      // fp: the probe tiers read the STORED hash columns (8 B Bloom /
+      // 32 B verify — the key text never re-hashes, never even reads,
+      // on the probe path) and the read-side merge keys on fp too —
+      // the same collision-resistance the verify tier already rests
+      // on. Results are bit-identical (same xxhash64/sha-256 values,
+      // now computed once at append instead of once per probe batch)
       val store = new graft.dedup.IndexStore(
-        root.resolve("parakeys").toString, Seq("key"))
-      def delta(m: Int) = Dedup.paragraphKeys(
+        root.resolve("parakeys").toString, Seq("fp"))
+      def delta(m: Int) = Dedup.paragraphKeyIndex(
         docs.where(pmod(col("doc_id"), lit(4)) === m),
         col("doc_id"), col("__ptext"))
       store.append(delta(0), 0L)
@@ -2821,9 +2833,15 @@ object SparkEntry {
       val root = freshIdxRoot("q203", dir)
       val store = new graft.dedup.IndexStore(
         root.resolve("semhist").toString, Seq("vec_id"))
-      def delta(m: Int) = graft.sim.SemanticDedup.clustered(
+      // r17 band-carrying row format: each appended vector signs its
+      // 16×4 sign-LSH bands ONCE at append; the probe explodes the
+      // stored longs instead of re-signing the full history's 64-dim
+      // vectors per probe batch (and the band scan skips the vector
+      // payload column entirely)
+      def delta(m: Int) = graft.sim.SemanticDedup.clusteredBanded(
         e.where(pmod(col("vec_id"), lit(4)) === m),
-        "vec_id", "embedding", FixedCentroidsE9)
+        "vec_id", "embedding", FixedCentroidsE9,
+        bandTables = 16, bandBits = 4, dim = 64)
       store.append(delta(0), 0L)
       store.compact(s)
       store.append(delta(2), 1L)
@@ -2996,9 +3014,10 @@ object SparkEntry {
       val docs = T(s, dir, "documents").withColumn("__ptext",
         syntheticParaText)
       val root = freshIdxRoot("q212", dir)
+      // r17 hash-carrying row format keyed on fp — see q202
       val store = new graft.dedup.IndexStore(
-        root.resolve("parakeys").toString, Seq("key"))
-      def delta(m: Int) = Dedup.paragraphKeys(
+        root.resolve("parakeys").toString, Seq("fp"))
+      def delta(m: Int) = Dedup.paragraphKeyIndex(
         docs.where(pmod(col("doc_id"), lit(4)) === m),
         col("doc_id"), col("__ptext"))
       store.append(delta(0), 0L)

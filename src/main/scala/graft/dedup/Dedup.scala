@@ -826,6 +826,29 @@ object Dedup {
     paraExplode(docs, idCol, textCol)
       .select(col("__key").as("key")).distinct()
 
+  /** [[paragraphKeys]] in the r17 PROBE-OPTIMIZED index row format —
+    * `(key, h64, fp)`: the normalized key plus BOTH probe-tier hashes
+    * as first-class columns (`h64` = xxhash64(key), the Bloom-build
+    * input; `fp` = 32-byte sha-256, the exact-verify fingerprint).
+    * VERDICT r16 #2 / guide §2.3 (compute and scan fewer bytes): the
+    * probe tiers of [[incrementalParagraphsPre]] previously re-derived
+    * both hashes from the key TEXT on every probe batch — for a
+    * maintained [[graft.dedup.IndexStore]] that meant re-hashing the
+    * full index per batch, and the scans had to read the paragraph
+    * text itself. With the hashes persisted at index-BUILD time (each
+    * key is hashed once, when it enters the index, instead of once
+    * per probe batch forever after), the Bloom pass reads one 8-byte
+    * column and the verify pass one 32-byte column — parquet column
+    * pruning never touches the text on the probe path. Keying the
+    * store on `fp` (collision-resistant, the same trust the verify
+    * tier already rests on) keeps the read-side merge off the text
+    * too. */
+  def paragraphKeyIndex(docs: DataFrame, idCol: Column,
+                        textCol: Column): DataFrame =
+    paragraphKeys(docs, idCol, textCol)
+      .withColumn("h64", xxhash64(col("key")))
+      .withColumn("fp", unhex(sha2(col("key"), 256)))
+
   def incrementalParagraphs(batch: DataFrame, history: DataFrame,
                             idCol: Column, textCol: Column,
                             expectedItems: Long = 0L,
@@ -837,9 +860,11 @@ object Dedup {
     // consumer. At production scale this relation IS the persisted
     // paragraph-key index the pipeline maintains
     // ([[incrementalParagraphsPre]]); here it derives from `history`
-    // inline, so the barrier stands in for the index.
+    // inline, so the barrier stands in for the index — in the
+    // hash-carrying [[paragraphKeyIndex]] format, so each key is
+    // hashed once at build instead of once per probe tier.
     incrementalParagraphsPre(batch,
-      paragraphKeys(history, idCol, textCol).localCheckpoint(),
+      paragraphKeyIndex(history, idCol, textCol).localCheckpoint(),
       idCol, textCol, expectedItems, fpp)
   }
 
@@ -855,15 +880,27 @@ object Dedup {
                                idCol: Column, textCol: Column,
                                expectedItems: Long = 0L,
                                fpp: Double = 0.01): DataFrame = {
-    val histKeys = histKeysIdx.select(col("key").as("__key"))
+    // r17: an index in the [[paragraphKeyIndex]] format carries its
+    // probe hashes as columns — the Bloom pass reads 8 bytes/row and
+    // the verify pass 32 bytes/row, and neither re-hashes (or even
+    // reads) the key text per probe batch. The bare `(key)` format
+    // stays accepted: both hashes derive inline exactly as before,
+    // so results are bit-identical either way.
+    val hasIdxHashes =
+      Seq("h64", "fp").forall(histKeysIdx.columns.contains)
+    val histH =
+      if (hasIdxHashes) histKeysIdx.select(col("h64").as("__h"))
+      else histKeysIdx.select(xxhash64(col("key")).as("__h"))
+    val histFp =
+      if (hasIdxHashes) histKeysIdx.select(col("fp").as("__fp"))
+      else histKeysIdx.select(unhex(sha2(col("key"), 256)).as("__fp"))
     // empty history (a crawl's FIRST batch): semantically the batch
     // just dedups against itself. Emptiness and the Bloom come from
     // ONE aggregation pass (BloomBuild) — the old isEmpty probe alone
     // re-ran the full index-merge plan per probe batch (~0.4 s at
     // sf0.1 against a maintained IndexStore read)
     val (nHist, bloom) = graft.functions.BloomBuild.bloomAutoCapacity(
-      histKeys.select(xxhash64(col("__key")).as("__h")), col("__h"),
-      expectedItems, fpp)
+      histH, col("__h"), expectedItems, fpp)
     if (nHist == 0L) return paragraphDedup(batch, idCol, textCol)
     // the batch paragraph relation likewise feeds three consumers
     // (fresh, verified, the per-doc totals in assembleKept); a batch
@@ -884,8 +921,7 @@ object Dedup {
     val maybe = flagged.where(col("__maybe"))
       .withColumn("__fp", unhex(sha2(col("__key"), 256)))
     val maybeFps = maybe.select(col("__fp")).distinct()
-    val histHits = histKeys
-      .select(unhex(sha2(col("__key"), 256)).as("__fp"))
+    val histHits = histFp
       .join(broadcast(maybeFps), Seq("__fp"), "left_semi")
     val verified = maybe
       .join(broadcast(histHits), Seq("__fp"), "left_anti")

@@ -205,11 +205,23 @@ object SemanticDedup {
       } else {
         // band-keyed candidates: ids only through the exploded join
         // (the q67 discipline — the dim-sized vectors re-join per
-        // SURVIVING pair, never per band row)
+        // SURVIVING pair, never per band row). r17: a history frame
+        // in the [[clusteredBanded]] format carries its band keys as
+        // a stored column — the probe explodes the stored array
+        // instead of re-running the bandTables×bandBits hyperplane
+        // dot products over the FULL history's dim-sized vectors per
+        // probe batch (VERDICT r16 #2's discipline: each vector is
+        // signed once, when it enters the index), and the band scan
+        // never reads the vector payload. The column name encodes
+        // the signature parameters, so a mismatched store can never
+        // be silently misread — it just recomputes.
+        val bandsCol = clusteredBandsCol(bandTables, bandBits, dim)
         def banded(df: DataFrame, id: String): DataFrame =
           df.select(col("cluster"), col("vec_id").as(id),
-            posexplode(graft.functions.CosLshSigExpr.cos_lsh_sig(
-              col("__vec"), bandTables, bandBits, dim))
+            posexplode(
+              if (df.columns.contains(bandsCol)) col(bandsCol)
+              else graft.functions.CosLshSigExpr.cos_lsh_sig(
+                col("__vec"), bandTables, bandBits, dim))
               .as(Seq("tbl", "key")))
         val hk = banded(hp, "hid").localCheckpoint()
         val keyFp = xxhash64(col("cluster"), col("tbl"), col("key"))
@@ -317,4 +329,29 @@ object SemanticDedup {
     graft.ml.DocCluster.assignFixedCarry(emb, idCol, vecCol, centroidsE9,
         carry = Seq("__vec" -> col(vecCol).cast("array<double>")))
       .select(col("vec_id"), col("__vec"), col("cluster"))
+
+  /** The parameter-stamped name of the stored band-signature column:
+    * a store whose bands were signed under different (tables, bits,
+    * dim) must never be misread as this probe's — the name mismatch
+    * makes [[incrementalSemanticDupPre]] fall back to recomputing. */
+  private[graft] def clusteredBandsCol(bandTables: Int, bandBits: Int,
+                                       dim: Int): String =
+    s"__bands_${bandTables}_${bandBits}_$dim"
+
+  /** [[clustered]] carrying its sign-LSH band keys as a stored column
+    * — the r17 maintained-index row format for the BANDED semantic
+    * probe (VERDICT r16 #2 / guide §2.3): a crawl loop appends these
+    * rows instead of bare `clustered` ones, each vector pays its
+    * bandTables×bandBits hyperplane signature ONCE when it enters the
+    * index, and every later probe batch explodes the stored longs
+    * instead of re-signing the full history's dim-sized vectors.
+    * Payload-deterministic per vec_id (same expression tree per row),
+    * so IndexStore's dedup-on-read semantics are unchanged. */
+  def clusteredBanded(emb: DataFrame, idCol: String, vecCol: String,
+                      centroidsE9: Seq[Seq[Long]], bandTables: Int,
+                      bandBits: Int, dim: Int): DataFrame =
+    clustered(emb, idCol, vecCol, centroidsE9)
+      .withColumn(clusteredBandsCol(bandTables, bandBits, dim),
+        graft.functions.CosLshSigExpr.cos_lsh_sig(
+          col("__vec"), bandTables, bandBits, dim))
 }

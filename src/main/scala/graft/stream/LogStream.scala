@@ -111,6 +111,58 @@ object LogStream {
       .select(unix_timestamp(col("window.start")).as("win_s"),
         col("host"), col("n"))
 
+  /** q68's at-scale sink (r17 optimization; guide §2.4/§5 — stop
+    * recomputing what didn't change): per-micro-batch window-count
+    * DELTAS merged additively, replacing the complete-mode memory
+    * sink that re-collected the ENTIRE result to the driver every
+    * batch (output work O(total state) per batch — a scale-killer at
+    * 100 TB, and a driver collect besides). Each batch's rows land in
+    * exactly one micro-batch (file source + checkpoint), the window
+    * assignment is deterministic per row, and counts are additive, so
+    *
+    *   Σ_batches count(win_s, host | batch) = count(win_s, host)
+    *
+    * — the merged totals are row-identical to the complete-mode final
+    * state (OptimizationR17Spec pins stream ≡ batch). Idempotence is
+    * the ZsetSink discipline: a batch's delta overwrites its OWN
+    * `batch_id` partition (dynamic partition overwrite), so crash
+    * replay rewrites the same rows. Per-batch work is now ∝ batch
+    * rows (the parse runs once per batch over NEW files only, the
+    * delta aggregation is a batch plan — AQE applies, unlike the
+    * stateful-agg path), and no state store exists at all: the
+    * per-store per-batch commit overhead StreamScale bounds for q78
+    * is simply gone here.
+    */
+  def startUvWindowDeltas(lines: DataFrame, path: String,
+                          checkpointDir: String,
+                          trigger: Trigger = Trigger.ProcessingTime("1 second"),
+                          windowLen: String = "10 seconds")
+      : StreamingQuery =
+    lines.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        uvWindowCounts(batch, windowLen)
+          .withColumn("batch_id", lit(batchId))
+          .write
+          .mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(path)
+        ()
+      }
+      .start()
+
+  /** Current merged totals of a [[startUvWindowDeltas]] sink — one
+    * partial+final aggregation over the per-batch deltas (the ZsetSink
+    * read shape), schema-identical to [[uvWindowCounts]]. */
+  def uvWindowTotals(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy("win_s", "host")
+      .agg(sum("n").as("n"))
+      .select("win_s", "host", "n")
+
   /** The FULL reference scoring loop (streaming.scala:188-235) in one
     * idempotent foreachBatch: parse once, score once, merge the plain
     * zset counters AND the four IDS metrics (good/bad/goodts/badts) as

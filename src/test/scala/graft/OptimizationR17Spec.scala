@@ -1,0 +1,212 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-17 optimization pins: each test freezes the CONTRACT of an
+  * operator whose internals changed for performance, proving the
+  * optimized form computes exactly what the old form did.
+  *
+  *   - q68's per-batch delta sink ≡ the complete-mode final state
+  *   - the hash-carrying paragraph-key index format probes identically
+  *     to the bare `(key)` format (and the stored hashes ARE the
+  *     inline ones)
+  *   - the band-carrying semantic index format probes identically to
+  *     the bare clustered format (and the stored bands ARE the inline
+  *     signature)
+  *   - IndexStore's create-once/refresh read path sees every append
+  *     and survives compact's table drop
+  */
+class OptimizationR17Spec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def tmp(name: String): java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory(s"graft_$name")
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.map {
+      case b: Array[Byte] => b.map("%02x".format(_)).mkString
+      case x => String.valueOf(x)
+    }.mkString("|")).sorted.toSeq
+
+  test("q68 delta sink: merged per-batch deltas ≡ batch uvWindowCounts; replay is a no-op") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = tmp("uvdelta")
+    val src = root.resolve("src")
+    java.nio.file.Files.createDirectories(src)
+    def clf(host: String, sec: Int, path: String) =
+      f"""$host - - [25/May/2015:23:11:$sec%02d +0000] "GET $path HTTP/1.1" 200 7"""
+    // three files → three micro-batches at maxFilesPerTrigger=1;
+    // hosts straddle the 10 s window boundary and recur across files
+    java.nio.file.Files.writeString(src.resolve("a.log"),
+      Seq(clf("h1", 1, "/a"), clf("h1", 2, "/b"), clf("h2", 11, "/c"))
+        .mkString("\n"))
+    java.nio.file.Files.writeString(src.resolve("b.log"),
+      Seq(clf("h1", 3, "/d"), clf("h2", 12, "/e"), clf("h2", 19, "/f"))
+        .mkString("\n"))
+    java.nio.file.Files.writeString(src.resolve("c.log"),
+      Seq(clf("h1", 21, "/g"), "not a log line").mkString("\n"))
+    val sink = root.resolve("uv").toString
+    val ckpt = root.resolve("ckpt").toString
+    def run(): Unit = {
+      val q = graft.stream.LogStream.startUvWindowDeltas(
+        spark.readStream.option("maxFilesPerTrigger", "1")
+          .text(src.toString),
+        sink, ckpt, Trigger.AvailableNow())
+      assert(q.awaitTermination(120000))
+    }
+    run()
+    val merged = graft.stream.LogStream.uvWindowTotals(spark, sink)
+    val batch = graft.stream.LogStream.uvWindowCounts(
+      spark.read.text(src.toString))
+    assert(merged.columns.toSeq === Seq("win_s", "host", "n"))
+    assert(sortedRows(merged) === sortedRows(batch))
+    // hand check (the unparseable line drops): h1×3 in the 23:11:00
+    // window, h2×3 in 23:11:10, h1×1 in 23:11:20 — exactly 3 rows
+    val m = merged.collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m === Map(
+      (1432595460L, "h1") -> 3L,  // 23:11:00 window
+      (1432595470L, "h2") -> 3L,  // 23:11:10 window
+      (1432595480L, "h1") -> 1L)) // 23:11:20 window
+    // restart over the same checkpoint: no new input → totals unchanged
+    run()
+    assert(sortedRows(
+      graft.stream.LogStream.uvWindowTotals(spark, sink)) ===
+      sortedRows(batch))
+  }
+
+  test("paragraphKeyIndex: stored h64/fp are the inline probe hashes; key set unchanged") {
+    import graft.dedup.Dedup
+    val docs = Seq(
+      (1L, "alpha beta\n\nGAMMA  delta"),
+      (2L, "gamma DELTA\n\nepsilon")).toDF("id", "text")
+    val idx = Dedup.paragraphKeyIndex(docs, col("id"), col("text"))
+    assert(idx.columns.toSeq === Seq("key", "h64", "fp"))
+    val bad = idx.where(
+      col("h64") =!= xxhash64(col("key")) ||
+      col("fp") =!= unhex(sha2(col("key"), 256)))
+    assert(bad.count() === 0)
+    assert(sortedRows(idx.select("key")) ===
+      sortedRows(Dedup.paragraphKeys(docs, col("id"), col("text"))))
+  }
+
+  test("incrementalParagraphsPre: hash-carrying index format ≡ bare (key) format") {
+    import graft.dedup.Dedup
+    val history = Seq(
+      (1L, "Subscribe now\n\nalpha beta gamma\n\nshared paragraph here"),
+      (2L, "subscribe  NOW\n\ndelta epsilon")).toDF("id", "text")
+    val batch = Seq(
+      (10L, "Subscribe now\n\nfresh content one\n\nshared paragraph here"),
+      (11L, "fresh content one\n\nfresh content two\n\nfresh content two"))
+      .toDF("id", "text")
+    val bare = Dedup.incrementalParagraphsPre(batch,
+      Dedup.paragraphKeys(history, col("id"), col("text"))
+        .localCheckpoint(),
+      col("id"), col("text"), expectedItems = 1000L)
+    val carrying = Dedup.incrementalParagraphsPre(batch,
+      Dedup.paragraphKeyIndex(history, col("id"), col("text"))
+        .localCheckpoint(),
+      col("id"), col("text"), expectedItems = 1000L)
+    assert(sortedRows(carrying) === sortedRows(bare))
+    // empty history short-circuits identically in both formats
+    val emptyHist = history.where(lit(false))
+    assert(sortedRows(Dedup.incrementalParagraphsPre(batch,
+        Dedup.paragraphKeyIndex(emptyHist, col("id"), col("text")),
+        col("id"), col("text"), 1000L)) ===
+      sortedRows(Dedup.incrementalParagraphsPre(batch,
+        Dedup.paragraphKeys(emptyHist, col("id"), col("text")),
+        col("id"), col("text"), 1000L)))
+  }
+
+  test("clusteredBanded: stored bands ≡ inline signature; probe ≡ bare clustered history") {
+    import graft.sim.SemanticDedup
+    val cents = Seq(Seq(1000000000L, 0L, 0L, 0L),
+      Seq(0L, 1000000000L, 0L, 0L))
+    val hist = Seq(
+      (1L, Seq(0.9f, 0.1f, 0.0f, 0.1f)),
+      (2L, Seq(0.1f, 0.95f, 0.1f, 0.0f)),
+      (3L, Seq(0.88f, 0.12f, 0.02f, 0.1f))).toDF("vec_id", "embedding")
+    val batch = Seq(
+      (10L, Seq(0.91f, 0.1f, 0.01f, 0.1f)),
+      (11L, Seq(0.1f, 0.9f, 0.12f, 0.0f))).toDF("vec_id", "embedding")
+    val (tabs, bits, dim) = (8, 3, 4)
+    val banded = SemanticDedup.clusteredBanded(
+      hist, "vec_id", "embedding", cents, tabs, bits, dim)
+    val bandsCol = s"__bands_${tabs}_${bits}_$dim"
+    assert(banded.columns.contains(bandsCol))
+    // the stored column IS the inline signature of the stored vector
+    val mismatch = banded.where(col(bandsCol) =!=
+      graft.functions.CosLshSigExpr.cos_lsh_sig(
+        col("__vec"), tabs, bits, dim))
+    assert(mismatch.count() === 0)
+    // probing through the stored bands ≡ recomputing them per batch
+    val viaBare = SemanticDedup.incrementalSemanticDupPre(batch,
+      SemanticDedup.clustered(hist, "vec_id", "embedding", cents)
+        .localCheckpoint(),
+      "vec_id", "embedding", cents, threshold = 0.6,
+      bandTables = tabs, bandBits = bits, dim = dim)
+    val viaBanded = SemanticDedup.incrementalSemanticDupPre(batch,
+      banded.localCheckpoint(),
+      "vec_id", "embedding", cents, threshold = 0.6,
+      bandTables = tabs, bandBits = bits, dim = dim)
+    assert(sortedRows(viaBanded) === sortedRows(viaBare))
+    assert(viaBanded.count() > 0) // the pin must exercise real pairs
+    // a PARAMETER-MISMATCHED store must fall back to recompute, not
+    // misread: probe the 8/3/4 store with 4/2/4 — same result as bare
+    val viaMismatch = SemanticDedup.incrementalSemanticDupPre(batch,
+      banded.localCheckpoint(),
+      "vec_id", "embedding", cents, threshold = 0.6,
+      bandTables = 4, bandBits = 2, dim = dim)
+    val viaBare42 = SemanticDedup.incrementalSemanticDupPre(batch,
+      SemanticDedup.clustered(hist, "vec_id", "embedding", cents)
+        .localCheckpoint(),
+      "vec_id", "embedding", cents, threshold = 0.6,
+      bandTables = 4, bandBits = 2, dim = dim)
+    assert(sortedRows(viaMismatch) === sortedRows(viaBare42))
+  }
+
+  test("IndexStore: create-once/refresh read sees appends after reads and survives compact") {
+    import graft.dedup.{Dedup, IndexStore}
+    val docs = Seq(
+      (1L, "alpha beta\n\ngamma delta"),
+      (2L, "gamma delta\n\nepsilon zeta"),
+      (3L, "eta theta\n\niota kappa")).toDF("id", "text")
+    def delta(m: Int) = Dedup.paragraphKeyIndex(
+      docs.where(col("id") === m), col("id"), col("text"))
+    val store = new IndexStore(
+      tmp("refresh").resolve("idx").toString, Seq("fp"))
+    store.append(delta(1), 0L)
+    store.compact(spark) // base exists → bucketedBase registers a table
+    val r1 = store.read(spark).select("key")
+    assert(sortedRows(r1) === Seq("alpha beta", "gamma delta"))
+    // append AFTER a read: the cached file index must not go stale
+    store.append(delta(2), 1L)
+    assert(sortedRows(store.read(spark).select("key")) ===
+      Seq("alpha beta", "epsilon zeta", "gamma delta"))
+    // compact again (drops the table definition), then read + append
+    store.compact(spark)
+    assert(sortedRows(store.read(spark).select("key")) ===
+      Seq("alpha beta", "epsilon zeta", "gamma delta"))
+    store.append(delta(3), 2L)
+    assert(sortedRows(store.read(spark).select("key")) ===
+      Seq("alpha beta", "epsilon zeta", "eta theta",
+        "gamma delta", "iota kappa"))
+    // the base REBUILDS under the existing definition on compact:
+    // a third compact folds the delta in and the refreshed read sees
+    // the post-swap files, not the cached pre-swap listing
+    store.compact(spark)
+    assert(sortedRows(store.read(spark).select("key")) ===
+      Seq("alpha beta", "epsilon zeta", "eta theta",
+        "gamma delta", "iota kappa"))
+  }
+}
