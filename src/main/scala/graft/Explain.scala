@@ -21,7 +21,16 @@ object Explain {
       else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { name =>
       println(s"\n========== $name ==========")
-      try println(SparkEntry.queries(name)(spark, sfDir)
+      // "query[stage]" names resolve through the staged-audit frames
+      // (the pre-barrier plans a terminal localCheckpoint hides)
+      val frame = name.split("\\[") match {
+        case Array(q, st) => (s: org.apache.spark.sql.SparkSession,
+            d: String) => SparkEntry.stagedQueries(q)(s, d)
+          .collectFirst { case (n, df) if n == st.stripSuffix("]") => df }
+          .getOrElse(sys.error(s"no stage $st in $q"))
+        case _ => SparkEntry.queries(name)
+      }
+      try println(frame(spark, sfDir)
         .queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode))
       catch { case e: Throwable => println(s"ERROR: ${e.getMessage}") }

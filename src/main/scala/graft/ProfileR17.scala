@@ -1,0 +1,206 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-17 phase profiler (optimization scaffolding, not a contract
+  * entrypoint): times the PHASES inside this round's remaining targets
+  * (q120 loop vs setup, q188 barrier partitioning at c32-vs-c8,
+  * q160/q137 candidate-vs-verify tiers) so each optimization aims at
+  * the phase that actually costs, per guide §1.
+  */
+object ProfileR17 {
+  def time[A](label: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"  [$label%-32s] ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    r
+  }
+
+  def consume(df: DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val reps = sys.env.getOrElse("PROFILE_REPS", "2").toInt
+    val which = sys.env.getOrElse("PROFILE_WHICH", "q120,q188,q160,q137")
+      .split(",").toSet
+
+    consume(spark.read.parquet(s"$sfDir/documents.parquet")) // warmup
+
+    if (which("q120")) for (r <- 1 to reps) {
+      println(s"=== q120 phases (r16 loop shape, hand-inlined), rep $r ===")
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+      val e1 = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(10000000L)).as("dst"))
+      val e2 = li.select((col("l_suppkey") + lit(10000000L)).as("src"),
+        (col("l_partkey") + lit(20000000L)).as("dst"))
+      val edges = e1.unionAll(e2)
+      val e = time("edges distinct+ckpt") {
+        edges.select(col("src").cast("long").as("src"),
+            col("dst").cast("long").as("dst"))
+          .distinct().localCheckpoint(true)
+      }
+      val nodes = time("nodes distinct+ckpt") {
+        e.select(col("src").as("id"))
+          .unionAll(e.select(col("dst").as("id")))
+          .distinct().localCheckpoint(true)
+      }
+      val n = time("nodes count") { nodes.count() }
+      val edgesDeg = time("edgesDeg join+ckpt") {
+        e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), Seq("src"))
+          .localCheckpoint(true)
+      }
+      var ranks = nodes.select(col("id"), lit(1000000000000L / n).as("r"))
+      for (i <- 1 to 3) {
+        ranks = time(s"iteration $i (ckpt)") {
+          val inflow = ranks.join(edgesDeg, col("id") === col("src"))
+            .select(col("dst"), expr("r div deg").as("contrib"))
+            .groupBy("dst").agg(sum("contrib").as("inflow"))
+          nodes.join(inflow, nodes("id") === inflow("dst"), "left")
+            .select(col("id"),
+              (lit(15L * 1000000000000L / (100L * n)) +
+                expr("(85 * coalesce(inflow, CAST(0 AS BIGINT))) div 100"))
+                .as("r"))
+            .localCheckpoint(true) // isolate per-iteration cost
+        }
+      }
+      time("final project+consume") {
+        consume(ranks.select(col("id"), col("r").as("r_scaled"),
+          round(col("r").cast("double") / 1000000000000L, 6).as("rank")))
+      }
+    }
+
+    if (which("q188")) for (r <- 1 to reps) {
+      println(s"=== q188 stage barriers (inline replica), rep $r (cpus=$cpus) ===")
+      import graft.dedup.Dedup
+      val gates = time("gates ckpt") {
+        SparkEntry.curatedGatesStage(spark, sfDir).localCheckpoint()
+      }
+      println(s"    -> ${gates.rdd.getNumPartitions} partitions")
+      val flatB = time("dedup+flatten ckpt") {
+        Dedup.paragraphDedup(gates, col("doc_id"), col("__ptext"))
+          .select(col("doc_id"),
+            regexp_replace(col("kept_text"), "\\n+", " ").as("text"))
+          .localCheckpoint()
+      }
+      println(s"    -> ${flatB.rdd.getNumPartitions} partitions")
+      val excisedB = time("excise ckpt") {
+        Dedup.substringExcise(flatB, col("doc_id"), col("text"), k = 8)
+          .select(col("doc_id"), col("n_removed").as("n_excised"),
+            col("kept_text"))
+          .localCheckpoint()
+      }
+      println(s"    -> ${excisedB.rdd.getNumPartitions} partitions")
+      val deconB = time("decontaminate ckpt") {
+        val bench = SparkEntry.T(spark, sfDir, "documents")
+          .where(pmod(col("doc_id"), lit(10)) === 7)
+        Dedup.substringDecontaminate(excisedB, col("doc_id"),
+            col("kept_text"), bench, col("text"), k = 8)
+          .select(col("doc_id"), col("n_removed").as("n_decon"),
+            col("kept_text"))
+          .localCheckpoint()
+      }
+      println(s"    -> ${deconB.rdd.getNumPartitions} partitions")
+      time("final pack+join+consume") {
+        val stats = excisedB.select(col("doc_id"), col("n_excised"))
+          .join(deconB.select(col("doc_id"), col("n_decon")), Seq("doc_id"))
+        consume(graft.ops.Pack.sequencePacking(deconB, col("doc_id"),
+            col("kept_text"), seqLen = 256L)
+          .join(stats, Seq("doc_id")))
+      }
+    }
+
+    if (which("q160")) for (r <- 1 to reps) {
+      println(s"=== q160 phases, rep $r ===")
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val sh = time("shingles ckpt") {
+        docs.where(col("text").isNotNull)
+          .select(col("doc_id").as("id"), sort_array(array_distinct(transform(
+              graft.functions.ShinglesExpr.shingle_strings(col("text"), 3),
+              s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))))
+            .as("sh"))
+          .localCheckpoint()
+      }
+      val grams = sh.select(col("id"), explode(col("sh")).as("g"))
+      val rare = grams.groupBy("g").agg(count(lit(1)).as("df"))
+        .where(col("df") <= 10).select("g")
+      val rareGrams = grams.join(rare, Seq("g")).localCheckpoint()
+      println(s"    rareGrams rows: ${rareGrams.count()}")
+      val dfHist = grams.groupBy("g").agg(count(lit(1)).as("df"))
+        .groupBy("df").count().orderBy("df")
+      println("    df histogram (df<=10): " + dfHist.where(col("df") <= 10)
+        .collect().map(r => s"${r.getLong(0)}:${r.getLong(1)}").mkString(" "))
+      val cands = time("cands self-join+agg") {
+        rareGrams.select(col("g"), col("id").as("id_a"))
+          .join(rareGrams.select(col("g"), col("id").as("id_b")), Seq("g"))
+          .where(col("id_a") < col("id_b"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("__sr"))
+          .localCheckpoint()
+      }
+      println(s"    candidate pairs: ${cands.count()}")
+      val surviving = time("ub-prefilter") {
+        val stats = sh.select(col("id"), size(col("sh")).cast("long")
+            .as("n"))
+          .join(rareGrams.groupBy("id").agg(count(lit(1)).as("r")),
+            Seq("id"), "left")
+          .select(col("id"), col("n"),
+            coalesce(col("r"), lit(0L)).as("r"))
+        cands
+          .join(stats.select(col("id").as("id_a"), col("n").as("n_a"),
+            col("r").as("r_a")), Seq("id_a"))
+          .join(stats.select(col("id").as("id_b"), col("n").as("n_b"),
+            col("r").as("r_b")), Seq("id_b"))
+          .withColumn("__ub", col("__sr") +
+            least(col("n_a") - col("r_a"), col("n_b") - col("r_b")))
+          .where(expr("(__ub * 1000000) DIV n_a") >= 500000L ||
+            expr("(__ub * 1000000) DIV n_b") >= 500000L)
+          .select("id_a", "id_b").localCheckpoint()
+      }
+      println(s"    surviving pairs: ${surviving.count()}")
+      time("verify joins+consume") {
+        val survIds = surviving.select(col("id_a").as("id"))
+          .union(surviving.select(col("id_b").as("id"))).distinct()
+        val shv = sh.join(survIds, Seq("id"), "left_semi")
+        consume(surviving
+          .join(shv.select(col("id").as("id_a"), col("sh").as("sh_a")),
+            Seq("id_a"))
+          .join(shv.select(col("id").as("id_b"), col("sh").as("sh_b")),
+            Seq("id_b"))
+          .select(col("id_a"), col("id_b"),
+            graft.functions.SortedInterExpr.sorted_inter_count(
+              col("sh_a"), col("sh_b")).cast("long").as("inter"),
+            size(col("sh_a")).cast("long").as("n_a"),
+            size(col("sh_b")).cast("long").as("n_b"))
+          .withColumn("c_ab_e6", expr("(inter * 1000000) div n_a"))
+          .withColumn("c_ba_e6", expr("(inter * 1000000) div n_b"))
+          .where(greatest(col("c_ab_e6"), col("c_ba_e6")) >= 500000L))
+      }
+      time("full q160 consume") {
+        consume(graft.dedup.Dedup.containmentPairs(docs, "doc_id", "text",
+          w = 3, maxDf = 10, minContainE6 = 500000L))
+      }
+    }
+
+    if (which("q137")) for (r <- 1 to reps) {
+      println(s"=== q137 full consume, rep $r ===")
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      time("full q137 consume") {
+        consume(graft.text.TextAnalysis.sparseCosinePairs(docs,
+          col("doc_id"), col("text"), w = 3, maxDf = 10,
+          minCos2Ppm = 250000L))
+      }
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** VERDICT r16 #8: a CORE-scaling probe at 10× scale (the synthesized
+  * "sf1" replica dir, Bench10x's id-shift protocol) for the bench's
+  * top-10 slowest queries. The r16 8-vs-32-core comparison at sf0.1
+  * read through the per-query overhead floor (~0.7 s/query of
+  * planning/job-launch/store lifecycle dwarfs the compute at that SF);
+  * at 10× the per-query work dominates, so the c8/c32 ratio measures
+  * the operators' actual parallel scaling.
+  *
+  * Run TWICE (the master is fixed per JVM):
+  *   SPARK_GRAFT_CPUS=32 sbt "Test/runMain graft.ScalingProbeR17"
+  *   SPARK_GRAFT_CPUS=8  sbt "Test/runMain graft.ScalingProbeR17"
+  * Each writes plans/r17/SCALING_SF1_c<cpus>.json. The synthesized
+  * dir is reused if present (deterministic content).
+  */
+object ScalingProbeR17 {
+
+  /** The top-10 slowest rows of plans/r17/BENCH_BEFORE.json. */
+  val Top10: Seq[String] = Seq(
+    "q120_pagerank", "q205_maintained_band_index",
+    "q201_maintained_window_index", "q188_curate_excise_pack",
+    "q202_maintained_paragraph_index", "q203_maintained_semantic_index",
+    "q212_minor_compacted_index", "q206_expiring_window_index",
+    "q160_containment_pairs", "q68_uv_window")
+
+  private def minOf2(f: => Unit): Double = {
+    val t1 = System.nanoTime(); f; val s1 = (System.nanoTime() - t1) / 1e9
+    val t2 = System.nanoTime(); f; val s2 = (System.nanoTime() - t2) / 1e9
+    math.min(s1, s2)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val sf01 = "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // ---- the 10× dir (Bench10x's id-shift protocol), reused across
+    // the two core-count runs: synthesis is deterministic ----
+    val dir10 = "/tmp/graft_sf1_scaling"
+    val marker = new java.io.File(s"$dir10/_SYNTH_DONE")
+    if (!marker.exists()) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir10))
+      val reps = spark.range(10).select(col("id").as("r"))
+      def replicate(table: String, keys: Map[String, Long]): Unit = {
+        val src = spark.read.parquet(s"$sf01/$table.parquet")
+        val shifted = keys.foldLeft(src.crossJoin(broadcast(reps))) {
+          case (df, (k, off)) => df.withColumn(k, col(k) + col("r") * lit(off))
+        }
+        shifted.drop("r").repartition(32)
+          .write.mode("overwrite").parquet(s"$dir10/$table.parquet")
+      }
+      val nDocs = spark.read.parquet(s"$sf01/documents.parquet").count()
+      val nVecs = spark.read.parquet(s"$sf01/embeddings.parquet").count()
+      replicate("documents", Map("doc_id" -> nDocs))
+      replicate("embeddings", Map("vec_id" -> nVecs))
+      replicate("events", Map("user_id" -> 1000000L,
+        "event_id" -> 1000000000L))
+      replicate("lineitem", Map("l_orderkey" -> 1000000000L,
+        "l_partkey" -> 1000000000L, "l_suppkey" -> 1000000000L))
+      replicate("orders", Map("o_orderkey" -> 1000000000L,
+        "o_custkey" -> 1000000000L))
+      marker.createNewFile(): Unit
+    }
+
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split("\\s+").take(3).mkString(",")
+      catch { case _: Throwable => "" }
+    val loadStart = loadavg()
+
+    // warmup: codegen + scan + noop paths (same class as Bench's)
+    Bench.consume(spark.read.parquet(s"$dir10/documents.parquet"))
+
+    val rows = Top10.map { name =>
+      val fn = SparkEntry.queries(name)
+      val t = minOf2 { Bench.consume(fn(spark, dir10)) }
+      println(f"[scaling c$cpus] $name $t%.2f s")
+      (name, t)
+    }
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val json = rows.map { case (n, t) => s"""  "$n": ${fmt(t)}""" }
+      .mkString(
+        s"""{\n"protocol": "top-10 slowest of BENCH_BEFORE at the 10x id-shifted replica dir (Bench10x synthesis), min-of-2, consume action, local[$cpus], shuffle.partitions=$cpus",\n"cpus": $cpus,\n"load_start": "$loadStart", "load_end": "${loadavg()}",\n"total_sec": ${fmt(rows.map(_._2).sum)},\n"queries": {\n""",
+        ",\n", "\n}\n}\n")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get("plans/r17"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"plans/r17/SCALING_SF1_c$cpus.json"), json)
+    println(json)
+    spark.stop()
+  }
+}
